@@ -1,0 +1,43 @@
+"""dask_deltalake_spark — a PySpark-native analytics engine with the
+capabilities of the reference `hayesgb/dask_deltalake` connector.
+
+The reference (see /root/reference, SURVEY.md) is a Dask connector for
+Delta Lake: log-replay reads with projection/filter pushdown + partition
+pruning + time travel, transactional two-phase writes, history and
+vacuum maintenance. Here the same surface is re-expressed Spark-first:
+
+- ``read_delta`` / ``to_delta`` / ``read_delta_history`` / ``vacuum``
+  mirror the reference public API (reference ``core.py:158-265``,
+  ``writer.py:134-313``, ``core.py:268-293``, ``core.py:296-324``) but
+  return/consume ``pyspark.sql.DataFrame`` and execute all data I/O on
+  Spark executors. The Delta transaction-log protocol (log replay,
+  checkpoints, atomic commits) is implemented in pure Python from the
+  public Delta protocol spec, since all relational computation is
+  Catalyst's job.
+- The relational operator surface the reference inherits from Dask is
+  exposed through Spark SQL / DataFrame queries (see ``operators``).
+- LLM-data-pipeline extensions (dedup, similarity search, text
+  analysis, multimodal plumbing) live in ``functions``.
+"""
+
+from dask_deltalake_spark.delta.reader import read_delta
+from dask_deltalake_spark.delta.writer import to_delta
+from dask_deltalake_spark.delta.maintenance import (
+    create_checkpoint,
+    optimize,
+    read_delta_history,
+    vacuum,
+)
+from dask_deltalake_spark.session import get_spark
+
+__all__ = [
+    "read_delta",
+    "to_delta",
+    "read_delta_history",
+    "vacuum",
+    "optimize",
+    "create_checkpoint",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,282 @@
+"""Delta transaction-log replay (driver-side metadata only).
+
+Log replay reconstructs table state at a version: start from the
+newest parquet checkpoint ≤ version (if any), then apply the JSON
+commits after it — union of `add` paths minus `remove`d paths under the
+latest `metaData`/`protocol` (SURVEY.md §1.1). This is O(metadata),
+never touches data files, and is exactly how delta-spark/delta-rs
+behave on a 100 TB table: only the driver reads the log.
+
+Reference parity targets: version & datetime time travel
+(reference core.py:50-56), checkpoint-aware replay (fixture
+checkpoint.zip, `_last_checkpoint` + N.checkpoint.parquet), history
+(core.py:88-108), schema-per-version evolution (core.py:57).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Optional
+
+from dask_deltalake_spark.delta.protocol import (
+    LOG_DIR,
+    AddAction,
+    Metadata,
+    Protocol,
+    RemoveAction,
+    commit_filename,
+)
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+# single-part and multi-part checkpoint files
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+
+
+class DeltaTableNotFoundError(Exception):
+    pass
+
+
+@dataclass
+class Snapshot:
+    """Materialized table state at one version."""
+
+    path: str
+    version: int
+    metadata: Metadata
+    protocol: Protocol
+    files: dict[str, AddAction]  # path -> add
+    tombstones: dict[str, RemoveAction] = field(default_factory=dict)
+
+    @property
+    def add_actions(self) -> list[AddAction]:
+        return list(self.files.values())
+
+    def file_paths(self, absolute: bool = True) -> list[str]:
+        if not absolute:
+            return list(self.files)
+        return [os.path.join(self.path, p) for p in self.files]
+
+
+class DeltaLog:
+    """Reader/replayer for one table's `_delta_log`."""
+
+    def __init__(self, table_path: str):
+        self.table_path = str(table_path).rstrip("/")
+        self.log_path = os.path.join(self.table_path, LOG_DIR)
+
+    # -- listing ----------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_path) and bool(self.versions())
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_path):
+            return []
+        out = []
+        for f in os.listdir(self.log_path):
+            m = _COMMIT_RE.match(f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def checkpoint_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_path):
+            return []
+        out = set()
+        for f in os.listdir(self.log_path):
+            m = _CHECKPOINT_RE.match(f)
+            if m:
+                out.add(int(m.group(1)))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise DeltaTableNotFoundError(
+                f"No Delta table found at {self.table_path}"
+            )
+        return vs[-1]
+
+    def version_timestamps(self) -> dict[int, float]:
+        """Commit timestamps (epoch seconds) from log-file mtimes.
+
+        Datetime time travel resolves against the log files' storage
+        modification times — matching delta-rs `load_with_datetime`
+        (the reference's test resets fixture mtimes and expects this,
+        reference tests/test_core.py:173-199).
+        """
+        out = {}
+        for v in self.versions():
+            p = os.path.join(self.log_path, commit_filename(v))
+            try:
+                out[v] = os.path.getmtime(p)
+            except OSError:
+                pass
+        return out
+
+    def resolve_datetime(self, dt_string: str) -> int:
+        """Latest version whose commit time is <= the RFC3339 string;
+        clamps to the earliest version if the time predates the log."""
+        s = dt_string.strip().replace("Z", "+00:00")
+        target = datetime.fromisoformat(s)
+        if target.tzinfo is None:
+            target = target.replace(tzinfo=timezone.utc)
+        target_ts = target.timestamp()
+        ts = self.version_timestamps()
+        chosen = None
+        for v in sorted(ts):
+            if ts[v] <= target_ts:
+                chosen = v
+        if chosen is None:
+            chosen = min(ts) if ts else self.latest_version()
+        return chosen
+
+    # -- replay -----------------------------------------------------------
+
+    def read_commit_actions(self, version: int) -> list[dict[str, Any]]:
+        p = os.path.join(self.log_path, commit_filename(version))
+        actions = []
+        with open(p, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    actions.append(json.loads(line))
+        return actions
+
+    def _load_checkpoint(self, version: int) -> tuple[
+        dict[str, AddAction], dict[str, RemoveAction], Optional[Metadata], Optional[Protocol]
+    ]:
+        """Load checkpoint parquet(s) for a version via pyarrow
+        (driver-side; checkpoints are metadata-scale)."""
+        import pyarrow.parquet as pq
+        from urllib.parse import unquote
+
+        parts = []
+        single = os.path.join(
+            self.log_path, f"{version:020d}.checkpoint.parquet"
+        )
+        if os.path.exists(single):
+            parts.append(single)
+        else:
+            for f in sorted(os.listdir(self.log_path)):
+                m = _CHECKPOINT_RE.match(f)
+                if m and int(m.group(1)) == version and m.group(2):
+                    parts.append(os.path.join(self.log_path, f))
+        adds: dict[str, AddAction] = {}
+        removes: dict[str, RemoveAction] = {}
+        metadata: Optional[Metadata] = None
+        protocol: Optional[Protocol] = None
+        for part in parts:
+            tbl = pq.read_table(part)
+            for row in tbl.to_pylist():
+                if row.get("add"):
+                    a = row["add"]
+                    path = unquote(a["path"])
+                    adds[path] = AddAction(
+                        path=path,
+                        size=int(a.get("size") or 0),
+                        partition_values=dict(a.get("partitionValues") or {}),
+                        modification_time=int(a.get("modificationTime") or 0),
+                        data_change=bool(a.get("dataChange", True)),
+                        stats=a.get("stats"),
+                    )
+                elif row.get("remove"):
+                    r = row["remove"]
+                    path = unquote(r["path"])
+                    removes[path] = RemoveAction(
+                        path=path,
+                        deletion_timestamp=int(r.get("deletionTimestamp") or 0),
+                    )
+                elif row.get("metaData") and row["metaData"].get("id") is not None:
+                    metadata = Metadata.from_json(row["metaData"])
+                elif row.get("protocol") and row["protocol"].get(
+                    "minReaderVersion"
+                ) is not None:
+                    protocol = Protocol.from_json(row["protocol"])
+        return adds, removes, metadata, protocol
+
+    def snapshot(
+        self,
+        version: Optional[int] = None,
+        datetime_string: Optional[str] = None,
+    ) -> Snapshot:
+        versions = self.versions()
+        if not versions:
+            raise DeltaTableNotFoundError(
+                f"No Delta table found at {self.table_path}"
+            )
+        if datetime_string is not None:
+            version = self.resolve_datetime(datetime_string)
+        if version is None:
+            version = versions[-1]
+        if version not in versions and version > versions[-1] or version < 0:
+            raise ValueError(
+                f"Invalid version {version} for table {self.table_path} "
+                f"(available: {versions[0]}..{versions[-1]})"
+            )
+
+        adds: dict[str, AddAction] = {}
+        tombstones: dict[str, RemoveAction] = {}
+        metadata: Optional[Metadata] = None
+        protocol: Optional[Protocol] = None
+
+        start = 0
+        usable_cp = [c for c in self.checkpoint_versions() if c <= version]
+        if usable_cp:
+            cp = usable_cp[-1]
+            adds, tombstones, metadata, protocol = self._load_checkpoint(cp)
+            start = cp + 1
+
+        for v in range(start, version + 1):
+            if v not in versions and v > 0:
+                # gap in the log without a covering checkpoint
+                if not usable_cp or v > version:
+                    raise ValueError(f"Missing commit {v} in {self.log_path}")
+                continue
+            for action in self.read_commit_actions(v):
+                if "add" in action:
+                    a = AddAction.from_json(action["add"])
+                    adds[a.path] = a
+                    tombstones.pop(a.path, None)
+                elif "remove" in action:
+                    r = RemoveAction.from_json(action["remove"])
+                    adds.pop(r.path, None)
+                    tombstones[r.path] = r
+                elif "metaData" in action:
+                    metadata = Metadata.from_json(action["metaData"])
+                elif "protocol" in action:
+                    protocol = Protocol.from_json(action["protocol"])
+
+        if metadata is None:
+            raise ValueError(
+                f"Table {self.table_path} has no metaData action up to "
+                f"version {version}"
+            )
+        return Snapshot(
+            path=self.table_path,
+            version=version,
+            metadata=metadata,
+            protocol=protocol or Protocol(),
+            files=adds,
+            tombstones=tombstones,
+        )
+
+    # -- history ----------------------------------------------------------
+
+    def commit_infos(self) -> list[dict[str, Any]]:
+        """One commitInfo dict per version (empty dict if a commit has
+        none), newest last; each is augmented with `version`."""
+        out = []
+        for v in self.versions():
+            info: dict[str, Any] = {}
+            for action in self.read_commit_actions(v):
+                if "commitInfo" in action:
+                    info = dict(action["commitInfo"])
+                    break
+            info["version"] = v
+            out.append(info)
+        return out

@@ -1,0 +1,356 @@
+"""Table maintenance: history, vacuum, checkpointing, compaction.
+
+Reference parity: `read_delta_history` (reference core.py:268-293 →
+88-108: commitInfo records flattened, sorted desc by timestamp, fixed
+9-column projection, optional limit) and `vacuum` (core.py:296-324 →
+110-151: list files unreferenced by the current version older than the
+retention window; dry-run lists, otherwise distributed delete).
+
+Extensions beyond the reference (north-star "read/write/compaction"):
+`create_checkpoint` (protocol checkpoint parquet + `_last_checkpoint`,
+which the reference only consumes via delta-rs) and `optimize`
+(bin-packing small-file compaction with dataChange=false, delta-spark's
+OPTIMIZE analog — essential at 100 TB where streaming appends produce
+file counts that degrade scan planning).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from dask_deltalake_spark.delta.log import DeltaLog
+from dask_deltalake_spark.delta.protocol import (
+    LOG_DIR,
+    AddAction,
+    RemoveAction,
+    now_ms,
+)
+from dask_deltalake_spark.delta.writer import write_commit
+
+HISTORY_COLUMNS = [
+    "timestamp",
+    "operation",
+    "operationParameters.mode",
+    "operationMetrics.numFiles",
+    "operationMetrics.numOutputBytes",
+    "operationMetrics.numOutputRows",
+    "operationParameters.partitionBy",
+    "readVersion",
+    "isBlindAppend",
+]
+
+
+def read_delta_history(
+    path: str,
+    limit: Optional[int] = None,
+    storage_options: Optional[dict] = None,
+) -> pd.DataFrame:
+    """Commit history, newest first — the reference's exact shape:
+    json-normalized commitInfo, desc-sorted by timestamp, 9 fixed
+    columns, optional limit (reference core.py:88-108). Purely
+    driver-side metadata, like the reference."""
+    infos = DeltaLog(path).commit_infos()
+    df = (
+        pd.json_normalize(infos)
+        .sort_values(by="timestamp", ascending=False)
+        .reset_index(drop=True)
+    )
+    if limit:
+        df = df[df.index < limit]
+    for c in HISTORY_COLUMNS:
+        if c not in df.columns:
+            df[c] = None
+    return df[HISTORY_COLUMNS]
+
+
+def vacuum(
+    path: str,
+    retention_hours: int = 168,
+    dry_run: bool = True,
+    storage_options: Optional[dict] = None,
+    spark: Optional[SparkSession] = None,
+):
+    """List (dry run) or delete files in the table directory that are
+    no longer referenced by the current version and are older than the
+    retention threshold (default 168h, matching reference
+    core.py:121). Deletes are fanned out across executors — one
+    metadata-sized task list, deletion I/O distributed — mirroring the
+    reference's one-delayed-task-per-tombstone design (core.py:143-151)
+    in Spark terms."""
+    table_path = str(path).rstrip("/")
+    log = DeltaLog(table_path)
+    snap = log.snapshot()
+    referenced = set(snap.files)
+    cutoff_ms = now_ms() - retention_hours * 3600 * 1000
+
+    tombstones: list[str] = []
+    removal_times = {
+        p: r.deletion_timestamp for p, r in snap.tombstones.items()
+    }
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for fname in files:
+            if fname.startswith((".", "_")):
+                continue
+            abs_p = os.path.join(root, fname)
+            rel_p = os.path.relpath(abs_p, table_path)
+            if rel_p in referenced:
+                continue
+            ts = removal_times.get(rel_p)
+            if ts is None:
+                ts = int(os.path.getmtime(abs_p) * 1000)
+            if ts < cutoff_ms:
+                tombstones.append(rel_p)
+
+    if dry_run:
+        return tombstones
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None and len(tombstones) > 64:
+        sc = spark.sparkContext
+        base = table_path
+
+        def _rm(rel: str) -> None:
+            try:
+                os.remove(os.path.join(base, rel))
+            except FileNotFoundError:
+                pass
+
+        sc.parallelize(tombstones, max(1, len(tombstones) // 64)).foreach(_rm)
+    else:
+        for rel in tombstones:
+            try:
+                os.remove(os.path.join(table_path, rel))
+            except FileNotFoundError:
+                pass
+    return None
+
+
+def create_checkpoint(path: str, version: Optional[int] = None) -> str:
+    """Write a protocol checkpoint parquet for `version` (default:
+    latest) plus `_last_checkpoint`, so future replays start from the
+    checkpoint instead of the full JSON history (the log-replay
+    acceleration the reference inherits from delta-rs; SURVEY.md §4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from urllib.parse import quote
+
+    table_path = str(path).rstrip("/")
+    log = DeltaLog(table_path)
+    snap = log.snapshot(version=version)
+
+    rows = []
+    rows.append(
+        {
+            "protocol": {
+                "minReaderVersion": snap.protocol.min_reader_version,
+                "minWriterVersion": snap.protocol.min_writer_version,
+            }
+        }
+    )
+    meta = snap.metadata
+    rows.append(
+        {
+            "metaData": {
+                "id": meta.id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": meta.schema_string,
+                "partitionColumns": meta.partition_columns,
+                "configuration": meta.configuration,
+                "createdTime": meta.created_time,
+            }
+        }
+    )
+    for a in snap.add_actions:
+        rows.append(
+            {
+                "add": {
+                    "path": quote(a.path),
+                    "partitionValues": a.partition_values,
+                    "size": a.size,
+                    "modificationTime": a.modification_time,
+                    "dataChange": False,
+                    "stats": a.stats,
+                }
+            }
+        )
+    for r in snap.tombstones.values():
+        rows.append(
+            {
+                "remove": {
+                    "path": quote(r.path),
+                    "deletionTimestamp": r.deletion_timestamp,
+                    "dataChange": False,
+                }
+            }
+        )
+
+    cols = ["protocol", "metaData", "add", "remove"]
+    norm = [{c: row.get(c) for c in cols} for row in rows]
+    str_map = pa.map_(pa.string(), pa.string())
+    cp_schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [("provider", pa.string()), ("options", str_map)]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", str_map),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    for row in norm:
+        for key in ("metaData", "add"):
+            if row.get(key):
+                d = row[key]
+                for mk in ("partitionValues", "configuration"):
+                    if mk in d and isinstance(d[mk], dict):
+                        d[mk] = list(d[mk].items())
+                if key == "metaData" and isinstance(
+                    d.get("format", {}).get("options"), dict
+                ):
+                    d["format"]["options"] = list(d["format"]["options"].items())
+    tbl = pa.Table.from_pylist(norm, schema=cp_schema)
+    cp_path = os.path.join(
+        table_path, LOG_DIR, f"{snap.version:020d}.checkpoint.parquet"
+    )
+    pq.write_table(tbl, cp_path)
+    with open(
+        os.path.join(table_path, LOG_DIR, "_last_checkpoint"),
+        "w",
+        encoding="utf-8",
+    ) as f:
+        json.dump({"version": snap.version, "size": len(rows)}, f)
+    return cp_path
+
+
+def optimize(
+    path: str,
+    target_file_size: int = 128 * 1024 * 1024,
+    spark: Optional[SparkSession] = None,
+) -> dict:
+    """Bin-packing compaction (delta-spark OPTIMIZE analog).
+
+    Rewrites the table's current files into ~target_file_size outputs
+    per partition and commits add+remove with ``dataChange=false`` in
+    one atomic commit. Scale rationale: scan planning and task
+    scheduling cost O(#files); compaction after many small appends is
+    what keeps a 100 TB table scannable.
+    """
+    from dask_deltalake_spark.delta.reader import read_delta, snapshot_schema
+    from dask_deltalake_spark.delta.writer import (
+        _spark_to_arrow_schema,
+        _write_partition_factory,
+        _ADD_ROW_SCHEMA,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    table_path = str(path).rstrip("/")
+    log = DeltaLog(table_path)
+    snap = log.snapshot()
+    partition_by = snap.metadata.partition_columns
+
+    old_paths = list(snap.files)
+    total_bytes = sum(a.size for a in snap.add_actions)
+    n_out = max(1, round(total_bytes / target_file_size))
+
+    df = read_delta(table_path, spark=spark)
+    if partition_by:
+        df = df.repartition(n_out, *partition_by)
+    else:
+        df = df.repartition(n_out)
+
+    schema_bytes = _spark_to_arrow_schema(df.schema).serialize().to_pybytes()
+    fn = _write_partition_factory(table_path, partition_by, schema_bytes)
+    add_rows = df.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
+
+    ts = now_ms()
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetSize": str(target_file_size)
+                },
+                "readVersion": snap.version,
+                "isBlindAppend": False,
+                "operationMetrics": {
+                    "numRemovedFiles": str(len(old_paths)),
+                    "numAddedFiles": str(len(add_rows)),
+                },
+                "engineInfo": "dask_deltalake_spark/0.1.0",
+            }
+        }
+    ]
+    for r in add_rows:
+        actions.append(
+            AddAction(
+                path=r.path,
+                size=r.size,
+                partition_values=json.loads(r.partition_json),
+                modification_time=ts,
+                data_change=False,
+                stats=r.stats,
+            ).to_json()
+        )
+    for p in old_paths:
+        actions.append(
+            RemoveAction(
+                path=p, deletion_timestamp=ts, data_change=False
+            ).to_json()
+        )
+    write_commit(table_path, snap.version + 1, actions)
+    return {
+        "numFilesAdded": len(add_rows),
+        "numFilesRemoved": len(old_paths),
+        "version": snap.version + 1,
+    }

@@ -1,0 +1,390 @@
+"""Delta Lake protocol primitives (actions, log paths, filters).
+
+Derived from the public Delta Lake protocol specification
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md) and the
+behaviors the reference connector exhibits (SURVEY.md §1.1): a table is
+a directory of parquet files plus `_delta_log/NNN...N.json` commits of
+newline-delimited JSON actions, periodically compacted into
+`N.checkpoint.parquet` pointed at by `_last_checkpoint`.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+from datetime import date, datetime, timezone
+from typing import Any, Iterable, Optional
+from urllib.parse import quote, unquote
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+LOG_DIR = "_delta_log"
+MAX_SUPPORTED_WRITER_VERSION = 2
+MAX_SUPPORTED_READER_VERSION = 1
+
+
+class DeltaProtocolError(Exception):
+    """Table requires protocol features this writer doesn't support
+    (mirrors the reference's DeltaTableProtocolError gate,
+    reference writer.py:254-259)."""
+
+
+class ConcurrentCommitError(Exception):
+    """Another writer committed the same version first (optimistic
+    concurrency conflict — the reference has no conflict detection at
+    all; we at least detect and refuse)."""
+
+
+@dataclass
+class AddAction:
+    path: str  # relative, URL-decoded
+    size: int
+    partition_values: dict[str, Optional[str]] = field(default_factory=dict)
+    modification_time: int = 0  # ms epoch
+    data_change: bool = True
+    stats: Optional[str] = None  # JSON string per protocol
+
+    def to_json(self) -> dict[str, Any]:
+        d: dict[str, Any] = {
+            "path": quote(self.path),
+            "partitionValues": {
+                k: (v if v is not None else None)
+                for k, v in self.partition_values.items()
+            },
+            "size": self.size,
+            "modificationTime": self.modification_time,
+            "dataChange": self.data_change,
+        }
+        if self.stats:
+            d["stats"] = self.stats
+        return {"add": d}
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "AddAction":
+        return cls(
+            path=unquote(d["path"]),
+            size=int(d.get("size") or 0),
+            partition_values=dict(d.get("partitionValues") or {}),
+            modification_time=int(d.get("modificationTime") or 0),
+            data_change=bool(d.get("dataChange", True)),
+            stats=d.get("stats"),
+        )
+
+
+@dataclass
+class RemoveAction:
+    path: str
+    deletion_timestamp: int = 0  # ms epoch
+    data_change: bool = True
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "remove": {
+                "path": quote(self.path),
+                "deletionTimestamp": self.deletion_timestamp,
+                "dataChange": self.data_change,
+            }
+        }
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "RemoveAction":
+        return cls(
+            path=unquote(d["path"]),
+            deletion_timestamp=int(d.get("deletionTimestamp") or 0),
+            data_change=bool(d.get("dataChange", True)),
+        )
+
+
+@dataclass
+class Metadata:
+    id: str
+    schema_string: str  # Spark StructType JSON — the protocol's format
+    partition_columns: list[str] = field(default_factory=list)
+    configuration: dict[str, str] = field(default_factory=dict)
+    name: Optional[str] = None
+    description: Optional[str] = None
+    created_time: Optional[int] = None
+    format_provider: str = "parquet"
+
+    def to_json(self) -> dict[str, Any]:
+        d: dict[str, Any] = {
+            "id": self.id,
+            "format": {"provider": self.format_provider, "options": {}},
+            "schemaString": self.schema_string,
+            "partitionColumns": self.partition_columns,
+            "configuration": self.configuration,
+        }
+        if self.name:
+            d["name"] = self.name
+        if self.description:
+            d["description"] = self.description
+        if self.created_time is not None:
+            d["createdTime"] = self.created_time
+        return {"metaData": d}
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "Metadata":
+        return cls(
+            id=d.get("id", ""),
+            schema_string=d.get("schemaString", ""),
+            partition_columns=list(d.get("partitionColumns") or []),
+            configuration=dict(d.get("configuration") or {}),
+            name=d.get("name"),
+            description=d.get("description"),
+            created_time=d.get("createdTime"),
+            format_provider=(d.get("format") or {}).get("provider", "parquet"),
+        )
+
+
+@dataclass
+class Protocol:
+    min_reader_version: int = 1
+    min_writer_version: int = 2
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "protocol": {
+                "minReaderVersion": self.min_reader_version,
+                "minWriterVersion": self.min_writer_version,
+            }
+        }
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "Protocol":
+        return cls(
+            min_reader_version=int(d.get("minReaderVersion", 1)),
+            min_writer_version=int(d.get("minWriterVersion", 2)),
+        )
+
+
+def commit_filename(version: int) -> str:
+    return f"{version:020d}.json"
+
+
+def checkpoint_filename(version: int) -> str:
+    return f"{version:020d}.checkpoint.parquet"
+
+
+def now_ms() -> int:
+    return int(datetime.now(timezone.utc).timestamp() * 1000)
+
+
+# ---------------------------------------------------------------------------
+# DNF filter handling (reference filter syntax, core.py:209-212):
+# [("col", op, val), ...] = AND;  [[...], [...]] = OR of ANDs.
+# ---------------------------------------------------------------------------
+
+DNF_OPS = {"=", "==", "!=", "<", ">", "<=", ">=", "in", "not in"}
+
+
+def normalize_dnf(filters) -> list[list[tuple]]:
+    """Normalize the reference's filter syntax to OR-of-ANDs."""
+    if not filters:
+        return []
+    if isinstance(filters[0], tuple):
+        filters = [filters]
+    out = []
+    for conj in filters:
+        branch = []
+        for col, op, val in conj:
+            if op not in DNF_OPS:
+                raise ValueError(f"Unsupported filter op: {op!r}")
+            branch.append((col, "==" if op == "=" else op, val))
+        out.append(branch)
+    return out
+
+
+def _coerce_partition_value(raw: Optional[str], like: Any) -> Any:
+    """Partition values are carried as strings in the log
+    (SURVEY.md §1.3); coerce to the filter value's type for comparison."""
+    if raw is None:
+        return None
+    if isinstance(like, bool):
+        return raw.lower() in ("true", "1")
+    if isinstance(like, int):
+        return int(raw)
+    if isinstance(like, float):
+        return float(raw)
+    if isinstance(like, (datetime, date)):
+        return datetime.fromisoformat(raw)
+    return raw
+
+
+def _cmp(op: str, left: Any, right: Any) -> bool:
+    if left is None:
+        return False
+    if op == "==":
+        return left == right
+    if op == "!=":
+        return left != right
+    if op == "<":
+        return left < right
+    if op == ">":
+        return left > right
+    if op == "<=":
+        return left <= right
+    if op == ">=":
+        return left >= right
+    if op == "in":
+        return left in right
+    if op == "not in":
+        return left not in right
+    raise ValueError(op)
+
+
+def prune_partitions(
+    adds: Iterable[AddAction], dnf: list[list[tuple]]
+) -> list[AddAction]:
+    """Driver-side partition pruning: evaluate the DNF against each
+    file's ``partitionValues`` — metadata only, no file listing or I/O,
+    so it costs O(#files) regardless of data size (this is the same
+    strategy delta-spark uses for partition pruning at 100 TB scale).
+
+    Predicates on non-partition columns are treated as satisfiable
+    (they are handled by stats skipping + row-level filters).
+    """
+    if not dnf:
+        return list(adds)
+    out = []
+    for a in adds:
+        keep = False
+        for conj in dnf:
+            ok = True
+            for col, op, val in conj:
+                if col not in a.partition_values:
+                    continue  # not a partition predicate for this file
+                sample = (
+                    next(iter(val)) if isinstance(val, (list, tuple, set)) and val else val
+                )
+                pv = _coerce_partition_value(a.partition_values[col], sample)
+                if isinstance(val, (list, tuple, set)):
+                    coerced_set = [
+                        _coerce_partition_value(str(v), sample) if isinstance(v, str) else v
+                        for v in val
+                    ]
+                    if not _cmp(op, pv, coerced_set):
+                        ok = False
+                        break
+                elif not _cmp(op, pv, val):
+                    ok = False
+                    break
+            if ok:
+                keep = True
+                break
+        if keep:
+            out.append(a)
+    return out
+
+
+def prune_by_stats(
+    adds: Iterable[AddAction], dnf: list[list[tuple]]
+) -> list[AddAction]:
+    """File-level data skipping from per-file min/max stats
+    (``add.stats`` JSON — the reference writes these via
+    ``get_file_stats_from_metadata``, writer.py:101-116; delta-spark
+    calls this "data skipping"). Conservative: a file is kept unless
+    some AND-branch is provably empty for *every* branch."""
+    if not dnf:
+        return list(adds)
+    out = []
+    for a in adds:
+        stats = None
+        if a.stats:
+            try:
+                stats = json.loads(a.stats)
+            except (ValueError, TypeError):
+                stats = None
+        if not stats:
+            out.append(a)
+            continue
+        mins = stats.get("minValues") or {}
+        maxs = stats.get("maxValues") or {}
+        feasible_any = False
+        for conj in dnf:
+            feasible = True
+            for col, op, val in conj:
+                lo, hi = mins.get(col), maxs.get(col)
+                if lo is None or hi is None:
+                    continue
+                if isinstance(val, (list, tuple, set)):
+                    if op == "in" and not any(
+                        _range_feasible("==", lo, hi, v) for v in val
+                    ):
+                        feasible = False
+                        break
+                    continue
+                if not _range_feasible(op, lo, hi, val):
+                    feasible = False
+                    break
+            if feasible:
+                feasible_any = True
+                break
+        if feasible_any:
+            out.append(a)
+    return out
+
+
+def _range_feasible(op: str, lo: Any, hi: Any, val: Any) -> bool:
+    try:
+        if op == "==":
+            return lo <= val <= hi
+        if op == "!=":
+            return not (lo == hi == val)
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+    except TypeError:
+        return True
+    return True
+
+
+def stats_from_pandas(pdf, max_cols: int = 32) -> str:
+    """Compute the protocol's per-file stats JSON
+    ({numRecords, minValues, maxValues, nullCount}) from a pandas batch.
+    Limited to the first ``max_cols`` leaf columns (delta-spark's
+    dataSkippingNumIndexedCols analog)."""
+    import pandas as pd
+
+    num = int(len(pdf))
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    for name in list(pdf.columns)[:max_cols]:
+        s = pdf[name]
+        nulls[name] = int(s.isna().sum())
+        if s.dtype == object:
+            non_null = s.dropna()
+            if len(non_null) and all(isinstance(v, str) for v in non_null.head(5)):
+                try:
+                    mins[name] = str(non_null.min())
+                    maxs[name] = str(non_null.max())
+                except (TypeError, ValueError):
+                    pass
+            continue
+        if pd.api.types.is_numeric_dtype(s) or pd.api.types.is_datetime64_any_dtype(s):
+            non_null = s.dropna()
+            if not len(non_null):
+                continue
+            mn, mx = non_null.min(), non_null.max()
+            mins[name] = _stat_value(mn)
+            maxs[name] = _stat_value(mx)
+    return json.dumps(
+        {"numRecords": num, "minValues": mins, "maxValues": maxs, "nullCount": nulls}
+    )
+
+
+def _stat_value(v: Any) -> Any:
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return None
+        return v
+    if hasattr(v, "item"):
+        return v.item()
+    return v

@@ -1,0 +1,139 @@
+"""Delta table → Spark DataFrame (reference `read_delta`, core.py:158-265).
+
+Unlike the reference — which materializes every Arrow record batch on
+the client at graph-construction time (reference core.py:77-78, flagged
+in SURVEY.md §3.1 as the design flaw to avoid) — this reader does only
+metadata work on the driver: log replay, partition pruning against
+`add.partitionValues`, and min/max stats skipping. The surviving file
+list becomes a Spark parquet scan, so all data I/O happens on
+executors and Catalyst still applies row-group pushdown, column
+pruning, and whole-stage codegen on top.
+
+At 100 TB / millions of files the driver cost stays O(#files) dict
+operations; the scan itself is planned by Spark's FileSourceStrategy
+with size-based split packing.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from dask_deltalake_spark.delta.log import DeltaLog, Snapshot
+from dask_deltalake_spark.delta.protocol import (
+    normalize_dnf,
+    prune_by_stats,
+    prune_partitions,
+)
+
+
+def snapshot_schema(snap: Snapshot) -> StructType:
+    """The version's schema: Delta's `schemaString` *is* Spark
+    StructType JSON (SURVEY.md §1.5), so this is a direct parse —
+    schema evolution across versions comes for free."""
+    return StructType.fromJson(json.loads(snap.metadata.schema_string))
+
+
+def dnf_to_column(dnf: list[list[tuple]]) -> Optional[Column]:
+    """Reference DNF filter tuples → one Catalyst boolean Column.
+
+    Expressing the filter declaratively lets Catalyst push it into the
+    FileScan (PushedFilters) for row-group skipping — the Spark-native
+    analog of the reference's `pq.filters_to_expression` pushdown
+    (reference core.py:75-77).
+    """
+    if not dnf:
+        return None
+    ors: Optional[Column] = None
+    for conj in dnf:
+        ands: Optional[Column] = None
+        for col, op, val in conj:
+            c = F.col(col)
+            if op == "==":
+                expr = c == F.lit(val)
+            elif op == "!=":
+                expr = c != F.lit(val)
+            elif op == "<":
+                expr = c < F.lit(val)
+            elif op == ">":
+                expr = c > F.lit(val)
+            elif op == "<=":
+                expr = c <= F.lit(val)
+            elif op == ">=":
+                expr = c >= F.lit(val)
+            elif op == "in":
+                expr = c.isin(list(val))
+            elif op == "not in":
+                expr = ~c.isin(list(val))
+            else:
+                raise ValueError(f"Unsupported filter op: {op!r}")
+            ands = expr if ands is None else (ands & expr)
+        ors = ands if ors is None else (ors | ands)
+    return ors
+
+
+def read_delta(
+    path: Optional[str] = None,
+    table_name: str = None,
+    version: Optional[int] = None,
+    columns: Optional[list[str]] = None,
+    filter: Optional[list] = None,
+    storage_options: Optional[dict] = None,
+    datetime: Optional[str] = None,
+    spark: Optional[SparkSession] = None,
+    **kwargs,
+) -> DataFrame:
+    """Read a Delta table into a Spark DataFrame.
+
+    Signature mirrors the reference `read_delta` (core.py:158-235):
+    `version`/`datetime` time travel, `columns` projection, DNF
+    `filter` (both row filter and partition pruning, incl. the
+    list-of-lists OR form), per-version schema evolution. `table_name`
+    and `storage_options` are accepted for API parity (local + any
+    Hadoop-configured FS; storage creds belong in Hadoop conf on
+    Spark).
+    """
+    if path is None:
+        raise ValueError("Please Provide Delta Table path")
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("No active SparkSession; pass spark=...")
+
+    snap = DeltaLog(path).snapshot(version=version, datetime_string=datetime)
+    schema = snapshot_schema(snap)
+    dnf = normalize_dnf(filter)
+
+    # Driver-side metadata pruning: partitions first (exact), then
+    # per-file min/max stats (conservative).
+    adds = prune_partitions(snap.add_actions, dnf)
+    adds = prune_by_stats(adds, dnf)
+
+    if columns:
+        missing = [c for c in columns if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"Columns not in table schema: {missing}")
+
+    if not adds:
+        empty = spark.createDataFrame([], schema)
+        return empty.select(*columns) if columns else empty
+
+    files = [f"{snap.path}/{a.path}" for a in adds]
+    # basePath + explicit user schema: partition columns (hive dirs) are
+    # resolved from directory names and cast per the Delta schema; files
+    # written before a schema-evolution commit yield nulls for added
+    # columns — matching the reference's per-version schema semantics.
+    df = (
+        spark.read.schema(schema)
+        .option("basePath", snap.path)
+        .parquet(*files)
+    )
+    cond = dnf_to_column(dnf)
+    if cond is not None:
+        df = df.filter(cond)
+    if columns:
+        df = df.select(*columns)
+    return df

@@ -1,0 +1,395 @@
+"""Transactional Delta write: Spark DataFrame → Delta table.
+
+Reference parity: `to_delta` (reference writer.py:134-313) — two-phase
+commit with identical mode semantics (`error`/`append`/`overwrite`/
+`ignore`, writer.py:244-247), schema enforcement (writer.py:236-242),
+partition-compatibility assert (writer.py:251-252), writer-protocol
+gate (writer.py:254-259), per-file min/max/nullCount stats
+(writer.py:101-116), hive-style partition dirs (writer.py:263-267).
+
+Spark-first execution:
+
+- Phase 1 (executors): `df.mapInPandas` — every task streams its
+  Arrow batches into snappy parquet files under the table dir (one
+  file per hive partition value per task, no global shuffle — the
+  reference's documented behavior, writer.py:177-180) and emits one
+  row of add-action metadata per written file. Optionally
+  `shuffle=True` repartitions by the partition columns first so each
+  partition value is written by one task (fewer, larger files — the
+  right default at 100 TB; kept opt-in for reference parity).
+- Phase 2 (driver): all add actions (a metadata-sized collect) are
+  committed as one atomic `_delta_log` entry via hard-link
+  put-if-absent, giving optimistic-concurrency conflict *detection*
+  (the reference has none at all).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Iterator, Optional
+from urllib.parse import quote
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    StructField,
+    StructType,
+    StringType,
+    LongType,
+)
+
+from dask_deltalake_spark.delta.log import DeltaLog, Snapshot
+from dask_deltalake_spark.delta.protocol import (
+    HIVE_NULL,
+    LOG_DIR,
+    MAX_SUPPORTED_WRITER_VERSION,
+    AddAction,
+    ConcurrentCommitError,
+    DeltaProtocolError,
+    Metadata,
+    Protocol,
+    RemoveAction,
+    commit_filename,
+    now_ms,
+    stats_from_pandas,
+)
+
+_ADD_ROW_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("size", LongType()),
+        StructField("partition_json", StringType()),
+        StructField("num_records", LongType()),
+        StructField("stats", StringType()),
+    ]
+)
+
+
+def _hive_dir(partition_by: list[str], values: tuple) -> str:
+    segs = []
+    for col, v in zip(partition_by, values):
+        if v is None or (isinstance(v, float) and v != v):
+            sval = HIVE_NULL
+        else:
+            sval = quote(str(v), safe="")
+        segs.append(f"{col}={sval}")
+    return "/".join(segs)
+
+
+def _partition_str(v) -> Optional[str]:
+    if v is None or (isinstance(v, float) and v != v):
+        return None
+    return str(v)
+
+
+def _write_partition_factory(table_path: str, partition_by: list[str], arrow_schema_bytes: bytes):
+    """Build the executor-side writer fn. All state is serialized into
+    the closure (arrow schema via IPC bytes — pa.Schema pickles poorly
+    across versions)."""
+
+    def write_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arrow_schema = pa.ipc.read_schema(pa.BufferReader(arrow_schema_bytes))
+        data_fields = [f for f in arrow_schema.names if f not in partition_by]
+        data_schema = pa.schema([arrow_schema.field(f) for f in data_fields])
+
+        def norm_pkey(values: tuple) -> tuple:
+            # pandas widens nullable ints to float; restore the declared
+            # type so hive dir names parse back to the Delta schema type
+            out = []
+            for col, v in zip(partition_by, values):
+                if v is None or (isinstance(v, float) and v != v):
+                    out.append(None)
+                    continue
+                t = arrow_schema.field(col).type
+                if pa.types.is_integer(t):
+                    v = int(v)
+                elif pa.types.is_boolean(t):
+                    v = "true" if v else "false"
+                elif hasattr(v, "isoformat"):
+                    v = v.isoformat(sep=" ")
+                out.append(v)
+            return tuple(out)
+
+        writers: dict[tuple, tuple] = {}  # pkey -> (writer, relpath, stats_accum)
+
+        def get_writer(pkey: tuple):
+            if pkey in writers:
+                return writers[pkey]
+            rel_dir = _hive_dir(partition_by, pkey) if partition_by else ""
+            fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel_path = f"{rel_dir}/{fname}" if rel_dir else fname
+            abs_dir = os.path.join(table_path, rel_dir) if rel_dir else table_path
+            os.makedirs(abs_dir, exist_ok=True)
+            w = pq.ParquetWriter(
+                os.path.join(table_path, rel_path),
+                data_schema,
+                compression="snappy",
+            )
+            state = (w, rel_path, {"frames": [], "rows": 0})
+            writers[pkey] = state
+            return state
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if partition_by:
+                groups = pdf.groupby(partition_by, dropna=False, sort=False)
+                items = [
+                    (k if isinstance(k, tuple) else (k,), g)
+                    for k, g in groups
+                ]
+            else:
+                items = [((), pdf)]
+            for pkey, g in items:
+                pkey = norm_pkey(pkey)
+                w, rel_path, acc = get_writer(pkey)
+                gdata = g[data_fields]
+                tbl = pa.Table.from_pandas(gdata, schema=data_schema, preserve_index=False)
+                w.write_table(tbl)
+                acc["frames"].append(gdata)
+                acc["rows"] += len(gdata)
+
+        out_rows = []
+        for pkey, (w, rel_path, acc) in writers.items():
+            w.close()
+            abs_path = os.path.join(table_path, rel_path)
+            pvals = {
+                col: _partition_str(v) for col, v in zip(partition_by, pkey)
+            }
+            stats = stats_from_pandas(
+                pd.concat(acc["frames"], ignore_index=True)
+            ) if acc["frames"] else None
+            out_rows.append(
+                {
+                    "path": rel_path,
+                    "size": os.path.getsize(abs_path),
+                    "partition_json": json.dumps(pvals),
+                    "num_records": acc["rows"],
+                    "stats": stats,
+                }
+            )
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return write_partition
+
+
+def _spark_to_arrow_schema(schema: StructType) -> "pa.Schema":
+    """Spark schema → Arrow schema (µs timestamps per Delta protocol —
+    the reference coerces the same way, writer.py:52-60)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    import pyarrow as pa
+
+    arrow = to_arrow_schema(schema)
+    fields = []
+    for f in arrow:
+        if pa.types.is_timestamp(f.type):
+            fields.append(
+                pa.field(f.name, pa.timestamp("us", tz=f.type.tz), f.nullable)
+            )
+        else:
+            fields.append(f)
+    return pa.schema(fields)
+
+
+def _schemas_equivalent(a: StructType, b: StructType) -> bool:
+    def key(s: StructType):
+        return [(f.name, f.dataType.simpleString()) for f in s.fields]
+
+    return key(a) == key(b)
+
+
+def write_commit(
+    table_path: str,
+    version: int,
+    actions: list[dict],
+) -> None:
+    """Atomically publish one commit: write a temp file, hard-link it to
+    the final name (fails with EEXIST if another writer won the
+    version), then drop the temp. Put-if-absent is the Delta protocol's
+    single atomicity requirement."""
+    log_dir = os.path.join(table_path, LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    final = os.path.join(log_dir, commit_filename(version))
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"Version {version} of {table_path} was committed concurrently"
+        )
+    finally:
+        os.unlink(tmp)
+
+
+def to_delta(
+    df: DataFrame,
+    table_or_uri: str,
+    schema=None,
+    partition_by: Optional[list[str] | str] = None,
+    mode: str = "error",
+    storage_options: Optional[dict] = None,
+    overwrite_schema: bool = False,
+    name: str = "",
+    description: str = "",
+    configuration: Optional[dict] = None,
+    shuffle: bool = False,
+) -> None:
+    """Write a Spark DataFrame as a Delta table commit.
+
+    Matches the reference `to_delta` semantics (writer.py:134-313).
+    Divergence (documented, SURVEY.md §1.5): no pandas-index rejection —
+    Spark DataFrames have no index.
+
+    ``shuffle=True`` adds a repartition on the partition columns before
+    writing so each partition value lands in one task → one file
+    (recommended for large partitioned writes; default False mirrors
+    the reference's "no global groupby" contract, writer.py:177-180).
+    """
+    table_path = str(table_or_uri).rstrip("/")
+    if table_path.startswith("file://"):
+        table_path = table_path[len("file://"):]
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    partition_by = list(partition_by or [])
+    if mode not in ("error", "append", "overwrite", "ignore"):
+        raise ValueError(f"Unsupported write mode: {mode!r}")
+
+    for c in partition_by:
+        if c not in df.columns:
+            raise ValueError(f"partition_by column {c!r} not in DataFrame")
+
+    log = DeltaLog(table_path)
+    snap: Optional[Snapshot] = None
+    if log.exists():
+        snap = log.snapshot()
+
+    if snap is not None:
+        table_schema = StructType.fromJson(
+            json.loads(snap.metadata.schema_string)
+        )
+        if not _schemas_equivalent(df.schema, table_schema) and not (
+            mode == "overwrite" and overwrite_schema
+        ):
+            raise ValueError(
+                "Schema of data does not match table schema\n"
+                f"Table schema:\n{table_schema}\nData Schema:\n{df.schema}"
+            )
+        if mode == "error":
+            raise AssertionError("DeltaTable already exists.")
+        elif mode == "ignore":
+            return
+        if partition_by:
+            assert partition_by == snap.metadata.partition_columns, (
+                f"partition_by {partition_by} does not match table "
+                f"partitioning {snap.metadata.partition_columns}"
+            )
+        elif snap.metadata.partition_columns:
+            partition_by = list(snap.metadata.partition_columns)
+        if snap.protocol.min_writer_version > MAX_SUPPORTED_WRITER_VERSION:
+            raise DeltaProtocolError(
+                "This table's min_writer_version is "
+                f"{snap.protocol.min_writer_version}, but this method "
+                f"only supports version {MAX_SUPPORTED_WRITER_VERSION}."
+            )
+        current_version = snap.version
+    else:
+        current_version = -1
+
+    os.makedirs(table_path, exist_ok=True)
+
+    if shuffle and partition_by:
+        df = df.repartition(*partition_by)
+
+    arrow_schema = _spark_to_arrow_schema(df.schema)
+    import pyarrow as pa
+
+    schema_bytes = arrow_schema.serialize().to_pybytes()
+    fn = _write_partition_factory(table_path, partition_by, schema_bytes)
+    add_rows = df.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
+
+    ts = now_ms()
+    adds = [
+        AddAction(
+            path=r.path,
+            size=r.size,
+            partition_values=json.loads(r.partition_json),
+            modification_time=ts,
+            data_change=True,
+            stats=r.stats,
+        )
+        for r in add_rows
+    ]
+
+    actions: list[dict] = []
+    num_rows = sum(r.num_records for r in add_rows)
+    num_bytes = sum(r.size for r in add_rows)
+    commit_info = {
+        "timestamp": ts,
+        "operation": "WRITE",
+        "operationParameters": {
+            "mode": mode.capitalize(),
+            "partitionBy": json.dumps(partition_by),
+        },
+        "isBlindAppend": snap is not None and mode == "append",
+        "operationMetrics": {
+            "numFiles": str(len(adds)),
+            "numOutputBytes": str(num_bytes),
+            "numOutputRows": str(num_rows),
+        },
+        "engineInfo": "dask_deltalake_spark/0.1.0",
+    }
+    if snap is not None:
+        commit_info["readVersion"] = snap.version
+    actions.append({"commitInfo": commit_info})
+
+    if snap is None:
+        actions.append(Protocol().to_json())
+        actions.append(
+            Metadata(
+                id=str(uuid.uuid4()),
+                schema_string=df.schema.json(),
+                partition_columns=partition_by,
+                configuration=dict(configuration or {}),
+                name=name or None,
+                description=description or None,
+                created_time=ts,
+            ).to_json()
+        )
+    elif mode == "overwrite" and overwrite_schema and not _schemas_equivalent(
+        df.schema,
+        StructType.fromJson(json.loads(snap.metadata.schema_string)),
+    ):
+        meta = snap.metadata
+        actions.append(
+            Metadata(
+                id=meta.id,
+                schema_string=df.schema.json(),
+                partition_columns=partition_by,
+                configuration=meta.configuration,
+                name=meta.name,
+                description=meta.description,
+                created_time=meta.created_time,
+            ).to_json()
+        )
+
+    actions.extend(a.to_json() for a in adds)
+
+    if snap is not None and mode == "overwrite":
+        actions.extend(
+            RemoveAction(
+                path=p, deletion_timestamp=ts, data_change=True
+            ).to_json()
+            for p in snap.files
+        )
+
+    write_commit(table_path, current_version + 1, actions)

@@ -1,0 +1,77 @@
+"""SparkSession construction tuned for this engine.
+
+Scale posture: these configs are chosen for a real multi-executor
+cluster even though tests run on ``local[N]``:
+
+- AQE on (runtime coalescing, skew-join splitting) so shuffle
+  partition counts self-tune between the 60k-row test scale and the
+  100 TB production scale.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count;
+  on a cluster it should be ~2-3x total cores — AQE coalesces down.
+- UTC session timezone so timestamp semantics are deterministic and
+  match ANSI engines (the DuckDB oracle).
+- ``nanosAsLong`` because the events fixture carries TIMESTAMP(NANOS),
+  which Spark's vectorized parquet reader otherwise rejects
+  (see ``tables.load_table`` for the µs conversion).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # generous broadcast threshold: every dim table in the star schema
+    # (region/nation/customer/supplier/part) is broadcastable at any SF
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "dask_deltalake_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession."""
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(ENGINE_CONF)
+    conf.setdefault("spark.sql.shuffle.partitions", str(cpus))
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally-built session.
+
+    The driver harness builds its own SparkSession; session-scoped confs
+    like the UTC timezone and nanosAsLong can still be set post-hoc.
+    Static confs (serializer, driver memory) are skipped silently.
+    """
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark

@@ -1,0 +1,229 @@
+"""Delta write-path tests: round-trips, modes, partitioned writes,
+schema enforcement, time travel over our own commits, history, vacuum,
+checkpoint creation, optimize — mirroring the reference's writer/
+maintenance semantics (reference tests/test_writer.py + test_core.py)."""
+
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from dask_deltalake_spark import (
+    create_checkpoint,
+    optimize,
+    read_delta,
+    read_delta_history,
+    to_delta,
+    vacuum,
+)
+from dask_deltalake_spark.delta.log import DeltaLog
+
+
+def sample_df(spark, n=100):
+    return (
+        spark.range(n)
+        .withColumn("floats", F.col("id") * 1.5)
+        .withColumn("strings", F.concat(F.lit("s"), (F.col("id") % 7)))
+        .withColumn("ints", (F.col("id") % 5).cast("int"))
+    )
+
+
+def test_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    df = sample_df(spark)
+    to_delta(df, path)
+    back = read_delta(path, spark=spark)
+    assert back.count() == 100
+    assert set(back.columns) == {"id", "floats", "strings", "ints"}
+    assert back.agg(F.sum("id")).first()[0] == 4950
+
+
+def test_mode_error_and_ignore(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    df = sample_df(spark, 10)
+    to_delta(df, path)
+    with pytest.raises(AssertionError):
+        to_delta(df, path, mode="error")
+    to_delta(df, path, mode="ignore")  # no-op
+    assert read_delta(path, spark=spark).count() == 10
+
+
+def test_append_and_overwrite(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    df = sample_df(spark, 50)
+    to_delta(df, path)
+    to_delta(df, path, mode="append")
+    assert read_delta(path, spark=spark).count() == 100
+    to_delta(df, path, mode="overwrite")
+    assert read_delta(path, spark=spark).count() == 50
+    # time travel across our own commits
+    assert read_delta(path, version=0, spark=spark).count() == 50
+    assert read_delta(path, version=1, spark=spark).count() == 100
+
+
+def test_schema_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "t4")
+    to_delta(sample_df(spark, 10), path)
+    other = spark.range(5).withColumn("extra", F.lit("x"))
+    with pytest.raises(ValueError, match="Schema of data does not match"):
+        to_delta(other, path, mode="append")
+    # but overwrite+overwrite_schema evolves the table
+    to_delta(other, path, mode="overwrite", overwrite_schema=True)
+    back = read_delta(path, spark=spark)
+    assert set(back.columns) == {"id", "extra"}
+    assert back.count() == 5
+
+
+def test_partitioned_write_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "t5")
+    df = sample_df(spark, 100)
+    to_delta(df, path, partition_by=["ints"])
+    snap = DeltaLog(path).snapshot()
+    assert snap.metadata.partition_columns == ["ints"]
+    assert all("ints=" in a.path for a in snap.add_actions)
+    back = read_delta(path, filter=[("ints", "==", 2)], spark=spark)
+    assert back.count() == 20
+    assert back.select("ints").distinct().first()[0] == 2
+    # partition values survive the hive roundtrip with correct type
+    full = read_delta(path, spark=spark)
+    assert dict(full.groupBy("ints").count().collect()[0].asDict()).keys() == {
+        "ints",
+        "count",
+    }
+    assert full.count() == 100
+    # appending with mismatched partitioning asserts (reference
+    # writer.py:251-252)
+    with pytest.raises(AssertionError):
+        to_delta(df, path, partition_by=["strings"], mode="append")
+
+
+def test_partitioned_write_with_nulls(spark, tmp_path):
+    path = str(tmp_path / "t6")
+    df = spark.range(10).withColumn(
+        "k", F.when(F.col("id") % 2 == 0, F.col("id") % 3).cast("long")
+    )
+    to_delta(df, path, partition_by=["k"])
+    back = read_delta(path, spark=spark)
+    assert back.count() == 10
+    assert back.filter("k is null").count() == 5
+
+
+def test_stats_written_and_used(spark, tmp_path):
+    path = str(tmp_path / "t7")
+    to_delta(sample_df(spark, 100).repartition(4), path)
+    snap = DeltaLog(path).snapshot()
+    import json
+
+    stats = [json.loads(a.stats) for a in snap.add_actions if a.stats]
+    assert stats and all("minValues" in s and "numRecords" in s for s in stats)
+    # stats skipping prunes files driver-side
+    from dask_deltalake_spark.delta.protocol import (
+        normalize_dnf,
+        prune_by_stats,
+    )
+
+    kept = prune_by_stats(snap.add_actions, normalize_dnf([("id", "==", 1)]))
+    assert len(kept) < len(snap.add_actions)
+
+
+def test_history(spark, tmp_path):
+    path = str(tmp_path / "t8")
+    df = sample_df(spark, 10)
+    to_delta(df, path)
+    to_delta(df, path, mode="append")
+    to_delta(df, path, mode="overwrite")
+    h = read_delta_history(path)
+    assert len(h) == 3
+    assert list(h.columns) == [
+        "timestamp",
+        "operation",
+        "operationParameters.mode",
+        "operationMetrics.numFiles",
+        "operationMetrics.numOutputBytes",
+        "operationMetrics.numOutputRows",
+        "operationParameters.partitionBy",
+        "readVersion",
+        "isBlindAppend",
+    ]
+    assert h["timestamp"].is_monotonic_decreasing
+    assert len(read_delta_history(path, limit=2)) == 2
+
+
+def test_history_reference_fixture(spark, checkpoint_table):
+    h = read_delta_history(checkpoint_table)
+    assert len(h) == 26
+    assert h["timestamp"].is_monotonic_decreasing
+    assert len(read_delta_history(checkpoint_table, limit=5)) == 5
+
+
+def test_vacuum_reference_fixture(spark, vacuum_table):
+    tombstones = vacuum(vacuum_table, retention_hours=0, dry_run=True)
+    assert len(tombstones) == 4
+
+    def parquet_count(p):
+        return sum(
+            1
+            for root, dirs, files in os.walk(p)
+            if "_delta_log" not in root
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    assert parquet_count(vacuum_table) == 7
+    vacuum(vacuum_table, retention_hours=0, dry_run=False, spark=spark)
+    assert parquet_count(vacuum_table) == 3
+    # table still reads fine after vacuum
+    assert read_delta(vacuum_table, spark=spark).count() >= 0
+
+
+def test_vacuum_respects_retention(spark, tmp_path):
+    path = str(tmp_path / "t9")
+    df = sample_df(spark, 10)
+    to_delta(df, path)
+    to_delta(df, path, mode="overwrite")
+    # files were just removed → inside the 168h window → not eligible
+    assert vacuum(path, dry_run=True) == []
+    assert len(vacuum(path, retention_hours=0, dry_run=True)) > 0
+
+
+def test_checkpoint_write_and_replay(spark, tmp_path):
+    path = str(tmp_path / "t10")
+    df = sample_df(spark, 20)
+    to_delta(df, path)
+    for _ in range(4):
+        to_delta(df, path, mode="append")
+    create_checkpoint(path)
+    log = DeltaLog(path)
+    assert log.checkpoint_versions() == [4]
+    # replay from our own checkpoint: add one more commit, snapshot
+    to_delta(df, path, mode="append")
+    assert read_delta(path, spark=spark).count() == 120
+    snap = log.snapshot()
+    assert snap.version == 5
+
+
+def test_optimize_compacts(spark, tmp_path):
+    path = str(tmp_path / "t11")
+    df = sample_df(spark, 200).repartition(16)
+    to_delta(df, path)
+    before = len(DeltaLog(path).snapshot().files)
+    assert before >= 8
+    res = optimize(path, target_file_size=64 * 1024 * 1024, spark=spark)
+    after = DeltaLog(path).snapshot()
+    assert len(after.files) < before
+    assert res["numFilesRemoved"] == before
+    back = read_delta(path, spark=spark)
+    assert back.count() == 200
+    assert back.agg(F.sum("id")).first()[0] == 19900
+    # optimized files are vacuum-able, data unchanged
+    assert len(vacuum(path, retention_hours=0, dry_run=True)) == before
+
+
+def test_concurrent_commit_detection(spark, tmp_path):
+    path = str(tmp_path / "t12")
+    to_delta(sample_df(spark, 10), path)
+    from dask_deltalake_spark.delta.protocol import ConcurrentCommitError
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    with pytest.raises(ConcurrentCommitError):
+        write_commit(path, 0, [{"commitInfo": {"timestamp": 0}}])
