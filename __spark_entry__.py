@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke on sf0.001.
+``queries()`` — one named query per operator from SURVEY.md §2
+(relational surface, Delta engine round-trips, LLM-pipeline
+extensions), each a callable ``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()`` — the DuckDB-equivalent ANSI SQL for every query
+that is exactly SQL-expressible; approximate/hash-specific operators
+(approx_count_distinct, MinHash/SimHash/LSH) are intentionally
+omitted → rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
+    from dask_deltalake_spark.session import ensure_engine_conf
+    from dask_deltalake_spark.operators.relational import q01_pricing_summary
+
+    ensure_engine_conf(spark)
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+def _wrap(fn) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dask_deltalake_spark.session import ensure_engine_conf
+
+        ensure_engine_conf(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dask_deltalake_spark.operators import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _wrap(fn) for name, (fn, _oracle) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dask_deltalake_spark.operators import REGISTRY
+
+    return {
+        name: oracle
+        for name, (_fn, oracle) in REGISTRY.items()
+        if oracle is not None
+    }

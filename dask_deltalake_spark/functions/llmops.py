@@ -1,0 +1,755 @@
+"""LLM-pipeline operators over the `documents` and `embeddings` tables.
+
+Design rules (these run over 100 TB of text in production):
+
+- everything expressible as Catalyst expressions stays JVM-side
+  (split/filter/transform/aggregate higher-order functions — no
+  per-row Python);
+- near-dup detection uses blocked/banded candidate generation (LSH
+  bands, metadata blocking) so no full O(n²) pair space ever
+  materializes;
+- the only Python that runs per-row is the multimodal decode stub,
+  which is an Arrow-batched ``mapInPandas`` — the real pattern for
+  image/audio decode on executors (actual codec calls are stubbed:
+  the container has no media libs).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from dask_deltalake_spark.tables import load_table
+
+REGISTRY: dict = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of trimmed lowercased text (JVM expression).
+    Oracle equivalent: STRING_SPLIT_REGEX(TRIM(LOWER(x)), ' +')."""
+    return F.split(F.trim(F.lower(col)), " +")
+
+
+_TOKENS_SQL = "STRING_SPLIT_REGEX(TRIM(LOWER(text)), ' +')"
+
+
+def shingles(tok: Column) -> Column:
+    """Token 3-gram shingles (empty below 3 tokens)."""
+    return F.when(
+        F.size(tok) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tok, i),
+                F.element_at(tok, i + 1),
+                F.element_at(tok, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SHINGLES_SQL = (
+    "LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "x01_dedup_exact",
+    """
+    SELECT MD5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY MD5(text)
+    ORDER BY text_hash
+    """,
+)
+def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash, keep min doc_id.
+    One shuffle on a uniform 128-bit key — no skew possible; the
+    canonical first pass of every training-data pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+@query(
+    "x02_dedup_normalized",
+    """
+    SELECT MD5(REGEXP_REPLACE(REGEXP_REPLACE(TRIM(LOWER(text)), '[^a-z0-9 ]', '', 'g'),
+                              ' +', ' ', 'g')) AS norm_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY norm_hash
+    """,
+)
+def x02_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive exact dedup (case/punct/whitespace
+    folded before hashing) — still a single JVM-side hash-groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), "[^a-z0-9 ]", ""),
+        " +",
+        " ",
+    )
+    return (
+        d.groupBy(F.md5(norm).alias("norm_hash"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        .orderBy("norm_hash")
+    )
+
+
+@query(
+    "x03_fingerprint",
+    """
+    WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents)
+    SELECT MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks)), ' ')) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper,
+           COUNT(*) AS n_docs
+    FROM t
+    GROUP BY 1
+    ORDER BY fingerprint
+    """.format(tokens=_TOKENS_SQL),
+)
+def x03_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: hash of the sorted distinct token set
+    (bag-of-words identity, order/duplication-insensitive)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(F.col("text")))), " ")
+    )
+    return (
+        d.groupBy(fp.alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_docs"))
+        .orderBy("fingerprint")
+    )
+
+
+@query(
+    "x04_ngram_jaccard_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             LIST_DISTINCT({shingles}) AS sh
+      FROM (SELECT doc_id, lang, source, {tokens} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+                 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 3) AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE LEN(a.sh) > 0 AND LEN(b.sh) > 0
+      AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+          / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.1
+    ORDER BY doc_a, doc_b
+    """.format(shingles=_SHINGLES_SQL, tokens=_TOKENS_SQL),
+)
+def x04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via the inverted-index (all-pairs
+    similarity) topology: explode distinct shingles → self-join on
+    (shingle, block) → pair-count = |A∩B| → |A∪B| from per-doc set
+    sizes. No per-pair array operations ever run, and pairs with no
+    common shingle never materialize (they can't pass any threshold).
+    Blocking on (lang, source) bounds the worst-case pair fan-out per
+    shingle; at 100 TB the block key would add a length bucket and the
+    hottest (most common) shingles would be dropped as stop-shingles."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(shingles(tokens(F.col("text")))).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    inv = t.select(
+        "lang", "source", "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    j = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    )
+    return (
+        pairs.filter(j >= 0.1)
+        .select("doc_a", "doc_b", F.round(j, 3).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_MINHASH_K = 32
+_BANDS = 8
+_BAND_W = _MINHASH_K // _BANDS
+
+
+@query("x05_minhash_lsh", None)  # hash-function-specific → rows-only check
+def x05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, fully JVM-side:
+
+    shingle → 32 minhashes (xxhash64 with per-permutation seed) →
+    8 bands of 4 → band-bucket self-join for candidates → exact
+    Jaccard verification on candidates only.
+
+    Scale: candidate generation is a shuffle on (band, band_key) —
+    documents only meet if they share a band key, so cost tracks true
+    near-dup density instead of n². Bucket rows carry only
+    (doc_id, band, key); the shingle sets are joined back for the
+    verification of candidate pairs only. This is the standard
+    web-scale dedup topology (e.g. the C4/RefinedWeb pipelines).
+    Shingles are verified as xxhash64 values, not strings — same
+    Jaccard up to negligible 64-bit collision probability, far
+    cheaper set ops.
+    """
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles(tokens(F.col("text"))), lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    ).filter(F.size("sh") >= 3)
+
+    def perm_hash(seed: int):
+        # closure (not default-arg lambda): a 2-arg lambda would make
+        # F.transform pass the element *index* as the second argument
+        def f(s):
+            return F.xxhash64(s, F.lit(seed))
+
+        return f
+
+    mh = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), perm_hash(i)))
+            for i in range(_MINHASH_K)
+        ]
+    )
+    docs = docs.withColumn("mh", mh)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.element_at("mh", b * _BAND_W + i + 1)
+                            for i in range(_BAND_W)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    buckets = docs.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = docs.select("doc_id", "sh")
+    cand = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    verified = cand.select("doc_a", "doc_b", F.round(j, 3).alias("jaccard"))
+    return verified.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.when(F.col("jaccard") >= 0.3, 1).otherwise(0)).alias("n_verified"),
+        F.coalesce(F.round(F.max("jaccard"), 3), F.lit(0.0)).alias("max_jaccard"),
+    )
+
+
+@query("x06_simhash", None)  # hash-function-specific → rows-only check
+def x06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) fingerprints: per-token xxhash64, each bit
+    votes ±1 weighted by token frequency; the sign vector packs into
+    one integer. Docs sharing a simhash are near-identical
+    bag-of-words. Single explode + groupBy — one shuffle on doc_id,
+    one on the fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    sims = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(32):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    fp = sims.select("doc_id", sim.cast("long").alias("simhash"))
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") >= 1)
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_collision_groups"
+            ),
+            F.max("n_docs").alias("largest_group"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 8
+_TOP_K = 5
+
+
+@query(
+    "x07_cosine_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm FROM e
+    ),
+    s AS (
+      SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             ROUND(LIST_DOT_PRODUCT(q.v, t.v) / (q.nrm * t.nrm), 4) AS score
+      FROM n q JOIN n t ON t.vec_id != q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS INT) AS rank
+    FROM s
+    QUALIFY rank <= {_TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def x07_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact baseline): broadcast the
+    query set against the full corpus, JVM-side zip_with dot product,
+    per-query window top-k. Scales linearly in corpus size with the
+    query side broadcast — the right exact method when |queries| is
+    small. Ranking uses the rounded score + id tie-break so the result
+    set is engine-independent."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", F.round(dot / (F.col("qnrm") * F.col("nrm")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_N_PLANES = 16
+
+
+def _planes(dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes (seeded LCG — no
+    RNG state, reproducible across sessions/engines)."""
+    out = []
+    state = 0x9E3779B97F4A7C15
+    for p in range(_N_PLANES):
+        row = []
+        for i in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(1.0 if (state >> 33) & 1 else -1.0)
+        out.append(row)
+    return out
+
+
+_LSH_BANDS = 4
+_LSH_BITS = 4  # bits per band → 4 bands × 4 planes = 16 planes
+
+
+@query("x08_lsh_ann", None)  # approximate → rows-only check
+def x08_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN with banding: 16 sign bits split into
+    4 bands of 4; vectors are candidates if they collide in *any*
+    band (union-of-bands, like MinHash LSH). Exact cosine re-rank on
+    candidates only.
+
+    Scale path vs x07: candidate generation is a shuffle on
+    (band, 4-bit key) instead of a broadcast of everything — each
+    query scores ~corpus/2^4 per band rather than the full corpus;
+    more bits per band trades recall for cost with the same topology.
+    """
+    planes = _planes()
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(c) for c in row])
+        proj = F.aggregate(
+            F.zip_with("v", plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(proj > 0, 1).otherwise(0))
+    band_keys = []
+    for b in range(_LSH_BANDS):
+        key = None
+        for i in range(_LSH_BITS):
+            term = bits[b * _LSH_BITS + i] * (1 << i)
+            key = term if key is None else key + term
+        band_keys.append(
+            F.struct(F.lit(b).alias("band"), key.cast("int").alias("key"))
+        )
+    e = e.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    ).withColumn("bk", F.explode(F.array(*band_keys)))
+    e = e.select(
+        "vec_id", "v", "nrm", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("band").alias("qband"),
+        F.col("key").alias("qkey"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    cand = (
+        e.join(
+            F.broadcast(q),
+            (F.col("band") == F.col("qband"))
+            & (F.col("key") == F.col("qkey"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("score", F.round(dot / (F.col("qnrm") * F.col("nrm")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    best = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("vec_id").alias("best_id"), "score")
+    )
+    counts = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    return (
+        counts.join(best, "query_id", "left")
+        .select("query_id", "n_candidates", "best_id", "score")
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "x09_embedding_stats",
+    """
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * x)))), 3) AS avg_norm,
+           ROUND(AVG(embedding[1]), 3) AS avg_first
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def x09_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregate stats per label (norms via higher-order
+    aggregate; element access without explode)."""
+    e = _t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(nrm), 3).alias("avg_norm"),
+            F.round(
+                F.avg(F.element_at("embedding", 1).cast("double")), 3
+            ).alias("avg_first"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "is", "in"]
+_STOP_SQL = "('" + "', '".join(_STOPWORDS) + "')"
+
+
+@query(
+    "x10_text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(LEN(toks) AS INT) AS n_tokens,
+           ROUND(CAST(LENGTH(REPLACE(TRIM(text), ' ', '')) AS DOUBLE) / LEN(toks), 4) AS avg_token_len,
+           ROUND(CAST(LEN(LIST_FILTER(toks, x -> x IN {_STOP_SQL})) AS DOUBLE) / LEN(toks), 4) AS stopword_ratio,
+           ROUND(0.5 * LEAST(1.0, LEN(toks) / 50.0)
+                 + 0.5 * (1.0 - CAST(LEN(LIST_FILTER(toks, x -> x IN {_STOP_SQL})) AS DOUBLE) / LEN(toks)), 4) AS quality
+    FROM t
+    WHERE LEN(toks) > 0
+    ORDER BY doc_id
+    """,
+)
+def x10_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token count, mean token length,
+    stopword ratio, combined score — all codegen expressions."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", "text", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n_tok = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda x: x.isin(_STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_tok
+    return t.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.trim("text"), " ", "")).cast("double") / n_tok,
+            4,
+        ).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(
+            0.5 * F.least(F.lit(1.0), n_tok / F.lit(50.0)) + 0.5 * (1.0 - stop_ratio),
+            4,
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "que"],
+    "fr": ["le", "et", "les"],
+    "de": ["der", "und", "die"],
+}
+
+
+def _marker_sql(lang: str) -> str:
+    return "('" + "', '".join(_LANG_MARKERS[lang]) + "')"
+
+
+@query(
+    "x11_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             LEN(LIST_FILTER(toks, x -> x IN {_marker_sql('en')})) AS s_en,
+             LEN(LIST_FILTER(toks, x -> x IN {_marker_sql('es')})) AS s_es,
+             LEN(LIST_FILTER(toks, x -> x IN {_marker_sql('fr')})) AS s_fr,
+             LEN(LIST_FILTER(toks, x -> x IN {_marker_sql('de')})) AS s_de
+      FROM t
+    )
+    SELECT lang,
+           CASE
+             WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'unk'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+             WHEN s_fr >= s_de THEN 'fr'
+             ELSE 'de'
+           END AS predicted,
+           COUNT(*) AS n
+    FROM s
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def x11_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-marker voting with fixed
+    precedence) → confusion counts against the labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+    def marker_score(markers: list[str]):
+        def f(x):
+            return x.isin(markers)
+
+        return F.size(F.filter("toks", f))
+
+    scores = {lang: marker_score(m) for lang, m in _LANG_MARKERS.items()}
+    s = t.select("doc_id", "lang", *[scores[k].alias(f"s_{k}") for k in scores])
+    pred = (
+        F.when(
+            (F.col("s_en") == 0)
+            & (F.col("s_es") == 0)
+            & (F.col("s_fr") == 0)
+            & (F.col("s_de") == 0),
+            "unk",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_de")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") >= F.col("s_de")), "es")
+        .when(F.col("s_fr") >= F.col("s_de"), "fr")
+        .otherwise("de")
+    )
+    return (
+        s.groupBy("lang", pred.alias("predicted"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "x12_token_classes",
+    """
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS INT) AS n_words,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[0-9]+')) AS INT) AS n_numbers,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[^a-z0-9 ]')) AS INT) AS n_symbols
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def x12_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: regex token classes (words / numbers /
+    symbols) counted per document."""
+    d = _t(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(lt, F.lit("[a-z]+"), 0)).alias("n_words"),
+        F.size(F.regexp_extract_all(lt, F.lit("[0-9]+"), 0)).alias("n_numbers"),
+        F.size(F.regexp_extract_all(lt, F.lit("[^a-z0-9 ]"), 0)).alias("n_symbols"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+@query(
+    "x13_multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INT) AS n_bytes,
+           CAST(64 + LENGTH(text) % 640 AS INT) AS width,
+           CAST(64 + (LENGTH(text) * 7) % 480 AS INT) AS height,
+           CASE LENGTH(text) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def x13_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: an opaque BinaryType payload is
+    "decoded" by an Arrow-batched mapInPandas stub that emits typed
+    metadata (the real pipeline would call PIL/ffmpeg here — stubbed
+    deterministically since the container has no media libs; the
+    schema, batch shape, and executor-side decode topology are real).
+    The oracle recomputes the metadata from the payload length,
+    proving the binary round-trip through Arrow is faithful."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+
+    def decode_stub(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = pdf["blob"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int32"),
+                    "width": (64 + n % 640).astype("int32"),
+                    "height": (64 + (n * 7) % 480).astype("int32"),
+                    "media_type": (n % 3).map(
+                        {0: "image", 1: "audio", 2: "video"}
+                    ),
+                }
+            )
+
+    out = d.mapInPandas(
+        decode_stub,
+        schema="doc_id long, n_bytes int, width int, height int, media_type string",
+    )
+    return out.orderBy("doc_id")

@@ -1,0 +1,922 @@
+"""The relational operator surface (SURVEY.md §2.2) as named queries.
+
+The reference inherits all of these from Dask; our engine inherits
+them from Spark SQL / Catalyst. Each query here exists to pin one
+operator category with a DuckDB-checkable oracle:
+
+- every computed column is aliased identically in the DataFrame code
+  and the oracle SQL (driver hash-compares by sorted column name);
+- floating aggregates are rounded on both sides to absorb
+  summation-order differences;
+- top-k queries carry total tie-breaking orders so the row *set* is
+  deterministic;
+- timestamps leave query outputs as DATE or epoch numbers (Spark µs
+  vs DuckDB ns precision would otherwise skew hashes).
+
+Scale notes appear per query: which side broadcasts, where the
+shuffles are, why the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from dask_deltalake_spark.operators.asof import asof_join
+from dask_deltalake_spark.tables import load_table
+
+REGISTRY: dict = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Scan / aggregate / sort — the flagship (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+           ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → filter → project → partial+final hash agg → sort.
+
+    Scale: filter and the 7-column projection reach the parquet scan
+    (PushedFilters/ReadSchema); the groupBy key has 6 distinct values
+    so the map-side partial aggregation collapses nearly all rows
+    before the single small shuffle.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / compute / filter
+# ---------------------------------------------------------------------------
+
+@query(
+    "q02_projection_compute",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                AS DOUBLE) AS revenue,
+           CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS qty_class
+    FROM lineitem
+    """,
+)
+def q02_projection_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select / withColumn / alias — pure narrow projection, no shuffle.
+
+    Per-row money arithmetic runs in DECIMAL, not DOUBLE: rounding a
+    double product lands on .005 boundaries where engines disagree
+    (half-up vs nearest-int); exact decimal products are
+    engine-independent."""
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.when(F.col("l_quantity") > 25, "big").otherwise("small").alias("qty_class"),
+    )
+
+
+@query(
+    "q03_filter_predicates",
+    """
+    SELECT COUNT(*) AS n,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND o_orderpriority LIKE '%URGENT'
+      AND o_orderdate IS NOT NULL
+      AND (o_custkey % 10 != 3 OR o_totalprice > 150000)
+    """,
+)
+def q03_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean logic + isin + between + LIKE + null checks; all pushed
+    to the scan by Catalyst (single partial-agg row per task)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderstatus").isin("F", "P")
+            & F.col("o_totalprice").between(1000, 200000)
+            & F.col("o_orderpriority").like("%URGENT")
+            & F.col("o_orderdate").isNotNull()
+            & ((F.col("o_custkey") % 10 != 3) | (F.col("o_totalprice") > 150000))
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct(F.col("o_custkey")).alias("n_cust"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "q04_join_inner_broadcast",
+    """
+    SELECT n.n_name, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q04_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim⋈dim with explicit broadcast of both dims: zero
+    shuffle for the joins (only the final 25-key agg shuffles).
+    customer (1.5M rows at SF100 ≈ 200 MB) still broadcasts; at true
+    100 TB scale AQE would pick shuffle-hash for customer — the hint
+    stays correct because Spark ignores broadcast hints above the
+    driver limit only when impossible."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q05_join_multiway",
+    """
+    SELECT n.n_name, r.r_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name, r.r_name
+    ORDER BY n.n_name, r.r_name
+    """,
+)
+def q05_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: one big shuffle join (lineitem⋈orders on
+    orderkey) and broadcast joins for the dimension chain. The
+    o_orderdate filter is applied before the join so the shuffled
+    volume shrinks first (Catalyst pushes it below the join)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("n_name", "r_name")
+    )
+
+
+@query(
+    "q06_join_left",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_rows,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_custless
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def q06_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched customers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).alias("n_custless"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q07_join_semi",
+    """
+    SELECT o.o_orderstatus, COUNT(*) AS n
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+    )
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def q07_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — EXISTS without row duplication (the semi join
+    short-circuits per key; far cheaper than join+distinct)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q08_join_anti",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    ORDER BY c.c_custkey
+    """,
+)
+def q08_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — NOT EXISTS."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q09_join_theta",
+    """
+    SELECT s.s_suppkey, COUNT(*) AS n_nations,
+           ROUND(SUM(s.s_acctbal), 2) AS bal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey < n.n_nationkey
+    GROUP BY s.s_suppkey
+    ORDER BY s.s_suppkey
+    """,
+)
+def q09_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join → BroadcastNestedLoopJoin with the tiny
+    nation side broadcast. Non-equi joins only scale when one side is
+    broadcastable; that constraint is intrinsic, not an artifact."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey < n.n_nationkey)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q10_asof_join",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id,
+           o.o_orderkey AS last_orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS last_order_date
+    FROM events e
+    ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def q10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at-or-before each event, via the
+    union + last(ignorenulls) window rewrite (operators/asof.py) —
+    one shuffle of |events|+|orders| on user key, no row expansion.
+    Orders are pre-deduped to one row per (custkey, date) with max
+    orderkey so ties are deterministic on both engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    j = asof_join(
+        e,
+        o,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_payload=["o_orderkey", "o_orderdate"],
+    )
+    return j.select(
+        "event_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_order_date"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+@query(
+    "q11_agg_suite",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q11_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/sum/min/max/avg/stddev/variance/count_distinct in one
+    pass; Spark plans count_distinct as a two-stage expand+agg
+    automatically."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("q12_approx_count_distinct", None)  # approximate → rows-only check
+def q12_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimation — the at-scale substitute for
+    exact COUNT(DISTINCT) (single aggregation, no expand, mergeable
+    sketches). No SQL oracle: estimator-specific output."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q13_rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (flag → flag+status → grand total)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "q14_cube_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def q14_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube (all grouping sets) over two dimensions."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "q15_window_rank",
+    """
+    SELECT c_mktsegment, c_custkey, rn FROM (
+      SELECT c_mktsegment, c_custkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey
+             ) AS rn
+      FROM customer
+    ) t WHERE rn <= 5
+    ORDER BY c_mktsegment, rn
+    """,
+)
+def q15_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number ranking with a total tie-break order; per-group
+    top-k via rank filter (Spark optimizes to a WindowGroupLimit —
+    only k rows per group survive the shuffle)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@query(
+    "q16_window_lag_lead",
+    """
+    SELECT event_id,
+           ROUND(value - LAG(value) OVER w, 2)  AS delta_prev,
+           ROUND(LEAD(value) OVER w - value, 2) AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+)
+def q16_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over a per-user event timeline (deterministic order:
+    ts then event_id)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+            F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q17_window_running",
+    """
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS order_seq
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def q17_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates with an explicit ROWS frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+            F.count("*").over(w).alias("order_seq"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q18_window_range_frame",
+    """
+    SELECT o_orderkey,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_similar
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def q18_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window): count of same-customer orders
+    within $1000 below this order's price."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.count("*").over(w).alias("n_similar"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / set ops
+# ---------------------------------------------------------------------------
+
+@query(
+    "q19_topk_global",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q19_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort — the only sane top-k at
+    scale. Tie-break on orderkey makes the row set deterministic."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q20_topk_per_group",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ) AS rn
+      FROM customer
+    ) t WHERE rn <= 3
+    ORDER BY c_nationkey, c_custkey
+    """,
+)
+def q20_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per nation via window rank + filter."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("c_nationkey", "c_custkey")
+    )
+
+
+@query(
+    "q21_set_ops",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM (
+         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         UNION
+         SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+      ) u) AS n_union,
+      (SELECT COUNT(*) FROM (
+         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+      ) i) AS n_intersect,
+      (SELECT COUNT(*) FROM (
+         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+      ) e) AS n_except
+    """,
+)
+def q21_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except (distinct semantics) in one row."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    n_union = c.union(o).distinct().count()
+    n_intersect = c.intersect(o).count()
+    n_except = c.exceptAll(o.distinct()).distinct().count()
+    return spark.createDataFrame(
+        [(n_union, n_intersect, n_except)],
+        "n_union bigint, n_intersect bigint, n_except bigint",
+    )
+
+
+@query(
+    "q22_distinct_dropdup",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate IS NOT NULL AS has_date
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q22_distinct_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct / dropDuplicates (partial-agg dedup before shuffle)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_shipdate").isNotNull().alias("has_date"),
+        )
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function suites
+# ---------------------------------------------------------------------------
+
+@query(
+    "q23_string_funcs",
+    """
+    SELECT c_custkey,
+           UPPER(c_name) AS uname,
+           SUBSTR(c_name, 10, 9) AS cnum,
+           LENGTH(c_name) AS name_len,
+           c_name || '/' || c_mktsegment AS tagged,
+           REGEXP_REPLACE(c_name, '[0-9]', '#', 'g') AS masked,
+           CASE WHEN c_name LIKE 'Customer#%' THEN 1 ELSE 0 END AS is_cust
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def q23_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String suite: upper/substr/length/concat/regexp_replace/like.
+    All JVM-side codegen expressions (no UDFs)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 10, 9).alias("cnum"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("tagged"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+        F.when(F.col("c_name").like("Customer#%"), 1).otherwise(0).alias("is_cust"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q24_date_funcs",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+           STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           COUNT(*) AS n,
+           CAST(MIN(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS INT) AS min_day_off
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2
+    """,
+)
+def q24_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time suite: extract, date_trunc, datediff."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(
+                F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            ).alias("min_day_off"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+@query(
+    "q25_math_conditional",
+    """
+    SELECT p_partkey,
+           ROUND(ABS(p_retailprice - 1000), 2) AS dev,
+           CAST(CEIL(p_retailprice / 100) AS BIGINT) AS price_bucket,
+           ROUND(SQRT(p_size), 4) AS sqrt_size,
+           CASE WHEN p_size >= 30 THEN 'L' WHEN p_size >= 15 THEN 'M' ELSE 'S' END AS size_class,
+           COALESCE(NULLIF(p_brand, 'Brand#1'), 'BASE') AS brand_or_base
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def q25_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + conditional suite: abs/ceil/sqrt/when/coalesce/nullif."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.abs(F.col("p_retailprice") - 1000), 2).alias("dev"),
+        F.ceil(F.col("p_retailprice") / 100).alias("price_bucket"),
+        F.round(F.sqrt("p_size"), 4).alias("sqrt_size"),
+        F.when(F.col("p_size") >= 30, "L")
+        .when(F.col("p_size") >= 15, "M")
+        .otherwise("S")
+        .alias("size_class"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#1")), F.lit("BASE")).alias(
+            "brand_or_base"
+        ),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q26_array_explode",
+    """
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    ORDER BY word
+    """,
+)
+def q26_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → explode → agg (generator expression, no UDF)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy("word")
+    )
+
+
+@query(
+    "q27_higher_order_arrays",
+    """
+    SELECT vec_id,
+           CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_pos,
+           ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * x)), 3) AS sum_sq,
+           ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 4) AS max_elem
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def q27_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter/transform/aggregate) over
+    the embedding vectors — all JVM-side, no UDF."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            3,
+        ).alias("sum_sq"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_elem"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "q28_json_funcs",
+    """
+    SELECT CAST(JSON_EXTRACT(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(MAX(CAST(JSON_EXTRACT(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q28_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string access (events.props) via get_json_object."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.max(k).cast("int").alias("max_k"))
+        .orderBy("k_bucket")
+    )
