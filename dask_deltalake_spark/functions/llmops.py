@@ -36,6 +36,18 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _spread(spark, df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across all cores before CPU-heavy derivation.
+
+    At production scale the input is already thousands of file splits
+    and this round-robin exchange costs one extra (tiny, pre-derivation)
+    shuffle of the raw rows; on the local bench the documents table is a
+    single parquet row-group → 1 task, which would serialize tokenize/
+    hash work on one core out of 32.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def tokens(col) -> Column:
     """Whitespace tokens of trimmed lowercased text (JVM expression).
     Oracle equivalent: STRING_SPLIT_REGEX(TRIM(LOWER(x)), ' +')."""
@@ -179,13 +191,35 @@ def x04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking on (lang, source) bounds the worst-case pair fan-out per
     shingle; at 100 TB the block key would add a length bucket and the
     hottest (most common) shingles would be dropped as stop-shingles."""
-    d = _t(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_distinct(shingles(tokens(F.col("text")))).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    # Two-step select: materialize the token array BEFORE the shingle
+    # lambda references it. Catalyst does not CSE subexpressions inside
+    # higher-order-function lambdas, so an unbound tokens(...) argument
+    # would be re-tokenized by every element_at() in the lambda body
+    # (~3×|shingles| re-evaluations per row — measured 4.6× slower).
+    # Filter on token count BEFORE the shingle projection (exactly
+    # equivalent to size(sh) > 0): a post-filter on sh would be
+    # predicate-pushed by substituting the full shingle expression —
+    # with toks inlined into the lambda — re-triggering the per-element
+    # re-tokenization above for the filter evaluation (measured 8×).
+    t = (
+        d.select("doc_id", "lang", "source", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.array_distinct(shingles(F.col("toks"))).alias("sh"),
+        )
+    )
+    # Materialize the shingle table once: it feeds both sides of the
+    # self-join, and without a barrier InferFiltersFromConstraints
+    # derives isnotnull/size predicates from the join keys and pushes
+    # them below the exchange with the shingle expression substituted —
+    # re-running the whole tokenize+shingle pipeline inside the scan
+    # filter (measured 4×). At production scale this table would be
+    # staged to storage; persist() is the in-session equivalent.
+    t = t.persist()
     inv = t.select(
         "lang", "source", "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
     )
@@ -240,13 +274,23 @@ def x05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard up to negligible 64-bit collision probability, far
     cheaper set ops.
     """
-    d = _t(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(shingles(tokens(F.col("text"))), lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    ).filter(F.size("sh") >= 3)
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    # token column materialized first — see x04 for why (lambda-body CSE)
+    # pre-filter on raw shingle count (size(toks) >= 5 ⇒ ≥3 shingles
+    # before dedup) instead of post-filtering size(sh) — a post-filter
+    # would be pushed down with the shingle expression substituted,
+    # re-triggering the lambda re-tokenization (see x04)
+    docs = (
+        d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(shingles(F.col("toks")), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .persist()  # reused by banding AND pair verification — see x04
+    )
 
     def perm_hash(seed: int):
         # closure (not default-arg lambda): a 2-arg lambda would make
@@ -299,10 +343,18 @@ def x05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Candidate pairs are a minuscule fraction of the corpus (LSH's whole
+    # point) — broadcast them so the shingle table is never shuffled for
+    # verification; at cluster scale this is a map-side join against the
+    # staged shingle table.
     sh = docs.select("doc_id", "sh")
-    cand = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    cand = F.broadcast(cand).join(
+        sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"),
+        "doc_a",
+    )
+    cand = F.broadcast(cand).join(
+        sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
+        "doc_b",
     )
     j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
@@ -581,16 +633,24 @@ _STOP_SQL = "('" + "', '".join(_STOPWORDS) + "')"
 def x10_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality scoring: token count, mean token length,
     stopword ratio, combined score — all codegen expressions."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     t = d.select("doc_id", "text", tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") > 0
     )
-    n_tok = F.size("toks")
-    n_stop = F.size(F.filter("toks", lambda x: x.isin(_STOPWORDS)))
-    stop_ratio = n_stop.cast("double") / n_tok
+    # intermediate projection: count tokens/stopwords ONCE on the bound
+    # toks column, then derive ratios — keeps the filter lambda from
+    # being re-evaluated per output column (see x04 on lambda CSE)
+    t = t.select(
+        "doc_id",
+        "text",
+        F.size("toks").alias("n_tok"),
+        F.size(F.filter("toks", lambda x: x.isin(_STOPWORDS))).alias("n_stop"),
+    )
+    n_tok = F.col("n_tok")
+    stop_ratio = F.col("n_stop").cast("double") / n_tok
     return t.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
+        n_tok.cast("int").alias("n_tokens"),
         F.round(
             F.length(F.regexp_replace(F.trim("text"), " ", "")).cast("double") / n_tok,
             4,
@@ -644,7 +704,7 @@ def _marker_sql(lang: str) -> str:
 def x11_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword-marker voting with fixed
     precedence) → confusion counts against the labeled lang column."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     t = d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
     def marker_score(markers: list[str]):
         def f(x):

@@ -52,7 +52,11 @@ def get_spark(
     )
     conf = dict(ENGINE_CONF)
     conf.setdefault("spark.sql.shuffle.partitions", str(cpus))
-    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # local-mode driver == all executors; with 32 task threads, per-core
+    # headroom ≈ mem/32, so give it real memory (the box has 128 GiB)
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
