@@ -116,3 +116,164 @@ def d03_delta_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+@query(
+    "d04_delta_history",
+    """
+    SELECT CAST(3 AS BIGINT) AS n_commits,
+           'Append,Error,Overwrite' AS modes,
+           CAST(3 * (SELECT COUNT(*) FROM region) AS BIGINT) AS total_rows_written
+    """,
+)
+def d04_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """history() over a known commit sequence (write, append,
+    overwrite — reference core.py:88-108 shape): commitInfo metadata
+    only, no data scan. The assertion is order-insensitive (sorted
+    mode concat) because commit timestamps can collide within one ms."""
+    import shutil
+
+    from dask_deltalake_spark.delta.maintenance import read_delta_history
+
+    path = _tmp_table(sf_dir, "region_hist")
+    shutil.rmtree(path, ignore_errors=True)
+    r = load_table(spark, sf_dir, "region").repartition(1)
+    to_delta(r, path)
+    to_delta(r, path, mode="append")
+    to_delta(r, path, mode="overwrite")
+    h = read_delta_history(path)
+    modes = ",".join(sorted(h["operationParameters.mode"].astype(str)))
+    total = int(h["operationMetrics.numOutputRows"].astype(int).sum())
+    return spark.createDataFrame(
+        [(len(h), modes, total)],
+        "n_commits bigint, modes string, total_rows_written bigint",
+    )
+
+
+@query(
+    "d05_delta_vacuum",
+    """
+    SELECT CAST(4 AS BIGINT) AS n_tombstones,
+           CAST(2 AS BIGINT) AS files_after,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS rows_after
+    """,
+)
+def d05_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vacuum() semantics (reference core.py:110-151): overwrite leaves
+    4 unreferenced files; dry-run lists them, the real run deletes
+    them, and the table still reads correctly afterwards."""
+    import glob
+    import shutil
+
+    from dask_deltalake_spark.delta.maintenance import vacuum
+
+    path = _tmp_table(sf_dir, "nation_vac")
+    shutil.rmtree(path, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation")
+    to_delta(n.repartition(4), path)
+    to_delta(n.repartition(2), path, mode="overwrite")
+    tombstones = vacuum(path, retention_hours=0, dry_run=True)
+    vacuum(path, retention_hours=0, dry_run=False, spark=spark)
+    files_after = len(glob.glob(os.path.join(path, "*.parquet")))
+    rows_after = read_delta(path, spark=spark).count()
+    return spark.createDataFrame(
+        [(len(tombstones), files_after, rows_after)],
+        "n_tombstones bigint, files_after bigint, rows_after bigint",
+    )
+
+
+@query(
+    "d06_delta_schema_evolution",
+    """
+    SELECT CAST(2 AS BIGINT) AS v0_cols, CAST(3 AS BIGINT) AS v1_cols,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS v0_rows,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS v1_rows
+    """,
+)
+def d06_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-version schema (reference tests/test_core.py:117-124): v0
+    has 2 columns; an overwrite with overwrite_schema=True adds a
+    third; reading each version yields that version's schema."""
+    import shutil
+
+    path = _tmp_table(sf_dir, "orders_evo")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    to_delta(o.select("o_orderkey", "o_totalprice"), path)
+    to_delta(
+        o.select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        path,
+        mode="overwrite",
+        overwrite_schema=True,
+    )
+    v0 = read_delta(path, version=0, spark=spark)
+    v1 = read_delta(path, version=1, spark=spark)
+    return spark.createDataFrame(
+        [(len(v0.columns), len(v1.columns), v0.count(), v1.count())],
+        "v0_cols bigint, v1_cols bigint, v0_rows bigint, v1_rows bigint",
+    )
+
+
+@query(
+    "d07_delta_checkpoint",
+    """
+    SELECT CAST(12 * (SELECT COUNT(*) FROM region) AS BIGINT) AS latest_rows,
+           CAST(6 * (SELECT COUNT(*) FROM region) AS BIGINT) AS v5_rows,
+           CAST(1 AS BIGINT) AS has_checkpoint
+    """,
+)
+def d07_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-accelerated log replay (reference fixture
+    checkpoint.zip, S8): 12 append commits, checkpoint at the head,
+    then both a post-checkpoint read and a pre-checkpoint time travel
+    must replay correctly."""
+    import shutil
+
+    from dask_deltalake_spark.delta.maintenance import create_checkpoint
+
+    path = _tmp_table(sf_dir, "region_ckpt")
+    shutil.rmtree(path, ignore_errors=True)
+    r = load_table(spark, sf_dir, "region").repartition(1)
+    to_delta(r, path)
+    for _ in range(11):
+        to_delta(r, path, mode="append")
+    create_checkpoint(path)
+    has_ckpt = int(
+        os.path.exists(os.path.join(path, "_delta_log", "_last_checkpoint"))
+    )
+    latest = read_delta(path, spark=spark).count()
+    v5 = read_delta(path, version=5, spark=spark).count()
+    return spark.createDataFrame(
+        [(latest, v5, has_ckpt)],
+        "latest_rows bigint, v5_rows bigint, has_checkpoint bigint",
+    )
+
+
+@query(
+    "d08_delta_optimize",
+    """
+    SELECT CAST(16 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS rows_after
+    """,
+)
+def d08_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE bin-packing compaction: 16 small files rewritten into 1
+    with dataChange=false; row data unchanged. At 100 TB this is the
+    maintenance op that keeps scan planning O(#files) sane after
+    streaming appends."""
+    import shutil
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.maintenance import optimize
+
+    path = _tmp_table(sf_dir, "orders_opt")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    to_delta(o.repartition(16), path)
+    files_before = len(DeltaLog(path).snapshot().files)
+    optimize(path, spark=spark)
+    files_after = len(DeltaLog(path).snapshot().files)
+    rows_after = read_delta(path, spark=spark).count()
+    return spark.createDataFrame(
+        [(files_before, files_after, rows_after)],
+        "files_before bigint, files_after bigint, rows_after bigint",
+    )

@@ -1,0 +1,218 @@
+"""Structured Streaming operators over the events table.
+
+The reference has zero streaming surface (SURVEY.md §2.2 last row) —
+this tier is the Spark-native extension: file-source streams with
+watermarks, tumbling/session windows, streaming dedup, and a custom
+stateful operator via applyInPandasWithState.
+
+Each query runs the stream to completion with an availableNow trigger
+into an in-memory sink, then returns a deterministic batch DataFrame
+over the sink table, so the driver's DuckDB oracle can hash-match the
+result. At production scale the same pipelines run unchanged against a
+continuously-arriving Delta/file source — availableNow is exactly the
+"catch-up then stop" production trigger; only the sink (memory →
+Delta/Kafka) differs.
+
+Windowed aggregations use outputMode("complete") deliberately: with
+append mode the windows within the watermark delay of the stream's max
+timestamp never close, so a bounded replay would silently drop the
+tail. Complete mode emits the full converged result — identical
+semantics to the batch/oracle computation.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+REGISTRY: dict = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with native
+    timestamps.
+
+    The fixture stores ts as parquet TIMESTAMP(NANOS), which Spark only
+    reads as a raw long (nanosAsLong) — converted here to a µs
+    TimestampType so watermarks/windows get real event-time semantics.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream
+
+
+def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain the stream with an availableNow trigger into a memory sink
+    and return the sink table."""
+    name = "s_" + uuid.uuid4().hex[:12]
+    ckpt = f"/tmp/ddl_spark_stream_ckpt/{name}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "s01_stream_tumbling_window",
+    """
+    SELECT CAST(EPOCH(TIME_BUCKET(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 3) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def s01_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation (1h windows, 10m late
+    tolerance): the canonical streaming rollup. State is bounded by the
+    watermark — at 100 TB/day the store holds only open windows."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("win_start"),
+        "event_type",
+        "n",
+        "total_value",
+    ).orderBy("win_start", "event_type")
+
+
+@query(
+    "s02_stream_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    )
+    SELECT CAST(SUM(brk) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM g
+    """,
+)
+def s02_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user — the
+    sessionization primitive Dask has no analog for. The oracle is the
+    equivalent batch gaps-and-islands SQL: Spark merges two events iff
+    their gap is < 30m, i.e. a session break is gap >= 30m."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    sess = ev.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = _run_to_memory(sess, "complete")
+    return out.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "s03_stream_dedup",
+    """
+    SELECT user_id, COUNT(*) AS n_distinct_types
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY user_id
+    ORDER BY user_id
+    LIMIT 100
+    """,
+)
+def s03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates keyed on
+    (user_id, event_type) emits each pair exactly once across the whole
+    stream (exact-once state table; the bounded-state production
+    variant is dropDuplicatesWithinWatermark)."""
+    ev = _events_stream(spark, sf_dir)
+    dedup = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    out = _run_to_memory(dedup, "append")
+    return (
+        out.groupBy("user_id")
+        .agg(F.count("*").alias("n_distinct_types"))
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
+@query(
+    "s04_stream_stateful_counter",
+    """
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 50
+    """,
+)
+def s04_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running event counter carried in GroupState across micro-batches —
+    the template for bespoke streaming state machines (funnels, CEP,
+    rate limiting) that windowed aggs can't express. Emits the running
+    total each batch; the final value per user is the max."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts")
+
+    def count_events(key, pdf_iter, state: GroupState):
+        running = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            running += len(pdf)
+        state.update((running,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [running]})
+
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(counted, "append")
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(50)
+    )
