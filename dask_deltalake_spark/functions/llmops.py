@@ -813,3 +813,65 @@ def x13_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_bytes int, width int, height int, media_type string",
     )
     return out.orderBy("doc_id")
+
+_NEARDUP_BLOCK = 400
+_NEARDUP_COS = 0.4
+
+
+@query(
+    "x14_embedding_near_dup",
+    f"""
+    WITH e AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < {_NEARDUP_BLOCK}
+    ),
+    n AS (
+      SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm) >= {_NEARDUP_COS}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def x14_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact within a bounded
+    block: JVM-side zip_with dot product over a broadcast self-join.
+    This is the verification kernel of embedding dedup — at 100 TB the
+    block is an LSH/IVF bucket (x08's hyperplane bucketing provides the
+    candidate generation) so the quadratic stays inside buckets while
+    this exact cosine confirms each candidate pair."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _NEARDUP_BLOCK)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    e = e.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cos"),
+            cos.alias("_raw"),
+        )
+        .filter(F.col("_raw") >= _NEARDUP_COS)
+        .drop("_raw")
+        .orderBy("vec_a", "vec_b")
+    )

@@ -277,3 +277,74 @@ def d08_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(files_before, files_after, rows_after)],
         "files_before bigint, files_after bigint, rows_after bigint",
     )
+
+@query(
+    "d09_delta_datetime_travel",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS asof_v0_rows,
+           CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 0) AS BIGINT)
+             AS latest_rows
+    """,
+)
+def d09_delta_datetime_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime time travel (reference core.py:55-56,182-192): load the
+    latest version created at/before an RFC3339 timestamp. The v0
+    commit timestamp is read back from the log and used as the as-of
+    point; the head stays at the overwrite."""
+    import shutil
+    import time
+    from datetime import datetime, timezone
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+
+    path = _tmp_table(sf_dir, "nation_dt")
+    shutil.rmtree(path, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation")
+    to_delta(n, path)
+    time.sleep(0.05)  # separate commit timestamps (ms resolution)
+    to_delta(n.filter(F.col("n_regionkey") == 0), path, mode="overwrite")
+
+    infos = DeltaLog(path).commit_infos()
+    ts_v0_ms = infos[0]["timestamp"]
+    asof = (
+        datetime.fromtimestamp(ts_v0_ms / 1000.0, tz=timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+    )
+    v0_rows = read_delta(path, datetime=asof, spark=spark).count()
+    latest_rows = read_delta(path, spark=spark).count()
+    return spark.createDataFrame(
+        [(v0_rows, latest_rows)], "asof_v0_rows bigint, latest_rows bigint"
+    )
+
+
+@query(
+    "d10_delta_write_modes",
+    """
+    SELECT CAST(1 AS BIGINT) AS error_raised,
+           CAST((SELECT COUNT(*) FROM region) AS BIGINT) AS rows_after_ignore,
+           CAST(2 * (SELECT COUNT(*) FROM region) AS BIGINT) AS rows_after_append
+    """,
+)
+def d10_delta_write_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-mode dispatch on an existing table (reference
+    writer.py:244-247): error raises, ignore is a no-op, append adds
+    rows."""
+    import shutil
+
+    path = _tmp_table(sf_dir, "region_modes")
+    shutil.rmtree(path, ignore_errors=True)
+    r = load_table(spark, sf_dir, "region").repartition(1)
+    to_delta(r, path)
+    try:
+        to_delta(r, path, mode="error")
+        error_raised = 0
+    except Exception:
+        error_raised = 1
+    to_delta(r, path, mode="ignore")
+    rows_after_ignore = read_delta(path, spark=spark).count()
+    to_delta(r, path, mode="append")
+    rows_after_append = read_delta(path, spark=spark).count()
+    return spark.createDataFrame(
+        [(error_raised, rows_after_ignore, rows_after_append)],
+        "error_raised bigint, rows_after_ignore bigint, rows_after_append bigint",
+    )

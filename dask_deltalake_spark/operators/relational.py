@@ -920,3 +920,99 @@ def q28_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.max(k).cast("int").alias("max_k"))
         .orderBy("k_bucket")
     )
+
+# ---------------------------------------------------------------------------
+# Grouping sets / pivot / subqueries
+# ---------------------------------------------------------------------------
+
+@query(
+    "q29_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube): three grouping
+    levels in one pass — Catalyst expands then aggregates once; same
+    single shuffle as a plain groupBy."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q30_pivot",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS total_f
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q30_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct-values job;
+    at scale always pass the list) — compiles to conditional
+    aggregation, one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("tp"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+        F.col("P_n").alias("n_p"),
+        F.col("F_tp").alias("total_f"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "q31_subqueries",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_rich_active
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q31_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + correlated EXISTS: Catalyst decorrelates the
+    EXISTS into a left-semi hash join and evaluates the scalar subquery
+    once as a broadcast value — no per-row re-execution (the naive
+    interpretation would be O(n·m))."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_rich_active
+        FROM customer_sq c
+        WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer_sq)
+          AND EXISTS (SELECT 1 FROM orders_sq o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
