@@ -65,7 +65,9 @@ class DeltaLog:
     """Reader/replayer for one table's `_delta_log`."""
 
     def __init__(self, table_path: str):
-        self.table_path = str(table_path).rstrip("/")
+        from dask_deltalake_spark.delta.filesystem import check_local_scheme
+
+        self.table_path = check_local_scheme(str(table_path).rstrip("/"))
         self.log_path = os.path.join(self.table_path, LOG_DIR)
 
     # -- listing ----------------------------------------------------------

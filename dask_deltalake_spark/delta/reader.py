@@ -103,6 +103,11 @@ def read_delta(
     if spark is None:
         raise RuntimeError("No active SparkSession; pass spark=...")
 
+    if storage_options:
+        from dask_deltalake_spark.delta.filesystem import apply_storage_options
+
+        apply_storage_options(spark, storage_options)
+
     snap = DeltaLog(path).snapshot(version=version, datetime_string=datetime)
     schema = snapshot_schema(snap)
     dnf = normalize_dnf(filter)

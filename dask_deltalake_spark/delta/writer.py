@@ -255,6 +255,11 @@ def to_delta(
     (recommended for large partitioned writes; default False mirrors
     the reference's "no global groupby" contract, writer.py:177-180).
     """
+    if storage_options:
+        from dask_deltalake_spark.delta.filesystem import apply_storage_options
+
+        apply_storage_options(df.sparkSession, storage_options)
+
     table_path = str(table_or_uri).rstrip("/")
     if table_path.startswith("file://"):
         table_path = table_path[len("file://"):]

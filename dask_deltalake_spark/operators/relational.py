@@ -1016,3 +1016,72 @@ def q31_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+@query(
+    "q32_collect_list_set",
+    """
+    SELECT o_orderstatus,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), ',') AS priorities,
+           CAST(LEN(LIST(DISTINCT o_orderpriority)) AS INT) AS n_priorities,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT CAST(o_custkey % 7 AS VARCHAR))), '|')
+             AS custkey_buckets
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q32_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set / collect_list aggregation (array-building aggs).
+    Emitted as sorted joined strings so the comparison is
+    order-insensitive (collection aggs have no deterministic order in
+    any engine). Map-side partial aggregation still applies — the set
+    dedups on the map side, so shuffle volume is #distinct not #rows."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+                "priorities"
+            ),
+            F.size(F.collect_set("o_orderpriority")).alias("n_priorities"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_set((F.col("o_custkey") % 7).cast("string"))
+                ),
+                "|",
+            ).alias("custkey_buckets"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q33_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS p99,
+           ROUND(MEDIAN(l_quantity), 4) AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == ANSI
+    PERCENTILE_CONT == DuckDB QUANTILE_CONT). Exact percentile holds
+    the group's values — at 100 TB swap to approx_percentile
+    (t-digest, mergeable, bounded memory); kept exact here for a
+    bit-checkable oracle."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
