@@ -171,6 +171,11 @@ def d05_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     to_delta(n.repartition(4), path)
     to_delta(n.repartition(2), path, mode="overwrite")
+    # retention=0 means "older than now": give the tombstone timestamp a
+    # tick so it is strictly older than the cutoff (same-ms race)
+    import time
+
+    time.sleep(0.02)
     tombstones = vacuum(path, retention_hours=0, dry_run=True)
     vacuum(path, retention_hours=0, dry_run=False, spark=spark)
     files_after = len(glob.glob(os.path.join(path, "*.parquet")))

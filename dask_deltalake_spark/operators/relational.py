@@ -721,13 +721,14 @@ def q21_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 150000)
         .select(F.col("o_custkey").alias("k"))
     )
-    n_union = c.union(o).distinct().count()
-    n_intersect = c.intersect(o).count()
-    n_except = c.exceptAll(o.distinct()).distinct().count()
-    return spark.createDataFrame(
-        [(n_union, n_intersect, n_except)],
-        "n_union bigint, n_intersect bigint, n_except bigint",
+    # one action, three set-op subtrees cross-joined (each is a single
+    # 1-row aggregate) — no driver-side counts, no sequential jobs
+    n_union = c.union(o).distinct().agg(F.count("*").alias("n_union"))
+    n_intersect = c.intersect(o).agg(F.count("*").alias("n_intersect"))
+    n_except = (
+        c.exceptAll(o.distinct()).distinct().agg(F.count("*").alias("n_except"))
     )
+    return n_union.crossJoin(n_intersect).crossJoin(n_except)
 
 
 @query(

