@@ -875,3 +875,60 @@ def x14_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_raw")
         .orderBy("vec_a", "vec_b")
     )
+
+@query(
+    "x15_tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST({_TOKENS_SQL}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, lang, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.lang, tf.term,
+             ROUND(SUM(tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)), 3)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      GROUP BY 1, 2
+    )
+    SELECT lang, term, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY tfidf DESC, term) AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 5
+    ORDER BY lang, rnk
+    """,
+)
+def x15_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring with per-language top-5 terms: explode tokens →
+    term frequency (groupBy), document frequency (count_distinct per
+    term), smoothed idf, window top-k. Three shuffles total — tf keyed
+    on (doc, term), df keyed on term, top-k keyed on lang — all
+    uniform-ish keys; the df table is broadcast back onto tf. The
+    pyspark.ml HashingTF/IDF estimators produce the same quantity with
+    hashed buckets; this form keeps exact terms for an exact oracle."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    n = d.agg(F.count("*").alias("n_docs"))  # stays lazy: broadcast scalar
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("lang", "term")
+        .agg(F.round(F.sum(F.col("tf") * idf), 3).alias("tfidf"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("lang", "rnk")
+    )
