@@ -1086,3 +1086,60 @@ def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+@query(
+    "q34_bucketed_join",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q34_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join via bucketing: both tables written
+    bucketBy(16, join_key) + sortBy, so the sort-merge join needs NO
+    exchange and NO sort — each task zips bucket i with bucket i.
+    This is the structural answer for repeated large joins at 100 TB:
+    pay the bucketed write once, skip the shuffle on every subsequent
+    join. (Buckets are created once per scale factor and reused.)"""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+    def ensure_bucketed(name: str, key: str):
+        import shutil
+        from urllib.parse import urlparse
+
+        tbl = f"ddl_bucketed_{name}_{tag}"
+        if not spark.catalog.tableExists(tbl):
+            # a fresh session has an empty in-memory catalog; drop any
+            # stale managed-table location left by a previous session
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+            (
+                _t(spark, sf_dir, name)
+                .write.format("parquet")
+                .bucketBy(16, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+        return spark.table(tbl)
+
+    l = ensure_bucketed("lineitem", "l_orderkey")
+    o = ensure_bucketed("orders", "o_orderkey")
+    # force sort-merge (at bench scale the small side would broadcast,
+    # hiding the point): with both sides bucketed+sorted on the key the
+    # SMJ plans with ZERO exchanges and ZERO sorts before the join
+    return (
+        l.hint("merge")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
