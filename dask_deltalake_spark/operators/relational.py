@@ -1143,3 +1143,90 @@ def q34_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+@query(
+    "q35_pandas_udf",
+    """
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice * (1.0 - 0.01 * (o_custkey % 5))), 2) AS adj_total,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q35_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized Python: a scalar pandas_udf (whole-batch numpy
+    arithmetic, ~10-100x over row-at-a-time Python UDFs) and a grouped
+    pandas_udf aggregate. This is the sanctioned escape hatch when an
+    expression genuinely can't be JVM-side — here the same math is
+    deliberately SQL-expressible so the oracle can verify the Arrow
+    round-trip bit-exactly."""
+    from dask_deltalake_spark.operators.py_udfs import (
+        adjusted_price,
+        mean_price,
+        sum_price,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("adj", adjusted_price("o_totalprice", "o_custkey"))
+        .groupBy("o_orderpriority")
+        # a grouped-agg pandas UDF can't share an agg() with built-in
+        # aggregates, so both aggregates are pandas UDFs here
+        .agg(
+            sum_price("adj").alias("adj_sum"),
+            mean_price("o_totalprice").alias("avg_raw"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round("adj_sum", 2).alias("adj_total"),
+            F.round("avg_raw", 4).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q36_udtf",
+    """
+    SELECT o_orderpriority,
+           CAST(STRING_SPLIT(o_orderpriority, '-')[1] AS VARCHAR) AS prio_code,
+           CAST(STRING_SPLIT(o_orderpriority, '-')[2] AS VARCHAR) AS prio_word,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+)
+def q36_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input row → N output
+    rows with a declared schema, lateral-joined. Here it parses the
+    priority tag into (code, word); production use is anything
+    row-expanding that needs imperative Python (log parsing, schema
+    sniffing). Runs once per DISTINCT priority (5 rows) via the
+    aggregate-then-expand pattern — the UDTF never sees the fact table."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="prio_code string, prio_word string")
+    class ParsePriority:
+        def eval(self, tag: str):
+            if tag is None:
+                return
+            parts = tag.split("-", 1)
+            yield (parts[0], parts[1] if len(parts) > 1 else None)
+
+    spark.udtf.register("parse_priority", ParsePriority)
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    counts.createOrReplaceTempView("prio_counts")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, p.prio_code, p.prio_word, n
+        FROM prio_counts, LATERAL parse_priority(o_orderpriority) p
+        ORDER BY o_orderpriority
+        """
+    )
