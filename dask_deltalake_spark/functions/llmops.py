@@ -932,3 +932,116 @@ def x15_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .orderBy("lang", "rnk")
     )
+
+_IVF_K = 8           # coarse cells (first K vectors serve as centroids)
+_IVF_N_QUERIES = 8
+_IVF_TOP = 3
+
+
+@query(
+    "x16_ivf_ann",
+    f"""
+    WITH e AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm FROM e
+    ),
+    cent AS (SELECT vec_id AS cell, v, nrm FROM n WHERE vec_id < {_IVF_K}),
+    assigned AS (
+      SELECT t.vec_id, t.v, t.nrm, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.vec_id
+               ORDER BY LIST_DOT_PRODUCT(t.v, c.v) / (t.nrm * c.nrm) DESC, c.cell
+             ) AS crk
+      FROM n t CROSS JOIN cent c
+    ),
+    inv AS (SELECT vec_id, v, nrm, cell FROM assigned WHERE crk = 1),
+    q AS (SELECT * FROM inv WHERE vec_id < {_IVF_N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             ROUND(LIST_DOT_PRODUCT(q.v, t.v) / (q.nrm * t.nrm), 4) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(LIST_DOT_PRODUCT(q.v, t.v) / (q.nrm * t.nrm), 4) DESC,
+                        t.vec_id
+             ) AS rnk
+      FROM q JOIN inv t ON q.cell = t.cell AND t.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rnk
+    FROM scored
+    WHERE rnk <= {_IVF_TOP}
+    ORDER BY query_id, rnk
+    """,
+)
+def x16_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbor: assign every
+    vector to its nearest coarse centroid (cells), then search only
+    within the query's cell — the corpus-partition topology of
+    FAISS-style IVF. Centroids here are the first K vectors
+    (deterministic, so the DuckDB oracle can replay the exact cell
+    assignment); production swaps in sampled k-means centroids and
+    nprobe>1, which changes recall, not the Spark topology: one
+    broadcast (centroids), one shuffle on cell, per-cell brute force."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    cent = (
+        e.filter(F.col("vec_id") < _IVF_K)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    sim = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+    inv = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("csim", sim)
+        .withColumn("crk", F.row_number().over(w_assign))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "v", "nrm", "cell")
+    )
+    q = inv.filter(F.col("vec_id") < _IVF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("cell").alias("qcell"),
+    )
+    scored = (
+        inv.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4
+            ),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_top))
+        .filter(F.col("rnk") <= _IVF_TOP)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "score",
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )
