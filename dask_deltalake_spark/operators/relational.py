@@ -1110,19 +1110,21 @@ def q34_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ensure_bucketed(name: str, key: str):
         import shutil
-        from urllib.parse import urlparse
 
         tbl = f"ddl_bucketed_{name}_{tag}"
+        loc = f"/tmp/ddl_spark_bucketed/{tbl}"
         if not spark.catalog.tableExists(tbl):
-            # a fresh session has an empty in-memory catalog; drop any
-            # stale managed-table location left by a previous session
-            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-            shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+            # external table at an explicit /tmp location: keeps the
+            # host session's cwd-relative warehouse untouched, and a
+            # fresh session (empty in-memory catalog) can recreate over
+            # a stale directory
+            shutil.rmtree(loc, ignore_errors=True)
             (
                 _t(spark, sf_dir, name)
                 .write.format("parquet")
                 .bucketBy(16, key)
                 .sortBy(key)
+                .option("path", loc)
                 .mode("overwrite")
                 .saveAsTable(tbl)
             )
