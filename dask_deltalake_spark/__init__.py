@@ -28,6 +28,7 @@ from dask_deltalake_spark.delta.maintenance import (
     read_delta_history,
     vacuum,
 )
+from dask_deltalake_spark.delta.mutate import delete_where, merge_into
 from dask_deltalake_spark.session import get_spark
 
 __all__ = [
@@ -37,6 +38,8 @@ __all__ = [
     "vacuum",
     "optimize",
     "create_checkpoint",
+    "merge_into",
+    "delete_where",
     "get_spark",
 ]
 

@@ -8,7 +8,15 @@ runs on Spark executors.
 """
 
 from dask_deltalake_spark.delta.log import DeltaLog, Snapshot
+from dask_deltalake_spark.delta.mutate import delete_where, merge_into
 from dask_deltalake_spark.delta.reader import read_delta
 from dask_deltalake_spark.delta.writer import to_delta
 
-__all__ = ["DeltaLog", "Snapshot", "read_delta", "to_delta"]
+__all__ = [
+    "DeltaLog",
+    "Snapshot",
+    "read_delta",
+    "to_delta",
+    "merge_into",
+    "delete_where",
+]

@@ -353,3 +353,76 @@ def d10_delta_write_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(error_raised, rows_after_ignore, rows_after_append)],
         "error_raised bigint, rows_after_ignore bigint, rows_after_append bigint",
     )
+
+@query(
+    "d11_delta_merge",
+    """
+    WITH upd AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey <= 1000),
+         ins AS (SELECT COUNT(*) AS c, SUM(o_totalprice) AS s FROM orders
+                 WHERE o_orderkey <= 500),
+         tot AS (SELECT COUNT(*) AS c, SUM(o_totalprice) AS s FROM orders)
+    SELECT CAST(tot.c + ins.c AS BIGINT) AS n_rows,
+           ROUND(tot.s + upd.c * 1000 + ins.s, 2) AS total_price
+    FROM upd, ins, tot
+    """,
+)
+def d11_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) with file-level copy-on-write: updates add 1000
+    to the price of keys <= 1000, inserts clone keys <= 500 shifted
+    past the max key. The table is range-partitioned on the merge key
+    before the initial write so per-file min/max stats actually prune —
+    only low-key files rewrite, high-key files carry over untouched."""
+    import shutil
+
+    from dask_deltalake_spark.delta.mutate import merge_into
+
+    path = _tmp_table(sf_dir, "orders_merge")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    to_delta(o.repartitionByRange(8, "o_orderkey"), path)
+
+    max_key = o.agg(F.max("o_orderkey")).first()[0]
+    updates = o.filter(F.col("o_orderkey") <= 1000).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    # shift past max_key + 1: key 0 exists, so +max_key alone would
+    # collide the first clone with the existing max key
+    inserts = o.filter(F.col("o_orderkey") <= 500).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(int(max_key) + 1)
+    )
+    merge_into(path, updates.unionByName(inserts), keys=["o_orderkey"], spark=spark)
+    return read_delta(path, spark=spark).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "d12_delta_delete",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderstatus)), ',') AS statuses
+    FROM orders WHERE o_orderstatus != 'F'
+    """,
+)
+def d12_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM ... WHERE with the reference's DNF filter syntax:
+    partition pruning picks exactly the o_orderstatus=F files (the
+    table is hive-partitioned on the delete predicate column), those
+    rewrite to empty, and every other partition's files carry over
+    without being read."""
+    import shutil
+
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = _tmp_table(sf_dir, "orders_del")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    to_delta(o, path, partition_by=["o_orderstatus"])
+    delete_where(path, [("o_orderstatus", "==", "F")], spark=spark)
+    return read_delta(path, spark=spark).agg(
+        F.count("*").alias("n_rows"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+    )

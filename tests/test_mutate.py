@@ -1,0 +1,78 @@
+"""MERGE / DELETE copy-on-write semantics + file-level pruning."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import dask_deltalake_spark as ddl
+
+
+def _mktable(spark, path):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+        (F.col("id") % 4).alias("grp"),
+    )
+    # range-partition on the merge key → per-file stats have disjoint
+    # key ranges, so key-bounded mutations prune to a file subset
+    ddl.to_delta(df.repartitionByRange(4, "k"), str(path))
+    return df
+
+
+def test_merge_updates_inserts_and_prunes(spark, tmp_path):
+    path = tmp_path / "m"
+    _mktable(spark, path)
+    src = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.lit(-1.0).alias("v"),
+        (F.col("id") % 4).alias("grp"),
+    ).union(
+        spark.range(1000, 1010).select(
+            F.col("id").alias("k"),
+            F.lit(-2.0).alias("v"),
+            (F.col("id") % 4).alias("grp"),
+        )
+    )
+    res = ddl.merge_into(str(path), src, keys="k", spark=spark)
+    out = ddl.read_delta(str(path), spark=spark)
+    assert out.count() == 1010
+    assert out.filter(F.col("v") == -1.0).count() == 50
+    assert out.filter(F.col("v") == -2.0).count() == 10
+    # keys 0-49 and 1000-1009 span the first and last key ranges only;
+    # the two middle files must carry over without a rewrite
+    assert res["numFilesUntouched"] >= 1
+    # untouched rows intact
+    assert out.filter((F.col("k") == 500) & (F.col("v") == 1000.0)).count() == 1
+
+
+def test_merge_schema_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    path = tmp_path / "m2"
+    _mktable(spark, path)
+    bad = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="MERGE source columns"):
+        ddl.merge_into(str(path), bad, keys="k", spark=spark)
+
+
+def test_delete_where_and_time_travel(spark, tmp_path):
+    path = tmp_path / "d"
+    _mktable(spark, path)
+    res = ddl.delete_where(str(path), [("k", "<", 100)], spark=spark)
+    out = ddl.read_delta(str(path), spark=spark)
+    assert out.count() == 900
+    assert out.agg(F.min("k")).first()[0] == 100
+    assert res["numFilesUntouched"] >= 1  # high-key files not rewritten
+    # the pre-delete version is still readable (copy-on-write)
+    assert ddl.read_delta(str(path), version=0, spark=spark).count() == 1000
+
+
+def test_delete_or_of_ands(spark, tmp_path):
+    path = tmp_path / "d2"
+    _mktable(spark, path)
+    ddl.delete_where(
+        str(path), [[("grp", "==", 0)], [("grp", "==", 1)]], spark=spark
+    )
+    out = ddl.read_delta(str(path), spark=spark)
+    assert out.count() == 500
+    assert set(r[0] for r in out.select("grp").distinct().collect()) == {2, 3}
