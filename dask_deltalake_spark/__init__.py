@@ -28,7 +28,7 @@ from dask_deltalake_spark.delta.maintenance import (
     read_delta_history,
     vacuum,
 )
-from dask_deltalake_spark.delta.mutate import delete_where, merge_into
+from dask_deltalake_spark.delta.mutate import delete_where, merge_into, update_where
 from dask_deltalake_spark.session import get_spark
 
 __all__ = [
@@ -40,6 +40,7 @@ __all__ = [
     "create_checkpoint",
     "merge_into",
     "delete_where",
+    "update_where",
     "get_spark",
 ]
 

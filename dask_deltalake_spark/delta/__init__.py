@@ -8,7 +8,7 @@ runs on Spark executors.
 """
 
 from dask_deltalake_spark.delta.log import DeltaLog, Snapshot
-from dask_deltalake_spark.delta.mutate import delete_where, merge_into
+from dask_deltalake_spark.delta.mutate import delete_where, merge_into, update_where
 from dask_deltalake_spark.delta.reader import read_delta
 from dask_deltalake_spark.delta.writer import to_delta
 
@@ -19,4 +19,5 @@ __all__ = [
     "to_delta",
     "merge_into",
     "delete_where",
+    "update_where",
 ]

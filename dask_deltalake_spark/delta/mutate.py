@@ -1,4 +1,4 @@
-"""Row-level mutations: MERGE (upsert) and DELETE, copy-on-write.
+"""Row-level mutations: MERGE (upsert), UPDATE, DELETE — copy-on-write.
 
 Neither exists in the reference (delta-rs 0.6 had no merge either) —
 delta-spark's MERGE INTO / DELETE FROM are part of the "distributed
@@ -228,5 +228,51 @@ def delete_where(
         untouched,
         new_data,
         "DELETE",
+        {"predicate": json.dumps([str(c) for c in (filter or [])])},
+    )
+
+
+def update_where(
+    path: str,
+    filter: list,
+    set: dict,
+    spark: Optional[SparkSession] = None,
+) -> dict:
+    """UPDATE table SET col=expr WHERE <DNF filter>. ``set`` maps
+    column name → Column expression (or literal), applied only to rows
+    matching the filter; same pruned copy-on-write as delete_where."""
+    from dask_deltalake_spark.delta.reader import dnf_to_column, snapshot_schema
+
+    spark = spark or SparkSession.getActiveSession()
+    table_path = str(path).rstrip("/")
+    log = DeltaLog(table_path)
+    snap = log.snapshot()
+    schema = snapshot_schema(snap)
+    bad = [c for c in set if c not in schema.fieldNames()]
+    if bad:
+        raise ValueError(f"UPDATE of unknown columns: {bad}")
+    dnf = normalize_dnf(filter)
+
+    adds = snap.add_actions
+    touched = prune_by_stats(prune_partitions(adds, dnf), dnf)
+    touched_paths = {a.path for a in touched}
+    untouched = [a for a in adds if a.path not in touched_paths]
+
+    cond = dnf_to_column(dnf)
+    new_data = _read_files(spark, snap, touched, schema)
+    for col, expr in set.items():
+        val = expr if hasattr(expr, "cast") else F.lit(expr)
+        val = val.cast(schema[col].dataType)
+        new_data = new_data.withColumn(
+            col, F.when(cond, val).otherwise(F.col(col)) if cond is not None else val
+        )
+    return _rewrite_and_commit(
+        spark,
+        table_path,
+        snap,
+        touched,
+        untouched,
+        new_data,
+        "UPDATE",
         {"predicate": json.dumps([str(c) for c in (filter or [])])},
     )

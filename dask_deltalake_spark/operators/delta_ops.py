@@ -426,3 +426,43 @@ def d12_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "statuses"
         ),
     )
+
+@query(
+    "d13_delta_update",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P'
+                          THEN o_totalprice * 1.1 ELSE o_totalprice END), 2)
+             AS total_price,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'P') AS BIGINT)
+             AS n_updated
+    FROM orders
+    """,
+)
+def d13_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE (copy-on-write): a 10% price raise on
+    status-P rows; partition pruning rewrites only the P partition's
+    files. Completes the DML triad with d11 (MERGE) and d12 (DELETE)."""
+    import shutil
+
+    from dask_deltalake_spark.delta.mutate import update_where
+
+    path = _tmp_table(sf_dir, "orders_upd")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    to_delta(o, path, partition_by=["o_orderstatus"])
+    res = update_where(
+        path,
+        [("o_orderstatus", "==", "P")],
+        {"o_totalprice": F.col("o_totalprice") * 1.1},
+        spark=spark,
+    )
+    assert res["numFilesUntouched"] >= 1  # F/O partitions carried over
+    t = read_delta(path, spark=spark)
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)
+        ).cast("bigint").alias("n_updated"),
+    )
