@@ -26,6 +26,7 @@ from dask_deltalake_spark.delta.maintenance import (
     create_checkpoint,
     optimize,
     read_delta_history,
+    restore,
     vacuum,
 )
 from dask_deltalake_spark.delta.mutate import delete_where, merge_into, update_where
@@ -38,6 +39,7 @@ __all__ = [
     "vacuum",
     "optimize",
     "create_checkpoint",
+    "restore",
     "merge_into",
     "delete_where",
     "update_where",

@@ -354,3 +354,88 @@ def optimize(
         "numFilesRemoved": len(old_paths),
         "version": snap.version + 1,
     }
+
+
+def restore(
+    path: str,
+    version: int,
+    spark: Optional[SparkSession] = None,
+) -> dict:
+    """RESTORE the table to a previous version (delta-spark
+    `RESTORE TABLE ... TO VERSION AS OF` analog): one metadata-only
+    commit that re-adds the target snapshot's files and removes the
+    files added since. No data is read or written — the restored
+    version's files must still exist (i.e. not vacuumed away).
+    """
+    table_path = str(path).rstrip("/")
+    log = DeltaLog(table_path)
+    cur = log.snapshot()
+    if version == cur.version:
+        return {"version": cur.version, "numFilesAdded": 0, "numFilesRemoved": 0}
+    target = log.snapshot(version=version)
+
+    cur_by_path = {a.path: a for a in cur.add_actions}
+    tgt_by_path = {a.path: a for a in target.add_actions}
+    re_adds = [a for p, a in tgt_by_path.items() if p not in cur_by_path]
+    removes = [p for p in cur_by_path if p not in tgt_by_path]
+    for a in re_adds:
+        if not os.path.exists(os.path.join(table_path, a.path)):
+            raise FileNotFoundError(
+                f"Cannot RESTORE to version {version}: data file {a.path} "
+                "no longer exists (vacuumed?)"
+            )
+
+    ts = now_ms()
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+                "readVersion": cur.version,
+                "isBlindAppend": False,
+                "operationMetrics": {
+                    "numRestoredFiles": str(len(re_adds)),
+                    "numRemovedFiles": str(len(removes)),
+                },
+                "engineInfo": "dask_deltalake_spark/0.1.0",
+            }
+        }
+    ]
+    if target.metadata.schema_string != cur.metadata.schema_string:
+        # restoring across a schema change reinstates the old schema
+        m = target.metadata
+        from dask_deltalake_spark.delta.protocol import Metadata
+
+        actions.append(
+            Metadata(
+                id=m.id,
+                schema_string=m.schema_string,
+                partition_columns=m.partition_columns,
+                configuration=m.configuration,
+                name=m.name,
+                description=m.description,
+                created_time=m.created_time,
+            ).to_json()
+        )
+    for a in re_adds:
+        actions.append(
+            AddAction(
+                path=a.path,
+                size=a.size,
+                partition_values=a.partition_values,
+                modification_time=ts,
+                data_change=True,
+                stats=a.stats,
+            ).to_json()
+        )
+    for p in removes:
+        actions.append(
+            RemoveAction(path=p, deletion_timestamp=ts, data_change=True).to_json()
+        )
+    write_commit(table_path, cur.version + 1, actions)
+    return {
+        "version": cur.version + 1,
+        "numFilesAdded": len(re_adds),
+        "numFilesRemoved": len(removes),
+    }

@@ -466,3 +466,36 @@ def d13_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)
         ).cast("bigint").alias("n_updated"),
     )
+
+@query(
+    "d14_delta_restore",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS restored_rows,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS BIGINT)
+             AS overwritten_rows,
+           CAST(3 AS BIGINT) AS n_commits
+    """,
+)
+def d14_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE to a prior version: metadata-only rollback commit
+    (re-add v0's files, remove the overwrite's). The overwritten state
+    stays reachable by version — restore adds history, never erases
+    it."""
+    import shutil
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.maintenance import restore
+
+    path = _tmp_table(sf_dir, "orders_restore")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    to_delta(o, path)
+    to_delta(o.filter(F.col("o_orderstatus") == "F"), path, mode="overwrite")
+    restore(path, version=0, spark=spark)
+    restored_rows = read_delta(path, spark=spark).count()
+    overwritten_rows = read_delta(path, version=1, spark=spark).count()
+    n_commits = len(DeltaLog(path).versions())
+    return spark.createDataFrame(
+        [(restored_rows, overwritten_rows, n_commits)],
+        "restored_rows bigint, overwritten_rows bigint, n_commits bigint",
+    )
