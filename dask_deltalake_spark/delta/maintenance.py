@@ -272,19 +272,62 @@ def create_checkpoint(path: str, version: Optional[int] = None) -> str:
     return cp_path
 
 
+_ZORDER_BITS = 10  # 1024 buckets per dimension
+
+
+def _zorder_value(df, cols: list[str], bounds: dict):
+    """Interleaved-bit z-value over width_bucket ranks of numeric
+    columns — rows close in every dimension get close z-values, so a
+    range partition on z gives every file a tight min/max range on
+    EVERY z-order column simultaneously (multi-dimensional data
+    skipping, delta's OPTIMIZE ZORDER BY)."""
+    import pyspark.sql.functions as F
+
+    n_buckets = 1 << _ZORDER_BITS
+    buckets = []
+    for c in cols:
+        lo, hi = bounds[c]
+        b = F.width_bucket(
+            F.col(c).cast("double"),
+            F.lit(float(lo)),
+            F.lit(float(hi) + 1e-9),
+            F.lit(n_buckets),
+        ) - 1
+        buckets.append(F.greatest(F.lit(0), F.least(b, F.lit(n_buckets - 1))))
+    z = F.lit(0).cast("long")
+    for bit in range(_ZORDER_BITS):
+        for i, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)).cast("long"),
+                    bit * len(buckets) + i,
+                )
+            )
+    return z
+
+
 def optimize(
     path: str,
     target_file_size: int = 128 * 1024 * 1024,
+    zorder_by: Optional[list[str]] = None,
     spark: Optional[SparkSession] = None,
 ) -> dict:
-    """Bin-packing compaction (delta-spark OPTIMIZE analog).
+    """Bin-packing compaction (delta-spark OPTIMIZE analog), optionally
+    Z-ORDER clustered.
 
     Rewrites the table's current files into ~target_file_size outputs
     per partition and commits add+remove with ``dataChange=false`` in
     one atomic commit. Scale rationale: scan planning and task
     scheduling cost O(#files); compaction after many small appends is
     what keeps a 100 TB table scannable.
+
+    With ``zorder_by`` (numeric columns), rows are range-partitioned on
+    an interleaved-bit z-value so each output file covers a tight
+    min/max range on every listed column — per-file stats then skip
+    files for predicates on ANY of them, not just the first sort key.
     """
+    import pyspark.sql.functions as F
+
     from dask_deltalake_spark.delta.reader import read_delta, snapshot_schema
     from dask_deltalake_spark.delta.writer import (
         _spark_to_arrow_schema,
@@ -303,7 +346,23 @@ def optimize(
     n_out = max(1, round(total_bytes / target_file_size))
 
     df = read_delta(table_path, spark=spark)
-    if partition_by:
+    if zorder_by:
+        missing = [c for c in zorder_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"zorder_by columns not in table: {missing}")
+        row = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
+            *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
+        ).first()
+        bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in zorder_by}
+        z = _zorder_value(df, zorder_by, bounds)
+        df = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif partition_by:
         df = df.repartition(n_out, *partition_by)
     else:
         df = df.repartition(n_out)
@@ -319,7 +378,8 @@ def optimize(
                 "timestamp": ts,
                 "operation": "OPTIMIZE",
                 "operationParameters": {
-                    "targetSize": str(target_file_size)
+                    "targetSize": str(target_file_size),
+                    "zOrderBy": json.dumps(list(zorder_by or [])),
                 },
                 "readVersion": snap.version,
                 "isBlindAppend": False,

@@ -499,3 +499,47 @@ def d14_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(restored_rows, overwritten_rows, n_commits)],
         "restored_rows bigint, overwritten_rows bigint, n_commits bigint",
     )
+
+@query(
+    "d15_delta_zorder",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM events WHERE user_id = 7) AS BIGINT)
+             AS n_user7,
+           ROUND((SELECT SUM(value) FROM events WHERE user_id = 7), 3)
+             AS sum_user7,
+           CAST(1 AS BIGINT) AS pruning_effective
+    """,
+)
+def d15_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY (user_id, value): interleaved-bit clustering
+    gives every rewritten file a tight min/max box on both columns, so
+    a point predicate on either column skips most files from metadata
+    alone. The query verifies both the clustered data (hash vs oracle)
+    and that stats pruning actually eliminated files."""
+    import shutil
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.maintenance import optimize
+    from dask_deltalake_spark.delta.protocol import normalize_dnf, prune_by_stats
+
+    path = _tmp_table(sf_dir, "events_zorder")
+    shutil.rmtree(path, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").drop("ts")  # ts repaired col
+    to_delta(e.repartition(16), path)
+    # small target size → enough files that the z-prefix carries
+    # several bits of BOTH dimensions (3 files would constrain neither)
+    optimize(
+        path, target_file_size=12 * 1024, zorder_by=["user_id", "value"], spark=spark
+    )
+
+    adds = DeltaLog(path).snapshot().add_actions
+    dnf = normalize_dnf([("user_id", "==", 7)])
+    pruning_effective = int(
+        len(adds) > 1 and len(prune_by_stats(adds, dnf)) < len(adds)
+    )
+    t = read_delta(path, filter=[("user_id", "==", 7)], spark=spark)
+    return t.agg(
+        F.count("*").alias("n_user7"),
+        F.round(F.sum("value"), 3).alias("sum_user7"),
+        F.lit(pruning_effective).cast("bigint").alias("pruning_effective"),
+    )

@@ -76,3 +76,27 @@ def test_delete_or_of_ands(spark, tmp_path):
     out = ddl.read_delta(str(path), spark=spark)
     assert out.count() == 500
     assert set(r[0] for r in out.select("grp").distinct().collect()) == {2, 3}
+
+
+def test_restore_roundtrip_and_vacuum_guard(spark, tmp_path):
+    import time
+
+    import pytest
+
+    path = str(tmp_path / "r")
+    df = _mktable(spark, path)
+    ddl.delete_where(path, [("k", "<", 500)], spark=spark)
+    assert ddl.read_delta(path, spark=spark).count() == 500
+
+    res = ddl.restore(path, version=0, spark=spark)
+    assert res["version"] == 2
+    assert ddl.read_delta(path, spark=spark).count() == 1000
+    # intermediate deleted state still addressable
+    assert ddl.read_delta(path, version=1, spark=spark).count() == 500
+
+    # roll forward again, vacuum the v0-era files, then restore must fail
+    ddl.delete_where(path, [("k", "<", 500)], spark=spark)
+    time.sleep(0.02)
+    ddl.vacuum(path, retention_hours=0, dry_run=False, spark=spark)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        ddl.restore(path, version=0, spark=spark)
