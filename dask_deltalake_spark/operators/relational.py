@@ -1232,3 +1232,66 @@ def q36_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+@query(
+    "q37_window_distribution",
+    """
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q37_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank /
+    cume_dist): one shuffle on the partition key, sequential scan per
+    partition. The order key carries a unique tie-break (c_custkey) so
+    cume_dist is engine-independent."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q38_salted_agg",
+    """
+    SELECT l_returnflag AS grp, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY grp
+    """,
+)
+def q38_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation — the manual skew-mitigation
+    pattern: phase 1 aggregates on (key, salt) so a hot key's rows
+    spread over N reducers; phase 2 merges the N partials per key.
+    lineitem's 3-value l_returnflag IS a pathologically skewed key (3
+    groups over 32+ reducers); the same rewrite handles any hot-key
+    aggregation where AQE's skew handling doesn't apply (it only
+    splits join sides). Results are identical to the direct groupBy —
+    proven by the oracle."""
+    _SALT = 16
+    l = _t(spark, sf_dir, "lineitem").withColumn(
+        "_salt", (F.rand(seed=42) * _SALT).cast("int")
+    )
+    partial = l.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("pn"), F.sum("l_quantity").alias("pq")
+    )
+    return (
+        partial.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("pq"), 2).alias("qty"),
+        )
+        .orderBy("grp")
+    )
