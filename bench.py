@@ -41,6 +41,12 @@ def main() -> None:
         except Exception as e:  # keep the bench line parseable on failure
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
+        # drop per-query persisted intermediates (shingle tables etc.) so
+        # 70+ queries in one session don't accumulate heap pressure
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
