@@ -136,6 +136,12 @@ def read_delta(
         .option("basePath", snap.path)
         .parquet(*files)
     )
+    # Spark's partition discovery appends hive partition columns last
+    # regardless of the supplied schema; restore the Delta metaData
+    # column order (delta-spark preserves it, and a write-back through
+    # to_delta must see the table's declared schema order)
+    if df.columns != schema.fieldNames():
+        df = df.select(*schema.fieldNames())
     cond = dnf_to_column(dnf)
     if cond is not None:
         df = df.filter(cond)

@@ -543,3 +543,41 @@ def d15_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 3).alias("sum_user7"),
         F.lit(pruning_effective).cast("bigint").alias("pruning_effective"),
     )
+
+@query(
+    "d16_python_datasource",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def d16_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python Data Source surface:
+    spark.read.format('delta_py') — schema from log replay,
+    pushFilters-driven partition/stats file pruning, one task per
+    surviving file, Arrow-batch reads with typed hive partition
+    values. Same answer as the native-scan read_delta path."""
+    from dask_deltalake_spark.sources import register_python_datasource
+
+    path = _tmp_table(sf_dir, "orders_part")
+    o = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        to_delta(o, path, partition_by=["o_orderstatus"])
+    register_python_datasource(spark)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    r = spark.read.format("delta_py").option("path", path).load()
+    return (
+        r.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -29,6 +29,8 @@ ENGINE_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # let Python Data Sources (sources/delta_source.py) receive filters
+    "spark.sql.python.filterPushdown.enabled": "true",
     # generous broadcast threshold: every dim table in the star schema
     # (region/nation/customer/supplier/part) is broadcastable at any SF
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

@@ -1,0 +1,182 @@
+"""Spark 4 Python Data Source exposing Delta tables as
+``spark.read.format("delta_py")``.
+
+`read_delta` (delta/reader.py) is the engine's primary read path — it
+hands Spark a pruned parquet file list so the scan uses the native
+vectorized reader. This source exists for the `format(...)` ecosystem
+surface (the way delta-spark integrates) and demonstrates the full
+DataSource V2 contract in Python:
+
+- ``schema()``: log replay → the snapshot's Spark schema (the Delta
+  schemaString IS Spark's StructType JSON).
+- ``pushFilters()``: supported comparisons translate to the engine's
+  DNF form and drive partition + stats file pruning; every filter is
+  also returned to Spark so residual row-level evaluation still
+  happens (pruning is conservative, correctness never depends on it).
+- ``partitions()``: one InputPartition per surviving data file — the
+  task-per-file parallelism unit (the reference's partition-per-batch
+  analog, reference core.py:77-78, but planned driver-side from
+  metadata only; no data touches the driver).
+- ``read()``: executor-side pyarrow parquet read, yielding Arrow
+  record batches with hive partition values attached as typed constant
+  columns.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:
+    import pyarrow as pa
+
+
+@dataclass
+class DeltaFilePartition(InputPartition):
+    abs_path: str
+    partition_json: str  # {"col": "string-value" | null}
+
+
+def _filter_to_dnf_clause(f):
+    """Translate a pushable Filter to a (col, op, val) tuple, or None.
+    Only top-level columns (no nested paths) participate in pruning."""
+    def col(attr):
+        return attr[0] if len(attr) == 1 else None
+
+    if isinstance(f, EqualTo):
+        c = col(f.attribute)
+        return (c, "==", f.value) if c else None
+    if isinstance(f, GreaterThan):
+        c = col(f.attribute)
+        return (c, ">", f.value) if c else None
+    if isinstance(f, GreaterThanOrEqual):
+        c = col(f.attribute)
+        return (c, ">=", f.value) if c else None
+    if isinstance(f, LessThan):
+        c = col(f.attribute)
+        return (c, "<", f.value) if c else None
+    if isinstance(f, LessThanOrEqual):
+        c = col(f.attribute)
+        return (c, "<=", f.value) if c else None
+    if isinstance(f, In):
+        c = col(f.attribute)
+        return (c, "in", list(f.values)) if c else None
+    if isinstance(f, (IsNull, IsNotNull)):
+        return None  # stats carry nullCount but keep pruning simple
+    return None
+
+
+class DeltaPyReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        from dask_deltalake_spark.delta.log import DeltaLog
+
+        self._schema = schema
+        path = options.get("path")
+        if not path:
+            raise ValueError("delta_py requires .option('path', ...) or load(path)")
+        version = options.get("version")
+        self._snap = DeltaLog(path).snapshot(
+            version=int(version) if version is not None else None
+        )
+        self._dnf_conj: list[tuple] = []
+
+    def pushFilters(self, filters):
+        for f in filters:
+            clause = _filter_to_dnf_clause(f)
+            if clause is not None:
+                self._dnf_conj.append(clause)
+        # return ALL filters: Spark re-applies them row-level; our use
+        # of the pushed set is metadata file pruning only
+        return filters
+
+    def partitions(self):
+        from dask_deltalake_spark.delta.protocol import (
+            normalize_dnf,
+            prune_by_stats,
+            prune_partitions,
+        )
+
+        adds = self._snap.add_actions
+        if self._dnf_conj:
+            dnf = normalize_dnf(self._dnf_conj)
+            adds = prune_by_stats(prune_partitions(adds, dnf), dnf)
+        if not adds:
+            return [DeltaFilePartition(abs_path="", partition_json="{}")]
+        return [
+            DeltaFilePartition(
+                abs_path=f"{self._snap.path}/{a.path}",
+                partition_json=json.dumps(a.partition_values or {}),
+            )
+            for a in adds
+        ]
+
+    def read(self, partition: DeltaFilePartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        if not partition.abs_path:  # empty table
+            return
+        pvals = json.loads(partition.partition_json)
+        table = pq.read_table(
+            partition.abs_path,
+            columns=[n for n in target.names if n not in pvals],
+        )
+        n = table.num_rows
+        cols = []
+        for field in target:
+            if field.name in pvals:
+                raw = pvals[field.name]
+                arr = pa.array([raw] * n, type=pa.string()).cast(field.type)
+            else:
+                arr = table.column(field.name).cast(field.type)
+            cols.append(arr)
+        out = pa.table(dict(zip(target.names, cols)), schema=target)
+        yield from out.to_batches(max_chunksize=64 * 1024)
+
+
+class DeltaPyDataSource(DataSource):
+    """``spark.read.format("delta_py").option("path", p).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_py"
+
+    def schema(self) -> StructType:
+        from dask_deltalake_spark.delta.log import DeltaLog
+        from dask_deltalake_spark.delta.reader import snapshot_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_py requires .option('path', ...) or load(path)")
+        version = self.options.get("version")
+        snap = DeltaLog(path).snapshot(
+            version=int(version) if version is not None else None
+        )
+        return snapshot_schema(snap)
+
+    def reader(self, schema: StructType) -> DeltaPyReader:
+        return DeltaPyReader(schema, self.options)
+
+
+def register_python_datasource(spark) -> None:
+    """Idempotently register the delta_py format on a session."""
+    spark.dataSource.register(DeltaPyDataSource)
