@@ -31,6 +31,7 @@ from typing import TYPE_CHECKING, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -127,30 +128,91 @@ class DeltaPyReader(DataSourceReader):
         ]
 
     def read(self, partition: DeltaFilePartition) -> Iterator["pa.RecordBatch"]:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        yield from _read_file_as_batches(self._schema, partition)
 
-        from pyspark.sql.pandas.types import to_arrow_schema
 
-        target = to_arrow_schema(self._schema)
-        if not partition.abs_path:  # empty table
-            return
-        pvals = json.loads(partition.partition_json)
-        table = pq.read_table(
-            partition.abs_path,
-            columns=[n for n in target.names if n not in pvals],
-        )
-        n = table.num_rows
-        cols = []
-        for field in target:
-            if field.name in pvals:
-                raw = pvals[field.name]
-                arr = pa.array([raw] * n, type=pa.string()).cast(field.type)
-            else:
-                arr = table.column(field.name).cast(field.type)
-            cols.append(arr)
-        out = pa.table(dict(zip(target.names, cols)), schema=target)
-        yield from out.to_batches(max_chunksize=64 * 1024)
+def _read_file_as_batches(
+    schema: StructType, partition: DeltaFilePartition
+) -> Iterator["pa.RecordBatch"]:
+    """Executor-side: one parquet file → Arrow batches in table-schema
+    order, hive partition values attached as typed constants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    if not partition.abs_path:  # empty table / empty batch
+        return
+    pvals = json.loads(partition.partition_json)
+    table = pq.read_table(
+        partition.abs_path,
+        columns=[n for n in target.names if n not in pvals],
+    )
+    n = table.num_rows
+    cols = []
+    for field in target:
+        if field.name in pvals:
+            raw = pvals[field.name]
+            arr = pa.array([raw] * n, type=pa.string()).cast(field.type)
+        else:
+            arr = table.column(field.name).cast(field.type)
+        cols.append(arr)
+    out = pa.table(dict(zip(target.names, cols)), schema=target)
+    yield from out.to_batches(max_chunksize=64 * 1024)
+
+
+class DeltaPyStreamReader(DataSourceStreamReader):
+    """Incremental Delta streaming source: offsets are table versions;
+    each micro-batch reads the data-changing add-actions of the commit
+    range (start, end]. Removes are ignored — i.e. delta-spark's
+    ``ignoreDeletes``/``ignoreChanges`` posture: appends stream
+    exactly-once; overwrite/merge rewrites re-emit their added files.
+    State per query is just the last committed version."""
+
+    def __init__(self, schema: StructType, options):
+        from dask_deltalake_spark.delta.log import DeltaLog
+
+        self._schema = schema
+        path = options.get("path")
+        if not path:
+            raise ValueError("delta_py requires .option('path', ...)")
+        self._log = DeltaLog(path)
+        self._table_path = self._log.table_path
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._log.latest_version()}
+
+    def partitions(self, start: dict, end: dict):
+        from urllib.parse import unquote
+
+        parts = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            for action in self._log.read_commit_actions(v):
+                add = action.get("add")
+                if add and add.get("dataChange", True):
+                    parts.append(
+                        DeltaFilePartition(
+                            abs_path=(
+                                f"{self._table_path}/{unquote(add['path'])}"
+                            ),
+                            partition_json=json.dumps(
+                                add.get("partitionValues") or {}
+                            ),
+                        )
+                    )
+        if not parts:
+            parts = [DeltaFilePartition(abs_path="", partition_json="{}")]
+        return parts
+
+    def read(self, partition: DeltaFilePartition):
+        yield from _read_file_as_batches(self._schema, partition)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class DeltaPyDataSource(DataSource):
@@ -175,6 +237,9 @@ class DeltaPyDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DeltaPyReader:
         return DeltaPyReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> DeltaPyStreamReader:
+        return DeltaPyStreamReader(schema, self.options)
 
 
 def register_python_datasource(spark) -> None:

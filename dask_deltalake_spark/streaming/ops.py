@@ -259,3 +259,59 @@ def s05_stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_rows, committed)], "n_rows bigint, committed bigint"
     )
+
+@query(
+    "s06_stream_delta_source",
+    """
+    SELECT CAST(3 * (SELECT COUNT(*) FROM region) AS BIGINT) AS total_rows,
+           CAST(2 * (SELECT COUNT(*) FROM region) AS BIGINT) AS first_run_rows
+    """,
+)
+def s06_stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta as an incremental streaming SOURCE (delta_py stream
+    reader): offsets are table versions, each micro-batch reads the
+    commits in (start, end], and checkpoint recovery resumes from the
+    last committed version — the second run emits ONLY the commit
+    appended after the first run (exactly-once incremental ingestion,
+    the streaming-ETL pattern over a continuously-appended table)."""
+    import shutil
+
+    from dask_deltalake_spark.delta.writer import to_delta
+    from dask_deltalake_spark.sources import register_python_datasource
+    from dask_deltalake_spark.tables import load_table
+
+    register_python_datasource(spark)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    base = f"/tmp/ddl_spark_stream_src/{abs(hash(sf_dir)) % 10**8}"
+    tbl, out, ck = f"{base}/tbl", f"{base}/out", f"{base}/ck"
+    shutil.rmtree(base, ignore_errors=True)
+
+    r = load_table(spark, sf_dir, "region").repartition(1)
+    to_delta(r, tbl)
+    to_delta(r, tbl, mode="append")
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_py")
+            .option("path", tbl)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first_run_rows = spark.read.parquet(out).count()
+    to_delta(r, tbl, mode="append")
+    drain()
+    total_rows = spark.read.parquet(out).count()
+    return spark.createDataFrame(
+        [(total_rows, first_run_rows)],
+        "total_rows bigint, first_run_rows bigint",
+    )

@@ -50,3 +50,29 @@ def test_version_option(spark, source_table):
     ddl.to_delta(first.limit(10), source_table, mode="overwrite")
     assert _read(spark, source_table, version="0").count() == 500
     assert _read(spark, source_table).count() == 10
+
+
+def test_streaming_source_incremental(spark, tmp_path):
+    register_python_datasource(spark)
+    tbl = str(tmp_path / "stbl")
+    out = str(tmp_path / "sout")
+    ck = str(tmp_path / "sck")
+    df = spark.range(50).select(F.col("id"), (F.col("id") % 2).alias("k"))
+    ddl.to_delta(df, tbl, partition_by=["k"])
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_py").option("path", tbl).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 50
+    ddl.to_delta(df.withColumn("id", F.col("id") + 50), tbl, mode="append")
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 100  # second run emitted only the new commit
+    assert got.select("id").distinct().count() == 100
