@@ -1045,3 +1045,50 @@ def x16_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+@query(
+    "x17_multimodal_framesample",
+    """
+    SELECT doc_id,
+           CAST(UNNEST(RANGE(0, 1 + LENGTH(text) % 4)) AS INT) AS frame_idx,
+           CAST(UNNEST(RANGE(0, 1 + LENGTH(text) % 4)) * 1000 AS INT) AS frame_ts_ms,
+           CAST(LEAST(16, LENGTH(text)) AS INT) AS thumb_len
+    FROM documents
+    WHERE LENGTH(text) % 3 = 2
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def x17_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media: the row-EXPANDING multimodal
+    topology (one video blob → N frame rows) through Arrow-batched
+    mapInPandas. The ffmpeg keyframe extraction is stubbed
+    deterministically (frame count from payload length, thumbnail =
+    payload prefix); the 1→N batch reshaping, typed output schema, and
+    executor-side decode placement are the real production plumbing.
+    Scale: expansion happens post-filter (only 'video' rows) and the
+    output is partition-local — no shuffle until a downstream agg."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+
+    def sample_frames(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "thumb_len": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n = len(blob)
+                if n % 3 != 2:  # media_type != 'video' (see x13)
+                    continue
+                for i in range(1 + n % 4):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_ts_ms"].append(i * 1000)
+                    rows["thumb_len"].append(len(blob[:16]))
+            yield pd.DataFrame(rows)
+
+    out = d.mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_idx int, frame_ts_ms int, thumb_len int",
+    )
+    return out.orderBy("doc_id", "frame_idx")
