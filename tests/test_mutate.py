@@ -100,3 +100,26 @@ def test_restore_roundtrip_and_vacuum_guard(spark, tmp_path):
     ddl.vacuum(path, retention_hours=0, dry_run=False, spark=spark)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         ddl.restore(path, version=0, spark=spark)
+
+
+def test_merge_on_partitioned_table(spark, tmp_path):
+    path = str(tmp_path / "mp")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("grp"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    ddl.to_delta(df, path, partition_by=["grp"])
+    src = spark.range(20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("grp"),
+        F.lit(-5.0).alias("v"),
+    )
+    ddl.merge_into(path, src, keys="k", spark=spark)
+    out = ddl.read_delta(path, spark=spark)
+    assert out.count() == 400
+    assert out.filter(F.col("v") == -5.0).count() == 20
+    # hive partitioning still intact: partition filter returns only grp=1
+    pruned = ddl.read_delta(path, filter=[("grp", "==", 1)], spark=spark)
+    assert pruned.count() == 100
+    assert pruned.filter(F.col("k") % 4 != 1).count() == 0
