@@ -31,6 +31,9 @@ ENGINE_CONF = {
     "spark.sql.parquet.aggregatePushdown": "true",
     # let Python Data Sources (sources/delta_source.py) receive filters
     "spark.sql.python.filterPushdown.enabled": "true",
+    # full PushedFilters/ReadSchema in plan text (plans/inspect.py reads
+    # them; the 100-char default truncates scan metadata with "...")
+    "spark.sql.maxMetadataStringLength": "2000",
     # generous broadcast threshold: every dim table in the star schema
     # (region/nation/customer/supplier/part) is broadcastable at any SF
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
