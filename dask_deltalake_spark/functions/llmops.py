@@ -191,6 +191,12 @@ def x04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking on (lang, source) bounds the worst-case pair fan-out per
     shingle; at 100 TB the block key would add a length bucket and the
     hottest (most common) shingles would be dropped as stop-shingles."""
+    return _jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs — shared by x04 (pair
+    listing) and x18 (connected-components clustering)."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     # Two-step select: materialize the token array BEFORE the shingle
     # lambda references it. Catalyst does not CSE subexpressions inside
@@ -244,10 +250,8 @@ def x04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = F.col("inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("inter")
     )
-    return (
-        pairs.filter(j >= 0.1)
-        .select("doc_a", "doc_b", F.round(j, 3).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    return pairs.filter(j >= 0.1).select(
+        "doc_a", "doc_b", F.round(j, 3).alias("jaccard")
     )
 
 
@@ -1092,3 +1096,96 @@ def x17_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, frame_idx int, frame_ts_ms int, thumb_len int",
     )
     return out.orderBy("doc_id", "frame_idx")
+
+@query(
+    "x18_dedup_clusters",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang, source,
+             LIST_DISTINCT({shingles}) AS sh
+      FROM (SELECT doc_id, lang, source, {tokens} AS toks FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE LEN(a.sh) > 0 AND LEN(b.sh) > 0
+        AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+            / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.1
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           COUNT(*) AS cluster_size,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper
+    FROM labels
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """.format(shingles=_SHINGLES_SQL, tokens=_TOKENS_SQL),
+)
+def x18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the Jaccard pair
+    graph via iterative min-label propagation — the step that turns
+    pairwise similarity into dedup decisions (keep cluster_id = min
+    doc, drop the rest). Each iteration is one join + one min-agg,
+    shuffling only (node, label) pairs; iterations needed = graph
+    diameter (near-dup clusters are shallow — chains longer than ~8
+    are rare at any corpus size, and the loop stops early on
+    convergence). The oracle replays the same components with a
+    recursive CTE."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .persist()
+    )
+    # every node starts labeled with itself
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    )
+    for _ in range(8):  # >= diameter of any realistic near-dup cluster
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(F.col("u").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # convergence check: one small count per iteration (metadata-ish
+        # at any scale: labels is |V| rows, the check is a join-count)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("node").alias("keeper"),
+        )
+        .orderBy("cluster_id")
+    )
