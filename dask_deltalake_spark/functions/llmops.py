@@ -1189,3 +1189,85 @@ def x18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+@query(
+    "x19_embedding_quantize",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, label, v,
+             LIST_MIN(v) AS mn,
+             (LIST_MAX(v) - LIST_MIN(v)) / 255.0 AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, label,
+             LIST_TRANSFORM(v, x ->
+               mn + LEAST(255, GREATEST(0, FLOOR((x - mn) / scale))) * scale) AS deq,
+             v
+      FROM b WHERE scale > 0
+    ),
+    err AS (
+      SELECT vec_id, label,
+             SQRT(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v, deq),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) / LEN(v))
+               AS rmse
+      FROM q
+    )
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(rmse), 6) AS avg_rmse,
+           ROUND(MAX(rmse), 6) AS max_rmse
+    FROM err
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def x19_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings (per-vector min/max
+    buckets, floor-based so every engine buckets identically) with
+    reconstruction-error accounting — the 4× storage/bandwidth lever
+    for embedding tables at 100 TB. All JVM-side array expressions;
+    the oracle recomputes dequantized RMSE exactly."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    b = e.select(
+        "vec_id",
+        "label",
+        "v",
+        F.array_min("v").alias("mn"),
+        ((F.array_max("v") - F.array_min("v")) / F.lit(255.0)).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    deq = F.transform(
+        "v",
+        lambda x: F.col("mn")
+        + F.least(
+            F.lit(255.0),
+            F.greatest(F.lit(0.0), F.floor((x - F.col("mn")) / F.col("scale"))),
+        )
+        * F.col("scale"),
+    )
+    q = b.withColumn("deq", deq)
+    sq = F.aggregate(
+        F.zip_with("v", "deq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    err = q.select(
+        "label", F.sqrt(sq / F.size("v")).alias("rmse")
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("rmse"), 6).alias("avg_rmse"),
+            F.round(F.max("rmse"), 6).alias("max_rmse"),
+        )
+        .orderBy("label")
+    )
