@@ -153,12 +153,14 @@ def merge_into(
     # equality match either way.
     _IN_LIST_CAP = 10_000
     dnf: list = []
+    small_key_set = False
     if len(keys) == 1:
         key_rows = (
             source.select(keys[0]).distinct().limit(_IN_LIST_CAP + 1).collect()
         )
         if len(key_rows) <= _IN_LIST_CAP:
             dnf = normalize_dnf([[(keys[0], "in", [r[0] for r in key_rows])]])
+            small_key_set = True
     if not dnf:
         bounds = source.agg(
             *[F.min(k).alias(f"mn_{k}") for k in keys],
@@ -177,10 +179,15 @@ def merge_into(
     touched_paths = {a.path for a in touched}
     untouched = [a for a in adds if a.path not in touched_paths]
 
+    # Broadcast the deduplicated key set only when the IN-list probe
+    # proved it small (≤10k keys). A 100 GB merge source would OOM the
+    # driver under an unconditional hint; for large/multi-key sources
+    # let AQE / autoBroadcastJoinThreshold pick the join strategy.
+    source_keys = source.select(*keys).dropDuplicates(keys)
+    if small_key_set:
+        source_keys = F.broadcast(source_keys)
     keep = _read_files(spark, snap, touched, schema).join(
-        F.broadcast(source.select(*keys).dropDuplicates(keys)),
-        keys,
-        "left_anti",
+        source_keys, keys, "left_anti"
     )
     new_data = keep.unionByName(source.select(*schema.fieldNames()))
     return _rewrite_and_commit(
@@ -219,7 +226,10 @@ def delete_where(
     cond = dnf_to_column(dnf)
     new_data = _read_files(spark, snap, touched, schema)
     if cond is not None:
-        new_data = new_data.filter(~cond)
+        # SQL DELETE removes only rows where the predicate is TRUE.
+        # A bare ~cond is NULL (row dropped!) when cond is NULL — e.g.
+        # DELETE WHERE x > 5 must KEEP rows with x IS NULL.
+        new_data = new_data.filter(~F.coalesce(cond, F.lit(False)))
     return _rewrite_and_commit(
         spark,
         table_path,

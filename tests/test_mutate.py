@@ -78,6 +78,44 @@ def test_delete_or_of_ands(spark, tmp_path):
     assert set(r[0] for r in out.select("grp").distinct().collect()) == {2, 3}
 
 
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE removes only rows where the predicate is TRUE — rows
+    where it evaluates to NULL (e.g. v IS NULL under v > 5) stay."""
+    path = str(tmp_path / "dn")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 2.0), (4, None), (5, 7.0)],
+        "k long, v double",
+    )
+    ddl.to_delta(df, path)
+    ddl.delete_where(path, [("v", ">", 5.0)], spark=spark)
+    out = ddl.read_delta(path, spark=spark)
+    kept = sorted(r["k"] for r in out.collect())
+    assert kept == [2, 3, 4]  # NULL-v rows 2 and 4 must survive
+
+
+def test_merge_large_source_no_forced_broadcast(spark, tmp_path):
+    """A merge source above the IN-list cap (and above
+    autoBroadcastJoinThreshold, simulated by dropping it to -1) must
+    not carry a forced broadcast hint — the plan should fall back to a
+    shuffle join and the merge still be correct."""
+    path = str(tmp_path / "mbig")
+    _mktable(spark, path)
+    src = spark.range(15_000).select(  # > _IN_LIST_CAP of 10k
+        F.col("id").alias("k"),
+        F.lit(-9.0).alias("v"),
+        (F.col("id") % 4).alias("grp"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ddl.merge_into(path, src, keys="k", spark=spark)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    out = ddl.read_delta(path, spark=spark)
+    assert out.count() == 15_000
+    assert out.filter(F.col("v") == -9.0).count() == 15_000
+
+
 def test_restore_roundtrip_and_vacuum_guard(spark, tmp_path):
     import time
 
