@@ -378,6 +378,88 @@ def stats_from_pandas(pdf, max_cols: int = 32) -> str:
     )
 
 
+class StatsAccumulator:
+    """Streaming equivalent of :func:`stats_from_pandas`: merge running
+    {numRecords, minValues, maxValues, nullCount} aggregates per batch
+    so the executor write path never retains row data (a task writing
+    N GB holds O(columns) state instead of N GB of frames).
+
+    Produces byte-identical JSON to ``stats_from_pandas(concat(batches))``
+    for homogeneous-schema batches."""
+
+    def __init__(self, max_cols: int = 32):
+        self.max_cols = max_cols
+        self.num = 0
+        self.cols: list | None = None
+        self.nulls: dict[str, int] = {}
+        self.mins: dict[str, Any] = {}
+        self.maxs: dict[str, Any] = {}
+        self._obj: set = set()  # object-dtype columns (string-checked at close)
+        self._sample: dict[str, list] = {}  # first ≤5 non-null values seen
+        self._failed: set = set()  # object cols with non-comparable values
+
+    def update(self, pdf) -> None:
+        import pandas as pd
+
+        if self.cols is None:
+            self.cols = list(pdf.columns)[: self.max_cols]
+        self.num += int(len(pdf))
+        for name in self.cols:
+            s = pdf[name]
+            self.nulls[name] = self.nulls.get(name, 0) + int(s.isna().sum())
+            if s.dtype == object:
+                non_null = s.dropna()
+                if not len(non_null):
+                    continue
+                sample = self._sample.setdefault(name, [])
+                for v in non_null.head(5):
+                    if len(sample) >= 5:
+                        break
+                    sample.append(v)
+                self._obj.add(name)
+                if name in self._failed:
+                    continue
+                try:
+                    self._merge(name, non_null.min(), non_null.max())
+                except (TypeError, ValueError):
+                    self._failed.add(name)
+                    self.mins.pop(name, None)
+                    self.maxs.pop(name, None)
+            elif pd.api.types.is_numeric_dtype(s) or pd.api.types.is_datetime64_any_dtype(s):
+                non_null = s.dropna()
+                if not len(non_null):
+                    continue
+                self._merge(name, non_null.min(), non_null.max())
+
+    def _merge(self, name: str, bmn, bmx) -> None:
+        self.mins[name] = bmn if name not in self.mins else min(self.mins[name], bmn)
+        self.maxs[name] = bmx if name not in self.maxs else max(self.maxs[name], bmx)
+
+    def to_json(self) -> str:
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        for name in self.cols or []:
+            if name not in self.mins:
+                continue
+            if name in self._obj:
+                sample = self._sample.get(name, [])
+                if not (sample and all(isinstance(v, str) for v in sample)):
+                    continue
+                mins[name] = str(self.mins[name])
+                maxs[name] = str(self.maxs[name])
+            else:
+                mins[name] = _stat_value(self.mins[name])
+                maxs[name] = _stat_value(self.maxs[name])
+        return json.dumps(
+            {
+                "numRecords": self.num,
+                "minValues": mins,
+                "maxValues": maxs,
+                "nullCount": self.nulls,
+            }
+        )
+
+
 def _stat_value(v: Any) -> Any:
     if hasattr(v, "isoformat"):
         return v.isoformat()

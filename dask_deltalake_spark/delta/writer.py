@@ -52,7 +52,7 @@ from dask_deltalake_spark.delta.protocol import (
     RemoveAction,
     commit_filename,
     now_ms,
-    stats_from_pandas,
+    StatsAccumulator,
 )
 
 _ADD_ROW_SCHEMA = StructType(
@@ -130,7 +130,7 @@ def _write_partition_factory(table_path: str, partition_by: list[str], arrow_sch
                 data_schema,
                 compression="snappy",
             )
-            state = (w, rel_path, {"frames": [], "rows": 0})
+            state = (w, rel_path, {"stats": StatsAccumulator(), "rows": 0})
             writers[pkey] = state
             return state
 
@@ -151,7 +151,8 @@ def _write_partition_factory(table_path: str, partition_by: list[str], arrow_sch
                 gdata = g[data_fields]
                 tbl = pa.Table.from_pandas(gdata, schema=data_schema, preserve_index=False)
                 w.write_table(tbl)
-                acc["frames"].append(gdata)
+                # streaming stats merge — the task never retains row data
+                acc["stats"].update(gdata)
                 acc["rows"] += len(gdata)
 
         out_rows = []
@@ -161,9 +162,7 @@ def _write_partition_factory(table_path: str, partition_by: list[str], arrow_sch
             pvals = {
                 col: _partition_str(v) for col, v in zip(partition_by, pkey)
             }
-            stats = stats_from_pandas(
-                pd.concat(acc["frames"], ignore_index=True)
-            ) if acc["frames"] else None
+            stats = acc["stats"].to_json() if acc["rows"] else None
             out_rows.append(
                 {
                     "path": rel_path,

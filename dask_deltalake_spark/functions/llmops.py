@@ -39,13 +39,15 @@ def _t(spark, sf_dir, name):
 def _spread(spark, df: DataFrame) -> DataFrame:
     """Spread a narrow scan across all cores before CPU-heavy derivation.
 
-    At production scale the input is already thousands of file splits
-    and this round-robin exchange costs one extra (tiny, pre-derivation)
-    shuffle of the raw rows; on the local bench the documents table is a
-    single parquet row-group → 1 task, which would serialize tokenize/
-    hash work on one core out of 32.
-    """
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    On the local bench the documents table is a single parquet
+    row-group → 1 task, which would serialize tokenize/hash work on one
+    core out of 32. At production scale the input is already thousands
+    of file splits, so the exchange is skipped entirely — repartitioning
+    a 100 TB text scan that is already wide would be a pure waste."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)
 
 
 def tokens(col) -> Column:
@@ -163,34 +165,74 @@ def x03_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x04_ngram_jaccard_pairs",
-    """
-    WITH t AS (
+_STOP_SHINGLE_DF = 64  # shingles in more docs than this (per block) are stop-shingles
+
+# Capped inverted-index Jaccard CTE chain, shared by the x04 and x18
+# oracles: per-(block, shingle) document frequency is computed first,
+# shingles with df > cap are dropped, and BOTH the intersection counts
+# and the per-doc set sizes come from the capped index — exactly what
+# the Spark side computes, so hashes match.
+_JACCARD_CTES = """t AS (
       SELECT doc_id, lang, source,
              LIST_DISTINCT({shingles}) AS sh
       FROM (SELECT doc_id, lang, source, {tokens} AS toks FROM documents)
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-                 / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 3) AS jaccard
-    FROM t a JOIN t b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE LEN(a.sh) > 0 AND LEN(b.sh) > 0
-      AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-          / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.1
-    ORDER BY doc_a, doc_b
-    """.format(shingles=_SHINGLES_SQL, tokens=_TOKENS_SQL),
+    ),
+    inv0 AS (
+      SELECT doc_id, lang, source, UNNEST(sh) AS s FROM t
+    ),
+    freq AS (
+      SELECT lang, source, s, COUNT(*) AS df FROM inv0 GROUP BY 1, 2, 3
+    ),
+    inv AS (
+      SELECT i.doc_id, i.lang, i.source, i.s
+      FROM inv0 i JOIN freq f
+        ON i.lang = f.lang AND i.source = f.source AND i.s = f.s
+      WHERE f.df <= {cap}
+    ),
+    sz AS (
+      SELECT doc_id, COUNT(*) AS sz FROM inv GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b
+        ON a.s = b.s AND a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jpairs AS (
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
+    )""".format(
+    shingles=_SHINGLES_SQL, tokens=_TOKENS_SQL, cap=_STOP_SHINGLE_DF
+)
+
+
+@query(
+    "x04_ngram_jaccard_pairs",
+    "WITH "
+    + _JACCARD_CTES
+    + """
+    SELECT doc_a, doc_b, ROUND(jaccard, 3) AS jaccard
+    FROM jpairs ORDER BY doc_a, doc_b
+    """,
 )
 def x04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs via the inverted-index (all-pairs
     similarity) topology: explode distinct shingles → self-join on
-    (shingle, block) → pair-count = |A∩B| → |A∪B| from per-doc set
-    sizes. No per-pair array operations ever run, and pairs with no
+    (shingle, block) → pair-count = |A∩B| → set sizes from the capped
+    index. No per-pair array operations ever run, and pairs with no
     common shingle never materialize (they can't pass any threshold).
     Blocking on (lang, source) bounds the worst-case pair fan-out per
-    shingle; at 100 TB the block key would add a length bucket and the
-    hottest (most common) shingles would be dropped as stop-shingles."""
+    block, and shingles whose per-block document frequency exceeds
+    ``_STOP_SHINGLE_DF`` are dropped as stop-shingles BEFORE the
+    self-join — one viral shingle shared by k docs would otherwise fan
+    out k² join rows (the scale-killer of inverted-index similarity).
+    Jaccard is therefore defined over the non-stop shingle sets, on
+    both the Spark and the oracle side."""
     return _jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
@@ -227,8 +269,22 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staged to storage; persist() is the in-session equivalent.
     t = t.persist()
     inv = t.select(
-        "lang", "source", "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
+        "lang", "source", "doc_id", F.explode("sh").alias("s")
     )
+    # Stop-shingle cap: drop shingles whose per-block document
+    # frequency exceeds the cap BEFORE the self-join. One viral shingle
+    # in k docs fans out k² join rows; capping df bounds any single
+    # shingle's contribution to cap² pairs. The hot set is tiny (it's
+    # the df > cap tail), so the anti-join broadcasts under AQE.
+    hot = (
+        inv.groupBy("lang", "source", "s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _STOP_SHINGLE_DF)
+        .select("lang", "source", "s")
+    )
+    inv = inv.join(hot, ["lang", "source", "s"], "left_anti").persist()
+    # per-doc set size over the CAPPED index (matches the oracle)
+    sz = inv.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = inv.alias("a")
     b = inv.alias("b")
     pairs = (
@@ -242,10 +298,10 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
         )
         .agg(F.count("*").alias("inter"))
+        .join(sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
     )
     j = F.col("inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("inter")
@@ -347,16 +403,17 @@ def x05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Candidate pairs are a minuscule fraction of the corpus (LSH's whole
-    # point) — broadcast them so the shingle table is never shuffled for
-    # verification; at cluster scale this is a map-side join against the
-    # staged shingle table.
+    # Candidate pairs are usually a minuscule fraction of the corpus
+    # (LSH's whole point), but a hot band key can inflate them — so no
+    # forced broadcast hint: AQE sees the real candidate size at runtime
+    # and picks broadcast when it fits, shuffle (on doc_id, which the
+    # candidates are already keyed by) when it doesn't.
     sh = docs.select("doc_id", "sh")
-    cand = F.broadcast(cand).join(
+    cand = cand.join(
         sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"),
         "doc_a",
     )
-    cand = F.broadcast(cand).join(
+    cand = cand.join(
         sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
         "doc_b",
     )
@@ -775,10 +832,10 @@ def x12_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x13_multimodal_decode",
     """
     SELECT doc_id,
-           CAST(LENGTH(text) AS INT) AS n_bytes,
-           CAST(64 + LENGTH(text) % 640 AS INT) AS width,
-           CAST(64 + (LENGTH(text) * 7) % 480 AS INT) AS height,
-           CASE LENGTH(text) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type
+           CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+           CAST(64 + OCTET_LENGTH(ENCODE(text)) % 640 AS INT) AS width,
+           CAST(64 + (OCTET_LENGTH(ENCODE(text)) * 7) % 480 AS INT) AS height,
+           CASE OCTET_LENGTH(ENCODE(text)) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type
     FROM documents
     ORDER BY doc_id
     """,
@@ -1054,11 +1111,11 @@ def x16_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x17_multimodal_framesample",
     """
     SELECT doc_id,
-           CAST(UNNEST(RANGE(0, 1 + LENGTH(text) % 4)) AS INT) AS frame_idx,
-           CAST(UNNEST(RANGE(0, 1 + LENGTH(text) % 4)) * 1000 AS INT) AS frame_ts_ms,
-           CAST(LEAST(16, LENGTH(text)) AS INT) AS thumb_len
+           CAST(UNNEST(RANGE(0, 1 + OCTET_LENGTH(ENCODE(text)) % 4)) AS INT) AS frame_idx,
+           CAST(UNNEST(RANGE(0, 1 + OCTET_LENGTH(ENCODE(text)) % 4)) * 1000 AS INT) AS frame_ts_ms,
+           CAST(LEAST(16, OCTET_LENGTH(ENCODE(text))) AS INT) AS thumb_len
     FROM documents
-    WHERE LENGTH(text) % 3 = 2
+    WHERE OCTET_LENGTH(ENCODE(text)) % 3 = 2
     ORDER BY doc_id, frame_idx
     """,
 )
@@ -1099,23 +1156,12 @@ def x17_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x18_dedup_clusters",
-    """
-    WITH RECURSIVE t AS (
-      SELECT doc_id, lang, source,
-             LIST_DISTINCT({shingles}) AS sh
-      FROM (SELECT doc_id, lang, source, {tokens} AS toks FROM documents)
-    ),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM t a JOIN t b
-        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      WHERE LEN(a.sh) > 0 AND LEN(b.sh) > 0
-        AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
-            / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.1
-    ),
+    "WITH RECURSIVE "
+    + _JACCARD_CTES
+    + """,
     edges AS (
-      SELECT doc_a AS u, doc_b AS v FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
+      SELECT doc_a AS u, doc_b AS v FROM jpairs
+      UNION SELECT doc_b, doc_a FROM jpairs
     ),
     reach(u, v) AS (
       SELECT u, v FROM edges
@@ -1132,18 +1178,21 @@ def x17_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM labels
     GROUP BY cluster_id
     ORDER BY cluster_id
-    """.format(shingles=_SHINGLES_SQL, tokens=_TOKENS_SQL),
+    """,
 )
 def x18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the Jaccard pair
     graph via iterative min-label propagation — the step that turns
     pairwise similarity into dedup decisions (keep cluster_id = min
     doc, drop the rest). Each iteration is one join + one min-agg,
-    shuffling only (node, label) pairs; iterations needed = graph
-    diameter (near-dup clusters are shallow — chains longer than ~8
-    are rare at any corpus size, and the loop stops early on
-    convergence). The oracle replays the same components with a
-    recursive CTE."""
+    shuffling only (node, label) pairs; iterations needed = the
+    min-propagation distance of the graph. The loop runs UNTIL
+    convergence (changed == 0) — near-dup chains are shallow so this
+    is typically ≤8 rounds, but a longer chain converges correctly
+    rather than returning partial labels; a generous safety cap guards
+    against runaway graphs and raises instead of silently returning
+    unconverged clusters. The oracle replays the same components with
+    a recursive CTE."""
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -1155,7 +1204,9 @@ def x18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")
     )
-    for _ in range(8):  # >= diameter of any realistic near-dup cluster
+    _MAX_ITERS = 64  # safety cap only; convergence is the exit condition
+    converged = False
+    for _ in range(_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy(F.col("u").alias("node2"))
@@ -1169,7 +1220,7 @@ def x18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-        )
+        ).persist()
         # convergence check: one small count per iteration (metadata-ish
         # at any scale: labels is |V| rows, the check is a join-count)
         changed = (
@@ -1178,9 +1229,18 @@ def x18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels.persist()
+        # the old iteration's cache is dead once new_labels is computed
+        if hasattr(labels, "unpersist") and labels.is_cached:
+            labels.unpersist()
+        labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"x18 label propagation did not converge in {_MAX_ITERS} "
+            "iterations — graph diameter pathologically large"
+        )
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(

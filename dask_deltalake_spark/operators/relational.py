@@ -975,15 +975,18 @@ def q30_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("tp"),
+            F.round(F.sum("o_totalprice"), 2).alias("tp"),
         )
     )
+    # Fill AFTER the pivot: a (priority, status) combo absent from the
+    # data yields a NULL cell that no coalesce inside the aggregate can
+    # reach — the oracle's COUNT(*) FILTER / COALESCE(SUM...) emits 0.
     return p.select(
         "o_orderpriority",
-        F.col("F_n").alias("n_f"),
-        F.col("O_n").alias("n_o"),
-        F.col("P_n").alias("n_p"),
-        F.col("F_tp").alias("total_f"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
+        F.coalesce(F.col("F_tp"), F.lit(0.0)).alias("total_f"),
     ).orderBy("o_orderpriority")
 
 

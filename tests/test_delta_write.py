@@ -227,3 +227,46 @@ def test_concurrent_commit_detection(spark, tmp_path):
 
     with pytest.raises(ConcurrentCommitError):
         write_commit(path, 0, [{"commitInfo": {"timestamp": 0}}])
+
+
+def test_stats_accumulator_matches_batch_stats():
+    """The streaming StatsAccumulator must emit byte-identical JSON to
+    stats_from_pandas over the concatenated batches — the writer swaps
+    one for the other to avoid retaining frames in executor memory."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_deltalake_spark.delta.protocol import (
+        StatsAccumulator,
+        stats_from_pandas,
+    )
+
+    rng = np.random.default_rng(7)
+    batches = []
+    for i in range(4):
+        n = 37 + i
+        batches.append(
+            pd.DataFrame(
+                {
+                    "i": rng.integers(-100, 100, n),
+                    "f": np.where(rng.random(n) < 0.2, np.nan, rng.random(n) * 50),
+                    "s": [
+                        None if rng.random() < 0.3 else f"s{rng.integers(0, 999):03d}"
+                        for _ in range(n)
+                    ],
+                    "t": pd.to_datetime("2024-01-01")
+                    + pd.to_timedelta(rng.integers(0, 10_000, n), unit="m"),
+                }
+            )
+        )
+    acc = StatsAccumulator()
+    for b in batches:
+        acc.update(b)
+    assert acc.to_json() == stats_from_pandas(pd.concat(batches, ignore_index=True))
+
+    # all-null object column and empty-batch handling
+    empty_obj = [pd.DataFrame({"x": pd.array([None, None], dtype=object)})] * 2
+    acc2 = StatsAccumulator()
+    for b in empty_obj:
+        acc2.update(b)
+    assert acc2.to_json() == stats_from_pandas(pd.concat(empty_obj, ignore_index=True))

@@ -1,0 +1,108 @@
+"""LLM-ops invariants: stop-shingle cap fan-out bound, HLL++ error
+bound, and recall floors for the rows-only approximate queries
+(x05 MinHash-LSH, x08 hyperplane-LSH ANN) that the driver can only
+count-check."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def test_stop_shingle_cap_bounds_fanout(spark, tmp_path):
+    """One viral shingle shared by k docs must NOT fan out k² join
+    rows: shingles with per-block document frequency > cap are dropped
+    before the self-join, so the only surviving pair is the genuine
+    near-dup one."""
+    from dask_deltalake_spark.functions.llmops import (
+        _STOP_SHINGLE_DF,
+        _jaccard_pairs,
+    )
+
+    n_viral = _STOP_SHINGLE_DF + 16  # comfortably above the cap
+    rows = []
+    for i in range(n_viral):
+        # every doc shares the shingle "viral spam phrase"; the rest of
+        # each doc is unique, so absent the viral shingle no pair overlaps
+        rows.append((i, f"viral spam phrase u{i} v{i} w{i}", "en", "web"))
+    base = " ".join(f"tok{j}" for j in range(20))
+    rows.append((1000, base + " enda", "en", "web"))
+    rows.append((1001, base + " endb", "en", "web"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    out = _jaccard_pairs(spark, str(tmp_path)).collect()
+    assert len(out) == 1, f"expected only the near-dup pair, got {len(out)}"
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1000, 1001)
+    # 21 tokens → 19 shingles, 18 shared: j = 18 / (19 + 19 - 18)
+    assert r["jaccard"] == pytest.approx(0.9, abs=1e-3)
+
+
+def test_q12_within_rsd(spark):
+    """approx_count_distinct is estimator-specific (rows-only at the
+    driver) but must sit within a small multiple of its configured
+    relative standard deviation of the exact count."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.operators import REGISTRY
+    from dask_deltalake_spark.tables import load_table
+
+    fn, _ = REGISTRY["q12_approx_count_distinct"]
+    approx = {r["l_returnflag"]: r["approx_orders"] for r in fn(spark, SF_DIR).collect()}
+    exact = {
+        r["l_returnflag"]: r["exact"]
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, est in approx.items():
+        rel_err = abs(est - exact[flag]) / exact[flag]
+        assert rel_err <= 5 * 0.01, f"{flag}: {est} vs {exact[flag]} ({rel_err:.3%})"
+
+
+def test_x05_recall_floor(spark):
+    """sf0.001 contains exactly one strong near-dup pair (jaccard
+    ≈ 0.97). MinHash-LSH with 8 bands of 4 must surface it: candidate
+    recall at j≈0.97 is 1 − (1 − j⁴)⁸ ≈ 1."""
+    from dask_deltalake_spark.functions.llmops import x05_minhash_lsh
+
+    row = x05_minhash_lsh(spark, SF_DIR).collect()[0]
+    assert row["n_candidates"] >= 1
+    assert row["n_verified"] >= 1
+    assert row["max_jaccard"] >= 0.9
+
+
+def test_x08_best_neighbor_floor(spark):
+    """x08's banded-LSH best neighbor can never beat the exact x07
+    rank-1 score, and with the fixed hyperplane seed it stays within
+    80% of it for every sf0.001 query (measured: 6/8 exact, worst
+    ratio 0.835)."""
+    from dask_deltalake_spark.functions.llmops import x07_cosine_topk, x08_lsh_ann
+
+    exact = {
+        r["query_id"]: r["score"]
+        for r in x07_cosine_topk(spark, SF_DIR).collect()
+        if r["rank"] == 1
+    }
+    approx = x08_lsh_ann(spark, SF_DIR).collect()
+    assert approx, "x08 returned no queries"
+    for r in approx:
+        if r["score"] is None:
+            continue
+        best = exact[r["query_id"]]
+        assert r["score"] <= best + 1e-9
+        assert r["score"] >= 0.8 * best, (
+            f"query {r['query_id']}: approx {r['score']} < 0.8 × exact {best}"
+        )
