@@ -65,21 +65,39 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+_STATE_PARTITIONS = 8
+
+
 def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     """Drain the stream with an availableNow trigger into a memory sink
-    and return the sink table."""
+    and return the sink table.
+
+    Stateful operators instantiate one state store per shuffle
+    partition, and the partition count is frozen into the checkpoint at
+    first start — so the drain runs at a bounded count instead of the
+    session's (store init dominates a bounded replay: 32 stores cost
+    ~4 s of pure setup at sf0.1). On a real cluster this maps to sizing
+    ``spark.sql.shuffle.partitions`` to the state volume, not the
+    session default; results are unaffected (the sink is an aggregate).
+    """
+    spark = df.sparkSession
     name = "s_" + uuid.uuid4().hex[:12]
     ckpt = f"/tmp/ddl_spark_stream_ckpt/{name}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STATE_PARTITIONS))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
 
 
 @query(
