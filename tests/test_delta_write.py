@@ -270,3 +270,27 @@ def test_stats_accumulator_matches_batch_stats():
     for b in empty_obj:
         acc2.update(b)
     assert acc2.to_json() == stats_from_pandas(pd.concat(empty_obj, ignore_index=True))
+
+
+def test_arrow_engine_parity(spark, tmp_path):
+    """engine="arrow" (the reference's pyarrow topology) must produce a
+    table equivalent to the native default: same rows, same stats-based
+    pruning behavior, interchangeable appends."""
+    import pyspark.sql.functions as F
+
+    import dask_deltalake_spark as ddl
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    pa_path = str(tmp_path / "arrow")
+    ddl.to_delta(df, pa_path, partition_by=["grp"], engine="arrow")
+    # append with the native engine into the arrow-written table
+    ddl.to_delta(df, pa_path, partition_by=["grp"], mode="append")
+    out = ddl.read_delta(pa_path, spark=spark)
+    assert out.count() == 1000
+    pruned = ddl.read_delta(pa_path, filter=[("grp", "==", 1)], spark=spark)
+    assert pruned.count() == 334
+    assert pruned.filter(F.col("k") % 3 != 1).count() == 0
