@@ -1206,12 +1206,19 @@ def x18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _MAX_ITERS = 64  # safety cap only; convergence is the exit condition
     converged = False
+    prev_cached = None  # the persisted frame behind the current labels
     for _ in range(_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy(F.col("u").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry a per-node changed flag instead of re-joining new vs old
+        # labels afterwards: the convergence check is then ONE aggregate
+        # on the (persisted) new_labels — one Spark job per iteration,
+        # half the stages of a separate join-count. Matters because each
+        # iteration is a full scheduling barrier; fixed per-job overhead
+        # (and any transient host stall) multiplies by the job count.
         new_labels = (
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
@@ -1219,20 +1226,17 @@ def x18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label"))
+                .cast("long")
+                .alias("chg"),
             )
         ).persist()
-        # convergence check: one small count per iteration (metadata-ish
-        # at any scale: labels is |V| rows, the check is a join-count)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.agg(F.sum("chg").alias("c")).first()["c"] or 0
         # the old iteration's cache is dead once new_labels is computed
-        if hasattr(labels, "unpersist") and labels.is_cached:
-            labels.unpersist()
-        labels = new_labels
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True
             break
