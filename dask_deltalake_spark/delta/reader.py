@@ -99,6 +99,18 @@ def read_delta(
     """
     if path is None:
         raise ValueError("Please Provide Delta Table path")
+    if kwargs:
+        import warnings
+
+        # Reference parity note (core.py:163,220): the reference accepts
+        # `arrow_options` and forwards it to pyarrow `to_batches`; Spark's
+        # native parquet scan has no equivalent knob, so it (and any other
+        # unknown kwarg) is ignored — loudly, not silently.
+        warnings.warn(
+            "read_delta: ignoring unsupported kwargs "
+            f"{sorted(kwargs)} (no Spark-scan equivalent)",
+            stacklevel=2,
+        )
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         raise RuntimeError("No active SparkSession; pass spark=...")

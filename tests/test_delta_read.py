@@ -102,3 +102,14 @@ def test_empty_table(spark, empty_table):
 def test_missing_path_raises(spark):
     with pytest.raises(ValueError):
         read_delta(None, spark=spark)
+
+
+def test_unknown_kwargs_warn_not_silent(spark, simple_table):
+    # reference parity: arrow_options is accepted (reference core.py:163
+    # forwards it to pyarrow to_batches) but has no Spark-scan equivalent —
+    # it must be ignored loudly, and must not change the result
+    with pytest.warns(UserWarning, match="arrow_options"):
+        df = read_delta(
+            simple_table, arrow_options={"batch_size": 1}, spark=spark
+        )
+    assert df.count() == 200
