@@ -1,0 +1,409 @@
+"""Training-data curation operators over `documents` / `events`.
+
+The ops a 100 TB pretraining-data pipeline runs between raw crawl and
+tokenizer: deterministic split assignment, benchmark decontamination,
+repetition (quality) filtering, PII scrubbing, source mixing, and
+sequence packing. Same design rules as functions/llmops.py: pure
+Catalyst expressions in the hot path, blocked/broadcast topologies, no
+O(n²) pair space, integer outputs wherever a float could flake the
+oracle hash.
+
+All are beyond-reference extensions (SURVEY.md §2.3 north-star tier);
+the reference (hayesgb/dask_deltalake) has no curation surface.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from dask_deltalake_spark.functions.llmops import (
+    _SHINGLES_SQL,
+    _spread,
+    _t,
+    _TOKENS_SQL,
+    shingles,
+    tokens,
+)
+
+REGISTRY: dict = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+# Deterministic doc hash, identical arithmetic in Spark and DuckDB:
+# reduce doc_id mod a prime first so the multiply never overflows
+# BIGINT even at 100 TB id ranges (id % 1e9+7 ≤ 1e9; × 2.7e9 < 2^63).
+_P = 1_000_000_007
+
+
+def _doc_hash_mod(col, mult: int, mod: int):
+    return ((col % _P) * mult) % _P % mod
+
+
+def _doc_hash_sql(col: str, mult: int, mod: int) -> str:
+    return f"((({col} % {_P}) * {mult}) % {_P}) % {mod}"
+
+
+_SPLIT_H = _doc_hash_sql("doc_id", 2654435761, 100)
+
+
+@query(
+    "x20_hash_split",
+    f"""
+    WITH d AS (
+      SELECT CASE
+               WHEN {_SPLIT_H} < 90 THEN 'train'
+               WHEN {_SPLIT_H} < 95 THEN 'validation'
+               ELSE 'test'
+             END AS split,
+             CAST(LEN({_TOKENS_SQL}) AS BIGINT) AS n_tok,
+             n_chars
+      FROM documents
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM d GROUP BY split ORDER BY split
+    """,
+)
+def x20_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment by stable doc-id
+    hash — the reproducible alternative to random sampling: any worker
+    on any cluster assigns the same doc to the same split, re-runs are
+    idempotent, and no split-assignment table has to be stored or
+    joined. Pure map + 3-group aggregate: zero shuffle beyond the
+    final (3-row) agg at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    h = _doc_hash_mod(F.col("doc_id"), 2654435761, 100)
+    return (
+        d.select(
+            F.when(h < 90, "train")
+            .when(h < 95, "validation")
+            .otherwise("test")
+            .alias("split"),
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# n-gram length for decontamination. Production pipelines use 8-13
+# token n-grams (long enough that a shared n-gram is evidence of
+# copying); the synthetic fixture has a ~40-word vocabulary and zero
+# copied documents, so n=4 is used there — the longest n that still
+# produces a non-empty, selective result to verify the topology
+# against the oracle. The operator is N-agnostic: change _DECON_N and
+# both sides (Spark + oracle SQL) follow.
+_DECON_N = 4
+_DECON_NGRAMS_SQL = (
+    "LIST_TRANSFORM(RANGE(1, LEN(toks) - {nm2}), i -> {concat})".format(
+        nm2=_DECON_N - 2,
+        concat=" || ' ' || ".join(
+            f"toks[i+{j}]" if j else "toks[i]" for j in range(_DECON_N)
+        ),
+    )
+)
+
+
+def _ngrams8(tok):
+    # callers pre-filter size(tok) >= 8, so no empty-array guard needed
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (_DECON_N - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, i + j) for j in range(_DECON_N)]
+        ),
+    )
+
+
+@query(
+    "x21_decontaminate",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, UNNEST({_DECON_NGRAMS_SQL}) AS g
+      FROM toked WHERE LEN(toks) >= {_DECON_N}
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ),
+    hits AS (
+      SELECT DISTINCT t.doc_id, t.g
+      FROM grams t JOIN bench b ON t.g = b.g
+      WHERE t.doc_id % 97 <> 0
+    )
+    SELECT doc_id, COUNT(*) AS n_shared
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x21_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    _DECON_N-token n-gram with the held-out eval set (here: docs with
+    doc_id % 97 == 0 stand in for the benchmark suite). Topology is
+    the one that survives 100 TB: the benchmark n-gram set is tiny by
+    construction (benchmarks are MBs, not TBs) and is explicitly
+    broadcast, so the training side is a map-side semi-join over its
+    exploded n-grams — the corpus is scanned once, nothing about the
+    corpus is ever shuffled. Output: (doc_id, n_shared distinct
+    n-grams) per contaminated doc."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    # bind toks before the n-gram lambda (Catalyst does not CSE inside
+    # higher-order lambdas — see llmops.x04), pre-filter on token count
+    toked = (
+        d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= _DECON_N)
+        .select("doc_id", F.explode(F.array_distinct(_ngrams8(F.col("toks")))).alias("g"))
+    )
+    bench = toked.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    train = toked.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x22_repetition_filter",
+    """
+    WITH t AS (
+      SELECT lang, source, toks FROM (
+        SELECT lang, source, {tokens} AS toks FROM documents
+      ) WHERE LEN(toks) >= 3
+    ),
+    per_doc AS (
+      SELECT lang, source,
+             CAST(LEN({shingles}) AS BIGINT) AS sz,
+             CAST(LEN(LIST_DISTINCT({shingles})) AS BIGINT) AS dsz
+      FROM t
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (5 * (sz - dsz) > sz) AS n_flagged,
+           CAST(SUM(sz - dsz) AS BIGINT) AS dup_shingles,
+           CAST(SUM(sz) AS BIGINT) AS total_shingles
+    FROM per_doc GROUP BY lang, source ORDER BY lang, source
+    """.format(tokens=_TOKENS_SQL, shingles=_SHINGLES_SQL),
+)
+def x22_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: per-doc duplicate
+    3-gram fraction, aggregated per (lang, source) block. A doc is
+    flagged when >20% of its shingles are repeats — compared in exact
+    integer arithmetic (5·(sz−dsz) > sz), so no float ever enters the
+    oracle hash. Pure map-side expression work (tokenize → shingle →
+    size/distinct-size) plus one small aggregate: scans the corpus
+    once, shuffles only (lang, source) partials."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    per_doc = (
+        d.select("lang", "source", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "lang",
+            "source",
+            F.size(shingles(F.col("toks"))).cast("long").alias("sz"),
+            F.size(F.array_distinct(shingles(F.col("toks"))))
+            .cast("long")
+            .alias("dsz"),
+        )
+    )
+    flagged = (5 * (F.col("sz") - F.col("dsz")) > F.col("sz")).cast("long")
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(flagged).alias("n_flagged"),
+            F.sum(F.col("sz") - F.col("dsz")).alias("dup_shingles"),
+            F.sum("sz").alias("total_shingles"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_PII_PATTERNS = [
+    # (class, regex valid in BOTH Java regex and RE2/DuckDB)
+    ("number", "[0-9]+"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+]
+
+
+@query(
+    "x23_pii_scrub",
+    """
+    WITH scrubbed AS (
+      SELECT event_type,
+             CAST(LEN(REGEXP_EXTRACT_ALL(props, '[0-9]+')) AS BIGINT)
+               + CAST(LEN(REGEXP_EXTRACT_ALL(props,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_hits,
+             REGEXP_REPLACE(REGEXP_REPLACE(props,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]+', '<NUM>', 'g') AS redacted
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(n_hits) AS BIGINT) AS n_redactions,
+           COUNT(*) FILTER (n_hits > 0) AS n_affected,
+           MIN(redacted) AS sample_redacted
+    FROM scrubbed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x23_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over free-text payloads (events.props): redact
+    pattern classes (digit runs, emails — the fixture's payloads only
+    contain digit runs; the email pattern exercises the multi-class
+    plumbing) and report per-event-type redaction stats plus a
+    deterministic (MIN) sample of redacted output. regexp_replace /
+    regexp_count are JVM codegen expressions — the whole scrub is one
+    corpus scan with a tiny per-type aggregate; patterns are chosen to
+    parse identically under Java regex and RE2."""
+    e = _t(spark, sf_dir, "events")
+    email_re, num_re = _PII_PATTERNS[1][1], _PII_PATTERNS[0][1]
+    n_hits = (
+        F.regexp_count(F.col("props"), F.lit(num_re))
+        + F.regexp_count(F.col("props"), F.lit(email_re))
+    ).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("props"), email_re, "<EMAIL>"),
+        num_re,
+        "<NUM>",
+    )
+    return (
+        e.select("event_type", n_hits.alias("n_hits"), redacted.alias("redacted"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("n_hits").alias("n_redactions"),
+            F.sum((F.col("n_hits") > 0).cast("long")).alias("n_affected"),
+            F.min("redacted").alias("sample_redacted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MIX_H = _doc_hash_sql("doc_id", 1779033703, 100)
+
+
+@query(
+    "x24_source_mix",
+    f"""
+    WITH d AS (
+      SELECT source,
+             {_MIX_H} AS h,
+             100 - 25 * (CAST(SUBSTR(source, 4) AS BIGINT) % 4) AS cap
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (h < cap) AS n_kept
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def x24_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mix resampling: each source gets a target
+    retention rate (here 100/75/50/25% by source index mod 4, standing
+    in for a curated domain-mixing table) and docs are kept when their
+    stable hash falls under the source's cap — reproducible weighted
+    downsampling with no shuffle at all until the per-source count
+    aggregate, and no sample-membership table to store: membership is
+    recomputable from the doc_id alone. Uses a different multiplier
+    than x20's split hash so mix sampling is independent of split
+    assignment."""
+    d = _t(spark, sf_dir, "documents")
+    h = _doc_hash_mod(F.col("doc_id"), 1779033703, 100)
+    cap = 100 - 25 * (F.substring(F.col("source"), 4, 10).cast("long") % 4)
+    return (
+        d.select("source", h.alias("h"), cap.alias("cap"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum((F.col("h") < F.col("cap")).cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_PACK_BUDGET = 2048
+
+
+@query(
+    "x25_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT lang, source, doc_id,
+             CAST(LEN({_TOKENS_SQL}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    binned AS (
+      SELECT lang, source, n_tok,
+             CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT) AS bin
+      FROM c
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT bin) AS n_bins
+    FROM binned GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def x25_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: docs are packed in doc_id order
+    into fixed token-budget bins (_PACK_BUDGET = 2048 tokens) via a
+    running-sum bin assignment — the vectorizable approximation of
+    greedy packing (a doc may straddle its bin boundary; exact
+    first-fit is inherently sequential). Packing is blocked per
+    (lang, source): each block sorts independently inside its window
+    partition, so the global operation is one partitioned window — no
+    global sort at any corpus size. Output: docs/tokens/bins per
+    block."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    t = d.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = t.select(
+        "lang",
+        "source",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")).cast("double") / _PACK_BUDGET)
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.countDistinct("bin").alias("n_bins"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -1,0 +1,96 @@
+"""Curation-op invariants: split assignment is total and deterministic,
+decontamination never flags the benchmark set itself, repetition stats
+are integer-consistent, mix sampling respects per-source caps, and
+sequence packing conserves tokens."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def test_x20_split_total_and_deterministic(spark):
+    from dask_deltalake_spark.functions.curation import x20_hash_split
+    from dask_deltalake_spark.tables import load_table
+
+    out = {r["split"]: r for r in x20_hash_split(spark, SF_DIR).collect()}
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in out.values()) == n_docs
+    # ~90/5/5: train strictly dominates and every split is non-empty
+    assert out["train"]["n_docs"] > out["validation"]["n_docs"]
+    assert all(r["n_docs"] > 0 for r in out.values())
+    # deterministic: a second run is bit-identical
+    again = {r["split"]: r for r in x20_hash_split(spark, SF_DIR).collect()}
+    assert {k: v["n_docs"] for k, v in out.items()} == {
+        k: v["n_docs"] for k, v in again.items()
+    }
+
+
+def test_x21_benchmark_docs_never_flagged(spark):
+    from dask_deltalake_spark.functions.curation import x21_decontaminate
+
+    rows = x21_decontaminate(spark, SF_DIR).collect()
+    assert all(r["doc_id"] % 97 != 0 for r in rows)
+    assert all(r["n_shared"] >= 1 for r in rows)
+
+
+def test_x22_repetition_integer_consistency(spark):
+    from dask_deltalake_spark.functions.curation import x22_repetition_filter
+
+    for r in x22_repetition_filter(spark, SF_DIR).collect():
+        assert 0 <= r["n_flagged"] <= r["n_docs"]
+        assert 0 <= r["dup_shingles"] <= r["total_shingles"]
+
+
+def test_x24_mix_caps_respected(spark):
+    from dask_deltalake_spark.functions.curation import x24_source_mix
+
+    rows = x24_source_mix(spark, SF_DIR).collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        idx = int(r["source"][3:])
+        if idx % 4 == 0:
+            # 100% retention sources keep everything
+            assert r["n_kept"] == r["n_total"]
+
+
+def test_x25_packing_conserves_tokens(spark):
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.functions.curation import (
+        _PACK_BUDGET,
+        x25_pack_sequences,
+    )
+    from dask_deltalake_spark.functions.llmops import tokens
+    from dask_deltalake_spark.tables import load_table
+
+    rows = x25_pack_sequences(spark, SF_DIR).collect()
+    total_out = sum(r["n_tokens"] for r in rows)
+    d = load_table(spark, SF_DIR, "documents")
+    total_in = d.select(
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("s")
+    ).first()["s"]
+    assert total_out == total_in
+    for r in rows:
+        # bin count is at least the token lower bound and at most one
+        # bin per doc
+        assert r["n_bins"] >= (r["n_tokens"] + _PACK_BUDGET - 1) // _PACK_BUDGET - 1
+        assert r["n_bins"] <= r["n_docs"]
+
+
+def test_x23_scrub_redacts_all_digits(spark):
+    from dask_deltalake_spark.functions.curation import x23_pii_scrub
+
+    rows = x23_pii_scrub(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_affected"] <= r["n_events"]
+        assert not any(ch.isdigit() for ch in r["sample_redacted"])
