@@ -407,3 +407,101 @@ def x25_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+_MIN_TOKENS = 10
+
+
+@query(
+    "x26_curation_pipeline",
+    f"""
+    WITH staged AS (
+      SELECT doc_id, lang,
+             MD5(REGEXP_REPLACE(REGEXP_REPLACE(TRIM(LOWER(text)), '[^a-z0-9 ]', '', 'g'),
+                                ' +', ' ', 'g')) AS norm_hash,
+             CAST(LEN(toks) AS BIGINT) AS n_tok,
+             CAST(LEN({{shingles}}) AS BIGINT) AS sz,
+             CAST(LEN(LIST_DISTINCT({{shingles}})) AS BIGINT) AS dsz
+      FROM (SELECT doc_id, lang, text, {{tokens}} AS toks FROM documents)
+      WHERE lang IN ('en', 'de')
+    ),
+    quality AS (
+      SELECT * FROM staged
+      WHERE n_tok >= {_MIN_TOKENS} AND 5 * (sz - dsz) <= sz
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY norm_hash) AS keeper
+        FROM quality
+      ) WHERE doc_id = keeper
+    ),
+    split AS (
+      SELECT lang,
+             CASE WHEN {_SPLIT_H} < 90 THEN 'train'
+                  WHEN {_SPLIT_H} < 95 THEN 'validation'
+                  ELSE 'test' END AS split,
+             n_tok
+      FROM deduped
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM split GROUP BY lang, split ORDER BY lang, split
+    """.format(tokens=_TOKENS_SQL, shingles=_SHINGLES_SQL),
+)
+def x26_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation tier composed end-to-end, the way a pretraining
+    data job actually runs: language filter → quality gate (length +
+    repetition, integer-exact) → normalized exact dedup (keep min
+    doc_id per normalized hash) → deterministic split assignment →
+    per-(lang, split) corpus stats. The whole pipeline is ONE pass
+    over the corpus plus exactly two shuffles — the dedup window on
+    norm_hash and the final small aggregate; filters and projections
+    all fold into the scan. Every stage reuses the single-op
+    building blocks (x02 normalization, x22 repetition arithmetic,
+    x20 split hash), so the composition is provably consistent with
+    the parts."""
+    d = _spread(spark, _t(spark, sf_dir, "documents")).filter(
+        F.col("lang").isin("en", "de")
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), "[^a-z0-9 ]", ""),
+        " +",
+        " ",
+    )
+    staged = (
+        d.select("doc_id", "lang", F.md5(norm).alias("norm_hash"),
+                 tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            "norm_hash",
+            F.size("toks").cast("long").alias("n_tok"),
+            F.size(shingles(F.col("toks"))).cast("long").alias("sz"),
+            F.size(F.array_distinct(shingles(F.col("toks"))))
+            .cast("long")
+            .alias("dsz"),
+        )
+    )
+    quality = staged.filter(
+        (F.col("n_tok") >= _MIN_TOKENS)
+        & (5 * (F.col("sz") - F.col("dsz")) <= F.col("sz"))
+    )
+    w = Window.partitionBy("norm_hash")
+    deduped = quality.withColumn("keeper", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("keeper")
+    )
+    h = _doc_hash_mod(F.col("doc_id"), 2654435761, 100)
+    split = deduped.select(
+        "lang",
+        F.when(h < 90, "train")
+        .when(h < 95, "validation")
+        .otherwise("test")
+        .alias("split"),
+        "n_tok",
+    )
+    return (
+        split.groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("lang", "split")
+    )

@@ -1298,3 +1298,74 @@ def q38_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+_RANGE_W_US = 300_000_000  # 5-minute window, µs
+
+
+@query(
+    "q39_range_join_binned",
+    f"""
+    WITH c AS (
+      SELECT user_id, EPOCH_US(ts) AS cus FROM events
+      WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, EPOCH_US(ts) AS pus FROM events
+      WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT c.user_id, p.pus - c.cus AS gap_us
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.pus >= c.cus AND p.pus < c.cus + {_RANGE_W_US}
+    )
+    SELECT user_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us
+    FROM pairs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q39_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join — purchases within 5 minutes after a
+    click by the same user — executed as an EQUI join via time
+    binning, the topology that survives scale. A naive theta join
+    (`p.ts BETWEEN c.ts AND c.ts + w`) compiles to a broadcast
+    nested-loop / cartesian per user; instead each click's candidate
+    window covers exactly two w-sized bins, so the click side explodes
+    to (bin, bin+1) and joins purchases on (user_id, bin) — a plain
+    shuffled equi join, 2× the left rows, no row-pair blowup. The
+    residual exact window predicate filters inside the join. Same
+    pattern at any window size; the oracle runs the plain theta join,
+    proving the rewrite's equivalence. Gaps compared in exact integer
+    microseconds end-to-end."""
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("cus"))
+        .withColumn("cbin", F.floor(F.col("cus") / _RANGE_W_US))
+        .withColumn("bin", F.explode(F.array(F.col("cbin"), F.col("cbin") + 1)))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("pus"))
+        .withColumn("bin", F.floor(F.col("pus") / _RANGE_W_US))
+    )
+    pairs = c.join(p, ["user_id", "bin"]).filter(
+        (F.col("pus") >= F.col("cus"))
+        & (F.col("pus") < F.col("cus") + _RANGE_W_US)
+    )
+    gap = F.col("pus") - F.col("cus")
+    return (
+        pairs.select("user_id", gap.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -48,8 +48,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # integer `div`, not `/1000`: float division routes the ns value
+        # through a double (53-bit mantissa, ±128 ns at 2024 epoch-ns
+        # magnitudes) and can flip the truncated µs by one vs DuckDB's
+        # exact native ns→µs truncation
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return df
 

@@ -72,3 +72,21 @@ def test_delta_read_partition_prune_is_metadata_level(spark):
     plan = executed_plan(df)
     assert "o_orderstatus=O" in plan
     assert "o_orderstatus=F" not in plan
+
+
+def test_q39_range_join_is_equi_not_nested_loop(spark):
+    """The binned rewrite must execute the interval join as an equi
+    join — a BroadcastNestedLoopJoin/CartesianProduct here means the
+    rewrite regressed to the O(n·m)-per-user theta topology."""
+    strategies = join_strategies(_q(spark, "q39_range_join_binned"))
+    assert strategies, "no joins found"
+    assert not any(
+        "NestedLoop" in s or "Cartesian" in s for s in strategies
+    ), strategies
+
+
+def test_x21_decontaminate_broadcasts_benchmark_side(spark):
+    from dask_deltalake_spark.functions.curation import x21_decontaminate
+
+    strategies = join_strategies(x21_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in strategies, strategies
