@@ -469,13 +469,19 @@ def x26_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         " +",
         " ",
     )
+    # Token-count gate BEFORE the normalize/md5/shingle projection:
+    # short docs never pay for the expensive derivations, and the
+    # filter doubles as the projection barrier that keeps `toks` bound
+    # outside the shingle lambda (see _jaccard_pairs for the measured
+    # re-evaluation pathology). Filter order is semantically neutral —
+    # the gates are conjunctive.
     staged = (
-        d.select("doc_id", "lang", F.md5(norm).alias("norm_hash"),
-                 tokens(F.col("text")).alias("toks"))
+        d.select("doc_id", "lang", "text", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= _MIN_TOKENS)
         .select(
             "doc_id",
             "lang",
-            "norm_hash",
+            F.md5(norm).alias("norm_hash"),
             F.size("toks").cast("long").alias("n_tok"),
             F.size(shingles(F.col("toks"))).cast("long").alias("sz"),
             F.size(F.array_distinct(shingles(F.col("toks"))))
@@ -483,10 +489,7 @@ def x26_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dsz"),
         )
     )
-    quality = staged.filter(
-        (F.col("n_tok") >= _MIN_TOKENS)
-        & (5 * (F.col("sz") - F.col("dsz")) <= F.col("sz"))
-    )
+    quality = staged.filter(5 * (F.col("sz") - F.col("dsz")) <= F.col("sz"))
     w = Window.partitionBy("norm_hash")
     deduped = quality.withColumn("keeper", F.min("doc_id").over(w)).filter(
         F.col("doc_id") == F.col("keeper")

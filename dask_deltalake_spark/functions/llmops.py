@@ -1335,3 +1335,154 @@ def x19_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative clustering (Lloyd k-means on quantized embeddings)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8          # clusters; init = the first k vectors by vec_id
+_KM_ITERS = 2      # fixed Lloyd refinement rounds (oracle-matched)
+_KM_DIM = 64       # fixture embedding dim (oracle unroll only)
+_KM_SCALE = 1000   # float -> integer grid quantization
+
+
+def _km_oracle() -> str:
+    """Unrolled k-means CTE chain: assignment / recompute x ITERS, then
+    a final assignment + per-cluster stats. All arithmetic is integer
+    (quantized grid, floor-mean centroids), so the hash is exact."""
+    dist = (
+        "CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(e.q, c.c), "
+        "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    ctes = [
+        f"""e AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    )""",
+        f"c0 AS (SELECT vec_id AS cell, q AS c FROM e WHERE vec_id < {_KM_K})",
+    ]
+    for i in range(_KM_ITERS + 1):
+        ctes.append(
+            f"""s{i + 1} AS (
+      SELECT e.vec_id, e.q, c.cell, {dist} AS dist
+      FROM e CROSS JOIN c{i} c
+    ),
+    a{i + 1} AS (
+      SELECT vec_id, q, cell, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist, cell) AS rk
+        FROM s{i + 1}
+      ) WHERE rk = 1
+    )"""
+        )
+        if i < _KM_ITERS:
+            ctes.append(
+                f"""c{i + 1} AS (
+      SELECT cell, LIST(cv ORDER BY pos) AS c FROM (
+        SELECT cell, g.i AS pos,
+               CAST(FLOOR(CAST(SUM(q[g.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        FROM a{i + 1}, GENERATE_SERIES(1, {_KM_DIM}) AS g(i)
+        GROUP BY cell, g.i
+      ) GROUP BY cell
+    )"""
+            )
+    final = _KM_ITERS + 1
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT cell, COUNT(*) AS n_points, CAST(SUM(dist) AS BIGINT) AS inertia
+    FROM a{final} GROUP BY cell ORDER BY cell
+    """
+    )
+
+
+def _km_assign(e: DataFrame, cents: list) -> DataFrame:
+    """Nearest-centroid assignment as a NARROW projection: the k
+    centroids are inlined as literal arrays (the classic broadcast of
+    k-means — O(k·dim) state, independent of corpus size), so the
+    assignment pass needs no join and no shuffle at all. Ties break on
+    the lower cell id via lexicographic struct min."""
+    cand = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "q",
+                        F.array(*[F.lit(int(v)) for v in vec]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(int(cell)).cast("long").alias("cell"),
+            )
+            for cell, vec in cents
+        ]
+    )
+    m = F.array_min(cand)
+    return e.select("vec_id", "q", m["dist"].alias("dist"), m["cell"].alias("cell"))
+
+
+@query("x27_kmeans", _km_oracle())
+def x27_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embedding corpus — the iterative-ML
+    pattern on DataFrames. Vectors are quantized to an integer grid
+    (floor(x·1000), like x19's int8 path) so every distance and every
+    floor-mean centroid is exact integer arithmetic: bit-identical
+    across engines AND across partitionings — a float k-means would be
+    partial-aggregation-order dependent and could never hash-match.
+    Per iteration: one narrow assignment pass against k literal
+    centroids (no join — the centroid broadcast of every production
+    k-means), then one (cell, dim) shuffle of per-dimension partial
+    sums for the recompute — n·dim rows map-combined down to k·dim.
+    Driver state is O(k·dim) per round. Empty cells drop out of the
+    next round on both engines identically."""
+    e = (
+        _spread(spark, _t(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("long"),
+            ).alias("q"),
+        )
+        .persist()
+    )
+    cents = [
+        (r["vec_id"], list(r["q"]))
+        for r in e.filter(F.col("vec_id") < _KM_K).collect()
+    ]
+    for _ in range(_KM_ITERS):
+        assigned = _km_assign(e, cents)
+        rows = (
+            assigned.select("cell", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .select(
+                "cell",
+                "pos",
+                F.floor(F.col("s") / F.col("n")).cast("long").alias("cv"),
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda st: st["cv"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        cents = sorted((r["cell"], list(r["c"])) for r in rows)
+    return (
+        _km_assign(e, cents)
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("dist").alias("inertia"),
+        )
+        .orderBy("cell")
+    )

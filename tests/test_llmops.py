@@ -106,3 +106,37 @@ def test_x08_best_neighbor_floor(spark):
         assert r["score"] >= 0.8 * best, (
             f"query {r['query_id']}: approx {r['score']} < 0.8 × exact {best}"
         )
+
+
+def test_x27_kmeans_partitions_corpus_and_descends(spark):
+    """Lloyd invariants: the final clustering covers every vector
+    exactly once, and total inertia never increases vs the initial
+    (unrefined) assignment — refinement must help or hold."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.functions.llmops import (
+        _KM_K,
+        _KM_SCALE,
+        _km_assign,
+        x27_kmeans,
+    )
+    from dask_deltalake_spark.tables import load_table
+
+    final = x27_kmeans(spark, SF_DIR).collect()
+    n_vec = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_points"] for r in final) == n_vec
+    assert all(r["n_points"] > 0 for r in final)
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("long"),
+        ).alias("q"),
+    )
+    cents = [
+        (r["vec_id"], list(r["q"]))
+        for r in e.filter(F.col("vec_id") < _KM_K).collect()
+    ]
+    init_inertia = _km_assign(e, cents).agg(F.sum("dist")).collect()[0][0]
+    assert sum(r["inertia"] for r in final) <= init_inertia
