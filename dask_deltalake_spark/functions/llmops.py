@@ -260,45 +260,57 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(shingles(F.col("toks"))).alias("sh"),
         )
     )
-    # Materialize the shingle table once: it feeds both sides of the
-    # self-join, and without a barrier InferFiltersFromConstraints
-    # derives isnotnull/size predicates from the join keys and pushes
-    # them below the exchange with the shingle expression substituted —
-    # re-running the whole tokenize+shingle pipeline inside the scan
-    # filter (measured 4×). At production scale this table would be
-    # staged to storage; persist() is the in-session equivalent.
+    # Materialize the shingle table BEFORE exploding it: Generate
+    # (explode) keeps its generator expression inline, and evaluating
+    # an expensive array expression through the generator re-runs the
+    # whole tokenize→shingle→distinct pipeline per GENERATED ELEMENT,
+    # not per input row (measured 26 s vs 4.8+0.6 s at sf0.1). At
+    # production scale this table would be staged to storage;
+    # persist() is the in-session equivalent.
     t = t.persist()
     inv = t.select(
         "lang", "source", "doc_id", F.explode("sh").alias("s")
     )
-    # Stop-shingle cap: drop shingles whose per-block document
-    # frequency exceeds the cap BEFORE the self-join. One viral shingle
-    # in k docs fans out k² join rows; capping df bounds any single
-    # shingle's contribution to cap² pairs. The hot set is tiny (it's
-    # the df > cap tail), so the anti-join broadcasts under AQE.
-    hot = (
+    # Postings-list topology: ONE shuffle of the exploded index builds
+    # (block, shingle) → sorted doc list. The stop-shingle cap is then
+    # just a size filter on the posting (a shingle in more docs than
+    # the cap is dropped wholesale — one viral shingle in k docs would
+    # otherwise fan out k² pairs), and co-occurrence pairs come from
+    # in-array combinations of each posting — no self-join, and the
+    # raw index is never shuffled a second time. Only the postings
+    # table (one row per distinct block-shingle, arrays bounded by the
+    # cap) is persisted, since it feeds both the pair expansion and
+    # the per-doc set sizes. Per-shingle pair fan-out is bounded by
+    # cap²/2 by construction.
+    post = (
         inv.groupBy("lang", "source", "s")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > _STOP_SHINGLE_DF)
-        .select("lang", "source", "s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= _STOP_SHINGLE_DF)
+        .select("docs")
+        .persist()
     )
-    inv = inv.join(hot, ["lang", "source", "s"], "left_anti").persist()
     # per-doc set size over the CAPPED index (matches the oracle)
-    sz = inv.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = inv.alias("a")
-    b = inv.alias("b")
+    sz = (
+        post.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    # ordered pairs (docs[i], docs[j]) for i < j — docs is sorted, so
+    # doc_a < doc_b holds by construction
+    pair_arr = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice("docs", i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        post.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
         .join(sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
         .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
