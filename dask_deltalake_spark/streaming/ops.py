@@ -59,8 +59,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
+        # integer `div`, not `/1000`: float division routes the ns value
+        # through a double and can flip the truncated µs by one vs the
+        # batch path (tables.load_table) and the DuckDB oracle
         stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return stream
 
@@ -332,4 +335,78 @@ def s06_stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(total_rows, first_run_rows)],
         "total_rows bigint, first_run_rows bigint",
+    )
+
+
+_JOIN_W_US = 300_000_000  # 5-minute attribution window, µs
+
+
+@query(
+    "s07_stream_stream_join",
+    f"""
+    WITH c AS (
+      SELECT user_id, EPOCH_US(ts) AS cus FROM events
+      WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, EPOCH_US(ts) AS pus FROM events
+      WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT c.user_id, p.pus - c.cus AS gap_us
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.pus >= c.cus AND p.pus < c.cus + {_JOIN_W_US}
+    )
+    SELECT user_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us
+    FROM pairs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def s07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: click→purchase
+    attribution within a 5-minute window, both sides live streams.
+    The event-time range condition plus the watermarks lets Spark
+    BOUND the join state — click state older than watermark+window is
+    evicted, so state is O(window·rate), not O(stream). Inner-join
+    matches are emitted eagerly as both sides arrive (the watermark
+    gates only state cleanup, not emission), so a bounded availableNow
+    replay emits exactly the batch-equivalent pair set — asserted by
+    the oracle, which is the plain batch interval join (same semantics
+    as q39, which rewrites it for batch as a binned equi join). The
+    per-user rollup runs as a batch aggregate over the drained sink."""
+    ev = _events_stream(spark, sf_dir)
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("cts"))
+        .withWatermark("cts", "10 minutes")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("pts"))
+        .withWatermark("pts", "10 minutes")
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") < F.col("cts") + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("pts") - F.unix_micros("cts")).alias("gap_us"),
+    )
+    out = _run_to_memory(joined, "append")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
     )
