@@ -508,3 +508,75 @@ def x26_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
         .orderBy("lang", "split")
     )
+
+
+_NORM_MD5_SQL = (
+    "MD5(REGEXP_REPLACE(REGEXP_REPLACE(TRIM(LOWER(text)), "
+    "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+@query(
+    "x28_incremental_dedup",
+    f"""
+    WITH corpus AS (
+      SELECT DISTINCT {_NORM_MD5_SQL} AS norm_hash
+      FROM documents WHERE doc_id % 10 != 0
+    ),
+    batch AS (
+      SELECT doc_id, lang, {_NORM_MD5_SQL} AS norm_hash
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    flagged AS (
+      SELECT b.lang,
+             CASE WHEN c.norm_hash IS NULL THEN 0 ELSE 1 END AS dup
+      FROM batch b LEFT JOIN corpus c ON b.norm_hash = c.norm_hash
+    )
+    SELECT lang,
+           COUNT(*) AS n_batch,
+           CAST(SUM(dup) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - SUM(dup) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY lang ORDER BY lang
+    """,
+)
+def x28_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the nightly-crawl shape:
+    a NEW slice of documents is deduplicated against the already-
+    ingested corpus, not against itself, so ingestion cost is
+    O(batch + matched corpus keys), never a full-corpus self-dedup.
+    Topology: the corpus side is reduced to DISTINCT normalized hashes
+    (x02's normalization) BEFORE the join — at 100 TB the hash set is
+    ~3% of corpus bytes, and the join shuffles on a uniform 128-bit
+    key, so no skew is possible; a production deployment would keep
+    this hash set as a materialized index table and merge-append to it
+    per batch. The batch/corpus split here is deterministic
+    (doc_id % 10) so the oracle can replay it."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    norm_hash = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(norm_hash.alias("norm_hash"))
+        .distinct()
+        .withColumn("dup_flag", F.lit(1))
+    )
+    batch = d.filter(F.col("doc_id") % 10 == 0).select(
+        "lang", norm_hash.alias("norm_hash")
+    )
+    flagged = batch.join(corpus, "norm_hash", "left").select(
+        "lang", F.coalesce("dup_flag", F.lit(0)).alias("dup")
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_batch"),
+            F.sum("dup").cast("long").alias("n_dropped"),
+            (F.count("*") - F.sum("dup")).cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

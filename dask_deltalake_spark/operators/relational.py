@@ -1369,3 +1369,34 @@ def q39_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query("q40_approx_percentiles", None)  # sketch-specific → rows-only check
+def q40_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's mergeable quantile sketch
+    (`approx_percentile`, Greenwald-Khanna with relative error
+    1/accuracy) — the 100 TB swap q33's exact percentile points at:
+    the sketch is O(accuracy·log n) memory per group and merges
+    associatively across partitions, so the plan is a plain two-phase
+    partial/final aggregate with no per-group value materialization.
+    Estimator-specific output → rows-only driver check; the pytest
+    asserts every estimate sits within the sketch's rank-error bound
+    of the exact q33 values."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.9, 0.99], 10_000
+            ).alias("price_pcts"),
+            F.percentile_approx("l_quantity", 0.5, 10_000).alias("qty_median"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("price_pcts")[0].alias("price_p50"),
+            F.col("price_pcts")[1].alias("price_p90"),
+            F.col("price_pcts")[2].alias("price_p99"),
+            "qty_median",
+        )
+        .orderBy("l_returnflag")
+    )

@@ -140,3 +140,33 @@ def test_x27_kmeans_partitions_corpus_and_descends(spark):
     ]
     init_inertia = _km_assign(e, cents).agg(F.sum("dist")).collect()[0][0]
     assert sum(r["inertia"] for r in final) <= init_inertia
+
+
+def test_q40_within_rank_error(spark):
+    """approx_percentile(accuracy=10k) guarantees rank error <= 1/10k:
+    each estimate must lie between the exact percentiles at q∓eps
+    (evaluated with a safety factor on eps for interpolation edges)."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.operators.relational import (
+        q40_approx_percentiles,
+    )
+    from dask_deltalake_spark.tables import load_table
+
+    est = {r["l_returnflag"]: r for r in q40_approx_percentiles(spark, SF_DIR).collect()}
+    l = load_table(spark, SF_DIR, "lineitem")
+    eps = 10.0 / 10_000  # 10x safety on the 1e-4 rank-error bound
+    checks = [("price_p50", "l_extendedprice", 0.5), ("price_p90", "l_extendedprice", 0.9),
+              ("price_p99", "l_extendedprice", 0.99), ("qty_median", "l_quantity", 0.5)]
+    bounds = (
+        l.groupBy("l_returnflag")
+        .agg(*[F.expr(
+            f"percentile({col}, array({max(q - eps, 0.0)}, {min(q + eps, 1.0)}))"
+        ).alias(name) for name, col, q in checks])
+        .collect()
+    )
+    for row in bounds:
+        e = est[row["l_returnflag"]]
+        for name, _, _ in checks:
+            lo, hi = row[name]
+            assert lo <= e[name] <= hi, (row["l_returnflag"], name, lo, e[name], hi)
