@@ -1400,3 +1400,212 @@ def q40_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q41_map_funcs",
+    """
+    SELECT user_id, event_type, CAST(n * n AS BIGINT) AS n_sq
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    WHERE n >= 5
+    ORDER BY user_id, event_type
+    LIMIT 200
+    """,
+)
+def q41_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a per-user event_type→count map with
+    map_from_entries over collected structs, prune entries with
+    map_filter, square values with transform_values, and explode the
+    map back to rows. All four map operators run as JVM higher-order
+    expressions inside whole-stage codegen; the only shuffles are the
+    two hash aggregations (per-(user,type) counts, then per-user map
+    assembly), both on uniform keys. The oracle is the relational
+    equivalent — the map round-trip must be lossless."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    transformed = maps.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter("m", lambda _, v: v >= 5), lambda _, v: v * v
+        ).alias("m"),
+    )
+    return (
+        transformed.select("user_id", F.explode("m").alias("event_type", "n_sq"))
+        .select("user_id", "event_type", F.col("n_sq").cast("long").alias("n_sq"))
+        .orderBy("user_id", "event_type")
+        .limit(200)
+    )
+
+
+@query(
+    "q42_unpivot",
+    """
+    SELECT l_returnflag, metric,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total,
+           ROUND(AVG(value), 4) AS mean
+    FROM (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount, l_tax
+          FROM lineitem)
+    UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    GROUP BY l_returnflag, metric
+    ORDER BY l_returnflag, metric
+    """,
+)
+def q42_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native unpivot (melt) operator — an
+    Expand node that emits one row per measure column, NOT a union of
+    four scans: the table is read once and the 4× row expansion happens
+    inside the stage, followed by one hash aggregate. The alternative
+    (4 selects + union) would scan the table four times at 100 TB."""
+    l = _t(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.avg("value"), 4).alias("mean"),
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+# Stratified deterministic sampling: per-language keep rates, applied
+# by stable id hash (same overflow-safe arithmetic as curation.x20) —
+# reproducible on any cluster, no sample table to store, and the
+# oracle can replay it bit-for-bit (TABLESAMPLE/rand() cannot).
+_SAMPLE_P = 1_000_000_007
+_SAMPLE_MULT = 972_663_749
+_SAMPLE_H_SQL = f"(((doc_id % {_SAMPLE_P}) * {_SAMPLE_MULT}) % {_SAMPLE_P}) % 100"
+
+
+@query(
+    "q43_deterministic_sample",
+    f"""
+    WITH d AS (
+      SELECT lang, n_chars, {_SAMPLE_H_SQL} AS h,
+             CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END AS rate
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (h < rate) AS n_sampled,
+           CAST(COALESCE(SUM(n_chars) FILTER (h < rate), 0) AS BIGINT) AS sampled_chars
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def q43_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum (language) keep
+    rates applied via a stable doc-id hash instead of rand()/
+    TABLESAMPLE, so every executor, retry, and re-run selects the same
+    rows — the property training-data pipelines need for reproducible
+    subsets. Pure map-side filter (zero shuffle before the tiny
+    per-lang aggregate); changing the mix is a literal edit, not a
+    resample job."""
+    d = _t(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") % _SAMPLE_P) * _SAMPLE_MULT) % _SAMPLE_P % 100
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "de", 25)
+        .otherwise(10)
+    )
+    keep = h < rate
+    return (
+        d.select("lang", "n_chars", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_if("keep").alias("n_sampled"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.col("n_chars"))), F.lit(0)
+            ).cast("long").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q44_sessionize_batch",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             COUNT(*) AS n_events,
+             EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS span_us
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(span_us) AS BIGINT) AS total_span_us
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q44_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): the offline counterpart
+    of s02's streaming session window — lag to mark ≥30-minute gaps,
+    running sum of break flags as the session id, then two aggregates.
+    One shuffle on user_id serves the window AND both groupBys
+    (Catalyst reuses the hash partitioning), so the whole pipeline is
+    a single exchange at any scale. Session membership is insensitive
+    to tie order: equal timestamps have gap 0 and always co-session."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # µs arithmetic, not cast("long") (which truncates to seconds and
+    # could flip a sub-second-boundary gap vs the oracle's intervals)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    g = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sess = g.select(
+        "user_id",
+        "ts",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "session_id"
+        ),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+            F.sum("span_us").cast("long").alias("total_span_us"),
+        )
+        .orderBy("user_id")
+    )
