@@ -191,6 +191,7 @@ def _harvest_footer(args: tuple) -> tuple:
     maxs: dict = {}
     nulls: dict = {}
     incomplete: set = set()
+    null_incomplete: set = set()  # any row group missing null_count → omit entirely
     kept = [n for n in names if "." not in n][:max_cols]
     idx = {n: i for i, n in enumerate(names)}
     for rg in range(md.num_row_groups):
@@ -200,8 +201,12 @@ def _harvest_footer(args: tuple) -> tuple:
             st = col.statistics
             if st is None:
                 incomplete.add(name)
+                null_incomplete.add(name)
                 continue
-            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+            if st.null_count is None:
+                null_incomplete.add(name)
+            else:
+                nulls[name] = nulls.get(name, 0) + st.null_count
             if st.has_min_max:
                 mn, mx = st.min, st.max
                 if name not in mins or mn < mins[name]:
@@ -212,18 +217,34 @@ def _harvest_footer(args: tuple) -> tuple:
                 incomplete.add(name)
     from dask_deltalake_spark.delta.protocol import _stat_value
 
+    def _json_safe(v):
+        # Footer min/max for BINARY (and DECIMAL/FLBA in some pyarrow
+        # versions) surface as raw bytes — not JSON-serializable and not
+        # meaningful as Delta stats. The protocol allows omitting a
+        # column, so drop anything that doesn't land in the JSON scalar
+        # set instead of failing the write.
+        out = _stat_value(v)
+        return out if isinstance(out, (int, float, str, bool, type(None))) else _OMIT
+
+    _OMIT = object()
+    safe_mins = {
+        n: _json_safe(mins[n]) for n in kept if n in mins and n not in incomplete
+    }
+    safe_maxs = {
+        n: _json_safe(maxs[n]) for n in kept if n in maxs and n not in incomplete
+    }
     stats = json.dumps(
         {
             "numRecords": md.num_rows,
-            "minValues": {
-                n: _stat_value(mins[n]) for n in kept
-                if n in mins and n not in incomplete
+            "minValues": {n: v for n, v in safe_mins.items() if v is not _OMIT},
+            "maxValues": {n: v for n, v in safe_maxs.items() if v is not _OMIT},
+            # nullCount omits columns where any row group lacked a count:
+            # external readers (delta-rs/delta-spark) use nullCount for
+            # IS NULL skipping, and a partial count of 0 would make them
+            # skip files that do contain nulls.
+            "nullCount": {
+                n: nulls[n] for n in kept if n in nulls and n not in null_incomplete
             },
-            "maxValues": {
-                n: _stat_value(maxs[n]) for n in kept
-                if n in maxs and n not in incomplete
-            },
-            "nullCount": {n: nulls.get(n, 0) for n in kept},
         }
     )
     return rel, md.num_rows, stats

@@ -327,7 +327,11 @@ def x24_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment."""
     d = _t(spark, sf_dir, "documents")
     h = _doc_hash_mod(F.col("doc_id"), 1779033703, 100)
-    cap = 100 - 25 * (F.substring(F.col("source"), 4, 10).cast("long") % 4)
+    # substring(source, 4) with NO length cap — the oracle's
+    # SUBSTR(source, 4) runs to end of string, and a 10-char cap would
+    # silently truncate (then NULL-cast) source names with longer
+    # numeric suffixes.
+    cap = 100 - 25 * (F.expr("substring(source, 4)").cast("long") % 4)
     return (
         d.select("source", h.alias("h"), cap.alias("cap"))
         .groupBy("source")

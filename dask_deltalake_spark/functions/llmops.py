@@ -240,16 +240,40 @@ def x04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x04 and x18 both consume _jaccard_pairs, and the postings build is
 # the dominant cost of either — the session-level analog of staging
 # the index to a table once and running N downstream jobs against it.
+# Keyed by applicationId (unique per SparkContext — id(spark) could be
+# reused by CPython after a session is stopped and collected, handing
+# back DataFrames bound to a dead session); entries from any other
+# application are evicted on access, and clear_jaccard_cache()
+# unpersists everything explicitly.
 _JACCARD_CACHE: dict = {}
+
+
+def clear_jaccard_cache() -> None:
+    """Unpersist and drop every cached inverted-index materialization."""
+    for entry in _JACCARD_CACHE.values():
+        for frame in entry["persisted"]:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
+    _JACCARD_CACHE.clear()
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) near-dup pairs — shared by x04 (pair
     listing) and x18 (connected-components clustering)."""
-    ck = (id(spark), sf_dir)
-    cached = _JACCARD_CACHE.get(ck)
-    if cached is not None:
-        return cached
+    app_id = spark.sparkContext.applicationId
+    ck = (app_id, sf_dir)
+    entry = _JACCARD_CACHE.get(ck)
+    if entry is not None:
+        return entry["pairs"]
+    for stale in [k for k in _JACCARD_CACHE if k[0] != app_id]:
+        for frame in _JACCARD_CACHE[stale]["persisted"]:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # frames belong to a stopped session
+        del _JACCARD_CACHE[stale]
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     # Two-step select: materialize the token array BEFORE the shingle
     # lambda references it. Catalyst does not CSE subexpressions inside
@@ -345,7 +369,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(j, 3).alias("jaccard"))
         .persist()
     )
-    _JACCARD_CACHE[ck] = out
+    _JACCARD_CACHE[ck] = {"pairs": out, "persisted": [t, post, out]}
     return out
 
 
