@@ -58,13 +58,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer `div`, not `/1000`: float division routes the ns value
         # through a double and can flip the truncated µs by one vs the
         # batch path (tables.load_table) and the DuckDB oracle
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        # Naive parquet timestamp[us] reads as TIMESTAMP_NTZ, which
+        # watermarks reject (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+        # Interpret the naive value as UTC — session-tz-independent and
+        # identical to the batch path in tables.load_table.
+        stream = stream.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     return stream
 
 

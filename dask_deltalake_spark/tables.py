@@ -16,7 +16,7 @@ import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = [
     "region",
@@ -55,6 +55,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    # Naive parquet timestamp[us] (isAdjustedToUTC=false) reads as
+    # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default, which
+    # rejects unix_micros / tz functions and coerces differently against
+    # TIMESTAMP literals. Interpret the naive value as UTC —
+    # to_utc_timestamp(ntz, 'UTC') is session-timezone-independent — so
+    # every downstream operator sees plain TimestampType and the DuckDB
+    # oracle (which reads the same bytes as naive) agrees on the micros.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(
+                field.name, F.to_utc_timestamp(F.col(field.name), "UTC")
+            )
     return df
 
 
