@@ -42,8 +42,16 @@ def main() -> None:
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
         # drop per-query persisted intermediates (shingle tables etc.) so
-        # 70+ queries in one session don't accumulate heap pressure
+        # 90+ queries in one session don't accumulate heap pressure.
+        # clear_jaccard_cache() FIRST: a blanket clearCache() unpersists
+        # the shared inverted-index frames behind the cache dict's back,
+        # leaving x18 to recompute through unpersisted lineage (the
+        # explode-generator re-evaluation pathology the persist() calls
+        # exist to prevent — r3 bench measured x18 at 47.5 s this way).
         try:
+            from dask_deltalake_spark.functions.llmops import clear_jaccard_cache
+
+            clear_jaccard_cache()
             spark.catalog.clearCache()
         except Exception:
             pass

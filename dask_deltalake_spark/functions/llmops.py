@@ -249,14 +249,20 @@ _JACCARD_CACHE: dict = {}
 
 
 def clear_jaccard_cache() -> None:
-    """Unpersist and drop every cached inverted-index materialization."""
+    """Unpersist and drop every cached inverted-index materialization
+    (including any label-propagation frames x18 registered)."""
     for entry in _JACCARD_CACHE.values():
-        for frame in entry["persisted"]:
+        for frame in entry["persisted"] + entry.get("x18", []):
             try:
                 frame.unpersist()
             except Exception:
                 pass  # session already stopped — nothing to release
     _JACCARD_CACHE.clear()
+
+
+def _is_persisted(frame: DataFrame) -> bool:
+    lvl = frame.storageLevel
+    return lvl.useMemory or lvl.useDisk
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,6 +272,15 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = (app_id, sf_dir)
     entry = _JACCARD_CACHE.get(ck)
     if entry is not None:
+        # Defensive: an outside spark.catalog.clearCache() (the bench
+        # harness, a user session) unpersists these frames without the
+        # dict knowing; trusting the hit would hand consumers frames
+        # that recompute the whole index through unpersisted lineage on
+        # EVERY downstream job. Re-persist — the next action then
+        # rebuilds the index once and caches it again.
+        if not all(_is_persisted(f) for f in entry["persisted"]):
+            for f in entry["persisted"]:
+                f.persist()
         return entry["pairs"]
     for stale in [k for k in _JACCARD_CACHE if k[0] != app_id]:
         for frame in _JACCARD_CACHE[stale]["persisted"]:
@@ -1256,12 +1271,26 @@ def x18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     unconverged clusters. The oracle replays the same components with
     a recursive CTE."""
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    # Register this run's persisted frames with the index cache entry so
+    # clear_jaccard_cache() releases them too — without this, pairs /
+    # edges / the final label frame stay persisted after the query
+    # returns (dangling cache entries the session can never reclaim).
+    # A re-run against the same index first drops the previous run's
+    # frames, so repeated x18 calls hold at most one generation.
+    entry = _JACCARD_CACHE[(spark.sparkContext.applicationId, sf_dir)]
+    for f in entry.get("x18", []):
+        try:
+            f.unpersist()
+        except Exception:
+            pass
+    entry["x18"] = [pairs]
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .distinct()
         .persist()
     )
+    entry["x18"].append(edges)
     # every node starts labeled with itself
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")
@@ -1307,6 +1336,11 @@ def x18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"x18 label propagation did not converge in {_MAX_ITERS} "
             "iterations — graph diameter pathologically large"
         )
+    if prev_cached is not None:
+        # the converged label frame backs the returned aggregate — it
+        # must stay persisted until clear_jaccard_cache(), or the final
+        # groupBy would recompute the whole iteration chain
+        entry["x18"].append(prev_cached)
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(

@@ -26,6 +26,13 @@ ENGINE_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # read naive parquet timestamp[us] (isAdjustedToUTC=false) directly
+    # as TimestampType instants — tz-independent and equal to DuckDB's
+    # EPOCH_US view of the same bytes. With NTZ inference on, the
+    # NTZ->timestamp conversion would go through an implicit cast that
+    # interprets the naive value in the SESSION timezone (see
+    # tables.load_table).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.aggregatePushdown": "true",

@@ -49,6 +49,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive parquet micros load directly as TimestampType instants
+        # (tz-independent) instead of TIMESTAMP_NTZ — matches
+        # tables.load_table and the DuckDB oracle
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
     path = f"{sf_dir}/events.parquet"
@@ -67,10 +71,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     elif ts_type == "timestamp_ntz":
-        # Naive parquet timestamp[us] reads as TIMESTAMP_NTZ, which
-        # watermarks reject (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
-        # Interpret the naive value as UTC — session-tz-independent and
-        # identical to the batch path in tables.load_table.
+        # Fallback (conf set failed): naive timestamp[us] read as
+        # TIMESTAMP_NTZ, which watermarks reject
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The conversion below is
+        # only correct under a UTC session tz — the implicit NTZ->
+        # timestamp cast inside to_utc_timestamp interprets the naive
+        # value in spark.sql.session.timeZone — so pin it first, exactly
+        # as tables.load_table does.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         stream = stream.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     return stream
 

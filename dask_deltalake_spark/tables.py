@@ -44,6 +44,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive parquet timestamp[us] then loads directly as TimestampType
+        # instants (tz-independent, equal to DuckDB EPOCH_US) instead of
+        # TIMESTAMP_NTZ — see the fallback below for why NTZ is a trap
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -55,18 +59,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    # Naive parquet timestamp[us] (isAdjustedToUTC=false) reads as
-    # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default, which
-    # rejects unix_micros / tz functions and coerces differently against
-    # TIMESTAMP literals. Interpret the naive value as UTC —
-    # to_utc_timestamp(ntz, 'UTC') is session-timezone-independent — so
-    # every downstream operator sees plain TimestampType and the DuckDB
-    # oracle (which reads the same bytes as naive) agrees on the micros.
-    for field in df.schema.fields:
-        if isinstance(field.dataType, TimestampNTZType):
-            df = df.withColumn(
-                field.name, F.to_utc_timestamp(F.col(field.name), "UTC")
-            )
+    # Fallback only (conf set above failed, e.g. a session that forbids
+    # runtime conf changes): naive parquet timestamp[us] read as
+    # TIMESTAMP_NTZ must be converted to TimestampType. NOTE the
+    # conversion is NOT tz-independent on its own — Spark analyzes
+    # to_utc_timestamp(ntz, 'UTC') as to_utc_timestamp(CAST(ntz AS
+    # timestamp), 'UTC'), and the implicit cast interprets the naive
+    # value in spark.sql.session.timeZone (a non-UTC session shifts
+    # every micros by the tz offset). Pin the session tz to UTC first so
+    # the cast is the identity and the DuckDB oracle agrees.
+    if any(isinstance(f.dataType, TimestampNTZType) for f in df.schema.fields):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for field in df.schema.fields:
+            if isinstance(field.dataType, TimestampNTZType):
+                df = df.withColumn(
+                    field.name, F.to_utc_timestamp(F.col(field.name), "UTC")
+                )
     return df
 
 
