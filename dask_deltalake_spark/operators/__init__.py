@@ -19,24 +19,32 @@ _ALL.update(_LLMOPS)
 _ALL.update(_CURATION)
 _ALL.update(_STREAMING)
 
-# Registry ordering: the driver's correctness gate checks the FIRST 50
-# registry entries per round (CORRECTNESS_r01/r02 each contain exactly
-# the first 50 names in registry order). Rounds 1-2 hash-verified
-# q01-q44 and d01-d06; this round the not-yet-driver-verified queries
-# (d07-d16, x-tier, s-tier) are ordered first so that, across rounds,
-# the union of CORRECTNESS artifacts covers the whole registry.
-_VERIFIED_R1_R2 = {f"q{i:02d}" for i in range(1, 45)} | {
-    f"d{i:02d}" for i in range(1, 7)
-}
+# Registry ordering — ROTATION POLICY: the driver's correctness gate
+# checks the FIRST 50 registry entries per round, so the front of the
+# registry rotates each round to keep every query hash-verified within
+# two rounds. History: r1+r2 verified q01-q44 + d01-d06; r3 led with
+# the rest (d07-d16, x01-x28, s01-s07 + q01-q05) -> union = all
+# queries green across r2+r3. Round 4 rotates the r2-verified tier
+# back to the front (they last hash-matched two rounds ago, and the
+# NTZ-read change in tables.py since touched every query's input
+# path), plus the queries that are NEW or CHANGED this round: d17/d18
+# (new storage-options / create-metadata rows), x04/x18 (jaccard-cache
+# rework), s05 (streaming-sink trim). Next round: lead with whatever
+# the current round did not cover (d07-d16, x-tier, s-tier remainder).
+_R4_FRONT = (
+    ["d17_storage_options", "d18_table_create_metadata"]
+    + [n for n in _ALL if n[:3] in {f"q{i:02d}" for i in range(6, 45)}]
+    + [n for n in _ALL if n[:3] in {f"d{i:02d}" for i in range(1, 7)}]
+    + ["x04_ngram_jaccard_pairs", "x18_dedup_clusters", "s05_stream_delta_sink"]
+)
+_R4_FRONT = [n for n in _R4_FRONT if n in _ALL]
+_POS = {n: i for i, n in enumerate(_R4_FRONT)}
 
 
-def _tier(name: str) -> int:
-    return 0 if name.split("_")[0] not in _VERIFIED_R1_R2 else 1
+def _key(name: str):
+    return (0, _POS[name]) if name in _POS else (1, list(_ALL).index(name))
 
 
-REGISTRY: dict = {
-    name: _ALL[name]
-    for name in sorted(_ALL, key=lambda n: (_tier(n), list(_ALL).index(n)))
-}
+REGISTRY: dict = {name: _ALL[name] for name in sorted(_ALL, key=_key)}
 
 __all__ = ["REGISTRY"]

