@@ -229,7 +229,9 @@ def s04_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = _events_stream(spark, sf_dir).select("user_id", "ts")
+    # only the key reaches the Python workers — the counter never looks
+    # at ts, and dropping it halves the Arrow transfer per micro-batch
+    ev = _events_stream(spark, sf_dir).select("user_id")
 
     def count_events(key, pdf_iter, state: GroupState):
         running = state.get[0] if state.exists else 0
@@ -299,8 +301,8 @@ def s05_stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s06_stream_delta_source",
     """
-    SELECT CAST(3 * (SELECT COUNT(*) FROM region) AS BIGINT) AS total_rows,
-           CAST(2 * (SELECT COUNT(*) FROM region) AS BIGINT) AS first_run_rows
+    SELECT CAST(2 * (SELECT COUNT(*) FROM region) AS BIGINT) AS total_rows,
+           CAST((SELECT COUNT(*) FROM region) AS BIGINT) AS first_run_rows
     """,
 )
 def s06_stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,13 +323,19 @@ def s06_stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
         pass
-    base = f"/tmp/ddl_spark_stream_src/{abs(hash(sf_dir)) % 10**8}"
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/ddl_spark_stream_src/{tag}"
     tbl, out, ck = f"{base}/tbl", f"{base}/out", f"{base}/ck"
     shutil.rmtree(base, ignore_errors=True)
 
+    # one setup commit is enough — the incremental contract is proven
+    # by drain1 seeing v0 and drain2 (checkpoint-resumed) seeing ONLY
+    # the commit appended in between; a second setup commit just added
+    # fixed bench cost (r3 ADVICE: trim the demo's constant factor)
     r = load_table(spark, sf_dir, "region").repartition(1)
     to_delta(r, tbl)
-    to_delta(r, tbl, mode="append")
 
     def drain():
         q = (
