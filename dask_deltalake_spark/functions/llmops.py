@@ -505,13 +505,11 @@ def x05_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x06_simhash", None)  # hash-function-specific → rows-only check
-def x06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (32-bit) fingerprints: per-token xxhash64, each bit
-    votes ±1 weighted by token frequency; the sign vector packs into
-    one integer. Docs sharing a simhash are near-identical
-    bag-of-words. Single explode + groupBy — one shuffle on doc_id,
-    one on the fingerprint."""
+def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) 32-bit fingerprints: per-token xxhash64, each
+    bit votes ±1 weighted by token frequency; the sign vector packs
+    into one integer. Single explode + groupBy — one shuffle on
+    doc_id."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     h = F.xxhash64("tok")
@@ -526,7 +524,16 @@ def x06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(32):
         term = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    fp = sims.select("doc_id", sim.cast("long").alias("simhash"))
+    return sims.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+@query("x06_simhash", None)  # hash-function-specific → rows-only check
+def x06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup summary: docs sharing a fingerprint are
+    near-identical bag-of-words (see _simhash_fingerprints; invariant
+    bound: tests/test_llmops.py::test_x06_hamming_tracks_jaccard).
+    One more shuffle on the fingerprint for the collision rollup."""
+    fp = _simhash_fingerprints(spark, sf_dir)
     return (
         fp.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
@@ -1231,6 +1238,50 @@ def x17_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.orderBy("doc_id", "frame_idx")
 
+
+def _cc_loop(
+    spark: SparkSession, edges: DataFrame, labels: DataFrame, max_iters: int
+):
+    """Min-label propagation until convergence. Returns
+    (converged, final_persisted_frame, labels)."""
+    converged = False
+    prev_cached = None  # the persisted frame behind the current labels
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(F.col("u").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # carry a per-node changed flag instead of re-joining new vs old
+        # labels afterwards: the convergence check is then ONE aggregate
+        # on the (persisted) new_labels — one Spark job per iteration,
+        # half the stages of a separate join-count. Matters because each
+        # iteration is a full scheduling barrier; fixed per-job overhead
+        # (and any transient host stall) multiplies by the job count.
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label"))
+                .cast("long")
+                .alias("chg"),
+            )
+        ).persist()
+        changed = new_labels.agg(F.sum("chg").alias("c")).first()["c"] or 0
+        # the old iteration's cache is dead once new_labels is computed
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            converged = True
+            break
+    return converged, prev_cached, labels
+
+
 @query(
     "x18_dedup_clusters",
     "WITH RECURSIVE "
@@ -1298,39 +1349,23 @@ def x18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _MAX_ITERS = 64  # safety cap only; convergence is the exit condition
     converged = False
     prev_cached = None  # the persisted frame behind the current labels
-    for _ in range(_MAX_ITERS):
-        neighbor_min = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy(F.col("u").alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
+    # Each iteration is a scheduling barrier over a SMALL frame (one
+    # row per node in a near-dup pair — orders of magnitude below the
+    # corpus), so per-iteration fixed cost = #shuffle-partitions × task
+    # overhead. Run the loop at a bounded partition count and restore
+    # after; on a cluster this is "size shuffle partitions to the label
+    # table, not the session default" — the label table grows with the
+    # dup-pair count, so raise _CC_PARTITIONS with it, never with the
+    # corpus. Results are partition-count-invariant (min-aggregate).
+    _CC_PARTITIONS = 8
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_CC_PARTITIONS))
+    try:
+        converged, prev_cached, labels = _cc_loop(
+            spark, edges, labels, _MAX_ITERS
         )
-        # carry a per-node changed flag instead of re-joining new vs old
-        # labels afterwards: the convergence check is then ONE aggregate
-        # on the (persisted) new_labels — one Spark job per iteration,
-        # half the stages of a separate join-count. Matters because each
-        # iteration is a full scheduling barrier; fixed per-job overhead
-        # (and any transient host stall) multiplies by the job count.
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label"))
-                .cast("long")
-                .alias("chg"),
-            )
-        ).persist()
-        changed = new_labels.agg(F.sum("chg").alias("c")).first()["c"] or 0
-        # the old iteration's cache is dead once new_labels is computed
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = new_labels
-        labels = new_labels.select("node", "label")
-        if changed == 0:
-            converged = True
-            break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     if not converged:
         raise RuntimeError(
             f"x18 label propagation did not converge in {_MAX_ITERS} "

@@ -294,3 +294,54 @@ def test_arrow_engine_parity(spark, tmp_path):
     pruned = ddl.read_delta(pa_path, filter=[("grp", "==", 1)], spark=spark)
     assert pruned.count() == 334
     assert pruned.filter(F.col("k") % 3 != 1).count() == 0
+
+
+def test_table_create_metadata(spark, tmp_path):
+    """name/description/configuration given at create land in the
+    metaData action and survive log replay (reference S18,
+    writer.py:145-147,296-306)."""
+    from dask_deltalake_spark.delta.log import DeltaLog
+
+    path = str(tmp_path / "meta_tbl")
+    to_delta(
+        sample_df(spark),
+        path,
+        name="tbl_name",
+        description="a described table",
+        configuration={"delta.appendOnly": "false", "custom.tag": "x"},
+    )
+    md = DeltaLog(path).snapshot().metadata
+    assert md.name == "tbl_name"
+    assert md.description == "a described table"
+    assert md.configuration == {"delta.appendOnly": "false", "custom.tag": "x"}
+    # metadata-only params must not perturb the data
+    assert read_delta(path, spark=spark).count() == 100
+
+
+def test_storage_options_translate_to_hadoop_conf(spark):
+    """Reference-style storage_options map onto fs.s3a.* Hadoop conf
+    (reference S16, core.py:59-70): credential keys translate, fs.*
+    passes through, junk is dropped, anon picks the anonymous
+    provider."""
+    from dask_deltalake_spark.delta.filesystem import (
+        _ANON_PROVIDER,
+        apply_storage_options,
+    )
+
+    applied = apply_storage_options(
+        spark,
+        {
+            "AWS_ACCESS_KEY_ID": "k",
+            "aws_secret_access_key": "s",
+            "region": "eu-west-1",
+            "anon": True,
+            "fs.s3a.paging.maximum": "100",
+            "who_knows": "dropped",
+        },
+    )
+    assert applied["fs.s3a.access.key"] == "k"
+    assert applied["fs.s3a.secret.key"] == "s"
+    assert applied["fs.s3a.endpoint.region"] == "eu-west-1"
+    assert applied["fs.s3a.aws.credentials.provider"] == _ANON_PROVIDER
+    assert applied["fs.s3a.paging.maximum"] == "100"
+    assert len(applied) == 5

@@ -170,3 +170,82 @@ def test_q40_within_rank_error(spark):
         for name, _, _ in checks:
             lo, hi = row[name]
             assert lo <= e[name] <= hi, (row["l_returnflag"], name, lo, e[name], hi)
+
+
+def test_x06_hamming_tracks_jaccard(spark):
+    """SimHash invariant (the one rows-only query without a bound until
+    now): the fingerprint Hamming distance of the known strong near-dup
+    pair (jaccard ≈ 0.97) must sit far below the background Hamming
+    distance of unrelated document pairs — anti-correlation of Hamming
+    with Jaccard is exactly what makes SimHash a dedup signal. Data and
+    hash are fixed, so the bounds are deterministic (measured: dup
+    pair = 2 bits, background mean ≈ 9.8 bits over 1770 pairs)."""
+    import itertools
+
+    from dask_deltalake_spark.functions.llmops import (
+        _jaccard_pairs,
+        _simhash_fingerprints,
+    )
+
+    dups = _jaccard_pairs(spark, SF_DIR).orderBy(
+        "jaccard", ascending=False
+    ).collect()
+    assert dups, "fixture lost its near-dup pair"
+    top = dups[0]
+    assert top["jaccard"] >= 0.9
+
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in _simhash_fingerprints(spark, SF_DIR).collect()
+    }
+
+    def ham(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    dup_ham = ham(fps[top["doc_a"]], fps[top["doc_b"]])
+    assert dup_ham <= 5, f"near-dup pair differs in {dup_ham}/32 bits"
+
+    dup_keys = {(r["doc_a"], r["doc_b"]) for r in dups}
+    ids = sorted(fps)[:60]
+    background = [
+        ham(fps[a], fps[b])
+        for a, b in itertools.combinations(ids, 2)
+        if (a, b) not in dup_keys
+    ]
+    mean_bg = sum(background) / len(background)
+    assert mean_bg >= 7, f"background Hamming collapsed to {mean_bg}"
+    assert dup_ham < mean_bg / 2
+
+
+def test_jaccard_cache_persist_discipline(spark):
+    """(1) After x04+x18 and clear_jaccard_cache(), NO persisted RDDs
+    remain — x18 must register its pairs/edges/label frames with the
+    cache instead of leaking them past the query's return. (2) An
+    outside catalog.clearCache() must not poison the cache: the next
+    _jaccard_pairs call detects the lost storage level and re-persists
+    instead of handing out recompute-through-lineage frames."""
+    from dask_deltalake_spark.functions.llmops import (
+        _JACCARD_CACHE,
+        _is_persisted,
+        _jaccard_pairs,
+        clear_jaccard_cache,
+        x04_ngram_jaccard_pairs,
+        x18_dedup_clusters,
+    )
+
+    clear_jaccard_cache()
+    spark.catalog.clearCache()
+    x04_ngram_jaccard_pairs(spark, SF_DIR).collect()
+    x18_dedup_clusters(spark, SF_DIR).collect()
+    clear_jaccard_cache()
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() == 0, "dangling persisted RDDs"
+
+    # defensive re-persist after an outside clearCache
+    _jaccard_pairs(spark, SF_DIR).collect()
+    spark.catalog.clearCache()
+    out = _jaccard_pairs(spark, SF_DIR)
+    entry = next(iter(_JACCARD_CACHE.values()))
+    assert all(_is_persisted(f) for f in entry["persisted"])
+    assert out.count() >= 1
+    clear_jaccard_cache()
