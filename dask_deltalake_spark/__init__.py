@@ -29,12 +29,14 @@ from dask_deltalake_spark.delta.maintenance import (
     restore,
     vacuum,
 )
+from dask_deltalake_spark.delta.cdc import read_delta_changes
 from dask_deltalake_spark.delta.mutate import delete_where, merge_into, update_where
 from dask_deltalake_spark.session import get_spark
 
 __all__ = [
     "read_delta",
     "to_delta",
+    "read_delta_changes",
     "read_delta_history",
     "vacuum",
     "optimize",

@@ -1,0 +1,112 @@
+"""Incremental change reads between table versions (file-level CDC).
+
+The reference has no change-feed surface; this mirrors delta-spark's
+``readChangeFeed`` / ``startingVersion`` read option re-expressed over
+this engine's driver-side log replay, without requiring writers to
+emit ``_change_data`` files: every data-changing commit is replayed
+action-by-action, files ADDED in a commit surface their rows as
+``_change_type='insert'`` and files REMOVED surface theirs as
+``_change_type='delete'``, each stamped with ``_commit_version``.
+
+Granularity note (the standard trade of file-level CDC): a
+copy-on-write UPDATE/MERGE rewrite appears as a whole-file delete plus
+a whole-file insert rather than per-row update images. Appends and
+partition-aligned deletes — the dominant incremental-ETL commits —
+produce exact row-level change sets. ``dataChange=false`` commits
+(OPTIMIZE/ZORDER) are invisible, as they must be.
+
+Scale: planning is O(#actions in the version range) driver-side
+metadata; the data read is one pruned parquet scan per
+(version, change-type) group, unioned — at 100 TB an incremental
+consumer reads a handful of commits, never the table.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from dask_deltalake_spark.delta.log import DeltaLog
+from dask_deltalake_spark.delta.reader import snapshot_schema
+
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+
+
+def read_delta_changes(
+    path: str,
+    starting_version: int = 0,
+    ending_version: Optional[int] = None,
+    spark: Optional[SparkSession] = None,
+) -> DataFrame:
+    """Rows changed in commits ``(starting_version, ending_version]``.
+
+    Returns the table columns (schema of ``ending_version``) plus
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+    ``starting_version`` is EXCLUSIVE — "give me everything since the
+    version I already consumed", the resume contract a streaming/
+    incremental consumer wants (matches the delta_py stream reader's
+    offset semantics, sources/delta_source.py).
+    """
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("No active SparkSession; pass spark=...")
+
+    log = DeltaLog(path)
+    latest = log.latest_version()
+    end = latest if ending_version is None else int(ending_version)
+    if end > latest:
+        raise ValueError(
+            f"ending_version {end} beyond latest version {latest}"
+        )
+
+    snap = log.snapshot(version=end)
+    schema = snapshot_schema(snap)
+    # a NEW StructType — StructType.add mutates in place, and `schema`
+    # must stay the pure table schema for the file reads below
+    out_schema = StructType(
+        list(schema.fields)
+        + [
+            StructField(CHANGE_TYPE_COL, StringType(), False),
+            StructField(COMMIT_VERSION_COL, LongType(), False),
+        ]
+    )
+
+    from urllib.parse import unquote
+
+    frames: list[DataFrame] = []
+    for v in range(int(starting_version) + 1, end + 1):
+        inserts: list[str] = []
+        deletes: list[str] = []
+        for action in log.read_commit_actions(v):
+            add = action.get("add")
+            if add is not None and add.get("dataChange", True):
+                inserts.append(f"{log.table_path}/{unquote(add['path'])}")
+            rem = action.get("remove")
+            if rem is not None and rem.get("dataChange", True):
+                deletes.append(f"{log.table_path}/{unquote(rem['path'])}")
+        for change_type, files in (("insert", inserts), ("delete", deletes)):
+            if not files:
+                continue
+            df = (
+                spark.read.schema(schema)
+                .option("basePath", log.table_path)
+                .parquet(*files)
+            )
+            if df.columns != schema.fieldNames():
+                df = df.select(*schema.fieldNames())
+            frames.append(
+                df.withColumn(CHANGE_TYPE_COL, F.lit(change_type)).withColumn(
+                    COMMIT_VERSION_COL, F.lit(v).cast("long")
+                )
+            )
+
+    if not frames:
+        return spark.createDataFrame([], out_schema)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -27,15 +27,18 @@ _ALL.update(_STREAMING)
 # queries green across r2+r3. Round 4 rotates the r2-verified tier
 # back to the front (they last hash-matched two rounds ago, and the
 # NTZ-read change in tables.py since touched every query's input
-# path), plus the queries that are NEW or CHANGED this round: d17/d18
-# (new storage-options / create-metadata rows), x04/x18 (jaccard-cache
-# rework), s05 (streaming-sink trim). Next round: lead with whatever
-# the current round did not cover (d07-d16, x-tier, s-tier remainder).
+# path), plus the queries that are NEW or CHANGED this round:
+# d17/d18/d19 (new storage-options / create-metadata / CDC rows),
+# x18 (connected-components rework), s06 (oracle constants changed
+# with the one-commit setup — its r3 row no longer applies). x04/s04/
+# s05 changed only non-semantically and keep their r3 rows. Next
+# round: lead with whatever this round did not cover (d07-d16,
+# x-tier, s-tier remainder).
 _R4_FRONT = (
-    ["d17_storage_options", "d18_table_create_metadata"]
+    ["d17_storage_options", "d18_table_create_metadata", "d19_change_data_feed"]
     + [n for n in _ALL if n[:3] in {f"q{i:02d}" for i in range(6, 45)}]
     + [n for n in _ALL if n[:3] in {f"d{i:02d}" for i in range(1, 7)}]
-    + ["x04_ngram_jaccard_pairs", "x18_dedup_clusters", "s05_stream_delta_sink"]
+    + ["x18_dedup_clusters", "s06_stream_delta_source"]
 )
 _R4_FRONT = [n for n in _R4_FRONT if n in _ALL]
 _POS = {n: i for i, n in enumerate(_R4_FRONT)}

@@ -688,3 +688,58 @@ def d18_table_create_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, tbl_name string, tbl_description string, "
         "cfg_key string, cfg_val string, history_has_metadata int",
     )
+
+
+@query(
+    "d19_change_data_feed",
+    """
+    WITH p AS (
+      SELECT COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+      FROM orders WHERE o_orderstatus = 'P'
+    )
+    SELECT * FROM (
+      SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version,
+             n, CAST(key_sum AS BIGINT) AS key_sum FROM p
+      UNION ALL
+      SELECT 'delete', CAST(2 AS BIGINT), 2 * n, CAST(2 * key_sum AS BIGINT) FROM p
+    ) ORDER BY change_type
+    """,
+)
+def d19_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change read between versions (file-level CDC,
+    delta/cdc.py — delta-spark's readChangeFeed surface over this
+    engine's log replay). v0 = full orders partitioned by status;
+    v1 appends the P-status rows a second time (insert change set);
+    v2 deletes WHERE status='P' — partition-aligned, so copy-on-write
+    removes whole files with no rewrite and the delete change set is
+    exactly both P file sets. read_delta_changes(starting_version=0)
+    replays commits (0,2]: integer aggregates per (change_type,
+    commit_version) are bit-exact against the source parquet."""
+    import shutil
+
+    from dask_deltalake_spark.delta.cdc import read_delta_changes
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = _tmp_table(sf_dir, "orders_cdf")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    # shuffle=True → one task (one file) per partition value instead of
+    # files × input-partitions — the recommended large partitioned-write
+    # shape (writer.py docstring), and it keeps this demo metadata-light
+    to_delta(o, path, partition_by=["o_orderstatus"], shuffle=True)
+    to_delta(
+        o.filter(F.col("o_orderstatus") == "P"), path, mode="append"
+    )
+    delete_where(path, [("o_orderstatus", "==", "P")], spark=spark)
+    ch = read_delta_changes(path, starting_version=0, spark=spark)
+    return (
+        ch.groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("change_type")
+    )

@@ -54,6 +54,41 @@ class DeltaFilePartition(InputPartition):
     partition_json: str  # {"col": "string-value" | null}
 
 
+@dataclass
+class DeltaFilesPartition(InputPartition):
+    """A bin-packed group of data files read by ONE task. Python
+    data-source tasks carry real per-task overhead (worker dispatch +
+    Arrow pipe); a task per tiny file turns a many-small-files table
+    into pure overhead, so files are coalesced into ~target-byte bins
+    first — the Python-source analog of Spark's own
+    files.maxPartitionBytes coalescing."""
+
+    files: tuple  # of (abs_path, partition_json)
+
+
+_TARGET_BIN_BYTES = 128 * 1024 * 1024
+
+
+def _bin_pack_files(entries: list[tuple[str, str, int]]) -> list:
+    """(abs_path, partition_json, size) → DeltaFilesPartition bins of
+    ~_TARGET_BIN_BYTES (first-fit over size-sorted files; any
+    single file larger than the target gets its own bin)."""
+    bins: list[list] = []
+    bin_bytes: list[int] = []
+    for path, pjson, size in sorted(entries, key=lambda e: -e[2]):
+        placed = False
+        for i, b in enumerate(bin_bytes):
+            if b + size <= _TARGET_BIN_BYTES:
+                bins[i].append((path, pjson))
+                bin_bytes[i] += size
+                placed = True
+                break
+        if not placed:
+            bins.append([(path, pjson)])
+            bin_bytes.append(size)
+    return [DeltaFilesPartition(files=tuple(b)) for b in bins]
+
+
 def _filter_to_dnf_clause(f):
     """Translate a pushable Filter to a (col, op, val) tuple, or None.
     Only top-level columns (no nested paths) participate in pruning."""
@@ -118,17 +153,23 @@ class DeltaPyReader(DataSourceReader):
             dnf = normalize_dnf(self._dnf_conj)
             adds = prune_by_stats(prune_partitions(adds, dnf), dnf)
         if not adds:
-            return [DeltaFilePartition(abs_path="", partition_json="{}")]
-        return [
-            DeltaFilePartition(
-                abs_path=f"{self._snap.path}/{a.path}",
-                partition_json=json.dumps(a.partition_values or {}),
-            )
-            for a in adds
-        ]
+            return [DeltaFilesPartition(files=())]
+        return _bin_pack_files(
+            [
+                (
+                    f"{self._snap.path}/{a.path}",
+                    json.dumps(a.partition_values or {}),
+                    int(a.size or 0),
+                )
+                for a in adds
+            ]
+        )
 
-    def read(self, partition: DeltaFilePartition) -> Iterator["pa.RecordBatch"]:
-        yield from _read_file_as_batches(self._schema, partition)
+    def read(self, partition: DeltaFilesPartition) -> Iterator["pa.RecordBatch"]:
+        for abs_path, pjson in partition.files:
+            yield from _read_file_as_batches(
+                self._schema, DeltaFilePartition(abs_path, pjson)
+            )
 
 
 def _read_file_as_batches(
