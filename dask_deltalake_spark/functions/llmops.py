@@ -1617,3 +1617,74 @@ def x27_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 16
+
+
+@query(
+    "x29_chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             LEN({_TOKENS_SQL}) AS n
+      FROM documents
+      WHERE LEN({_TOKENS_SQL}) > 0
+    ),
+    starts AS (
+      SELECT doc_id, lang, n,
+             UNNEST(GENERATE_SERIES(0, n - 1, {_CHUNK_TOKENS - _CHUNK_OVERLAP})) AS s
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id, lang, LEAST({_CHUNK_TOKENS}, n - s) AS chunk_len
+      FROM starts
+    )
+    SELECT lang,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(chunk_len) AS BIGINT) AS total_chunk_tokens,
+           MAX(chunk_len) AS max_chunk_len
+    FROM chunks GROUP BY lang ORDER BY lang
+    """,
+)
+def x29_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token chunks, 16-token
+    overlap) — the pre-tokenization step that turns long documents into
+    training sequences. One projection builds the chunk-start sequence
+    per doc and explodes it; chunk boundaries are arithmetic over the
+    token count, so no chunk text ever shuffles — at 100 TB the chunk
+    materialization (slice(toks, s+1, 64)) happens in the map stage of
+    whatever consumes it, and only the summary aggregate shuffles
+    here. The oracle replays identical boundaries with
+    GENERATE_SERIES."""
+    step = _CHUNK_TOKENS - _CHUNK_OVERLAP
+    d = _t(spark, sf_dir, "documents")
+    t = (
+        d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    starts = t.select(
+        "doc_id",
+        "lang",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(step))
+        ).alias("s"),
+    )
+    chunks = starts.withColumn(
+        "chunk_len",
+        F.least(F.lit(_CHUNK_TOKENS), F.col("n") - F.col("s")),
+    )
+    return (
+        chunks.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_len").cast("long").alias("total_chunk_tokens"),
+            F.max("chunk_len").alias("max_chunk_len"),
+        )
+        .orderBy("lang")
+    )

@@ -28,15 +28,21 @@ _ALL.update(_STREAMING)
 # back to the front (they last hash-matched two rounds ago, and the
 # NTZ-read change in tables.py since touched every query's input
 # path), plus the queries that are NEW or CHANGED this round:
-# d17/d18/d19 (new storage-options / create-metadata / CDC rows),
-# x18 (connected-components rework), s06 (oracle constants changed
-# with the one-commit setup — its r3 row no longer applies). x04/s04/
-# s05 changed only non-semantically and keep their r3 rows. Next
-# round: lead with whatever this round did not cover (d07-d16,
-# x-tier, s-tier remainder).
+# d17/d18/d19/x29 (new storage-options / create-metadata / CDC /
+# chunking rows), x18 (connected-components rework), s06 (oracle
+# constants changed with the one-commit setup — its r3 row no longer
+# applies). x04/s04/s05 changed only non-semantically and keep their
+# r3 rows; q06 yields its slot to never-verified x29 and leads r5.
+# Next round: lead with whatever this round did not cover (q06,
+# d07-d16, x-tier, s-tier remainder).
 _R4_FRONT = (
-    ["d17_storage_options", "d18_table_create_metadata", "d19_change_data_feed"]
-    + [n for n in _ALL if n[:3] in {f"q{i:02d}" for i in range(6, 45)}]
+    [
+        "d17_storage_options",
+        "d18_table_create_metadata",
+        "d19_change_data_feed",
+        "x29_chunk_documents",
+    ]
+    + [n for n in _ALL if n[:3] in {f"q{i:02d}" for i in range(7, 45)}]
     + [n for n in _ALL if n[:3] in {f"d{i:02d}" for i in range(1, 7)}]
     + ["x18_dedup_clusters", "s06_stream_delta_source"]
 )
