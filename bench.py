@@ -32,13 +32,20 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     # Queries that consume the shared n-gram inverted index
-    # (functions/llmops._jaccard_pairs). Between ADJACENT consumers the
-    # per-query cache clear is skipped so the index is built once and
-    # reused — the production topology (stage the index, run N
-    # downstream jobs). Everywhere else the session cache is dropped
-    # after every query so 90+ queries don't accumulate heap pressure.
+    # (functions/llmops._jaccard_pairs). While any consumer is still
+    # ahead in the run, the per-query cache clear is skipped so the
+    # index is built once and reused — the production topology (stage
+    # the index, run N downstream jobs). Once the last consumer has
+    # run, the session cache is dropped after every query again so 90+
+    # queries don't accumulate heap pressure (the index is the only
+    # cross-query persisted state; everything else persists within a
+    # single query and is released by its own clear).
     jaccard_consumers = {"x04_ngram_jaccard_pairs", "x18_dedup_clusters"}
     names = list(REGISTRY)
+    last_consumer = max(
+        (i for i, n in enumerate(names) if n in jaccard_consumers),
+        default=-1,
+    )
     timings: dict[str, float] = {}
     for i, name in enumerate(names):
         fn, _oracle = REGISTRY[name]
@@ -50,11 +57,7 @@ def main() -> None:
         except Exception as e:  # keep the bench line parseable on failure
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
-        if (
-            name in jaccard_consumers
-            and i + 1 < len(names)
-            and names[i + 1] in jaccard_consumers
-        ):
+        if i < last_consumer:
             continue
         # clear_jaccard_cache() FIRST: a blanket clearCache() unpersists
         # the shared inverted-index frames behind the cache dict's back,

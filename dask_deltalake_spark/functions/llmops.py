@@ -1342,6 +1342,14 @@ def x18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     entry["x18"].append(edges)
+    # Materialize the edge list — and, through its lineage, the whole
+    # inverted index if no prior consumer built it — BEFORE the loop
+    # narrows spark.sql.shuffle.partitions: the index build is the
+    # corpus-sized stage and must run at full session parallelism; only
+    # the small per-iteration label shuffles belong at the bounded
+    # count (measured: building through the narrowed conf cost 48 s vs
+    # ~12 s at sf0.1).
+    edges.count()
     # every node starts labeled with itself
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")
