@@ -31,6 +31,20 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    # Untimed warmup: JVM classloading, codegen compiler, parquet
+    # reader, and noop-sink init otherwise land entirely on whichever
+    # query happens to be first (~5-7 s of constant that moves around
+    # as the registry rotates between rounds, polluting cross-round
+    # comparisons).
+    try:
+        from dask_deltalake_spark.tables import load_table
+
+        load_table(spark, SF_DIR, "region").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
+
     # Queries that consume the shared n-gram inverted index
     # (functions/llmops._jaccard_pairs). While any consumer is still
     # ahead in the run, the per-query cache clear is skipped so the
