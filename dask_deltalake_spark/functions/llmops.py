@@ -1696,3 +1696,90 @@ def x29_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_DUP_WIN = 16
+_DUP_STRIDE = 8
+
+
+@query(
+    "x30_window_dedup",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKENS_SQL} AS toks
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, lang, LEN(toks) AS n, toks
+      FROM t WHERE LEN(toks) >= {_DUP_WIN}
+    ),
+    s AS (
+      SELECT doc_id, lang, toks,
+             UNNEST(GENERATE_SERIES(1, n - {_DUP_WIN - 1}, {_DUP_STRIDE})) AS st
+      FROM sized
+    ),
+    w AS (
+      SELECT doc_id, lang,
+             ARRAY_TO_STRING(LIST_SLICE(toks, st, st + {_DUP_WIN - 1}), ' ') AS win
+      FROM s
+    ),
+    g AS (
+      SELECT lang, win, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS nd
+      FROM w GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(SUM(occ) AS BIGINT) AS n_windows,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS BIGINT)
+             AS n_cross_doc_dup,
+           CAST(MAX(occ) AS BIGINT) AS max_occurrences
+    FROM g GROUP BY lang ORDER BY lang
+    """,
+)
+def x30_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection (the exact-substring
+    dedup family): slide 16-token windows at stride 8 over every doc,
+    group identical windows, and report per language how much of the
+    window stream is boilerplate shared across documents. One explode
+    + one groupBy shuffle. Windows shuffle as strings here so the
+    DuckDB oracle can replay them verbatim; the production variant
+    hashes each window to int64 at the source exactly like the x04
+    shingle index (llmops.py `_jaccard_pairs`), making the shuffle
+    fixed-width — the counts are identical modulo 2^-65 collisions."""
+    d = _t(spark, sf_dir, "documents")
+    t = (
+        d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= _DUP_WIN)
+    )
+    s = t.select(
+        "doc_id",
+        "lang",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.col("n") - (_DUP_WIN - 1), F.lit(_DUP_STRIDE)
+            )
+        ).alias("st"),
+    )
+    w = s.select(
+        "doc_id",
+        "lang",
+        F.concat_ws(" ", F.slice("toks", F.col("st"), _DUP_WIN)).alias("win"),
+    )
+    g = w.groupBy("lang", "win").agg(
+        F.count("*").alias("occ"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    return (
+        g.groupBy("lang")
+        .agg(
+            F.sum("occ").cast("long").alias("n_windows"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("occ")).otherwise(0))
+            .cast("long")
+            .alias("n_cross_doc_dup"),
+            F.max("occ").cast("long").alias("max_occurrences"),
+        )
+        .orderBy("lang")
+    )
