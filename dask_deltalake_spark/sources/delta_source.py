@@ -230,27 +230,29 @@ class DeltaPyStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         from urllib.parse import unquote
 
-        parts = []
+        entries = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             for action in self._log.read_commit_actions(v):
                 add = action.get("add")
                 if add and add.get("dataChange", True):
-                    parts.append(
-                        DeltaFilePartition(
-                            abs_path=(
-                                f"{self._table_path}/{unquote(add['path'])}"
-                            ),
-                            partition_json=json.dumps(
-                                add.get("partitionValues") or {}
-                            ),
+                    entries.append(
+                        (
+                            f"{self._table_path}/{unquote(add['path'])}",
+                            json.dumps(add.get("partitionValues") or {}),
+                            int(add.get("size") or 0),
                         )
                     )
-        if not parts:
-            parts = [DeltaFilePartition(abs_path="", partition_json="{}")]
-        return parts
+        if not entries:
+            return [DeltaFilesPartition(files=())]
+        # same small-file coalescing as the batch reader: a micro-batch
+        # spanning many small commits must not become a task per file
+        return _bin_pack_files(entries)
 
-    def read(self, partition: DeltaFilePartition):
-        yield from _read_file_as_batches(self._schema, partition)
+    def read(self, partition: DeltaFilesPartition):
+        for abs_path, pjson in partition.files:
+            yield from _read_file_as_batches(
+                self._schema, DeltaFilePartition(abs_path, pjson)
+            )
 
     def commit(self, end: dict) -> None:
         pass
