@@ -63,7 +63,10 @@ def read_delta_changes(
             f"ending_version {end} beyond latest version {latest}"
         )
 
+    from dask_deltalake_spark.delta.protocol import check_read_protocol
+
     snap = log.snapshot(version=end)
+    check_read_protocol(snap.protocol)
     schema = snapshot_schema(snap)
     # a NEW StructType — StructType.add mutates in place, and `schema`
     # must stay the pure table schema for the file reads below

@@ -29,6 +29,24 @@ class DeltaProtocolError(Exception):
     reference writer.py:254-259)."""
 
 
+def check_read_protocol(protocol) -> None:
+    """Refuse to scan tables whose reader protocol exceeds what this
+    engine implements. Reader version 2+ means features like column
+    mapping or deletion vectors change how data files must be
+    interpreted — ignoring them does not degrade, it returns WRONG
+    rows (e.g. DV-deleted rows resurface). Failing loudly here is the
+    only correct behavior; delta-rs and delta-spark gate identically.
+    """
+    if protocol.min_reader_version > MAX_SUPPORTED_READER_VERSION:
+        raise DeltaProtocolError(
+            f"This table's minReaderVersion is "
+            f"{protocol.min_reader_version}, but this engine supports "
+            f"only <= {MAX_SUPPORTED_READER_VERSION}. Reading it would "
+            "misinterpret data files (column mapping / deletion "
+            "vectors), so the scan is refused."
+        )
+
+
 class ConcurrentCommitError(Exception):
     """Another writer committed the same version first (optimistic
     concurrency conflict — the reference has no conflict detection at

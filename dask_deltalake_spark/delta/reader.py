@@ -25,6 +25,7 @@ from pyspark.sql.types import StructType
 
 from dask_deltalake_spark.delta.log import DeltaLog, Snapshot
 from dask_deltalake_spark.delta.protocol import (
+    check_read_protocol,
     normalize_dnf,
     prune_by_stats,
     prune_partitions,
@@ -121,6 +122,7 @@ def read_delta(
         apply_storage_options(spark, storage_options)
 
     snap = DeltaLog(path).snapshot(version=version, datetime_string=datetime)
+    check_read_protocol(snap.protocol)
     schema = snapshot_schema(snap)
     dnf = normalize_dnf(filter)
 

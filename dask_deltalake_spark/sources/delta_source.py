@@ -121,6 +121,7 @@ def _filter_to_dnf_clause(f):
 class DeltaPyReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         from dask_deltalake_spark.delta.log import DeltaLog
+        from dask_deltalake_spark.delta.protocol import check_read_protocol
 
         self._schema = schema
         path = options.get("path")
@@ -130,6 +131,7 @@ class DeltaPyReader(DataSourceReader):
         self._snap = DeltaLog(path).snapshot(
             version=int(version) if version is not None else None
         )
+        check_read_protocol(self._snap.protocol)
         self._dnf_conj: list[tuple] = []
 
     def pushFilters(self, filters):
@@ -213,6 +215,7 @@ class DeltaPyStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema: StructType, options):
         from dask_deltalake_spark.delta.log import DeltaLog
+        from dask_deltalake_spark.delta.protocol import check_read_protocol
 
         self._schema = schema
         path = options.get("path")
@@ -220,6 +223,7 @@ class DeltaPyStreamReader(DataSourceStreamReader):
             raise ValueError("delta_py requires .option('path', ...)")
         self._log = DeltaLog(path)
         self._table_path = self._log.table_path
+        check_read_protocol(self._log.snapshot().protocol)
 
     def initialOffset(self) -> dict:
         return {"version": -1}

@@ -113,3 +113,36 @@ def test_unknown_kwargs_warn_not_silent(spark, simple_table):
             simple_table, arrow_options={"batch_size": 1}, spark=spark
         )
     assert df.count() == 200
+
+
+def test_unsupported_reader_protocol_refused(spark, tmp_path):
+    """A table whose minReaderVersion exceeds what this engine
+    implements (column mapping / deletion vectors change how data
+    files are interpreted) must be REFUSED, not silently misread —
+    ignoring a deletion vector would resurface deleted rows."""
+    import json
+    import os
+
+    import pytest
+
+    from dask_deltalake_spark.delta.cdc import read_delta_changes
+    from dask_deltalake_spark.delta.protocol import DeltaProtocolError
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    path = str(tmp_path / "dv_table")
+    to_delta(spark.range(0, 10), path)
+    # upgrade the protocol the way delta-spark would (new commit)
+    log_dir = os.path.join(path, "_delta_log")
+    with open(os.path.join(log_dir, "00000000000000000001.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}
+            )
+            + "\n"
+        )
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
+        read_delta(path, spark=spark)
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
+        read_delta_changes(path, starting_version=0, spark=spark)
+    # version 0 predates the upgrade and stays readable
+    assert read_delta(path, version=0, spark=spark).count() == 10
