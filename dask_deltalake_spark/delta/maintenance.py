@@ -28,6 +28,7 @@ from dask_deltalake_spark.delta.protocol import (
     LOG_DIR,
     AddAction,
     RemoveAction,
+    check_read_protocol,
     now_ms,
 )
 from dask_deltalake_spark.delta.writer import write_commit
@@ -339,6 +340,9 @@ def optimize(
     table_path = str(path).rstrip("/")
     log = DeltaLog(table_path)
     snap = log.snapshot()
+    # compaction READS data files; vacuum/restore stay ungated (pure
+    # metadata + file deletion — no data interpretation)
+    check_read_protocol(snap.protocol)
     partition_by = snap.metadata.partition_columns
 
     old_paths = list(snap.files)

@@ -34,6 +34,7 @@ from dask_deltalake_spark.delta.log import DeltaLog
 from dask_deltalake_spark.delta.protocol import (
     AddAction,
     RemoveAction,
+    check_read_protocol,
     normalize_dnf,
     now_ms,
     prune_by_stats,
@@ -138,6 +139,7 @@ def merge_into(
         keys = [keys]
     log = DeltaLog(table_path)
     snap = log.snapshot()
+    check_read_protocol(snap.protocol)  # copy-on-write READS files
     schema = snapshot_schema(snap)
     if set(source.columns) != set(schema.fieldNames()):
         raise ValueError(
@@ -215,6 +217,7 @@ def delete_where(
     table_path = str(path).rstrip("/")
     log = DeltaLog(table_path)
     snap = log.snapshot()
+    check_read_protocol(snap.protocol)  # copy-on-write READS files
     schema = snapshot_schema(snap)
     dnf = normalize_dnf(filter)
 
@@ -257,6 +260,7 @@ def update_where(
     table_path = str(path).rstrip("/")
     log = DeltaLog(table_path)
     snap = log.snapshot()
+    check_read_protocol(snap.protocol)  # copy-on-write READS files
     schema = snapshot_schema(snap)
     bad = [c for c in set if c not in schema.fieldNames()]
     if bad:
