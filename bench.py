@@ -55,7 +55,22 @@ def main() -> None:
     # cross-query persisted state; everything else persists within a
     # single query and is released by its own clear).
     jaccard_consumers = {"x04_ngram_jaccard_pairs", "x18_dedup_clusters"}
-    names = list(REGISTRY)
+    # Timing order is CANONICAL and rotation-independent: sorted query
+    # names. The registry's rotation order exists only to control which
+    # queries the driver's correctness gate hash-checks first; letting
+    # it also set bench order made cross-round per-query comparisons
+    # position-confounded (r4 saw 2-5x "regressions" in untouched code
+    # that ran right after the heavyweight x18+s06 cluster). One
+    # deliberate exception: x04 is relocated to sit immediately before
+    # x18 so the shared n-gram inverted index is built once, consumed
+    # by both back-to-back, and released — shrinking the no-clear
+    # window below from ~15 queries (sorted distance x04..x18) to 2.
+    names = sorted(REGISTRY)
+    if "x04_ngram_jaccard_pairs" in REGISTRY and "x18_dedup_clusters" in REGISTRY:
+        names.remove("x04_ngram_jaccard_pairs")
+        names.insert(
+            names.index("x18_dedup_clusters"), "x04_ngram_jaccard_pairs"
+        )
     last_consumer = max(
         (i for i, n in enumerate(names) if n in jaccard_consumers),
         default=-1,

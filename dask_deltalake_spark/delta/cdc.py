@@ -1,4 +1,4 @@
-"""Incremental change reads between table versions (file-level CDC).
+"""Incremental change reads between table versions (CDC).
 
 The reference has no change-feed surface; this mirrors delta-spark's
 ``readChangeFeed`` / ``startingVersion`` read option re-expressed over
@@ -8,17 +8,30 @@ action-by-action, files ADDED in a commit surface their rows as
 ``_change_type='insert'`` and files REMOVED surface theirs as
 ``_change_type='delete'``, each stamped with ``_commit_version``.
 
-Granularity note (the standard trade of file-level CDC): a
-copy-on-write UPDATE/MERGE rewrite appears as a whole-file delete plus
-a whole-file insert rather than per-row update images. Appends and
+Row-level mode (``key_columns=[...]``): for commits that both remove
+and add files — the copy-on-write rewrite shape of UPDATE / MERGE /
+row-level DELETE — the removed rows are full-outer-joined to the
+added rows on the table key and classified per row, delta-spark CDF
+semantics: value-changed keys emit ``update_preimage`` +
+``update_postimage``, keys only on the removed side emit ``delete``,
+keys only on the added side emit ``insert``, and rows merely COPIED
+by the rewrite (same key, same values) emit nothing. Append-only and
+remove-only commits keep the cheap file-level path — no join.
+
+Without ``key_columns`` (the standard trade of file-level CDC), a
+copy-on-write rewrite appears as a whole-file delete plus a
+whole-file insert rather than per-row update images. Appends and
 partition-aligned deletes — the dominant incremental-ETL commits —
-produce exact row-level change sets. ``dataChange=false`` commits
-(OPTIMIZE/ZORDER) are invisible, as they must be.
+produce exact row-level change sets either way. ``dataChange=false``
+commits (OPTIMIZE/ZORDER) are invisible, as they must be.
 
 Scale: planning is O(#actions in the version range) driver-side
 metadata; the data read is one pruned parquet scan per
 (version, change-type) group, unioned — at 100 TB an incremental
-consumer reads a handful of commits, never the table.
+consumer reads a handful of commits, never the table. The row-level
+join shuffles only the files REWRITTEN by one commit (a small slice
+of the table under COW), keyed on the join key Catalyst can plan
+normally — never a corpus-wide shuffle.
 """
 
 from __future__ import annotations
@@ -36,20 +49,103 @@ CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
 
 
+def _row_level_changes(
+    spark: SparkSession,
+    schema: StructType,
+    key_columns: list,
+    removed_files: list,
+    added_files: list,
+    base_path: str,
+    version: int,
+) -> DataFrame:
+    """Synthesize per-row change images for ONE copy-on-write rewrite
+    commit: full-outer join removed rows to added rows on the table
+    key (null-safe), classify each key, and explode into delta-spark
+    CDF change rows. One join whose inputs are only the files this
+    commit touched; unchanged (copied) rows are dropped here rather
+    than surfacing as a spurious delete+insert."""
+    from functools import reduce
+
+    cols = schema.fieldNames()
+    nonkey = [c for c in cols if c not in key_columns]
+
+    def side(files: list, prefix: str, flag: str) -> DataFrame:
+        df = (
+            spark.read.schema(schema)
+            .option("basePath", base_path)
+            .parquet(*files)
+        )
+        return df.select(
+            *[F.col(c).alias(f"{prefix}{c}") for c in cols],
+            F.lit(True).alias(flag),
+        )
+
+    r = side(removed_files, "_r_", "_r")
+    a = side(added_files, "_a_", "_a")
+    key_eq = reduce(
+        lambda x, y: x & y,
+        [F.col(f"_r_{k}").eqNullSafe(F.col(f"_a_{k}")) for k in key_columns],
+    )
+    j = r.join(a, key_eq, "full_outer")
+    value_changed = (
+        reduce(
+            lambda x, y: x | y,
+            [~F.col(f"_r_{c}").eqNullSafe(F.col(f"_a_{c}")) for c in nonkey],
+        )
+        if nonkey
+        else F.lit(False)
+    )
+
+    def image(prefix: str, change_type: str):
+        return F.struct(
+            *[F.col(f"{prefix}{c}").alias(c) for c in cols],
+            F.lit(change_type).alias(CHANGE_TYPE_COL),
+        )
+
+    changes = (
+        F.when(
+            F.col("_r").isNotNull() & F.col("_a").isNotNull(),
+            F.when(
+                value_changed,
+                F.array(
+                    image("_r_", "update_preimage"),
+                    image("_a_", "update_postimage"),
+                ),
+            ),
+            # copied-unchanged rows: no otherwise() -> NULL array, and
+            # explode(NULL) emits zero rows — exactly the CDF contract
+        )
+        .when(F.col("_r").isNotNull(), F.array(image("_r_", "delete")))
+        .otherwise(F.array(image("_a_", "insert")))
+    )
+    return (
+        j.select(F.explode(changes).alias("_ch"))
+        .select(
+            *[F.col(f"_ch.{c}").alias(c) for c in cols],
+            F.col(f"_ch.{CHANGE_TYPE_COL}").alias(CHANGE_TYPE_COL),
+        )
+        .withColumn(COMMIT_VERSION_COL, F.lit(version).cast("long"))
+    )
+
+
 def read_delta_changes(
     path: str,
     starting_version: int = 0,
     ending_version: Optional[int] = None,
     spark: Optional[SparkSession] = None,
+    key_columns: Optional[list] = None,
 ) -> DataFrame:
     """Rows changed in commits ``(starting_version, ending_version]``.
 
     Returns the table columns (schema of ``ending_version``) plus
-    ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
-    ``starting_version`` is EXCLUSIVE — "give me everything since the
-    version I already consumed", the resume contract a streaming/
-    incremental consumer wants (matches the delta_py stream reader's
-    offset semantics, sources/delta_source.py).
+    ``_change_type`` and ``_commit_version``. Without ``key_columns``
+    change types are 'insert' | 'delete' (file-level); with
+    ``key_columns`` rewrite commits additionally emit
+    'update_preimage' | 'update_postimage' per actually-changed row
+    (see module docstring). ``starting_version`` is EXCLUSIVE — "give
+    me everything since the version I already consumed", the resume
+    contract a streaming/incremental consumer wants (matches the
+    delta_py stream reader's offset semantics, sources/delta_source.py).
     """
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
@@ -78,6 +174,11 @@ def read_delta_changes(
         ]
     )
 
+    if key_columns:
+        bad = [k for k in key_columns if k not in schema.fieldNames()]
+        if bad:
+            raise ValueError(f"key_columns not in table schema: {bad}")
+
     from urllib.parse import unquote
 
     frames: list[DataFrame] = []
@@ -91,6 +192,18 @@ def read_delta_changes(
             rem = action.get("remove")
             if rem is not None and rem.get("dataChange", True):
                 deletes.append(f"{log.table_path}/{unquote(rem['path'])}")
+        if key_columns and inserts and deletes:
+            # both sides present = a copy-on-write rewrite commit
+            # (UPDATE / MERGE / row-level DELETE): synthesize per-row
+            # images. Append-only / remove-only commits fall through to
+            # the file-level path, which is already row-exact for them.
+            frames.append(
+                _row_level_changes(
+                    spark, schema, list(key_columns), deletes, inserts,
+                    log.table_path, v,
+                )
+            )
+            continue
         for change_type, files in (("insert", inserts), ("delete", deletes)):
             if not files:
                 continue

@@ -1374,16 +1374,19 @@ def x18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    if prev_cached is not None:
+        # the converged label frame backs the returned aggregate — it
+        # must stay persisted until clear_jaccard_cache(), or the final
+        # groupBy would recompute the whole iteration chain. Register
+        # BEFORE the convergence check: on the raise path an
+        # unregistered frame would stay persisted forever (nothing else
+        # holds a handle to unpersist it).
+        entry["x18"].append(prev_cached)
     if not converged:
         raise RuntimeError(
             f"x18 label propagation did not converge in {_MAX_ITERS} "
             "iterations — graph diameter pathologically large"
         )
-    if prev_cached is not None:
-        # the converged label frame backs the returned aggregate — it
-        # must stay persisted until clear_jaccard_cache(), or the final
-        # groupBy would recompute the whole iteration chain
-        entry["x18"].append(prev_cached)
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(
@@ -1746,7 +1749,13 @@ def x30_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes each window to int64 at the source exactly like the x04
     shingle index (llmops.py `_jaccard_pairs`), making the shuffle
     fixed-width — the counts are identical modulo 2^-65 collisions."""
-    d = _t(spark, sf_dir, "documents")
+    return window_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+def window_dedup_stats(d: DataFrame) -> DataFrame:
+    """Core of x30 over any (doc_id, lang, text) frame — split out so
+    the pytest invariant (tests/test_llmops.py) can drive it with
+    hand-constructed documents whose exact window counts are known."""
     t = (
         d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
         .withColumn("n", F.size("toks"))

@@ -23,31 +23,38 @@ _ALL.update(_STREAMING)
 # checks the FIRST 50 registry entries per round, so the front of the
 # registry rotates each round to keep every query hash-verified within
 # two rounds. History: r1+r2 verified q01-q44 + d01-d06; r3 led with
-# the rest (d07-d16, x01-x28, s01-s07 + q01-q05) -> union = all
-# queries green across r2+r3. Round 4 rotates the r2-verified tier
-# back to the front (they last hash-matched two rounds ago, and the
-# NTZ-read change in tables.py since touched every query's input
-# path), plus the queries that are NEW or CHANGED this round:
-# d17/d18/d19/x29 (new storage-options / create-metadata / CDC /
-# chunking rows), x18 (connected-components rework), s06 (oracle
-# constants changed with the one-commit setup — its r3 row no longer
-# applies). x04/s04/s05 changed only non-semantically and keep their
-# r3 rows; q06 yields its slot to never-verified x29 and leads r5.
-# Next round: lead with whatever this round did not cover (q06,
-# d07-d16, x-tier, s-tier remainder).
-_R4_FRONT = (
-    [
-        "d17_storage_options",
-        "d18_table_create_metadata",
-        "d19_change_data_feed",
-        "x29_chunk_documents",
+# d07-d16, x01-x28, s01-s07 + q01-q05; r4 led with d17/d18/d19/x29
+# (new) + q07-q44 + d01-d06 + x18 + s06 (changed) — x30 was added in
+# r4 outside that round's window, so it has never had a driver row.
+# Round 5 fronts the EXACT COMPLEMENT of r4's window: q01-q06 (q06 is
+# the stalest, last hash-matched r2), d07-d16, x01-x04, x07-x17,
+# x19-x28, x30 (first-ever row), s01-s05, s07 — plus the two queries
+# that are new or changed this round: d20 (row-level CDC, new) and
+# s06 (drain trimmed, oracle constants unchanged but the path is
+# re-verified). That is 52 candidates for 50 slots; x05 and x06 yield
+# their slots to d20/s06 because their driver rows are rows-only by
+# design (both are pytest-bounded — recall floor / Hamming-Jaccard
+# bound), so deferring them to r6's front loses no hash information.
+# Next round (r6): lead with x05, x06 + the r4 tier (d17-d19, x29,
+# q07-q44, d01-d06, x18).
+_R5_FRONT = (
+    [n for n in _ALL if n[:3] in {f"q{i:02d}" for i in range(1, 7)}]
+    + [n for n in _ALL if n[:3] in {f"d{i:02d}" for i in range(7, 17)}]
+    + ["d20_cdc_row_level"]
+    + [
+        n
+        for n in _ALL
+        if n[:3]
+        in {f"x{i:02d}" for i in (*range(1, 5), *range(7, 18), *range(19, 29))}
     ]
-    + [n for n in _ALL if n[:3] in {f"q{i:02d}" for i in range(7, 45)}]
-    + [n for n in _ALL if n[:3] in {f"d{i:02d}" for i in range(1, 7)}]
-    + ["x18_dedup_clusters", "s06_stream_delta_source"]
+    + ["x30_window_dedup"]
+    + [n for n in _ALL if n[:3] in {f"s{i:02d}" for i in range(1, 6)}]
+    + ["s06_stream_delta_source", "s07_stream_stream_join"]
+    # positions 51-52: first up in r6
+    + ["x05_minhash_lsh", "x06_simhash"]
 )
-_R4_FRONT = [n for n in _R4_FRONT if n in _ALL]
-_POS = {n: i for i, n in enumerate(_R4_FRONT)}
+_R5_FRONT = [n for n in _R5_FRONT if n in _ALL]
+_POS = {n: i for i, n in enumerate(_R5_FRONT)}
 
 
 def _key(name: str):

@@ -743,3 +743,75 @@ def d19_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "d20_cdc_row_level",
+    """
+    WITH chg AS (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT * FROM (
+      SELECT 'update_preimage' AS change_type,
+             CAST(1 AS BIGINT) AS commit_version,
+             COUNT(*) AS n,
+             CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+      FROM chg
+      UNION ALL
+      SELECT 'update_postimage',
+             CAST(1 AS BIGINT),
+             COUNT(*),
+             CAST(SUM(c_custkey) AS BIGINT),
+             CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                  + 10000 * COUNT(*) AS BIGINT)
+      FROM chg
+    ) ORDER BY change_type
+    """,
+)
+def d20_cdc_row_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC for copy-on-write rewrites (delta/cdc.py
+    ``key_columns=`` mode — delta-spark CDF semantics the file-level
+    d19 path can't express). v0 = full customer table; v1 = a keyed
+    UPDATE (+100.00 acctbal for the BUILDING segment), which under COW
+    rewrites every touched file, COPYING all non-BUILDING rows.
+    ``read_delta_changes(key_columns=['c_custkey'])`` full-outer-joins
+    the removed rows to the added rows per commit and must emit
+    EXACTLY one update_preimage + one update_postimage per BUILDING
+    customer — copied rows suppressed, zero insert/delete rows (any
+    leakage changes n/key_sum and fails the hash). Money is compared
+    in integer cents so the double arithmetic is order-independent."""
+    import shutil
+
+    from dask_deltalake_spark.delta.cdc import read_delta_changes
+    from dask_deltalake_spark.delta.mutate import update_where
+
+    path = _tmp_table(sf_dir, "customer_cdc_row")
+    shutil.rmtree(path, ignore_errors=True)
+    c = load_table(spark, sf_dir, "customer")
+    to_delta(c, path)
+    update_where(
+        path,
+        [("c_mktsegment", "==", "BUILDING")],
+        {"c_acctbal": F.col("c_acctbal") + 100.0},
+        spark=spark,
+    )
+    ch = read_delta_changes(
+        path, starting_version=0, spark=spark, key_columns=["c_custkey"]
+    )
+    return (
+        ch.groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c_custkey").alias("key_sum"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "bal_cents"
+            ),
+        )
+        .orderBy("change_type")
+    )

@@ -71,21 +71,34 @@ _TARGET_BIN_BYTES = 128 * 1024 * 1024
 
 def _bin_pack_files(entries: list[tuple[str, str, int]]) -> list:
     """(abs_path, partition_json, size) → DeltaFilesPartition bins of
-    ~_TARGET_BIN_BYTES (first-fit over size-sorted files; any
-    single file larger than the target gets its own bin)."""
+    ~_TARGET_BIN_BYTES (first-fit-decreasing; any single file larger
+    than the target gets its own bin). Only OPEN bins — residual >=
+    the smallest remaining file — are scan candidates; a bin that can
+    never fit anything again is dropped from the candidate list. On
+    the normal large-table shape (most files at or above the target)
+    every bin closes immediately and planning is O(n), not O(n²) —
+    at the 100k+-file scale this module targets, the quadratic scan
+    would cost minutes of driver time."""
+    ordered = sorted(entries, key=lambda e: -e[2])
+    min_size = ordered[-1][2] if ordered else 0
     bins: list[list] = []
     bin_bytes: list[int] = []
-    for path, pjson, size in sorted(entries, key=lambda e: -e[2]):
+    open_bins: list[int] = []  # indices of bins with residual >= min_size
+    for path, pjson, size in ordered:
         placed = False
-        for i, b in enumerate(bin_bytes):
-            if b + size <= _TARGET_BIN_BYTES:
+        for j, i in enumerate(open_bins):
+            if bin_bytes[i] + size <= _TARGET_BIN_BYTES:
                 bins[i].append((path, pjson))
                 bin_bytes[i] += size
+                if _TARGET_BIN_BYTES - bin_bytes[i] < min_size:
+                    open_bins.pop(j)
                 placed = True
                 break
         if not placed:
             bins.append([(path, pjson)])
             bin_bytes.append(size)
+            if _TARGET_BIN_BYTES - size >= min_size:
+                open_bins.append(len(bins) - 1)
     return [DeltaFilesPartition(files=tuple(b)) for b in bins]
 
 
@@ -234,9 +247,33 @@ class DeltaPyStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         from urllib.parse import unquote
 
+        from dask_deltalake_spark.delta.protocol import (
+            Protocol,
+            check_read_protocol,
+        )
+
         entries = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             for action in self._log.read_commit_actions(v):
+                # A protocol-upgrade commit arriving mid-stream (e.g.
+                # minReaderVersion 3 for deletion vectors / column
+                # mapping) changes how every LATER add file must be
+                # interpreted; the init-time gate can't see it, so
+                # re-check here before planning this batch — otherwise
+                # the batch silently emits wrong rows, the exact
+                # failure check_read_protocol exists to prevent.
+                proto = action.get("protocol")
+                if proto is not None:
+                    check_read_protocol(
+                        Protocol(
+                            min_reader_version=int(
+                                proto.get("minReaderVersion", 1)
+                            ),
+                            min_writer_version=int(
+                                proto.get("minWriterVersion", 1)
+                            ),
+                        )
+                    )
                 add = action.get("add")
                 if add and add.get("dataChange", True):
                     entries.append(

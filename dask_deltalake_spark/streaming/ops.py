@@ -77,8 +77,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # only correct under a UTC session tz — the implicit NTZ->
         # timestamp cast inside to_utc_timestamp interprets the naive
         # value in spark.sql.session.timeZone — so pin it first, exactly
-        # as tables.load_table does.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # as tables.load_table does (guarded: this fallback exists for
+        # restricted sessions where conf.set itself may fail).
+        from dask_deltalake_spark.tables import _pin_utc_or_raise
+
+        _pin_utc_or_raise(spark)
         stream = stream.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     return stream
 

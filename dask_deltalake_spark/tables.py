@@ -34,6 +34,32 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _pin_utc_or_raise(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC for the NTZ fallback path. This
+    path exists precisely for sessions where ``spark.conf.set`` fails,
+    so the set itself must be guarded: on failure, accept a session
+    already at UTC, otherwise fail loudly on the REAL problem (a
+    non-UTC restricted session would silently shift every NTZ value by
+    the tz offset)."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return
+    except Exception:
+        pass
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    if tz != "UTC":
+        raise RuntimeError(
+            "timestamp columns were read as TIMESTAMP_NTZ and the "
+            "session timezone could not be pinned to UTC (conf is "
+            f"restricted; current timeZone={tz!r}). The NTZ->timestamp "
+            "conversion is only correct under UTC — start the session "
+            "with spark.sql.session.timeZone=UTC."
+        )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table.
 
@@ -69,7 +95,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # every micros by the tz offset). Pin the session tz to UTC first so
     # the cast is the identity and the DuckDB oracle agrees.
     if any(isinstance(f.dataType, TimestampNTZType) for f in df.schema.fields):
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _pin_utc_or_raise(spark)
         for field in df.schema.fields:
             if isinstance(field.dataType, TimestampNTZType):
                 df = df.withColumn(

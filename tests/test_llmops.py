@@ -249,3 +249,55 @@ def test_jaccard_cache_persist_discipline(spark):
     assert all(_is_persisted(f) for f in entry["persisted"])
     assert out.count() >= 1
     clear_jaccard_cache()
+
+
+def test_x30_window_dedup_exact_counts(spark):
+    """x30 invariant (its driver row lands in r5; this bounds it with
+    exact hand-computed counts regardless): 16-token windows at stride
+    8. 'en' — doc A (24 toks: w01..w24) yields windows [1..16] and
+    [9..24]; doc B is exactly A's first 16 tokens, so its single
+    window equals A's first -> that window has occ=2 across 2 docs
+    and contributes 2 to n_cross_doc_dup; doc C is 16 unique tokens
+    (negative: shares nothing). 'de' — one doc whose two windows are
+    identical (intra-doc repeat): max_occurrences=2 but
+    n_cross_doc_dup MUST stay 0 (same-doc repeats are not cross-doc).
+    'fr' — two disjoint docs: everything distinct, zero dups."""
+    from dask_deltalake_spark.functions.llmops import window_dedup_stats
+
+    a = " ".join(f"w{i:02d}" for i in range(1, 25))        # 24 tokens
+    b = " ".join(f"w{i:02d}" for i in range(1, 17))        # = A[1..16]
+    c = " ".join(f"c{i:02d}" for i in range(16))           # unique
+    de = " ".join(f"p{i}" for i in range(8)) + " "         # p0..p7 x3:
+    de = de + de.strip() + " " + " ".join(f"p{i}" for i in range(8))
+    fr1 = " ".join(f"f{i:02d}" for i in range(16))
+    fr2 = " ".join(f"g{i:02d}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, "en", a),
+            (2, "en", b),
+            (3, "en", c),
+            (4, "de", de),
+            (5, "fr", fr1),
+            (6, "fr", fr2),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["lang"]: r for r in window_dedup_stats(docs).collect()}
+
+    en = rows["en"]
+    assert en["n_windows"] == 4          # 2 (A) + 1 (B) + 1 (C)
+    assert en["n_distinct"] == 3         # A1==B1, A2, C1
+    assert en["n_cross_doc_dup"] == 2    # both occurrences of A1==B1
+    assert en["max_occurrences"] == 2
+
+    de_r = rows["de"]
+    assert de_r["n_windows"] == 2        # 24 toks -> starts 1, 9
+    assert de_r["n_distinct"] == 1       # periodic: both windows equal
+    assert de_r["n_cross_doc_dup"] == 0  # intra-doc repeat is NOT cross-doc
+    assert de_r["max_occurrences"] == 2
+
+    fr = rows["fr"]
+    assert fr["n_windows"] == 2
+    assert fr["n_distinct"] == 2
+    assert fr["n_cross_doc_dup"] == 0
+    assert fr["max_occurrences"] == 1
