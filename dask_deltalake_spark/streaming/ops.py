@@ -337,7 +337,9 @@ def s06_stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by drain1 seeing v0 and drain2 (checkpoint-resumed) seeing ONLY
     # the commit appended in between; a second setup commit just added
     # fixed bench cost (r3 ADVICE: trim the demo's constant factor)
-    r = load_table(spark, sf_dir, "region").repartition(1)
+    # coalesce, not repartition: same one-file commit without paying a
+    # shuffle stage in a query whose cost is pure fixed overhead
+    r = load_table(spark, sf_dir, "region").coalesce(1)
     to_delta(r, tbl)
 
     def drain():

@@ -67,3 +67,68 @@ def test_bad_ending_version_raises(spark, tmp_path):
     to_delta(_df(spark, 0, 10), path)
     with pytest.raises(ValueError, match="beyond latest"):
         read_delta_changes(path, starting_version=0, ending_version=5, spark=spark)
+
+
+def test_row_level_update_images(spark, tmp_path):
+    """key_columns= mode: a COW UPDATE must emit exactly one
+    update_preimage + one update_postimage per actually-changed row,
+    suppress copied rows, and leave append commits on the file-level
+    path."""
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 100), path)                       # v0
+    from dask_deltalake_spark.delta.mutate import update_where
+
+    update_where(
+        path, [("part", "==", 1)], {"val": F.col("val") + 1}, spark=spark
+    )                                                        # v1 rewrite
+    ch = read_delta_changes(
+        path, starting_version=0, spark=spark, key_columns=["id"]
+    )
+    by_type = {
+        r["_change_type"]: r["count"]
+        for r in ch.groupBy("_change_type").count().collect()
+    }
+    assert by_type == {"update_preimage": 50, "update_postimage": 50}
+    # images carry the right values: post = pre + 1 per key
+    pre = {r["id"]: r["val"] for r in ch.filter("_change_type = 'update_preimage'").collect()}
+    post = {r["id"]: r["val"] for r in ch.filter("_change_type = 'update_postimage'").collect()}
+    assert set(pre) == set(post) and all(post[k] == pre[k] + 1 for k in pre)
+    assert all(k % 2 == 1 for k in pre)  # only part=1 rows changed
+
+    # append after the update stays file-level 'insert'
+    to_delta(_df(spark, 100, 110), path, mode="append")      # v2
+    ch2 = read_delta_changes(
+        path, starting_version=1, spark=spark, key_columns=["id"]
+    )
+    assert {
+        (r["_change_type"], r["count"])
+        for r in ch2.groupBy("_change_type").count().collect()
+    } == {("insert", 10)}
+
+
+def test_row_level_delete_and_insert_in_rewrite(spark, tmp_path):
+    """A rewrite commit where some keys vanish and some appear must
+    classify them as delete/insert alongside the update images. Built
+    by deleting rows non-partition-aligned (COW rewrite drops keys)."""
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 100), path)                       # v0, one commit
+    delete_where(path, [("id", "<", 10)], spark=spark)       # v1: rewrite, keys 0-9 gone
+    ch = read_delta_changes(
+        path, starting_version=0, spark=spark, key_columns=["id"]
+    )
+    by_type = {
+        r["_change_type"]: r["count"]
+        for r in ch.groupBy("_change_type").count().collect()
+    }
+    # copied rows (10..99) suppressed; only the 10 dropped keys surface
+    assert by_type == {"delete": 10}
+    assert {r["id"] for r in ch.collect()} == set(range(10))
+
+
+def test_key_columns_validated(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path)
+    with pytest.raises(ValueError, match="key_columns"):
+        read_delta_changes(
+            path, starting_version=-1, spark=spark, key_columns=["nope"]
+        )
