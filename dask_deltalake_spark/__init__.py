@@ -30,6 +30,10 @@ from dask_deltalake_spark.delta.maintenance import (
     vacuum,
 )
 from dask_deltalake_spark.delta.cdc import read_delta_changes
+from dask_deltalake_spark.delta.column_mapping import (
+    rename_column,
+    upgrade_to_column_mapping,
+)
 from dask_deltalake_spark.delta.mutate import delete_where, merge_into, update_where
 from dask_deltalake_spark.session import get_spark
 
@@ -45,6 +49,8 @@ __all__ = [
     "merge_into",
     "delete_where",
     "update_where",
+    "rename_column",
+    "upgrade_to_column_mapping",
     "get_spark",
 ]
 

@@ -1,0 +1,208 @@
+"""Column mapping (Delta reader v2 / writer v5) — logical↔physical
+column-name indirection per the public Delta protocol spec
+(PROTOCOL.md §column-mapping). The reference connector has no support
+at all for mapped tables (it would read renamed columns as nulls);
+delta-spark and delta-rs both implement exactly this translation.
+
+With mapping enabled, the table's LOGICAL schema (what users see) is
+decoupled from the PHYSICAL parquet column names via per-field
+metadata:
+
+    {"name": "account_balance", "type": "double", "metadata": {
+        "delta.columnMapping.id": 6,
+        "delta.columnMapping.physicalName": "c_acctbal"}}
+
+which is what makes RENAME COLUMN a metadata-only commit — no data
+rewrite at any scale. Hive partition directories, ``partitionValues``
+keys, and per-file stats all use PHYSICAL names; ``metaData.
+partitionColumns`` and the schemaString field names are LOGICAL.
+
+Scale: the upgrade and every rename are single metadata commits
+(O(schema) JSON); reads add only a driver-side name translation and a
+final ``toDF`` projection — the executor scan plan is unchanged.
+
+``mode='name'`` is fully supported. ``mode='id'`` tables are readable
+when their fields also carry ``physicalName`` (delta-spark always
+writes both); pure field-id resolution without physical names is
+refused by the read path rather than guessed.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+from dask_deltalake_spark.delta.log import DeltaLog
+from dask_deltalake_spark.delta.protocol import (
+    COLUMN_ID_KEY,
+    COLUMN_MAPPING_MAX_ID_KEY,
+    COLUMN_MAPPING_MODE_KEY,
+    PHYSICAL_NAME_KEY,
+    Metadata,
+    Protocol,
+    column_mapping_mode,
+    now_ms,
+)
+from dask_deltalake_spark.delta.writer import write_commit
+
+
+def _physical_name(field: StructField) -> str:
+    return (field.metadata or {}).get(PHYSICAL_NAME_KEY, field.name)
+
+
+def _map_type(dt):
+    """Recurse into nested struct fields (arrays/maps of structs)."""
+    if isinstance(dt, StructType):
+        return StructType([_map_field(f) for f in dt.fields])
+    if isinstance(dt, ArrayType):
+        return ArrayType(_map_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _map_type(dt.keyType), _map_type(dt.valueType), dt.valueContainsNull
+        )
+    return dt
+
+
+def _map_field(field: StructField) -> StructField:
+    return StructField(
+        _physical_name(field), _map_type(field.dataType), field.nullable
+    )
+
+
+def physical_schema(schema: StructType) -> StructType:
+    """Logical Spark schema → schema with physical parquet names
+    (recursively; field metadata is dropped — the physical schema is
+    only used to drive the file scan)."""
+    return StructType([_map_field(f) for f in schema.fields])
+
+
+def logical_to_physical(schema: StructType) -> dict:
+    """Top-level logical → physical name map."""
+    return {f.name: _physical_name(f) for f in schema.fields}
+
+
+def translate_dnf(dnf: list, mapping: dict) -> list:
+    """Rewrite DNF filter column names logical → physical so partition
+    pruning (physical ``partitionValues`` keys) and stats skipping
+    (physical stats keys) see the names the log actually carries."""
+    return [
+        [(mapping.get(col, col), op, val) for col, op, val in conj]
+        for conj in dnf
+    ]
+
+
+def _with_field_meta(field: StructField, col_id: int) -> dict:
+    """schemaString JSON for one field with mapping metadata attached
+    (physicalName = the CURRENT name: the delta-spark upgrade contract,
+    existing parquet files already use it)."""
+    d = json.loads(StructType([field]).json())["fields"][0]
+    meta = dict(d.get("metadata") or {})
+    meta[COLUMN_ID_KEY] = col_id
+    meta[PHYSICAL_NAME_KEY] = field.name
+    d["metadata"] = meta
+    return d
+
+
+def upgrade_to_column_mapping(
+    path: str, mode: str = "name", spark: Optional[SparkSession] = None
+) -> int:
+    """Enable column mapping on an existing table — a METADATA-ONLY
+    commit (the delta-spark ``ALTER TABLE ... SET TBLPROPERTIES
+    ('delta.columnMapping.mode'='name')`` upgrade): every field gets
+    ``delta.columnMapping.id`` + ``physicalName`` equal to its current
+    name (existing files keep reading untouched), the configuration
+    gains the mode + maxColumnId, and the protocol is raised to
+    reader v2 / writer v5. Returns the committed version."""
+    if mode != "name":
+        raise ValueError(f"Only mode='name' upgrades are supported, got {mode!r}")
+    log = DeltaLog(path)
+    snap = log.snapshot()
+    if column_mapping_mode(snap.metadata) != "none":
+        return snap.version  # already mapped — idempotent
+    schema = StructType.fromJson(json.loads(snap.metadata.schema_string))
+    fields = [
+        _with_field_meta(f, i + 1) for i, f in enumerate(schema.fields)
+    ]
+    new_schema_string = json.dumps(
+        {"type": "struct", "fields": fields}, separators=(",", ":")
+    )
+    meta = snap.metadata
+    config = dict(meta.configuration)
+    config[COLUMN_MAPPING_MODE_KEY] = mode
+    config[COLUMN_MAPPING_MAX_ID_KEY] = str(len(fields))
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms(),
+                "operation": "UPGRADE COLUMN MAPPING",
+                "operationParameters": {"mode": mode},
+                "readVersion": snap.version,
+                "engineInfo": "dask_deltalake_spark/0.1.0",
+            }
+        },
+        Protocol(min_reader_version=2, min_writer_version=5).to_json(),
+        Metadata(
+            id=meta.id,
+            schema_string=new_schema_string,
+            partition_columns=meta.partition_columns,
+            configuration=config,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+        ).to_json(),
+    ]
+    write_commit(log.table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
+def rename_column(
+    path: str, existing: str, new: str, spark: Optional[SparkSession] = None
+) -> int:
+    """RENAME COLUMN as a metadata-only commit. Requires (or first
+    performs) the column-mapping upgrade: the field keeps its physical
+    name and id, only the logical name in schemaString changes — and
+    ``partitionColumns`` follows when a partition column is renamed
+    (that list is logical per the spec; ``partitionValues`` keys stay
+    physical). Top-level columns only."""
+    log = DeltaLog(path)
+    snap = log.snapshot()
+    if column_mapping_mode(snap.metadata) == "none":
+        upgrade_to_column_mapping(path, spark=spark)
+        snap = log.snapshot()
+    schema_d = json.loads(snap.metadata.schema_string)
+    names = [f["name"] for f in schema_d["fields"]]
+    if existing not in names:
+        raise ValueError(f"Column {existing!r} not found (have {names})")
+    if new in names:
+        raise ValueError(f"Column {new!r} already exists")
+    for f in schema_d["fields"]:
+        if f["name"] == existing:
+            f["name"] = new
+    meta = snap.metadata
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms(),
+                "operation": "RENAME COLUMN",
+                "operationParameters": {"from": existing, "to": new},
+                "readVersion": snap.version,
+                "engineInfo": "dask_deltalake_spark/0.1.0",
+            }
+        },
+        Metadata(
+            id=meta.id,
+            schema_string=json.dumps(schema_d, separators=(",", ":")),
+            partition_columns=[
+                new if c == existing else c for c in meta.partition_columns
+            ],
+            configuration=meta.configuration,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+        ).to_json(),
+    ]
+    write_commit(log.table_path, snap.version + 1, actions)
+    return snap.version + 1

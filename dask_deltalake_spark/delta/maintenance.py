@@ -146,14 +146,11 @@ def create_checkpoint(path: str, version: Optional[int] = None) -> str:
     snap = log.snapshot(version=version)
 
     rows = []
-    rows.append(
-        {
-            "protocol": {
-                "minReaderVersion": snap.protocol.min_reader_version,
-                "minWriterVersion": snap.protocol.min_writer_version,
-            }
-        }
-    )
+    # Protocol.to_json carries readerFeatures/writerFeatures when the
+    # table uses a v3/v7 feature-list protocol — dropping them from
+    # the checkpoint would silently downgrade the gate on
+    # checkpoint-started replays.
+    rows.append(snap.protocol.to_json())
     meta = snap.metadata
     rows.append(
         {

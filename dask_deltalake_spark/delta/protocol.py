@@ -22,6 +22,11 @@ LOG_DIR = "_delta_log"
 MAX_SUPPORTED_WRITER_VERSION = 2
 MAX_SUPPORTED_READER_VERSION = 1
 
+COLUMN_MAPPING_MODE_KEY = "delta.columnMapping.mode"
+COLUMN_MAPPING_MAX_ID_KEY = "delta.columnMapping.maxColumnId"
+PHYSICAL_NAME_KEY = "delta.columnMapping.physicalName"
+COLUMN_ID_KEY = "delta.columnMapping.id"
+
 
 class DeltaProtocolError(Exception):
     """Table requires protocol features this writer doesn't support
@@ -29,22 +34,129 @@ class DeltaProtocolError(Exception):
     reference writer.py:254-259)."""
 
 
-def check_read_protocol(protocol) -> None:
-    """Refuse to scan tables whose reader protocol exceeds what this
-    engine implements. Reader version 2+ means features like column
-    mapping or deletion vectors change how data files must be
+def column_mapping_mode(metadata) -> str:
+    """'none' | 'name' | 'id' from the table configuration."""
+    if metadata is None:
+        return "none"
+    return metadata.configuration.get(COLUMN_MAPPING_MODE_KEY, "none")
+
+
+def check_read_protocol(protocol, metadata=None, features=frozenset()) -> None:
+    """Refuse to scan tables whose reader protocol exceeds what the
+    CALLING PATH implements. Reader version 2+ means features like
+    column mapping or deletion vectors change how data files must be
     interpreted — ignoring them does not degrade, it returns WRONG
-    rows (e.g. DV-deleted rows resurface). Failing loudly here is the
-    only correct behavior; delta-rs and delta-spark gate identically.
+    rows (e.g. logically-renamed columns read as all-null, DV-deleted
+    rows resurface). Failing loudly is the only correct behavior;
+    delta-rs and delta-spark gate identically.
+
+    ``features`` is the set of reader table features the caller
+    actually handles (e.g. ``{"columnMapping"}`` for read paths that
+    apply logical→physical name translation). Paths that don't pass a
+    feature keep refusing such tables — the gate is per-path because
+    support is per-path.
     """
-    if protocol.min_reader_version > MAX_SUPPORTED_READER_VERSION:
+    v = protocol.min_reader_version
+    mode = column_mapping_mode(metadata)
+    if mode != "none" and "columnMapping" not in features:
         raise DeltaProtocolError(
-            f"This table's minReaderVersion is "
-            f"{protocol.min_reader_version}, but this engine supports "
-            f"only <= {MAX_SUPPORTED_READER_VERSION}. Reading it would "
-            "misinterpret data files (column mapping / deletion "
-            "vectors), so the scan is refused."
+            f"This table uses column mapping (mode={mode!r}); this read "
+            "path does not translate logical to physical column names, "
+            "so the scan is refused (it would return wrong/null "
+            "columns). Use read_delta, which supports column mapping."
         )
+    if v <= MAX_SUPPORTED_READER_VERSION:
+        return
+    if v == 2:
+        # reader v2 adds exactly one capability: column mapping. With
+        # the mode handled (or 'none'), the data files are readable.
+        if "columnMapping" in features or mode == "none":
+            # metadata=None means the caller can't see the mapping
+            # mode — refuse rather than guess.
+            if metadata is None and "columnMapping" not in features:
+                raise DeltaProtocolError(
+                    "minReaderVersion=2 table but the caller supplied "
+                    "no metadata to determine the column mapping mode; "
+                    "refusing the scan."
+                )
+            return
+        raise DeltaProtocolError(
+            "This table's minReaderVersion is 2 (column mapping); this "
+            "read path does not support it, so the scan is refused."
+        )
+    if v == 3:
+        # reader v3: the readerFeatures list is authoritative — every
+        # listed feature must be supported by the caller. A v3
+        # protocol action WITHOUT the list violates the spec; refuse
+        # rather than assume nothing is required.
+        if protocol.reader_features is None:
+            raise DeltaProtocolError(
+                "This table's minReaderVersion is 3 but the protocol "
+                "action carries no readerFeatures list; the required "
+                "features are unknown, so the scan is refused."
+            )
+        listed = set(protocol.reader_features)
+        supported = set(features) | {"timestampNtz"}
+        unsupported = listed - supported
+        if not unsupported:
+            return
+        raise DeltaProtocolError(
+            f"This table's minReaderVersion is 3 and it requires reader "
+            f"features {sorted(unsupported)} that this read path does "
+            "not support, so the scan is refused (reading would "
+            "misinterpret data files)."
+        )
+    raise DeltaProtocolError(
+        f"This table's minReaderVersion is {v}, beyond anything this "
+        "engine supports. The scan is refused."
+    )
+
+
+def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
+    """Writer-side gate. Writer v2 is the baseline. v5 (column
+    mapping) is accepted when the caller handles physical-name writes
+    AND the table carries none of the v3/v4 features a v5 writer must
+    also enforce (CHECK constraints, generated columns) — those are
+    checked structurally, not assumed absent."""
+    wv = protocol.min_writer_version
+    if wv <= MAX_SUPPORTED_WRITER_VERSION:
+        return
+    listed = set(protocol.writer_features or []) if wv == 7 else None
+    wants_mapping = (
+        ("columnMapping" in listed) if listed is not None else wv == 5
+    )
+    if wants_mapping and "columnMapping" in features:
+        if metadata is not None:
+            constraints = [
+                k
+                for k in metadata.configuration
+                if k.startswith("delta.constraints.")
+            ]
+            if constraints:
+                raise DeltaProtocolError(
+                    f"Table has CHECK constraints {constraints}; this "
+                    "writer does not enforce them, so the write is "
+                    "refused."
+                )
+            if '"delta.generationExpression"' in (metadata.schema_string or ""):
+                raise DeltaProtocolError(
+                    "Table has generated columns; this writer does not "
+                    "compute them, so the write is refused."
+                )
+        if listed is not None:
+            unsupported = listed - (set(features) | {"timestampNtz"})
+            if unsupported:
+                raise DeltaProtocolError(
+                    f"Table requires writer features {sorted(unsupported)} "
+                    "this writer does not support; the write is refused."
+                )
+        return
+    raise DeltaProtocolError(
+        f"This table's min_writer_version is {wv}, but this method "
+        f"only supports version {MAX_SUPPORTED_WRITER_VERSION}"
+        + (" (plus column mapping)" if "columnMapping" in features else "")
+        + "."
+    )
 
 
 class ConcurrentCommitError(Exception):
@@ -158,20 +270,30 @@ class Metadata:
 class Protocol:
     min_reader_version: int = 1
     min_writer_version: int = 2
+    # populated only for reader v3 / writer v7 feature-list protocols
+    reader_features: Optional[list] = None
+    writer_features: Optional[list] = None
 
     def to_json(self) -> dict[str, Any]:
-        return {
-            "protocol": {
-                "minReaderVersion": self.min_reader_version,
-                "minWriterVersion": self.min_writer_version,
-            }
+        p: dict[str, Any] = {
+            "minReaderVersion": self.min_reader_version,
+            "minWriterVersion": self.min_writer_version,
         }
+        if self.reader_features is not None:
+            p["readerFeatures"] = list(self.reader_features)
+        if self.writer_features is not None:
+            p["writerFeatures"] = list(self.writer_features)
+        return {"protocol": p}
 
     @classmethod
     def from_json(cls, d: dict[str, Any]) -> "Protocol":
+        rf = d.get("readerFeatures")
+        wf = d.get("writerFeatures")
         return cls(
             min_reader_version=int(d.get("minReaderVersion", 1)),
             min_writer_version=int(d.get("minWriterVersion", 2)),
+            reader_features=list(rf) if rf is not None else None,
+            writer_features=list(wf) if wf is not None else None,
         )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql.types import StructType
 
 from dask_deltalake_spark.delta.log import DeltaLog, Snapshot
 from dask_deltalake_spark.delta.protocol import (
+    DeltaProtocolError,
     check_read_protocol,
     normalize_dnf,
     prune_by_stats,
@@ -122,14 +123,45 @@ def read_delta(
         apply_storage_options(spark, storage_options)
 
     snap = DeltaLog(path).snapshot(version=version, datetime_string=datetime)
-    check_read_protocol(snap.protocol)
+    check_read_protocol(
+        snap.protocol, metadata=snap.metadata, features={"columnMapping"}
+    )
     schema = snapshot_schema(snap)
     dnf = normalize_dnf(filter)
 
+    # Column mapping (reader v2, delta/column_mapping.py): the scan
+    # runs against PHYSICAL parquet names — hive dirs, partitionValues
+    # keys, and file stats all carry physical names — and a final toDF
+    # restores the logical schema. Pruning therefore needs the DNF
+    # translated to physical; the row-level filter and the `columns`
+    # projection stay logical (applied after the rename).
+    from dask_deltalake_spark.delta.column_mapping import (
+        logical_to_physical,
+        physical_schema,
+        translate_dnf,
+    )
+    from dask_deltalake_spark.delta.protocol import (
+        PHYSICAL_NAME_KEY,
+        column_mapping_mode,
+    )
+
+    mode = column_mapping_mode(snap.metadata)
+    if mode == "id" and any(
+        PHYSICAL_NAME_KEY not in (f.metadata or {}) for f in schema.fields
+    ):
+        raise DeltaProtocolError(
+            "id-mode column mapping without physicalName metadata "
+            "(pure parquet-field-id resolution) is not supported."
+        )
+    scan_schema = schema if mode == "none" else physical_schema(schema)
+    prune_dnf = (
+        dnf if mode == "none" else translate_dnf(dnf, logical_to_physical(schema))
+    )
+
     # Driver-side metadata pruning: partitions first (exact), then
     # per-file min/max stats (conservative).
-    adds = prune_partitions(snap.add_actions, dnf)
-    adds = prune_by_stats(adds, dnf)
+    adds = prune_partitions(snap.add_actions, prune_dnf)
+    adds = prune_by_stats(adds, prune_dnf)
 
     if columns:
         missing = [c for c in columns if c not in schema.fieldNames()]
@@ -146,7 +178,7 @@ def read_delta(
     # written before a schema-evolution commit yield nulls for added
     # columns — matching the reference's per-version schema semantics.
     df = (
-        spark.read.schema(schema)
+        spark.read.schema(scan_schema)
         .option("basePath", snap.path)
         .parquet(*files)
     )
@@ -154,8 +186,10 @@ def read_delta(
     # regardless of the supplied schema; restore the Delta metaData
     # column order (delta-spark preserves it, and a write-back through
     # to_delta must see the table's declared schema order)
-    if df.columns != schema.fieldNames():
-        df = df.select(*schema.fieldNames())
+    if df.columns != scan_schema.fieldNames():
+        df = df.select(*scan_schema.fieldNames())
+    if mode != "none":
+        df = df.toDF(*schema.fieldNames())
     cond = dnf_to_column(dnf)
     if cond is not None:
         df = df.filter(cond)

@@ -472,12 +472,36 @@ def to_delta(
             )
         elif snap.metadata.partition_columns:
             partition_by = list(snap.metadata.partition_columns)
-        if snap.protocol.min_writer_version > MAX_SUPPORTED_WRITER_VERSION:
-            raise DeltaProtocolError(
-                "This table's min_writer_version is "
-                f"{snap.protocol.min_writer_version}, but this method "
-                f"only supports version {MAX_SUPPORTED_WRITER_VERSION}."
+        from dask_deltalake_spark.delta.protocol import (
+            check_write_protocol,
+            column_mapping_mode,
+        )
+
+        check_write_protocol(
+            snap.protocol, metadata=snap.metadata, features={"columnMapping"}
+        )
+        # Column mapping (delta/column_mapping.py): files, hive dirs,
+        # partitionValues, and stats must all carry PHYSICAL names, so
+        # rename the (logical-named, already schema-checked) frame and
+        # the partition list before the write paths — everything
+        # downstream then produces physical names for free. The
+        # metaData actions (partitionColumns, schemaString) stay
+        # logical and are not re-committed on append.
+        if column_mapping_mode(snap.metadata) != "none":
+            if mode == "overwrite" and overwrite_schema:
+                raise DeltaProtocolError(
+                    "overwrite_schema on a column-mapped table is not "
+                    "supported (new columns would need fresh mapping "
+                    "ids); evolve the schema via rename_column / a new "
+                    "table instead."
+                )
+            from dask_deltalake_spark.delta.column_mapping import (
+                logical_to_physical,
             )
+
+            l2p = logical_to_physical(table_schema)
+            df = df.toDF(*[l2p[c] for c in df.columns])
+            partition_by = [l2p.get(c, c) for c in partition_by]
         current_version = snap.version
     else:
         current_version = -1

@@ -815,3 +815,61 @@ def d20_cdc_row_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "d21_column_mapping",
+    """
+    WITH b AS (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT 'BUILDING' AS segment,
+           2 * COUNT(*) AS n,
+           CAST(2 * SUM(c_custkey) AS BIGINT) AS key_sum,
+           CAST(2 * SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM b
+    """,
+)
+def d21_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping (reader v2 / writer v5, delta/column_mapping.py —
+    a capability the reference refuses entirely): write customer
+    partitioned by c_mktsegment, UPGRADE to column mapping
+    (metadata-only), RENAME both a data column (c_acctbal →
+    account_balance) and the partition column (c_mktsegment →
+    segment) — still metadata-only, zero data rewritten at any scale —
+    then APPEND through the physical-name write path and read back
+    filtered on the renamed partition column. The hash matches the
+    oracle (2× the BUILDING slice of source parquet) only if the
+    logical→physical translation is right on every leg: scan schema,
+    hive partition dirs, partitionValues pruning, stats keys, and the
+    final logical projection."""
+    import shutil
+
+    from dask_deltalake_spark.delta.column_mapping import (
+        rename_column,
+        upgrade_to_column_mapping,
+    )
+
+    path = _tmp_table(sf_dir, "customer_mapped")
+    shutil.rmtree(path, ignore_errors=True)
+    c = load_table(spark, sf_dir, "customer")
+    to_delta(c, path, partition_by=["c_mktsegment"])
+    upgrade_to_column_mapping(path)
+    rename_column(path, "c_acctbal", "account_balance")
+    rename_column(path, "c_mktsegment", "segment")
+    c2 = c.withColumnRenamed("c_acctbal", "account_balance").withColumnRenamed(
+        "c_mktsegment", "segment"
+    )
+    to_delta(c2, path, mode="append")
+    df = read_delta(
+        path, filter=[("segment", "==", "BUILDING")], spark=spark
+    )
+    return df.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum("c_custkey").alias("key_sum"),
+        F.sum(F.round(F.col("account_balance") * 100).cast("long")).alias(
+            "bal_cents"
+        ),
+    )

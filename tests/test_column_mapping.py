@@ -1,0 +1,153 @@
+"""Column mapping (delta/column_mapping.py): metadata-only upgrade +
+rename, logical reads over physical files, physical-name appends,
+pruning on renamed partition columns, per-path protocol gating."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from dask_deltalake_spark.delta.column_mapping import (
+    rename_column,
+    upgrade_to_column_mapping,
+)
+from dask_deltalake_spark.delta.log import DeltaLog
+from dask_deltalake_spark.delta.protocol import DeltaProtocolError
+from dask_deltalake_spark.delta.reader import read_delta
+from dask_deltalake_spark.delta.writer import to_delta
+
+
+def _df(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .withColumn("part", (F.col("id") % 2).cast("int"))
+        .withColumn("val", F.col("id") * 10)
+    )
+
+
+def _files(path):
+    return {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    }
+
+
+def test_upgrade_is_metadata_only_and_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 100), path, partition_by=["part"])
+    before = _files(path)
+    v1 = upgrade_to_column_mapping(path)
+    assert v1 == 1
+    assert _files(path) == before  # no data rewritten
+    assert upgrade_to_column_mapping(path) == 1  # idempotent, no commit
+    snap = DeltaLog(path).snapshot()
+    assert snap.protocol.min_reader_version == 2
+    assert snap.protocol.min_writer_version == 5
+    cfg = snap.metadata.configuration
+    assert cfg["delta.columnMapping.mode"] == "name"
+    fields = json.loads(snap.metadata.schema_string)["fields"]
+    assert all(
+        f["metadata"]["delta.columnMapping.physicalName"] == f["name"]
+        for f in fields
+    )
+    ids = [f["metadata"]["delta.columnMapping.id"] for f in fields]
+    assert ids == [1, 2, 3] and cfg["delta.columnMapping.maxColumnId"] == "3"
+
+
+def test_rename_read_append_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 100), path, partition_by=["part"])
+    rename_column(path, "val", "value")      # auto-upgrades
+    rename_column(path, "part", "bucket")    # partition column
+    snap = DeltaLog(path).snapshot()
+    assert snap.metadata.partition_columns == ["bucket"]  # logical
+
+    df = read_delta(path, spark=spark)
+    assert df.columns == ["id", "bucket", "value"]
+    assert df.count() == 100
+    assert df.agg(F.sum("value")).first()[0] == sum(i * 10 for i in range(100))
+
+    # pre-upgrade version still reads under its own (old) schema
+    v0 = read_delta(path, version=0, spark=spark)
+    assert v0.columns == ["id", "part", "val"]
+
+    # append arrives with LOGICAL names; files must get PHYSICAL names
+    before = _files(path)
+    new = (
+        spark.range(100, 110)
+        .withColumn("bucket", (F.col("id") % 2).cast("int"))
+        .withColumn("value", F.col("id") * 10)
+    )
+    to_delta(new, path, mode="append")
+    added = _files(path) - before
+    assert added
+    import pyarrow.parquet as pq
+
+    for f in added:
+        names = set(pq.read_schema(f).names)
+        assert "val" in names and "value" not in names  # physical
+        assert "part=" in f and "bucket=" not in f      # physical hive dir
+    assert read_delta(path, spark=spark).count() == 110
+
+
+def test_pruning_on_renamed_partition_column(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 100), path, partition_by=["part"])
+    rename_column(path, "part", "bucket")
+    df = read_delta(path, filter=[("bucket", "==", 1)], spark=spark)
+    assert df.count() == 50
+    # partition pruning happened at the driver: only part=1 files scan
+    assert all("part=1" in f for f in df.inputFiles())
+    # stats skipping via physical names on a renamed data column
+    rename_column(path, "val", "value")
+    hi = read_delta(path, filter=[("value", ">", 985)], spark=spark)
+    assert hi.count() == 1  # only id=99 (val 990)
+
+
+def test_strict_paths_refuse_mapped_tables(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 20), path)
+    upgrade_to_column_mapping(path)
+    from dask_deltalake_spark.delta.maintenance import optimize
+    from dask_deltalake_spark.delta.mutate import delete_where, update_where
+
+    with pytest.raises(DeltaProtocolError):
+        delete_where(path, [("part", "==", 1)], spark=spark)
+    with pytest.raises(DeltaProtocolError):
+        update_where(path, [("part", "==", 1)], {"val": F.lit(0)}, spark=spark)
+    with pytest.raises(DeltaProtocolError):
+        optimize(path, spark=spark)
+    from dask_deltalake_spark.sources import register_python_datasource
+
+    register_python_datasource(spark)
+    with pytest.raises(Exception, match="column mapping|minReaderVersion"):
+        spark.read.format("delta_py").option("path", path).load().count()
+
+
+def test_rename_validation(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path)
+    with pytest.raises(ValueError, match="not found"):
+        rename_column(path, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(path, "val", "part")
+
+
+def test_checkpoint_preserves_mapping(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 50), path)
+    rename_column(path, "val", "value")
+    from dask_deltalake_spark.delta.maintenance import create_checkpoint
+
+    create_checkpoint(path)
+    # replay starting from the checkpoint must keep protocol + mapping
+    snap = DeltaLog(path).snapshot()
+    assert snap.protocol.min_reader_version == 2
+    df = read_delta(path, spark=spark)
+    assert df.columns == ["id", "part", "value"]
+    assert df.count() == 50
