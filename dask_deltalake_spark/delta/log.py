@@ -178,6 +178,9 @@ class DeltaLog:
                 if row.get("add"):
                     a = row["add"]
                     path = unquote(a["path"])
+                    dv = a.get("deletionVector")
+                    if dv is not None and dv.get("storageType") is None:
+                        dv = None  # all-null struct from a DV-less row
                     adds[path] = AddAction(
                         path=path,
                         size=int(a.get("size") or 0),
@@ -185,6 +188,7 @@ class DeltaLog:
                         modification_time=int(a.get("modificationTime") or 0),
                         data_change=bool(a.get("dataChange", True)),
                         stats=a.get("stats"),
+                        deletion_vector=dv,
                     )
                 elif row.get("remove"):
                     r = row["remove"]

@@ -87,6 +87,15 @@ def vacuum(
     log = DeltaLog(table_path)
     snap = log.snapshot()
     referenced = set(snap.files)
+    # live deletion-vector .bin files are referenced THROUGH their add
+    # actions, not as paths in snap.files — vacuuming one would corrupt
+    # every row-level delete it stores
+    for a in snap.add_actions:
+        if a.deletion_vector and a.deletion_vector.get("storageType") == "u":
+            from dask_deltalake_spark.delta.dv import dv_absolute_path
+
+            abs_dv = dv_absolute_path(table_path, a.deletion_vector)
+            referenced.add(os.path.relpath(abs_dv, table_path))
     cutoff_ms = now_ms() - retention_hours * 3600 * 1000
 
     tombstones: list[str] = []
@@ -174,6 +183,7 @@ def create_checkpoint(path: str, version: Optional[int] = None) -> str:
                     "modificationTime": a.modification_time,
                     "dataChange": False,
                     "stats": a.stats,
+                    "deletionVector": a.deletion_vector,
                 }
             }
         )
@@ -199,6 +209,8 @@ def create_checkpoint(path: str, version: Optional[int] = None) -> str:
                     [
                         ("minReaderVersion", pa.int32()),
                         ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -230,6 +242,18 @@ def create_checkpoint(path: str, version: Optional[int] = None) -> str:
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),

@@ -112,50 +112,88 @@ def check_read_protocol(protocol, metadata=None, features=frozenset()) -> None:
     )
 
 
+def _check_enforceable_write_features(metadata) -> None:
+    """Structural checks shared by the elevated writer versions:
+    refuse tables carrying declarations this writer cannot enforce —
+    enforcing-by-refusal is the protocol's contract for writers."""
+    if metadata is None:
+        return
+    constraints = [
+        k for k in metadata.configuration if k.startswith("delta.constraints.")
+    ]
+    if constraints:
+        raise DeltaProtocolError(
+            f"Table has CHECK constraints {constraints}; this writer "
+            "does not enforce them, so the write is refused."
+        )
+    schema_str = metadata.schema_string or ""
+    if '"delta.generationExpression"' in schema_str:
+        raise DeltaProtocolError(
+            "Table has generated columns; this writer does not compute "
+            "them, so the write is refused."
+        )
+    if '"delta.invariants"' in schema_str:
+        raise DeltaProtocolError(
+            "Table has column invariants; this writer does not enforce "
+            "them, so the write is refused."
+        )
+
+
+def check_append_only(metadata, operation: str) -> None:
+    """Enforce delta.appendOnly: any table (v2 includes the appendOnly
+    capability) may declare it; only blind appends are then legal."""
+    if (
+        metadata is not None
+        and metadata.configuration.get("delta.appendOnly", "").lower() == "true"
+        and operation != "append"
+    ):
+        raise DeltaProtocolError(
+            f"Table is appendOnly (delta.appendOnly=true); operation "
+            f"{operation!r} is refused."
+        )
+
+
 def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
     """Writer-side gate. Writer v2 is the baseline. v5 (column
-    mapping) is accepted when the caller handles physical-name writes
-    AND the table carries none of the v3/v4 features a v5 writer must
-    also enforce (CHECK constraints, generated columns) — those are
-    checked structurally, not assumed absent."""
+    mapping) and v7 (feature lists) are accepted when the caller
+    handles every required feature AND the table carries none of the
+    declarations a higher-version writer must also enforce (CHECK
+    constraints, generated columns, invariants) — those are checked
+    structurally, not assumed absent. appendOnly/invariants are
+    'supported' precisely because they are enforced: appendOnly via
+    check_append_only at each operation, invariants by refusal above.
+    """
     wv = protocol.min_writer_version
     if wv <= MAX_SUPPORTED_WRITER_VERSION:
         return
-    listed = set(protocol.writer_features or []) if wv == 7 else None
-    wants_mapping = (
-        ("columnMapping" in listed) if listed is not None else wv == 5
-    )
-    if wants_mapping and "columnMapping" in features:
-        if metadata is not None:
-            constraints = [
-                k
-                for k in metadata.configuration
-                if k.startswith("delta.constraints.")
-            ]
-            if constraints:
-                raise DeltaProtocolError(
-                    f"Table has CHECK constraints {constraints}; this "
-                    "writer does not enforce them, so the write is "
-                    "refused."
-                )
-            if '"delta.generationExpression"' in (metadata.schema_string or ""):
-                raise DeltaProtocolError(
-                    "Table has generated columns; this writer does not "
-                    "compute them, so the write is refused."
-                )
-        if listed is not None:
-            unsupported = listed - (set(features) | {"timestampNtz"})
-            if unsupported:
-                raise DeltaProtocolError(
-                    f"Table requires writer features {sorted(unsupported)} "
-                    "this writer does not support; the write is refused."
-                )
+    if wv == 5:
+        if "columnMapping" not in features:
+            raise DeltaProtocolError(
+                "This table's min_writer_version is 5 (column mapping); "
+                "this write path does not support it, so the write is "
+                "refused."
+            )
+        _check_enforceable_write_features(metadata)
+        return
+    if wv == 7:
+        if protocol.writer_features is None:
+            raise DeltaProtocolError(
+                "min_writer_version=7 without a writerFeatures list; "
+                "required features unknown, so the write is refused."
+            )
+        supported = set(features) | {"timestampNtz", "appendOnly", "invariants"}
+        unsupported = set(protocol.writer_features) - supported
+        if unsupported:
+            raise DeltaProtocolError(
+                f"Table requires writer features {sorted(unsupported)} "
+                "this write path does not support; the write is refused."
+            )
+        _check_enforceable_write_features(metadata)
         return
     raise DeltaProtocolError(
         f"This table's min_writer_version is {wv}, but this method "
-        f"only supports version {MAX_SUPPORTED_WRITER_VERSION}"
-        + (" (plus column mapping)" if "columnMapping" in features else "")
-        + "."
+        f"only supports version {MAX_SUPPORTED_WRITER_VERSION} plus "
+        "the column mapping / deletion vector feature paths."
     )
 
 
@@ -173,6 +211,9 @@ class AddAction:
     modification_time: int = 0  # ms epoch
     data_change: bool = True
     stats: Optional[str] = None  # JSON string per protocol
+    # deletion-vector descriptor dict per the spec (storageType,
+    # pathOrInlineDv, offset, sizeInBytes, cardinality), or None
+    deletion_vector: Optional[dict] = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -187,6 +228,8 @@ class AddAction:
         }
         if self.stats:
             d["stats"] = self.stats
+        if self.deletion_vector is not None:
+            d["deletionVector"] = self.deletion_vector
         return {"add": d}
 
     @classmethod
@@ -198,6 +241,7 @@ class AddAction:
             modification_time=int(d.get("modificationTime") or 0),
             data_change=bool(d.get("dataChange", True)),
             stats=d.get("stats"),
+            deletion_vector=d.get("deletionVector"),
         )
 
 

@@ -124,7 +124,9 @@ def read_delta(
 
     snap = DeltaLog(path).snapshot(version=version, datetime_string=datetime)
     check_read_protocol(
-        snap.protocol, metadata=snap.metadata, features={"columnMapping"}
+        snap.protocol,
+        metadata=snap.metadata,
+        features={"columnMapping", "deletionVectors"},
     )
     schema = snapshot_schema(snap)
     dnf = normalize_dnf(filter)
@@ -172,22 +174,47 @@ def read_delta(
         empty = spark.createDataFrame([], schema)
         return empty.select(*columns) if columns else empty
 
-    files = [f"{snap.path}/{a.path}" for a in adds]
-    # basePath + explicit user schema: partition columns (hive dirs) are
-    # resolved from directory names and cast per the Delta schema; files
-    # written before a schema-evolution commit yield nulls for added
-    # columns — matching the reference's per-version schema semantics.
-    df = (
-        spark.read.schema(scan_schema)
-        .option("basePath", snap.path)
-        .parquet(*files)
-    )
-    # Spark's partition discovery appends hive partition columns last
-    # regardless of the supplied schema; restore the Delta metaData
-    # column order (delta-spark preserves it, and a write-back through
-    # to_delta must see the table's declared schema order)
-    if df.columns != scan_schema.fieldNames():
-        df = df.select(*scan_schema.fieldNames())
+    def _scan(file_adds: list) -> DataFrame:
+        # basePath + explicit user schema: partition columns (hive
+        # dirs) are resolved from directory names and cast per the
+        # Delta schema; files written before a schema-evolution commit
+        # yield nulls for added columns — matching the reference's
+        # per-version schema semantics. The final select restores the
+        # Delta metaData column order (Spark's partition discovery
+        # appends hive columns last regardless of the supplied schema).
+        d = (
+            spark.read.schema(scan_schema)
+            .option("basePath", snap.path)
+            .parquet(*[f"{snap.path}/{a.path}" for a in file_adds])
+        )
+        if d.columns != scan_schema.fieldNames():
+            d = d.select(*scan_schema.fieldNames())
+        return d
+
+    # Deletion vectors (delta/dv.py): files with a DV scan separately,
+    # keeping `_metadata.row_index`, and drop deleted positions with a
+    # vectorized Arrow-batch predicate over broadcast bitmap bytes —
+    # NO join, NO shuffle; clean files bypass the predicate entirely.
+    # At 100 TB the extra cost is one numpy membership test on exactly
+    # the files that have deletes.
+    dv_adds = [a for a in adds if a.deletion_vector]
+    clean_adds = [a for a in adds if not a.deletion_vector]
+    frames = []
+    if clean_adds:
+        frames.append(_scan(clean_adds))
+    if dv_adds:
+        from dask_deltalake_spark.delta.dv import dv_keep_predicate
+
+        raw = _scan(dv_adds)
+        keep = dv_keep_predicate(spark, snap.path, dv_adds)
+        frames.append(
+            raw.filter(
+                keep(F.col("_metadata.file_path"), F.col("_metadata.row_index"))
+            ).select(*scan_schema.fieldNames())
+        )
+    df = frames[0]
+    for extra in frames[1:]:
+        df = df.unionByName(extra)
     if mode != "none":
         df = df.toDF(*schema.fieldNames())
     cond = dnf_to_column(dnf)

@@ -473,13 +473,20 @@ def to_delta(
         elif snap.metadata.partition_columns:
             partition_by = list(snap.metadata.partition_columns)
         from dask_deltalake_spark.delta.protocol import (
+            check_append_only,
             check_write_protocol,
             column_mapping_mode,
         )
 
+        # deletionVectors is claimed here because append adds fresh
+        # files (no vector interaction) and overwrite tombstones every
+        # file including its vectors — both DV-correct by construction.
         check_write_protocol(
-            snap.protocol, metadata=snap.metadata, features={"columnMapping"}
+            snap.protocol,
+            metadata=snap.metadata,
+            features={"columnMapping", "deletionVectors"},
         )
+        check_append_only(snap.metadata, mode)
         # Column mapping (delta/column_mapping.py): files, hive dirs,
         # partitionValues, and stats must all carry PHYSICAL names, so
         # rename the (logical-named, already schema-checked) frame and

@@ -31,21 +31,24 @@ _ALL.update(_STREAMING)
 # x19-x28, x30 (first-ever row), s01-s05, s07 — plus the two queries
 # that are new or changed this round: d20 (row-level CDC, new) and
 # s06 (drain trimmed, oracle constants unchanged but the path is
-# re-verified) and d21 (column mapping, new). That is 53 candidates
-# for 50 slots: x05 and x06 yield their slots because their driver
-# rows are rows-only by design (both are pytest-bounded — recall
-# floor / Hamming-Jaccard bound), so deferring them to r6's front
-# loses no hash information; s07 (unchanged since r3, hash-green
-# there) yields the third slot to new-capability d21 and leads r6.
-# With 102 registered queries and a 50-query window, perfect
-# 2-round coverage needs 51/round — one r3-verified query per round
-# now waits a third round; the ledger tracks which.
-# Next round (r6): lead with s07, x05, x06 + the r4 tier (d17-d19,
-# x29, q07-q44, d01-d06, x18).
+# re-verified) and d21/d22 (column mapping / deletion vectors, new).
+# That is 54 candidates for 50 slots: x05 and x06 yield their slots
+# because their driver rows are rows-only by design (both are
+# pytest-bounded — recall floor / Hamming-Jaccard bound), so
+# deferring them to r6's front loses no hash information; s07 and
+# q05 (both unchanged since their r3 hash-green rows, and each
+# flanked by in-window neighbors exercising the same code paths —
+# s01-s06 / q01-q06) yield the last two slots to the new-capability
+# queries and lead r6. With 103 registered queries and a 50-query
+# window, perfect 2-round coverage needs 52/round — a couple of
+# r3-verified queries per round now wait a third round; the ledger
+# tracks which.
+# Next round (r6): lead with s07, q05, x05, x06 + the r4 tier
+# (d17-d19, x29, q07-q44, d01-d06, x18).
 _R5_FRONT = (
-    [n for n in _ALL if n[:3] in {f"q{i:02d}" for i in range(1, 7)}]
+    [n for n in _ALL if n[:3] in {f"q{i:02d}" for i in (1, 2, 3, 4, 6)}]
     + [n for n in _ALL if n[:3] in {f"d{i:02d}" for i in range(7, 17)}]
-    + ["d20_cdc_row_level", "d21_column_mapping"]
+    + ["d20_cdc_row_level", "d21_column_mapping", "d22_deletion_vectors"]
     + [
         n
         for n in _ALL
@@ -55,8 +58,8 @@ _R5_FRONT = (
     + ["x30_window_dedup"]
     + [n for n in _ALL if n[:3] in {f"s{i:02d}" for i in range(1, 6)}]
     + ["s06_stream_delta_source"]
-    # positions 51-53: first up in r6
-    + ["s07_stream_stream_join", "x05_minhash_lsh", "x06_simhash"]
+    # positions 51-54: first up in r6
+    + ["s07_stream_stream_join", "q05_join_multiway", "x05_minhash_lsh", "x06_simhash"]
 )
 _R5_FRONT = [n for n in _R5_FRONT if n in _ALL]
 _POS = {n: i for i, n in enumerate(_R5_FRONT)}

@@ -873,3 +873,54 @@ def d21_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bal_cents"
         ),
     )
+
+
+@query(
+    "d22_deletion_vectors",
+    """
+    WITH t AS (SELECT MIN(o_orderkey) + 999 AS thr FROM orders)
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders, t
+    WHERE o_orderkey > thr
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def d22_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors / merge-on-read DELETE (delta/dv.py +
+    mutate.py strategy='merge-on-read' — reader v3 / writer v7, a
+    protocol tier the reference and delta-rs 0.6 both refuse). Orders
+    is written partitioned by status, then two non-partition-aligned
+    keyed deletes run as DVs: the first marks keys <= min+599, the
+    second extends to min+999 and must MERGE with the first commit's
+    bitmaps (union, not replace). Zero data files are rewritten —
+    each commit is remove+re-add of the same files with a compressed
+    Roaring bitmap of dead positions — and the aggregate hash-matches
+    the oracle's survivor set only if the z85/Roaring round-trip, the
+    per-file position bookkeeping, and the read-side bitmap filter
+    are all exact."""
+    import shutil
+
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = _tmp_table(sf_dir, "orders_dv")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    to_delta(o, path, partition_by=["o_orderstatus"], shuffle=True)
+    lo = o.agg(F.min("o_orderkey")).first()[0]
+    delete_where(
+        path, [("o_orderkey", "<=", lo + 599)],
+        spark=spark, strategy="merge-on-read",
+    )
+    delete_where(
+        path, [("o_orderkey", "<=", lo + 999)],
+        spark=spark, strategy="merge-on-read",
+    )
+    return (
+        read_delta(path, spark=spark)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("key_sum"))
+        .orderBy("o_orderstatus")
+    )

@@ -1,0 +1,263 @@
+"""Deletion vectors (delta/dv.py + merge-on-read DELETE): wire-format
+round-trips, file layout, read-side filtering, vector merging,
+full-file drops, vacuum protection, and per-path protocol gating."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dask_deltalake_spark.delta.dv import (
+    deserialize_positions,
+    dv_absolute_path,
+    read_dv_bytes,
+    serialize_positions,
+    write_dv_file,
+    z85_decode,
+    z85_encode,
+)
+
+
+# -- wire formats (no Spark) ------------------------------------------------
+
+
+def test_z85_spec_vector():
+    # the reference vector from the ZeroMQ z85 spec
+    raw = b"\x86\x4f\xd2\x6f\xb5\x59\xf7\x5b"
+    assert z85_encode(raw) == "HelloWorld"
+    assert z85_decode("HelloWorld") == raw
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 33)), max_size=4000
+    )
+)
+def test_roaring_roundtrip_property(vals):
+    arr = np.unique(np.asarray(vals, dtype=np.uint64))
+    out = deserialize_positions(serialize_positions(arr))
+    assert np.array_equal(out, arr)
+
+
+def test_roaring_bitmap_container():
+    # >4096 values in one 16-bit key block forces a bitmap container
+    vals = np.arange(0, 60000, 7, dtype=np.uint64)
+    out = deserialize_positions(serialize_positions(vals))
+    assert np.array_equal(out, vals)
+
+
+def test_dv_file_layout_and_crc(tmp_path):
+    blobs = [serialize_positions([1, 5, 9]), serialize_positions(range(100))]
+    rel, descs = write_dv_file(str(tmp_path), blobs)
+    assert rel.startswith("deletion_vector_") and rel.endswith(".bin")
+    for blob, desc in zip(blobs, descs):
+        assert desc["storageType"] == "u"
+        assert read_dv_bytes(str(tmp_path), desc) == blob
+    # descriptor path decodes back to the file we wrote
+    assert dv_absolute_path(str(tmp_path), descs[0]) == str(tmp_path / rel)
+    # corrupting a byte must fail the CRC
+    p = tmp_path / rel
+    data = bytearray(p.read_bytes())
+    data[descs[0]["offset"] + 4] ^= 0xFF
+    p.write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="checksum|length"):
+        read_dv_bytes(str(tmp_path), descs[0])
+
+
+def test_inline_dv_descriptor(tmp_path):
+    blob = serialize_positions([2, 4, 6])
+    pad = (-len(blob)) % 4
+    desc = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(blob + b"\x00" * pad),
+    }
+    got = read_dv_bytes(str(tmp_path), desc)
+    assert np.array_equal(
+        deserialize_positions(got[: len(blob)]), np.array([2, 4, 6], dtype=np.uint64)
+    )
+
+
+# -- engine behavior --------------------------------------------------------
+
+
+def _table(spark, path, n=400):
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    df = (
+        spark.range(0, n)
+        .withColumn("part", (F.col("id") % 2).cast("int"))
+        .withColumn("val", F.col("id") * 10)
+    )
+    to_delta(df, path, partition_by=["part"])
+    return df
+
+
+def test_mor_delete_and_read(spark, tmp_path):
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.reader import read_delta
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    before = {
+        f
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    }
+    # spark.range slices are contiguous per task, so id<30 touches the
+    # first task's files PARTIALLY — vectors, not full-file drops
+    res = delete_where(
+        path, [("id", "<", 30)], spark=spark, strategy="merge-on-read"
+    )
+    assert res["numDeletedRows"] == 30 and res["numFilesDropped"] == 0
+    after = {
+        f
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    }
+    assert after == before  # ZERO files rewritten
+    out = read_delta(path, spark=spark)
+    assert out.count() == 370
+    assert out.agg(F.min("id")).first()[0] == 30
+    # deleted rows stay gone under projection/filter pushdown
+    assert read_delta(path, columns=["val"], spark=spark).count() == 370
+    assert (
+        read_delta(path, filter=[("part", "==", 1)], spark=spark).count()
+        == 185
+    )
+    # time travel to v0 resurfaces them (the vector is v1 state)
+    assert read_delta(path, version=0, spark=spark).count() == 400
+
+
+def test_mor_second_delete_merges_vectors(spark, tmp_path):
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.reader import read_delta
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    delete_where(path, [("id", "<", 30)], spark=spark, strategy="merge-on-read")
+    res = delete_where(
+        path, [("id", "<", 45)], spark=spark, strategy="merge-on-read"
+    )
+    assert res["numDeletedRows"] == 15  # only the NEW deletions counted
+    assert read_delta(path, spark=spark).count() == 355
+    # each live file carries ONE merged descriptor covering both deletes
+    snap = DeltaLog(path).snapshot()
+    cards = [
+        a.deletion_vector["cardinality"]
+        for a in snap.add_actions
+        if a.deletion_vector
+    ]
+    assert sum(cards) == 45
+
+
+def test_mor_full_file_delete_drops_file(spark, tmp_path):
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.reader import read_delta
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    res = delete_where(
+        path, [("part", "==", 1)], spark=spark, strategy="merge-on-read"
+    )
+    assert res["numFilesDropped"] > 0
+    assert read_delta(path, spark=spark).count() == 200
+    snap = DeltaLog(path).snapshot()
+    # dropped files are tombstoned, not carrying 100% vectors
+    assert all(
+        a.deletion_vector is None or a.deletion_vector["cardinality"] > 0
+        for a in snap.add_actions
+    )
+    assert all(a.partition_values.get("part") != "1" for a in snap.add_actions)
+
+
+def test_vacuum_protects_live_vectors(spark, tmp_path):
+    from dask_deltalake_spark.delta.dv import dv_absolute_path
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.maintenance import vacuum
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.reader import read_delta
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    delete_where(path, [("id", "<", 10)], spark=spark, strategy="merge-on-read")
+    delete_where(path, [("id", "<", 20)], spark=spark, strategy="merge-on-read")
+    snap = DeltaLog(path).snapshot()
+    live = {
+        os.path.relpath(dv_absolute_path(path, a.deletion_vector), path)
+        for a in snap.add_actions
+        if a.deletion_vector
+    }
+    cands = set(vacuum(path, retention_hours=0, dry_run=True))
+    assert live and not (live & cands)  # live vectors never listed
+    stale = {
+        f for f in os.listdir(path) if f.endswith(".bin")
+    } - live
+    assert stale <= cands  # superseded vectors are reclaimable
+    vacuum(path, retention_hours=0, dry_run=False, spark=spark)
+    assert read_delta(path, spark=spark).count() == 380  # still correct
+
+
+def test_strict_paths_refuse_dv_tables(spark, tmp_path):
+    from dask_deltalake_spark.delta.cdc import read_delta_changes
+    from dask_deltalake_spark.delta.maintenance import optimize
+    from dask_deltalake_spark.delta.mutate import (
+        delete_where,
+        merge_into,
+        update_where,
+    )
+    from dask_deltalake_spark.delta.protocol import DeltaProtocolError
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    path = str(tmp_path / "t")
+    df = _table(spark, path)
+    delete_where(path, [("id", "<", 5)], spark=spark, strategy="merge-on-read")
+    with pytest.raises(DeltaProtocolError):
+        delete_where(path, [("id", "<", 9)], spark=spark)  # COW would resurrect
+    with pytest.raises(DeltaProtocolError):
+        update_where(path, [("id", "<", 9)], {"val": F.lit(0)}, spark=spark)
+    with pytest.raises(DeltaProtocolError):
+        merge_into(path, df.limit(3), keys=["id"], spark=spark)
+    with pytest.raises(DeltaProtocolError):
+        optimize(path, spark=spark)
+    with pytest.raises(DeltaProtocolError):
+        read_delta_changes(path, starting_version=0, spark=spark)
+    # appends remain legal on a DV table
+    to_delta(
+        spark.range(400, 410)
+        .withColumn("part", (F.col("id") % 2).cast("int"))
+        .withColumn("val", F.col("id") * 10),
+        path,
+        mode="append",
+    )
+    from dask_deltalake_spark.delta.reader import read_delta
+
+    assert read_delta(path, spark=spark).count() == 405
+
+
+def test_append_only_enforced(spark, tmp_path):
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.protocol import DeltaProtocolError
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10).withColumn("val", F.col("id"))
+    to_delta(df, path, configuration={"delta.appendOnly": "true"})
+    to_delta(df, path, mode="append")  # appends fine
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        to_delta(df, path, mode="overwrite")
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        delete_where(path, [("id", "<", 5)], spark=spark)
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        delete_where(
+            path, [("id", "<", 5)], spark=spark, strategy="merge-on-read"
+        )
