@@ -23,7 +23,16 @@ copy-on-write rewrite appears as a whole-file delete plus a
 whole-file insert rather than per-row update images. Appends and
 partition-aligned deletes — the dominant incremental-ETL commits —
 produce exact row-level change sets either way. ``dataChange=false``
-commits (OPTIMIZE/ZORDER) are invisible, as they must be.
+commits (OPTIMIZE/ZORDER/purge) are invisible, as they must be.
+
+Deletion-vector commits are handled natively: a remove+re-add of the
+same file with a grown vector emits exactly the NEWLY dead positions
+(the vector delta vs the consumed version) as ``delete`` images — so
+merge-on-read DELETE is row-exact without any key, and merge-on-read
+UPDATE with ``key_columns`` yields true pre/post images (its vector
+delta joins against its appended image files). The per-file vector
+state is tracked across the version range, including through
+``dataChange=false`` purges.
 
 Scale: planning is O(#actions in the version range) driver-side
 metadata; the data read is one pruned parquet scan per
@@ -53,35 +62,31 @@ def _row_level_changes(
     spark: SparkSession,
     schema: StructType,
     key_columns: list,
-    removed_files: list,
-    added_files: list,
-    base_path: str,
+    removed_df: DataFrame,
+    added_df: DataFrame,
     version: int,
 ) -> DataFrame:
-    """Synthesize per-row change images for ONE copy-on-write rewrite
-    commit: full-outer join removed rows to added rows on the table
-    key (null-safe), classify each key, and explode into delta-spark
-    CDF change rows. One join whose inputs are only the files this
-    commit touched; unchanged (copied) rows are dropped here rather
-    than surfacing as a spurious delete+insert."""
+    """Synthesize per-row change images for ONE rewrite commit:
+    full-outer join the commit's removed rows to its added rows on
+    the table key (null-safe), classify each key, and explode into
+    delta-spark CDF change rows. The inputs are DataFrames so the
+    same synthesis serves copy-on-write rewrites (removed files' rows
+    vs added files' rows) AND merge-on-read updates (vector-deleted
+    rows vs appended image files); unchanged (copied) rows are
+    dropped here rather than surfacing as a spurious delete+insert."""
     from functools import reduce
 
     cols = schema.fieldNames()
     nonkey = [c for c in cols if c not in key_columns]
 
-    def side(files: list, prefix: str, flag: str) -> DataFrame:
-        df = (
-            spark.read.schema(schema)
-            .option("basePath", base_path)
-            .parquet(*files)
-        )
+    def side(df: DataFrame, prefix: str, flag: str) -> DataFrame:
         return df.select(
             *[F.col(c).alias(f"{prefix}{c}") for c in cols],
             F.lit(True).alias(flag),
         )
 
-    r = side(removed_files, "_r_", "_r")
-    a = side(added_files, "_a_", "_a")
+    r = side(removed_df, "_r_", "_r")
+    a = side(added_df, "_a_", "_a")
     key_eq = reduce(
         lambda x, y: x & y,
         [F.col(f"_r_{k}").eqNullSafe(F.col(f"_a_{k}")) for k in key_columns],
@@ -162,7 +167,9 @@ def read_delta_changes(
     from dask_deltalake_spark.delta.protocol import check_read_protocol
 
     snap = log.snapshot(version=end)
-    check_read_protocol(snap.protocol)
+    check_read_protocol(
+        snap.protocol, metadata=snap.metadata, features={"deletionVectors"}
+    )
     schema = snapshot_schema(snap)
     # a NEW StructType — StructType.add mutates in place, and `schema`
     # must stay the pure table schema for the file reads below
@@ -179,41 +186,194 @@ def read_delta_changes(
         if bad:
             raise ValueError(f"key_columns not in table schema: {bad}")
 
+    import os
     from urllib.parse import unquote
+
+    import numpy as np
+
+    from dask_deltalake_spark.delta.dv import (
+        dv_membership_predicate,
+        read_dv_positions,
+        serialize_positions,
+    )
+
+    def _abs(rel: str) -> str:
+        return os.path.join(log.table_path, rel)
+
+    def _rows(files: list, drop_dv: Optional[dict] = None,
+              only_positions: Optional[dict] = None) -> DataFrame:
+        """Rows of `files` (abs paths); with drop_dv, rows at those
+        bitmap positions are excluded (live-row reads); with
+        only_positions, ONLY rows at those positions survive (change
+        image extraction). Bitmaps travel as compressed bytes."""
+        df = (
+            spark.read.schema(schema)
+            .option("basePath", log.table_path)
+            .parquet(*files)
+        )
+        pred_map, keep_member = (
+            (only_positions, True) if only_positions else (drop_dv, False)
+        )
+        if pred_map:
+            pred = dv_membership_predicate(spark, pred_map, keep_member)
+            df = df.filter(
+                pred(F.col("_metadata.file_path"), F.col("_metadata.row_index"))
+            )
+        return df.select(*schema.fieldNames())
+
+    # Deletion-vector state per live file as of starting_version, so a
+    # commit's vector DELTA (newly dead positions) — and a dropped
+    # file's still-live remainder — can be distinguished from rows that
+    # were already deleted in the consumed range.
+    dv_state: dict = {}
+    if int(starting_version) >= 0:
+        snap0 = log.snapshot(version=int(starting_version))
+        check_read_protocol(
+            snap0.protocol, metadata=snap0.metadata,
+            features={"deletionVectors"},
+        )
+        dv_state = {
+            p: a.deletion_vector
+            for p, a in snap0.files.items()
+            if a.deletion_vector
+        }
 
     frames: list[DataFrame] = []
     for v in range(int(starting_version) + 1, end + 1):
-        inserts: list[str] = []
-        deletes: list[str] = []
+        adds_v: dict = {}
+        removes_v: dict = {}
+        adds_meta: dict = {}  # path -> dataChange flag
+        removes_meta: dict = {}
         for action in log.read_commit_actions(v):
             add = action.get("add")
-            if add is not None and add.get("dataChange", True):
-                inserts.append(f"{log.table_path}/{unquote(add['path'])}")
+            if add is not None:
+                p = unquote(add["path"])
+                adds_v[p] = add
+                adds_meta[p] = bool(add.get("dataChange", True))
             rem = action.get("remove")
-            if rem is not None and rem.get("dataChange", True):
-                deletes.append(f"{log.table_path}/{unquote(rem['path'])}")
-        if key_columns and inserts and deletes:
-            # both sides present = a copy-on-write rewrite commit
-            # (UPDATE / MERGE / row-level DELETE): synthesize per-row
-            # images. Append-only / remove-only commits fall through to
-            # the file-level path, which is already row-exact for them.
+            if rem is not None:
+                p = unquote(rem["path"])
+                removes_v[p] = rem
+                removes_meta[p] = bool(rem.get("dataChange", True))
+
+        paired = {
+            p
+            for p in adds_v.keys() & removes_v.keys()
+            if adds_meta[p] and removes_meta[p]
+        }
+        pure_adds = [
+            p for p in adds_v if adds_meta[p] and p not in paired
+        ]
+        pure_removes = [
+            p for p in removes_v if removes_meta[p] and p not in paired
+        ]
+
+        removed_parts: list[DataFrame] = []  # this commit's delete images
+        added_parts: list[DataFrame] = []  # this commit's insert images
+
+        if pure_adds:
+            # fresh files; a foreign add that arrives WITH a vector
+            # contributes only its live rows
+            drop = {}
+            for p in pure_adds:
+                dv = adds_v[p].get("deletionVector")
+                if dv:
+                    drop[os.path.abspath(_abs(p))] = serialize_positions(
+                        read_dv_positions(log.table_path, dv)
+                    )
+            added_parts.append(
+                _rows([_abs(p) for p in pure_adds], drop_dv=drop or None)
+            )
+        if pure_removes:
+            # dropped files: only rows still live under the PRIOR
+            # vector actually disappear in this commit
+            drop = {}
+            for p in pure_removes:
+                dv = dv_state.get(p)
+                if dv:
+                    drop[os.path.abspath(_abs(p))] = serialize_positions(
+                        read_dv_positions(log.table_path, dv)
+                    )
+            removed_parts.append(
+                _rows([_abs(p) for p in pure_removes], drop_dv=drop or None)
+            )
+        # paired remove+add of the SAME path = a vector update (MoR
+        # DELETE/UPDATE): the newly-dead positions are the vector
+        # delta vs the prior state
+        delta_map = {}
+        for p in paired:
+            new_dv = adds_v[p].get("deletionVector")
+            if new_dv is None:
+                # same-path rewrite without a vector (foreign writer):
+                # conservative delete(old live)+insert(new) images
+                old = dv_state.get(p)
+                removed_parts.append(
+                    _rows(
+                        [_abs(p)],
+                        drop_dv=(
+                            {
+                                os.path.abspath(_abs(p)): serialize_positions(
+                                    read_dv_positions(log.table_path, old)
+                                )
+                            }
+                            if old
+                            else None
+                        ),
+                    )
+                )
+                added_parts.append(_rows([_abs(p)]))
+                continue
+            new_pos = read_dv_positions(log.table_path, new_dv)
+            old_dv = dv_state.get(p)
+            old_pos = (
+                read_dv_positions(log.table_path, old_dv)
+                if old_dv
+                else np.empty(0, dtype=np.uint64)
+            )
+            delta = np.setdiff1d(new_pos, old_pos)
+            if len(delta):
+                delta_map[os.path.abspath(_abs(p))] = serialize_positions(delta)
+        if delta_map:
+            removed_parts.append(
+                _rows(list(delta_map), only_positions=delta_map)
+            )
+
+        # roll the vector state forward — including dataChange=false
+        # housekeeping (OPTIMIZE purge rewrites paths; state must follow)
+        for p, add in adds_v.items():
+            dv = add.get("deletionVector")
+            if dv:
+                dv_state[p] = dv
+            else:
+                dv_state.pop(p, None)
+        for p in removes_v:
+            if p not in adds_v:
+                dv_state.pop(p, None)
+
+        def _cat(parts: list) -> Optional[DataFrame]:
+            if not parts:
+                return None
+            out = parts[0]
+            for extra in parts[1:]:
+                out = out.unionByName(extra)
+            return out
+
+        removed_df = _cat(removed_parts)
+        added_df = _cat(added_parts)
+        if key_columns and removed_df is not None and added_df is not None:
+            # both sides present = a rewrite commit (COW or MoR
+            # UPDATE): synthesize per-row pre/post images. Append-only
+            # / delete-only commits fall through to the file-level
+            # path, which is already row-exact for them.
             frames.append(
                 _row_level_changes(
-                    spark, schema, list(key_columns), deletes, inserts,
-                    log.table_path, v,
+                    spark, schema, list(key_columns), removed_df, added_df, v
                 )
             )
             continue
-        for change_type, files in (("insert", inserts), ("delete", deletes)):
-            if not files:
+        for change_type, df in (("insert", added_df), ("delete", removed_df)):
+            if df is None:
                 continue
-            df = (
-                spark.read.schema(schema)
-                .option("basePath", log.table_path)
-                .parquet(*files)
-            )
-            if df.columns != schema.fieldNames():
-                df = df.select(*schema.fieldNames())
             frames.append(
                 df.withColumn(CHANGE_TYPE_COL, F.lit(change_type)).withColumn(
                     COMMIT_VERSION_COL, F.lit(v).cast("long")

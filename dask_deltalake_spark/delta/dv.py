@@ -338,29 +338,31 @@ def strip_file_scheme(p: str) -> str:
 _DECODE_CACHE: dict = {}
 
 
-def dv_keep_predicate(spark, table_path: str, dv_adds: list):
-    """Vectorized keep-row predicate for DV'd file scans: a pandas UDF
-    over (_metadata.file_path, _metadata.row_index) returning False
-    for deleted positions. The compressed bitmap BYTES (not the
-    positions) are broadcast once per session; each executor process
-    decodes a file's bitmap at most once and runs a numpy membership
-    test per Arrow batch. No shuffle anywhere."""
+def dv_membership_predicate(spark, blob_map: dict, keep_if_member: bool):
+    """Vectorized row-position predicate: a pandas UDF over
+    (_metadata.file_path, _metadata.row_index). ``blob_map`` maps
+    absolute file path → serialized RoaringBitmapArray bytes. With
+    ``keep_if_member=False`` rows AT bitmap positions are dropped (the
+    DV read semantics); with True only those rows survive (CDC change
+    image extraction). The compressed bitmap BYTES (not the positions)
+    are broadcast once; each executor process decodes a file's bitmap
+    at most once and runs a numpy membership test per Arrow batch. No
+    shuffle anywhere."""
     from pyspark.sql.functions import pandas_udf
 
-    blob_map = {}
-    for a in dv_adds:
-        abs_path = os.path.abspath(os.path.join(table_path, a.path))
-        key = (abs_path, a.deletion_vector.get("pathOrInlineDv"),
-               a.deletion_vector.get("offset"))
-        blob_map[abs_path] = (key, read_dv_bytes(table_path, a.deletion_vector))
-    bc = spark.sparkContext.broadcast(blob_map)
+    keyed = {
+        path: ((path, zlib.crc32(blob)), blob)
+        for path, blob in blob_map.items()
+    }
+    bc = spark.sparkContext.broadcast(keyed)
 
     @pandas_udf("boolean")
-    def keep(file_path: pd.Series, row_idx: pd.Series) -> pd.Series:
+    def member(file_path: pd.Series, row_idx: pd.Series) -> pd.Series:
         blobs = bc.value
-        out = np.ones(len(file_path), dtype=bool)
+        out = np.full(len(file_path), not keep_if_member, dtype=bool)
         idx = row_idx.to_numpy(dtype=np.uint64, na_value=0)
         for fp in file_path.unique():
+            sel = (file_path == fp).to_numpy()
             entry = blobs.get(strip_file_scheme(fp))
             if entry is None:
                 continue
@@ -369,8 +371,20 @@ def dv_keep_predicate(spark, table_path: str, dv_adds: list):
             if positions is None:
                 positions = deserialize_positions(blob)
                 _DECODE_CACHE[cache_key] = positions
-            sel = (file_path == fp).to_numpy()
-            out[sel] &= ~np.isin(idx[sel], positions)
+            isin = np.isin(idx[sel], positions)
+            out[sel] = isin if keep_if_member else ~isin
         return pd.Series(out)
 
-    return keep
+    return member
+
+
+def dv_keep_predicate(spark, table_path: str, dv_adds: list):
+    """Keep-row predicate for DV'd file scans: False at deleted
+    positions (see dv_membership_predicate)."""
+    blob_map = {
+        os.path.abspath(os.path.join(table_path, a.path)): read_dv_bytes(
+            table_path, a.deletion_vector
+        )
+        for a in dv_adds
+    }
+    return dv_membership_predicate(spark, blob_map, keep_if_member=False)

@@ -362,8 +362,16 @@ def optimize(
     log = DeltaLog(table_path)
     snap = log.snapshot()
     # compaction READS data files; vacuum/restore stay ungated (pure
-    # metadata + file deletion — no data interpretation)
-    check_read_protocol(snap.protocol)
+    # metadata + file deletion — no data interpretation). Deletion
+    # vectors are claimed because the rewrite reads THROUGH read_delta,
+    # which applies them — so OPTIMIZE doubles as the vector PURGE:
+    # compacted output files are clean, old files and their vectors
+    # are tombstoned, and the logical content is unchanged (which is
+    # what keeps dataChange=false honest). Column-mapped tables stay
+    # refused here: the rewrite would emit logical-named files.
+    check_read_protocol(
+        snap.protocol, metadata=snap.metadata, features={"deletionVectors"}
+    )
     partition_by = snap.metadata.partition_columns
 
     old_paths = list(snap.files)

@@ -28,7 +28,7 @@ import json
 from typing import Optional
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from dask_deltalake_spark.delta.log import DeltaLog
@@ -269,17 +269,26 @@ def delete_where(
     )
 
 
-def _delete_merge_on_read(
-    spark: SparkSession, table_path: str, snap, filter: list
-) -> dict:
-    """DELETE via deletion vectors. Matched row POSITIONS are found
-    with one pruned scan carrying ``_metadata.row_index``, folded into
-    per-file Roaring bitmaps ON EXECUTORS (``applyInPandas`` per file
-    — only compressed bitmap bytes ever reach the driver), merged
-    with any existing vector, and committed as remove+re-add of the
-    same file with a ``deletionVector`` descriptor. Files whose final
-    cardinality equals their row count are dropped outright instead
-    of carrying a full-file vector (delta-spark does the same)."""
+def _mor_noop(snap) -> dict:
+    return {
+        "version": snap.version,
+        "numFilesWithNewVectors": 0,
+        "numFilesDropped": 0,
+        "numDeletedRows": 0,
+    }
+
+
+def _mor_mark_positions(spark: SparkSession, table_path: str, snap, dnf):
+    """Shared front half of the merge-on-read ops: find the POSITIONS
+    of predicate-matching rows in one pruned scan carrying
+    ``_metadata.row_index``, fold them into per-file Roaring bitmaps
+    ON EXECUTORS (``applyInPandas`` per file — only compressed bitmap
+    bytes ever reach the driver), and merge with any existing vector.
+    Returns (touched, dv_targets, drops, n_new_deleted) where
+    dv_targets is [(add_action, final_positions)] and drops are files
+    whose final cardinality reaches their row count (dropped outright
+    instead of carrying a full-file vector — delta-spark does the
+    same); or None when nothing matched."""
     import os
 
     import numpy as np
@@ -288,23 +297,15 @@ def _delete_merge_on_read(
         deserialize_positions,
         read_dv_positions,
         serialize_positions,
-        write_dv_file,
+        strip_file_scheme,
     )
-    from dask_deltalake_spark.delta.protocol import Protocol
     from dask_deltalake_spark.delta.reader import dnf_to_column, snapshot_schema
-    from dask_deltalake_spark.delta.writer import write_commit
 
     schema = snapshot_schema(snap)
-    dnf = normalize_dnf(filter)
     adds = snap.add_actions
     touched = prune_by_stats(prune_partitions(adds, dnf), dnf)
     if not touched:
-        return {
-            "version": snap.version,
-            "numFilesWithNewVectors": 0,
-            "numFilesDropped": 0,
-            "numDeletedRows": 0,
-        }
+        return None
     cond = dnf_to_column(dnf)
     scan = _read_files(spark, snap, touched, schema)
     matched = scan.filter(F.coalesce(cond, F.lit(False))).select(
@@ -330,21 +331,12 @@ def _delete_merge_on_read(
         _fold, schema="fp string, blob binary, card long"
     ).collect()
     if not folded:
-        return {
-            "version": snap.version,
-            "numFilesWithNewVectors": 0,
-            "numFilesDropped": 0,
-            "numDeletedRows": 0,
-        }
-
-    from dask_deltalake_spark.delta.dv import strip_file_scheme
+        return None
 
     by_rel = {
         os.path.relpath(strip_file_scheme(row["fp"]), table_path): row
         for row in folded
     }
-
-    ts = now_ms()
     dv_targets = []  # (add_action, final_positions)
     drops = []  # fully-deleted files
     n_new_deleted = 0
@@ -370,43 +362,48 @@ def _delete_merge_on_read(
             drops.append(a)
         else:
             dv_targets.append((a, final))
-
     if not dv_targets and not drops:
-        # pruning was conservative but nothing actually matched — no
-        # commit (a no-op version would still carry the protocol
-        # upgrade, silently gating future COW ops for nothing)
-        return {
-            "version": snap.version,
-            "numFilesWithNewVectors": 0,
-            "numFilesDropped": 0,
-            "numDeletedRows": 0,
-        }
+        return None
+    return touched, dv_targets, drops, n_new_deleted
 
+
+def _mor_commit(
+    table_path: str,
+    snap,
+    operation: str,
+    op_params: dict,
+    metrics: dict,
+    dv_targets: list,
+    drops: list,
+    extra_adds: Optional[list] = None,
+) -> int:
+    """Shared back half: write this commit's vectors into ONE .bin,
+    emit remove+re-add per vectored file, removes for dropped files,
+    optional fresh adds (merge-on-read UPDATE's rewritten rows), and
+    the reader-v3/writer-v7 feature upgrade when the table lacks it —
+    all in one atomic commit. Returns the committed version."""
+    from dask_deltalake_spark.delta.dv import serialize_positions, write_dv_file
+    from dask_deltalake_spark.delta.protocol import Protocol
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    ts = now_ms()
     actions: list[dict] = [
         {
             "commitInfo": {
                 "timestamp": ts,
-                "operation": "DELETE",
-                "operationParameters": {
-                    "predicate": json.dumps([str(c) for c in (filter or [])]),
-                    "strategy": "merge-on-read",
-                },
+                "operation": operation,
+                "operationParameters": op_params,
                 "readVersion": snap.version,
                 "isBlindAppend": False,
-                "operationMetrics": {
-                    "numDeletedRows": str(n_new_deleted),
-                    "numFilesWithNewVectors": str(len(dv_targets)),
-                    "numFilesRemovedCompletely": str(len(drops)),
-                },
+                "operationMetrics": metrics,
                 "engineInfo": "dask_deltalake_spark/0.1.0",
             }
         }
     ]
-    needs_dv = "deletionVectors" not in (snap.protocol.reader_features or [])
-    if needs_dv:
+    if "deletionVectors" not in (snap.protocol.reader_features or []):
         # feature upgrade rides in the same commit. Only plain tables
-        # reach here (column-mapped ones were refused above), so the
-        # implied legacy writer features are exactly v2's.
+        # reach here (column-mapped ones were refused at the gate), so
+        # the implied legacy writer features are exactly v2's.
         actions.append(
             Protocol(
                 min_reader_version=3,
@@ -416,7 +413,7 @@ def _delete_merge_on_read(
             ).to_json()
         )
     if dv_targets:
-        rel_bin, descriptors = write_dv_file(
+        _rel_bin, descriptors = write_dv_file(
             table_path, [serialize_positions(pos) for _, pos in dv_targets]
         )
         for (a, pos), desc in zip(dv_targets, descriptors):
@@ -443,12 +440,129 @@ def _delete_merge_on_read(
                 path=a.path, deletion_timestamp=ts, data_change=True
             ).to_json()
         )
+    for r in extra_adds or []:
+        actions.append(
+            AddAction(
+                path=r.path,
+                size=r.size,
+                partition_values=json.loads(r.partition_json),
+                modification_time=ts,
+                data_change=True,
+                stats=r.stats,
+            ).to_json()
+        )
     write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
+def _delete_merge_on_read(
+    spark: SparkSession, table_path: str, snap, filter: list
+) -> dict:
+    """DELETE via deletion vectors: mark positions, commit vectors.
+    Zero data files are rewritten."""
+    marked = _mor_mark_positions(
+        spark, table_path, snap, normalize_dnf(filter)
+    )
+    if marked is None:
+        return _mor_noop(snap)
+    _touched, dv_targets, drops, n_new_deleted = marked
+    version = _mor_commit(
+        table_path,
+        snap,
+        "DELETE",
+        {
+            "predicate": json.dumps([str(c) for c in (filter or [])]),
+            "strategy": "merge-on-read",
+        },
+        {
+            "numDeletedRows": str(n_new_deleted),
+            "numFilesWithNewVectors": str(len(dv_targets)),
+            "numFilesRemovedCompletely": str(len(drops)),
+        },
+        dv_targets,
+        drops,
+    )
     return {
-        "version": snap.version + 1,
+        "version": version,
         "numFilesWithNewVectors": len(dv_targets),
         "numFilesDropped": len(drops),
         "numDeletedRows": n_new_deleted,
+    }
+
+
+def _update_merge_on_read(
+    spark: SparkSession, table_path: str, snap, filter: list, set: dict
+) -> dict:
+    """UPDATE via deletion vectors (delta-spark's MoR update shape):
+    matched rows are vector-deleted in place and their updated images
+    are APPENDED as fresh files — the write cost is O(matched rows),
+    never a rewrite of the touched files' unmatched rows. The vector
+    commit and the new files land atomically in one version."""
+    from dask_deltalake_spark.delta.reader import dnf_to_column, snapshot_schema
+    from dask_deltalake_spark.delta.writer import (
+        _ADD_ROW_SCHEMA,
+        _spark_to_arrow_schema,
+        _write_partition_factory,
+    )
+
+    dnf = normalize_dnf(filter)
+    marked = _mor_mark_positions(spark, table_path, snap, dnf)
+    if marked is None:
+        return _mor_noop(snap)
+    touched, dv_targets, drops, n_new_deleted = marked
+
+    schema = snapshot_schema(snap)
+    cond = dnf_to_column(dnf)
+    updated = _read_files(spark, snap, touched, schema).filter(
+        F.coalesce(cond, F.lit(False))
+    )
+    if snap_has_dv := any(a.deletion_vector for a in touched):
+        # rows already vector-deleted must not resurrect as updates
+        from dask_deltalake_spark.delta.dv import dv_keep_predicate
+
+        keep = dv_keep_predicate(
+            spark, snap.path, [a for a in touched if a.deletion_vector]
+        )
+        updated = updated.filter(
+            keep(F.col("_metadata.file_path"), F.col("_metadata.row_index"))
+        )
+    for col_name, expr in set.items():
+        val = expr if isinstance(expr, Column) else F.lit(expr)
+        # pin the declared column type — drifting (e.g. long+1.0 →
+        # double) would append files whose physical type disagrees
+        # with the table schema
+        updated = updated.withColumn(col_name, val.cast(schema[col_name].dataType))
+    updated = updated.select(*schema.fieldNames())
+    partition_by = snap.metadata.partition_columns
+    schema_bytes = (
+        _spark_to_arrow_schema(updated.schema).serialize().to_pybytes()
+    )
+    fn = _write_partition_factory(table_path, partition_by, schema_bytes)
+    add_rows = updated.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
+
+    version = _mor_commit(
+        table_path,
+        snap,
+        "UPDATE",
+        {
+            "predicate": json.dumps([str(c) for c in (filter or [])]),
+            "strategy": "merge-on-read",
+        },
+        {
+            "numUpdatedRows": str(n_new_deleted),
+            "numFilesWithNewVectors": str(len(dv_targets)),
+            "numFilesAdded": str(len(add_rows)),
+        },
+        dv_targets,
+        drops,
+        extra_adds=add_rows,
+    )
+    return {
+        "version": version,
+        "numFilesWithNewVectors": len(dv_targets),
+        "numFilesDropped": len(drops),
+        "numUpdatedRows": n_new_deleted,
+        "numFilesAdded": len(add_rows),
     }
 
 
@@ -457,18 +571,34 @@ def update_where(
     filter: list,
     set: dict,
     spark: Optional[SparkSession] = None,
+    strategy: str = "copy-on-write",
 ) -> dict:
     """UPDATE table SET col=expr WHERE <DNF filter>. ``set`` maps
     column name → Column expression (or literal), applied only to rows
-    matching the filter; same pruned copy-on-write as delete_where."""
+    matching the filter; same pruned copy-on-write as delete_where.
+    ``strategy='merge-on-read'`` instead vector-deletes the matched
+    rows and appends their updated images as fresh files — write cost
+    O(matched rows), untouched rows never move."""
     from dask_deltalake_spark.delta.reader import dnf_to_column, snapshot_schema
 
+    if strategy not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"Unsupported update strategy: {strategy!r}")
     spark = spark or SparkSession.getActiveSession()
     table_path = str(path).rstrip("/")
     log = DeltaLog(table_path)
     snap = log.snapshot()
-    check_read_protocol(snap.protocol)  # copy-on-write READS files
     check_append_only(snap.metadata, "update")
+    if strategy == "merge-on-read":
+        check_read_protocol(
+            snap.protocol, metadata=snap.metadata,
+            features={"deletionVectors"},
+        )
+        _schema = snapshot_schema(snap)
+        bad_cols = [c for c in set if c not in _schema.fieldNames()]
+        if bad_cols:
+            raise ValueError(f"UPDATE of unknown columns: {bad_cols}")
+        return _update_merge_on_read(spark, table_path, snap, filter, set)
+    check_read_protocol(snap.protocol)  # copy-on-write READS files
     schema = snapshot_schema(snap)
     bad = [c for c in set if c not in schema.fieldNames()]
     if bad:

@@ -207,9 +207,7 @@ def test_vacuum_protects_live_vectors(spark, tmp_path):
     assert read_delta(path, spark=spark).count() == 380  # still correct
 
 
-def test_strict_paths_refuse_dv_tables(spark, tmp_path):
-    from dask_deltalake_spark.delta.cdc import read_delta_changes
-    from dask_deltalake_spark.delta.maintenance import optimize
+def test_dv_unaware_paths_refuse_dv_tables(spark, tmp_path):
     from dask_deltalake_spark.delta.mutate import (
         delete_where,
         merge_into,
@@ -227,10 +225,12 @@ def test_strict_paths_refuse_dv_tables(spark, tmp_path):
         update_where(path, [("id", "<", 9)], {"val": F.lit(0)}, spark=spark)
     with pytest.raises(DeltaProtocolError):
         merge_into(path, df.limit(3), keys=["id"], spark=spark)
-    with pytest.raises(DeltaProtocolError):
-        optimize(path, spark=spark)
-    with pytest.raises(DeltaProtocolError):
-        read_delta_changes(path, starting_version=0, spark=spark)
+    # the python datasource has no vector filter — must refuse
+    from dask_deltalake_spark.sources import register_python_datasource
+
+    register_python_datasource(spark)
+    with pytest.raises(Exception, match="reader features|minReaderVersion"):
+        spark.read.format("delta_py").option("path", path).load().count()
     # appends remain legal on a DV table
     to_delta(
         spark.range(400, 410)
@@ -242,6 +242,109 @@ def test_strict_paths_refuse_dv_tables(spark, tmp_path):
     from dask_deltalake_spark.delta.reader import read_delta
 
     assert read_delta(path, spark=spark).count() == 405
+
+
+def test_mor_update(spark, tmp_path):
+    from dask_deltalake_spark.delta.mutate import update_where
+    from dask_deltalake_spark.delta.reader import read_delta
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    res = update_where(
+        path, [("id", "<", 30)], {"val": F.col("val") + 1},
+        spark=spark, strategy="merge-on-read",
+    )
+    assert res["numUpdatedRows"] == 30 and res["numFilesAdded"] > 0
+    out = read_delta(path, spark=spark)
+    assert out.count() == 400  # updates never change cardinality
+    assert (
+        out.agg(F.sum("val")).first()[0]
+        == sum(i * 10 + 1 for i in range(30)) + sum(i * 10 for i in range(30, 400))
+    )
+    # a second MoR update over already-updated rows must not resurrect
+    # the vector-deleted originals
+    update_where(
+        path, [("id", "<", 10)], {"val": F.col("val") + 1},
+        spark=spark, strategy="merge-on-read",
+    )
+    out2 = read_delta(path, spark=spark)
+    assert out2.count() == 400
+    assert (
+        out2.agg(F.sum("val")).first()[0]
+        == sum(i * 10 + 2 for i in range(10))
+        + sum(i * 10 + 1 for i in range(10, 30))
+        + sum(i * 10 for i in range(30, 400))
+    )
+
+
+def test_optimize_purges_vectors(spark, tmp_path):
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.maintenance import optimize, vacuum
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.reader import read_delta
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    delete_where(path, [("id", "<", 30)], spark=spark, strategy="merge-on-read")
+    optimize(path, spark=spark)
+    snap = DeltaLog(path).snapshot()
+    assert all(a.deletion_vector is None for a in snap.add_actions)
+    out = read_delta(path, spark=spark)
+    assert out.count() == 370 and out.agg(F.min("id")).first()[0] == 30
+    # every vector file is now reclaimable
+    vacuum(path, retention_hours=0, dry_run=False, spark=spark)
+    assert not any(f.endswith(".bin") for f in os.listdir(path))
+    assert read_delta(path, spark=spark).count() == 370
+
+
+def test_cdc_on_dv_commits(spark, tmp_path):
+    from dask_deltalake_spark.delta.cdc import read_delta_changes
+    from dask_deltalake_spark.delta.maintenance import optimize
+    from dask_deltalake_spark.delta.mutate import delete_where, update_where
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    delete_where(path, [("id", "<", 30)], spark=spark, strategy="merge-on-read")
+    delete_where(path, [("id", "<", 45)], spark=spark, strategy="merge-on-read")
+    ch = read_delta_changes(path, starting_version=0, spark=spark)
+    agg = {
+        (r["_change_type"], r["_commit_version"]): r["count"]
+        for r in ch.groupBy("_change_type", "_commit_version").count().collect()
+    }
+    # vector DELTAS, not whole files: v1 = 30 dead rows, v2 = 15 more
+    assert agg == {("delete", 1): 30, ("delete", 2): 15}
+    assert {r["id"] for r in ch.filter("_commit_version=2").collect()} == set(
+        range(30, 45)
+    )
+    # resume: only the second commit's delta
+    assert read_delta_changes(path, starting_version=1, spark=spark).count() == 15
+
+    # MoR UPDATE + key_columns -> per-row pre/post images
+    update_where(
+        path, [("id", ">=", 390)], {"val": F.col("val") + 7},
+        spark=spark, strategy="merge-on-read",
+    )
+    ch3 = read_delta_changes(
+        path, starting_version=2, spark=spark, key_columns=["id"]
+    )
+    by = {
+        r["_change_type"]: r["count"]
+        for r in ch3.groupBy("_change_type").count().collect()
+    }
+    assert by == {"update_preimage": 10, "update_postimage": 10}
+    pre = {r["id"]: r["val"] for r in ch3.filter("_change_type='update_preimage'").collect()}
+    post = {r["id"]: r["val"] for r in ch3.filter("_change_type='update_postimage'").collect()}
+    assert set(pre) == set(range(390, 400))
+    assert all(post[k] == pre[k] + 7 for k in pre)
+
+    # OPTIMIZE purge is dataChange=false: CDC-invisible, but the
+    # vector state must roll across it
+    optimize(path, spark=spark)
+    delete_where(path, [("id", "==", 100)], spark=spark, strategy="merge-on-read")
+    ch4 = read_delta_changes(path, starting_version=3, spark=spark)
+    assert [(r["_change_type"], r["id"]) for r in ch4.collect()] == [
+        ("delete", 100)
+    ]
 
 
 def test_append_only_enforced(spark, tmp_path):
