@@ -407,6 +407,7 @@ def to_delta(
     configuration: Optional[dict] = None,
     shuffle: bool = False,
     engine: str = "native",
+    max_commit_retries: int = 10,
 ) -> None:
     """Write a Spark DataFrame as a Delta table commit.
 
@@ -424,6 +425,12 @@ def to_delta(
     Python in the row path; ``"arrow"`` streams rows through Arrow
     batches in Python workers (the reference's pyarrow topology,
     writer.py:84-132).
+
+    ``max_commit_retries`` bounds optimistic-concurrency retries for
+    APPEND commits that lose the put-if-absent version race (blind
+    appends are commutative; the retry re-validates schema /
+    partitioning / protocol against the winning snapshot first).
+    Non-append conflicts always raise ``ConcurrentCommitError``.
     """
     if engine not in ("native", "arrow"):
         raise ValueError(f"Unsupported write engine: {engine!r}")
@@ -494,6 +501,10 @@ def to_delta(
         # downstream then produces physical names for free. The
         # metaData actions (partitionColumns, schemaString) stay
         # logical and are not re-committed on append.
+        # captured BEFORE any physical-name translation — conflict
+        # re-validation on commit retry must compare logical shapes
+        logical_schema = df.schema
+        logical_partition_by = list(partition_by)
         if column_mapping_mode(snap.metadata) != "none":
             if mode == "overwrite" and overwrite_schema:
                 raise DeltaProtocolError(
@@ -601,4 +612,47 @@ def to_delta(
             for p in snap.files
         )
 
-    write_commit(table_path, current_version + 1, actions)
+    # Optimistic-concurrency commit with APPEND retry: a blind append
+    # reads nothing, so losing the put-if-absent race is retryable at
+    # the next version — PROVIDED the winning commit(s) didn't change
+    # what the append validated against (schema, partitioning,
+    # protocol, appendOnly). delta-spark's conflict checker makes the
+    # same distinction; overwrite/create conflicts stay hard errors
+    # because their remove-set / existence assumptions are stale.
+    commit_version = current_version + 1
+    attempt = 0
+    while True:
+        try:
+            write_commit(table_path, commit_version, actions)
+            return
+        except ConcurrentCommitError:
+            if snap is None or mode != "append" or attempt >= max_commit_retries:
+                raise
+            attempt += 1
+            snap2 = log.snapshot()
+            new_logical = StructType.fromJson(
+                json.loads(snap2.metadata.schema_string)
+            )
+            if not _schemas_equivalent(logical_schema, new_logical):
+                raise ConcurrentCommitError(
+                    "Concurrent commit changed the table schema; the "
+                    "pending append no longer matches and is aborted."
+                )
+            if list(snap2.metadata.partition_columns) != logical_partition_by:
+                raise ConcurrentCommitError(
+                    "Concurrent commit changed the table partitioning; "
+                    "the pending append is aborted."
+                )
+            from dask_deltalake_spark.delta.protocol import (
+                check_append_only as _chk_ao,
+                check_write_protocol as _chk_wp,
+            )
+
+            _chk_wp(
+                snap2.protocol,
+                metadata=snap2.metadata,
+                features={"columnMapping", "deletionVectors"},
+            )
+            _chk_ao(snap2.metadata, mode)
+            actions[0]["commitInfo"]["readVersion"] = snap2.version
+            commit_version = snap2.version + 1

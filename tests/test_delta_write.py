@@ -345,3 +345,76 @@ def test_storage_options_translate_to_hadoop_conf(spark):
     assert applied["fs.s3a.aws.credentials.provider"] == _ANON_PROVIDER
     assert applied["fs.s3a.paging.maximum"] == "100"
     assert len(applied) == 5
+
+
+def test_append_retries_after_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A blind append losing the put-if-absent race re-validates
+    against the winning snapshot and lands at the next version; a
+    conflicting SCHEMA change aborts instead."""
+    import json
+    import os
+
+    import dask_deltalake_spark.delta.writer as W
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.protocol import ConcurrentCommitError
+    from dask_deltalake_spark.delta.reader import read_delta
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 50).withColumn("val", F.col("id") * 2)
+    to_delta(df, path)  # v0
+
+    def inject_commit(actions_json_lines):
+        log_dir = os.path.join(path, "_delta_log")
+        with open(os.path.join(log_dir, "00000000000000000001.json"), "w") as f:
+            f.write(actions_json_lines)
+
+    # interleave: the competing writer wins v1 AFTER our snapshot but
+    # BEFORE our commit — injected from inside the file-write phase
+    orig = W._write_files_native
+    state = {"done": False}
+
+    def hooked(d, tp, pb):
+        if not state["done"]:
+            inject_commit(
+                json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n"
+            )
+            state["done"] = True
+        return orig(d, tp, pb)
+
+    monkeypatch.setattr(W, "_write_files_native", hooked)
+    to_delta(df, path, mode="append")  # must retry to v2, not raise
+    assert DeltaLog(path).latest_version() == 2
+    assert read_delta(path, spark=spark).count() == 100
+
+    # same interleave, but the winner changes the schema -> abort
+    snap = DeltaLog(path).snapshot()
+    changed = json.loads(snap.metadata.schema_string)
+    changed["fields"] = changed["fields"][:1]
+
+    def hooked2(d, tp, pb):
+        if not state["reset"]:
+            with open(
+                os.path.join(path, "_delta_log", "00000000000000000003.json"),
+                "w",
+            ) as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "metaData": {
+                                "id": snap.metadata.id,
+                                "schemaString": json.dumps(changed),
+                                "partitionColumns": [],
+                                "configuration": {},
+                                "format": {"provider": "parquet", "options": {}},
+                            }
+                        }
+                    )
+                    + "\n"
+                )
+            state["reset"] = True
+        return orig(d, tp, pb)
+
+    state["reset"] = False
+    monkeypatch.setattr(W, "_write_files_native", hooked2)
+    with pytest.raises(ConcurrentCommitError, match="schema"):
+        to_delta(df, path, mode="append")
