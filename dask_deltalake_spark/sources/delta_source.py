@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass
-from typing import TYPE_CHECKING, Iterator
+from typing import TYPE_CHECKING, Iterator, Optional
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -52,6 +52,7 @@ if TYPE_CHECKING:
 class DeltaFilePartition(InputPartition):
     abs_path: str
     partition_json: str  # {"col": "string-value" | null}
+    dv_blob: Optional[bytes] = None  # serialized deletion-vector bitmap
 
 
 @dataclass
@@ -63,14 +64,14 @@ class DeltaFilesPartition(InputPartition):
     first — the Python-source analog of Spark's own
     files.maxPartitionBytes coalescing."""
 
-    files: tuple  # of (abs_path, partition_json)
+    files: tuple  # of (abs_path, partition_json, dv_blob | None)
 
 
 _TARGET_BIN_BYTES = 128 * 1024 * 1024
 
 
-def _bin_pack_files(entries: list[tuple[str, str, int]]) -> list:
-    """(abs_path, partition_json, size) → DeltaFilesPartition bins of
+def _bin_pack_files(entries: list[tuple]) -> list:
+    """(abs_path, partition_json, size, dv_blob|None) → DeltaFilesPartition bins of
     ~_TARGET_BIN_BYTES (first-fit-decreasing; any single file larger
     than the target gets its own bin). Only OPEN bins — residual >=
     the smallest remaining file — are scan candidates; a bin that can
@@ -79,23 +80,23 @@ def _bin_pack_files(entries: list[tuple[str, str, int]]) -> list:
     every bin closes immediately and planning is O(n), not O(n²) —
     at the 100k+-file scale this module targets, the quadratic scan
     would cost minutes of driver time."""
-    ordered = sorted(entries, key=lambda e: -e[2])
+    ordered = sorted(entries, key=lambda e: -e[2])  # by size
     min_size = ordered[-1][2] if ordered else 0
     bins: list[list] = []
     bin_bytes: list[int] = []
     open_bins: list[int] = []  # indices of bins with residual >= min_size
-    for path, pjson, size in ordered:
+    for path, pjson, size, dv_blob in ordered:
         placed = False
         for j, i in enumerate(open_bins):
             if bin_bytes[i] + size <= _TARGET_BIN_BYTES:
-                bins[i].append((path, pjson))
+                bins[i].append((path, pjson, dv_blob))
                 bin_bytes[i] += size
                 if _TARGET_BIN_BYTES - bin_bytes[i] < min_size:
                     open_bins.pop(j)
                 placed = True
                 break
         if not placed:
-            bins.append([(path, pjson)])
+            bins.append([(path, pjson, dv_blob)])
             bin_bytes.append(size)
             if _TARGET_BIN_BYTES - size >= min_size:
                 open_bins.append(len(bins) - 1)
@@ -133,8 +134,15 @@ def _filter_to_dnf_clause(f):
 
 class DeltaPyReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
+        from dask_deltalake_spark.delta.column_mapping import (
+            logical_to_physical,
+        )
         from dask_deltalake_spark.delta.log import DeltaLog
-        from dask_deltalake_spark.delta.protocol import check_read_protocol
+        from dask_deltalake_spark.delta.protocol import (
+            check_read_protocol,
+            column_mapping_mode,
+        )
+        from dask_deltalake_spark.delta.reader import snapshot_schema
 
         self._schema = schema
         path = options.get("path")
@@ -144,19 +152,33 @@ class DeltaPyReader(DataSourceReader):
         self._snap = DeltaLog(path).snapshot(
             version=int(version) if version is not None else None
         )
-        check_read_protocol(self._snap.protocol)
+        check_read_protocol(
+            self._snap.protocol,
+            metadata=self._snap.metadata,
+            features={"columnMapping", "deletionVectors"},
+        )
+        # logical → physical parquet-name map ({} = identity): built
+        # from the TABLE schema so a projected `schema` still resolves
+        self._l2p = (
+            logical_to_physical(snapshot_schema(self._snap))
+            if column_mapping_mode(self._snap.metadata) != "none"
+            else {}
+        )
         self._dnf_conj: list[tuple] = []
 
     def pushFilters(self, filters):
         for f in filters:
             clause = _filter_to_dnf_clause(f)
             if clause is not None:
-                self._dnf_conj.append(clause)
+                col, op, val = clause
+                # pruning runs against PHYSICAL partitionValues/stats
+                self._dnf_conj.append((self._l2p.get(col, col), op, val))
         # return ALL filters: Spark re-applies them row-level; our use
         # of the pushed set is metadata file pruning only
         return filters
 
     def partitions(self):
+        from dask_deltalake_spark.delta.dv import read_dv_bytes
         from dask_deltalake_spark.delta.protocol import (
             normalize_dnf,
             prune_by_stats,
@@ -175,44 +197,69 @@ class DeltaPyReader(DataSourceReader):
                     f"{self._snap.path}/{a.path}",
                     json.dumps(a.partition_values or {}),
                     int(a.size or 0),
+                    (
+                        read_dv_bytes(self._snap.path, a.deletion_vector)
+                        if a.deletion_vector
+                        else None
+                    ),
                 )
                 for a in adds
             ]
         )
 
     def read(self, partition: DeltaFilesPartition) -> Iterator["pa.RecordBatch"]:
-        for abs_path, pjson in partition.files:
+        for abs_path, pjson, dv_blob in partition.files:
             yield from _read_file_as_batches(
-                self._schema, DeltaFilePartition(abs_path, pjson)
+                self._schema,
+                DeltaFilePartition(abs_path, pjson, dv_blob),
+                self._l2p,
             )
 
 
 def _read_file_as_batches(
-    schema: StructType, partition: DeltaFilePartition
+    schema: StructType,
+    partition: DeltaFilePartition,
+    l2p: Optional[dict] = None,
 ) -> Iterator["pa.RecordBatch"]:
     """Executor-side: one parquet file → Arrow batches in table-schema
-    order, hive partition values attached as typed constants."""
+    order, hive partition values attached as typed constants. With
+    ``l2p`` the parquet file and partition values carry PHYSICAL names
+    and the output batches are renamed to the logical schema; with a
+    deletion-vector blob, rows at dead positions are dropped via one
+    boolean mask over the whole-file row index."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    l2p = l2p or {}
     target = to_arrow_schema(schema)
     if not partition.abs_path:  # empty table / empty batch
         return
-    pvals = json.loads(partition.partition_json)
+    pvals = json.loads(partition.partition_json)  # PHYSICAL-keyed
+    phys_names = [l2p.get(n, n) for n in target.names]
     table = pq.read_table(
         partition.abs_path,
-        columns=[n for n in target.names if n not in pvals],
+        columns=[p for p in phys_names if p not in pvals],
     )
+    if partition.dv_blob is not None:
+        import numpy as np
+
+        from dask_deltalake_spark.delta.dv import deserialize_positions
+
+        dead = deserialize_positions(partition.dv_blob)
+        mask = np.ones(table.num_rows, dtype=bool)
+        live_dead = dead[dead < table.num_rows].astype(np.int64)
+        mask[live_dead] = False
+        table = table.filter(pa.array(mask))
     n = table.num_rows
     cols = []
-    for field in target:
-        if field.name in pvals:
-            raw = pvals[field.name]
+    for field, phys in zip(target, phys_names):
+        if phys in pvals:
+            raw = pvals[phys]
             arr = pa.array([raw] * n, type=pa.string()).cast(field.type)
         else:
-            arr = table.column(field.name).cast(field.type)
+            arr = table.column(phys).cast(field.type)
         cols.append(arr)
     out = pa.table(dict(zip(target.names, cols)), schema=target)
     yield from out.to_batches(max_chunksize=64 * 1024)
@@ -223,12 +270,21 @@ class DeltaPyStreamReader(DataSourceStreamReader):
     each micro-batch reads the data-changing add-actions of the commit
     range (start, end]. Removes are ignored — i.e. delta-spark's
     ``ignoreDeletes``/``ignoreChanges`` posture: appends stream
-    exactly-once; overwrite/merge rewrites re-emit their added files.
-    State per query is just the last committed version."""
+    exactly-once; overwrite/merge rewrites re-emit their added files
+    (a deletion-vector re-add emits only its LIVE rows). State per
+    query is just the last committed version. A protocol-upgrade
+    commit arriving mid-range is re-checked before planning."""
 
     def __init__(self, schema: StructType, options):
+        from dask_deltalake_spark.delta.column_mapping import (
+            logical_to_physical,
+        )
         from dask_deltalake_spark.delta.log import DeltaLog
-        from dask_deltalake_spark.delta.protocol import check_read_protocol
+        from dask_deltalake_spark.delta.protocol import (
+            check_read_protocol,
+            column_mapping_mode,
+        )
+        from dask_deltalake_spark.delta.reader import snapshot_schema
 
         self._schema = schema
         path = options.get("path")
@@ -236,7 +292,17 @@ class DeltaPyStreamReader(DataSourceStreamReader):
             raise ValueError("delta_py requires .option('path', ...)")
         self._log = DeltaLog(path)
         self._table_path = self._log.table_path
-        check_read_protocol(self._log.snapshot().protocol)
+        snap = self._log.snapshot()
+        check_read_protocol(
+            snap.protocol,
+            metadata=snap.metadata,
+            features={"columnMapping", "deletionVectors"},
+        )
+        self._l2p = (
+            logical_to_physical(snapshot_schema(snap))
+            if column_mapping_mode(snap.metadata) != "none"
+            else {}
+        )
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -247,6 +313,7 @@ class DeltaPyStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         from urllib.parse import unquote
 
+        from dask_deltalake_spark.delta.dv import read_dv_bytes
         from dask_deltalake_spark.delta.protocol import (
             Protocol,
             check_read_protocol,
@@ -264,6 +331,7 @@ class DeltaPyStreamReader(DataSourceStreamReader):
                 # failure check_read_protocol exists to prevent.
                 proto = action.get("protocol")
                 if proto is not None:
+                    rf = proto.get("readerFeatures")
                     check_read_protocol(
                         Protocol(
                             min_reader_version=int(
@@ -272,15 +340,25 @@ class DeltaPyStreamReader(DataSourceStreamReader):
                             min_writer_version=int(
                                 proto.get("minWriterVersion", 1)
                             ),
-                        )
+                            reader_features=(
+                                list(rf) if rf is not None else None
+                            ),
+                        ),
+                        features={"columnMapping", "deletionVectors"},
                     )
                 add = action.get("add")
                 if add and add.get("dataChange", True):
+                    dv = add.get("deletionVector")
                     entries.append(
                         (
                             f"{self._table_path}/{unquote(add['path'])}",
                             json.dumps(add.get("partitionValues") or {}),
                             int(add.get("size") or 0),
+                            (
+                                read_dv_bytes(self._table_path, dv)
+                                if dv
+                                else None
+                            ),
                         )
                     )
         if not entries:
@@ -290,9 +368,11 @@ class DeltaPyStreamReader(DataSourceStreamReader):
         return _bin_pack_files(entries)
 
     def read(self, partition: DeltaFilesPartition):
-        for abs_path, pjson in partition.files:
+        for abs_path, pjson, dv_blob in partition.files:
             yield from _read_file_as_batches(
-                self._schema, DeltaFilePartition(abs_path, pjson)
+                self._schema,
+                DeltaFilePartition(abs_path, pjson, dv_blob),
+                self._l2p,
             )
 
     def commit(self, end: dict) -> None:

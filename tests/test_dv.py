@@ -225,12 +225,14 @@ def test_dv_unaware_paths_refuse_dv_tables(spark, tmp_path):
         update_where(path, [("id", "<", 9)], {"val": F.lit(0)}, spark=spark)
     with pytest.raises(DeltaProtocolError):
         merge_into(path, df.limit(3), keys=["id"], spark=spark)
-    # the python datasource has no vector filter — must refuse
+    # the python datasource DOES apply vectors — reads live rows
     from dask_deltalake_spark.sources import register_python_datasource
 
     register_python_datasource(spark)
-    with pytest.raises(Exception, match="reader features|minReaderVersion"):
+    assert (
         spark.read.format("delta_py").option("path", path).load().count()
+        == 395
+    )
     # appends remain legal on a DV table
     to_delta(
         spark.range(400, 410)

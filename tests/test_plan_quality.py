@@ -90,3 +90,69 @@ def test_x21_decontaminate_broadcasts_benchmark_side(spark):
 
     strategies = join_strategies(x21_decontaminate(spark, SF_DIR))
     assert "BroadcastHashJoin" in strategies, strategies
+
+
+def test_mapped_table_scan_pushes_physical_filters(spark, tmp_path):
+    """Column mapping must not break pushdown: the physical scan sees
+    pushed filters and a pruned ReadSchema (physical names), and the
+    logical rename is a pure projection on top."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.delta.column_mapping import rename_column
+    from dask_deltalake_spark.delta.reader import read_delta
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 1000)
+        .withColumn("part", (F.col("id") % 4).cast("int"))
+        .withColumn("val", F.col("id") * 2)
+    )
+    to_delta(df, path, partition_by=["part"])
+    rename_column(path, "val", "value")
+    rename_column(path, "part", "bucket")
+    out = read_delta(
+        path,
+        filter=[("bucket", "==", 1), ("value", ">", 100)],
+        columns=["id", "value"],
+        spark=spark,
+    )
+    scans = scan_info(out)
+    assert scans
+    s = scans[0]
+    # pushed under the PHYSICAL name
+    assert "val" in s["pushed_filters"] or "val" in s["data_filters"]
+    assert "val" in s["read_schema"] and "value" not in s["read_schema"]
+    # driver-side partition pruning already narrowed the file list
+    assert all("part=1" in f for f in out.inputFiles())
+    assert out.count() == sum(
+        1 for i in range(1000) if i % 4 == 1 and 2 * i > 100
+    )
+
+
+def test_dv_clean_files_bypass_python_filter(spark, tmp_path):
+    """A DV table scan splits: vectored files pass through the Arrow
+    position filter, clean files (here: a post-vector append) must NOT
+    pay any Python evaluation."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.reader import read_delta
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).withColumn("part", (F.col("id") % 2).cast("int")).withColumn("val", F.col("id"))
+    to_delta(df, path, partition_by=["part"])
+    delete_where(path, [("id", "<", 30)], spark=spark, strategy="merge-on-read")
+    to_delta(
+        spark.range(400, 500).withColumn("part", (F.col("id") % 2).cast("int")).withColumn("val", F.col("id")),
+        path,
+        mode="append",
+    )
+    out = read_delta(path, spark=spark)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE python/arrow eval branch (the vectored files), so the
+    # clean-file branch stays whole-stage-codegen only
+    n_py = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    assert n_py == 1, plan[:2000]
+    assert out.count() == 470

@@ -76,3 +76,102 @@ def test_streaming_source_incremental(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 100  # second run emitted only the new commit
     assert got.select("id").distinct().count() == 100
+
+
+def test_delta_py_reads_mapped_table(spark, tmp_path):
+    """Column mapping through the ecosystem format: logical columns
+    out, physical pruning underneath."""
+    register_python_datasource(spark)
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.delta.column_mapping import rename_column
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 500)
+        .withColumn("part", (F.col("id") % 2).cast("int"))
+        .withColumn("val", F.col("id") * 3)
+    )
+    to_delta(df, path, partition_by=["part"])
+    rename_column(path, "val", "value")
+    rename_column(path, "part", "bucket")
+    out = spark.read.format("delta_py").option("path", path).load()
+    assert out.columns == ["id", "bucket", "value"]
+    assert out.count() == 500
+    assert out.agg(F.sum("value")).first()[0] == sum(3 * i for i in range(500))
+    assert out.filter("bucket = 1").count() == 250
+
+
+def test_delta_py_reads_dv_table(spark, tmp_path):
+    """Deletion vectors through the ecosystem format: dead positions
+    masked executor-side in the Arrow batches."""
+    register_python_datasource(spark)
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 500)
+        .withColumn("part", (F.col("id") % 2).cast("int"))
+        .withColumn("val", F.col("id") * 3)
+    )
+    to_delta(df, path, partition_by=["part"])
+    delete_where(path, [("id", "<", 100)], spark=spark, strategy="merge-on-read")
+    out = spark.read.format("delta_py").option("path", path).load()
+    assert out.count() == 400
+    assert out.agg(F.min("id")).first()[0] == 100
+
+
+def test_delta_py_stream_dv_readd_emits_live_rows_only(spark, tmp_path):
+    """Streaming the ignoreChanges posture over a MoR delete: the
+    rewrite commit re-emits ONLY the live rows of its re-added files
+    (documented duplicates), never resurrected dead rows."""
+    register_python_datasource(spark)
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    path = str(tmp_path / "t")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    df = (
+        spark.range(0, 500)
+        .withColumn("part", (F.col("id") % 2).cast("int"))
+        .withColumn("val", F.col("id") * 3)
+    )
+    to_delta(df, path, partition_by=["part"])
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_py")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # consumes v0: 500 rows
+    assert spark.read.parquet(out_dir).count() == 500
+    delete_where(path, [("id", "<", 100)], spark=spark, strategy="merge-on-read")
+    drain()  # consumes ONLY the delete commit
+    inc = spark.read.parquet(out_dir)
+    # the increment = live rows of the re-added (vectored) files; a
+    # dead row must never appear in the increment
+    snap = DeltaLog(path).snapshot()
+    import json
+
+    expected_readd_live = sum(
+        json.loads(a.stats)["numRecords"] - a.deletion_vector["cardinality"]
+        for a in snap.add_actions
+        if a.deletion_vector
+    )
+    assert inc.count() == 500 + expected_readd_live
+    assert inc.filter("id < 100").count() == 100  # only v0's copies
