@@ -469,7 +469,16 @@ def restore(
 
     cur_by_path = {a.path: a for a in cur.add_actions}
     tgt_by_path = {a.path: a for a in target.add_actions}
-    re_adds = [a for p, a in tgt_by_path.items() if p not in cur_by_path]
+    # a file present in BOTH versions still needs re-adding when its
+    # DELETION VECTOR differs (a merge-on-read delete/update happened
+    # in between) — comparing presence alone would leave the newer
+    # vector in place and keep the restored rows dead
+    re_adds = [
+        a
+        for p, a in tgt_by_path.items()
+        if p not in cur_by_path
+        or cur_by_path[p].deletion_vector != a.deletion_vector
+    ]
     removes = [p for p in cur_by_path if p not in tgt_by_path]
     for a in re_adds:
         if not os.path.exists(os.path.join(table_path, a.path)):
@@ -477,6 +486,14 @@ def restore(
                 f"Cannot RESTORE to version {version}: data file {a.path} "
                 "no longer exists (vacuumed?)"
             )
+        if a.deletion_vector and a.deletion_vector.get("storageType") == "u":
+            from dask_deltalake_spark.delta.dv import dv_absolute_path
+
+            if not os.path.exists(dv_absolute_path(table_path, a.deletion_vector)):
+                raise FileNotFoundError(
+                    f"Cannot RESTORE to version {version}: deletion-vector "
+                    f"file for {a.path} no longer exists (vacuumed?)"
+                )
 
     ts = now_ms()
     actions: list[dict] = [
@@ -520,6 +537,9 @@ def restore(
                 modification_time=ts,
                 data_change=True,
                 stats=a.stats,
+                # the target version's vector state comes back with the
+                # file (None wipes a newer vector, restoring its rows)
+                deletion_vector=a.deletion_vector,
             ).to_json()
         )
     for p in removes:

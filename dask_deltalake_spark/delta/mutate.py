@@ -63,7 +63,13 @@ def _rewrite_and_commit(
         write_commit,
     )
 
-    partition_by = snap.metadata.partition_columns
+    partition_by = list(snap.metadata.partition_columns)
+    # column-mapped tables: files, hive dirs, partitionValues, stats
+    # must all carry PHYSICAL names (same contract as to_delta appends)
+    l2p = _mapping(snap)
+    if l2p:
+        new_data = new_data.toDF(*[l2p.get(c, c) for c in new_data.columns])
+        partition_by = [l2p.get(c, c) for c in partition_by]
     schema_bytes = (
         _spark_to_arrow_schema(new_data.schema).serialize().to_pybytes()
     )
@@ -113,15 +119,66 @@ def _rewrite_and_commit(
     }
 
 
-def _read_files(spark: SparkSession, snap, adds, schema: StructType) -> DataFrame:
+def _mapping(snap) -> Optional[dict]:
+    """logical → physical name map when the table uses column mapping,
+    else None (identity)."""
+    from dask_deltalake_spark.delta.column_mapping import logical_to_physical
+    from dask_deltalake_spark.delta.protocol import column_mapping_mode
+    from dask_deltalake_spark.delta.reader import snapshot_schema
+
+    if column_mapping_mode(snap.metadata) == "none":
+        return None
+    return logical_to_physical(snapshot_schema(snap))
+
+
+def _translate(dnf: list, l2p: Optional[dict]) -> list:
+    """Logical→physical DNF column names for pruning against the
+    physical-keyed partitionValues / stats (identity when unmapped)."""
+    if not l2p:
+        return dnf
+    from dask_deltalake_spark.delta.column_mapping import translate_dnf
+
+    return translate_dnf(dnf, l2p)
+
+
+def _read_files(
+    spark: SparkSession,
+    snap,
+    adds,
+    schema: StructType,
+    with_metadata: bool = False,
+) -> DataFrame:
+    """Rows of `adds` under the LOGICAL schema. On column-mapped
+    tables the scan runs against physical parquet names and is renamed
+    back; ``with_metadata`` additionally surfaces the ``_metadata``
+    struct as a real column (the merge-on-read paths need
+    file_path/row_index AFTER the rename projection, which would
+    otherwise drop the hidden pseudo-column)."""
     if not adds:
         return spark.createDataFrame([], schema)
     files = [f"{snap.path}/{a.path}" for a in adds]
-    return (
-        spark.read.schema(schema)
+    l2p = _mapping(snap)
+    if l2p is None and not with_metadata:
+        return (
+            spark.read.schema(schema)
+            .option("basePath", snap.path)
+            .parquet(*files)
+        )
+    from dask_deltalake_spark.delta.column_mapping import physical_schema
+
+    scan_schema = physical_schema(schema) if l2p else schema
+    df = (
+        spark.read.schema(scan_schema)
         .option("basePath", snap.path)
         .parquet(*files)
     )
+    cols = [
+        F.col(p).alias(l)
+        for p, l in zip(scan_schema.fieldNames(), schema.fieldNames())
+    ]
+    if with_metadata:
+        cols.append(F.col("_metadata"))
+    return df.select(*cols)
 
 
 def merge_into(
@@ -141,7 +198,11 @@ def merge_into(
         keys = [keys]
     log = DeltaLog(table_path)
     snap = log.snapshot()
-    check_read_protocol(snap.protocol)  # copy-on-write READS files
+    # COW reads+rewrites translate through the mapping; DV tables stay
+    # refused here (a rewrite would resurrect vector-deleted rows)
+    check_read_protocol(
+        snap.protocol, metadata=snap.metadata, features={"columnMapping"}
+    )
     check_append_only(snap.metadata, "merge")
     schema = snapshot_schema(snap)
     if set(source.columns) != set(schema.fieldNames()):
@@ -179,8 +240,10 @@ def merge_into(
             if mx is not None:
                 conj.append((k, "<=", mx))
         dnf = normalize_dnf([conj]) if conj else []
+    l2p = _mapping(snap)
+    prune_dnf = _translate(dnf, l2p)
     adds = snap.add_actions
-    touched = prune_by_stats(prune_partitions(adds, dnf), dnf)
+    touched = prune_by_stats(prune_partitions(adds, prune_dnf), prune_dnf)
     touched_paths = {a.path for a in touched}
     untouched = [a for a in adds if a.path not in touched_paths]
 
@@ -238,15 +301,18 @@ def delete_where(
         # the path, so gate with the feature claimed
         check_read_protocol(
             snap.protocol, metadata=snap.metadata,
-            features={"deletionVectors"},
+            features={"deletionVectors", "columnMapping"},
         )
         return _delete_merge_on_read(spark, table_path, snap, filter)
-    check_read_protocol(snap.protocol)  # copy-on-write READS files
+    check_read_protocol(
+        snap.protocol, metadata=snap.metadata, features={"columnMapping"}
+    )
     schema = snapshot_schema(snap)
     dnf = normalize_dnf(filter)
 
+    prune_dnf = _translate(dnf, _mapping(snap))
     adds = snap.add_actions
-    touched = prune_by_stats(prune_partitions(adds, dnf), dnf)
+    touched = prune_by_stats(prune_partitions(adds, prune_dnf), prune_dnf)
     touched_paths = {a.path for a in touched}
     untouched = [a for a in adds if a.path not in touched_paths]
 
@@ -302,12 +368,13 @@ def _mor_mark_positions(spark: SparkSession, table_path: str, snap, dnf):
     from dask_deltalake_spark.delta.reader import dnf_to_column, snapshot_schema
 
     schema = snapshot_schema(snap)
+    prune_dnf = _translate(dnf, _mapping(snap))
     adds = snap.add_actions
-    touched = prune_by_stats(prune_partitions(adds, dnf), dnf)
+    touched = prune_by_stats(prune_partitions(adds, prune_dnf), prune_dnf)
     if not touched:
         return None
     cond = dnf_to_column(dnf)
-    scan = _read_files(spark, snap, touched, schema)
+    scan = _read_files(spark, snap, touched, schema, with_metadata=True)
     matched = scan.filter(F.coalesce(cond, F.lit(False))).select(
         F.col("_metadata.file_path").alias("fp"),
         F.col("_metadata.row_index").alias("pos"),
@@ -401,15 +468,32 @@ def _mor_commit(
         }
     ]
     if "deletionVectors" not in (snap.protocol.reader_features or []):
-        # feature upgrade rides in the same commit. Only plain tables
-        # reach here (column-mapped ones were refused at the gate), so
-        # the implied legacy writer features are exactly v2's.
+        # feature upgrade rides in the same commit. The listed legacy
+        # features depend on where the table starts: a plain (writer
+        # v2) table implies appendOnly+invariants; a column-mapped
+        # (writer v5) table additionally implies the v3/v4/v5 set per
+        # the spec's version→feature table. Every listed feature is
+        # either implemented or enforced-by-refusal
+        # (protocol.check_write_protocol's structural checks).
+        mapped = _mapping(snap) is not None
+        reader_features = (["columnMapping"] if mapped else []) + [
+            "deletionVectors"
+        ]
+        writer_features = ["appendOnly", "invariants"]
+        if mapped:
+            writer_features += [
+                "checkConstraints",
+                "changeDataFeed",
+                "generatedColumns",
+                "columnMapping",
+            ]
+        writer_features.append("deletionVectors")
         actions.append(
             Protocol(
                 min_reader_version=3,
                 min_writer_version=7,
-                reader_features=["deletionVectors"],
-                writer_features=["appendOnly", "invariants", "deletionVectors"],
+                reader_features=reader_features,
+                writer_features=writer_features,
             ).to_json()
         )
     if dv_targets:
@@ -513,9 +597,9 @@ def _update_merge_on_read(
 
     schema = snapshot_schema(snap)
     cond = dnf_to_column(dnf)
-    updated = _read_files(spark, snap, touched, schema).filter(
-        F.coalesce(cond, F.lit(False))
-    )
+    updated = _read_files(
+        spark, snap, touched, schema, with_metadata=True
+    ).filter(F.coalesce(cond, F.lit(False)))
     if snap_has_dv := any(a.deletion_vector for a in touched):
         # rows already vector-deleted must not resurrect as updates
         from dask_deltalake_spark.delta.dv import dv_keep_predicate
@@ -533,7 +617,12 @@ def _update_merge_on_read(
         # with the table schema
         updated = updated.withColumn(col_name, val.cast(schema[col_name].dataType))
     updated = updated.select(*schema.fieldNames())
-    partition_by = snap.metadata.partition_columns
+    partition_by = list(snap.metadata.partition_columns)
+    l2p = _mapping(snap)
+    if l2p:
+        # image files carry PHYSICAL names like every other write
+        updated = updated.toDF(*[l2p.get(c, c) for c in updated.columns])
+        partition_by = [l2p.get(c, c) for c in partition_by]
     schema_bytes = (
         _spark_to_arrow_schema(updated.schema).serialize().to_pybytes()
     )
@@ -591,22 +680,25 @@ def update_where(
     if strategy == "merge-on-read":
         check_read_protocol(
             snap.protocol, metadata=snap.metadata,
-            features={"deletionVectors"},
+            features={"deletionVectors", "columnMapping"},
         )
         _schema = snapshot_schema(snap)
         bad_cols = [c for c in set if c not in _schema.fieldNames()]
         if bad_cols:
             raise ValueError(f"UPDATE of unknown columns: {bad_cols}")
         return _update_merge_on_read(spark, table_path, snap, filter, set)
-    check_read_protocol(snap.protocol)  # copy-on-write READS files
+    check_read_protocol(
+        snap.protocol, metadata=snap.metadata, features={"columnMapping"}
+    )  # copy-on-write READS files; DV tables refused (would resurrect)
     schema = snapshot_schema(snap)
     bad = [c for c in set if c not in schema.fieldNames()]
     if bad:
         raise ValueError(f"UPDATE of unknown columns: {bad}")
     dnf = normalize_dnf(filter)
 
+    prune_dnf = _translate(dnf, _mapping(snap))
     adds = snap.add_actions
-    touched = prune_by_stats(prune_partitions(adds, dnf), dnf)
+    touched = prune_by_stats(prune_partitions(adds, prune_dnf), prune_dnf)
     touched_paths = {a.path for a in touched}
     untouched = [a for a in adds if a.path not in touched_paths]
 

@@ -137,6 +137,15 @@ def _check_enforceable_write_features(metadata) -> None:
             "Table has column invariants; this writer does not enforce "
             "them, so the write is refused."
         )
+    if (
+        metadata.configuration.get("delta.enableChangeDataFeed", "").lower()
+        == "true"
+    ):
+        raise DeltaProtocolError(
+            "Table has delta.enableChangeDataFeed=true; this writer "
+            "does not emit _change_data files, so the write is refused "
+            "(use this engine's read_delta_changes for CDC instead)."
+        )
 
 
 def check_append_only(metadata, operation: str) -> None:
@@ -181,7 +190,18 @@ def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
                 "min_writer_version=7 without a writerFeatures list; "
                 "required features unknown, so the write is refused."
             )
-        supported = set(features) | {"timestampNtz", "appendOnly", "invariants"}
+        # the latter three are "supported" by enforcement-by-refusal:
+        # _check_enforceable_write_features refuses any table that
+        # actually DECLARES a constraint / generated column / CDF
+        # property, so a write that proceeds can never violate them
+        supported = set(features) | {
+            "timestampNtz",
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+        }
         unsupported = set(protocol.writer_features) - supported
         if unsupported:
             raise DeltaProtocolError(

@@ -109,17 +109,14 @@ def test_pruning_on_renamed_partition_column(spark, tmp_path):
     assert hi.count() == 1  # only id=99 (val 990)
 
 
-def test_strict_paths_refuse_mapped_tables(spark, tmp_path):
+def test_mapped_table_path_support_matrix(spark, tmp_path):
+    """DML and the python datasource translate the mapping; optimize
+    (whose rewrite would emit logical-named files) still refuses."""
     path = str(tmp_path / "t")
     to_delta(_df(spark, 0, 20), path)
     upgrade_to_column_mapping(path)
     from dask_deltalake_spark.delta.maintenance import optimize
-    from dask_deltalake_spark.delta.mutate import delete_where, update_where
 
-    with pytest.raises(DeltaProtocolError):
-        delete_where(path, [("part", "==", 1)], spark=spark)
-    with pytest.raises(DeltaProtocolError):
-        update_where(path, [("part", "==", 1)], {"val": F.lit(0)}, spark=spark)
     with pytest.raises(DeltaProtocolError):
         optimize(path, spark=spark)
     # the python datasource DOES translate names — reads fine
@@ -129,6 +126,60 @@ def test_strict_paths_refuse_mapped_tables(spark, tmp_path):
     assert (
         spark.read.format("delta_py").option("path", path).load().count() == 20
     )
+
+
+def test_mapped_table_dml(spark, tmp_path):
+    """Full DML on a renamed (column-mapped) table: COW delete/update/
+    merge and MoR delete/update all translate logical predicates and
+    write physical-named files."""
+    import pyarrow.parquet as pq
+
+    from dask_deltalake_spark.delta.mutate import (
+        delete_where,
+        merge_into,
+        update_where,
+    )
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 100), path, partition_by=["part"])
+    rename_column(path, "val", "value")
+    rename_column(path, "part", "bucket")
+
+    delete_where(path, [("id", ">=", 90)], spark=spark)  # COW
+    assert read_delta(path, spark=spark).count() == 90
+    update_where(path, [("id", "<", 10)], {"value": F.col("value") + 1}, spark=spark)
+    out = read_delta(path, spark=spark)
+    assert out.agg(F.sum("value")).first()[0] == sum(
+        i * 10 + (1 if i < 10 else 0) for i in range(90)
+    )
+    src = (
+        spark.range(100, 105)
+        .withColumn("bucket", (F.col("id") % 2).cast("int"))
+        .withColumn("value", F.col("id") * 10)
+    )
+    merge_into(path, src, keys=["id"], spark=spark)
+    assert read_delta(path, spark=spark).count() == 95
+    # MoR on the mapped table
+    res = delete_where(
+        path, [("id", "<", 5)], spark=spark, strategy="merge-on-read"
+    )
+    assert res["numDeletedRows"] == 5
+    assert read_delta(path, spark=spark).count() == 90
+    update_where(
+        path, [("id", "==", 50)], {"value": F.lit(0)},
+        spark=spark, strategy="merge-on-read",
+    )
+    got = read_delta(path, filter=[("id", "==", 50)], spark=spark).collect()
+    assert len(got) == 1 and got[0]["value"] == 0
+    # every data file on disk still carries PHYSICAL names
+    for r, _, fs in os.walk(path):
+        if "_delta_log" in r:
+            continue
+        for f in fs:
+            if f.endswith(".parquet"):
+                names = set(pq.read_schema(os.path.join(r, f)).names)
+                assert "value" not in names and "bucket" not in names
+        assert "bucket=" not in r
 
 
 def test_rename_validation(spark, tmp_path):

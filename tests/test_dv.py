@@ -366,3 +366,23 @@ def test_append_only_enforced(spark, tmp_path):
         delete_where(
             path, [("id", "<", 5)], spark=spark, strategy="merge-on-read"
         )
+
+
+def test_restore_across_vector_commits(spark, tmp_path):
+    """RESTORE must re-add files whose deletion vector CHANGED, not
+    just files that appeared/vanished — otherwise restored rows stay
+    dead under the newer vector."""
+    from dask_deltalake_spark.delta.maintenance import restore
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.reader import read_delta
+
+    path = str(tmp_path / "t")
+    _table(spark, path)                                               # v0
+    delete_where(path, [("id", "<", 30)], spark=spark, strategy="merge-on-read")  # v1
+    delete_where(path, [("id", "<", 45)], spark=spark, strategy="merge-on-read")  # v2
+    assert read_delta(path, spark=spark).count() == 355
+    restore(path, 1, spark=spark)                                     # back to 370
+    assert read_delta(path, spark=spark).count() == 370
+    assert read_delta(path, spark=spark).agg(F.min("id")).first()[0] == 30
+    restore(path, 0, spark=spark)                                     # full table
+    assert read_delta(path, spark=spark).count() == 400
