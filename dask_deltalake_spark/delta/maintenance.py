@@ -367,12 +367,15 @@ def optimize(
     # which applies them — so OPTIMIZE doubles as the vector PURGE:
     # compacted output files are clean, old files and their vectors
     # are tombstoned, and the logical content is unchanged (which is
-    # what keeps dataChange=false honest). Column-mapped tables stay
-    # refused here: the rewrite would emit logical-named files.
+    # what keeps dataChange=false honest). Column-mapped tables
+    # rewrite under PHYSICAL names (rename applied below, the same
+    # contract as every other write path).
     check_read_protocol(
-        snap.protocol, metadata=snap.metadata, features={"deletionVectors"}
+        snap.protocol,
+        metadata=snap.metadata,
+        features={"deletionVectors", "columnMapping"},
     )
-    partition_by = snap.metadata.partition_columns
+    partition_by = list(snap.metadata.partition_columns)
 
     old_paths = list(snap.files)
     total_bytes = sum(a.size for a in snap.add_actions)
@@ -399,6 +402,18 @@ def optimize(
         df = df.repartition(n_out, *partition_by)
     else:
         df = df.repartition(n_out)
+
+    from dask_deltalake_spark.delta.protocol import column_mapping_mode
+
+    if column_mapping_mode(snap.metadata) != "none":
+        from dask_deltalake_spark.delta.column_mapping import (
+            logical_to_physical,
+        )
+        from dask_deltalake_spark.delta.reader import snapshot_schema
+
+        l2p = logical_to_physical(snapshot_schema(snap))
+        df = df.toDF(*[l2p.get(c, c) for c in df.columns])
+        partition_by = [l2p.get(c, c) for c in partition_by]
 
     schema_bytes = _spark_to_arrow_schema(df.schema).serialize().to_pybytes()
     fn = _write_partition_factory(table_path, partition_by, schema_bytes)

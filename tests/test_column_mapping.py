@@ -110,15 +110,24 @@ def test_pruning_on_renamed_partition_column(spark, tmp_path):
 
 
 def test_mapped_table_path_support_matrix(spark, tmp_path):
-    """DML and the python datasource translate the mapping; optimize
-    (whose rewrite would emit logical-named files) still refuses."""
+    """Every path translates the mapping: the python datasource reads
+    logical columns, and OPTIMIZE compacts under physical names."""
+    import pyarrow.parquet as pq
+
     path = str(tmp_path / "t")
-    to_delta(_df(spark, 0, 20), path)
-    upgrade_to_column_mapping(path)
+    to_delta(_df(spark, 0, 20).repartition(4), path)
+    rename_column(path, "val", "value")
+    from dask_deltalake_spark.delta.log import DeltaLog
     from dask_deltalake_spark.delta.maintenance import optimize
 
-    with pytest.raises(DeltaProtocolError):
-        optimize(path, spark=spark)
+    res = optimize(path, spark=spark)
+    assert res["numFilesAdded"] <= res["numFilesRemoved"]
+    out = read_delta(path, spark=spark)
+    assert out.columns == ["id", "part", "value"] and out.count() == 20
+    # compacted files carry PHYSICAL names
+    for a in DeltaLog(path).snapshot().add_actions:
+        names = set(pq.read_schema(os.path.join(path, a.path)).names)
+        assert "val" in names and "value" not in names
     # the python datasource DOES translate names — reads fine
     from dask_deltalake_spark.sources import register_python_datasource
 
