@@ -53,6 +53,9 @@ class DeltaFilePartition(InputPartition):
     abs_path: str
     partition_json: str  # {"col": "string-value" | null}
     dv_blob: Optional[bytes] = None  # serialized deletion-vector bitmap
+    # 'drop' = exclude rows at bitmap positions (DV read semantics);
+    # 'only' = emit ONLY those rows (CDF change-image extraction)
+    pos_mode: str = "drop"
 
 
 @dataclass
@@ -247,10 +250,12 @@ def _read_file_as_batches(
 
         from dask_deltalake_spark.delta.dv import deserialize_positions
 
-        dead = deserialize_positions(partition.dv_blob)
-        mask = np.ones(table.num_rows, dtype=bool)
-        live_dead = dead[dead < table.num_rows].astype(np.int64)
-        mask[live_dead] = False
+        marked = deserialize_positions(partition.dv_blob)
+        only = partition.pos_mode == "only"
+        # drop: keep everything except marked; only: keep just marked
+        mask = np.full(table.num_rows, not only, dtype=bool)
+        in_range = marked[marked < table.num_rows].astype(np.int64)
+        mask[in_range] = only
         table = table.filter(pa.array(mask))
     n = table.num_rows
     cols = []
@@ -406,6 +411,285 @@ class DeltaPyDataSource(DataSource):
         return DeltaPyStreamReader(schema, self.options)
 
 
+# ---------------------------------------------------------------------------
+# Change-data-feed source: spark.read/readStream.format("delta_py_cdf")
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DeltaCdfPartition(InputPartition):
+    abs_path: str
+    partition_json: str
+    change_type: str  # 'insert' | 'delete'
+    commit_version: int
+    dv_blob: Optional[bytes] = None
+    pos_mode: str = "drop"
+
+
+def _plan_cdf_partitions(log, state: dict, start_v: int, end_v: int) -> list:
+    """Plan per-commit change partitions for versions (start_v, end_v]
+    — the datasource analog of delta/cdc.py's classification, at the
+    file level: pure adds emit their live rows as inserts, pure
+    removes their prior-live rows as deletes, and a vector re-add
+    emits exactly the NEWLY dead positions as deletes. ``state`` maps
+    live path → (partition_json, dv_descriptor) as of start_v (remove
+    actions carry no partitionValues, so the prior add's must be
+    remembered) and is rolled forward in place, across
+    dataChange=false housekeeping too."""
+    import numpy as np
+    from urllib.parse import unquote
+
+    from dask_deltalake_spark.delta.dv import (
+        deserialize_positions,
+        read_dv_bytes,
+        serialize_positions,
+    )
+    from dask_deltalake_spark.delta.protocol import (
+        Protocol,
+        check_read_protocol,
+    )
+
+    out: list = []
+    for v in range(start_v + 1, end_v + 1):
+        adds_v: dict = {}
+        removes_v: dict = {}
+        for action in log.read_commit_actions(v):
+            proto = action.get("protocol")
+            if proto is not None:
+                check_read_protocol(
+                    Protocol.from_json(proto),
+                    features={"columnMapping", "deletionVectors"},
+                )
+            if action.get("add") is not None:
+                adds_v[unquote(action["add"]["path"])] = action["add"]
+            if action.get("remove") is not None:
+                removes_v[unquote(action["remove"]["path"])] = action["remove"]
+
+        def emit(path, pvals_json, ctype, blob, mode):
+            out.append(
+                DeltaCdfPartition(
+                    abs_path=f"{log.table_path}/{path}",
+                    partition_json=pvals_json,
+                    change_type=ctype,
+                    commit_version=v,
+                    dv_blob=blob,
+                    pos_mode=mode,
+                )
+            )
+
+        def add_pv(add):
+            return json.dumps(add.get("partitionValues") or {})
+
+        paired = {
+            p
+            for p in adds_v.keys() & removes_v.keys()
+            if adds_v[p].get("dataChange", True)
+            and removes_v[p].get("dataChange", True)
+        }
+        for p, add in adds_v.items():
+            if not add.get("dataChange", True) or p in paired:
+                continue
+            dv = add.get("deletionVector")
+            emit(
+                p, add_pv(add), "insert",
+                read_dv_bytes(log.table_path, dv) if dv else None, "drop",
+            )
+        for p, rem in removes_v.items():
+            if not rem.get("dataChange", True) or p in paired:
+                continue
+            prior_pv, prior_dv = state.get(p, ("{}", None))
+            emit(
+                p, prior_pv, "delete",
+                read_dv_bytes(log.table_path, prior_dv) if prior_dv else None,
+                "drop",
+            )
+        for p in paired:
+            add = adds_v[p]
+            new_dv = add.get("deletionVector")
+            _prior_pv, prior_dv = state.get(p, ("{}", None))
+            old_pos = (
+                deserialize_positions(read_dv_bytes(log.table_path, prior_dv))
+                if prior_dv
+                else np.empty(0, dtype=np.uint64)
+            )
+            if new_dv is None:
+                # same-path rewrite without a vector (foreign writer):
+                # conservative delete(old live) + insert(new)
+                emit(
+                    p, add_pv(add), "delete",
+                    serialize_positions(old_pos) if len(old_pos) else None,
+                    "drop",
+                )
+                emit(p, add_pv(add), "insert", None, "drop")
+                continue
+            new_pos = deserialize_positions(
+                read_dv_bytes(log.table_path, new_dv)
+            )
+            delta = np.setdiff1d(new_pos, old_pos)
+            if len(delta):
+                emit(p, add_pv(add), "delete", serialize_positions(delta), "only")
+        # roll the state, including dataChange=false housekeeping
+        for p, add in adds_v.items():
+            state[p] = (add_pv(add), add.get("deletionVector"))
+        for p in removes_v:
+            if p not in adds_v:
+                state.pop(p, None)
+    return out
+
+
+def _cdf_read_partition(
+    table_schema: StructType, l2p: dict, partition: DeltaCdfPartition
+) -> Iterator["pa.RecordBatch"]:
+    """Executor-side: table-schema rows of one change partition plus
+    the _change_type / _commit_version columns."""
+    import pyarrow as pa
+
+    for batch in _read_file_as_batches(
+        table_schema,
+        DeltaFilePartition(
+            partition.abs_path,
+            partition.partition_json,
+            partition.dv_blob,
+            partition.pos_mode,
+        ),
+        l2p,
+    ):
+        n = batch.num_rows
+        arrays = list(batch.columns) + [
+            pa.array([partition.change_type] * n, type=pa.string()),
+            pa.array([partition.commit_version] * n, type=pa.int64()),
+        ]
+        names = list(batch.schema.names) + ["_change_type", "_commit_version"]
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+class _CdfBase:
+    def _init_common(self, options):
+        from dask_deltalake_spark.delta.column_mapping import (
+            logical_to_physical,
+        )
+        from dask_deltalake_spark.delta.log import DeltaLog
+        from dask_deltalake_spark.delta.protocol import (
+            check_read_protocol,
+            column_mapping_mode,
+        )
+        from dask_deltalake_spark.delta.reader import snapshot_schema
+
+        path = options.get("path")
+        if not path:
+            raise ValueError("delta_py_cdf requires .option('path', ...)")
+        self._log = DeltaLog(path)
+        snap = self._log.snapshot()
+        check_read_protocol(
+            snap.protocol,
+            metadata=snap.metadata,
+            features={"columnMapping", "deletionVectors"},
+        )
+        self._table_schema = snapshot_schema(snap)
+        self._l2p = (
+            logical_to_physical(self._table_schema)
+            if column_mapping_mode(snap.metadata) != "none"
+            else {}
+        )
+
+    def _dv_state_at(self, version: int) -> dict:
+        if version < 0:
+            return {}
+        snap = self._log.snapshot(version=version)
+        return {
+            p: (json.dumps(a.partition_values or {}), a.deletion_vector)
+            for p, a in snap.files.items()
+        }
+
+
+class DeltaPyCdfReader(DataSourceReader, _CdfBase):
+    """Batch change feed: ``option('startingVersion', N)`` (exclusive,
+    default -1 = from table start) .. ``option('endingVersion', M)``
+    (default latest)."""
+
+    def __init__(self, schema: StructType, options):
+        self._init_common(options)
+        self._start = int(options.get("startingversion", options.get("startingVersion", -1)))
+        end = options.get("endingversion", options.get("endingVersion"))
+        self._end = int(end) if end is not None else self._log.latest_version()
+
+    def partitions(self):
+        dv_state = self._dv_state_at(self._start)
+        parts = _plan_cdf_partitions(
+            self._log, dv_state, self._start, self._end
+        )
+        return parts or [DeltaCdfPartition("", "{}", "insert", 0)]
+
+    def read(self, partition: DeltaCdfPartition):
+        yield from _cdf_read_partition(self._table_schema, self._l2p, partition)
+
+
+class DeltaPyCdfStreamReader(DataSourceStreamReader, _CdfBase):
+    """Streaming change feed: offsets are table versions; each
+    micro-batch emits the change rows of its commit range — inserts
+    for appends, deletes (with row images) for removes and vector
+    deltas. The per-path vector state is re-derived from the snapshot
+    at the batch's start version, so recovery from any checkpointed
+    offset is consistent."""
+
+    def __init__(self, schema: StructType, options):
+        self._init_common(options)
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._log.latest_version()}
+
+    def partitions(self, start: dict, end: dict):
+        start_v, end_v = int(start["version"]), int(end["version"])
+        dv_state = self._dv_state_at(start_v)
+        parts = _plan_cdf_partitions(self._log, dv_state, start_v, end_v)
+        return parts or [DeltaCdfPartition("", "{}", "insert", 0)]
+
+    def read(self, partition: DeltaCdfPartition):
+        yield from _cdf_read_partition(self._table_schema, self._l2p, partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class DeltaPyCdfDataSource(DataSource):
+    """``spark.read/readStream.format("delta_py_cdf")`` — the
+    delta-spark ``readChangeFeed`` surface over this engine's log
+    replay: table columns + ``_change_type`` + ``_commit_version``,
+    batch and streaming, no ``_change_data`` files required."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_py_cdf"
+
+    def schema(self) -> StructType:
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        from dask_deltalake_spark.delta.log import DeltaLog
+        from dask_deltalake_spark.delta.reader import snapshot_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_py_cdf requires .option('path', ...)")
+        base = snapshot_schema(DeltaLog(path).snapshot())
+        return StructType(
+            list(base.fields)
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_version", LongType(), False),
+            ]
+        )
+
+    def reader(self, schema: StructType) -> DeltaPyCdfReader:
+        return DeltaPyCdfReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> DeltaPyCdfStreamReader:
+        return DeltaPyCdfStreamReader(schema, self.options)
+
+
 def register_python_datasource(spark) -> None:
-    """Idempotently register the delta_py format on a session."""
+    """Idempotently register the delta_py + delta_py_cdf formats."""
     spark.dataSource.register(DeltaPyDataSource)
+    spark.dataSource.register(DeltaPyCdfDataSource)

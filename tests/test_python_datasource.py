@@ -175,3 +175,81 @@ def test_delta_py_stream_dv_readd_emits_live_rows_only(spark, tmp_path):
     )
     assert inc.count() == 500 + expected_readd_live
     assert inc.filter("id < 100").count() == 100  # only v0's copies
+
+
+def test_delta_py_cdf_batch(spark, tmp_path):
+    """Batch change feed: inserts per append commit, vector-delta
+    delete images, exclusive startingVersion resume."""
+    register_python_datasource(spark)
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 200)
+        .withColumn("part", (F.col("id") % 2).cast("int"))
+        .withColumn("val", F.col("id") * 10)
+    )
+    ddl.to_delta(df, path, partition_by=["part"])                      # v0
+    ddl.to_delta(
+        spark.range(200, 220)
+        .withColumn("part", (F.col("id") % 2).cast("int"))
+        .withColumn("val", F.col("id") * 10),
+        path,
+        mode="append",
+    )                                                                  # v1
+    delete_where(path, [("id", "<", 30)], spark=spark, strategy="merge-on-read")  # v2
+    ch = spark.read.format("delta_py_cdf").option("path", path).load()
+    agg = {
+        (r["_change_type"], r["_commit_version"]): r["count"]
+        for r in ch.groupBy("_change_type", "_commit_version").count().collect()
+    }
+    assert agg == {("insert", 0): 200, ("insert", 1): 20, ("delete", 2): 30}
+    ch2 = (
+        spark.read.format("delta_py_cdf")
+        .option("path", path)
+        .option("startingVersion", "1")
+        .load()
+    )
+    assert sorted(r["id"] for r in ch2.collect()) == list(range(30))
+    assert {r["_change_type"] for r in ch2.collect()} == {"delete"}
+    # partition values materialize on delete images too
+    assert ch2.filter("part = 1").count() == 15
+
+
+def test_delta_py_cdf_stream_resume(spark, tmp_path):
+    """Streaming change feed with checkpoint resume: the second drain
+    emits exactly the new commit's vector delta."""
+    register_python_datasource(spark)
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = str(tmp_path / "t")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    df = (
+        spark.range(0, 200)
+        .withColumn("part", (F.col("id") % 2).cast("int"))
+        .withColumn("val", F.col("id") * 10)
+    )
+    ddl.to_delta(df, path, partition_by=["part"])
+    delete_where(path, [("id", "<", 30)], spark=spark, strategy="merge-on-read")
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_py_cdf")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out_dir).count() == 230  # 200 ins + 30 del
+    delete_where(path, [("id", "<", 45)], spark=spark, strategy="merge-on-read")
+    drain()
+    inc = spark.read.parquet(out_dir).filter("_commit_version = 2")
+    assert inc.count() == 15
+    assert {r["_change_type"] for r in inc.collect()} == {"delete"}
+    assert sorted(r["id"] for r in inc.collect()) == list(range(30, 45))
