@@ -31,6 +31,8 @@ from dask_deltalake_spark.delta.maintenance import (
 )
 from dask_deltalake_spark.delta.cdc import read_delta_changes
 from dask_deltalake_spark.delta.column_mapping import (
+    add_column,
+    drop_column,
     rename_column,
     upgrade_to_column_mapping,
 )
@@ -50,6 +52,8 @@ __all__ = [
     "delete_where",
     "update_where",
     "rename_column",
+    "add_column",
+    "drop_column",
     "upgrade_to_column_mapping",
     "get_spark",
 ]

@@ -158,6 +158,120 @@ def upgrade_to_column_mapping(
     return snap.version + 1
 
 
+def _commit_schema_change(
+    log: DeltaLog, snap, schema_d: dict, operation: str, params: dict,
+    partition_columns: Optional[list] = None, extra_config: Optional[dict] = None,
+) -> int:
+    meta = snap.metadata
+    config = dict(meta.configuration)
+    if extra_config:
+        config.update(extra_config)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms(),
+                "operation": operation,
+                "operationParameters": params,
+                "readVersion": snap.version,
+                "engineInfo": "dask_deltalake_spark/0.1.0",
+            }
+        },
+        Metadata(
+            id=meta.id,
+            schema_string=json.dumps(schema_d, separators=(",", ":")),
+            partition_columns=(
+                meta.partition_columns
+                if partition_columns is None
+                else partition_columns
+            ),
+            configuration=config,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+        ).to_json(),
+    ]
+    write_commit(log.table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
+def add_column(
+    path: str,
+    name: str,
+    data_type: str,
+    nullable: bool = True,
+    spark: Optional[SparkSession] = None,
+) -> int:
+    """ALTER TABLE ADD COLUMN as a metadata-only commit (requires — or
+    first performs — the column-mapping upgrade). The new field gets a
+    fresh mapping id and a ``col-<uuid>`` physical name no existing
+    file contains, so every pre-existing row reads back NULL for it;
+    subsequent appends write it under the physical name.
+    ``data_type`` is a Spark DDL type string (``"double"``,
+    ``"array<string>"``, ...)."""
+    import uuid as _uuid
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    dt = _parse_datatype_string(data_type)  # validate + canonicalize
+    log = DeltaLog(path)
+    snap = log.snapshot()
+    if column_mapping_mode(snap.metadata) == "none":
+        upgrade_to_column_mapping(path, spark=spark)
+        snap = log.snapshot()
+    schema_d = json.loads(snap.metadata.schema_string)
+    if name in [f["name"] for f in schema_d["fields"]]:
+        raise ValueError(f"Column {name!r} already exists")
+    max_id = int(
+        snap.metadata.configuration.get(COLUMN_MAPPING_MAX_ID_KEY, "0")
+    )
+    new_field = json.loads(StructType([StructField(name, dt, nullable)]).json())[
+        "fields"
+    ][0]
+    new_field["metadata"] = {
+        COLUMN_ID_KEY: max_id + 1,
+        PHYSICAL_NAME_KEY: f"col-{_uuid.uuid4()}",
+    }
+    schema_d["fields"].append(new_field)
+    return _commit_schema_change(
+        log,
+        snap,
+        schema_d,
+        "ADD COLUMNS",
+        {"columns": json.dumps([{"name": name, "type": data_type}])},
+        extra_config={COLUMN_MAPPING_MAX_ID_KEY: str(max_id + 1)},
+    )
+
+
+def drop_column(
+    path: str, name: str, spark: Optional[SparkSession] = None
+) -> int:
+    """ALTER TABLE DROP COLUMN as a metadata-only commit (requires —
+    or first performs — the column-mapping upgrade, which is exactly
+    why the spec gates DROP on mapping: the physical data stays in the
+    files, the logical schema simply stops referencing it, and a later
+    ``add_column`` with the same logical name gets a FRESH physical
+    name so the dropped values can never resurface). Partition columns
+    cannot be dropped."""
+    log = DeltaLog(path)
+    snap = log.snapshot()
+    if column_mapping_mode(snap.metadata) == "none":
+        upgrade_to_column_mapping(path, spark=spark)
+        snap = log.snapshot()
+    if name in snap.metadata.partition_columns:
+        raise ValueError(f"Cannot drop partition column {name!r}")
+    schema_d = json.loads(snap.metadata.schema_string)
+    names = [f["name"] for f in schema_d["fields"]]
+    if name not in names:
+        raise ValueError(f"Column {name!r} not found (have {names})")
+    if len(names) == 1:
+        raise ValueError("Cannot drop the only column of a table")
+    schema_d["fields"] = [f for f in schema_d["fields"] if f["name"] != name]
+    return _commit_schema_change(
+        log, snap, schema_d, "DROP COLUMNS",
+        {"columns": json.dumps([name])},
+    )
+
+
 def rename_column(
     path: str, existing: str, new: str, spark: Optional[SparkSession] = None
 ) -> int:

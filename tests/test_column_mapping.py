@@ -213,3 +213,61 @@ def test_checkpoint_preserves_mapping(spark, tmp_path):
     df = read_delta(path, spark=spark)
     assert df.columns == ["id", "part", "value"]
     assert df.count() == 50
+
+
+def test_add_and_drop_column(spark, tmp_path):
+    """ADD/DROP COLUMN are metadata-only: added columns read NULL for
+    pre-existing rows and fresh physical names in new files; dropped
+    values never resurface even if the logical name is re-added."""
+    import pyarrow.parquet as pq
+
+    from dask_deltalake_spark.delta.column_mapping import (
+        add_column,
+        drop_column,
+    )
+    from dask_deltalake_spark.delta.log import DeltaLog
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 40), path, partition_by=["part"])
+    files_v0 = _files(path)
+    add_column(path, "score", "double")
+    assert _files(path) == files_v0  # metadata-only
+    df = read_delta(path, spark=spark)
+    assert df.columns == ["id", "part", "val", "score"]
+    assert df.filter("score IS NULL").count() == 40
+
+    # append with the new column; its file carries the col-uuid name
+    new = (
+        spark.range(40, 50)
+        .withColumn("part", (F.col("id") % 2).cast("int"))
+        .withColumn("val", F.col("id") * 10)
+        .withColumn("score", F.col("id") * 1.5)
+    )
+    to_delta(new, path, mode="append")
+    snap = DeltaLog(path).snapshot()
+    phys = {
+        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+        for f in json.loads(snap.metadata.schema_string)["fields"]
+    }
+    assert phys["score"].startswith("col-")
+    added = _files(path) - files_v0
+    assert any(
+        phys["score"] in set(pq.read_schema(f).names) for f in added
+    )
+    out = read_delta(path, spark=spark)
+    assert out.filter("score IS NOT NULL").count() == 10
+    assert out.agg(F.sum("score")).first()[0] == sum(i * 1.5 for i in range(40, 50))
+
+    # drop + re-add same logical name: old values must NOT resurface
+    drop_column(path, "score")
+    assert read_delta(path, spark=spark).columns == ["id", "part", "val"]
+    add_column(path, "score", "double")
+    again = read_delta(path, spark=spark)
+    assert again.filter("score IS NOT NULL").count() == 0  # fresh physical name
+    # validation
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(path, "val", "long")
+    with pytest.raises(ValueError, match="partition column"):
+        drop_column(path, "part")
+    with pytest.raises(ValueError, match="not found"):
+        drop_column(path, "nope")
