@@ -36,6 +36,10 @@ from dask_deltalake_spark.delta.column_mapping import (
     rename_column,
     upgrade_to_column_mapping,
 )
+from dask_deltalake_spark.delta.constraints import (
+    add_constraint,
+    drop_constraint,
+)
 from dask_deltalake_spark.delta.mutate import delete_where, merge_into, update_where
 from dask_deltalake_spark.session import get_spark
 
@@ -54,6 +58,8 @@ __all__ = [
     "rename_column",
     "add_column",
     "drop_column",
+    "add_constraint",
+    "drop_constraint",
     "upgrade_to_column_mapping",
     "get_spark",
 ]

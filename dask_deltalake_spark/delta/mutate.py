@@ -63,6 +63,9 @@ def _rewrite_and_commit(
         write_commit,
     )
 
+    from dask_deltalake_spark.delta.constraints import enforce_constraints
+
+    enforce_constraints(new_data, snap.metadata, operation)
     partition_by = list(snap.metadata.partition_columns)
     # column-mapped tables: files, hive dirs, partitionValues, stats
     # must all carry PHYSICAL names (same contract as to_delta appends)
@@ -617,6 +620,9 @@ def _update_merge_on_read(
         # with the table schema
         updated = updated.withColumn(col_name, val.cast(schema[col_name].dataType))
     updated = updated.select(*schema.fieldNames())
+    from dask_deltalake_spark.delta.constraints import enforce_constraints
+
+    enforce_constraints(updated, snap.metadata, "UPDATE(merge-on-read)")
     partition_by = list(snap.metadata.partition_columns)
     l2p = _mapping(snap)
     if l2p:

@@ -115,17 +115,11 @@ def check_read_protocol(protocol, metadata=None, features=frozenset()) -> None:
 def _check_enforceable_write_features(metadata) -> None:
     """Structural checks shared by the elevated writer versions:
     refuse tables carrying declarations this writer cannot enforce —
-    enforcing-by-refusal is the protocol's contract for writers."""
+    enforcing-by-refusal is the protocol's contract for writers.
+    CHECK constraints are NOT refused here: every write path enforces
+    them for real (delta/constraints.py enforce_constraints)."""
     if metadata is None:
         return
-    constraints = [
-        k for k in metadata.configuration if k.startswith("delta.constraints.")
-    ]
-    if constraints:
-        raise DeltaProtocolError(
-            f"Table has CHECK constraints {constraints}; this writer "
-            "does not enforce them, so the write is refused."
-        )
     schema_str = metadata.schema_string or ""
     if '"delta.generationExpression"' in schema_str:
         raise DeltaProtocolError(
@@ -174,6 +168,12 @@ def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
     """
     wv = protocol.min_writer_version
     if wv <= MAX_SUPPORTED_WRITER_VERSION:
+        return
+    if wv in (3, 4):
+        # v3 adds CHECK constraints (enforced for real on every write
+        # path); v4 adds CDF + generated columns (refused structurally
+        # when actually declared)
+        _check_enforceable_write_features(metadata)
         return
     if wv == 5:
         if "columnMapping" not in features:

@@ -505,6 +505,11 @@ def to_delta(
         # re-validation on commit retry must compare logical shapes
         logical_schema = df.schema
         logical_partition_by = list(partition_by)
+        # CHECK constraints are verified over the rows being written,
+        # in logical names, before any file lands
+        from dask_deltalake_spark.delta.constraints import enforce_constraints
+
+        enforce_constraints(df, snap.metadata, f"to_delta({mode})")
         if column_mapping_mode(snap.metadata) != "none":
             if mode == "overwrite" and overwrite_schema:
                 raise DeltaProtocolError(
@@ -528,6 +533,19 @@ def to_delta(
 
     if shuffle and partition_by:
         df = df.repartition(*partition_by)
+
+    if snap is None and configuration:
+        # creating a table WITH constraints: the first rows must
+        # satisfy them too
+        from types import SimpleNamespace
+
+        from dask_deltalake_spark.delta.constraints import enforce_constraints
+
+        enforce_constraints(
+            df,
+            SimpleNamespace(configuration=dict(configuration)),
+            "to_delta(create)",
+        )
 
     if engine == "native":
         add_rows = _write_files_native(df, table_path, partition_by)
