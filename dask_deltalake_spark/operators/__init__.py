@@ -28,10 +28,10 @@ _ALL.update(_STREAMING)
 # r4 outside that round's window, so it has never had a driver row.
 # Round 5 fronts the EXACT COMPLEMENT of r4's window: q01-q06 (q06 is
 # the stalest, last hash-matched r2), d07-d16, x01-x04, x07-x17,
-# x19-x28, x30 (first-ever row), s01-s05, s07 — plus the two queries
-# that are new or changed this round: d20 (row-level CDC, new) and
-# s06 (drain trimmed, oracle constants unchanged but the path is
-# re-verified) and d21/d22 (column mapping / deletion vectors, new).
+# x19-x28, x30 (first-ever row), s01-s05, s07 — plus the queries that
+# are new or changed this round: d20 (row-level CDC), d21 (column
+# mapping), d22 (deletion vectors), and s06 (drain trimmed; oracle
+# constants unchanged but the path is re-verified).
 # That is 54 candidates for 50 slots: x05 and x06 yield their slots
 # because their driver rows are rows-only by design (both are
 # pytest-bounded — recall floor / Hamming-Jaccard bound), so
