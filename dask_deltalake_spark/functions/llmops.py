@@ -1792,3 +1792,285 @@ def window_dedup_stats(d: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- x31: semantic dedup (SemDeDup) -----------------------------------------
+
+_SEM_K = 8  # coarse clusters
+_SEM_THR = 0.35  # cosine threshold for "semantically duplicate"
+
+
+@query(
+    "x31_semantic_dedup",
+    f"""
+    WITH e AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm
+      FROM e
+    ),
+    cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n
+             WHERE vec_id < {_SEM_K}),
+    assigned AS (
+      SELECT t.vec_id, t.v, t.nrm, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.vec_id
+               ORDER BY LIST_DOT_PRODUCT(t.v, c.cv) / (t.nrm * c.cnrm) DESC,
+                        c.cell
+             ) AS crk
+      FROM n t CROSS JOIN cent c
+    ),
+    inv AS (SELECT vec_id, v, nrm, cell FROM assigned WHERE crk = 1),
+    dropped AS (
+      SELECT DISTINCT y.cell, y.vec_id
+      FROM inv x JOIN inv y
+        ON x.cell = y.cell AND x.vec_id < y.vec_id
+       AND ROUND(LIST_DOT_PRODUCT(x.v, y.v) / (x.nrm * y.nrm), 4)
+             >= {_SEM_THR}
+    )
+    SELECT i.cell,
+           COUNT(*) AS n_vectors,
+           CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN i.vec_id END) AS BIGINT)
+             AS keep_id_sum
+    FROM inv i LEFT JOIN dropped d
+      ON i.cell = d.cell AND i.vec_id = d.vec_id
+    GROUP BY i.cell ORDER BY i.cell
+    """,
+)
+def x31_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then
+    WITHIN each cluster drop every vector that has a
+    sufficiently-similar earlier neighbor (cosine >= threshold, keep
+    the lowest vec_id) — the embedding-space analog of MinHash dedup,
+    catching paraphrases exact/near-dup text hashing can't. The
+    cluster assignment is the same broadcast-centroid topology as x16
+    (first-K deterministic centroids so the DuckDB oracle replays the
+    exact cells; production swaps in k-means centroids — same plan).
+    Scale: the only quadratic step is the per-cell self-join, bounded
+    by cluster granularity (SemDeDup's core trick — K grows with the
+    corpus so cells stay ~constant); one broadcast, one shuffle on
+    cell, no all-pairs."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    cent = e.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cell")
+    )
+    inv = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "csim", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+        )
+        .withColumn("crk", F.row_number().over(w_assign))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "v", "nrm", "cell")
+    )
+    x = inv.select(
+        F.col("cell").alias("xc"),
+        F.col("vec_id").alias("xid"),
+        F.col("v").alias("xv"),
+        F.col("nrm").alias("xn"),
+    )
+    dropped = (
+        x.join(
+            inv,
+            (F.col("xc") == F.col("cell")) & (F.col("xid") < F.col("vec_id")),
+        )
+        .filter(
+            F.round(
+                dot(F.col("xv"), F.col("v")) / (F.col("xn") * F.col("nrm")), 4
+            )
+            >= F.lit(_SEM_THR)
+        )
+        .select("cell", "vec_id")
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        inv.join(dropped, ["cell", "vec_id"], "left")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count("is_dropped").cast("long").alias("n_dropped"),
+            F.sum(
+                F.when(F.col("is_dropped").isNull(), F.col("vec_id"))
+            ).cast("long").alias("keep_id_sum"),
+        )
+        .orderBy("cell")
+    )
+
+
+# --- x32: product-quantization ANN ------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (4 x 16 = 64 = embedding dim)
+_PQ_K = 16  # codes per subspace
+_PQ_NQ = 8  # queries
+_PQ_TOP = 3
+
+
+def _pq_oracle() -> str:
+    subs = ", ".join(str(m) for m in range(_PQ_M))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, m, v[(m * {_PQ_SUB} + 1):((m + 1) * {_PQ_SUB})] AS s
+      FROM e, (SELECT UNNEST([{subs}]) AS m)
+    ),
+    cb AS (
+      SELECT vec_id AS code, m, s AS cs FROM sub WHERE vec_id < {_PQ_K}
+    ),
+    enc AS (
+      SELECT vec_id, m, code,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id, m
+               ORDER BY ROUND(LIST_SUM(LIST_TRANSFORM(
+                          LIST_ZIP(s, cs), p -> (p[1] - p[2]) ** 2)), 6) ASC,
+                        code ASC
+             ) AS rk
+      FROM sub JOIN cb USING (m)
+    ),
+    codes AS (SELECT vec_id, m, code FROM enc WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, m, s AS qs FROM sub
+          WHERE vec_id < {_PQ_NQ}),
+    adc AS (
+      SELECT q.query_id, cb.m, cb.code,
+             LIST_DOT_PRODUCT(q.qs, cb.cs) AS part
+      FROM q JOIN cb ON q.m = cb.m
+    ),
+    scored AS (
+      SELECT a.query_id, c.vec_id AS neighbor_id,
+             ROUND(SUM(a.part), 4) AS score
+      FROM codes c JOIN adc a ON c.m = a.m AND c.code = a.code
+      WHERE c.vec_id != a.query_id
+      GROUP BY a.query_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+             ) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {_PQ_TOP}
+    ORDER BY query_id, rnk
+    """
+
+
+@query("x32_pq_ann", _pq_oracle())
+def x32_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, the FAISS IVF-PQ
+    compression leg): split each 64-d embedding into 4 subvectors,
+    quantize each against a 16-entry per-subspace codebook (first-K
+    deterministic, like x16's centroids, so the oracle replays the
+    exact codes), then score query→candidate with ASYMMETRIC distance:
+    the query stays exact, each candidate is its 4 codes, and the
+    score is 4 table lookups instead of a 64-d dot product. Memory is
+    the point at 100 TB: 4 bytes/vector instead of 256 — the corpus
+    side of the join shuffles CODES, never raw vectors. Topology: one
+    broadcast (codebook, M*K rows) for encoding, one broadcast ADC
+    table (queries x M x K) for scoring, one groupBy(query, candidate)
+    partial-aggregated map-side; never an all-pairs raw-vector join.
+    Production composes this with x16's IVF cells (scan only the
+    probed cells' codes); recall differs from brute-force x07 by
+    quantization error, which x19 measures."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    ms = F.explode(
+        F.array(*[F.lit(m) for m in range(_PQ_M)])
+    ).alias("m")
+    sub = (
+        e.select("vec_id", "v", ms)
+        .select(
+            "vec_id",
+            "m",
+            F.slice(
+                F.col("v"), F.col("m") * _PQ_SUB + 1, _PQ_SUB
+            ).alias("s"),
+        )
+    )
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"),
+        F.col("m").alias("cm"),
+        F.col("s").alias("cs"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    l2 = F.aggregate(
+        F.zip_with(F.col("s"), F.col("cs"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc("d"), F.asc("code")
+    )
+    codes = (
+        sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .withColumn("d", F.round(l2, 6))
+        .withColumn("rk", F.row_number().over(w_enc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", "code")
+    )
+    q = sub.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("s").alias("qs"),
+    )
+    adc = q.join(F.broadcast(cb), F.col("qm") == F.col("cm")).select(
+        "query_id",
+        F.col("cm").alias("am"),
+        F.col("code").alias("acode"),
+        dot(F.col("qs"), F.col("cs")).alias("part"),
+    )
+    scored = (
+        codes.join(
+            F.broadcast(adc),
+            (F.col("m") == F.col("am"))
+            & (F.col("code") == F.col("acode"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_top))
+        .filter(F.col("rnk") <= _PQ_TOP)
+        .select("query_id", "neighbor_id", "score", "rnk")
+        .orderBy("query_id", "rnk")
+    )

@@ -26,40 +26,61 @@ _ALL.update(_STREAMING)
 # d07-d16, x01-x28, s01-s07 + q01-q05; r4 led with d17/d18/d19/x29
 # (new) + q07-q44 + d01-d06 + x18 + s06 (changed) — x30 was added in
 # r4 outside that round's window, so it has never had a driver row.
-# Round 5 fronts the EXACT COMPLEMENT of r4's window: q01-q06 (q06 is
-# the stalest, last hash-matched r2), d07-d16, x01-x04, x07-x17,
-# x19-x28, x30 (first-ever row), s01-s05, s07 — plus the queries that
-# are new or changed this round: d20 (row-level CDC), d21 (column
-# mapping), d22 (deletion vectors), and s06 (drain trimmed; oracle
-# constants unchanged but the path is re-verified).
-# That is 54 candidates for 50 slots: x05 and x06 yield their slots
-# because their driver rows are rows-only by design (both are
-# pytest-bounded — recall floor / Hamming-Jaccard bound), so
-# deferring them to r6's front loses no hash information; s07 and
-# q05 (both unchanged since their r3 hash-green rows, and each
-# flanked by in-window neighbors exercising the same code paths —
-# s01-s06 / q01-q06) yield the last two slots to the new-capability
-# queries and lead r6. With 103 registered queries and a 50-query
-# window, perfect 2-round coverage needs 52/round — a couple of
-# r3-verified queries per round now wait a third round; the ledger
-# tracks which.
-# Next round (r6): lead with s07, q05, x05, x06 + the r4 tier
-# (d17-d19, x29, q07-q44, d01-d06, x18).
+# Round 5 fronts the complement of r4's window: q01-q04 + q06 (q06 is
+# the stalest, last hash-matched r2), d07-d16 less d08, x01-x28 less
+# x02/x05/x06/x09/x12/x24, x30 (first-ever row), s01-s05 — plus every
+# query NEW or CHANGED this round: d20 (row-level CDC), d21 (column
+# mapping), d22 (deletion vectors), d23 (CHECK constraints), d24
+# (ADD/DROP COLUMN), d25 (delta_py_cdf source), x31 (SemDeDup), x32
+# (PQ ANN), and s06 (drain trimmed; path re-verified).
+# The nine names that yield their slots to the new-capability queries
+# all lose no hash information this round: x05/x06 are rows-only by
+# design (pytest-bounded — recall floor / Hamming-Jaccard bound), and
+# s07/q05/d08/x02/x09/x12/x24 are unchanged since their r3 hash-green
+# rows with in-window neighbors on the same code paths (s01-s06 /
+# q01-q06 / d15 compaction / x01+x03 hash-dedup / x19 embedding
+# exprs / x10+x11 text stats / x20 hash-sampling). With 110 queries
+# and a 50-slot window, perfect 2-round coverage is no longer
+# arithmetically possible (needs 55/round) — the deferred set leads
+# r6 and the ledger tracks exactly which rows are 3 rounds old.
+# Next round (r6): lead with s07, q05, x05, x06, d08, x02, x09, x12,
+# x24 + the r4 tier (d17-d19, x29, q07-q44, d01-d06, x18, s06).
 _R5_FRONT = (
     [n for n in _ALL if n[:3] in {f"q{i:02d}" for i in (1, 2, 3, 4, 6)}]
-    + [n for n in _ALL if n[:3] in {f"d{i:02d}" for i in range(7, 17)}]
-    + ["d20_cdc_row_level", "d21_column_mapping", "d22_deletion_vectors"]
+    + [n for n in _ALL if n[:3] in {f"d{i:02d}" for i in (7, *range(9, 17))}]
+    + [
+        "d20_cdc_row_level",
+        "d21_column_mapping",
+        "d22_deletion_vectors",
+        "d23_check_constraints",
+        "d24_schema_alter",
+        "d25_streaming_cdf_source",
+    ]
     + [
         n
         for n in _ALL
         if n[:3]
-        in {f"x{i:02d}" for i in (*range(1, 5), *range(7, 18), *range(19, 29))}
+        in {
+            f"x{i:02d}"
+            for i in (1, 3, 4, 7, 8, 10, 11, *range(13, 18),
+                      *range(19, 24), 25, 26, 27, 28)
+        }
     ]
-    + ["x30_window_dedup"]
+    + ["x30_window_dedup", "x31_semantic_dedup", "x32_pq_ann"]
     + [n for n in _ALL if n[:3] in {f"s{i:02d}" for i in range(1, 6)}]
     + ["s06_stream_delta_source"]
-    # positions 51-54: first up in r6
-    + ["s07_stream_stream_join", "q05_join_multiway", "x05_minhash_lsh", "x06_simhash"]
+    # positions 51+: first up in r6
+    + [
+        "s07_stream_stream_join",
+        "q05_join_multiway",
+        "x05_minhash_lsh",
+        "x06_simhash",
+        "d08_delta_optimize",
+        "x02_dedup_normalized",
+        "x09_embedding_stats",
+        "x12_token_classes",
+        "x24_source_mix",
+    ]
 )
 _R5_FRONT = [n for n in _R5_FRONT if n in _ALL]
 _POS = {n: i for i, n in enumerate(_R5_FRONT)}

@@ -924,3 +924,210 @@ def d22_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("key_sum"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "d23_check_constraints",
+    """
+    SELECT CAST(3 * (SELECT COUNT(*) FROM nation) AS BIGINT) AS n_rows,
+           CAST(3 * (SELECT SUM(n_nationkey) FROM nation)
+                - 1000 * (SELECT COUNT(*) FROM nation) AS BIGINT) AS key_sum,
+           CAST(1 AS BIGINT) AS n_rejected,
+           CAST(3 AS BIGINT) AS writer_version
+    """,
+)
+def d23_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints (delta/constraints.py — writer protocol v3 /
+    table feature ``checkConstraints``, delta-spark's ``ALTER TABLE
+    ADD CONSTRAINT``; the reference refuses writer v3 tables outright,
+    core.pyi has no constraint surface). Lifecycle under test: (1)
+    ``add_constraint`` validates every EXISTING row then commits the
+    config entry and elevates the protocol; (2) a conforming append is
+    admitted; (3) an append containing one violating row fails
+    ATOMICALLY — nothing lands in the log (the read-back total proves
+    it); (4) ``drop_constraint`` is metadata-only, after which the
+    previously-rejected rows are admitted. The oracle recomputes the
+    surviving row/key sums from source parquet: 3× nation with one
+    batch shifted by -1000 per key, exactly one rejected write, and
+    the protocol pinned at writer v3."""
+    import shutil
+
+    from dask_deltalake_spark.delta.constraints import (
+        ConstraintViolationError,
+        add_constraint,
+        drop_constraint,
+    )
+    from dask_deltalake_spark.delta.log import DeltaLog
+
+    path = _tmp_table(sf_dir, "nation_ck")
+    shutil.rmtree(path, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation")
+    to_delta(n, path)
+    add_constraint(path, "key_nonneg", "n_nationkey >= 0", spark=spark)
+    # conforming append: admitted
+    to_delta(n, path, mode="append")
+    # violating append (every key shifted negative): must fail atomically
+    shifted = n.withColumn(
+        "n_nationkey", F.col("n_nationkey") - F.lit(1000)
+    )
+    n_rejected = 0
+    try:
+        to_delta(shifted, path, mode="append")
+    except ConstraintViolationError:
+        n_rejected = 1
+    drop_constraint(path, "key_nonneg", spark=spark)
+    to_delta(shifted, path, mode="append")  # now admitted
+    snap = DeltaLog(path).snapshot()
+    agg = read_delta(path, spark=spark).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
+    return agg.select(
+        "n_rows",
+        "key_sum",
+        F.lit(n_rejected).cast("long").alias("n_rejected"),
+        F.lit(snap.protocol.min_writer_version).cast("long").alias(
+            "writer_version"
+        ),
+    )
+
+
+@query(
+    "d24_schema_alter",
+    """
+    SELECT tier, n, key_sum FROM (
+      SELECT '<pre-alter>' AS tier,
+             COUNT(*) AS n,
+             CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+      FROM customer
+      UNION ALL
+      SELECT CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END,
+             COUNT(*),
+             CAST(SUM(c_custkey) AS BIGINT)
+      FROM customer
+      GROUP BY 1
+    ) ORDER BY tier
+    """,
+)
+def d24_schema_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ALTER TABLE ADD/DROP COLUMN
+    (delta/column_mapping.py add_column/drop_column — gated on column
+    mapping per the spec so dropped values can never resurface and new
+    columns never collide with stale physical data). ADD gives the new
+    field a fresh ``col-<uuid>`` physical name: every PRE-EXISTING row
+    reads back NULL for it with zero data rewritten (the '<pre-alter>'
+    bucket), while the follow-up append writes real values under the
+    physical name. DROP then removes a column logically; the read-back
+    schema must not contain it (asserted here — the query fails before
+    returning if it leaks). The oracle recomputes all three buckets
+    from source parquet."""
+    import shutil
+
+    from dask_deltalake_spark.delta.column_mapping import (
+        add_column,
+        drop_column,
+    )
+
+    path = _tmp_table(sf_dir, "customer_alter")
+    shutil.rmtree(path, ignore_errors=True)
+    c = load_table(spark, sf_dir, "customer")
+    to_delta(c, path)
+    add_column(path, "loyalty_tier", "string", spark=spark)
+    c2 = c.withColumn(
+        "loyalty_tier",
+        F.when(F.col("c_acctbal") > 5000, F.lit("gold")).otherwise(
+            F.lit("std")
+        ),
+    )
+    to_delta(c2, path, mode="append")
+    drop_column(path, "c_name", spark=spark)
+    df = read_delta(path, spark=spark)
+    if "c_name" in df.columns:  # DROP must be schema-effective
+        raise RuntimeError("dropped column c_name still visible")
+    return (
+        df.groupBy(
+            F.coalesce(F.col("loyalty_tier"), F.lit("<pre-alter>")).alias(
+                "tier"
+            )
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+        .orderBy("tier")
+    )
+
+
+@query(
+    "d25_streaming_cdf_source",
+    """
+    WITH lo AS (SELECT MIN(n_nationkey) + 9 AS thr FROM nation)
+    SELECT * FROM (
+      SELECT 'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version,
+             COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+      FROM nation, lo WHERE n_nationkey <= thr
+      UNION ALL
+      SELECT 'insert', CAST(1 AS BIGINT), COUNT(*),
+             CAST(SUM(n_nationkey) AS BIGINT)
+      FROM nation
+      UNION ALL
+      SELECT 'insert', CAST(3 AS BIGINT), COUNT(*),
+             CAST(SUM(n_nationkey) + 100 * COUNT(*) AS BIGINT)
+      FROM nation, lo WHERE n_nationkey > thr
+    ) ORDER BY change_type, commit_version
+    """,
+)
+def d25_streaming_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``delta_py_cdf`` DataSource (sources/delta_source.py —
+    delta-spark's ``readChangeFeed`` surface, batch leg): version 1
+    appends nation, version 2 is a merge-on-read DELETE (deletion
+    vector — the source must emit exactly the NEWLY-dead positions as
+    'delete' rows with full row images), version 3 appends the
+    surviving keys shifted +100. ``startingVersion=0`` replays commits
+    (0, latest]; the per-commit classification (pure add → insert,
+    vector re-add → position-delta deletes) aggregates to the oracle's
+    recomputation from source parquet. v0 (the empty create) emits
+    nothing — total change rows = inserts(v1) + deletes(v2) +
+    inserts(v3) only."""
+    import shutil
+
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.sources import register_python_datasource
+
+    path = _tmp_table(sf_dir, "nation_cdf_src")
+    shutil.rmtree(path, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation")
+    lo = n.agg(F.min("n_nationkey")).first()[0]
+    # v0: empty create (schema only), v1: full append, v2: MoR delete,
+    # v3: append of survivors shifted +100
+    to_delta(n.limit(0), path)
+    to_delta(n, path, mode="append")
+    delete_where(
+        path, [("n_nationkey", "<=", lo + 9)],
+        spark=spark, strategy="merge-on-read",
+    )
+    to_delta(
+        n.filter(F.col("n_nationkey") > lo + 9).withColumn(
+            "n_nationkey", F.col("n_nationkey") + F.lit(100)
+        ),
+        path,
+        mode="append",
+    )
+    register_python_datasource(spark)
+    ch = (
+        spark.read.format("delta_py_cdf")
+        .option("path", path)
+        .option("startingVersion", 0)
+        .load()
+    )
+    return (
+        ch.groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        .orderBy("change_type", "commit_version")
+    )
