@@ -40,6 +40,10 @@ from dask_deltalake_spark.delta.constraints import (
     add_constraint,
     drop_constraint,
 )
+from dask_deltalake_spark.delta.generated import (
+    GeneratedColumnViolationError,
+    generated_columns,
+)
 from dask_deltalake_spark.delta.mutate import delete_where, merge_into, update_where
 from dask_deltalake_spark.session import get_spark
 
@@ -60,6 +64,8 @@ __all__ = [
     "drop_column",
     "add_constraint",
     "drop_constraint",
+    "generated_columns",
+    "GeneratedColumnViolationError",
     "upgrade_to_column_mapping",
     "get_spark",
 ]

@@ -64,8 +64,33 @@ def _rewrite_and_commit(
     )
 
     from dask_deltalake_spark.delta.constraints import enforce_constraints
+    from dask_deltalake_spark.delta.generated import (
+        GeneratedColumnViolationError,
+        generated_columns,
+    )
+    from dask_deltalake_spark.delta.reader import snapshot_schema
 
     enforce_constraints(new_data, snap.metadata, operation)
+    # generated columns: rewritten rows must still satisfy every
+    # generation expression (update_where recomputes them, so its
+    # probe passes by construction; a MERGE source providing wrong
+    # values fails here atomically)
+    _gens = generated_columns(snap.metadata)
+    if _gens:
+        _sch = snapshot_schema(snap)
+        for _gname, _gexpr in _gens.items():
+            _expr = F.expr(_gexpr).cast(_sch[_gname].dataType)
+            _bad = (
+                new_data.filter(~F.col(_gname).eqNullSafe(_expr))
+                .limit(1)
+                .collect()
+            )
+            if _bad:
+                raise GeneratedColumnViolationError(
+                    f"{operation}: rewritten rows violate generated "
+                    f"column {_gname!r} ({_gexpr}); example row: "
+                    f"{_bad[0].asDict()}"
+                )
     partition_by = list(snap.metadata.partition_columns)
     # column-mapped tables: files, hive dirs, partitionValues, stats
     # must all carry PHYSICAL names (same contract as to_delta appends)
@@ -613,12 +638,27 @@ def _update_merge_on_read(
         updated = updated.filter(
             keep(F.col("_metadata.file_path"), F.col("_metadata.row_index"))
         )
+    from dask_deltalake_spark.delta.generated import generated_columns
+
+    gens = generated_columns(snap.metadata)
+    set_gens = [c for c in set if c in gens]
+    if set_gens:
+        raise ValueError(
+            f"Cannot UPDATE generated column(s) {set_gens}: they are "
+            "GENERATED ALWAYS AS and recomputed from their expressions "
+            "when source columns change."
+        )
     for col_name, expr in set.items():
         val = expr if isinstance(expr, Column) else F.lit(expr)
         # pin the declared column type — drifting (e.g. long+1.0 →
         # double) would append files whose physical type disagrees
         # with the table schema
         updated = updated.withColumn(col_name, val.cast(schema[col_name].dataType))
+    # GENERATED ALWAYS: re-derive on the updated images
+    for gname, gexpr in gens.items():
+        updated = updated.withColumn(
+            gname, F.expr(gexpr).cast(schema[gname].dataType)
+        )
     updated = updated.select(*schema.fieldNames())
     from dask_deltalake_spark.delta.constraints import enforce_constraints
 
@@ -709,12 +749,29 @@ def update_where(
     untouched = [a for a in adds if a.path not in touched_paths]
 
     cond = dnf_to_column(dnf)
+    from dask_deltalake_spark.delta.generated import generated_columns
+
+    gens = generated_columns(snap.metadata)
+    set_gens = [c for c in set if c in gens]
+    if set_gens:
+        raise ValueError(
+            f"Cannot UPDATE generated column(s) {set_gens}: they are "
+            "GENERATED ALWAYS AS and recomputed from their expressions "
+            "when source columns change."
+        )
     new_data = _read_files(spark, snap, touched, schema)
     for col, expr in set.items():
         val = expr if hasattr(expr, "cast") else F.lit(expr)
         val = val.cast(schema[col].dataType)
         new_data = new_data.withColumn(
             col, F.when(cond, val).otherwise(F.col(col)) if cond is not None else val
+        )
+    # GENERATED ALWAYS: re-derive after the SET projection so rows
+    # whose source columns changed stay consistent (deterministic
+    # expressions — untouched rows recompute to their current values)
+    for gname, gexpr in gens.items():
+        new_data = new_data.withColumn(
+            gname, F.expr(gexpr).cast(schema[gname].dataType)
         )
     return _rewrite_and_commit(
         spark,

@@ -112,19 +112,26 @@ def check_read_protocol(protocol, metadata=None, features=frozenset()) -> None:
     )
 
 
-def _check_enforceable_write_features(metadata) -> None:
+def _check_enforceable_write_features(metadata, features=frozenset()) -> None:
     """Structural checks shared by the elevated writer versions:
     refuse tables carrying declarations this writer cannot enforce —
     enforcing-by-refusal is the protocol's contract for writers.
     CHECK constraints are NOT refused here: every write path enforces
-    them for real (delta/constraints.py enforce_constraints)."""
+    them for real (delta/constraints.py enforce_constraints). Generated
+    columns are refused only for callers that do NOT claim the
+    ``generatedColumns`` feature — to_delta and the DML rewrites claim
+    it because they compute/verify the expressions for real
+    (delta/generated.py apply_generated_columns)."""
     if metadata is None:
         return
     schema_str = metadata.schema_string or ""
-    if '"delta.generationExpression"' in schema_str:
+    if (
+        '"delta.generationExpression"' in schema_str
+        and "generatedColumns" not in features
+    ):
         raise DeltaProtocolError(
-            "Table has generated columns; this writer does not compute "
-            "them, so the write is refused."
+            "Table has generated columns; this write path does not "
+            "compute them, so the write is refused."
         )
     if '"delta.invariants"' in schema_str:
         raise DeltaProtocolError(
@@ -171,9 +178,10 @@ def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
         return
     if wv in (3, 4):
         # v3 adds CHECK constraints (enforced for real on every write
-        # path); v4 adds CDF + generated columns (refused structurally
-        # when actually declared)
-        _check_enforceable_write_features(metadata)
+        # path); v4 adds CDF + generated columns (computed/verified for
+        # real by paths that claim the feature, refused structurally
+        # otherwise)
+        _check_enforceable_write_features(metadata, features)
         return
     if wv == 5:
         if "columnMapping" not in features:
@@ -182,7 +190,7 @@ def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
                 "this write path does not support it, so the write is "
                 "refused."
             )
-        _check_enforceable_write_features(metadata)
+        _check_enforceable_write_features(metadata, features)
         return
     if wv == 7:
         if protocol.writer_features is None:
@@ -208,7 +216,7 @@ def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
                 f"Table requires writer features {sorted(unsupported)} "
                 "this write path does not support; the write is refused."
             )
-        _check_enforceable_write_features(metadata)
+        _check_enforceable_write_features(metadata, features)
         return
     raise DeltaProtocolError(
         f"This table's min_writer_version is {wv}, but this method "

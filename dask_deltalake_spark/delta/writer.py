@@ -31,6 +31,7 @@ import uuid
 from typing import Iterator, Optional
 from urllib.parse import quote
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     StructField,
@@ -408,6 +409,7 @@ def to_delta(
     shuffle: bool = False,
     engine: str = "native",
     max_commit_retries: int = 10,
+    generated_columns: Optional[dict] = None,
 ) -> None:
     """Write a Spark DataFrame as a Delta table commit.
 
@@ -431,7 +433,16 @@ def to_delta(
     appends are commutative; the retry re-validates schema /
     partitioning / protocol against the winning snapshot first).
     Non-append conflicts always raise ``ConcurrentCommitError``.
-    """
+
+    ``generated_columns`` (CREATE only): ``{name: sql_expr}`` declares
+    GENERATED ALWAYS AS columns — the expression is embedded in the
+    column's schema metadata (``delta.generationExpression``, public
+    spec) and the protocol is created at writer v4. Columns the frame
+    doesn't carry are computed here; on every later write any
+    compliant writer (including this one) must compute-or-verify them
+    (delta/generated.py). A generated column may be used in
+    ``partition_by`` even when the frame never carries it — the
+    classic derived-partition pattern."""
     if engine not in ("native", "arrow"):
         raise ValueError(f"Unsupported write engine: {engine!r}")
     if storage_options:
@@ -448,19 +459,55 @@ def to_delta(
     if mode not in ("error", "append", "overwrite", "ignore"):
         raise ValueError(f"Unsupported write mode: {mode!r}")
 
-    for c in partition_by:
-        if c not in df.columns:
-            raise ValueError(f"partition_by column {c!r} not in DataFrame")
-
     log = DeltaLog(table_path)
     snap: Optional[Snapshot] = None
     if log.exists():
         snap = log.snapshot()
 
+    from dask_deltalake_spark.delta.generated import (
+        apply_generated_columns,
+        attach_generation_expressions,
+        generated_columns as table_generated_columns,
+    )
+
+    if generated_columns and snap is not None:
+        raise ValueError(
+            "generated_columns is CREATE-only; this table already "
+            "exists (its generation expressions live in the table "
+            "schema and are applied automatically)."
+        )
+    if generated_columns and snap is None:
+        # compute what the frame doesn't carry / verify what it does,
+        # BEFORE partition validation so a generated column can be the
+        # partition column; only USER-provided columns pay the verify
+        # probe (just-computed ones are equal by construction)
+        provided = {
+            g: e for g, e in generated_columns.items() if g in df.columns
+        }
+        for gname, gexpr in generated_columns.items():
+            if gname not in df.columns:
+                df = df.withColumn(gname, F.expr(gexpr))
+        if provided:
+            df = apply_generated_columns(
+                df, df.schema, provided, "to_delta(create)"
+            )
+
+    for c in partition_by:
+        if c not in df.columns:
+            raise ValueError(f"partition_by column {c!r} not in DataFrame")
+
     if snap is not None:
         table_schema = StructType.fromJson(
             json.loads(snap.metadata.schema_string)
         )
+        # Generated columns: compute the ones the frame doesn't carry,
+        # verify the ones it does — BEFORE the schema-equivalence
+        # check, so appends may legally omit generated columns.
+        table_gens = table_generated_columns(snap.metadata)
+        if table_gens:
+            df = apply_generated_columns(
+                df, table_schema, table_gens, f"to_delta({mode})"
+            )
         if not _schemas_equivalent(df.schema, table_schema) and not (
             mode == "overwrite" and overwrite_schema
         ):
@@ -491,7 +538,7 @@ def to_delta(
         check_write_protocol(
             snap.protocol,
             metadata=snap.metadata,
-            features={"columnMapping", "deletionVectors"},
+            features={"columnMapping", "deletionVectors", "generatedColumns"},
         )
         check_append_only(snap.metadata, mode)
         # Column mapping (delta/column_mapping.py): files, hive dirs,
@@ -591,11 +638,20 @@ def to_delta(
     actions.append({"commitInfo": commit_info})
 
     if snap is None:
-        actions.append(Protocol().to_json())
+        if generated_columns:
+            # writer v4 = generated columns per the public spec; the
+            # expressions ride in the schema's per-field metadata
+            actions.append(Protocol(min_writer_version=4).to_json())
+            schema_string = attach_generation_expressions(
+                df.schema, generated_columns
+            ).json()
+        else:
+            actions.append(Protocol().to_json())
+            schema_string = df.schema.json()
         actions.append(
             Metadata(
                 id=str(uuid.uuid4()),
-                schema_string=df.schema.json(),
+                schema_string=schema_string,
                 partition_columns=partition_by,
                 configuration=dict(configuration or {}),
                 name=name or None,
@@ -669,7 +725,11 @@ def to_delta(
             _chk_wp(
                 snap2.protocol,
                 metadata=snap2.metadata,
-                features={"columnMapping", "deletionVectors"},
+                features={
+                    "columnMapping",
+                    "deletionVectors",
+                    "generatedColumns",
+                },
             )
             _chk_ao(snap2.metadata, mode)
             actions[0]["commitInfo"]["readVersion"] = snap2.version

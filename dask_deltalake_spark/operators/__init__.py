@@ -28,23 +28,25 @@ _ALL.update(_STREAMING)
 # r4 outside that round's window, so it has never had a driver row.
 # Round 5 fronts the complement of r4's window: q01-q04 + q06 (q06 is
 # the stalest, last hash-matched r2), d07-d16 less d08, x01-x28 less
-# x02/x05/x06/x09/x12/x24, x30 (first-ever row), s01-s05 — plus every
-# query NEW or CHANGED this round: d20 (row-level CDC), d21 (column
-# mapping), d22 (deletion vectors), d23 (CHECK constraints), d24
-# (ADD/DROP COLUMN), d25 (delta_py_cdf source), x31 (SemDeDup), x32
-# (PQ ANN), and s06 (drain trimmed; path re-verified).
-# The nine names that yield their slots to the new-capability queries
+# x02/x05/x06/x09/x12/x17/x24, x30 (first-ever row), s01-s05 — plus
+# every query NEW or CHANGED this round: d20 (row-level CDC), d21
+# (column mapping), d22 (deletion vectors), d23 (CHECK constraints),
+# d24 (ADD/DROP COLUMN), d25 (delta_py_cdf source), d26 (generated
+# columns), x31 (SemDeDup), x32 (PQ ANN), and s06 (drain trimmed;
+# path re-verified).
+# The ten names that yield their slots to the new-capability queries
 # all lose no hash information this round: x05/x06 are rows-only by
 # design (pytest-bounded — recall floor / Hamming-Jaccard bound), and
-# s07/q05/d08/x02/x09/x12/x24 are unchanged since their r3 hash-green
-# rows with in-window neighbors on the same code paths (s01-s06 /
-# q01-q06 / d15 compaction / x01+x03 hash-dedup / x19 embedding
-# exprs / x10+x11 text stats / x20 hash-sampling). With 110 queries
-# and a 50-slot window, perfect 2-round coverage is no longer
-# arithmetically possible (needs 55/round) — the deferred set leads
-# r6 and the ledger tracks exactly which rows are 3 rounds old.
+# s07/q05/d08/x02/x09/x12/x17/x24 are unchanged since their r3
+# hash-green rows with in-window neighbors on the same code paths
+# (s01-s06 / q01-q06 / d15 compaction / x01+x03 hash-dedup / x19
+# embedding exprs / x10+x11 text stats / x13 multimodal mapInPandas /
+# x20 hash-sampling). With 109 queries and a 50-slot window, perfect
+# 2-round coverage is no longer arithmetically possible (needs
+# 55/round) — the deferred set leads r6 and the ledger tracks exactly
+# which rows are 3 rounds old.
 # Next round (r6): lead with s07, q05, x05, x06, d08, x02, x09, x12,
-# x24 + the r4 tier (d17-d19, x29, q07-q44, d01-d06, x18, s06).
+# x17, x24 + the r4 tier (d17-d19, x29, q07-q44, d01-d06, x18, s06).
 _R5_FRONT = (
     [n for n in _ALL if n[:3] in {f"q{i:02d}" for i in (1, 2, 3, 4, 6)}]
     + [n for n in _ALL if n[:3] in {f"d{i:02d}" for i in (7, *range(9, 17))}]
@@ -55,6 +57,7 @@ _R5_FRONT = (
         "d23_check_constraints",
         "d24_schema_alter",
         "d25_streaming_cdf_source",
+        "d26_generated_columns",
     ]
     + [
         n
@@ -62,7 +65,7 @@ _R5_FRONT = (
         if n[:3]
         in {
             f"x{i:02d}"
-            for i in (1, 3, 4, 7, 8, 10, 11, *range(13, 18),
+            for i in (1, 3, 4, 7, 8, 10, 11, 13, 14, 15, 16,
                       *range(19, 24), 25, 26, 27, 28)
         }
     ]
@@ -80,6 +83,7 @@ _R5_FRONT = (
         "x09_embedding_stats",
         "x12_token_classes",
         "x24_source_mix",
+        "x17_multimodal_framesample",
     ]
 )
 _R5_FRONT = [n for n in _R5_FRONT if n in _ALL]

@@ -1131,3 +1131,74 @@ def d25_streaming_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type", "commit_version")
     )
+
+
+@query(
+    "d26_generated_columns",
+    """
+    WITH y AS (SELECT YEAR(o_orderdate) AS yr, o_orderkey FROM orders),
+         m AS (SELECT MIN(yr) AS my FROM y)
+    SELECT CAST(2 * (SELECT COUNT(*) FROM orders) AS BIGINT) AS n_total,
+           CAST(2 * (SELECT COUNT(*) FROM y, m WHERE yr = my) AS BIGINT)
+             AS n_min_year,
+           CAST(2 * (SELECT SUM(o_orderkey) FROM y, m WHERE yr = my)
+                AS BIGINT) AS key_sum_min_year,
+           CAST(1 AS BIGINT) AS n_rejected,
+           CAST(4 AS BIGINT) AS writer_version
+    """,
+)
+def d26_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns (delta/generated.py — writer protocol v4,
+    delta-spark's GENERATED ALWAYS AS; the reference refuses writer v4
+    outright). The classic derived-partition pattern end-to-end: the
+    table is created partitioned by ``o_year = YEAR(o_orderdate)``, a
+    column the incoming frame NEVER carries — the writer derives it on
+    create and again on a later append, lays out hive dirs by it, and
+    a read filtered on the derived column partition-prunes at the
+    metadata level. An append providing a WRONG o_year must fail
+    atomically (n_rejected=1, total row count proves nothing landed).
+    The oracle recomputes both aggregates straight from source parquet
+    via the same YEAR() expression."""
+    import shutil
+
+    from dask_deltalake_spark.delta.generated import (
+        GeneratedColumnViolationError,
+    )
+    from dask_deltalake_spark.delta.log import DeltaLog
+
+    path = _tmp_table(sf_dir, "orders_gen")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    to_delta(
+        o,
+        path,
+        partition_by=["o_year"],
+        generated_columns={"o_year": "YEAR(o_orderdate)"},
+    )
+    to_delta(o, path, mode="append")  # engine derives o_year again
+    n_rejected = 0
+    try:
+        to_delta(
+            o.withColumn("o_year", F.lit(9999)), path, mode="append"
+        )
+    except GeneratedColumnViolationError:
+        n_rejected = 1
+    min_year = o.agg(F.min(F.year("o_orderdate"))).first()[0]
+    pruned = read_delta(
+        path, filter=[("o_year", "==", min_year)], spark=spark
+    )
+    snap = DeltaLog(path).snapshot()
+    total = read_delta(path, spark=spark).count()
+    agg = pruned.agg(
+        F.count("*").alias("n_min_year"),
+        F.sum("o_orderkey").alias("key_sum_min_year"),
+    )
+    return agg.select(
+        F.lit(total).cast("long").alias("n_total"),
+        "n_min_year",
+        "key_sum_min_year",
+        F.lit(n_rejected).cast("long").alias("n_rejected"),
+        F.lit(snap.protocol.min_writer_version).cast("long").alias(
+            "writer_version"
+        ),
+    )

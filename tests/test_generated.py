@@ -1,0 +1,144 @@
+"""Generated columns (delta/generated.py): compute-on-write,
+verify-on-provide, writer v4 protocol, derived partitioning, and DML
+recompute/enforcement."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from dask_deltalake_spark.delta.generated import (
+    GENERATION_EXPRESSION_KEY,
+    GeneratedColumnViolationError,
+    generated_columns,
+)
+from dask_deltalake_spark.delta.log import DeltaLog
+from dask_deltalake_spark.delta.mutate import merge_into, update_where
+from dask_deltalake_spark.delta.reader import read_delta
+from dask_deltalake_spark.delta.writer import to_delta
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+GEN = {"v_bucket": "CAST(v % 3 AS INT)"}
+
+
+def test_create_computes_missing_and_elevates_protocol(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 30), path, generated_columns=GEN)
+    snap = DeltaLog(path).snapshot()
+    assert snap.protocol.min_writer_version == 4
+    assert generated_columns(snap.metadata) == GEN
+    # expression rides in the field metadata per the public spec
+    fields = {
+        f["name"]: f for f in json.loads(snap.metadata.schema_string)["fields"]
+    }
+    assert (
+        fields["v_bucket"]["metadata"][GENERATION_EXPRESSION_KEY]
+        == GEN["v_bucket"]
+    )
+    out = read_delta(path, spark=spark)
+    assert out.filter(F.col("v_bucket") != (F.col("v") % 3)).count() == 0
+    assert out.count() == 30
+
+
+def test_append_computes_and_verifies(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path, generated_columns=GEN)
+    # append WITHOUT the generated column: engine derives it
+    to_delta(_df(spark, 10, 20), path, mode="append")
+    out = read_delta(path, spark=spark)
+    assert out.count() == 20
+    assert out.filter(F.col("v_bucket").isNull()).count() == 0
+    # append WITH correct values: admitted
+    ok = _df(spark, 20, 30).withColumn(
+        "v_bucket", (F.col("v") % 3).cast("int")
+    )
+    to_delta(ok, path, mode="append")
+    assert read_delta(path, spark=spark).count() == 30
+    # append WITH wrong values: rejected atomically
+    bad = _df(spark, 30, 40).withColumn("v_bucket", F.lit(99).cast("int"))
+    with pytest.raises(GeneratedColumnViolationError):
+        to_delta(bad, path, mode="append")
+    assert read_delta(path, spark=spark).count() == 30
+    assert len(DeltaLog(path).versions()) == 3
+
+
+def test_generated_partition_column(spark, tmp_path):
+    """The derived-partition pattern: partition_by a generated column
+    the frame never carries."""
+    path = str(tmp_path / "t")
+    to_delta(
+        _df(spark, 0, 30),
+        path,
+        partition_by=["v_bucket"],
+        generated_columns=GEN,
+    )
+    snap = DeltaLog(path).snapshot()
+    assert snap.metadata.partition_columns == ["v_bucket"]
+    pruned = read_delta(
+        path, filter=[("v_bucket", "==", 1)], spark=spark
+    )
+    assert pruned.count() == 10
+    assert pruned.filter(F.col("v") % 3 != 1).count() == 0
+    # appends keep deriving the partition value
+    to_delta(_df(spark, 30, 60), path, mode="append")
+    assert read_delta(
+        path, filter=[("v_bucket", "==", 1)], spark=spark
+    ).count() == 20
+
+
+def test_generated_kwarg_is_create_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path, generated_columns=GEN)
+    with pytest.raises(ValueError, match="CREATE-only"):
+        to_delta(
+            _df(spark, 10, 20), path, mode="append", generated_columns=GEN
+        )
+
+
+def test_update_recomputes_and_refuses_explicit_set(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 30), path, generated_columns=GEN)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        update_where(path, [("k", "<", 5)], {"v_bucket": 0}, spark=spark)
+    # updating the SOURCE column re-derives the generated one
+    update_where(path, [("k", "<", 5)], {"v": F.col("v") + 1}, spark=spark)
+    out = read_delta(path, spark=spark)
+    assert out.filter(F.col("v_bucket") != (F.col("v") % 3)).count() == 0
+    assert out.filter((F.col("k") < 5) & (F.col("v") % 10 != 1)).count() == 0
+
+
+def test_update_mor_recomputes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 30), path, generated_columns=GEN)
+    update_where(
+        path,
+        [("k", "<", 5)],
+        {"v": F.col("v") + 1},
+        spark=spark,
+        strategy="merge-on-read",
+    )
+    out = read_delta(path, spark=spark)
+    assert out.count() == 30
+    assert out.filter(F.col("v_bucket") != (F.col("v") % 3)).count() == 0
+
+
+def test_merge_verifies_source_values(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 30), path, generated_columns=GEN)
+    good = _df(spark, 25, 35).withColumn(
+        "v_bucket", (F.col("v") % 3).cast("int")
+    )
+    merge_into(path, good, keys=["k"], spark=spark)
+    assert read_delta(path, spark=spark).count() == 35
+    bad = _df(spark, 40, 45).withColumn("v_bucket", F.lit(77).cast("int"))
+    with pytest.raises(GeneratedColumnViolationError):
+        merge_into(path, bad, keys=["k"], spark=spark)
+    assert read_delta(path, spark=spark).count() == 35
