@@ -32,21 +32,23 @@ _ALL.update(_STREAMING)
 # every query NEW or CHANGED this round: d20 (row-level CDC), d21
 # (column mapping), d22 (deletion vectors), d23 (CHECK constraints),
 # d24 (ADD/DROP COLUMN), d25 (delta_py_cdf source), d26 (generated
-# columns), x31 (SemDeDup), x32 (PQ ANN), and s06 (drain trimmed;
-# path re-verified).
-# The ten names that yield their slots to the new-capability queries
-# all lose no hash information this round: x05/x06 are rows-only by
-# design (pytest-bounded — recall floor / Hamming-Jaccard bound), and
-# s07/q05/d08/x02/x09/x12/x17/x24 are unchanged since their r3
-# hash-green rows with in-window neighbors on the same code paths
-# (s01-s06 / q01-q06 / d15 compaction / x01+x03 hash-dedup / x19
-# embedding exprs / x10+x11 text stats / x13 multimodal mapInPandas /
-# x20 hash-sampling). With 109 queries and a 50-slot window, perfect
-# 2-round coverage is no longer arithmetically possible (needs
-# 55/round) — the deferred set leads r6 and the ledger tracks exactly
-# which rows are 3 rounds old.
+# columns), x31 (SemDeDup), x32 (PQ ANN), s08 (streaming upsert),
+# and s06 (drain trimmed; path re-verified).
+# The eleven names that yield their slots to the new-capability
+# queries all lose no hash information this round: x05/x06 are
+# rows-only by design (pytest-bounded — recall floor /
+# Hamming-Jaccard bound), and s07/q05/d08/x02/x09/x12/x17/x24/x25 are
+# unchanged since their r3 hash-green rows with in-window neighbors
+# on the same code paths (s01-s06 / q01-q06 / d15 compaction /
+# x01+x03 hash-dedup / x19 embedding exprs / x10+x11 text stats /
+# x13 multimodal mapInPandas / x20 hash-sampling / x26 curation
+# pipeline). With 110 queries and a 50-slot window, perfect 2-round
+# coverage is no longer arithmetically possible (needs 55/round) —
+# the deferred set leads r6 and the ledger tracks exactly which rows
+# are 3 rounds old.
 # Next round (r6): lead with s07, q05, x05, x06, d08, x02, x09, x12,
-# x17, x24 + the r4 tier (d17-d19, x29, q07-q44, d01-d06, x18, s06).
+# x17, x24, x25 + the r4 tier (d17-d19, x29, q07-q44, d01-d06, x18,
+# s06).
 _R5_FRONT = (
     [n for n in _ALL if n[:3] in {f"q{i:02d}" for i in (1, 2, 3, 4, 6)}]
     + [n for n in _ALL if n[:3] in {f"d{i:02d}" for i in (7, *range(9, 17))}]
@@ -66,12 +68,12 @@ _R5_FRONT = (
         in {
             f"x{i:02d}"
             for i in (1, 3, 4, 7, 8, 10, 11, 13, 14, 15, 16,
-                      *range(19, 24), 25, 26, 27, 28)
+                      *range(19, 24), 26, 27, 28)
         }
     ]
     + ["x30_window_dedup", "x31_semantic_dedup", "x32_pq_ann"]
     + [n for n in _ALL if n[:3] in {f"s{i:02d}" for i in range(1, 6)}]
-    + ["s06_stream_delta_source"]
+    + ["s06_stream_delta_source", "s08_stream_upsert"]
     # positions 51+: first up in r6
     + [
         "s07_stream_stream_join",
@@ -84,6 +86,7 @@ _R5_FRONT = (
         "x12_token_classes",
         "x24_source_mix",
         "x17_multimodal_framesample",
+        "x25_pack_sequences",
     ]
 )
 _R5_FRONT = [n for n in _R5_FRONT if n in _ALL]

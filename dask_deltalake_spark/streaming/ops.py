@@ -438,3 +438,115 @@ def s07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "s08_stream_upsert",
+    """
+    WITH latest AS (
+      SELECT user_id, ts, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ),
+    base AS (SELECT user_id, ts, event_type FROM latest WHERE rn = 1),
+    mx AS (SELECT MAX(ts) AS mts FROM events)
+    SELECT user_id,
+           CASE WHEN user_id % 3 = 0
+                THEN EPOCH_US(mts + INTERVAL 1 HOUR)
+                ELSE EPOCH_US(ts) END AS last_ts_us,
+           CASE WHEN user_id % 3 = 0
+                THEN 'reactivated' ELSE event_type END AS last_type
+    FROM base, mx ORDER BY user_id
+    """,
+)
+def s08_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT into Delta (the CDC-apply pattern): foreachBatch
+    reduces each micro-batch to one latest-state row per key and
+    MERGEs it into the target through this engine's transactional
+    merge_into — one ACID commit per batch, stats-pruned to the files
+    holding the touched keys. Two phases prove both MERGE legs against
+    one checkpoint: phase 1 streams the full event history (every user
+    INSERTs), then a late "reactivation" batch lands in the watched
+    directory and the checkpoint-resumed drain UPDATEs exactly the
+    user_id%3==0 rows. Assumes per-key event-time-ordered batches (the
+    standard CDC-apply contract; an out-of-order feed would add a
+    ts-compare to the merge). At 100 TB the per-batch merge cost is
+    O(batch + matched files), never a table rewrite."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.mutate import merge_into
+    from dask_deltalake_spark.delta.reader import read_delta
+    from dask_deltalake_spark.delta.writer import to_delta
+    from dask_deltalake_spark.tables import load_table
+
+    base = f"/tmp/ddl_spark_stream_upsert/{uuid.uuid4().hex[:12]}"
+    src, tgt, ck = f"{base}/src", f"{base}/tgt", f"{base}/ck"
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events")
+    # phase-1 source file (one file -> one deterministic micro-batch;
+    # TIMESTAMP(MICROS) so both phases share one parquet schema)
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def apply_batch(bdf, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            bdf.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_type"),
+            )
+        )
+        if DeltaLog(tgt).exists():
+            merge_into(tgt, latest, keys=["user_id"])
+        else:
+            to_delta(latest, tgt)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # every user INSERTs
+    # late-arriving reactivation events: strictly later ts, subset of keys
+    mx = ev.agg(F.max("ts")).first()[0]
+    upd = (
+        ev.filter(F.col("user_id") % 3 == 0)
+        .select("user_id")
+        .distinct()
+        .select(
+            (F.lit(10_000_000) + F.col("user_id")).alias("event_id"),
+            (F.lit(mx) + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+            "user_id",
+            F.lit("reactivated").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+    )
+    upd.coalesce(1).write.mode("append").parquet(src)
+    drain()  # checkpoint resume: ONLY the new file -> MERGE updates
+    return (
+        read_delta(tgt, spark=spark)
+        .select(
+            "user_id",
+            F.unix_micros("last_ts").alias("last_ts_us"),
+            "last_type",
+        )
+        .orderBy("user_id")
+    )
