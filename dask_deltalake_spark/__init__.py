@@ -44,6 +44,10 @@ from dask_deltalake_spark.delta.generated import (
     GeneratedColumnViolationError,
     generated_columns,
 )
+from dask_deltalake_spark.delta.identity import (
+    IdentityColumnError,
+    identity_columns,
+)
 from dask_deltalake_spark.delta.mutate import delete_where, merge_into, update_where
 from dask_deltalake_spark.session import get_spark
 
@@ -66,6 +70,8 @@ __all__ = [
     "drop_constraint",
     "generated_columns",
     "GeneratedColumnViolationError",
+    "identity_columns",
+    "IdentityColumnError",
     "upgrade_to_column_mapping",
     "get_spark",
 ]

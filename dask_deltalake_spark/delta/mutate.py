@@ -238,6 +238,25 @@ def merge_into(
             f"MERGE source columns {sorted(source.columns)} != table "
             f"columns {sorted(schema.fieldNames())}"
         )
+    from dask_deltalake_spark.delta.identity import (
+        IdentityColumnError,
+        identity_columns,
+    )
+
+    blocked = [
+        n
+        for n, decl in identity_columns(snap.metadata).items()
+        if not decl["allow_explicit"]
+    ]
+    if blocked:
+        # MERGE replaces matched rows with source rows wholesale, so
+        # the source necessarily provides the identity values —
+        # legal only when the declaration allows explicit inserts
+        raise IdentityColumnError(
+            f"MERGE into a table with identity column(s) {blocked} "
+            "requires allowExplicitInsert=true (the source supplies "
+            "the identity values)."
+        )
 
     # Conservative file pruning. Preferred: the exact distinct key set
     # as an IN-list (a bimodal source's min/max range would span — and
@@ -639,6 +658,7 @@ def _update_merge_on_read(
             keep(F.col("_metadata.file_path"), F.col("_metadata.row_index"))
         )
     from dask_deltalake_spark.delta.generated import generated_columns
+    from dask_deltalake_spark.delta.identity import identity_columns
 
     gens = generated_columns(snap.metadata)
     set_gens = [c for c in set if c in gens]
@@ -647,6 +667,13 @@ def _update_merge_on_read(
             f"Cannot UPDATE generated column(s) {set_gens}: they are "
             "GENERATED ALWAYS AS and recomputed from their expressions "
             "when source columns change."
+        )
+    set_ids = [c for c in set if c in identity_columns(snap.metadata)]
+    if set_ids:
+        raise ValueError(
+            f"Cannot UPDATE identity column(s) {set_ids}: they are "
+            "GENERATED ALWAYS AS IDENTITY (rewrites preserve the "
+            "assigned values)."
         )
     for col_name, expr in set.items():
         val = expr if isinstance(expr, Column) else F.lit(expr)
@@ -750,6 +777,7 @@ def update_where(
 
     cond = dnf_to_column(dnf)
     from dask_deltalake_spark.delta.generated import generated_columns
+    from dask_deltalake_spark.delta.identity import identity_columns
 
     gens = generated_columns(snap.metadata)
     set_gens = [c for c in set if c in gens]
@@ -758,6 +786,13 @@ def update_where(
             f"Cannot UPDATE generated column(s) {set_gens}: they are "
             "GENERATED ALWAYS AS and recomputed from their expressions "
             "when source columns change."
+        )
+    set_ids = [c for c in set if c in identity_columns(snap.metadata)]
+    if set_ids:
+        raise ValueError(
+            f"Cannot UPDATE identity column(s) {set_ids}: they are "
+            "GENERATED ALWAYS AS IDENTITY (rewrites preserve the "
+            "assigned values)."
         )
     new_data = _read_files(spark, snap, touched, schema)
     for col, expr in set.items():

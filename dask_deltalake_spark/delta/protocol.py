@@ -133,6 +133,15 @@ def _check_enforceable_write_features(metadata, features=frozenset()) -> None:
             "Table has generated columns; this write path does not "
             "compute them, so the write is refused."
         )
+    if (
+        '"delta.identity.start"' in schema_str
+        and "identityColumns" not in features
+    ):
+        raise DeltaProtocolError(
+            "Table has identity columns; this write path does not "
+            "assign them or advance the high water mark, so the write "
+            "is refused."
+        )
     if '"delta.invariants"' in schema_str:
         raise DeltaProtocolError(
             "Table has column invariants; this writer does not enforce "
@@ -192,6 +201,11 @@ def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
             )
         _check_enforceable_write_features(metadata, features)
         return
+    if wv == 6:
+        # v6 adds identity columns (assigned + high-water-marked for
+        # real by paths that claim the feature, refused otherwise)
+        _check_enforceable_write_features(metadata, features)
+        return
     if wv == 7:
         if protocol.writer_features is None:
             raise DeltaProtocolError(
@@ -209,6 +223,7 @@ def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
             "checkConstraints",
             "changeDataFeed",
             "generatedColumns",
+            "identityColumns",
         }
         unsupported = set(protocol.writer_features) - supported
         if unsupported:

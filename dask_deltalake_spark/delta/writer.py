@@ -410,6 +410,7 @@ def to_delta(
     engine: str = "native",
     max_commit_retries: int = 10,
     generated_columns: Optional[dict] = None,
+    identity_columns: Optional[dict] = None,
 ) -> None:
     """Write a Spark DataFrame as a Delta table commit.
 
@@ -442,7 +443,14 @@ def to_delta(
     compliant writer (including this one) must compute-or-verify them
     (delta/generated.py). A generated column may be used in
     ``partition_by`` even when the frame never carries it — the
-    classic derived-partition pattern."""
+    classic derived-partition pattern.
+
+    ``identity_columns`` (CREATE only): ``{name: {"start": 1, "step":
+    1, "allow_explicit": False}}`` declares GENERATED ALWAYS AS
+    IDENTITY columns (writer v6): values are allocated shuffle-free in
+    per-partition ranges (delta/identity.py) and the high water mark
+    advances in the same commit as the adds; later appends continue
+    past it automatically."""
     if engine not in ("native", "arrow"):
         raise ValueError(f"Unsupported write engine: {engine!r}")
     if storage_options:
@@ -469,6 +477,14 @@ def to_delta(
         attach_generation_expressions,
         generated_columns as table_generated_columns,
     )
+    from dask_deltalake_spark.delta.identity import (
+        IdentityColumnError,
+        advance_high_water_marks,
+        apply_identity_columns,
+        assign_identity_values,
+        attach_identity_declarations,
+        identity_columns as table_identity_columns,
+    )
 
     if generated_columns and snap is not None:
         raise ValueError(
@@ -476,6 +492,35 @@ def to_delta(
             "exists (its generation expressions live in the table "
             "schema and are applied automatically)."
         )
+    if identity_columns and snap is not None:
+        raise ValueError(
+            "identity_columns is CREATE-only; this table already "
+            "exists (its identity declarations live in the table "
+            "schema and values are assigned automatically)."
+        )
+    _id_decls: dict = {}
+    if identity_columns and snap is None:
+        for gname, decl in identity_columns.items():
+            decl = {
+                "start": int(decl.get("start", 1)),
+                "step": int(decl.get("step", 1)),
+                "allow_explicit": bool(decl.get("allow_explicit", False)),
+                "high_water_mark": None,
+            }
+            if gname in df.columns:
+                if not decl["allow_explicit"]:
+                    raise IdentityColumnError(
+                        f"to_delta(create): column {gname!r} is GENERATED "
+                        "ALWAYS AS IDENTITY; explicit values are not "
+                        "allowed (allowExplicitInsert=false)."
+                    )
+            else:
+                df, hwm = assign_identity_values(
+                    df, gname, decl["start"], decl["step"]
+                )
+                if hwm is not None:
+                    decl["high_water_mark"] = hwm
+            _id_decls[gname] = decl
     if generated_columns and snap is None:
         # compute what the frame doesn't carry / verify what it does,
         # BEFORE partition validation so a generated column can be the
@@ -508,6 +553,12 @@ def to_delta(
             df = apply_generated_columns(
                 df, table_schema, table_gens, f"to_delta({mode})"
             )
+        # identity columns: assign fresh values past the high water
+        # mark (shuffle-free per-partition ranges) BEFORE the schema
+        # check, so appends may legally omit them
+        df, _id_new_hwms = apply_identity_columns(
+            df, snap.metadata, f"to_delta({mode})"
+        )
         if not _schemas_equivalent(df.schema, table_schema) and not (
             mode == "overwrite" and overwrite_schema
         ):
@@ -538,7 +589,12 @@ def to_delta(
         check_write_protocol(
             snap.protocol,
             metadata=snap.metadata,
-            features={"columnMapping", "deletionVectors", "generatedColumns"},
+            features={
+                "columnMapping",
+                "deletionVectors",
+                "generatedColumns",
+                "identityColumns",
+            },
         )
         check_append_only(snap.metadata, mode)
         # Column mapping (delta/column_mapping.py): files, hive dirs,
@@ -575,6 +631,7 @@ def to_delta(
         current_version = snap.version
     else:
         current_version = -1
+        _id_new_hwms = None
 
     os.makedirs(table_path, exist_ok=True)
 
@@ -638,20 +695,28 @@ def to_delta(
     actions.append({"commitInfo": commit_info})
 
     if snap is None:
+        # protocol tier = the highest feature the table declares:
+        # v4 = generated columns, v6 = identity columns (implies v4's
+        # obligations per the spec's version ladder)
+        create_schema = df.schema
+        writer_version = 2
         if generated_columns:
-            # writer v4 = generated columns per the public spec; the
-            # expressions ride in the schema's per-field metadata
-            actions.append(Protocol(min_writer_version=4).to_json())
-            schema_string = attach_generation_expressions(
-                df.schema, generated_columns
-            ).json()
-        else:
-            actions.append(Protocol().to_json())
-            schema_string = df.schema.json()
+            create_schema = attach_generation_expressions(
+                create_schema, generated_columns
+            )
+            writer_version = 4
+        if _id_decls:
+            create_schema = attach_identity_declarations(
+                create_schema, _id_decls
+            )
+            writer_version = 6
+        actions.append(
+            Protocol(min_writer_version=writer_version).to_json()
+        )
         actions.append(
             Metadata(
                 id=str(uuid.uuid4()),
-                schema_string=schema_string,
+                schema_string=create_schema.json(),
                 partition_columns=partition_by,
                 configuration=dict(configuration or {}),
                 name=name or None,
@@ -669,6 +734,23 @@ def to_delta(
                 id=meta.id,
                 schema_string=df.schema.json(),
                 partition_columns=partition_by,
+                configuration=meta.configuration,
+                name=meta.name,
+                description=meta.description,
+                created_time=meta.created_time,
+            ).to_json()
+        )
+    elif _id_new_hwms:
+        # identity high water marks advance IN THE SAME COMMIT as the
+        # adds — crash recovery can never reuse an assigned value
+        meta = snap.metadata
+        actions.append(
+            Metadata(
+                id=meta.id,
+                schema_string=advance_high_water_marks(
+                    meta.schema_string, _id_new_hwms
+                ),
+                partition_columns=meta.partition_columns,
                 configuration=meta.configuration,
                 name=meta.name,
                 description=meta.description,
@@ -702,6 +784,16 @@ def to_delta(
         except ConcurrentCommitError:
             if snap is None or mode != "append" or attempt >= max_commit_retries:
                 raise
+            if _id_new_hwms:
+                # the winning commit may itself have consumed identity
+                # values: this append's assigned range is stale and a
+                # blind retry would collide — reassignment (a re-read
+                # of the new high water mark) is the caller's move
+                raise ConcurrentCommitError(
+                    "Concurrent commit raced an identity-column append; "
+                    "the assigned value range may collide. Re-run the "
+                    "append to reassign past the new high water mark."
+                )
             attempt += 1
             snap2 = log.snapshot()
             new_logical = StructType.fromJson(

@@ -34,21 +34,21 @@ _ALL.update(_STREAMING)
 # d24 (ADD/DROP COLUMN), d25 (delta_py_cdf source), d26 (generated
 # columns), x31 (SemDeDup), x32 (PQ ANN), s08 (streaming upsert),
 # and s06 (drain trimmed; path re-verified).
-# The eleven names that yield their slots to the new-capability
+# The twelve names that yield their slots to the new-capability
 # queries all lose no hash information this round: x05/x06 are
 # rows-only by design (pytest-bounded — recall floor /
-# Hamming-Jaccard bound), and s07/q05/d08/x02/x09/x12/x17/x24/x25 are
-# unchanged since their r3 hash-green rows with in-window neighbors
-# on the same code paths (s01-s06 / q01-q06 / d15 compaction /
-# x01+x03 hash-dedup / x19 embedding exprs / x10+x11 text stats /
-# x13 multimodal mapInPandas / x20 hash-sampling / x26 curation
-# pipeline). With 110 queries and a 50-slot window, perfect 2-round
-# coverage is no longer arithmetically possible (needs 55/round) —
-# the deferred set leads r6 and the ledger tracks exactly which rows
-# are 3 rounds old.
-# Next round (r6): lead with s07, q05, x05, x06, d08, x02, x09, x12,
-# x17, x24, x25 + the r4 tier (d17-d19, x29, q07-q44, d01-d06, x18,
-# s06).
+# Hamming-Jaccard bound), and s07/q05/d08/x02/x03/x09/x12/x17/x24/
+# x25 are unchanged since their r3 hash-green rows with in-window
+# neighbors on the same code paths (s01-s06 / q01-q06 / d15
+# compaction / x01 hash-dedup / x19 embedding exprs / x10+x11 text
+# stats / x13 multimodal mapInPandas / x20 hash-sampling / x26
+# curation pipeline). With 111 queries and a 50-slot window, perfect
+# 2-round coverage is no longer arithmetically possible (needs
+# 56/round) — the deferred set leads r6 and the ledger tracks exactly
+# which rows are 3 rounds old.
+# Next round (r6): lead with s07, q05, x05, x06, d08, x02, x03, x09,
+# x12, x17, x24, x25 + the r4 tier (d17-d19, x29, q07-q44, d01-d06,
+# x18, s06).
 _R5_FRONT = (
     [n for n in _ALL if n[:3] in {f"q{i:02d}" for i in (1, 2, 3, 4, 6)}]
     + [n for n in _ALL if n[:3] in {f"d{i:02d}" for i in (7, *range(9, 17))}]
@@ -60,6 +60,7 @@ _R5_FRONT = (
         "d24_schema_alter",
         "d25_streaming_cdf_source",
         "d26_generated_columns",
+        "d27_identity_columns",
     ]
     + [
         n
@@ -67,7 +68,7 @@ _R5_FRONT = (
         if n[:3]
         in {
             f"x{i:02d}"
-            for i in (1, 3, 4, 7, 8, 10, 11, 13, 14, 15, 16,
+            for i in (1, 4, 7, 8, 10, 11, 13, 14, 15, 16,
                       *range(19, 24), 26, 27, 28)
         }
     ]
@@ -87,6 +88,7 @@ _R5_FRONT = (
         "x24_source_mix",
         "x17_multimodal_framesample",
         "x25_pack_sequences",
+        "x03_fingerprint",
     ]
 )
 _R5_FRONT = [n for n in _R5_FRONT if n in _ALL]

@@ -1202,3 +1202,69 @@ def d26_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "writer_version"
         ),
     )
+
+
+@query(
+    "d27_identity_columns",
+    """
+    WITH r AS (
+      SELECT c_mktsegment,
+             ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rk,
+             COUNT(*) OVER () AS n
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(2000 + n + 2 * rk) AS BIGINT) AS id_sum,
+           CAST(6 AS BIGINT) AS writer_version
+    FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def d27_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity columns (delta/identity.py — writer protocol v6,
+    delta-spark's GENERATED ALWAYS AS IDENTITY; a protocol tier the
+    reference refuses outright). Two writes of the key-sorted customer
+    table: the CREATE assigns ``cust_sk`` = 1000..1000+N-1 in row
+    order via the shuffle-free per-partition-range allocator, advances
+    the high water mark IN THE SAME COMMIT, and the append continues
+    at 1000+N with zero value reuse. The per-segment id sums
+    hash-match the oracle's closed form (each key appears twice, ids
+    1000+rk and 1000+N+rk) only if assignment order, the high water
+    mark handoff, and the v6 protocol are all exact. The frame is
+    pinned to one sorted partition so the assignment is replayable by
+    SQL; production writes use the same allocator across any number of
+    partitions (uniqueness and density never depend on the layout,
+    only the id<->row mapping does)."""
+    import shutil
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+
+    path = _tmp_table(sf_dir, "customer_ident")
+    shutil.rmtree(path, ignore_errors=True)
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .repartition(1)
+        .sortWithinPartitions("c_custkey")
+    )
+    to_delta(
+        c, path, identity_columns={"cust_sk": {"start": 1000, "step": 1}}
+    )
+    to_delta(c, path, mode="append")
+    snap = DeltaLog(path).snapshot()
+    return (
+        read_delta(path, spark=spark)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cust_sk").alias("id_sum"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_rows",
+            "id_sum",
+            F.lit(snap.protocol.min_writer_version).cast("long").alias(
+                "writer_version"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
