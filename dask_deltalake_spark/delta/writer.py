@@ -393,6 +393,33 @@ def write_commit(
         )
     finally:
         os.unlink(tmp)
+    _maybe_auto_checkpoint(table_path, version)
+
+
+def _maybe_auto_checkpoint(table_path: str, version: int) -> None:
+    """delta-spark's automatic checkpointing: every
+    ``delta.checkpointInterval`` commits (default 10, same as
+    delta-spark) the committed snapshot is checkpointed so replay cost
+    stays O(interval) instead of O(versions) — the difference between
+    a bounded and an unbounded driver planning step on a table with a
+    million commits. Best-effort by design: a checkpoint is an
+    optimization, so a failure here must never fail the commit that
+    already published. The snapshot read below is itself bounded by
+    the previous checkpoint, so the per-commit planning cost stays
+    O(interval) commits of JSON."""
+    if version <= 0:
+        return
+    try:
+        from dask_deltalake_spark.delta.maintenance import create_checkpoint
+
+        snap = DeltaLog(table_path).snapshot()
+        interval = int(
+            snap.metadata.configuration.get("delta.checkpointInterval", "10")
+        )
+        if interval > 0 and version > 0 and version % interval == 0:
+            create_checkpoint(table_path, version)
+    except Exception:
+        pass
 
 
 def to_delta(

@@ -418,3 +418,34 @@ def test_append_retries_after_concurrent_commit(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(W, "_write_files_native", hooked2)
     with pytest.raises(ConcurrentCommitError, match="schema"):
         to_delta(df, path, mode="append")
+
+
+def test_auto_checkpoint_every_interval(spark, tmp_path):
+    """delta.checkpointInterval (default 10): the commit path writes a
+    checkpoint automatically so replay stays O(interval)."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.reader import read_delta
+
+    path = str(tmp_path / "auto_ck")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    to_delta(df, path)  # v0
+    for _ in range(10):  # v1..v10
+        to_delta(df, path, mode="append")
+    lc = os.path.join(path, "_delta_log", "_last_checkpoint")
+    assert os.path.exists(lc)
+    assert json.load(open(lc))["version"] == 10
+    assert read_delta(path, spark=spark).count() == 55
+    # custom interval via table configuration
+    path2 = str(tmp_path / "auto_ck5")
+    to_delta(df, path2, configuration={"delta.checkpointInterval": "5"})
+    for _ in range(5):
+        to_delta(df, path2, mode="append")
+    lc2 = os.path.join(path2, "_delta_log", "_last_checkpoint")
+    assert json.load(open(lc2))["version"] == 5
+    snap = DeltaLog(path2).snapshot()
+    assert snap.version == 5
