@@ -1335,10 +1335,16 @@ def x18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
     entry["x18"] = [pairs]
+    # No distinct() on the union: pairs are already unique with
+    # doc_a < doc_b by construction (the groupBy in _jaccard_pairs),
+    # so u→v and v→u rows can never collide — the dedup shuffle would
+    # be pure waste. coalesce(8): every loop job re-scans this cached
+    # frame, so cache it at the loop's partition count, not the
+    # corpus-stage count (8 tasks/job instead of 32+).
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .distinct()
+        .coalesce(8)
         .persist()
     )
     entry["x18"].append(edges)
@@ -1367,13 +1373,22 @@ def x18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus. Results are partition-count-invariant (min-aggregate).
     _CC_PARTITIONS = 8
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(_CC_PARTITIONS))
+    # AQE off for the loop only: adaptive execution materializes each
+    # query stage as its own sub-job to re-plan the next one — the
+    # right trade on corpus-sized shuffles, pure per-iteration barrier
+    # overhead on a label table this size (every iteration is already
+    # sized by hand to _CC_PARTITIONS, so there is nothing for AQE to
+    # re-plan). Results are physical-plan-invariant either way.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         converged, prev_cached, labels = _cc_loop(
             spark, edges, labels, _MAX_ITERS
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     if prev_cached is not None:
         # the converged label frame backs the returned aggregate — it
         # must stay persisted until clear_jaccard_cache(), or the final
