@@ -913,12 +913,18 @@ def q27_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q28_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-in-string access (events.props) via get_json_object."""
+    """JSON-in-string access (events.props) via get_json_object.
+    The JSON path is extracted ONCE in a projection before the
+    aggregate: Catalyst does not common-subexpression-eliminate
+    get_json_object between the grouping key and the agg input, so
+    inlining it in both re-parses every props string twice
+    (measured 2× slower at sf0.1)."""
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return (
-        e.groupBy((k % 10).alias("k_bucket"))
-        .agg(F.count("*").alias("n"), F.max(k).cast("int").alias("max_k"))
+        e.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.max("k").cast("int").alias("max_k"))
         .orderBy("k_bucket")
     )
 
@@ -1079,13 +1085,25 @@ def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (t-digest, mergeable, bounded memory); kept exact here for a
     bit-checkable oracle."""
     l = _t(spark, sf_dir, "lineitem")
+    # ONE percentile buffer for the three extendedprice quantiles (the
+    # array form shares a single collected-values buffer); three
+    # separate percentile() aggs would hold three copies of every
+    # group's values — measured ~2× slower and 3× the agg memory,
+    # which is what OOMs first at scale on exact percentiles.
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+            ).alias("ps"),
             F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("ps")[0], 4).alias("p50"),
+            F.round(F.col("ps")[1], 4).alias("p90"),
+            F.round(F.col("ps")[2], 4).alias("p99"),
+            "med_qty",
         )
         .orderBy("l_returnflag")
     )
@@ -1111,7 +1129,7 @@ def q34_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
 
-    def ensure_bucketed(name: str, key: str):
+    def ensure_bucketed(name: str, key: str, cols: list):
         import shutil
 
         tbl = f"ddl_bucketed_{name}_{tag}"
@@ -1120,10 +1138,16 @@ def q34_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # external table at an explicit /tmp location: keeps the
             # host session's cwd-relative warehouse untouched, and a
             # fresh session (empty in-memory catalog) can recreate over
-            # a stale directory
+            # a stale directory. Only the join key + consumed columns
+            # are written: a bucketed layout is a query-optimized
+            # PROJECTION of the table, not a second full copy — writing
+            # all 16 lineitem columns into the buckets made the
+            # one-time write ~5× larger for zero benefit to any
+            # bucket-joined query.
             shutil.rmtree(loc, ignore_errors=True)
             (
                 _t(spark, sf_dir, name)
+                .select(*cols)
                 .write.format("parquet")
                 .bucketBy(16, key)
                 .sortBy(key)
@@ -1133,8 +1157,8 @@ def q34_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return spark.table(tbl)
 
-    l = ensure_bucketed("lineitem", "l_orderkey")
-    o = ensure_bucketed("orders", "o_orderkey")
+    l = ensure_bucketed("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice"])
+    o = ensure_bucketed("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"])
     # force sort-merge (at bench scale the small side would broadcast,
     # hiding the point): with both sides bucketed+sorted on the key the
     # SMJ plans with ZERO exchanges and ZERO sorts before the join
