@@ -369,6 +369,78 @@ def _schemas_equivalent(a: StructType, b: StructType) -> bool:
     return key(a) == key(b)
 
 
+def _merge_table_schema(metadata, df_schema: StructType):
+    """schema_mode="merge" (delta-rs write schema_mode / delta-spark
+    mergeSchema): table schema + the frame's NEW top-level columns
+    appended in frame order. Shared columns must type-match exactly
+    (no widening; a struct column with different nested fields is a
+    type mismatch). The frame may OMIT table columns — its files just
+    don't carry them and the schema-evolution read path yields NULLs.
+    New columns are forced nullable (pre-existing rows have no value),
+    and on a column-mapped table each gets a fresh mapping id + a
+    col-<uuid> physical name exactly like ALTER TABLE ADD COLUMN.
+
+    Returns ``(schema_string, extra_config, merged_struct)`` —
+    schema_string/extra_config are None when the merge adds nothing
+    (then no metaData action is committed)."""
+    import uuid as _uuid
+
+    from dask_deltalake_spark.delta.column_mapping import (
+        COLUMN_ID_KEY,
+        COLUMN_MAPPING_MAX_ID_KEY,
+        PHYSICAL_NAME_KEY,
+        column_mapping_mode,
+    )
+
+    schema_d = json.loads(metadata.schema_string)
+    table_struct = StructType.fromJson(schema_d)
+    table_types = {
+        f.name: f.dataType.simpleString() for f in table_struct.fields
+    }
+    new_fields = []
+    for f in df_schema.fields:
+        if f.name in table_types:
+            if f.dataType.simpleString() != table_types[f.name]:
+                raise ValueError(
+                    f"schema_mode='merge': column {f.name!r} has type "
+                    f"{f.dataType.simpleString()} but the table declares "
+                    f"{table_types[f.name]}; type changes are not merged."
+                )
+        else:
+            if f.dataType.simpleString() == "void":
+                raise ValueError(
+                    f"schema_mode='merge': new column {f.name!r} has "
+                    "untyped NULL (void) type; cast it to a concrete "
+                    "type before writing."
+                )
+            new_fields.append(f)
+    if not new_fields:
+        return None, None, table_struct
+    mapped = column_mapping_mode(metadata) != "none"
+    max_id = int(
+        metadata.configuration.get(COLUMN_MAPPING_MAX_ID_KEY, "0")
+    )
+    for f in new_fields:
+        d = json.loads(StructType([f]).json())["fields"][0]
+        d["nullable"] = True
+        if mapped:
+            max_id += 1
+            fmeta = dict(d.get("metadata") or {})
+            fmeta[COLUMN_ID_KEY] = max_id
+            fmeta[PHYSICAL_NAME_KEY] = f"col-{_uuid.uuid4()}"
+            d["metadata"] = fmeta
+        schema_d["fields"].append(d)
+    extra_config = (
+        {COLUMN_MAPPING_MAX_ID_KEY: str(max_id)} if mapped else None
+    )
+    schema_string = json.dumps(schema_d, separators=(",", ":"))
+    return (
+        schema_string,
+        extra_config,
+        StructType.fromJson(json.loads(schema_string)),
+    )
+
+
 def write_commit(
     table_path: str,
     version: int,
@@ -438,6 +510,7 @@ def to_delta(
     max_commit_retries: int = 10,
     generated_columns: Optional[dict] = None,
     identity_columns: Optional[dict] = None,
+    schema_mode: Optional[str] = None,
 ) -> None:
     """Write a Spark DataFrame as a Delta table commit.
 
@@ -477,9 +550,24 @@ def to_delta(
     IDENTITY columns (writer v6): values are allocated shuffle-free in
     per-partition ranges (delta/identity.py) and the high water mark
     advances in the same commit as the adds; later appends continue
-    past it automatically."""
+    past it automatically.
+
+    ``schema_mode`` (delta-rs write parity): ``None`` (default) is
+    strict — the frame must match the table schema exactly;
+    ``"merge"`` evolves the schema on append/overwrite — new top-level
+    columns are appended to the table schema in the SAME commit as the
+    data (on column-mapped tables each gets a fresh mapping id +
+    physical name), shared columns must type-match, and the frame may
+    omit table columns (schema-evolution reads yield NULL);
+    ``"overwrite"`` is an alias for ``overwrite_schema=True`` (full
+    schema replacement, overwrite mode only)."""
     if engine not in ("native", "arrow"):
         raise ValueError(f"Unsupported write engine: {engine!r}")
+    if schema_mode not in (None, "merge", "overwrite"):
+        raise ValueError(f"Unsupported schema_mode: {schema_mode!r}")
+    if schema_mode == "overwrite":
+        overwrite_schema = True
+        schema_mode = None
     if storage_options:
         from dask_deltalake_spark.delta.filesystem import apply_storage_options
 
@@ -586,7 +674,17 @@ def to_delta(
         df, _id_new_hwms = apply_identity_columns(
             df, snap.metadata, f"to_delta({mode})"
         )
-        if not _schemas_equivalent(df.schema, table_schema) and not (
+        merged_schema_string = None
+        merged_config = None
+        if schema_mode == "merge":
+            # validates shared-column types and computes the evolved
+            # schema; table_schema becomes the merged view so every
+            # downstream consumer (column-mapping translation, retry
+            # validation) sees the schema this commit will declare
+            merged_schema_string, merged_config, table_schema = (
+                _merge_table_schema(snap.metadata, df.schema)
+            )
+        elif not _schemas_equivalent(df.schema, table_schema) and not (
             mode == "overwrite" and overwrite_schema
         ):
             raise ValueError(
@@ -659,6 +757,8 @@ def to_delta(
     else:
         current_version = -1
         _id_new_hwms = None
+        merged_schema_string = None
+        merged_config = None
 
     os.makedirs(table_path, exist_ok=True)
 
@@ -767,18 +867,26 @@ def to_delta(
                 created_time=meta.created_time,
             ).to_json()
         )
-    elif _id_new_hwms:
-        # identity high water marks advance IN THE SAME COMMIT as the
-        # adds — crash recovery can never reuse an assigned value
+    elif merged_schema_string or _id_new_hwms:
+        # one metaData action covers both concerns in the SAME commit
+        # as the adds: the merged (evolved) schema, and identity high
+        # water marks — crash recovery can never reuse an assigned
+        # value or see the new columns' files before their schema
         meta = snap.metadata
+        schema_string = merged_schema_string or meta.schema_string
+        if _id_new_hwms:
+            schema_string = advance_high_water_marks(
+                schema_string, _id_new_hwms
+            )
+        config = dict(meta.configuration)
+        if merged_config:
+            config.update(merged_config)
         actions.append(
             Metadata(
                 id=meta.id,
-                schema_string=advance_high_water_marks(
-                    meta.schema_string, _id_new_hwms
-                ),
+                schema_string=schema_string,
                 partition_columns=meta.partition_columns,
-                configuration=meta.configuration,
+                configuration=config,
                 name=meta.name,
                 description=meta.description,
                 created_time=meta.created_time,
@@ -811,6 +919,18 @@ def to_delta(
         except ConcurrentCommitError:
             if snap is None or mode != "append" or attempt >= max_commit_retries:
                 raise
+            if schema_mode == "merge":
+                # a merge-append may carry a metaData action and its
+                # validation was against the pre-race schema; a blind
+                # retry could clobber a concurrent schema change (two
+                # metadata writers). Re-running re-merges against the
+                # winning snapshot — that decision belongs to the
+                # caller, not a silent retry.
+                raise ConcurrentCommitError(
+                    "Concurrent commit raced a schema_mode='merge' "
+                    "append; re-run the write to re-merge against the "
+                    "current table schema."
+                )
             if _id_new_hwms:
                 # the winning commit may itself have consumed identity
                 # values: this append's assigned range is stale and a

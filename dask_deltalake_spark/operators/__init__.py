@@ -33,16 +33,17 @@ _ALL.update(_STREAMING)
 # (column mapping), d22 (deletion vectors), d23 (CHECK constraints),
 # d24 (ADD/DROP COLUMN), d25 (delta_py_cdf source), d26 (generated
 # columns), x31 (SemDeDup), x32 (PQ ANN), s08 (streaming upsert),
+# d28 (schema_mode='merge' write evolution),
 # and s06 (drain trimmed; path re-verified).
-# The twelve names that yield their slots to the new-capability
+# The thirteen names that yield their slots to the new-capability
 # queries all lose no hash information this round: x05/x06 are
 # rows-only by design (pytest-bounded — recall floor /
 # Hamming-Jaccard bound), and s07/q05/d08/x02/x03/x09/x12/x17/x24/
-# x25 are unchanged since their r3 hash-green rows with in-window
+# x25/x26 are unchanged since their r3 hash-green rows with in-window
 # neighbors on the same code paths (s01-s06 / q01-q06 / d15
 # compaction / x01 hash-dedup / x19 embedding exprs / x10+x11 text
-# stats / x13 multimodal mapInPandas / x20 hash-sampling / x26
-# curation pipeline). With 111 queries and a 50-slot window, perfect
+# stats / x13 multimodal mapInPandas / x20 hash-sampling / x21-x23
+# curation scans). With 111+ queries and a 50-slot window, perfect
 # 2-round coverage is no longer arithmetically possible (needs
 # 56/round) — the deferred set leads r6 and the ledger tracks exactly
 # which rows are 3 rounds old.
@@ -61,6 +62,7 @@ _R5_FRONT = (
         "d25_streaming_cdf_source",
         "d26_generated_columns",
         "d27_identity_columns",
+        "d28_schema_merge",
     ]
     + [
         n
@@ -69,7 +71,7 @@ _R5_FRONT = (
         in {
             f"x{i:02d}"
             for i in (1, 4, 7, 8, 10, 11, 13, 14, 15, 16,
-                      *range(19, 24), 26, 27, 28)
+                      *range(19, 24), 27, 28)
         }
     ]
     + ["x30_window_dedup", "x31_semantic_dedup", "x32_pq_ann"]
@@ -89,6 +91,7 @@ _R5_FRONT = (
         "x17_multimodal_framesample",
         "x25_pack_sequences",
         "x03_fingerprint",
+        "x26_curation_pipeline",
     ]
 )
 _R5_FRONT = [n for n in _R5_FRONT if n in _ALL]

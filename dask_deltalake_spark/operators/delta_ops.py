@@ -1268,3 +1268,51 @@ def d27_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "d28_schema_merge",
+    """
+    WITH n AS (SELECT COUNT(*) AS cnt FROM supplier)
+    SELECT CAST(3 * (SELECT cnt FROM n) AS BIGINT) AS total_rows,
+           CAST(2 * (SELECT cnt FROM n) AS BIGINT) AS bucket_nulls,
+           CAST((SELECT COUNT(*) FROM supplier WHERE s_acctbal >= 5000)
+                AS BIGINT) AS bucket_sum,
+           CAST((SELECT cnt FROM n) AS BIGINT) AS acctbal_nulls
+    """,
+)
+def d28_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution ON WRITE (delta-rs ``schema_mode="merge"`` /
+    delta-spark ``mergeSchema``, writer.py:_merge_table_schema): the
+    second append carries a NEW column — the evolved schema commits in
+    the SAME transaction as the data, so pre-existing rows read back
+    NULL for it; the third append OMITS columns — legal under merge,
+    the missing values read back NULL via the schema-evolution read
+    path. All three generations aggregate from one scan; the oracle
+    recomputes the null/value ledger from source parquet."""
+    import shutil
+
+    path = _tmp_table(sf_dir, "supplier_merge")
+    shutil.rmtree(path, ignore_errors=True)
+    s = load_table(spark, sf_dir, "supplier")
+    to_delta(s, path)
+    s2 = s.withColumn(
+        "acct_bucket",
+        F.when(F.col("s_acctbal") >= 5000, F.lit(1)).otherwise(F.lit(0)),
+    )
+    to_delta(s2, path, mode="append", schema_mode="merge")
+    s3 = s.select("s_suppkey", "s_name")
+    to_delta(s3, path, mode="append", schema_mode="merge")
+    df = read_delta(path, spark=spark)
+    if df.columns[-1] != "acct_bucket":  # merge appends new cols LAST
+        raise RuntimeError(f"evolved schema misordered: {df.columns}")
+    return df.agg(
+        F.count("*").alias("total_rows"),
+        F.sum(F.col("acct_bucket").isNull().cast("long")).alias(
+            "bucket_nulls"
+        ),
+        F.sum(F.coalesce(F.col("acct_bucket"), F.lit(0))).alias("bucket_sum"),
+        F.sum(F.col("s_acctbal").isNull().cast("long")).alias(
+            "acctbal_nulls"
+        ),
+    )
