@@ -2089,3 +2089,107 @@ def x32_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "score", "rnk")
         .orderBy("query_id", "rnk")
     )
+
+
+# --- x33: BPE vocabulary training -------------------------------------------
+
+_BPE_MERGES = 12  # merge rounds learned
+_BPE_MAX_WORD = 16  # symbol cap per word (bounds pair fan-out per row)
+
+
+# iterative + data-dependent (each round's winner decides the next
+# round's input) → not SQL-expressible; rows-only driver check,
+# bounded exactly by tests/test_llmops.py::test_x33_matches_reference_bpe
+@query("x33_bpe_vocab", None)
+def x33_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-rule learning (the byte-pair-encoding
+    subword algorithm of Sennrich et al. 2016, word-frequency
+    formulation): the corpus collapses ONCE into a (word, freq) vocab
+    table — the classic pre-aggregation that makes BPE tractable, since
+    every later pass runs over distinct words (bounded, ~millions at
+    100 TB) rather than the corpus. Each merge round is then (1) one
+    JVM-side pair-count aggregate over the vocab — adjacent symbol
+    pairs weighted by word freq, (2) an O(1) driver collect of the
+    winning pair (count desc, pair asc — deterministic), (3) a
+    greedy leftmost merge applied to every word via a higher-order
+    fold (F.aggregate) — no Python in the row path anywhere. The
+    per-round vocab frames are persisted and the previous round
+    released, so lineage never stacks. Like x18's label loop, the
+    rounds run at a narrowed shuffle-partition count with AQE off:
+    every job is over the small cached vocab, and per-round barrier
+    overhead — not data volume — is the cost that multiplies.
+    Returns the learned rule table (rank, left, right, merged,
+    pair_count)."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    # two-step select before explode: Generate keeps its generator
+    # expression inline and would re-run the tokenizer once per
+    # GENERATED TOKEN, not per document (the x04 pathology — see
+    # _jaccard_pairs)
+    words = (
+        d.select(tokens(F.col("text")).alias("toks"))
+        .select(F.explode("toks").alias("w"))
+        .filter(
+            (F.length("w") >= 2)
+            & (F.length("w") <= _BPE_MAX_WORD)
+            & F.col("w").rlike("^[a-z]+$")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        # split between characters only: (?!^) alone also matches at
+        # end-of-string, and Spark's split keeps trailing empties
+        # (limit = -1) — every word would grow a phantom '' symbol
+        .select(F.split(F.col("w"), "(?!^)(?=.)").alias("syms"), "freq")
+        .coalesce(8)
+        .persist()
+    )
+    words.count()
+    pair_expr = F.expr(
+        "transform(slice(syms, 1, size(syms) - 1), "
+        "(s, i) -> struct(s AS a, element_at(syms, i + 2) AS b))"
+    )
+    merges: list = []
+    frames = [words]
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for rank in range(1, _BPE_MERGES + 1):
+            top = (
+                words.select(pair_expr.alias("ps"), "freq")
+                .select(F.explode("ps").alias("p"), "freq")
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .first()
+            )
+            if top is None or top["cnt"] < 2:
+                break
+            a, b = top["a"], top["b"]
+            merges.append((rank, a, b, a + b, int(top["cnt"])))
+            # greedy leftmost merge as a fold: append, or fuse with the
+            # accumulator tail when it closes the winning pair. A fused
+            # symbol is strictly longer than `a`, so it can never
+            # re-trigger the same rule — exactly reference-BPE greedy.
+            merged = F.expr(
+                "aggregate(slice(syms, 2, size(syms) - 1), "
+                "array(element_at(syms, 1)), "
+                f"(acc, x) -> IF(element_at(acc, -1) = '{a}' AND x = '{b}', "
+                f"concat(slice(acc, 1, size(acc) - 1), array('{a}{b}')), "
+                "concat(acc, array(x))))"
+            )
+            new_words = words.select(merged.alias("syms"), "freq").persist()
+            frames.append(new_words)
+            words = new_words
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        for f in frames:
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count long",
+    )

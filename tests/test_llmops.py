@@ -301,3 +301,56 @@ def test_x30_window_dedup_exact_counts(spark):
     assert fr["n_distinct"] == 2
     assert fr["n_cross_doc_dup"] == 0
     assert fr["max_occurrences"] == 1
+
+
+def test_x33_matches_reference_bpe(spark):
+    """x33 invariant (rows-only at the driver): the distributed BPE
+    loop must reproduce the merge sequence of a straightforward
+    in-memory reference implementation of Sennrich-style BPE on the
+    same corpus, exactly — ranks, pairs, and weighted pair counts."""
+    import re
+    from collections import Counter
+
+    from dask_deltalake_spark.functions.llmops import (
+        _BPE_MAX_WORD,
+        _BPE_MERGES,
+        x33_bpe_vocab,
+    )
+
+    texts = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))[
+        "text"
+    ].tolist()
+    wc: Counter = Counter()
+    for t in texts:
+        for w in re.split(" +", t.lower().strip(" ")):
+            if 2 <= len(w) <= _BPE_MAX_WORD and re.fullmatch("[a-z]+", w):
+                wc[w] += 1
+    vocab = {w: list(w) for w in wc}
+    expected = []
+    for rank in range(1, _BPE_MERGES + 1):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        expected.append((rank, a, b, a + b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in x33_bpe_vocab(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    assert got == expected
+    assert len(got) == _BPE_MERGES  # the corpus supports a full run
