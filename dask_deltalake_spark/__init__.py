@@ -49,6 +49,7 @@ from dask_deltalake_spark.delta.identity import (
     identity_columns,
 )
 from dask_deltalake_spark.delta.mutate import delete_where, merge_into, update_where
+from dask_deltalake_spark.delta.rowtracking import enable_row_tracking
 from dask_deltalake_spark.session import get_spark
 
 __all__ = [
@@ -73,6 +74,7 @@ __all__ = [
     "identity_columns",
     "IdentityColumnError",
     "upgrade_to_column_mapping",
+    "enable_row_tracking",
     "get_spark",
 ]
 

@@ -50,6 +50,9 @@ class Snapshot:
     protocol: Protocol
     files: dict[str, AddAction]  # path -> add
     tombstones: dict[str, RemoveAction] = field(default_factory=dict)
+    # domain -> configuration JSON string (writer feature
+    # domainMetadata; latest non-removed action per domain wins)
+    domain_metadata: dict[str, str] = field(default_factory=dict)
 
     @property
     def add_actions(self) -> list[AddAction]:
@@ -150,7 +153,11 @@ class DeltaLog:
         return actions
 
     def _load_checkpoint(self, version: int) -> tuple[
-        dict[str, AddAction], dict[str, RemoveAction], Optional[Metadata], Optional[Protocol]
+        dict[str, AddAction],
+        dict[str, RemoveAction],
+        Optional[Metadata],
+        Optional[Protocol],
+        dict[str, str],
     ]:
         """Load checkpoint parquet(s) for a version via pyarrow
         (driver-side; checkpoints are metadata-scale)."""
@@ -172,6 +179,7 @@ class DeltaLog:
         removes: dict[str, RemoveAction] = {}
         metadata: Optional[Metadata] = None
         protocol: Optional[Protocol] = None
+        domains: dict[str, str] = {}
         for part in parts:
             tbl = pq.read_table(part)
             for row in tbl.to_pylist():
@@ -181,6 +189,8 @@ class DeltaLog:
                     dv = a.get("deletionVector")
                     if dv is not None and dv.get("storageType") is None:
                         dv = None  # all-null struct from a DV-less row
+                    brid = a.get("baseRowId")
+                    drcv = a.get("defaultRowCommitVersion")
                     adds[path] = AddAction(
                         path=path,
                         size=int(a.get("size") or 0),
@@ -189,6 +199,10 @@ class DeltaLog:
                         data_change=bool(a.get("dataChange", True)),
                         stats=a.get("stats"),
                         deletion_vector=dv,
+                        base_row_id=int(brid) if brid is not None else None,
+                        default_row_commit_version=(
+                            int(drcv) if drcv is not None else None
+                        ),
                     )
                 elif row.get("remove"):
                     r = row["remove"]
@@ -203,7 +217,12 @@ class DeltaLog:
                     "minReaderVersion"
                 ) is not None:
                     protocol = Protocol.from_json(row["protocol"])
-        return adds, removes, metadata, protocol
+                elif row.get("domainMetadata") and row["domainMetadata"].get(
+                    "domain"
+                ) is not None:
+                    dm = row["domainMetadata"]
+                    domains[dm["domain"]] = dm.get("configuration") or ""
+        return adds, removes, metadata, protocol, domains
 
     def snapshot(
         self,
@@ -229,12 +248,15 @@ class DeltaLog:
         tombstones: dict[str, RemoveAction] = {}
         metadata: Optional[Metadata] = None
         protocol: Optional[Protocol] = None
+        domains: dict[str, str] = {}
 
         start = 0
         usable_cp = [c for c in self.checkpoint_versions() if c <= version]
         if usable_cp:
             cp = usable_cp[-1]
-            adds, tombstones, metadata, protocol = self._load_checkpoint(cp)
+            adds, tombstones, metadata, protocol, domains = (
+                self._load_checkpoint(cp)
+            )
             start = cp + 1
 
         for v in range(start, version + 1):
@@ -256,6 +278,14 @@ class DeltaLog:
                     metadata = Metadata.from_json(action["metaData"])
                 elif "protocol" in action:
                     protocol = Protocol.from_json(action["protocol"])
+                elif "domainMetadata" in action:
+                    dm = action["domainMetadata"]
+                    if dm.get("removed"):
+                        domains.pop(dm.get("domain", ""), None)
+                    else:
+                        domains[dm.get("domain", "")] = dm.get(
+                            "configuration", ""
+                        )
 
         if metadata is None:
             raise ValueError(
@@ -269,6 +299,7 @@ class DeltaLog:
             protocol=protocol or Protocol(),
             files=adds,
             tombstones=tombstones,
+            domain_metadata=domains,
         )
 
     # -- history ----------------------------------------------------------

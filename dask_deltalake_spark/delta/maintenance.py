@@ -29,6 +29,7 @@ from dask_deltalake_spark.delta.protocol import (
     AddAction,
     RemoveAction,
     check_read_protocol,
+    check_write_protocol,
     now_ms,
 )
 from dask_deltalake_spark.delta.writer import write_commit
@@ -184,6 +185,8 @@ def create_checkpoint(path: str, version: Optional[int] = None) -> str:
                     "dataChange": False,
                     "stats": a.stats,
                     "deletionVector": a.deletion_vector,
+                    "baseRowId": a.base_row_id,
+                    "defaultRowCommitVersion": a.default_row_commit_version,
                 }
             }
         )
@@ -197,8 +200,21 @@ def create_checkpoint(path: str, version: Optional[int] = None) -> str:
                 }
             }
         )
+    # domain metadata survives checkpoint-started replays (the row-id
+    # high water mark lives here — dropping it would hand out
+    # duplicate row ids after a checkpoint)
+    for domain, conf in snap.domain_metadata.items():
+        rows.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": conf,
+                    "removed": False,
+                }
+            }
+        )
 
-    cols = ["protocol", "metaData", "add", "remove"]
+    cols = ["protocol", "metaData", "add", "remove", "domainMetadata"]
     norm = [{c: row.get(c) for c in cols} for row in rows]
     str_map = pa.map_(pa.string(), pa.string())
     cp_schema = pa.schema(
@@ -254,6 +270,8 @@ def create_checkpoint(path: str, version: Optional[int] = None) -> str:
                                 ]
                             ),
                         ),
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
                     ]
                 ),
             ),
@@ -264,6 +282,16 @@ def create_checkpoint(path: str, version: Optional[int] = None) -> str:
                         ("path", pa.string()),
                         ("deletionTimestamp", pa.int64()),
                         ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
                     ]
                 ),
             ),
@@ -374,6 +402,16 @@ def optimize(
         snap.protocol,
         metadata=snap.metadata,
         features={"deletionVectors", "columnMapping"},
+    )
+    # writer-feature gate: compaction rewrites files, so a feature the
+    # rewrite cannot maintain (rowTracking — fresh files would need
+    # their rows' ORIGINAL ids materialized) must refuse rather than
+    # silently break id stability (delta/rowtracking.py)
+    check_write_protocol(
+        snap.protocol,
+        metadata=snap.metadata,
+        features={"columnMapping", "deletionVectors", "generatedColumns",
+                  "identityColumns"},
     )
     partition_by = list(snap.metadata.partition_columns)
 

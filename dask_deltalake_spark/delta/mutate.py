@@ -37,6 +37,7 @@ from dask_deltalake_spark.delta.protocol import (
     RemoveAction,
     check_append_only,
     check_read_protocol,
+    check_write_protocol,
     normalize_dnf,
     now_ms,
     prune_by_stats,
@@ -231,6 +232,13 @@ def merge_into(
     check_read_protocol(
         snap.protocol, metadata=snap.metadata, features={"columnMapping"}
     )
+    # writer-feature gate (see delete_where): refuse features this
+    # rewrite cannot maintain, e.g. rowTracking
+    check_write_protocol(
+        snap.protocol,
+        metadata=snap.metadata,
+        features={"columnMapping", "generatedColumns", "identityColumns"},
+    )
     check_append_only(snap.metadata, "merge")
     schema = snapshot_schema(snap)
     if set(source.columns) != set(schema.fieldNames()):
@@ -343,6 +351,16 @@ def delete_where(
     log = DeltaLog(table_path)
     snap = log.snapshot()
     check_append_only(snap.metadata, "delete")
+    # writer-feature gate: a rewrite/vector path that cannot MAINTAIN
+    # a declared writer feature (e.g. rowTracking — rewritten files
+    # would lose their baseRowId ranges) must refuse, not silently
+    # strip it (delta/rowtracking.py)
+    check_write_protocol(
+        snap.protocol,
+        metadata=snap.metadata,
+        features={"columnMapping", "deletionVectors", "generatedColumns",
+                  "identityColumns"},
+    )
     if strategy == "merge-on-read":
         # honoring EXISTING vectors while adding new ones is part of
         # the path, so gate with the feature claimed
@@ -750,6 +768,14 @@ def update_where(
     log = DeltaLog(table_path)
     snap = log.snapshot()
     check_append_only(snap.metadata, "update")
+    # writer-feature gate (see delete_where): refuse features this
+    # rewrite cannot maintain, e.g. rowTracking
+    check_write_protocol(
+        snap.protocol,
+        metadata=snap.metadata,
+        features={"columnMapping", "deletionVectors", "generatedColumns",
+                  "identityColumns"},
+    )
     if strategy == "merge-on-read":
         check_read_protocol(
             snap.protocol, metadata=snap.metadata,

@@ -257,6 +257,11 @@ class AddAction:
     # deletion-vector descriptor dict per the spec (storageType,
     # pathOrInlineDv, offset, sizeInBytes, cardinality), or None
     deletion_vector: Optional[dict] = None
+    # row tracking (writer feature rowTracking): first fresh row id of
+    # this file (row i carries base_row_id + i) and the commit version
+    # stamped on its rows — both assigned by the committing writer
+    base_row_id: Optional[int] = None
+    default_row_commit_version: Optional[int] = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -273,10 +278,16 @@ class AddAction:
             d["stats"] = self.stats
         if self.deletion_vector is not None:
             d["deletionVector"] = self.deletion_vector
+        if self.base_row_id is not None:
+            d["baseRowId"] = self.base_row_id
+        if self.default_row_commit_version is not None:
+            d["defaultRowCommitVersion"] = self.default_row_commit_version
         return {"add": d}
 
     @classmethod
     def from_json(cls, d: dict[str, Any]) -> "AddAction":
+        brid = d.get("baseRowId")
+        drcv = d.get("defaultRowCommitVersion")
         return cls(
             path=unquote(d["path"]),
             size=int(d.get("size") or 0),
@@ -285,6 +296,10 @@ class AddAction:
             data_change=bool(d.get("dataChange", True)),
             stats=d.get("stats"),
             deletion_vector=d.get("deletionVector"),
+            base_row_id=int(brid) if brid is not None else None,
+            default_row_commit_version=(
+                int(drcv) if drcv is not None else None
+            ),
         )
 
 

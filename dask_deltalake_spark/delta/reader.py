@@ -87,6 +87,7 @@ def read_delta(
     storage_options: Optional[dict] = None,
     datetime: Optional[str] = None,
     spark: Optional[SparkSession] = None,
+    with_row_ids: bool = False,
     **kwargs,
 ) -> DataFrame:
     """Read a Delta table into a Spark DataFrame.
@@ -98,6 +99,12 @@ def read_delta(
     and `storage_options` are accepted for API parity (local + any
     Hadoop-configured FS; storage creds belong in Hadoop conf on
     Spark).
+
+    ``with_row_ids=True`` (row-tracked tables only,
+    delta/rowtracking.py) appends ``_row_id`` and
+    ``_row_commit_version`` columns reconstructed scan-side as
+    ``baseRowId + _metadata.row_index`` — stable fresh row ids with no
+    shuffle and no data-side join.
     """
     if path is None:
         raise ValueError("Please Provide Delta Table path")
@@ -170,11 +177,32 @@ def read_delta(
         if missing:
             raise ValueError(f"Columns not in table schema: {missing}")
 
+    rt_cols: list = []
+    if with_row_ids:
+        from dask_deltalake_spark.delta.rowtracking import (
+            row_id_columns,
+            row_tracking_enabled,
+        )
+
+        if not row_tracking_enabled(snap.metadata):
+            raise DeltaProtocolError(
+                "with_row_ids=True on a table without row tracking; "
+                "enable it first (delta.enableRowTracking)."
+            )
+        rt_cols = list(row_id_columns(spark, snap))
+
     if not adds:
         empty = spark.createDataFrame([], schema)
+        if rt_cols:
+            empty = empty.withColumns(
+                {
+                    "_row_id": F.lit(None).cast("long"),
+                    "_row_commit_version": F.lit(None).cast("long"),
+                }
+            )
         return empty.select(*columns) if columns else empty
 
-    def _scan(file_adds: list) -> DataFrame:
+    def _scan(file_adds: list, project: bool = True) -> DataFrame:
         # basePath + explicit user schema: partition columns (hive
         # dirs) are resolved from directory names and cast per the
         # Delta schema; files written before a schema-evolution commit
@@ -182,12 +210,16 @@ def read_delta(
         # per-version schema semantics. The final select restores the
         # Delta metaData column order (Spark's partition discovery
         # appends hive columns last regardless of the supplied schema).
+        # Row-id columns are computed HERE, while _metadata is in
+        # scope (they are per-file + per-position by construction).
         d = (
             spark.read.schema(scan_schema)
             .option("basePath", snap.path)
             .parquet(*[f"{snap.path}/{a.path}" for a in file_adds])
         )
-        if d.columns != scan_schema.fieldNames():
+        if project and rt_cols:
+            d = d.select(*scan_schema.fieldNames(), *rt_cols)
+        elif project and d.columns != scan_schema.fieldNames():
             d = d.select(*scan_schema.fieldNames())
         return d
 
@@ -205,21 +237,29 @@ def read_delta(
     if dv_adds:
         from dask_deltalake_spark.delta.dv import dv_keep_predicate
 
-        raw = _scan(dv_adds)
+        raw = _scan(dv_adds, project=False)
         keep = dv_keep_predicate(spark, snap.path, dv_adds)
+        # surviving rows keep their ORIGINAL positions, so row ids
+        # computed from _metadata.row_index stay stable under deletes
         frames.append(
             raw.filter(
                 keep(F.col("_metadata.file_path"), F.col("_metadata.row_index"))
-            ).select(*scan_schema.fieldNames())
+            ).select(*scan_schema.fieldNames(), *rt_cols)
         )
     df = frames[0]
     for extra in frames[1:]:
         df = df.unionByName(extra)
     if mode != "none":
-        df = df.toDF(*schema.fieldNames())
+        df = df.toDF(
+            *schema.fieldNames(),
+            *(["_row_id", "_row_commit_version"] if rt_cols else []),
+        )
     cond = dnf_to_column(dnf)
     if cond is not None:
         df = df.filter(cond)
     if columns:
-        df = df.select(*columns)
+        df = df.select(
+            *columns,
+            *(["_row_id", "_row_commit_version"] if rt_cols else []),
+        )
     return df

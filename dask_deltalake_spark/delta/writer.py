@@ -719,6 +719,13 @@ def to_delta(
                 "deletionVectors",
                 "generatedColumns",
                 "identityColumns",
+                # append/overwrite maintain row tracking for real:
+                # fresh files get baseRowId ranges past the high water
+                # mark and the mark advances in the same commit
+                # (delta/rowtracking.py); rewrite paths that cannot
+                # preserve ids do NOT declare these and are refused.
+                "rowTracking",
+                "domainMetadata",
             },
         )
         check_append_only(snap.metadata, mode)
@@ -799,6 +806,30 @@ def to_delta(
         for r in add_rows
     ]
 
+    # Row tracking (delta/rowtracking.py): stamp fresh baseRowId
+    # ranges onto the adds and advance the high water mark IN THIS
+    # COMMIT. Enabled either by the existing table's property or, on
+    # create, by the requested configuration.
+    from dask_deltalake_spark.delta.rowtracking import (
+        ENABLE_ROW_TRACKING_KEY,
+        ROW_TRACKING_FEATURES,
+        assign_base_row_ids,
+        row_id_high_water_mark,
+        row_tracking_enabled,
+    )
+
+    _rt_create = snap is None and str(
+        (configuration or {}).get(ENABLE_ROW_TRACKING_KEY, "")
+    ).lower() == "true"
+    _rt_domain_action = None
+    if _rt_create or (snap is not None and row_tracking_enabled(snap.metadata)):
+        _rt_domain_action = assign_base_row_ids(
+            adds,
+            [r.num_records for r in add_rows],
+            row_id_high_water_mark(snap) if snap is not None else -1,
+            current_version + 1,
+        )
+
     actions: list[dict] = []
     num_rows = sum(r.num_records for r in add_rows)
     num_bytes = sum(r.size for r in add_rows)
@@ -837,9 +868,23 @@ def to_delta(
                 create_schema, _id_decls
             )
             writer_version = 6
-        actions.append(
-            Protocol(min_writer_version=writer_version).to_json()
-        )
+        if _rt_create:
+            # v7 feature list: the ladder's implied obligations become
+            # explicit features alongside rowTracking/domainMetadata
+            feats = {"appendOnly", "invariants", *ROW_TRACKING_FEATURES}
+            if writer_version >= 4:
+                feats |= {"changeDataFeed", "generatedColumns"}
+            if writer_version >= 6:
+                feats |= {"identityColumns"}
+            actions.append(
+                Protocol(
+                    min_writer_version=7, writer_features=sorted(feats)
+                ).to_json()
+            )
+        else:
+            actions.append(
+                Protocol(min_writer_version=writer_version).to_json()
+            )
         actions.append(
             Metadata(
                 id=str(uuid.uuid4()),
@@ -894,6 +939,8 @@ def to_delta(
         )
 
     actions.extend(a.to_json() for a in adds)
+    if _rt_domain_action is not None:
+        actions.append(_rt_domain_action)
 
     if snap is not None and mode == "overwrite":
         actions.extend(
@@ -939,6 +986,15 @@ def to_delta(
                 raise ConcurrentCommitError(
                     "Concurrent commit raced an identity-column append; "
                     "the assigned value range may collide. Re-run the "
+                    "append to reassign past the new high water mark."
+                )
+            if _rt_domain_action is not None:
+                # same hazard for row ids: the winner advanced the
+                # row-id high water mark, so this append's baseRowId
+                # ranges (and its domainMetadata) are stale
+                raise ConcurrentCommitError(
+                    "Concurrent commit raced a row-tracked append; the "
+                    "assigned row-id range may collide. Re-run the "
                     "append to reassign past the new high water mark."
                 )
             attempt += 1

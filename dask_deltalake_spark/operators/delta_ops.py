@@ -1316,3 +1316,53 @@ def d28_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acctbal_nulls"
         ),
     )
+
+
+@query(
+    "d29_row_tracking",
+    """
+    WITH n AS (SELECT COUNT(*) AS cnt FROM nation)
+    SELECT CAST(cnt + 5 AS BIGINT) AS total_rows,
+           CAST(cnt + 5 AS BIGINT) AS distinct_ids,
+           CAST(0 AS BIGINT) AS min_id,
+           CAST(cnt + 4 AS BIGINT) AS max_id,
+           CAST((cnt + 5) * (cnt + 4) / 2 AS BIGINT) AS id_sum,
+           CAST(cnt AS BIGINT) AS enable_commit_rows,
+           CAST(5 AS BIGINT) AS append_commit_rows
+    FROM n
+    """,
+)
+def d29_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking (delta/rowtracking.py — writer feature rowTracking
+    + domainMetadata): enable assigns baseRowId ranges to existing
+    files in one metadata-only commit; the tracked append continues
+    past the high water mark IN THE SAME COMMIT as its adds; the read
+    reconstructs ``_row_id = baseRowId + _metadata.row_index`` and
+    ``_row_commit_version`` scan-side (broadcast per-file map, no
+    shuffle). The id ledger is closed-form — ids are exactly
+    0..N+4 with no gaps or duplicates, N at the enable version and 5
+    at the append version — which is what the oracle recomputes."""
+    import shutil
+
+    from dask_deltalake_spark.delta.rowtracking import enable_row_tracking
+
+    path = _tmp_table(sf_dir, "nation_rowtrack")
+    shutil.rmtree(path, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation")
+    to_delta(n.repartition(2), path)
+    enable_row_tracking(path)
+    to_delta(n.orderBy("n_nationkey").limit(5), path, mode="append")
+    df = read_delta(path, spark=spark, with_row_ids=True)
+    return df.agg(
+        F.count("*").alias("total_rows"),
+        F.countDistinct("_row_id").alias("distinct_ids"),
+        F.min("_row_id").alias("min_id"),
+        F.max("_row_id").alias("max_id"),
+        F.sum("_row_id").alias("id_sum"),
+        F.sum(
+            (F.col("_row_commit_version") == 1).cast("long")
+        ).alias("enable_commit_rows"),
+        F.sum(
+            (F.col("_row_commit_version") == 2).cast("long")
+        ).alias("append_commit_rows"),
+    )
