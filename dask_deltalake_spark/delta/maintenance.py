@@ -27,6 +27,7 @@ from dask_deltalake_spark.delta.log import DeltaLog
 from dask_deltalake_spark.delta.protocol import (
     LOG_DIR,
     AddAction,
+    DeltaProtocolError,
     RemoveAction,
     check_read_protocol,
     check_write_protocol,
@@ -403,15 +404,17 @@ def optimize(
         metadata=snap.metadata,
         features={"deletionVectors", "columnMapping"},
     )
-    # writer-feature gate: compaction rewrites files, so a feature the
-    # rewrite cannot maintain (rowTracking — fresh files would need
-    # their rows' ORIGINAL ids materialized) must refuse rather than
-    # silently break id stability (delta/rowtracking.py)
+    # writer-feature gate: compaction MAINTAINS row tracking by
+    # materializing each row's original id/commit-version into the
+    # table's hidden columns before the rewrite (readers prefer those
+    # over baseRowId + position — delta/rowtracking.py), so the
+    # features are declared here; rewrite paths that cannot do this
+    # (DML) refuse instead.
     check_write_protocol(
         snap.protocol,
         metadata=snap.metadata,
         features={"columnMapping", "deletionVectors", "generatedColumns",
-                  "identityColumns"},
+                  "identityColumns", "rowTracking", "domainMetadata"},
     )
     partition_by = list(snap.metadata.partition_columns)
 
@@ -419,7 +422,28 @@ def optimize(
     total_bytes = sum(a.size for a in snap.add_actions)
     n_out = max(1, round(total_bytes / target_file_size))
 
-    df = read_delta(table_path, spark=spark)
+    from dask_deltalake_spark.delta.rowtracking import (
+        assign_base_row_ids,
+        materialized_column_names,
+        row_id_high_water_mark,
+        row_tracking_enabled,
+    )
+
+    _rt = row_tracking_enabled(snap.metadata)
+    if _rt:
+        rid_col, rcv_col = materialized_column_names(snap.metadata)
+        if not (rid_col and rcv_col):
+            raise DeltaProtocolError(
+                "Row-tracked table without materialized-column names in "
+                "its configuration; cannot preserve ids through OPTIMIZE."
+            )
+        df = (
+            read_delta(table_path, spark=spark, with_row_ids=True)
+            .withColumnRenamed("_row_id", rid_col)
+            .withColumnRenamed("_row_commit_version", rcv_col)
+        )
+    else:
+        df = read_delta(table_path, spark=spark)
     if zorder_by:
         missing = [c for c in zorder_by if c not in df.columns]
         if missing:
@@ -477,17 +501,31 @@ def optimize(
             }
         }
     ]
-    for r in add_rows:
-        actions.append(
-            AddAction(
-                path=r.path,
-                size=r.size,
-                partition_values=json.loads(r.partition_json),
-                modification_time=ts,
-                data_change=False,
-                stats=r.stats,
-            ).to_json()
+    compacted = [
+        AddAction(
+            path=r.path,
+            size=r.size,
+            partition_values=json.loads(r.partition_json),
+            modification_time=ts,
+            data_change=False,
+            stats=r.stats,
         )
+        for r in add_rows
+    ]
+    if _rt:
+        # compacted files still get FRESH baseRowId ranges (spec
+        # invariant: every add on a tracked table carries one) — but
+        # every row's MATERIALIZED id wins at read time, so ids are
+        # stable through the rewrite; the mark advances in this commit
+        actions.append(
+            assign_base_row_ids(
+                compacted,
+                [r.num_records for r in add_rows],
+                row_id_high_water_mark(snap),
+                snap.version + 1,
+            )
+        )
+    actions.extend(a.to_json() for a in compacted)
     for p in old_paths:
         actions.append(
             RemoveAction(

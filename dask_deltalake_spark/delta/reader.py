@@ -178,8 +178,12 @@ def read_delta(
             raise ValueError(f"Columns not in table schema: {missing}")
 
     rt_cols: list = []
+    out_field_names = scan_schema.fieldNames()
     if with_row_ids:
+        from pyspark.sql.types import LongType, StructField
+
         from dask_deltalake_spark.delta.rowtracking import (
+            materialized_column_names,
             row_id_columns,
             row_tracking_enabled,
         )
@@ -190,6 +194,15 @@ def read_delta(
                 "enable it first (delta.enableRowTracking)."
             )
         rt_cols = list(row_id_columns(spark, snap))
+        # the HIDDEN materialized-id columns (written by OPTIMIZE) join
+        # the scan schema so files carrying them yield values and all
+        # others yield NULL for the coalesce — but never the output
+        for hidden in materialized_column_names(snap.metadata):
+            if hidden:
+                scan_schema = StructType(
+                    scan_schema.fields
+                    + [StructField(hidden, LongType(), True)]
+                )
 
     if not adds:
         empty = spark.createDataFrame([], schema)
@@ -218,7 +231,7 @@ def read_delta(
             .parquet(*[f"{snap.path}/{a.path}" for a in file_adds])
         )
         if project and rt_cols:
-            d = d.select(*scan_schema.fieldNames(), *rt_cols)
+            d = d.select(*out_field_names, *rt_cols)
         elif project and d.columns != scan_schema.fieldNames():
             d = d.select(*scan_schema.fieldNames())
         return d
@@ -244,7 +257,7 @@ def read_delta(
         frames.append(
             raw.filter(
                 keep(F.col("_metadata.file_path"), F.col("_metadata.row_index"))
-            ).select(*scan_schema.fieldNames(), *rt_cols)
+            ).select(*out_field_names, *rt_cols)
         )
     df = frames[0]
     for extra in frames[1:]:

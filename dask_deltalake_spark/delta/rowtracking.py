@@ -41,6 +41,21 @@ from dask_deltalake_spark.delta.writer import write_commit
 ROW_TRACKING_DOMAIN = "delta.rowTracking"
 ENABLE_ROW_TRACKING_KEY = "delta.enableRowTracking"
 ROW_TRACKING_FEATURES = ("rowTracking", "domainMetadata")
+# hidden-column names (per-table uuid suffix, so a user column can
+# never collide): rewrites MATERIALIZE each row's id/commit-version
+# into these parquet columns, which readers prefer over
+# baseRowId + row_index — that is how ids stay stable through
+# OPTIMIZE (the spec's materialized-row-id mechanism)
+MATERIALIZED_RID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+MATERIALIZED_RCV_KEY = (
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+)
+
+
+def materialized_column_names(metadata):
+    """(row-id column, commit-version column) or (None, None)."""
+    conf = metadata.configuration or {}
+    return conf.get(MATERIALIZED_RID_KEY), conf.get(MATERIALIZED_RCV_KEY)
 
 
 def row_tracking_enabled(metadata) -> bool:
@@ -125,9 +140,16 @@ def enable_row_tracking(path: str) -> int:
         a.data_change = False
         add_actions.append(a.to_json())
 
+    import uuid as _uuid
+
     meta = snap.metadata
     config = dict(meta.configuration)
     config[ENABLE_ROW_TRACKING_KEY] = "true"
+    tag = _uuid.uuid4().hex[:8]
+    config.setdefault(MATERIALIZED_RID_KEY, f"_row_id_col_{tag}")
+    config.setdefault(
+        MATERIALIZED_RCV_KEY, f"_row_commit_version_col_{tag}"
+    )
     actions = [
         {
             "commitInfo": {
@@ -179,9 +201,13 @@ def row_id_columns(spark, snap: Snapshot):
     """(file-keyed expressions) ``_row_id`` and ``_row_commit_version``
     for a scan of this snapshot: broadcast map of absolute file path →
     (baseRowId, defaultRowCommitVersion), applied as
-    ``baseRowId + _metadata.row_index``. Metadata-scale (O(#files)
-    literals); for multi-million-file tables, register the map as a
-    broadcast-joined frame instead — semantics identical."""
+    ``baseRowId + _metadata.row_index``. Files that carry MATERIALIZED
+    id columns (written by OPTIMIZE to preserve ids through the
+    rewrite) take precedence via coalesce — the fresh-id expression is
+    only the fallback for files whose rows still own their original
+    ids. Metadata-scale (O(#files) literals); for multi-million-file
+    tables, register the map as a broadcast-joined frame instead —
+    semantics identical."""
     import pyspark.sql.functions as F
 
     missing = [
@@ -211,8 +237,11 @@ def row_id_columns(spark, snap: Snapshot):
         "^/+",
         "/",
     )
-    row_id = (
-        F.element_at(base_map, norm) + F.col("_metadata.row_index")
-    ).alias("_row_id")
-    row_ver = F.element_at(ver_map, norm).alias("_row_commit_version")
-    return row_id, row_ver
+    row_id = F.element_at(base_map, norm) + F.col("_metadata.row_index")
+    row_ver = F.element_at(ver_map, norm)
+    rid_col, rcv_col = materialized_column_names(snap.metadata)
+    if rid_col:
+        row_id = F.coalesce(F.col(rid_col), row_id)
+    if rcv_col:
+        row_ver = F.coalesce(F.col(rcv_col), row_ver)
+    return row_id.alias("_row_id"), row_ver.alias("_row_commit_version")

@@ -812,6 +812,8 @@ def to_delta(
     # create, by the requested configuration.
     from dask_deltalake_spark.delta.rowtracking import (
         ENABLE_ROW_TRACKING_KEY,
+        MATERIALIZED_RCV_KEY,
+        MATERIALIZED_RID_KEY,
         ROW_TRACKING_FEATURES,
         assign_base_row_ids,
         row_id_high_water_mark,
@@ -821,6 +823,15 @@ def to_delta(
     _rt_create = snap is None and str(
         (configuration or {}).get(ENABLE_ROW_TRACKING_KEY, "")
     ).lower() == "true"
+    if _rt_create:
+        # reserve the hidden materialized-column names at create time
+        # so the first OPTIMIZE has somewhere to preserve ids
+        _tag = uuid.uuid4().hex[:8]
+        configuration = dict(configuration or {})
+        configuration.setdefault(MATERIALIZED_RID_KEY, f"_row_id_col_{_tag}")
+        configuration.setdefault(
+            MATERIALIZED_RCV_KEY, f"_row_commit_version_col_{_tag}"
+        )
     _rt_domain_action = None
     if _rt_create or (snap is not None and row_tracking_enabled(snap.metadata)):
         _rt_domain_action = assign_base_row_ids(

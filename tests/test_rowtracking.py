@@ -101,14 +101,51 @@ def test_row_ids_survive_checkpoint(spark, tmp_path):
     )
 
 
-def test_rewrite_paths_refused(spark, tmp_path):
+def test_dml_rewrite_paths_refused(spark, tmp_path):
     path = str(tmp_path / "t")
     to_delta(_df(spark, 0, 6), path)
     enable_row_tracking(path)
     with pytest.raises(DeltaProtocolError, match="rowTracking|features"):
         delete_where(path, [("k", "<", 2)], spark=spark)
-    with pytest.raises(DeltaProtocolError, match="rowTracking|features"):
-        optimize(path, spark=spark)
+
+
+def test_optimize_materializes_row_ids(spark, tmp_path):
+    from dask_deltalake_spark.delta.rowtracking import (
+        materialized_column_names,
+    )
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 6).repartition(3), path)
+    enable_row_tracking(path)
+    to_delta(_df(spark, 6, 9), path, mode="append")
+    before = {
+        r["_row_id"]: (r["k"], r["_row_commit_version"])
+        for r in read_delta(path, spark=spark, with_row_ids=True).collect()
+    }
+    res = optimize(path, spark=spark)
+    assert res["numFilesAdded"] == 1
+    after = {
+        r["_row_id"]: (r["k"], r["_row_commit_version"])
+        for r in read_delta(path, spark=spark, with_row_ids=True).collect()
+    }
+    assert after == before  # ids AND commit versions survive compaction
+    # the compacted parquet really carries the hidden columns...
+    import pyarrow.parquet as pq
+
+    snap = DeltaLog(path).snapshot()
+    rid_col, rcv_col = materialized_column_names(snap.metadata)
+    (only_file,) = snap.add_actions
+    names = pq.read_schema(f"{path}/{only_file.path}").names
+    assert rid_col in names and rcv_col in names
+    # ...fresh base ids were still allocated past the old mark
+    assert only_file.base_row_id == 9
+    # ...and a PLAIN read never leaks them
+    assert read_delta(path, spark=spark).columns == ["k", "v"]
+    # appends after compaction keep extending the id space
+    to_delta(_df(spark, 9, 11), path, mode="append")
+    ids = _ids(read_delta(path, spark=spark, with_row_ids=True))
+    assert len(ids) == 11 and len(set(ids)) == 11
+    assert min(ids) == 0
 
 
 def test_plain_read_unaffected_and_opt_in_required(spark, tmp_path):
