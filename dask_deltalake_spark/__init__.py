@@ -48,6 +48,7 @@ from dask_deltalake_spark.delta.identity import (
     IdentityColumnError,
     identity_columns,
 )
+from dask_deltalake_spark.delta.ict import enable_in_commit_timestamps
 from dask_deltalake_spark.delta.mutate import delete_where, merge_into, update_where
 from dask_deltalake_spark.delta.rowtracking import enable_row_tracking
 from dask_deltalake_spark.session import get_spark
@@ -75,6 +76,7 @@ __all__ = [
     "IdentityColumnError",
     "upgrade_to_column_mapping",
     "enable_row_tracking",
+    "enable_in_commit_timestamps",
     "get_spark",
 ]
 

@@ -107,21 +107,46 @@ class DeltaLog:
         return vs[-1]
 
     def version_timestamps(self) -> dict[int, float]:
-        """Commit timestamps (epoch seconds) from log-file mtimes.
-
-        Datetime time travel resolves against the log files' storage
-        modification times — matching delta-rs `load_with_datetime`
-        (the reference's test resets fixture mtimes and expects this,
-        reference tests/test_core.py:173-199).
-        """
+        """Commit timestamps (epoch seconds): a commit's
+        ``inCommitTimestamp`` when stamped (delta/ict.py — the
+        monotonic in-commit clock), else the log file's storage mtime
+        — matching delta-rs `load_with_datetime` (the reference's test
+        resets fixture mtimes and expects this, reference
+        tests/test_core.py:173-199). Mixed histories (feature enabled
+        mid-life) resolve per-commit, which is exactly the spec's
+        enablement-boundary rule. O(#versions) driver file reads —
+        same class as replay itself; engines that need faster
+        datetime resolution keep the clock in checkpoints."""
         out = {}
         for v in self.versions():
+            ict = self._in_commit_timestamp(v)
+            if ict is not None:
+                out[v] = ict / 1000.0
+                continue
             p = os.path.join(self.log_path, commit_filename(v))
             try:
                 out[v] = os.path.getmtime(p)
             except OSError:
                 pass
         return out
+
+    def _in_commit_timestamp(self, version: int):
+        """The commit's inCommitTimestamp (ms) or None. Reads only the
+        leading commitInfo line — O(1) per commit."""
+        p = os.path.join(self.log_path, commit_filename(version))
+        try:
+            with open(p, "r", encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        return a["commitInfo"].get("inCommitTimestamp")
+                    return None
+        except OSError:
+            return None
+        return None
 
     def resolve_datetime(self, dt_string: str) -> int:
         """Latest version whose commit time is <= the RFC3339 string;

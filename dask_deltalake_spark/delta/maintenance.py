@@ -58,6 +58,11 @@ def read_delta_history(
     columns, optional limit (reference core.py:88-108). Purely
     driver-side metadata, like the reference."""
     infos = DeltaLog(path).commit_infos()
+    for info in infos:
+        # the in-commit clock IS the commit time when stamped
+        # (delta/ict.py) — delta-spark history shows the same
+        if "inCommitTimestamp" in info:
+            info["timestamp"] = info["inCommitTimestamp"]
     df = (
         pd.json_normalize(infos)
         .sort_values(by="timestamp", ascending=False)

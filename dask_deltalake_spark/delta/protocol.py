@@ -224,6 +224,11 @@ def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
             "changeDataFeed",
             "generatedColumns",
             "identityColumns",
+            # maintained CENTRALLY in write_commit (every commit path
+            # stamps the monotonic clock, writer.py:_stamp_in_commit_
+            # timestamp), so every write path supports it by
+            # construction
+            "inCommitTimestamp",
         }
         unsupported = set(protocol.writer_features) - supported
         if unsupported:

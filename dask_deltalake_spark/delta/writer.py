@@ -452,6 +452,7 @@ def write_commit(
     single atomicity requirement."""
     log_dir = os.path.join(table_path, LOG_DIR)
     os.makedirs(log_dir, exist_ok=True)
+    _stamp_in_commit_timestamp(log_dir, version, actions)
     final = os.path.join(log_dir, commit_filename(version))
     tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w", encoding="utf-8") as f:
@@ -466,6 +467,59 @@ def write_commit(
     finally:
         os.unlink(tmp)
     _maybe_auto_checkpoint(table_path, version)
+
+
+def _stamp_in_commit_timestamp(
+    log_dir: str, version: int, actions: list[dict]
+) -> None:
+    """In-commit timestamps (writer feature ``inCommitTimestamp``,
+    public spec): when the table property
+    ``delta.enableInCommitTimestamps`` is on, every commitInfo carries
+    ``inCommitTimestamp = max(wall clock, previous ICT + 1)`` — a
+    MONOTONIC commit clock immune to storage-mtime skew (the failure
+    mode of mtime-based datetime travel on object stores, where a log
+    copy/restore rewrites every mtime). Stamped HERE, in the single
+    commit choke point, so every write path — append, DML, OPTIMIZE,
+    ALTER, streaming sinks — maintains the feature without knowing it
+    exists. Enablement detection is O(1) per commit: this commit's own
+    metaData property if it carries one, else whether the immediately
+    previous commit was stamped (the chain the monotonicity rule needs
+    to read anyway); no snapshot replay."""
+    ci = next((a.get("commitInfo") for a in actions if "commitInfo" in a), None)
+    if ci is None:
+        return
+    prop = None
+    for a in actions:
+        if "metaData" in a:
+            conf = a["metaData"].get("configuration") or {}
+            if "delta.enableInCommitTimestamps" in conf:
+                prop = (
+                    str(conf["delta.enableInCommitTimestamps"]).lower()
+                    == "true"
+                )
+    prev_ict = None
+    if version > 0:
+        try:
+            with open(
+                os.path.join(log_dir, commit_filename(version - 1)),
+                "r",
+                encoding="utf-8",
+            ) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        prev_ict = a["commitInfo"].get("inCommitTimestamp")
+                    break  # commitInfo is always the first action
+        except OSError:
+            pass
+    enabled = prop if prop is not None else prev_ict is not None
+    if not enabled:
+        ci.pop("inCommitTimestamp", None)
+        return
+    ci["inCommitTimestamp"] = max(now_ms(), int(prev_ict or 0) + 1)
 
 
 def _maybe_auto_checkpoint(table_path: str, version: int) -> None:

@@ -1366,3 +1366,62 @@ def d29_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_row_commit_version") == 2).cast("long")
         ).alias("append_commit_rows"),
     )
+
+
+@query(
+    "d30_in_commit_timestamps",
+    """
+    WITH n AS (SELECT COUNT(*) AS cnt FROM nation)
+    SELECT TRUE AS pre_enable_unstamped,
+           TRUE AS stamped_monotonic,
+           CAST(cnt AS BIGINT) AS rows_at_enable,
+           CAST(cnt + 5 AS BIGINT) AS rows_at_append
+    FROM n
+    """,
+)
+def d30_in_commit_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-commit timestamps (delta/ict.py, writer feature
+    inCommitTimestamp): after enablement every commit's commitInfo
+    carries a MONOTONIC clock — max(wall clock, prev + 1) — stamped
+    centrally in write_commit, and datetime time travel resolves
+    against that clock instead of log-file mtimes (pre-enable commits
+    keep mtime resolution: the spec's mixed-history rule). The query
+    proves the ledger: v0 unstamped, v1/v2 stamped monotonic, and
+    datetime-travel at each stamp sees exactly that version's rows."""
+    import shutil
+    from datetime import datetime as _dt, timezone as _tz
+
+    from dask_deltalake_spark.delta.ict import enable_in_commit_timestamps
+    from dask_deltalake_spark.delta.log import DeltaLog
+
+    path = _tmp_table(sf_dir, "nation_ict")
+    shutil.rmtree(path, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation")
+    to_delta(n, path)
+    enable_in_commit_timestamps(path)
+    to_delta(n.orderBy("n_nationkey").limit(5), path, mode="append")
+    log = DeltaLog(path)
+    icts = [log._in_commit_timestamp(v) for v in (0, 1, 2)]
+
+    def iso(ms: int) -> str:
+        return _dt.fromtimestamp(ms / 1000.0, tz=_tz.utc).isoformat()
+
+    rows_at_enable = read_delta(
+        path, spark=spark, datetime=iso(icts[1])
+    ).count()
+    rows_at_append = read_delta(
+        path, spark=spark, datetime=iso(icts[2])
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                icts[0] is None,
+                icts[1] is not None and icts[2] is not None
+                and icts[2] > icts[1],
+                rows_at_enable,
+                rows_at_append,
+            )
+        ],
+        "pre_enable_unstamped boolean, stamped_monotonic boolean, "
+        "rows_at_enable bigint, rows_at_append bigint",
+    )
