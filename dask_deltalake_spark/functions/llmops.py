@@ -2193,3 +2193,132 @@ def x33_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "rank int, left string, right string, merged string, pair_count long",
     )
+
+
+# --- x34: n-gram LM quality scoring ------------------------------------------
+
+
+@query(
+    "x34_lm_quality",
+    """
+    WITH t2 AS (
+      SELECT doc_id, lang, toks
+      FROM (SELECT doc_id, lang, {tokens} AS toks FROM documents)
+      WHERE LEN(toks) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS p
+      FROM t2
+    ),
+    bg2 AS (
+      SELECT doc_id, lang,
+             SPLIT_PART(p, ' ', 1) AS a, SPLIT_PART(p, ' ', 2) AS b
+      FROM bg
+    ),
+    c2 AS (
+      SELECT lang, a, b, COUNT(*) AS c2
+      FROM bg2 WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3
+    ),
+    uni AS (
+      SELECT lang, UNNEST(toks) AS w FROM t2 WHERE doc_id % 2 = 0
+    ),
+    c1 AS (SELECT lang, w, COUNT(*) AS c1 FROM uni GROUP BY 1, 2),
+    tt AS (SELECT lang, COUNT(*) AS t_tokens FROM uni GROUP BY 1),
+    scored AS (
+      SELECT g.doc_id, g.lang,
+             CASE WHEN c2.c2 IS NOT NULL
+                  THEN CAST(c2.c2 AS DOUBLE) / ca.c1
+                  ELSE 0.4 * (COALESCE(cb.c1, 0) + 1) / tt.t_tokens
+             END AS p
+      FROM bg2 g
+      LEFT JOIN c2 ON g.lang = c2.lang AND g.a = c2.a AND g.b = c2.b
+      LEFT JOIN c1 ca ON g.lang = ca.lang AND g.a = ca.w
+      LEFT JOIN c1 cb ON g.lang = cb.lang AND g.b = cb.w
+      JOIN tt ON g.lang = tt.lang
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, AVG(LOG10(p)) AS lp FROM scored GROUP BY 1, 2
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(lp), 4) AS avg_logp,
+           CAST(SUM(CASE WHEN lp < -3.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_quality
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """.format(tokens=_TOKENS_SQL),
+)
+def x34_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring: train a per-language
+    bigram model with stupid backoff on HALF the corpus (even doc_ids
+    — the held-out split makes the backoff path real), then score
+    every document by its mean log10 bigram probability; documents
+    under a threshold are the low-quality bucket a curation pipeline
+    drops. All JVM-side: bigram extraction is a transform over the
+    materialized token array (two-step select — the explode-generator
+    re-evaluation pathology, see _jaccard_pairs), model training is
+    two hash aggregations, scoring is three hash joins against the
+    model. At 100 TB the model tables are the only state — cap them
+    (top-K n-grams) and broadcast; the corpus is touched exactly
+    twice, never pairwise."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    t2 = (
+        d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    pair_arr = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1), "
+        "(s, i) -> struct(s AS a, element_at(toks, i + 2) AS b))"
+    )
+    bg2 = (
+        t2.select("doc_id", "lang", pair_arr.alias("ps"))
+        .select("doc_id", "lang", F.explode("ps").alias("p"))
+        .select("doc_id", "lang", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    train_bg = bg2.filter(F.col("doc_id") % 2 == 0)
+    c2 = train_bg.groupBy("lang", "a", "b").agg(F.count("*").alias("c2"))
+    uni = (
+        t2.filter(F.col("doc_id") % 2 == 0)
+        .select("lang", F.explode("toks").alias("w"))
+    )
+    c1 = uni.groupBy("lang", "w").agg(F.count("*").alias("c1"))
+    tt = uni.groupBy("lang").agg(F.count("*").alias("t_tokens"))
+    scored = (
+        bg2.join(c2, ["lang", "a", "b"], "left")
+        .join(
+            c1.select("lang", F.col("w").alias("a"), F.col("c1").alias("c1a")),
+            ["lang", "a"],
+            "left",
+        )
+        .join(
+            c1.select("lang", F.col("w").alias("b"), F.col("c1").alias("c1b")),
+            ["lang", "b"],
+            "left",
+        )
+        .join(tt, ["lang"])
+        .select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.col("c2").isNotNull(),
+                F.col("c2").cast("double") / F.col("c1a"),
+            )
+            .otherwise(
+                0.4 * (F.coalesce(F.col("c1b"), F.lit(0)) + 1)
+                / F.col("t_tokens")
+            )
+            .alias("p"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.avg(F.log10("p")).alias("lp")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("lp"), 4).alias("avg_logp"),
+            F.sum((F.col("lp") < -3.0).cast("long")).alias("n_low_quality"),
+        )
+        .orderBy("lang")
+    )
