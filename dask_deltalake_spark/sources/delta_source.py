@@ -308,12 +308,75 @@ class DeltaPyStreamReader(DataSourceStreamReader):
             if column_mapping_mode(snap.metadata) != "none"
             else {}
         )
+        # Admission control (delta-spark's maxFilesPerTrigger /
+        # maxBytesPerTrigger): cap how much backlog one micro-batch
+        # plans, at COMMIT granularity — a batch always advances at
+        # least one full commit, offsets stay plain versions, and
+        # replays stay exactly-once. This is what keeps a streaming
+        # read of a large table tractable: without it one trigger
+        # plans every pending commit as a single batch. The planned
+        # position is tracked reader-side because the simple Python
+        # source API passes no start offset to latestOffset();
+        # KNOWN LIMIT (measured, not guessed): Spark calls
+        # latestOffset BEFORE initialOffset on a fresh query and
+        # never reveals a restored checkpoint offset outside
+        # partitions(), so the FIRST batch of each run is unbounded —
+        # admission takes effect from the second trigger, once
+        # partitions() has revealed the true position. Returning a
+        # guessed bounded offset instead would risk offset-log
+        # REGRESSION after a restart (Spark would re-plan from the
+        # regressed offset → duplicate emission), which is strictly
+        # worse than one oversized batch.
+        mf = options.get("maxFilesPerTrigger")
+        mb = options.get("maxBytesPerTrigger")
+        self._max_files = int(mf) if mf else None
+        self._max_bytes = int(mb) if mb else None
+        self._last_planned: Optional[int] = None
 
     def initialOffset(self) -> dict:
+        self._last_planned = -1
         return {"version": -1}
 
+    def _commit_add_footprint(self, version: int) -> tuple:
+        """(#data-change add files, total bytes) of one commit."""
+        n = b = 0
+        for action in self._log.read_commit_actions(version):
+            add = action.get("add")
+            if add and add.get("dataChange", True):
+                n += 1
+                b += int(add.get("size") or 0)
+        return n, b
+
     def latestOffset(self) -> dict:
-        return {"version": self._log.latest_version()}
+        latest = self._log.latest_version()
+        if self._last_planned is None or not (
+            self._max_files or self._max_bytes
+        ):
+            self._last_planned = latest
+            return {"version": latest}
+        start = self._last_planned
+        files = nbytes = 0
+        end = start
+        for v in range(start + 1, latest + 1):
+            nf, nb = self._commit_add_footprint(v)
+            over = (
+                self._max_files is not None and files + nf > self._max_files
+            ) or (
+                self._max_bytes is not None and nbytes + nb > self._max_bytes
+            )
+            if end > start and over:
+                break  # budget spent — later commits wait for the next trigger
+            files += nf
+            nbytes += nb
+            end = v
+            if (
+                self._max_files is not None and files >= self._max_files
+            ) or (
+                self._max_bytes is not None and nbytes >= self._max_bytes
+            ):
+                break
+        self._last_planned = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         from urllib.parse import unquote
@@ -324,6 +387,13 @@ class DeltaPyStreamReader(DataSourceStreamReader):
             check_read_protocol,
         )
 
+        # reveal the true stream position to the admission tracker (on
+        # a checkpoint restart, latestOffset never sees the restored
+        # offset — this is the first place it appears)
+        if self._last_planned is None or self._last_planned < int(
+            end["version"]
+        ):
+            self._last_planned = int(end["version"])
         entries = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             for action in self._log.read_commit_actions(v):

@@ -253,3 +253,66 @@ def test_delta_py_cdf_stream_resume(spark, tmp_path):
     assert inc.count() == 15
     assert {r["_change_type"] for r in inc.collect()} == {"delete"}
     assert sorted(r["id"] for r in inc.collect()) == list(range(30, 45))
+
+
+def test_stream_admission_control_offset_walk(spark, tmp_path):
+    """maxFilesPerTrigger / maxBytesPerTrigger bound each planned
+    micro-batch at commit granularity: driven directly against the
+    stream reader (deterministic — no trigger timing), the offset walk
+    must advance one budget's worth of commits per latestOffset call
+    and partitions() must cover exactly the planned range."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.delta.writer import to_delta
+    from dask_deltalake_spark.sources.delta_source import (
+        DeltaPyStreamReader,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(5):  # 5 commits, 1 file each
+        to_delta(
+            spark.range(i * 10, i * 10 + 10)
+            .select(F.col("id").alias("k"))
+            .coalesce(1),
+            path,
+            mode="append" if i else "error",
+        )
+    r = DeltaPyStreamReader(None, {"path": path, "maxFilesPerTrigger": "1"})
+    assert r.initialOffset() == {"version": -1}
+    seen = []
+    for _ in range(5):
+        seen.append(r.latestOffset()["version"])
+    assert seen == [0, 1, 2, 3, 4]  # one commit per trigger
+    assert r.latestOffset()["version"] == 4  # caught up: offset stable
+    # two-files-per-trigger walks two commits at a time
+    r2 = DeltaPyStreamReader(None, {"path": path, "maxFilesPerTrigger": "2"})
+    r2.initialOffset()
+    assert [r2.latestOffset()["version"] for _ in range(3)] == [1, 3, 4]
+    # byte budget: each commit is ~1 small file; a budget below one
+    # file's size still advances a full commit (progress guarantee)
+    r3 = DeltaPyStreamReader(None, {"path": path, "maxBytesPerTrigger": "1"})
+    r3.initialOffset()
+    assert [r3.latestOffset()["version"] for _ in range(5)] == [0, 1, 2, 3, 4]
+    # no admission options -> one batch plans everything
+    r4 = DeltaPyStreamReader(None, {"path": path})
+    r4.initialOffset()
+    assert r4.latestOffset()["version"] == 4
+    # restart shape: a fresh reader that never saw initialOffset plans
+    # unbounded once, then partitions() reveals the position and
+    # admission resumes
+    r5 = DeltaPyStreamReader(None, {"path": path, "maxFilesPerTrigger": "1"})
+    assert r5.latestOffset()["version"] == 4
+    to_delta(
+        spark.range(50, 60).select(F.col("id").alias("k")).coalesce(1),
+        path,
+        mode="append",
+    )
+    to_delta(
+        spark.range(60, 70).select(F.col("id").alias("k")).coalesce(1),
+        path,
+        mode="append",
+    )
+    assert r5.latestOffset()["version"] == 5  # bounded again
+    parts = r5.partitions({"version": 4}, {"version": 5})
+    files = [f for p in parts for f in p.files]
+    assert len(files) == 1  # exactly the one commit's file
