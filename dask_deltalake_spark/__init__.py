@@ -48,6 +48,7 @@ from dask_deltalake_spark.delta.identity import (
     IdentityColumnError,
     identity_columns,
 )
+from dask_deltalake_spark.delta.clone import shallow_clone
 from dask_deltalake_spark.delta.ict import enable_in_commit_timestamps
 from dask_deltalake_spark.delta.mutate import delete_where, merge_into, update_where
 from dask_deltalake_spark.delta.rowtracking import enable_row_tracking
@@ -77,6 +78,7 @@ __all__ = [
     "upgrade_to_column_mapping",
     "enable_row_tracking",
     "enable_in_commit_timestamps",
+    "shallow_clone",
     "get_spark",
 ]
 

@@ -185,29 +185,45 @@ def _read_files(
     otherwise drop the hidden pseudo-column)."""
     if not adds:
         return spark.createDataFrame([], schema)
-    files = [f"{snap.path}/{a.path}" for a in adds]
-    l2p = _mapping(snap)
-    if l2p is None and not with_metadata:
-        return (
-            spark.read.schema(schema)
-            .option("basePath", snap.path)
-            .parquet(*files)
+    from dask_deltalake_spark.delta.protocol import (
+        file_base_root,
+        resolve_file_path,
+    )
+
+    # group by base root: a shallow clone's adds point absolutely into
+    # the source table, whose hive dirs anchor at the SOURCE root —
+    # one scan per root (projected per group so _metadata resolves),
+    # then a union. COW rewrites over clones thereby localize rows.
+    groups: dict = {}
+    for a in adds:
+        groups.setdefault(file_base_root(snap.path, a), []).append(
+            resolve_file_path(snap.path, a.path)
         )
+    l2p = _mapping(snap)
     from dask_deltalake_spark.delta.column_mapping import physical_schema
 
     scan_schema = physical_schema(schema) if l2p else schema
-    df = (
-        spark.read.schema(scan_schema)
-        .option("basePath", snap.path)
-        .parquet(*files)
-    )
-    cols = [
-        F.col(p).alias(l)
-        for p, l in zip(scan_schema.fieldNames(), schema.fieldNames())
-    ]
-    if with_metadata:
-        cols.append(F.col("_metadata"))
-    return df.select(*cols)
+    parts = []
+    for root, files in sorted(groups.items()):
+        df = (
+            spark.read.schema(scan_schema)
+            .option("basePath", root)
+            .parquet(*files)
+        )
+        if l2p is None and not with_metadata:
+            parts.append(df)
+            continue
+        cols = [
+            F.col(p).alias(l)
+            for p, l in zip(scan_schema.fieldNames(), schema.fieldNames())
+        ]
+        if with_metadata:
+            cols.append(F.col("_metadata"))
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
 
 
 def merge_into(

@@ -404,6 +404,43 @@ class Protocol:
         )
 
 
+def is_absolute_add_path(p: str) -> bool:
+    return p.startswith(("/", "file:")) or "://" in p
+
+
+def resolve_file_path(table_root: str, add_path: str) -> str:
+    """Absolute data-file path for one add action. ``add.path`` is
+    normally RELATIVE to the table root, but the spec allows absolute
+    paths/URIs — that is how a SHALLOW CLONE references the source
+    table's files in place (delta/clone.py). ``file:`` URIs normalize
+    to plain paths."""
+    p = add_path
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    if p.startswith("/") or "://" in p:
+        return p
+    return f"{table_root}/{p}"
+
+
+def file_base_root(table_root: str, add: "AddAction") -> str:
+    """The basePath of the scan group this file belongs to — the
+    directory Spark's hive-partition discovery must anchor at. For a
+    relative path that's the table root; for an absolute (cloned)
+    path it's the SOURCE table's root, recovered by stripping the
+    filename plus one hive directory level per partition column."""
+    import os as _os
+
+    if not is_absolute_add_path(add.path):
+        return table_root
+    root = _os.path.dirname(resolve_file_path(table_root, add.path))
+    for _ in add.partition_values or {}:
+        root = _os.path.dirname(root)
+    return root
+
+
 def commit_filename(version: int) -> str:
     return f"{version:020d}.json"
 

@@ -225,15 +225,45 @@ def read_delta(
         # appends hive columns last regardless of the supplied schema).
         # Row-id columns are computed HERE, while _metadata is in
         # scope (they are per-file + per-position by construction).
-        d = (
-            spark.read.schema(scan_schema)
-            .option("basePath", snap.path)
-            .parquet(*[f"{snap.path}/{a.path}" for a in file_adds])
+        # Files group by their base root: a shallow clone's adds are
+        # ABSOLUTE paths into the source table, whose hive partition
+        # dirs anchor at the SOURCE root — one scan per root (2 in
+        # practice: local + source), unioned. Same plan shape either
+        # way; partition discovery stays correct per group.
+        from dask_deltalake_spark.delta.protocol import (
+            file_base_root,
+            resolve_file_path,
         )
-        if project and rt_cols:
-            d = d.select(*out_field_names, *rt_cols)
-        elif project and d.columns != scan_schema.fieldNames():
-            d = d.select(*scan_schema.fieldNames())
+
+        groups: dict = {}
+        for a in file_adds:
+            groups.setdefault(file_base_root(snap.path, a), []).append(
+                resolve_file_path(snap.path, a.path)
+            )
+        if not project and len(groups) > 1:
+            raise DeltaProtocolError(
+                "Deletion vectors on a mixed-root (shallow-cloned) "
+                "table are not supported; run optimize() to localize "
+                "the files first."
+            )
+        parts = []
+        for root, paths in sorted(groups.items()):
+            d = (
+                spark.read.schema(scan_schema)
+                .option("basePath", root)
+                .parquet(*paths)
+            )
+            # project PER GROUP, before any union: the _metadata
+            # pseudo-column (row-id reconstruction) resolves only
+            # directly above a file scan, never across a union
+            if project and rt_cols:
+                d = d.select(*out_field_names, *rt_cols)
+            elif project and d.columns != scan_schema.fieldNames():
+                d = d.select(*scan_schema.fieldNames())
+            parts.append(d)
+        d = parts[0]
+        for extra in parts[1:]:
+            d = d.unionByName(extra)
         return d
 
     # Deletion vectors (delta/dv.py): files with a DV scan separately,

@@ -219,10 +219,12 @@ def row_id_columns(spark, snap: Snapshot):
             f"(e.g. {missing[0]!r}); the table is corrupt or was "
             "written by a non-compliant writer."
         )
+    from dask_deltalake_spark.delta.protocol import resolve_file_path
+
     base_pairs = []
     ver_pairs = []
     for a in snap.add_actions:
-        key = F.lit(f"{snap.path}/{a.path}")
+        key = F.lit(resolve_file_path(snap.path, a.path))
         base_pairs += [key, F.lit(int(a.base_row_id))]
         ver_pairs += [
             key,

@@ -1425,3 +1425,62 @@ def d30_in_commit_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pre_enable_unstamped boolean, stamped_monotonic boolean, "
         "rows_at_enable bigint, rows_at_append bigint",
     )
+
+
+@query(
+    "d31_shallow_clone",
+    """
+    WITH c AS (SELECT COUNT(*) AS cnt FROM orders),
+    f AS (SELECT COUNT(*) AS cnt FROM orders WHERE o_orderstatus = 'F'),
+    u AS (SELECT COUNT(*) AS cnt FROM orders
+          WHERE o_orderpriority = '1-URGENT'),
+    uf AS (SELECT COUNT(*) AS cnt FROM orders
+           WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
+    SELECT CAST(0 AS BIGINT) AS files_copied,
+           CAST((SELECT cnt FROM c) AS BIGINT) AS source_rows,
+           CAST((SELECT cnt FROM c) + (SELECT cnt FROM u)
+                - (SELECT cnt FROM f) - (SELECT cnt FROM uf)
+                AS BIGINT) AS clone_rows_after
+    """,
+)
+def d31_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone (delta/clone.py): a zero-copy metadata fork —
+    the clone's add actions are ABSOLUTE paths into the source's
+    files (cloning 100 TB is one O(#files) commit; files_copied
+    proves it stayed 0). The clone then evolves independently: an
+    append lands locally, and a copy-on-write DELETE rewrites only
+    the touched rows into local files through the mixed-root grouped
+    scan — while the source remains byte-identical. The oracle
+    recomputes the whole ledger from source parquet."""
+    import glob
+    import shutil
+
+    from dask_deltalake_spark.delta.clone import shallow_clone
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    src = _tmp_table(sf_dir, "orders_clone_src")
+    tgt = _tmp_table(sf_dir, "orders_clone_tgt")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(tgt, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    to_delta(o, src)
+    shallow_clone(src, tgt)
+    files_copied = len(
+        [
+            f
+            for f in glob.glob(f"{tgt}/**/*.parquet", recursive=True)
+            if "_delta_log" not in f
+        ]
+    )
+    to_delta(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"),
+        tgt,
+        mode="append",
+    )
+    delete_where(tgt, [("o_orderstatus", "==", "F")], spark=spark)
+    clone_rows = read_delta(tgt, spark=spark).count()
+    source_rows = read_delta(src, spark=spark).count()
+    return spark.createDataFrame(
+        [(files_copied, source_rows, clone_rows)],
+        "files_copied bigint, source_rows bigint, clone_rows_after bigint",
+    )

@@ -194,10 +194,12 @@ class DeltaPyReader(DataSourceReader):
             adds = prune_by_stats(prune_partitions(adds, dnf), dnf)
         if not adds:
             return [DeltaFilesPartition(files=())]
+        from dask_deltalake_spark.delta.protocol import resolve_file_path
+
         return _bin_pack_files(
             [
                 (
-                    f"{self._snap.path}/{a.path}",
+                    resolve_file_path(self._snap.path, a.path),
                     json.dumps(a.partition_values or {}),
                     int(a.size or 0),
                     (
@@ -423,10 +425,16 @@ class DeltaPyStreamReader(DataSourceStreamReader):
                     )
                 add = action.get("add")
                 if add and add.get("dataChange", True):
+                    from dask_deltalake_spark.delta.protocol import (
+                        resolve_file_path,
+                    )
+
                     dv = add.get("deletionVector")
                     entries.append(
                         (
-                            f"{self._table_path}/{unquote(add['path'])}",
+                            resolve_file_path(
+                                self._table_path, unquote(add["path"])
+                            ),
                             json.dumps(add.get("partitionValues") or {}),
                             int(add.get("size") or 0),
                             (
