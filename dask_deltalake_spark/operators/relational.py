@@ -1633,3 +1633,38 @@ def q44_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_RCTE_SQL = """
+    WITH RECURSIVE chain(node, root, depth, price_sum) AS (
+      SELECT p_partkey, p_partkey, 0, p_retailprice
+      FROM {part} WHERE p_partkey % 10 = 1
+      UNION ALL
+      SELECT p.p_partkey, c.root, c.depth + 1,
+             c.price_sum + p.p_retailprice
+      FROM {part} p JOIN chain c ON p.p_partkey = c.node + 1
+      WHERE p.p_partkey % 10 <> 1
+    )
+    SELECT root, COUNT(*) AS chain_len,
+           CAST(MAX(depth) AS INT) AS max_depth,
+           ROUND(MAX(price_sum), 2) AS chain_price
+    FROM chain
+    GROUP BY root
+    ORDER BY root
+    LIMIT 50
+"""
+
+
+@query("q45_recursive_cte", _RCTE_SQL.format(part="part"))
+def q45_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE — Spark 4's UnionLoop operator,
+    same construct the DuckDB oracle runs): walk successor chains over
+    the part table (roots at p_partkey ≡ 1 mod 10, child = node + 1),
+    accumulating depth and a running price sum — the BOM-explosion /
+    org-hierarchy query shape that previously required a driver-side
+    iteration loop (x18). Each recursion step is one join against the
+    previous frontier; Catalyst plans the loop natively and the
+    frontier (≤ #roots rows) is the only iterated state — corpus-scale
+    tables join INTO the frontier, never the reverse."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_rcte")
+    return spark.sql(_RCTE_SQL.format(part="part_rcte"))
