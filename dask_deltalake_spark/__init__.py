@@ -23,6 +23,7 @@ vacuum maintenance. Here the same surface is re-expressed Spark-first:
 from dask_deltalake_spark.delta.reader import read_delta
 from dask_deltalake_spark.delta.writer import to_delta
 from dask_deltalake_spark.delta.maintenance import (
+    cleanup_metadata,
     create_checkpoint,
     optimize,
     read_delta_history,
@@ -62,6 +63,7 @@ __all__ = [
     "vacuum",
     "optimize",
     "create_checkpoint",
+    "cleanup_metadata",
     "restore",
     "merge_into",
     "delete_where",

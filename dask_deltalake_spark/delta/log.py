@@ -283,6 +283,17 @@ class DeltaLog:
                 self._load_checkpoint(cp)
             )
             start = cp + 1
+        elif versions[0] > 0:
+            # log retention cleanup (maintenance.cleanup_metadata)
+            # deleted the history below the oldest remaining commit and
+            # no checkpoint covers this version — raise clearly rather
+            # than failing on a missing commit file mid-replay
+            raise ValueError(
+                f"Version {version} of {self.table_path} predates the "
+                f"retained log history (earliest replayable: "
+                f"{versions[0]}); it was removed by log retention "
+                "cleanup."
+            )
 
         for v in range(start, version + 1):
             if v not in versions and v > 0:

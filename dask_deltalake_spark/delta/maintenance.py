@@ -648,3 +648,68 @@ def restore(
         "numFilesAdded": len(re_adds),
         "numFilesRemoved": len(removes),
     }
+
+
+def _parse_retention_interval(s: str) -> float:
+    """'interval 30 days' / '12 hours' / '2 weeks' → hours."""
+    import re as _re
+
+    m = _re.fullmatch(
+        r"(?:interval\s+)?(\d+)\s*(week|day|hour|minute)s?",
+        str(s).strip().lower(),
+    )
+    if not m:
+        raise ValueError(f"Unparseable retention interval: {s!r}")
+    n = int(m.group(1))
+    return n * {"week": 168, "day": 24, "hour": 1, "minute": 1 / 60}[
+        m.group(2)
+    ]
+
+
+def cleanup_metadata(path: str, dry_run: bool = False) -> list:
+    """Log retention (delta-spark's metadata cleanup, honoring
+    ``delta.logRetentionDuration``, default 30 days): delete expired
+    commit JSONs and superseded checkpoints BELOW a checkpoint-anchored
+    boundary, keeping the log O(retention) instead of O(table lifetime)
+    — on a table taking a commit a second, an unbounded _delta_log is
+    ~100 GB/year of driver-listed files. The boundary B is the largest
+    checkpoint version such that EVERY commit below B is expired; only
+    versions < B are deleted, so every remaining version stays
+    replayable from the checkpoint at B (no gaps, ever). Time travel
+    below B afterwards raises a clear error (history traded for
+    bounded metadata — exactly delta-spark's contract). Returns the
+    deleted (or would-delete, with ``dry_run``) file names."""
+    log = DeltaLog(str(path).rstrip("/"))
+    snap = log.snapshot()
+    cps = log.checkpoint_versions()
+    if not cps:
+        return []  # nothing to anchor replay — delete nothing
+    retention_h = _parse_retention_interval(
+        snap.metadata.configuration.get(
+            "delta.logRetentionDuration", "interval 30 days"
+        )
+    )
+    cutoff_s = now_ms() / 1000.0 - retention_h * 3600.0
+    ts = log.version_timestamps()
+    boundary = -1
+    for c in cps:
+        if all(ts.get(v, float("inf")) < cutoff_s for v in ts if v < c):
+            boundary = max(boundary, c)
+    if boundary <= 0:
+        return []
+    doomed: list = []
+    for f in sorted(os.listdir(log.log_path)):
+        m = _COMMIT_OR_CP_RE.match(f)
+        if m and int(m.group(1)) < boundary:
+            doomed.append(f)
+    if not dry_run:
+        for f in doomed:
+            os.unlink(os.path.join(log.log_path, f))
+    return doomed
+
+
+import re as _re_mod
+
+_COMMIT_OR_CP_RE = _re_mod.compile(
+    r"^(\d{20})\.(?:json|checkpoint(?:\.\d+\.\d+)?\.parquet)$"
+)

@@ -34,25 +34,26 @@ _ALL.update(_STREAMING)
 # d24 (ADD/DROP COLUMN), d25 (delta_py_cdf source), d26 (generated
 # columns), x31 (SemDeDup), x32 (PQ ANN), s08 (streaming upsert),
 # d28 (schema_mode='merge' write evolution), d29 (row tracking),
-# d30 (in-commit timestamps), d31 (shallow clone), q45 (recursive
-# CTE), x33 (BPE vocab training; rows-only — bounded exactly by
-# test_x33_matches_reference_bpe), x34 (bigram LM quality scoring),
-# and s06 (drain trimmed; path re-verified).
-# The nineteen names that yield their slots to the new-capability
+# d30 (in-commit timestamps), d31 (shallow clone), d32 (log
+# retention cleanup), q45 (recursive CTE), x33 (BPE vocab training;
+# rows-only — bounded exactly by test_x33_matches_reference_bpe),
+# x34 (bigram LM quality scoring), and s06 (drain trimmed; path
+# re-verified).
+# The twenty names that yield their slots to the new-capability
 # queries all lose no hash information this round: x05/x06 are
 # rows-only by design (pytest-bounded — recall floor /
-# Hamming-Jaccard bound), and s07/q05/d08/x02/x03/x09/x12/x17/
+# Hamming-Jaccard bound), and s07/q05/d08/x02/x03/x09/x12/x16/x17/
 # x19-x27 are unchanged since their r3 hash-green rows with
 # in-window neighbors on the same code paths (s01-s06 / q01-q06 /
-# d15 compaction / x01 hash-dedup / x16+x19 embedding exprs /
+# d15 compaction / x01 hash-dedup / x07+x14 embedding exprs /
 # x10+x11 text stats / x13 multimodal mapInPandas / x28 incremental
-# hash-dedup). With 118 queries and a 50-slot window, perfect
+# hash-dedup). With 119 queries and a 50-slot window, perfect
 # 2-round coverage is no longer arithmetically possible (needs
-# 59/round) — the deferred set leads r6 and the ledger tracks
+# 60/round) — the deferred set leads r6 and the ledger tracks
 # exactly which rows are 3 rounds old.
 # Next round (r6): lead with s07, q05, x05, x06, d08, x02, x03, x09,
-# x12, x17, x19-x27 + the r4 tier (d17-d19, x29, q07-q44, d01-d06,
-# x18, s06).
+# x12, x16, x17, x19-x27 + the r4 tier (d17-d19, x29, q07-q44,
+# d01-d06, x18, s06).
 _R5_FRONT = (
     [n for n in _ALL if n[:3] in {f"q{i:02d}" for i in (1, 2, 3, 4, 6, 45)}]
     + [n for n in _ALL if n[:3] in {f"d{i:02d}" for i in (7, *range(9, 17))}]
@@ -69,6 +70,7 @@ _R5_FRONT = (
         "d29_row_tracking",
         "d30_in_commit_timestamps",
         "d31_shallow_clone",
+        "d32_log_cleanup",
     ]
     + [
         n
@@ -76,8 +78,7 @@ _R5_FRONT = (
         if n[:3]
         in {
             f"x{i:02d}"
-            for i in (1, 4, 7, 8, 10, 11, 13, 14, 15, 16,
-                      28)
+            for i in (1, 4, 7, 8, 10, 11, 13, 14, 15, 28)
         }
     ]
     + ["x30_window_dedup", "x31_semantic_dedup", "x32_pq_ann",
@@ -105,6 +106,7 @@ _R5_FRONT = (
         "x22_repetition_filter",
         "x21_decontaminate",
         "x27_kmeans",
+        "x16_ivf_ann",
     ]
 )
 _R5_FRONT = [n for n in _R5_FRONT if n in _ALL]

@@ -1484,3 +1484,54 @@ def d31_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(files_copied, source_rows, clone_rows)],
         "files_copied bigint, source_rows bigint, clone_rows_after bigint",
     )
+
+
+@query(
+    "d32_log_cleanup",
+    """
+    WITH n AS (SELECT COUNT(*) AS cnt FROM region)
+    SELECT CAST(2 AS BIGINT) AS n_deleted,
+           CAST(2 AS BIGINT) AS earliest_version,
+           CAST(4 * (SELECT cnt FROM n) AS BIGINT) AS rows_latest,
+           CAST(3 * (SELECT cnt FROM n) AS BIGINT) AS rows_at_boundary
+    FROM n
+    """,
+)
+def d32_log_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log retention cleanup (maintenance.cleanup_metadata): expired
+    commits below the checkpoint-anchored boundary are deleted — the
+    _delta_log stays O(retention), not O(table lifetime) — while every
+    remaining version replays exactly (latest AND the boundary
+    version itself, anchored at its checkpoint). The oracle recomputes
+    the deletion ledger and both replay counts from source parquet."""
+    import os as _os
+    import shutil
+    import time as _time
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.maintenance import (
+        cleanup_metadata,
+        create_checkpoint,
+    )
+
+    path = _tmp_table(sf_dir, "region_logclean")
+    shutil.rmtree(path, ignore_errors=True)
+    r = load_table(spark, sf_dir, "region").coalesce(1)
+    to_delta(r, path)
+    for _ in range(3):
+        to_delta(r, path, mode="append")  # v1..v3
+    create_checkpoint(path, version=2)
+    old = _time.time() - 100 * 24 * 3600
+    for v in (0, 1):
+        _os.utime(
+            _os.path.join(path, "_delta_log", f"{v:020d}.json"), (old, old)
+        )
+    n_deleted = len(cleanup_metadata(path))
+    earliest = DeltaLog(path).versions()[0]
+    rows_latest = read_delta(path, spark=spark).count()
+    rows_boundary = read_delta(path, version=2, spark=spark).count()
+    return spark.createDataFrame(
+        [(n_deleted, earliest, rows_latest, rows_boundary)],
+        "n_deleted bigint, earliest_version bigint, "
+        "rows_latest bigint, rows_at_boundary bigint",
+    )

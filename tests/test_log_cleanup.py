@@ -1,0 +1,91 @@
+"""Log retention cleanup (maintenance.cleanup_metadata): expired
+commits below a checkpoint-anchored boundary are deleted, every
+remaining version stays replayable, and time travel below the
+boundary raises a clear error."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from dask_deltalake_spark.delta.log import DeltaLog
+from dask_deltalake_spark.delta.maintenance import (
+    cleanup_metadata,
+    create_checkpoint,
+)
+from dask_deltalake_spark.delta.reader import read_delta
+from dask_deltalake_spark.delta.writer import to_delta
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def _age_log(path, versions, age_s=100 * 24 * 3600):
+    """Backdate the given commits' mtimes far past any retention."""
+    import time
+
+    old = time.time() - age_s
+    for v in versions:
+        p = os.path.join(path, "_delta_log", f"{v:020d}.json")
+        os.utime(p, (old, old))
+
+
+def test_cleanup_prefix_below_checkpoint(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(6):  # v0..v5
+        to_delta(
+            _df(spark, i * 5, i * 5 + 5).coalesce(1),
+            path,
+            mode="append" if i else "error",
+        )
+    create_checkpoint(path, version=3)
+    # nothing expired yet -> nothing deleted
+    assert cleanup_metadata(path) == []
+    _age_log(path, [0, 1, 2])
+    doomed = cleanup_metadata(path, dry_run=True)
+    assert doomed == [f"{v:020d}.json" for v in (0, 1, 2)]
+    cleanup_metadata(path)
+    assert DeltaLog(path).versions() == [3, 4, 5]
+    # everything remaining replays (v3 anchors at its checkpoint)
+    assert read_delta(path, version=3, spark=spark).count() == 20
+    assert read_delta(path, spark=spark).count() == 30
+    with pytest.raises(ValueError, match="log retention"):
+        read_delta(path, version=1, spark=spark)
+
+
+def test_cleanup_requires_fully_expired_prefix(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(5):
+        to_delta(
+            _df(spark, i, i + 1).coalesce(1),
+            path,
+            mode="append" if i else "error",
+        )
+    create_checkpoint(path, version=3)
+    _age_log(path, [0, 2])  # v1 is NOT expired -> boundary stays 0
+    assert cleanup_metadata(path) == []
+    assert DeltaLog(path).versions() == [0, 1, 2, 3, 4]
+
+
+def test_cleanup_without_checkpoint_is_noop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 3), path)
+    _age_log(path, [0])
+    assert cleanup_metadata(path) == []
+    assert read_delta(path, spark=spark).count() == 3
+
+
+def test_cleanup_honors_configured_retention(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(
+        _df(spark, 0, 3).coalesce(1),
+        path,
+        configuration={"delta.logRetentionDuration": "interval 1 hours"},
+    )
+    to_delta(_df(spark, 3, 6).coalesce(1), path, mode="append")
+    create_checkpoint(path, version=1)
+    _age_log(path, [0], age_s=2 * 3600)  # 2h old > 1h retention
+    assert cleanup_metadata(path, dry_run=True) == ["0" * 19 + "0.json"]
