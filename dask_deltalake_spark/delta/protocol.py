@@ -96,7 +96,13 @@ def check_read_protocol(protocol, metadata=None, features=frozenset()) -> None:
                 "features are unknown, so the scan is refused."
             )
         listed = set(protocol.reader_features)
-        supported = set(features) | {"timestampNtz"}
+        # typeWidening is supported by EVERY scan path by construction:
+        # the native reader hands Spark an explicit widened schema
+        # (Spark's parquet reader up-casts int32→long / float→double),
+        # and the Python-source path casts each Arrow column to the
+        # target type (_read_file_as_batches) — both verified by
+        # tests/test_type_widening.py
+        supported = set(features) | {"timestampNtz", "typeWidening"}
         unsupported = listed - supported
         if not unsupported:
             return
@@ -229,6 +235,10 @@ def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
             # timestamp), so every write path supports it by
             # construction
             "inCommitTimestamp",
+            # every write path already enforces the (widened) table
+            # schema on the frames it writes, and every read path
+            # up-casts older narrow files (see check_read_protocol)
+            "typeWidening",
         }
         unsupported = set(protocol.writer_features) - supported
         if unsupported:
@@ -402,6 +412,45 @@ class Protocol:
             reader_features=list(rf) if rf is not None else None,
             writer_features=list(wf) if wf is not None else None,
         )
+
+
+def protocol_with_features(
+    proto: "Protocol",
+    reader_features=(),
+    writer_features=(),
+) -> "Protocol":
+    """``proto`` upgraded to a feature-list protocol carrying the given
+    features: writer v7 (reader v3 only when reader features are
+    added), existing features preserved, and a version-ladder table's
+    implied obligations made explicit per the spec's upgrade rule."""
+    wf = set(proto.writer_features or [])
+    if proto.min_writer_version < 7 and proto.writer_features is None:
+        implied = {
+            2: {"appendOnly", "invariants"},
+            3: {"checkConstraints"},
+            4: {"changeDataFeed", "generatedColumns"},
+            5: {"columnMapping"},
+            6: {"identityColumns"},
+        }
+        for v, feats in implied.items():
+            if proto.min_writer_version >= v:
+                wf |= feats
+    wf |= set(writer_features)
+    rf = set(proto.reader_features or [])
+    if proto.min_reader_version == 2 and proto.reader_features is None:
+        rf |= {"columnMapping"}
+    rf |= set(reader_features)
+    reader_v = proto.min_reader_version
+    if reader_features:
+        reader_v = 3
+    return Protocol(
+        min_reader_version=reader_v,
+        min_writer_version=7,
+        reader_features=sorted(rf) if reader_v >= 3 else (
+            proto.reader_features
+        ),
+        writer_features=sorted(wf),
+    )
 
 
 def is_absolute_add_path(p: str) -> bool:

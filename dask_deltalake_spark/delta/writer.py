@@ -369,20 +369,42 @@ def _schemas_equivalent(a: StructType, b: StructType) -> bool:
     return key(a) == key(b)
 
 
+# Safe numeric widenings (narrower simpleString → wider simpleString):
+# the typeWidening lattice's lossless subset. Every read path up-casts
+# older narrow files (native Spark parquet reader + the Arrow cast in
+# the Python source), so widening the TABLE type never rewrites data.
+_WIDENING = {
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
 def _merge_table_schema(metadata, df_schema: StructType):
     """schema_mode="merge" (delta-rs write schema_mode / delta-spark
     mergeSchema): table schema + the frame's NEW top-level columns
-    appended in frame order. Shared columns must type-match exactly
-    (no widening; a struct column with different nested fields is a
-    type mismatch). The frame may OMIT table columns — its files just
-    don't carry them and the schema-evolution read path yields NULLs.
-    New columns are forced nullable (pre-existing rows have no value),
-    and on a column-mapped table each gets a fresh mapping id + a
-    col-<uuid> physical name exactly like ALTER TABLE ADD COLUMN.
+    appended in frame order. Shared columns must type-match — except
+    along the safe numeric widening lattice: a NARROWER frame column
+    is up-cast to the table type before writing (returned in
+    ``cast_up``), and a WIDER frame column widens the TABLE type in
+    the same commit when ``delta.enableTypeWidening=true`` (the
+    typeWidening table feature; refused with a pointer otherwise — a
+    struct column with different nested fields is always a mismatch).
+    The frame may OMIT table columns — its files just don't carry them
+    and the schema-evolution read path yields NULLs. New columns are
+    forced nullable (pre-existing rows have no value), and on a
+    column-mapped table each gets a fresh mapping id + a col-<uuid>
+    physical name exactly like ALTER TABLE ADD COLUMN.
 
-    Returns ``(schema_string, extra_config, merged_struct)`` —
-    schema_string/extra_config are None when the merge adds nothing
-    (then no metaData action is committed)."""
+    Returns ``(schema_string, extra_config, merged_struct, cast_up,
+    widened)`` — schema_string/extra_config are None when the merge
+    changes nothing (then no metaData action is committed); widened
+    True requires the caller to commit the typeWidening protocol
+    upgrade alongside."""
     import uuid as _uuid
 
     from dask_deltalake_spark.delta.column_mapping import (
@@ -397,25 +419,55 @@ def _merge_table_schema(metadata, df_schema: StructType):
     table_types = {
         f.name: f.dataType.simpleString() for f in table_struct.fields
     }
+    widening_on = (
+        str(
+            (metadata.configuration or {}).get(
+                "delta.enableTypeWidening", ""
+            )
+        ).lower()
+        == "true"
+    )
     new_fields = []
+    cast_up: dict = {}
+    widen: dict = {}  # name -> wider Spark field (from the frame)
     for f in df_schema.fields:
+        df_t = f.dataType.simpleString()
         if f.name in table_types:
-            if f.dataType.simpleString() != table_types[f.name]:
+            tbl_t = table_types[f.name]
+            if df_t == tbl_t:
+                continue
+            if (df_t, tbl_t) in _WIDENING:
+                cast_up[f.name] = tbl_t  # write at the table's type
+            elif (tbl_t, df_t) in _WIDENING:
+                if not widening_on:
+                    raise ValueError(
+                        f"schema_mode='merge': column {f.name!r} would "
+                        f"widen {tbl_t} -> {df_t}, but the table does "
+                        "not enable type widening; set table property "
+                        "delta.enableTypeWidening=true to allow it."
+                    )
+                widen[f.name] = f
+            else:
                 raise ValueError(
                     f"schema_mode='merge': column {f.name!r} has type "
-                    f"{f.dataType.simpleString()} but the table declares "
-                    f"{table_types[f.name]}; type changes are not merged."
+                    f"{df_t} but the table declares "
+                    f"{tbl_t}; type changes are not merged."
                 )
         else:
-            if f.dataType.simpleString() == "void":
+            if df_t == "void":
                 raise ValueError(
                     f"schema_mode='merge': new column {f.name!r} has "
                     "untyped NULL (void) type; cast it to a concrete "
                     "type before writing."
                 )
             new_fields.append(f)
-    if not new_fields:
-        return None, None, table_struct
+    if not new_fields and not widen:
+        return None, None, table_struct, cast_up, False
+    for d in schema_d["fields"]:
+        if d["name"] in widen:
+            # widen IN PLACE: mapping ids / physical names / generation
+            # metadata all survive, only the type string changes
+            d["type"] = widen[d["name"]].dataType.jsonValue()
     mapped = column_mapping_mode(metadata) != "none"
     max_id = int(
         metadata.configuration.get(COLUMN_MAPPING_MAX_ID_KEY, "0")
@@ -431,13 +483,17 @@ def _merge_table_schema(metadata, df_schema: StructType):
             d["metadata"] = fmeta
         schema_d["fields"].append(d)
     extra_config = (
-        {COLUMN_MAPPING_MAX_ID_KEY: str(max_id)} if mapped else None
+        {COLUMN_MAPPING_MAX_ID_KEY: str(max_id)}
+        if (mapped and new_fields)
+        else None
     )
     schema_string = json.dumps(schema_d, separators=(",", ":"))
     return (
         schema_string,
         extra_config,
         StructType.fromJson(json.loads(schema_string)),
+        cast_up,
+        bool(widen),
     )
 
 
@@ -730,14 +786,23 @@ def to_delta(
         )
         merged_schema_string = None
         merged_config = None
+        merged_widened = False
         if schema_mode == "merge":
             # validates shared-column types and computes the evolved
             # schema; table_schema becomes the merged view so every
             # downstream consumer (column-mapping translation, retry
             # validation) sees the schema this commit will declare
-            merged_schema_string, merged_config, table_schema = (
-                _merge_table_schema(snap.metadata, df.schema)
-            )
+            (
+                merged_schema_string,
+                merged_config,
+                table_schema,
+                _merge_casts,
+                merged_widened,
+            ) = _merge_table_schema(snap.metadata, df.schema)
+            for _c, _t in _merge_casts.items():
+                # narrower frame columns are written AT the table type
+                # — files stay schema-uniform, no reader dependence
+                df = df.withColumn(_c, F.col(_c).cast(_t))
         elif not _schemas_equivalent(df.schema, table_schema) and not (
             mode == "overwrite" and overwrite_schema
         ):
@@ -820,6 +885,7 @@ def to_delta(
         _id_new_hwms = None
         merged_schema_string = None
         merged_config = None
+        merged_widened = False
 
     os.makedirs(table_path, exist_ok=True)
 
@@ -982,6 +1048,22 @@ def to_delta(
         # as the adds: the merged (evolved) schema, and identity high
         # water marks — crash recovery can never reuse an assigned
         # value or see the new columns' files before their schema
+        if merged_widened:
+            # a widened column changes how OLDER (narrower) files must
+            # be read — declare the typeWidening feature in the same
+            # commit so non-supporting readers refuse instead of
+            # misreading
+            from dask_deltalake_spark.delta.protocol import (
+                protocol_with_features,
+            )
+
+            actions.append(
+                protocol_with_features(
+                    snap.protocol,
+                    reader_features=("typeWidening",),
+                    writer_features=("typeWidening",),
+                ).to_json()
+            )
         meta = snap.metadata
         schema_string = merged_schema_string or meta.schema_string
         if _id_new_hwms:
