@@ -2322,3 +2322,120 @@ def x34_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- x35: fuzzy decontamination via n-gram containment -----------------------
+
+_CONT_MOD = 37  # docs with doc_id % 37 == 0 stand in for the benchmark
+_CONT_THR = 0.5  # containment >= threshold -> contaminated
+
+
+@query(
+    "x35_containment_decontamination",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, LIST_DISTINCT({shingles}) AS sh
+      FROM (SELECT doc_id, lang, {tokens} AS toks FROM documents)
+      WHERE LEN(toks) >= 3
+    ),
+    inv0 AS (SELECT doc_id, lang, UNNEST(sh) AS s FROM t),
+    freq AS (SELECT lang, s, COUNT(*) AS df FROM inv0 GROUP BY 1, 2),
+    inv AS (
+      SELECT i.doc_id, i.lang, i.s
+      FROM inv0 i JOIN freq f ON i.lang = f.lang AND i.s = f.s
+      WHERE f.df <= {cap}
+    ),
+    bsz AS (
+      SELECT doc_id, lang, COUNT(*) AS sz FROM inv
+      WHERE doc_id % {m} = 0 GROUP BY 1, 2
+    ),
+    inter AS (
+      SELECT b.doc_id AS bid, tr.doc_id AS tid, COUNT(*) AS inter
+      FROM inv b JOIN inv tr ON b.s = tr.s AND b.lang = tr.lang
+      WHERE b.doc_id % {m} = 0 AND tr.doc_id % {m} <> 0
+      GROUP BY 1, 2
+    ),
+    best AS (SELECT bid, MAX(inter) AS mx FROM inter GROUP BY 1)
+    SELECT z.lang, COUNT(*) AS n_bench,
+           CAST(SUM(CASE WHEN CAST(COALESCE(mx, 0) AS DOUBLE) / sz
+                              >= {thr} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           ROUND(AVG(CAST(COALESCE(mx, 0) AS DOUBLE) / sz), 4)
+             AS avg_containment
+    FROM bsz z LEFT JOIN best ON z.doc_id = best.bid
+    GROUP BY z.lang ORDER BY z.lang
+    """.format(
+        shingles=_SHINGLES_SQL,
+        tokens=_TOKENS_SQL,
+        cap=_STOP_SHINGLE_DF,
+        m=_CONT_MOD,
+        thr=_CONT_THR,
+    ),
+)
+def x35_containment_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fuzzy benchmark decontamination by n-gram CONTAINMENT — the
+    asymmetric overlap |shingles(bench) ∩ shingles(train)| /
+    |shingles(bench)|, maximized over training docs (the GPT-3-report
+    contamination check; x21 is the exact-match variant). Same
+    scale topology as x04: one postings table per (lang, shingle) with
+    the stop-shingle cap bounding per-shingle fan-out at cap²/2, bench
+    and train sides collected into per-posting arrays so the
+    bench×train candidate pairs come from in-array expansion — ONE
+    shuffle of the exploded index, never an all-pairs join. Bench docs
+    with no shared shingle still score 0 (left join), so the per-lang
+    average is over the full benchmark."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    t = (
+        d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.transform(shingles(F.col("toks")), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+    )
+    inv = t.select("doc_id", "lang", F.explode("sh").alias("s"))
+    is_bench = (F.col("doc_id") % _CONT_MOD) == 0
+    # the postings table feeds BOTH the bench-size branch and the pair
+    # expansion — persist it (not the corpus-wide shingle table): it is
+    # the smallest shared frame, and it is released by the session's
+    # per-query cache clear like every other intermediate
+    post = (
+        inv.groupBy("lang", "s")
+        .agg(
+            F.collect_list(F.when(is_bench, F.col("doc_id"))).alias("bench"),
+            F.collect_list(F.when(~is_bench, F.col("doc_id"))).alias("train"),
+        )
+        .filter(F.size("bench") + F.size("train") <= _STOP_SHINGLE_DF)
+        .filter((F.size("bench") > 0))
+        .persist()
+    )
+    bsz = (
+        post.select(F.explode("bench").alias("doc_id"), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("sz"))
+    )
+    pairs = (
+        post.filter(F.size("train") > 0)
+        .select(F.explode("bench").alias("bid"), "train")
+        .select("bid", F.explode("train").alias("tid"))
+        .groupBy("bid", "tid")
+        .agg(F.count("*").alias("inter"))
+    )
+    best = pairs.groupBy("bid").agg(F.max("inter").alias("mx"))
+    cont = F.coalesce(F.col("mx"), F.lit(0)).cast("double") / F.col("sz")
+    out = (
+        bsz.join(best, bsz.doc_id == best.bid, "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_bench"),
+            F.sum((cont >= _CONT_THR).cast("long")).alias("n_contaminated"),
+            F.round(F.avg(cont), 4).alias("avg_containment"),
+        )
+        .orderBy("lang")
+    )
+    return out
