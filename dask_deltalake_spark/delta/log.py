@@ -53,6 +53,11 @@ class Snapshot:
     # domain -> configuration JSON string (writer feature
     # domainMetadata; latest non-removed action per domain wins)
     domain_metadata: dict[str, str] = field(default_factory=dict)
+    # appId -> highest committed transaction version (txn actions —
+    # the protocol's idempotent-writer mechanism; streaming sinks
+    # stamp (appId=query, version=batch_id) so a re-delivered batch
+    # is detected and skipped)
+    transactions: dict[str, int] = field(default_factory=dict)
 
     @property
     def add_actions(self) -> list[AddAction]:
@@ -183,6 +188,7 @@ class DeltaLog:
         Optional[Metadata],
         Optional[Protocol],
         dict[str, str],
+        dict[str, int],
     ]:
         """Load checkpoint parquet(s) for a version via pyarrow
         (driver-side; checkpoints are metadata-scale)."""
@@ -205,6 +211,7 @@ class DeltaLog:
         metadata: Optional[Metadata] = None
         protocol: Optional[Protocol] = None
         domains: dict[str, str] = {}
+        txns: dict[str, int] = {}
         for part in parts:
             tbl = pq.read_table(part)
             for row in tbl.to_pylist():
@@ -247,7 +254,13 @@ class DeltaLog:
                 ) is not None:
                     dm = row["domainMetadata"]
                     domains[dm["domain"]] = dm.get("configuration") or ""
-        return adds, removes, metadata, protocol, domains
+                elif row.get("txn") and row["txn"].get("appId") is not None:
+                    t = row["txn"]
+                    txns[t["appId"]] = max(
+                        int(t.get("version") or 0),
+                        txns.get(t["appId"], -1),
+                    )
+        return adds, removes, metadata, protocol, domains, txns
 
     def snapshot(
         self,
@@ -274,12 +287,13 @@ class DeltaLog:
         metadata: Optional[Metadata] = None
         protocol: Optional[Protocol] = None
         domains: dict[str, str] = {}
+        txns: dict[str, int] = {}
 
         start = 0
         usable_cp = [c for c in self.checkpoint_versions() if c <= version]
         if usable_cp:
             cp = usable_cp[-1]
-            adds, tombstones, metadata, protocol, domains = (
+            adds, tombstones, metadata, protocol, domains, txns = (
                 self._load_checkpoint(cp)
             )
             start = cp + 1
@@ -322,6 +336,13 @@ class DeltaLog:
                         domains[dm.get("domain", "")] = dm.get(
                             "configuration", ""
                         )
+                elif "txn" in action:
+                    t = action["txn"]
+                    app = t.get("appId")
+                    if app is not None:
+                        txns[app] = max(
+                            int(t.get("version", 0)), txns.get(app, -1)
+                        )
 
         if metadata is None:
             raise ValueError(
@@ -336,6 +357,7 @@ class DeltaLog:
             files=adds,
             tombstones=tombstones,
             domain_metadata=domains,
+            transactions=txns,
         )
 
     # -- history ----------------------------------------------------------

@@ -219,8 +219,12 @@ def create_checkpoint(path: str, version: Optional[int] = None) -> str:
                 }
             }
         )
+    # txn high water marks survive too — dropping one would let a
+    # re-delivered idempotent batch slip through after a checkpoint
+    for app, ver in snap.transactions.items():
+        rows.append({"txn": {"appId": app, "version": int(ver)}})
 
-    cols = ["protocol", "metaData", "add", "remove", "domainMetadata"]
+    cols = ["protocol", "metaData", "add", "remove", "domainMetadata", "txn"]
     norm = [{c: row.get(c) for c in cols} for row in rows]
     str_map = pa.map_(pa.string(), pa.string())
     cp_schema = pa.schema(
@@ -298,6 +302,16 @@ def create_checkpoint(path: str, version: Optional[int] = None) -> str:
                         ("domain", pa.string()),
                         ("configuration", pa.string()),
                         ("removed", pa.bool_()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                        ("lastUpdated", pa.int64()),
                     ]
                 ),
             ),

@@ -621,6 +621,9 @@ def to_delta(
     generated_columns: Optional[dict] = None,
     identity_columns: Optional[dict] = None,
     schema_mode: Optional[str] = None,
+    replace_where: Optional[list] = None,
+    txn_app_id: Optional[str] = None,
+    txn_version: Optional[int] = None,
 ) -> None:
     """Write a Spark DataFrame as a Delta table commit.
 
@@ -670,11 +673,37 @@ def to_delta(
     physical name), shared columns must type-match, and the frame may
     omit table columns (schema-evolution reads yield NULL);
     ``"overwrite"`` is an alias for ``overwrite_schema=True`` (full
-    schema replacement, overwrite mode only)."""
+    schema replacement, overwrite mode only).
+
+    ``replace_where`` (delta-rs/delta-spark ``replaceWhere``; DNF
+    filter, same syntax as ``read_delta``): with ``mode="overwrite"``,
+    replace ONLY the region matching the predicate — existing files
+    are tombstoned iff they provably match in full (exact partition
+    pruning; a file whose match the metadata cannot prove is refused
+    rather than over- or under-deleted), and every incoming row must
+    satisfy the predicate (verified, atomic reject). The
+    selective-reload pattern: re-materialize one partition of a
+    100 TB table without touching the rest.
+
+    ``txn_app_id``/``txn_version`` (the protocol's SetTransaction /
+    ``txn`` action — idempotent writes): if the table has already
+    committed this application's transaction at >= ``txn_version``,
+    the write is SKIPPED entirely (returns without writing); otherwise
+    the ``txn`` high water mark commits atomically WITH the data.
+    This is the exactly-once contract for streaming foreachBatch
+    sinks (appId = query id, version = batch id): a re-delivered
+    micro-batch after a failure becomes a detected no-op instead of a
+    duplicate — delta-spark's ``txnAppId``/``txnVersion`` semantics."""
     if engine not in ("native", "arrow"):
         raise ValueError(f"Unsupported write engine: {engine!r}")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError(
+            "txn_app_id and txn_version must be provided together"
+        )
     if schema_mode not in (None, "merge", "overwrite"):
         raise ValueError(f"Unsupported schema_mode: {schema_mode!r}")
+    if replace_where is not None and mode != "overwrite":
+        raise ValueError("replace_where requires mode='overwrite'")
     if schema_mode == "overwrite":
         overwrite_schema = True
         schema_mode = None
@@ -696,6 +725,12 @@ def to_delta(
     snap: Optional[Snapshot] = None
     if log.exists():
         snap = log.snapshot()
+    if (
+        txn_app_id is not None
+        and snap is not None
+        and snap.transactions.get(txn_app_id, -1) >= int(txn_version)
+    ):
+        return  # this transaction already committed — idempotent no-op
 
     from dask_deltalake_spark.delta.generated import (
         apply_generated_columns,
@@ -864,6 +899,37 @@ def to_delta(
         from dask_deltalake_spark.delta.constraints import enforce_constraints
 
         enforce_constraints(df, snap.metadata, f"to_delta({mode})")
+        rw_dnf = None
+        if replace_where is not None:
+            from dask_deltalake_spark.delta.protocol import normalize_dnf
+            from dask_deltalake_spark.delta.reader import dnf_to_column
+
+            rw_dnf = normalize_dnf(replace_where)
+            rw_cols = {c for conj in rw_dnf for (c, _op, _v) in conj}
+            bad = sorted(rw_cols - set(logical_partition_by))
+            if bad:
+                # partition predicates make the replaced region EXACT
+                # (a file's partition values prove every row matches);
+                # arbitrary predicates can't be proven file-complete
+                # from metadata — that's delete_where + append
+                raise ValueError(
+                    f"replace_where columns {bad} are not partition "
+                    "columns; only partition predicates define an "
+                    "exactly-replaceable region (for arbitrary "
+                    "predicates use delete_where + append)."
+                )
+            _rw_cond = dnf_to_column(rw_dnf)
+            _viol = (
+                df.filter(~F.coalesce(_rw_cond, F.lit(False)))
+                .limit(1)
+                .collect()
+            )
+            if _viol:
+                raise ValueError(
+                    "replace_where: the data contains rows OUTSIDE the "
+                    f"replaced region (e.g. {_viol[0].asDict()}); "
+                    "nothing was written."
+                )
         if column_mapping_mode(snap.metadata) != "none":
             if mode == "overwrite" and overwrite_schema:
                 raise DeltaProtocolError(
@@ -886,6 +952,7 @@ def to_delta(
         merged_schema_string = None
         merged_config = None
         merged_widened = False
+        rw_dnf = None  # replace_where on a CREATE replaces nothing
 
     os.makedirs(table_path, exist_ok=True)
 
@@ -982,6 +1049,19 @@ def to_delta(
     if snap is not None:
         commit_info["readVersion"] = snap.version
     actions.append({"commitInfo": commit_info})
+    if txn_app_id is not None:
+        # the idempotency mark commits ATOMICALLY with the data —
+        # a crash between "data visible" and "mark visible" is
+        # impossible by construction
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn_app_id,
+                    "version": int(txn_version),
+                    "lastUpdated": ts,
+                }
+            }
+        )
 
     if snap is None:
         # protocol tier = the highest feature the table declares:
@@ -1090,11 +1170,35 @@ def to_delta(
         actions.append(_rt_domain_action)
 
     if snap is not None and mode == "overwrite":
+        doomed = list(snap.files)
+        if rw_dnf is not None:
+            # tombstone ONLY the replaced region — partition pruning
+            # is exact over partition-column predicates, so every
+            # doomed file provably contains matching rows only. On
+            # mapped tables partitionValues carry physical names.
+            from dask_deltalake_spark.delta.column_mapping import (
+                logical_to_physical,
+                translate_dnf,
+            )
+            from dask_deltalake_spark.delta.protocol import (
+                column_mapping_mode,
+                prune_partitions,
+            )
+
+            prune_dnf = (
+                translate_dnf(rw_dnf, logical_to_physical(table_schema))
+                if column_mapping_mode(snap.metadata) != "none"
+                else rw_dnf
+            )
+            doomed = [
+                a.path
+                for a in prune_partitions(snap.add_actions, prune_dnf)
+            ]
         actions.extend(
             RemoveAction(
                 path=p, deletion_timestamp=ts, data_change=True
             ).to_json()
-            for p in snap.files
+            for p in doomed
         )
 
     # Optimistic-concurrency commit with APPEND retry: a blind append
@@ -1146,6 +1250,14 @@ def to_delta(
                 )
             attempt += 1
             snap2 = log.snapshot()
+            if (
+                txn_app_id is not None
+                and snap2.transactions.get(txn_app_id, -1)
+                >= int(txn_version)
+            ):
+                # the racing commit WAS this transaction (another
+                # attempt of the same idempotent batch) — done
+                return
             new_logical = StructType.fromJson(
                 json.loads(snap2.metadata.schema_string)
             )

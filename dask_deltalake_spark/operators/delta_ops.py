@@ -1535,3 +1535,60 @@ def d32_log_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_deleted bigint, earliest_version bigint, "
         "rows_latest bigint, rows_at_boundary bigint",
     )
+
+
+@query(
+    "d33_replace_where_txn",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0)
+                AS BIGINT) AS f_rows_after,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O')
+                AS BIGINT) AS o_rows_after,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F')
+                AS BIGINT) AS f_rows_v0,
+           CAST(1 AS BIGINT) AS final_version
+    """,
+)
+def d33_replace_where_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replace_where + txn idempotency in one flow: the overwrite
+    replaces ONLY the o_orderstatus='F' partition region (its files
+    are tombstoned exactly, every other partition untouched — the
+    selective-reload pattern), stamped with a SetTransaction mark so
+    the RE-DELIVERED identical reload is detected and skipped — the
+    table stays at version 1, no duplicate region rewrite. Time travel
+    still sees the pre-reload region. Oracle recomputes all four
+    ledger values from source parquet."""
+    import shutil
+
+    path = _tmp_table(sf_dir, "orders_replwhere")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    to_delta(o, path, partition_by=["o_orderstatus"])
+    repl = o.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0)
+    )
+    for _ in range(2):  # second delivery must be a no-op
+        to_delta(
+            repl,
+            path,
+            mode="overwrite",
+            replace_where=[("o_orderstatus", "==", "F")],
+            txn_app_id="region-reload",
+            txn_version=1,
+        )
+    from dask_deltalake_spark.delta.log import DeltaLog
+
+    df = read_delta(path, spark=spark)
+    f_after = df.filter(F.col("o_orderstatus") == "F").count()
+    o_after = df.filter(F.col("o_orderstatus") == "O").count()
+    f_v0 = (
+        read_delta(path, version=0, spark=spark)
+        .filter(F.col("o_orderstatus") == "F")
+        .count()
+    )
+    return spark.createDataFrame(
+        [(f_after, o_after, f_v0, DeltaLog(path).snapshot().version)],
+        "f_rows_after bigint, o_rows_after bigint, f_rows_v0 bigint, "
+        "final_version bigint",
+    )

@@ -267,10 +267,13 @@ def s04_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s05_stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming → Delta sink integration: foreachBatch appends each
-    micro-batch through this engine's transactional to_delta (one ACID
-    commit per batch — the idempotent-sink pattern for exactly-once
-    delivery; at scale, batch_id-keyed commit metadata makes replayed
-    batches no-ops). The landed table is then read back through
+    micro-batch through this engine's transactional to_delta with a
+    ``txn`` (SetTransaction) mark keyed (query, batch_id) — the
+    protocol's exactly-once sink contract: a batch RE-DELIVERED after
+    a failure is detected against the committed txn high water mark
+    and becomes a no-op instead of a duplicate (the mark commits
+    atomically with the data; delta-spark's foreachBatch +
+    txnAppId/txnVersion idiom). The landed table is read back through
     read_delta and must hold exactly the source rows."""
     import shutil
 
@@ -281,11 +284,16 @@ def s05_stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"/tmp/ddl_spark_stream_sink/{uuid.uuid4().hex[:12]}"
     shutil.rmtree(path, ignore_errors=True)
     ev = _events_stream(spark, sf_dir)
+    name = "s_" + uuid.uuid4().hex[:12]
 
     def write_batch(batch_df, batch_id: int) -> None:
-        to_delta(batch_df, path, mode="append")
-
-    name = "s_" + uuid.uuid4().hex[:12]
+        to_delta(
+            batch_df,
+            path,
+            mode="append",
+            txn_app_id=f"stream-sink-{name}",
+            txn_version=batch_id,
+        )
     q = (
         ev.writeStream.foreachBatch(write_batch)
         .queryName(name)
