@@ -148,6 +148,11 @@ def vacuum(
     return None
 
 
+# actions per checkpoint part file; a 10M-file table then checkpoints
+# as ~20 bounded parquet parts instead of one multi-GB file
+_CHECKPOINT_PART_ROWS = 500_000
+
+
 def create_checkpoint(path: str, version: Optional[int] = None) -> str:
     """Write a protocol checkpoint parquet for `version` (default:
     latest) plus `_last_checkpoint`, so future replays start from the
@@ -329,16 +334,39 @@ def create_checkpoint(path: str, version: Optional[int] = None) -> str:
                 ):
                     d["format"]["options"] = list(d["format"]["options"].items())
     tbl = pa.Table.from_pylist(norm, schema=cp_schema)
-    cp_path = os.path.join(
-        table_path, LOG_DIR, f"{snap.version:020d}.checkpoint.parquet"
-    )
-    pq.write_table(tbl, cp_path)
+    # Multi-part checkpoints (the spec's %020d.checkpoint.%010d.%010d
+    # naming) above _CHECKPOINT_PART_ROWS actions: at the 10M-file
+    # scale a single checkpoint parquet becomes a multi-GB driver
+    # write AND a single-reader bottleneck on replay — parts keep each
+    # file bounded and let a distributed replayer read them in
+    # parallel. _last_checkpoint carries `parts` per the spec; replay
+    # (log.py:_load_checkpoint) reads either shape.
+    last = {"version": snap.version, "size": len(rows)}
+    if len(rows) > _CHECKPOINT_PART_ROWS:
+        n_parts = -(-len(rows) // _CHECKPOINT_PART_ROWS)
+        per = -(-tbl.num_rows // n_parts)
+        cp_path = None
+        for i in range(n_parts):
+            part = tbl.slice(i * per, per)
+            cp_path = os.path.join(
+                table_path,
+                LOG_DIR,
+                f"{snap.version:020d}.checkpoint."
+                f"{i + 1:010d}.{n_parts:010d}.parquet",
+            )
+            pq.write_table(part, cp_path)
+        last["parts"] = n_parts
+    else:
+        cp_path = os.path.join(
+            table_path, LOG_DIR, f"{snap.version:020d}.checkpoint.parquet"
+        )
+        pq.write_table(tbl, cp_path)
     with open(
         os.path.join(table_path, LOG_DIR, "_last_checkpoint"),
         "w",
         encoding="utf-8",
     ) as f:
-        json.dump({"version": snap.version, "size": len(rows)}, f)
+        json.dump(last, f)
     return cp_path
 
 

@@ -89,3 +89,37 @@ def test_cleanup_honors_configured_retention(spark, tmp_path):
     create_checkpoint(path, version=1)
     _age_log(path, [0], age_s=2 * 3600)  # 2h old > 1h retention
     assert cleanup_metadata(path, dry_run=True) == ["0" * 19 + "0.json"]
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_path, monkeypatch):
+    """Above the part threshold the checkpoint splits into the spec's
+    %020d.checkpoint.%010d.%010d.parquet parts and replays
+    identically (checkpoint_versions + _load_checkpoint read both
+    shapes)."""
+    import glob
+
+    import dask_deltalake_spark.delta.maintenance as M
+
+    monkeypatch.setattr(M, "_CHECKPOINT_PART_ROWS", 4)
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 20).repartition(8), path)  # 8 adds + meta rows
+    create_checkpoint(path)
+    parts = glob.glob(os.path.join(path, "_delta_log", "*.checkpoint.*.parquet"))
+    assert len(parts) >= 2  # genuinely multi-part
+    import json as _json
+
+    last = _json.load(open(os.path.join(path, "_delta_log", "_last_checkpoint")))
+    assert last["parts"] == len(parts)
+    # checkpoint-started replay: delete nothing, just force cp usage
+    to_delta(_df(spark, 20, 25).coalesce(1), path, mode="append")
+    snap = DeltaLog(path).snapshot()
+    assert len(snap.files) == 9
+    assert read_delta(path, spark=spark).count() == 25
+    # a later multi-part checkpoint anchors cleanup of the v0 prefix
+    # (the v0 multi-part checkpoint files go with it)
+    create_checkpoint(path)  # at v1
+    _age_log(path, [0])
+    doomed = cleanup_metadata(path)
+    assert f"{0:020d}.json" in doomed
+    assert sum(".checkpoint." in f for f in doomed) == len(parts)
+    assert read_delta(path, spark=spark).count() == 25
