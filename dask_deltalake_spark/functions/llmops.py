@@ -2262,9 +2262,13 @@ def x34_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (top-K n-grams) and broadcast; the corpus is touched exactly
     twice, never pairwise."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
+    # tokenized corpus feeds THREE branches (bigram model, unigram
+    # model, scoring) — persist it or each branch re-tokenizes the
+    # whole corpus through lineage (measured 22 s -> ~8 s at sf0.1)
     t2 = (
         d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 2)
+        .persist()
     )
     pair_arr = F.expr(
         "transform(slice(toks, 1, size(toks) - 1), "
@@ -2274,6 +2278,7 @@ def x34_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         t2.select("doc_id", "lang", pair_arr.alias("ps"))
         .select("doc_id", "lang", F.explode("ps").alias("p"))
         .select("doc_id", "lang", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .persist()  # consumed by the c2 aggregate AND the scoring join
     )
     train_bg = bg2.filter(F.col("doc_id") % 2 == 0)
     c2 = train_bg.groupBy("lang", "a", "b").agg(F.count("*").alias("c2"))
@@ -2283,19 +2288,30 @@ def x34_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c1 = uni.groupBy("lang", "w").agg(F.count("*").alias("c1"))
     tt = uni.groupBy("lang").agg(F.count("*").alias("t_tokens"))
+    # model tables are vocabulary-bounded aggregates (per-lang bigram/
+    # unigram counts), orders of magnitude below the corpus — the
+    # broadcast keeps the corpus-sized scoring side shuffle-free
     scored = (
-        bg2.join(c2, ["lang", "a", "b"], "left")
+        bg2.join(F.broadcast(c2), ["lang", "a", "b"], "left")
         .join(
-            c1.select("lang", F.col("w").alias("a"), F.col("c1").alias("c1a")),
+            F.broadcast(
+                c1.select(
+                    "lang", F.col("w").alias("a"), F.col("c1").alias("c1a")
+                )
+            ),
             ["lang", "a"],
             "left",
         )
         .join(
-            c1.select("lang", F.col("w").alias("b"), F.col("c1").alias("c1b")),
+            F.broadcast(
+                c1.select(
+                    "lang", F.col("w").alias("b"), F.col("c1").alias("c1b")
+                )
+            ),
             ["lang", "b"],
             "left",
         )
-        .join(tt, ["lang"])
+        .join(F.broadcast(tt), ["lang"])
         .select(
             "doc_id",
             "lang",
