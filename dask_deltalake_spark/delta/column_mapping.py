@@ -161,6 +161,7 @@ def upgrade_to_column_mapping(
 def _commit_schema_change(
     log: DeltaLog, snap, schema_d: dict, operation: str, params: dict,
     partition_columns: Optional[list] = None, extra_config: Optional[dict] = None,
+    extra_actions: Optional[list] = None,
 ) -> int:
     meta = snap.metadata
     config = dict(meta.configuration)
@@ -176,6 +177,10 @@ def _commit_schema_change(
                 "engineInfo": "dask_deltalake_spark/0.1.0",
             }
         },
+        # commitInfo stays FIRST (the in-commit-timestamp stamp reads
+        # only the leading action); protocol upgrades land before the
+        # metadata they govern
+        *(extra_actions or []),
         Metadata(
             id=meta.id,
             schema_string=json.dumps(schema_d, separators=(",", ":")),
@@ -200,6 +205,7 @@ def add_column(
     data_type: str,
     nullable: bool = True,
     spark: Optional[SparkSession] = None,
+    default: Optional[str] = None,
 ) -> int:
     """ALTER TABLE ADD COLUMN as a metadata-only commit (requires — or
     first performs — the column-mapping upgrade). The new field gets a
@@ -207,7 +213,15 @@ def add_column(
     file contains, so every pre-existing row reads back NULL for it;
     subsequent appends write it under the physical name.
     ``data_type`` is a Spark DDL type string (``"double"``,
-    ``"array<string>"``, ...)."""
+    ``"array<string>"``, ...).
+
+    ``default`` (ADD COLUMN ... DEFAULT — writer feature
+    allowColumnDefaults): a SQL expression stored in the field's
+    ``CURRENT_DEFAULT`` metadata. Delta's WRITE-TIME default
+    semantics: pre-existing rows keep reading NULL, but every future
+    write that OMITS the column materializes the default into its
+    files (delta/defaults.py applies it in to_delta). The protocol
+    upgrades to writer v7 with the feature in the same commit."""
     import uuid as _uuid
 
     from pyspark.sql.types import _parse_datatype_string
@@ -231,14 +245,30 @@ def add_column(
         COLUMN_ID_KEY: max_id + 1,
         PHYSICAL_NAME_KEY: f"col-{_uuid.uuid4()}",
     }
+    extra_actions = None
+    params = {"columns": json.dumps([{"name": name, "type": data_type}])}
+    if default is not None:
+        from dask_deltalake_spark.delta.defaults import CURRENT_DEFAULT_KEY
+        from dask_deltalake_spark.delta.protocol import (
+            protocol_with_features,
+        )
+
+        new_field["metadata"][CURRENT_DEFAULT_KEY] = default
+        extra_actions = [
+            protocol_with_features(
+                snap.protocol, writer_features=("allowColumnDefaults",)
+            ).to_json()
+        ]
+        params["default"] = default
     schema_d["fields"].append(new_field)
     return _commit_schema_change(
         log,
         snap,
         schema_d,
         "ADD COLUMNS",
-        {"columns": json.dumps([{"name": name, "type": data_type}])},
+        params,
         extra_config={COLUMN_MAPPING_MAX_ID_KEY: str(max_id + 1)},
+        extra_actions=extra_actions,
     )
 
 

@@ -239,6 +239,12 @@ def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
             # schema on the frames it writes, and every read path
             # up-casts older narrow files (see check_read_protocol)
             "typeWidening",
+            # write-time defaults are materialized by to_delta for any
+            # frame omitting the column (delta/defaults.py); DML paths
+            # never create rows missing columns (MERGE requires the
+            # full source schema, DELETE/UPDATE/OPTIMIZE rewrite
+            # existing rows), so every path maintains the feature
+            "allowColumnDefaults",
         }
         unsupported = set(protocol.writer_features) - supported
         if unsupported:

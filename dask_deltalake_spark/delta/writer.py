@@ -819,6 +819,12 @@ def to_delta(
         df, _id_new_hwms = apply_identity_columns(
             df, snap.metadata, f"to_delta({mode})"
         )
+        # column DEFAULT values (delta/defaults.py): write-time
+        # materialization for omitted columns, BEFORE the schema check
+        # so such frames are legal on every mode
+        from dask_deltalake_spark.delta.defaults import apply_column_defaults
+
+        df = apply_column_defaults(df, snap.metadata)
         merged_schema_string = None
         merged_config = None
         merged_widened = False

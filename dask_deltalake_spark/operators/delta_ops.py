@@ -1592,3 +1592,40 @@ def d33_replace_where_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_rows_after bigint, o_rows_after bigint, f_rows_v0 bigint, "
         "final_version bigint",
     )
+
+
+@query(
+    "d34_column_defaults",
+    """
+    WITH n AS (SELECT COUNT(*) AS cnt FROM supplier)
+    SELECT CAST((SELECT cnt FROM n) AS BIGINT) AS null_bonus_rows,
+           CAST((SELECT cnt FROM n) AS BIGINT) AS default_bonus_rows,
+           CAST(100 * (SELECT cnt FROM n) AS BIGINT) AS bonus_sum
+    FROM n
+    """,
+)
+def d34_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULT values (writer feature allowColumnDefaults,
+    delta/defaults.py): ADD COLUMN ... DEFAULT is metadata-only; rows
+    from before the column keep reading NULL, and every later write
+    that OMITS the column materializes the default AT WRITE TIME into
+    its files — the spec's write-time (not read-time) semantics,
+    provable from the null/value ledger the oracle recomputes."""
+    import shutil
+
+    from dask_deltalake_spark.delta.column_mapping import add_column
+
+    path = _tmp_table(sf_dir, "supplier_defaults")
+    shutil.rmtree(path, ignore_errors=True)
+    s = load_table(spark, sf_dir, "supplier")
+    to_delta(s, path)
+    add_column(path, "bonus", "bigint", default="100", spark=spark)
+    to_delta(s, path, mode="append")  # omits bonus -> default applies
+    df = read_delta(path, spark=spark)
+    return df.agg(
+        F.sum(F.col("bonus").isNull().cast("long")).alias("null_bonus_rows"),
+        F.sum((F.col("bonus") == 100).cast("long")).alias(
+            "default_bonus_rows"
+        ),
+        F.sum(F.coalesce(F.col("bonus"), F.lit(0))).alias("bonus_sum"),
+    )
