@@ -18,7 +18,6 @@ from __future__ import annotations
 from dask_deltalake_spark.delta.log import DeltaLog
 from dask_deltalake_spark.delta.protocol import (
     Metadata,
-    Protocol,
     now_ms,
 )
 from dask_deltalake_spark.delta.writer import write_commit
@@ -41,23 +40,11 @@ def enable_in_commit_timestamps(path: str) -> int:
     ).lower() == "true":
         return snap.version  # idempotent
 
-    proto = snap.protocol
-    writer_feats = set(proto.writer_features or [])
-    if proto.min_writer_version < 7 and proto.writer_features is None:
-        implied = {
-            2: {"appendOnly", "invariants"},
-            3: {"checkConstraints"},
-            4: {"changeDataFeed", "generatedColumns"},
-            5: {"columnMapping"},
-            6: {"identityColumns"},
-        }
-        for v, feats in implied.items():
-            if proto.min_writer_version >= v:
-                writer_feats |= feats
-    writer_feats.add("inCommitTimestamp")
-    reader_feats = proto.reader_features
-    if proto.min_reader_version >= 3 and reader_feats is None:
-        reader_feats = []
+    from dask_deltalake_spark.delta.protocol import protocol_with_features
+
+    new_proto = protocol_with_features(
+        snap.protocol, writer_features=("inCommitTimestamp",)
+    )
 
     ts = now_ms()
     meta = snap.metadata
@@ -75,12 +62,7 @@ def enable_in_commit_timestamps(path: str) -> int:
                 "engineInfo": "dask_deltalake_spark/0.1.0",
             }
         },
-        Protocol(
-            min_reader_version=proto.min_reader_version,
-            min_writer_version=7,
-            reader_features=reader_feats,
-            writer_features=sorted(writer_feats),
-        ).to_json(),
+        new_proto.to_json(),
         Metadata(
             id=meta.id,
             schema_string=meta.schema_string,

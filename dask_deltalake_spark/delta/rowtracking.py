@@ -33,7 +33,6 @@ from dask_deltalake_spark.delta.log import DeltaLog, Snapshot
 from dask_deltalake_spark.delta.protocol import (
     DeltaProtocolError,
     Metadata,
-    Protocol,
     now_ms,
 )
 from dask_deltalake_spark.delta.writer import write_commit
@@ -109,26 +108,11 @@ def enable_row_tracking(path: str) -> int:
     if row_tracking_enabled(snap.metadata):
         return snap.version  # idempotent
 
-    proto = snap.protocol
-    reader_v = proto.min_reader_version
-    writer_feats = set(proto.writer_features or [])
-    if proto.min_writer_version < 7 and proto.writer_features is None:
-        # version-ladder table: carry its implied obligations forward
-        # as explicit features per the spec's upgrade rule
-        implied = {
-            2: {"appendOnly", "invariants"},
-            3: {"checkConstraints"},
-            4: {"changeDataFeed", "generatedColumns"},
-            5: {"columnMapping"},
-            6: {"identityColumns"},
-        }
-        for v, feats in implied.items():
-            if proto.min_writer_version >= v:
-                writer_feats |= feats
-    writer_feats |= set(ROW_TRACKING_FEATURES)
-    reader_feats = proto.reader_features
-    if reader_v >= 3 and reader_feats is None:
-        reader_feats = []
+    from dask_deltalake_spark.delta.protocol import protocol_with_features
+
+    new_proto = protocol_with_features(
+        snap.protocol, writer_features=ROW_TRACKING_FEATURES
+    )
 
     hwm = -1
     add_actions = []
@@ -160,12 +144,7 @@ def enable_row_tracking(path: str) -> int:
                 "engineInfo": "dask_deltalake_spark/0.1.0",
             }
         },
-        Protocol(
-            min_reader_version=reader_v,
-            min_writer_version=7,
-            reader_features=reader_feats,
-            writer_features=sorted(writer_feats),
-        ).to_json(),
+        new_proto.to_json(),
         Metadata(
             id=meta.id,
             schema_string=meta.schema_string,
