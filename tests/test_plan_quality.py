@@ -156,3 +156,13 @@ def test_dv_clean_files_bypass_python_filter(spark, tmp_path):
     n_py = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
     assert n_py == 1, plan[:2000]
     assert out.count() == 470
+
+
+def test_x34_model_joins_broadcast(spark):
+    """x34's scoring side is corpus-sized; the model tables (bigram /
+    unigram / totals) are vocabulary-bounded aggregates and must join
+    as broadcasts — a sort-merge join here would shuffle the whole
+    corpus three times (the regression behind the r5 22s->8s fix)."""
+    strategies = join_strategies(_q(spark, "x34_lm_quality"))
+    assert strategies, "no joins found in x34 plan"
+    assert all("Broadcast" in s for s in strategies), strategies
