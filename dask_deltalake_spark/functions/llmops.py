@@ -2455,3 +2455,127 @@ def x35_containment_decontamination(
         .orderBy("lang")
     )
     return out
+
+
+# --- x36: duplicated-span removal --------------------------------------------
+
+
+@query(
+    "x36_span_removal",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, lang, LEN(toks) AS n, toks
+      FROM t WHERE LEN(toks) >= {_DUP_WIN}
+    ),
+    s AS (
+      SELECT doc_id, lang, toks,
+             UNNEST(GENERATE_SERIES(1, n - {_DUP_WIN - 1}, {_DUP_STRIDE})) AS st
+      FROM sized
+    ),
+    w AS (
+      SELECT doc_id, lang, st,
+             ARRAY_TO_STRING(LIST_SLICE(toks, st, st + {_DUP_WIN - 1}), ' ') AS win
+      FROM s
+    ),
+    dup AS (
+      SELECT lang, win FROM w
+      GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    occ AS (
+      SELECT w.doc_id, w.lang, w.st
+      FROM w JOIN dup ON w.lang = dup.lang AND w.win = dup.win
+    ),
+    pos AS (
+      SELECT DISTINCT doc_id, lang, p FROM (
+        SELECT doc_id, lang,
+               UNNEST(GENERATE_SERIES(st, st + {_DUP_WIN - 1})) AS p
+        FROM occ
+      )
+    ),
+    rem AS (
+      SELECT doc_id, lang, COUNT(*) AS removed FROM pos GROUP BY 1, 2
+    )
+    SELECT z.lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN COALESCE(removed, 0) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_modified,
+           CAST(SUM(n) AS BIGINT) AS tokens_total,
+           CAST(SUM(COALESCE(removed, 0)) AS BIGINT) AS tokens_removed,
+           ROUND(CAST(SUM(COALESCE(removed, 0)) AS DOUBLE) / SUM(n), 4)
+             AS removed_ratio
+    FROM (SELECT doc_id, lang, n FROM sized) z
+    LEFT JOIN rem ON z.doc_id = rem.doc_id AND z.lang = rem.lang
+    GROUP BY z.lang ORDER BY z.lang
+    """,
+)
+def x36_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the transformation
+    x30 only detects: every token position covered by a window that
+    repeats across ≥2 documents is marked for removal (the
+    "remove duplicated substrings" pass of exact-substring dedup
+    pipelines), and the per-language ledger reports how much of the
+    corpus is excised boilerplate. Position marking is arithmetic
+    (explode of st..st+W-1 over DUPLICATED occurrences only — fan-out
+    bounded by the dup-window count, never the corpus), dedup of
+    overlapping marks is one distinct, and the doc text itself never
+    shuffles: at scale the kept-token reconstruction
+    (filter(toks, (x, i) -> NOT covered(i))) runs in the map stage of
+    whatever consumes it, exactly like x29's chunk slicing."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    t = (
+        d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= _DUP_WIN)
+    )
+    s = t.select(
+        "doc_id",
+        "lang",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.col("n") - (_DUP_WIN - 1), F.lit(_DUP_STRIDE)
+            )
+        ).alias("st"),
+    )
+    w = s.select(
+        "doc_id",
+        "lang",
+        "st",
+        F.concat_ws(" ", F.slice("toks", F.col("st"), _DUP_WIN)).alias("win"),
+    ).persist()  # feeds the dup-window aggregate AND the occurrence join
+    dup = (
+        w.groupBy("lang", "win")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("lang", "win")
+    )
+    occ = w.join(dup, ["lang", "win"], "left_semi")
+    pos = (
+        occ.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.col("st"), F.col("st") + (_DUP_WIN - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    rem = pos.groupBy("doc_id", "lang").agg(F.count("*").alias("removed"))
+    sizes = t.select("doc_id", "lang", "n")
+    removed = F.coalesce(F.col("removed"), F.lit(0))
+    return (
+        sizes.join(rem, ["doc_id", "lang"], "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((removed > 0).cast("long")).alias("docs_modified"),
+            F.sum("n").cast("long").alias("tokens_total"),
+            F.sum(removed).cast("long").alias("tokens_removed"),
+            F.round(
+                F.sum(removed).cast("double") / F.sum("n"), 4
+            ).alias("removed_ratio"),
+        )
+        .orderBy("lang")
+    )
