@@ -93,6 +93,24 @@ def vacuum(
     table_path = str(path).rstrip("/")
     log = DeltaLog(table_path)
     snap = log.snapshot()
+    # vacuumProtocolCheck (reader+writer table feature): VACUUM must
+    # validate the protocol before deleting anything — a vacuum that
+    # ignores an unknown feature could delete files that feature still
+    # references (exactly how DV `.bin` files would be lost by a
+    # DV-unaware vacuum). This gate IS the mandated check; the
+    # features listed are the ones whose file-reference semantics this
+    # vacuum genuinely understands.
+    check_write_protocol(
+        snap.protocol,
+        metadata=snap.metadata,
+        features={
+            "columnMapping",
+            "deletionVectors",
+            "rowTracking",
+            "domainMetadata",
+            "vacuumProtocolCheck",
+        },
+    )
     referenced = set(snap.files)
     # live deletion-vector .bin files are referenced THROUGH their add
     # actions, not as paths in snap.files — vacuuming one would corrupt

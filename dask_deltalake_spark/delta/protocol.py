@@ -101,8 +101,14 @@ def check_read_protocol(protocol, metadata=None, features=frozenset()) -> None:
         # (Spark's parquet reader up-casts int32→long / float→double),
         # and the Python-source path casts each Arrow column to the
         # target type (_read_file_as_batches) — both verified by
-        # tests/test_type_widening.py
-        supported = set(features) | {"timestampNtz", "typeWidening"}
+        # tests/test_type_widening.py. vacuumProtocolCheck constrains
+        # only VACUUM (which gates, maintenance.py); it never changes
+        # how data files are read.
+        supported = set(features) | {
+            "timestampNtz",
+            "typeWidening",
+            "vacuumProtocolCheck",
+        }
         unsupported = listed - supported
         if not unsupported:
             return
@@ -245,6 +251,9 @@ def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
             # full source schema, DELETE/UPDATE/OPTIMIZE rewrite
             # existing rows), so every path maintains the feature
             "allowColumnDefaults",
+            # constrains only VACUUM, which performs the mandated
+            # protocol check for real (maintenance.py:vacuum)
+            "vacuumProtocolCheck",
         }
         unsupported = set(protocol.writer_features) - supported
         if unsupported:

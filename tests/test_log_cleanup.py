@@ -123,3 +123,48 @@ def test_multipart_checkpoint_roundtrip(spark, tmp_path, monkeypatch):
     assert f"{0:020d}.json" in doomed
     assert sum(".checkpoint." in f for f in doomed) == len(parts)
     assert read_delta(path, spark=spark).count() == 25
+
+
+def test_vacuum_protocol_gate(spark, tmp_path):
+    """vacuumProtocolCheck semantics: vacuum validates the protocol
+    before deleting anything — a table requiring a feature vacuum
+    doesn't understand is refused, never silently pruned."""
+    import json as _json
+
+    from dask_deltalake_spark.delta.maintenance import vacuum
+    from dask_deltalake_spark.delta.protocol import (
+        DeltaProtocolError,
+        Protocol,
+    )
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 3).coalesce(1), path)
+    # vacuum on a table declaring vacuumProtocolCheck itself: fine
+    write_commit(
+        path,
+        1,
+        [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            Protocol(
+                min_writer_version=7,
+                writer_features=["appendOnly", "invariants",
+                                 "vacuumProtocolCheck"],
+            ).to_json(),
+        ],
+    )
+    assert vacuum(path, retention_hours=0, dry_run=True) == []
+    # ...but an UNKNOWN feature refuses the vacuum outright
+    write_commit(
+        path,
+        2,
+        [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            Protocol(
+                min_writer_version=7,
+                writer_features=["someFutureFeature"],
+            ).to_json(),
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
+        vacuum(path, retention_hours=0, dry_run=True)
