@@ -621,6 +621,23 @@ def restore(
     cur = log.snapshot()
     if version == cur.version:
         return {"version": cur.version, "numFilesAdded": 0, "numFilesRemoved": 0}
+    # writer-feature gate: RESTORE rewrites table STATE, so it must
+    # understand every declared feature's state invariants. The listed
+    # features are restore-safe by construction: re-added files keep
+    # their baseRowId/identity values and the high water marks (domain
+    # metadata / txn) are monotonic — deliberately NOT reverted.
+    check_write_protocol(
+        cur.protocol,
+        metadata=cur.metadata,
+        features={
+            "columnMapping",
+            "deletionVectors",
+            "generatedColumns",
+            "identityColumns",
+            "rowTracking",
+            "domainMetadata",
+        },
+    )
     target = log.snapshot(version=version)
 
     cur_by_path = {a.path: a for a in cur.add_actions}

@@ -158,3 +158,27 @@ def test_plain_read_unaffected_and_opt_in_required(spark, tmp_path):
     assert df.columns == ["k", "v"]  # no opt-in -> no extra columns
     proj = read_delta(path, spark=spark, with_row_ids=True, columns=["v"])
     assert proj.columns == ["v", "_row_id", "_row_commit_version"]
+
+
+def test_restore_keeps_row_id_high_water_mark(spark, tmp_path):
+    """RESTORE on a row-tracked table: re-added files keep their
+    original baseRowIds and the high water mark stays MONOTONIC (never
+    reverted), so post-restore appends can never reuse an id."""
+    from dask_deltalake_spark.delta.maintenance import restore
+    from dask_deltalake_spark.delta.rowtracking import (
+        row_id_high_water_mark,
+    )
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 4).coalesce(1), path)
+    enable_row_tracking(path)  # v1: ids 0..3, hwm 3
+    to_delta(_df(spark, 4, 7).coalesce(1), path, mode="append")  # hwm 6
+    restore(path, version=1, spark=spark)
+    snap = DeltaLog(path).snapshot()
+    assert row_id_high_water_mark(snap) == 6  # NOT reverted
+    assert _ids(read_delta(path, spark=spark, with_row_ids=True)) == [
+        0, 1, 2, 3,
+    ]
+    to_delta(_df(spark, 7, 9).coalesce(1), path, mode="append")
+    ids = _ids(read_delta(path, spark=spark, with_row_ids=True))
+    assert ids == [0, 1, 2, 3, 7, 8]  # fresh range past the kept mark
