@@ -40,23 +40,24 @@ _ALL.update(_STREAMING)
 # x34 (bigram LM quality scoring), x35 (containment
 # decontamination), x36 (duplicated-span removal), d33
 # (replace_where + txn idempotent writes; s05 also changed — it now
-# stamps txn marks), d34 (column DEFAULT values), and s06 (drain
-# trimmed; path re-verified).
-# The twenty-four names that yield their slots to the
+# stamps txn marks), d34 (column DEFAULT values), s09 (incremental
+# materialized-view maintenance from the change feed), and s06
+# (drain trimmed; path re-verified).
+# The twenty-five names that yield their slots to the
 # new-capability queries all lose no hash information this round:
 # x05/x06 are rows-only by design (pytest-bounded — recall floor /
-# Hamming-Jaccard bound), and s07/q05/d08/x02/x03/x09/x11/x12/x13/
-# x14/x15/x16/x17/x19-x27 are unchanged since their r3 hash-green
-# rows with in-window neighbors on the same code paths (s01-s06 /
-# q01-q06 / d15 compaction / x01 hash-dedup / x07 embedding exprs /
-# x10 text stats / x28 incremental hash-dedup; x13+x17 multimodal
-# mapInPandas plumbing is pytest-covered and untouched since r3,
-# both rows lead r6). With 123 queries and a 50-slot window, perfect
-# 2-round coverage is no longer arithmetically possible (needs
-# 62/round) — the deferred set leads r6 and the ledger tracks
-# exactly which rows are 3 rounds old.
-# Next round (r6): lead with s07, q05, x05, x06, d08, x02, x03, x09,
-# x11-x17, x19-x27 + the r4 tier (d17-d19, x29, q07-q44, d01-d06,
+# Hamming-Jaccard bound), and s07/q05/d08/x02/x03/x09/x10/x11/x12/
+# x13/x14/x15/x16/x17/x19-x27 are unchanged since their r3
+# hash-green rows with in-window neighbors on the same code paths
+# (s01-s06 / q01-q06 / d15 compaction / x01 hash-dedup / x07
+# embedding exprs / x28 incremental hash-dedup; x10+x11 text stats
+# and x13+x17 multimodal mapInPandas plumbing are pytest-covered and
+# untouched since r3, all four rows lead r6). With 124 queries and a
+# 50-slot window, perfect 2-round coverage is no longer
+# arithmetically possible (needs 62/round) — the deferred set leads
+# r6 and the ledger tracks exactly which rows are 3 rounds old.
+# Next round (r6): lead with s07, q05, x05, x06, d08, x02, x03,
+# x09-x17, x19-x27 + the r4 tier (d17-d19, x29, q07-q44, d01-d06,
 # x18, s06).
 _R5_FRONT = (
     [n for n in _ALL if n[:3] in {f"q{i:02d}" for i in (1, 2, 3, 4, 6, 45)}]
@@ -84,14 +85,15 @@ _R5_FRONT = (
         if n[:3]
         in {
             f"x{i:02d}"
-            for i in (1, 4, 7, 8, 10, 28)
+            for i in (1, 4, 7, 8, 28)
         }
     ]
     + ["x30_window_dedup", "x31_semantic_dedup", "x32_pq_ann",
        "x33_bpe_vocab", "x34_lm_quality",
        "x35_containment_decontamination", "x36_span_removal"]
     + [n for n in _ALL if n[:3] in {f"s{i:02d}" for i in range(1, 6)}]
-    + ["s06_stream_delta_source", "s08_stream_upsert"]
+    + ["s06_stream_delta_source", "s08_stream_upsert",
+       "s09_stream_incremental_agg"]
     # positions 51+: first up in r6
     + [
         "s07_stream_stream_join",
@@ -118,6 +120,7 @@ _R5_FRONT = (
         "x14_embedding_near_dup",
         "x13_multimodal_decode",
         "x11_lang_id",
+        "x10_text_quality",
     ]
 )
 _R5_FRONT = [n for n in _R5_FRONT if n in _ALL]

@@ -558,3 +558,120 @@ def s08_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "s09_stream_incremental_agg",
+    """
+    WITH base AS (
+      SELECT n_nationkey, n_regionkey FROM nation
+      UNION ALL
+      SELECT n_nationkey + 100, n_regionkey FROM nation
+    ),
+    final AS (SELECT * FROM base WHERE n_nationkey >= 5)
+    SELECT n_regionkey, COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def s09_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance from the change feed:
+    a per-region aggregate is kept exact by streaming the base table's
+    CDF (format delta_py_cdf) and applying signed deltas per
+    micro-batch — inserts add, delete images subtract, and a COW
+    rewrite's file-level delete+insert image pairs NET to exactly the
+    removed rows, so the view never recomputes from the base. Each
+    batch commits the refreshed view with a SetTransaction mark
+    (appId=view, version=batch_id), making re-delivered batches
+    no-ops — the full exactly-once incremental-ETL loop. At 100 TB
+    the view table is aggregate-sized and the per-batch cost is
+    O(changes), never O(base); checkpoint resume picks up from the
+    last applied commit (drain 2 sees ONLY the append+delete)."""
+    import shutil
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.reader import read_delta
+    from dask_deltalake_spark.delta.writer import to_delta
+    from dask_deltalake_spark.sources import register_python_datasource
+    from dask_deltalake_spark.tables import load_table
+
+    register_python_datasource(spark)
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/ddl_spark_incr_view/{tag}"
+    tbl, view, ck = f"{base}/tbl", f"{base}/view", f"{base}/ck"
+    shutil.rmtree(base, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    to_delta(n.coalesce(1), tbl)
+
+    def apply_batch(bdf, batch_id: int) -> None:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        ).otherwise(-1)
+        deltas = (
+            bdf.select("n_regionkey", "n_nationkey", sign.alias("sg"))
+            .groupBy("n_regionkey")
+            .agg(
+                F.sum("sg").alias("n_rows"),
+                F.sum(F.col("sg") * F.col("n_nationkey")).alias("key_sum"),
+            )
+        )
+        if DeltaLog(view).exists():
+            existing = read_delta(view, spark=spark)
+            merged = (
+                existing.unionByName(deltas)
+                .groupBy("n_regionkey")
+                .agg(
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("key_sum").alias("key_sum"),
+                )
+                .filter(F.col("n_rows") > 0)
+            )
+            to_delta(
+                merged,
+                view,
+                mode="overwrite",
+                txn_app_id="incr-view",
+                txn_version=batch_id,
+            )
+        else:
+            to_delta(
+                deltas.filter(F.col("n_rows") > 0),
+                view,
+                txn_app_id="incr-view",
+                txn_version=batch_id,
+            )
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("delta_py_cdf")
+            .option("path", tbl)
+            .load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # view := initial state
+    to_delta(
+        n.withColumn("n_nationkey", F.col("n_nationkey") + 100).coalesce(1),
+        tbl,
+        mode="append",
+    )
+    delete_where(tbl, [("n_nationkey", "<", 5)], spark=spark)
+    drain()  # resume: apply ONLY the append + the COW delete's images
+    return (
+        read_delta(view, spark=spark)
+        .select(
+            "n_regionkey",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("key_sum").cast("long").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )
