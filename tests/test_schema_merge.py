@@ -126,3 +126,47 @@ def test_merge_overwrite_keeps_union_schema(spark, tmp_path):
     assert df.columns == ["k", "v", "tag"]
     assert df.count() == 2  # overwrite replaced the data...
     assert df.filter(F.col("tag") == "ow").count() == 2  # ...kept the union schema
+
+
+def test_merge_composes_with_row_tracking(spark, tmp_path):
+    """A schema-merge append on a row-tracked table must land the
+    evolved schema, the fresh baseRowId ranges, AND the advanced high
+    water mark in ONE commit."""
+    from dask_deltalake_spark.delta.rowtracking import (
+        enable_row_tracking,
+        row_id_high_water_mark,
+    )
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 4).coalesce(1), path)
+    enable_row_tracking(path)
+    to_delta(
+        _df(spark, 4, 6).withColumn("tag", F.lit("new")).coalesce(1),
+        path,
+        mode="append",
+        schema_mode="merge",
+    )
+    snap = DeltaLog(path).snapshot()
+    assert snap.version == 2
+    acts = DeltaLog(path).read_commit_actions(2)
+    assert any("metaData" in a for a in acts)  # evolved schema
+    assert any("domainMetadata" in a for a in acts)  # advanced mark
+    assert row_id_high_water_mark(snap) == 5
+    df = read_delta(path, spark=spark, with_row_ids=True)
+    assert df.columns == ["k", "v", "tag", "_row_id", "_row_commit_version"]
+    assert sorted(r["_row_id"] for r in df.collect()) == list(range(6))
+
+
+def test_clone_of_clone_resolves_through(spark, tmp_path):
+    """Cloning a clone re-resolves already-absolute add paths
+    unchanged — grandchild reads the ORIGINAL files."""
+    from dask_deltalake_spark.delta.clone import shallow_clone
+
+    a, b, c = (str(tmp_path / x) for x in ("a", "b", "c"))
+    to_delta(_df(spark, 0, 6).coalesce(1), a)
+    shallow_clone(a, b)
+    shallow_clone(b, c)
+    snap = DeltaLog(c).snapshot()
+    (only,) = snap.add_actions
+    assert only.path.startswith(a)  # points at the ROOT table's file
+    assert read_delta(c, spark=spark).count() == 6
