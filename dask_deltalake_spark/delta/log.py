@@ -136,8 +136,10 @@ class DeltaLog:
         return out
 
     def _in_commit_timestamp(self, version: int):
-        """The commit's inCommitTimestamp (ms) or None. Reads only the
-        leading commitInfo line — O(1) per commit."""
+        """The commit's inCommitTimestamp (ms) or None. commitInfo is
+        conventionally the first action, so this usually reads one
+        line — but the spec permits any position (other engines
+        differ), so scan until found rather than assuming."""
         p = os.path.join(self.log_path, commit_filename(version))
         try:
             with open(p, "r", encoding="utf-8") as f:
@@ -148,7 +150,6 @@ class DeltaLog:
                     a = json.loads(line)
                     if "commitInfo" in a:
                         return a["commitInfo"].get("inCommitTimestamp")
-                    return None
         except OSError:
             return None
         return None

@@ -713,6 +713,12 @@ def restore(
                 # the target version's vector state comes back with the
                 # file (None wipes a newer vector, restoring its rows)
                 deletion_vector=a.deletion_vector,
+                # row tracking: a re-added file keeps the id range and
+                # commit version it was originally assigned — the spec
+                # requires EVERY add on a tracked table to carry them,
+                # and reassigning would change stable row ids
+                base_row_id=a.base_row_id,
+                default_row_commit_version=a.default_row_commit_version,
             ).to_json()
         )
     for p in removes:

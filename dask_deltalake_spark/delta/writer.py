@@ -566,9 +566,13 @@ def _stamp_in_commit_timestamp(
                     if not line:
                         continue
                     a = json.loads(line)
+                    # commitInfo is CONVENTIONALLY first, but the spec
+                    # permits any position (other engines differ) —
+                    # scan the whole commit rather than silently
+                    # treating it as unstamped and breaking the chain
                     if "commitInfo" in a:
                         prev_ict = a["commitInfo"].get("inCommitTimestamp")
-                    break  # commitInfo is always the first action
+                        break
         except OSError:
             pass
     enabled = prop if prop is not None else prev_ict is not None
@@ -925,12 +929,22 @@ def to_delta(
                     "predicates use delete_where + append)."
                 )
             _rw_cond = dnf_to_column(rw_dnf)
+            # persist before the probe: the probe and the file write
+            # must observe the SAME rows — a nondeterministic source
+            # (sampling, rand-derived columns) re-evaluated for the
+            # write could otherwise pass validation yet write rows
+            # outside the replaced region. Also avoids computing the
+            # frame twice. Region-sized (one partition of the table),
+            # not table-sized, so the spill footprint is bounded.
+            df = df.persist()
+            _rw_persisted = df
             _viol = (
                 df.filter(~F.coalesce(_rw_cond, F.lit(False)))
                 .limit(1)
                 .collect()
             )
             if _viol:
+                df.unpersist()
                 raise ValueError(
                     "replace_where: the data contains rows OUTSIDE the "
                     f"replaced region (e.g. {_viol[0].asDict()}); "
@@ -959,6 +973,8 @@ def to_delta(
         merged_config = None
         merged_widened = False
         rw_dnf = None  # replace_where on a CREATE replaces nothing
+    if rw_dnf is None:
+        _rw_persisted = None
 
     os.makedirs(table_path, exist_ok=True)
 
@@ -985,6 +1001,9 @@ def to_delta(
         schema_bytes = arrow_schema.serialize().to_pybytes()
         fn = _write_partition_factory(table_path, partition_by, schema_bytes)
         add_rows = df.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
+    if _rw_persisted is not None:
+        # files are on disk — the validated rows have been consumed
+        _rw_persisted.unpersist()
 
     ts = now_ms()
     adds = [
@@ -1087,15 +1106,18 @@ def to_delta(
             writer_version = 6
         if _rt_create:
             # v7 feature list: the ladder's implied obligations become
-            # explicit features alongside rowTracking/domainMetadata
-            feats = {"appendOnly", "invariants", *ROW_TRACKING_FEATURES}
-            if writer_version >= 4:
-                feats |= {"changeDataFeed", "generatedColumns"}
-            if writer_version >= 6:
-                feats |= {"identityColumns"}
+            # explicit features alongside rowTracking/domainMetadata —
+            # derived from the SAME implied map the upgrade path uses
+            # (protocol_with_features), so create and upgrade can never
+            # disagree about e.g. checkConstraints at v>=3
+            from dask_deltalake_spark.delta.protocol import (
+                protocol_with_features,
+            )
+
             actions.append(
-                Protocol(
-                    min_writer_version=7, writer_features=sorted(feats)
+                protocol_with_features(
+                    Protocol(min_writer_version=writer_version),
+                    writer_features=ROW_TRACKING_FEATURES,
                 ).to_json()
             )
         else:

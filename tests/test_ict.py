@@ -87,3 +87,32 @@ def test_history_reports_in_commit_clock(spark, tmp_path):
     )
     # raw log cross-check: the newest row's timestamp IS the ICT
     assert hist.iloc[0]["timestamp"] == _ict(path, 2)
+
+
+def test_ict_chain_survives_non_leading_commit_info(spark, tmp_path):
+    """The spec permits commitInfo at ANY position in a commit; a
+    foreign engine's commit with trailing commitInfo must not break
+    the monotonic chain or hide the stamp from the clock readers."""
+    from dask_deltalake_spark.delta.protocol import commit_filename
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 3), path)
+    enable_in_commit_timestamps(path)  # v1
+    to_delta(_df(spark, 3, 5), path, mode="append")  # v2, stamped
+    # rewrite v2 with commitInfo LAST (what another engine may write)
+    p = os.path.join(path, "_delta_log", commit_filename(2))
+    with open(p, "r", encoding="utf-8") as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    reordered = [a for a in actions if "commitInfo" not in a] + [
+        a for a in actions if "commitInfo" in a
+    ]
+    assert reordered != actions  # the reorder actually moved it
+    with open(p, "w", encoding="utf-8") as f:
+        for a in reordered:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    ict2 = _ict(path, 2)
+    assert ict2 is not None  # the clock reader finds a trailing stamp
+    # the NEXT commit still detects enablement + stays monotonic
+    to_delta(_df(spark, 5, 7), path, mode="append")  # v3
+    ict3 = _ict(path, 3)
+    assert ict3 is not None and ict3 > ict2

@@ -182,3 +182,31 @@ def test_restore_keeps_row_id_high_water_mark(spark, tmp_path):
     to_delta(_df(spark, 7, 9).coalesce(1), path, mode="append")
     ids = _ids(read_delta(path, spark=spark, with_row_ids=True))
     assert ids == [0, 1, 2, 3, 7, 8]  # fresh range past the kept mark
+
+
+def test_restore_after_optimize_keeps_base_row_ids(spark, tmp_path):
+    """RESTORE that RE-ADDS files (the pre-OPTIMIZE ones) must carry
+    their original baseRowId/defaultRowCommitVersion through — the spec
+    requires every add on a tracked table to carry them, and a re-add
+    without them corrupts the table for with_row_ids reads."""
+    from dask_deltalake_spark.delta.maintenance import restore
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 6).repartition(2), path)
+    enable_row_tracking(path)  # v1
+    before = {
+        r["_row_id"]: (r["k"], r["_row_commit_version"])
+        for r in read_delta(path, spark=spark, with_row_ids=True).collect()
+    }
+    optimize(path, spark=spark)  # v2: rewrites every file
+    restore(path, version=1, spark=spark)  # re-adds the v1 files
+    snap = DeltaLog(path).snapshot()
+    assert all(a.base_row_id is not None for a in snap.add_actions)
+    assert all(
+        a.default_row_commit_version is not None for a in snap.add_actions
+    )
+    after = {
+        r["_row_id"]: (r["k"], r["_row_commit_version"])
+        for r in read_delta(path, spark=spark, with_row_ids=True).collect()
+    }
+    assert after == before  # ids and commit versions fully restored
