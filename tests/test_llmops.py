@@ -354,3 +354,44 @@ def test_x33_matches_reference_bpe(spark):
     ]
     assert got == expected
     assert len(got) == _BPE_MERGES  # the corpus supports a full run
+
+
+def test_derived_k_scales_with_corpus():
+    """VERDICT r5 #4: cluster/codebook K must be corpus-derived — a
+    fixed K means cells grow linearly and per-cell self-joins grow
+    quadratically. Asserts: (a) the deterministic floor holds at the
+    hash-checked oracle scale (500 vectors -> exactly the literal the
+    oracle SQL embeds), (b) K grows ~linearly above it (10x rows ->
+    >=5x cells), (c) expected cell size stays bounded by the target
+    below the cap, (d) the caps hold."""
+    from dask_deltalake_spark.functions.llmops import (
+        _KM_K, _KM_K_CAP, _KM_TARGET_CELL,
+        _PQ_K, _PQ_K_CAP, _PQ_TARGET,
+        _SEM_K, _SEM_K_CAP, _SEM_TARGET_CELL,
+        derived_k,
+    )
+
+    # (a) oracle determinism at test scale (sf0.001/sf0.01 = 500 rows)
+    assert derived_k(500, _SEM_K, _SEM_TARGET_CELL, _SEM_K_CAP) == _SEM_K
+    assert derived_k(500, _KM_K, _KM_TARGET_CELL, _KM_K_CAP) == _KM_K
+    assert derived_k(500, _PQ_K, _PQ_TARGET, _PQ_K_CAP) == _PQ_K
+
+    # (b) 10x corpus -> >=5x cells (once above the floor region)
+    for floor, target, cap in (
+        (_SEM_K, _SEM_TARGET_CELL, _SEM_K_CAP),
+        (_KM_K, _KM_TARGET_CELL, _KM_K_CAP),
+    ):
+        n = floor * target * 4  # comfortably above the floor
+        k1 = derived_k(n, floor, target, cap)
+        k10 = derived_k(10 * n, floor, target, cap)
+        assert k10 >= 5 * k1
+
+    # (c) expected cell size bounded by target wherever the cap allows
+    for n in (10_000, 1_000_000, 100_000_000):
+        k = derived_k(n, _SEM_K, _SEM_TARGET_CELL, _SEM_K_CAP)
+        if k < _SEM_K_CAP:
+            assert n / k <= _SEM_TARGET_CELL + 1
+
+    # (d) caps: PQ saturates the 8-bit codebook, SemDeDup at IVF scale
+    assert derived_k(10**7, _PQ_K, _PQ_TARGET, _PQ_K_CAP) == 256
+    assert derived_k(10**12, _SEM_K, _SEM_TARGET_CELL, _SEM_K_CAP) == _SEM_K_CAP
