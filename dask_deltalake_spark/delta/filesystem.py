@@ -7,10 +7,12 @@ the Hadoop FileSystem layer, so the same options translate to
 ``fs.s3a.*`` / ``fs.azure.*`` / ``fs.gs.*`` Hadoop configuration —
 credentials set once on the session, used by every scan and write task.
 
-Transaction-log replay (driver-side, metadata-only) reads through the
-local filesystem in this build; replaying a log on an object store
-needs an fsspec-backed log store, which is gated behind the optional
-``fsspec`` import (not available in this container).
+Transaction-log replay (driver-side, metadata-only) goes through the
+pluggable LogStore seam (delta/logstore.py): local os I/O by default,
+the ``mock:`` test scheme always, any fsspec filesystem when the
+optional ``fsspec`` dependency is installed (it is not in this
+container, so that path is import-gated and the seam is exercised via
+``mock:`` instead).
 """
 
 from __future__ import annotations
@@ -69,20 +71,16 @@ def apply_storage_options(
 
 
 def check_local_scheme(path: str) -> str:
-    """Normalize ``file://`` URIs; reject object-store URIs for log
-    replay with an actionable error (data I/O would work via Hadoop FS,
-    but the driver-side log store here is local-filesystem only)."""
+    """Normalize ``file://`` URIs and validate that the path's scheme
+    has a log store: local paths and registered schemes (``mock:``,
+    anything added via ``register_log_store``) pass through; unknown
+    schemes fall back to fsspec and raise ``NotImplementedError``
+    naming that missing optional dependency (the narrowed S16 gate —
+    with fsspec installed, any fsspec filesystem works)."""
+    from dask_deltalake_spark.delta.logstore import store_for
+
     p = str(path)
     if p.startswith("file://"):
         return p[len("file://"):]
-    if "://" in p:
-        scheme = p.split("://", 1)[0]
-        try:
-            import fsspec  # noqa: F401
-        except ImportError:
-            raise NotImplementedError(
-                f"Transaction-log replay over {scheme}:// requires the "
-                "optional fsspec dependency (not installed); data-file "
-                "I/O alone can use Hadoop FS via storage_options."
-            )
+    store_for(p)  # raises NotImplementedError for unservable schemes
     return p

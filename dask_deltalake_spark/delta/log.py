@@ -70,34 +70,37 @@ class Snapshot:
 
 
 class DeltaLog:
-    """Reader/replayer for one table's `_delta_log`."""
+    """Reader/replayer for one table's `_delta_log`.
+
+    All byte I/O goes through the pluggable LogStore seam
+    (delta/logstore.py): local tables use plain os I/O, scheme'd paths
+    (``mock:``, fsspec-backed object stores) route through their
+    registered store — the driver-side half of S16."""
 
     def __init__(self, table_path: str):
         from dask_deltalake_spark.delta.filesystem import check_local_scheme
+        from dask_deltalake_spark.delta.logstore import store_for
 
         self.table_path = check_local_scheme(str(table_path).rstrip("/"))
         self.log_path = os.path.join(self.table_path, LOG_DIR)
+        self.store = store_for(self.table_path)
 
     # -- listing ----------------------------------------------------------
 
     def exists(self) -> bool:
-        return os.path.isdir(self.log_path) and bool(self.versions())
+        return self.store.is_dir(self.log_path) and bool(self.versions())
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self.log_path):
-            return []
         out = []
-        for f in os.listdir(self.log_path):
+        for f in self.store.list_dir(self.log_path):
             m = _COMMIT_RE.match(f)
             if m:
                 out.append(int(m.group(1)))
         return sorted(out)
 
     def checkpoint_versions(self) -> list[int]:
-        if not os.path.isdir(self.log_path):
-            return []
         out = set()
-        for f in os.listdir(self.log_path):
+        for f in self.store.list_dir(self.log_path):
             m = _CHECKPOINT_RE.match(f)
             if m:
                 out.add(int(m.group(1)))
@@ -130,7 +133,7 @@ class DeltaLog:
                 continue
             p = os.path.join(self.log_path, commit_filename(v))
             try:
-                out[v] = os.path.getmtime(p)
+                out[v] = self.store.mtime(p)
             except OSError:
                 pass
         return out
@@ -142,16 +145,16 @@ class DeltaLog:
         differ), so scan until found rather than assuming."""
         p = os.path.join(self.log_path, commit_filename(version))
         try:
-            with open(p, "r", encoding="utf-8") as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    a = json.loads(line)
-                    if "commitInfo" in a:
-                        return a["commitInfo"].get("inCommitTimestamp")
+            text = self.store.read_bytes(p).decode("utf-8")
         except OSError:
             return None
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            a = json.loads(line)
+            if "commitInfo" in a:
+                return a["commitInfo"].get("inCommitTimestamp")
         return None
 
     def resolve_datetime(self, dt_string: str) -> int:
@@ -176,11 +179,10 @@ class DeltaLog:
     def read_commit_actions(self, version: int) -> list[dict[str, Any]]:
         p = os.path.join(self.log_path, commit_filename(version))
         actions = []
-        with open(p, "r", encoding="utf-8") as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    actions.append(json.loads(line))
+        for line in self.store.read_bytes(p).decode("utf-8").splitlines():
+            line = line.strip()
+            if line:
+                actions.append(json.loads(line))
         return actions
 
     def _load_checkpoint(self, version: int) -> tuple[
@@ -200,10 +202,10 @@ class DeltaLog:
         single = os.path.join(
             self.log_path, f"{version:020d}.checkpoint.parquet"
         )
-        if os.path.exists(single):
+        if self.store.exists(single):
             parts.append(single)
         else:
-            for f in sorted(os.listdir(self.log_path)):
+            for f in sorted(self.store.list_dir(self.log_path)):
                 m = _CHECKPOINT_RE.match(f)
                 if m and int(m.group(1)) == version and m.group(2):
                     parts.append(os.path.join(self.log_path, f))
@@ -214,7 +216,8 @@ class DeltaLog:
         domains: dict[str, str] = {}
         txns: dict[str, int] = {}
         for part in parts:
-            tbl = pq.read_table(part)
+            with self.store.open_input(part) as fh:
+                tbl = pq.read_table(fh)
             for row in tbl.to_pylist():
                 if row.get("add"):
                     a = row["add"]

@@ -127,28 +127,28 @@ def vacuum(
     removal_times = {
         p: r.deletion_timestamp for p, r in snap.tombstones.items()
     }
-    for root, dirs, files in os.walk(table_path):
-        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
-        for fname in files:
-            if fname.startswith((".", "_")):
-                continue
-            abs_p = os.path.join(root, fname)
-            rel_p = os.path.relpath(abs_p, table_path)
-            if rel_p in referenced:
-                continue
-            ts = removal_times.get(rel_p)
-            if ts is None:
-                ts = int(os.path.getmtime(abs_p) * 1000)
-            if ts < cutoff_ms:
-                tombstones.append(rel_p)
+    store = log.store
+    for rel_p in store.walk_files(table_path):
+        # prune hidden/_delta_log segments (same contract as os.walk
+        # dir pruning: no segment may start with '.' or '_')
+        if any(seg.startswith((".", "_")) for seg in rel_p.split("/")):
+            continue
+        if rel_p in referenced:
+            continue
+        ts = removal_times.get(rel_p)
+        if ts is None:
+            ts = int(store.mtime(os.path.join(table_path, rel_p)) * 1000)
+        if ts < cutoff_ms:
+            tombstones.append(rel_p)
 
     if dry_run:
         return tombstones
 
     spark = spark or SparkSession.getActiveSession()
-    if spark is not None and len(tombstones) > 64:
+    local_root = store.local_path(table_path)
+    if spark is not None and local_root is not None and len(tombstones) > 64:
         sc = spark.sparkContext
-        base = table_path
+        base = local_root
 
         def _rm(rel: str) -> None:
             try:
@@ -158,9 +158,12 @@ def vacuum(
 
         sc.parallelize(tombstones, max(1, len(tombstones) // 64)).foreach(_rm)
     else:
+        # non-locally-mapped stores delete through the seam (fsspec
+        # backends batch/parallelize internally; the tombstone list is
+        # metadata-sized either way)
         for rel in tombstones:
             try:
-                os.remove(os.path.join(table_path, rel))
+                store.delete(os.path.join(table_path, rel))
             except FileNotFoundError:
                 pass
     return None
@@ -359,6 +362,16 @@ def create_checkpoint(path: str, version: Optional[int] = None) -> str:
     # file bounded and let a distributed replayer read them in
     # parallel. _last_checkpoint carries `parts` per the spec; replay
     # (log.py:_load_checkpoint) reads either shape.
+    def _put_parquet(t, path):
+        # parquet bytes through the LogStore seam (checkpoints are
+        # metadata-scale; buffering one part is bounded by
+        # _CHECKPOINT_PART_ROWS)
+        import io
+
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        log.store.write_bytes(path, buf.getvalue())
+
     last = {"version": snap.version, "size": len(rows)}
     if len(rows) > _CHECKPOINT_PART_ROWS:
         n_parts = -(-len(rows) // _CHECKPOINT_PART_ROWS)
@@ -372,19 +385,17 @@ def create_checkpoint(path: str, version: Optional[int] = None) -> str:
                 f"{snap.version:020d}.checkpoint."
                 f"{i + 1:010d}.{n_parts:010d}.parquet",
             )
-            pq.write_table(part, cp_path)
+            _put_parquet(part, cp_path)
         last["parts"] = n_parts
     else:
         cp_path = os.path.join(
             table_path, LOG_DIR, f"{snap.version:020d}.checkpoint.parquet"
         )
-        pq.write_table(tbl, cp_path)
-    with open(
+        _put_parquet(tbl, cp_path)
+    log.store.write_bytes(
         os.path.join(table_path, LOG_DIR, "_last_checkpoint"),
-        "w",
-        encoding="utf-8",
-    ) as f:
-        json.dump(last, f)
+        json.dumps(last).encode("utf-8"),
+    )
     return cp_path
 
 
@@ -542,8 +553,14 @@ def optimize(
         df = df.toDF(*[l2p.get(c, c) for c in df.columns])
         partition_by = [l2p.get(c, c) for c in partition_by]
 
+    data_root = log.store.local_path(table_path)
+    if data_root is None:
+        raise NotImplementedError(
+            "optimize() rewrites files via local I/O in Python workers; "
+            f"{table_path!r} has no local mapping."
+        )
     schema_bytes = _spark_to_arrow_schema(df.schema).serialize().to_pybytes()
-    fn = _write_partition_factory(table_path, partition_by, schema_bytes)
+    fn = _write_partition_factory(data_root, partition_by, schema_bytes)
     add_rows = df.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
 
     ts = now_ms()
@@ -654,7 +671,7 @@ def restore(
     ]
     removes = [p for p in cur_by_path if p not in tgt_by_path]
     for a in re_adds:
-        if not os.path.exists(os.path.join(table_path, a.path)):
+        if not log.store.exists(os.path.join(table_path, a.path)):
             raise FileNotFoundError(
                 f"Cannot RESTORE to version {version}: data file {a.path} "
                 "no longer exists (vacuumed?)"
@@ -662,7 +679,7 @@ def restore(
         if a.deletion_vector and a.deletion_vector.get("storageType") == "u":
             from dask_deltalake_spark.delta.dv import dv_absolute_path
 
-            if not os.path.exists(dv_absolute_path(table_path, a.deletion_vector)):
+            if not log.store.exists(dv_absolute_path(table_path, a.deletion_vector)):
                 raise FileNotFoundError(
                     f"Cannot RESTORE to version {version}: deletion-vector "
                     f"file for {a.path} no longer exists (vacuumed?)"
@@ -781,13 +798,13 @@ def cleanup_metadata(path: str, dry_run: bool = False) -> list:
     if boundary <= 0:
         return []
     doomed: list = []
-    for f in sorted(os.listdir(log.log_path)):
+    for f in sorted(log.store.list_dir(log.log_path)):
         m = _COMMIT_OR_CP_RE.match(f)
         if m and int(m.group(1)) < boundary:
             doomed.append(f)
     if not dry_run:
         for f in doomed:
-            os.unlink(os.path.join(log.log_path, f))
+            log.store.delete(os.path.join(log.log_path, f))
     return doomed
 
 

@@ -230,16 +230,20 @@ def read_delta(
         # dirs anchor at the SOURCE root — one scan per root (2 in
         # practice: local + source), unioned. Same plan shape either
         # way; partition discovery stays correct per group.
+        from dask_deltalake_spark.delta.logstore import resolve_spark_path
         from dask_deltalake_spark.delta.protocol import (
             file_base_root,
             resolve_file_path,
         )
 
+        # resolve_spark_path: scheme'd table paths become whatever the
+        # JVM can scan — the local mapping for mock:, unchanged for
+        # Hadoop-served object-store schemes
         groups: dict = {}
         for a in file_adds:
-            groups.setdefault(file_base_root(snap.path, a), []).append(
-                resolve_file_path(snap.path, a.path)
-            )
+            groups.setdefault(
+                resolve_spark_path(file_base_root(snap.path, a)), []
+            ).append(resolve_spark_path(resolve_file_path(snap.path, a.path)))
         if not project and len(groups) > 1:
             raise DeltaProtocolError(
                 "Deletion vectors on a mixed-root (shallow-cloned) "

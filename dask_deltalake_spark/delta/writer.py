@@ -187,6 +187,12 @@ def _harvest_footer(args: tuple) -> tuple:
     import pyarrow.parquet as pq
 
     md = pq.read_metadata(os.path.join(staging, rel))
+    n, stats = _footer_stats(md, max_cols)
+    return rel, n, stats
+
+
+def _footer_stats(md, max_cols: int) -> tuple:
+    """(num_rows, stats-JSON) from an already-read parquet footer."""
     names = [md.schema.column(i).path for i in range(md.num_columns)]
     mins: dict = {}
     maxs: dict = {}
@@ -248,7 +254,7 @@ def _harvest_footer(args: tuple) -> tuple:
             },
         }
     )
-    return rel, md.num_rows, stats
+    return md.num_rows, stats
 
 
 def _partition_values_from_rel(rel_dir: str, partition_by: list[str]) -> dict:
@@ -276,13 +282,28 @@ def _write_files_native(df: DataFrame, table_path: str, partition_by: list[str])
     its time serializing batches into Python workers, the native path
     stays inside whole-stage codegen. The Arrow path remains for
     environments where the write must stay in Python
-    (``engine="arrow"``). Local-filesystem tables only (same
-    constraint as the Arrow path's open()-based writes)."""
+    (``engine="arrow"``).
+
+    Filesystem routing: Spark writes the staging files through
+    whatever the path's scheme resolves to for the JVM (local disk,
+    ``mock:``'s local mapping, Hadoop FS for object stores); the
+    walk / footer-harvest / rename-into-table half goes through the
+    LogStore seam when the path has no local mapping — on a locally
+    mapped table the harvest is executor-distributed, on an
+    fsspec-backed store it runs driver-side as random-access footer
+    reads (O(#files) metadata, the same class as commit planning)."""
     import shutil
     from types import SimpleNamespace
 
+    from dask_deltalake_spark.delta.logstore import store_for
+
     spark = df.sparkSession
-    staging = os.path.join(table_path, f"_staging-{uuid.uuid4().hex}")
+    store = store_for(table_path)
+    local_root = store.local_path(table_path)
+    staging = os.path.join(
+        local_root if local_root is not None else table_path,
+        f"_staging-{uuid.uuid4().hex}",
+    )
     old_tt = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try:
@@ -296,14 +317,22 @@ def _write_files_native(df: DataFrame, table_path: str, partition_by: list[str])
         else:
             spark.conf.unset("spark.sql.parquet.outputTimestampType")
     try:
-        rel_files = []
-        for root, _, files in os.walk(staging):
-            for fname in files:
-                if fname.endswith(".parquet") and not fname.startswith(("_", ".")):
-                    rel_files.append(
-                        os.path.relpath(os.path.join(root, fname), staging)
-                    )
-        if rel_files:
+        if local_root is not None:
+            rel_files = []
+            for root, _, files in os.walk(staging):
+                for fname in files:
+                    if fname.endswith(".parquet") and not fname.startswith(("_", ".")):
+                        rel_files.append(
+                            os.path.relpath(os.path.join(root, fname), staging)
+                        )
+        else:
+            rel_files = [
+                rel
+                for rel in store.walk_files(staging)
+                if rel.rsplit("/", 1)[-1].endswith(".parquet")
+                and not rel.rsplit("/", 1)[-1].startswith(("_", "."))
+            ]
+        if rel_files and local_root is not None:
             sc = spark.sparkContext
             n_slices = max(1, min(len(rel_files), sc.defaultParallelism))
             harvested = (
@@ -313,24 +342,43 @@ def _write_files_native(df: DataFrame, table_path: str, partition_by: list[str])
                 .map(_harvest_footer)
                 .collect()
             )
+        elif rel_files:
+            import pyarrow.parquet as pq
+
+            harvested = []
+            for rel in rel_files:
+                with store.open_input(os.path.join(staging, rel)) as fh:
+                    md = pq.read_metadata(fh)
+                n, stats = _footer_stats(md, 32)
+                harvested.append((rel, n, stats))
         else:
             harvested = []
         out = []
+        write_root = local_root if local_root is not None else table_path
         for rel, num_records, stats in harvested:
             if num_records == 0:
                 continue  # parity with the Arrow path: no empty-file adds
             rel_dir = os.path.dirname(rel)
             fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
             final_rel = f"{rel_dir}/{fname}" if rel_dir else fname
-            if rel_dir:
-                os.makedirs(os.path.join(table_path, rel_dir), exist_ok=True)
-            os.rename(
-                os.path.join(staging, rel), os.path.join(table_path, final_rel)
-            )
+            if local_root is not None:
+                if rel_dir:
+                    os.makedirs(os.path.join(write_root, rel_dir), exist_ok=True)
+                os.rename(
+                    os.path.join(staging, rel),
+                    os.path.join(write_root, final_rel),
+                )
+                size = os.path.getsize(os.path.join(write_root, final_rel))
+            else:
+                store.rename(
+                    os.path.join(staging, rel),
+                    os.path.join(write_root, final_rel),
+                )
+                size = store.size(os.path.join(write_root, final_rel))
             out.append(
                 SimpleNamespace(
                     path=final_rel,
-                    size=os.path.getsize(os.path.join(table_path, final_rel)),
+                    size=size,
                     partition_json=json.dumps(
                         _partition_values_from_rel(rel_dir, partition_by)
                     ),
@@ -340,7 +388,14 @@ def _write_files_native(df: DataFrame, table_path: str, partition_by: list[str])
             )
         return out
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        if local_root is not None:
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            try:
+                for rel in store.walk_files(staging):
+                    store.delete(os.path.join(staging, rel))
+            except OSError:
+                pass
 
 
 def _spark_to_arrow_schema(schema: StructType) -> "pa.Schema":
@@ -502,31 +557,33 @@ def write_commit(
     version: int,
     actions: list[dict],
 ) -> None:
-    """Atomically publish one commit: write a temp file, hard-link it to
-    the final name (fails with EEXIST if another writer won the
-    version), then drop the temp. Put-if-absent is the Delta protocol's
-    single atomicity requirement."""
+    """Atomically publish one commit via the log store's put-if-absent
+    (locally: temp file + hard-link, failing with EEXIST if another
+    writer won the version). Put-if-absent is the Delta protocol's
+    single atomicity requirement; routing it through the LogStore seam
+    (delta/logstore.py) is what makes commits work on non-local
+    stores."""
+    from dask_deltalake_spark.delta.logstore import store_for
+
+    store = store_for(table_path)
     log_dir = os.path.join(table_path, LOG_DIR)
-    os.makedirs(log_dir, exist_ok=True)
-    _stamp_in_commit_timestamp(log_dir, version, actions)
+    store.makedirs(log_dir)
+    _stamp_in_commit_timestamp(store, log_dir, version, actions)
     final = os.path.join(log_dir, commit_filename(version))
-    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w", encoding="utf-8") as f:
-        for a in actions:
-            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    payload = "".join(
+        json.dumps(a, separators=(",", ":")) + "\n" for a in actions
+    ).encode("utf-8")
     try:
-        os.link(tmp, final)
+        store.put_if_absent(final, payload)
     except FileExistsError:
         raise ConcurrentCommitError(
             f"Version {version} of {table_path} was committed concurrently"
         )
-    finally:
-        os.unlink(tmp)
     _maybe_auto_checkpoint(table_path, version)
 
 
 def _stamp_in_commit_timestamp(
-    log_dir: str, version: int, actions: list[dict]
+    store, log_dir: str, version: int, actions: list[dict]
 ) -> None:
     """In-commit timestamps (writer feature ``inCommitTimestamp``,
     public spec): when the table property
@@ -556,25 +613,23 @@ def _stamp_in_commit_timestamp(
     prev_ict = None
     if version > 0:
         try:
-            with open(
-                os.path.join(log_dir, commit_filename(version - 1)),
-                "r",
-                encoding="utf-8",
-            ) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    a = json.loads(line)
-                    # commitInfo is CONVENTIONALLY first, but the spec
-                    # permits any position (other engines differ) —
-                    # scan the whole commit rather than silently
-                    # treating it as unstamped and breaking the chain
-                    if "commitInfo" in a:
-                        prev_ict = a["commitInfo"].get("inCommitTimestamp")
-                        break
+            text = store.read_bytes(
+                os.path.join(log_dir, commit_filename(version - 1))
+            ).decode("utf-8")
         except OSError:
-            pass
+            text = ""
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            a = json.loads(line)
+            # commitInfo is CONVENTIONALLY first, but the spec permits
+            # any position (other engines differ) — scan the whole
+            # commit rather than silently treating it as unstamped and
+            # breaking the chain
+            if "commitInfo" in a:
+                prev_ict = a["commitInfo"].get("inCommitTimestamp")
+                break
     enabled = prop if prop is not None else prev_ict is not None
     if not enabled:
         ci.pop("inCommitTimestamp", None)
@@ -976,7 +1031,7 @@ def to_delta(
     if rw_dnf is None:
         _rw_persisted = None
 
-    os.makedirs(table_path, exist_ok=True)
+    log.store.makedirs(table_path)
 
     if shuffle and partition_by:
         df = df.repartition(*partition_by)
@@ -997,9 +1052,19 @@ def to_delta(
     if engine == "native":
         add_rows = _write_files_native(df, table_path, partition_by)
     else:
+        # the Arrow path writes data files with plain file I/O inside
+        # Python workers, so it needs a locally mapped root (real
+        # object stores take the native path: Hadoop FS on executors)
+        data_root = log.store.local_path(table_path)
+        if data_root is None:
+            raise NotImplementedError(
+                "engine='arrow' writes data files via local file I/O "
+                f"in Python workers; {table_path!r} has no local "
+                "mapping — use engine='native' (Hadoop FS data path)."
+            )
         arrow_schema = _spark_to_arrow_schema(df.schema)
         schema_bytes = arrow_schema.serialize().to_pybytes()
-        fn = _write_partition_factory(table_path, partition_by, schema_bytes)
+        fn = _write_partition_factory(data_root, partition_by, schema_bytes)
         add_rows = df.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
     if _rw_persisted is not None:
         # files are on disk — the validated rows have been consumed

@@ -1629,3 +1629,62 @@ def d34_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.coalesce(F.col("bonus"), F.lit(0))).alias("bonus_sum"),
     )
+
+
+@query(
+    "d35_logstore_scheme",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(n_nationkey), 2) AS key_sum,
+           CAST(COUNT(CASE WHEN n_regionkey = 1 THEN 1 END) AS BIGINT)
+             AS pruned_rows,
+           1 AS race_detected,
+           1 AS vacuum_clean
+    FROM nation
+    """,
+)
+def d35_logstore_scheme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable log store (S16 driver-side half, delta/logstore.py):
+    the full table lifecycle addressed through a NON-LOCAL path scheme
+    (``mock:`` — the delta-spark FakeFileSystem pattern: locally backed,
+    but any code path bypassing the LogStore seam fails loudly on the
+    prefix). Proves: scheme'd to_delta/read_delta round-trip with
+    partition pruning, put-if-absent commit races detected THROUGH the
+    store, and vacuum walking/deleting through the store. The oracle
+    recomputes the aggregates from the source parquet — a hash match
+    means the seam changes transport, never data. The real-object-store
+    twin of this path is FsspecLogStore (import-gated; data I/O rides
+    Hadoop ``fs.s3a.*`` conf from storage_options either way)."""
+    import shutil
+
+    from dask_deltalake_spark.delta.maintenance import vacuum
+    from dask_deltalake_spark.delta.protocol import ConcurrentCommitError
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    local = _tmp_table(sf_dir, "nation_logstore")
+    shutil.rmtree(local, ignore_errors=True)
+    path = f"mock:{local}"
+    n = load_table(spark, sf_dir, "nation")
+    to_delta(n, path, partition_by=["n_regionkey"])
+    try:
+        write_commit(path, 0, [{"commitInfo": {"timestamp": 1}}])
+        race = 0  # a silent overwrite would be a broken commit protocol
+    except ConcurrentCommitError:
+        race = 1
+    to_delta(n, path, mode="overwrite")  # tombstones v0's files
+    vacuum(path, retention_hours=0, dry_run=False, spark=spark)
+    clean = int(vacuum(path, retention_hours=0, dry_run=True) == [])
+    full = read_delta(path, spark=spark)
+    pruned = read_delta(
+        path, filter=[("n_regionkey", "==", 1)], columns=["n_nationkey"],
+        spark=spark,
+    )
+    return (
+        full.agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("n_nationkey"), 2).alias("key_sum"),
+        )
+        .crossJoin(pruned.agg(F.count("*").alias("pruned_rows")))
+        .withColumn("race_detected", F.lit(race))
+        .withColumn("vacuum_clean", F.lit(clean))
+    )

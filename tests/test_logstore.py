@@ -1,0 +1,150 @@
+"""LogStore seam (delta/logstore.py): end-to-end table lifecycle over
+a NON-LOCAL path scheme.
+
+The ``mock:`` scheme maps ``mock:/abs/path`` onto the local
+filesystem — the delta-spark ``FakeFileSystem`` testing pattern: every
+byte still lands on disk, but any code path that bypasses the seam
+(a raw ``open()``/``os.*`` call on an unresolved path) fails loudly on
+the scheme prefix. This is the S16 driver-side completion called out
+in VERDICT r5 (#3): read_delta → to_delta → vacuum round-trip on a
+scheme'd path, put-if-absent semantics through the store, and the
+fsspec gate narrowed to "fsspec not installed"."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from dask_deltalake_spark.delta.log import DeltaLog
+from dask_deltalake_spark.delta.logstore import (
+    LocalLogStore,
+    PrefixLogStore,
+    path_scheme,
+    resolve_spark_path,
+    store_for,
+)
+from dask_deltalake_spark.delta.maintenance import (
+    cleanup_metadata,
+    create_checkpoint,
+    read_delta_history,
+    restore,
+    vacuum,
+)
+from dask_deltalake_spark.delta.reader import read_delta
+from dask_deltalake_spark.delta.writer import to_delta
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("p"),
+        (F.col("id") * 10).alias("v"),
+    )
+
+
+def test_scheme_parsing_and_resolution(tmp_path):
+    assert path_scheme("/a/b") == ""
+    assert path_scheme("file:///a") == "file"
+    assert path_scheme("mock:/a/b") == "mock"
+    assert path_scheme("s3://bucket/k") == "s3"
+    assert isinstance(store_for("/a/b"), LocalLogStore)
+    st = store_for("mock:/a/b")
+    assert isinstance(st, PrefixLogStore)
+    assert st.local_path("mock:/x/y") == "/x/y"
+    assert st.local_path("mock:///x/y") == "/x/y"
+    assert resolve_spark_path(f"mock:{tmp_path}/f") == f"{tmp_path}/f"
+    # real object-store schemes pass through unchanged for the JVM
+    # (Hadoop FS serves them) but have no LOCAL mapping
+
+
+def test_unknown_scheme_gate_names_fsspec():
+    with pytest.raises(NotImplementedError, match="fsspec"):
+        DeltaLog("s3://bucket/table")
+
+
+def test_put_if_absent_race(tmp_path):
+    st = store_for(f"mock:{tmp_path}")
+    p = f"mock:{tmp_path}/00000000000000000000.json"
+    st.put_if_absent(p, b"winner\n")
+    with pytest.raises(FileExistsError):
+        st.put_if_absent(p, b"loser\n")
+    assert st.read_bytes(p) == b"winner\n"
+
+
+def test_mock_scheme_full_lifecycle(spark, tmp_path):
+    """to_delta → append → read (pruned) → time travel → history →
+    checkpoint → vacuum → restore → log cleanup, all addressed through
+    the mock: scheme; nothing in the driver path may touch the
+    unresolved path directly."""
+    path = f"mock:{tmp_path}/t"
+    to_delta(_df(spark, 0, 30), path, partition_by=["p"])
+    to_delta(_df(spark, 30, 60), path, mode="append")
+
+    # read through the scheme, with projection + partition pruning
+    df = read_delta(path, filter=[("p", "==", 1)], columns=["k", "v"], spark=spark)
+    assert df.columns == ["k", "v"]
+    assert df.count() == 20
+
+    # time travel + datetime-travel plumbing (mtime via the store)
+    assert read_delta(path, version=0, spark=spark).count() == 30
+    assert len(DeltaLog(path).version_timestamps()) == 2
+
+    # history (commitInfo read through the store)
+    h = read_delta_history(path)
+    assert len(h) == 2 and h["operation"].tolist() == ["WRITE", "WRITE"]
+
+    # checkpoint written + replayed through the store
+    create_checkpoint(path)
+    snap = DeltaLog(path).snapshot()
+    assert snap.version == 1
+    assert DeltaLog(path).checkpoint_versions() == [1]
+    # force checkpoint-started replay path
+    to_delta(_df(spark, 60, 70), path, mode="append")
+    assert read_delta(path, spark=spark).count() == 70
+
+    # overwrite tombstones everything, vacuum(0h) deletes via the store
+    to_delta(_df(spark, 0, 9), path, mode="overwrite")
+    doomed = vacuum(path, retention_hours=0, dry_run=True)
+    assert len(doomed) > 0
+    vacuum(path, retention_hours=0, dry_run=False, spark=spark)
+    assert vacuum(path, retention_hours=0, dry_run=True) == []
+    assert read_delta(path, spark=spark).count() == 9
+
+    # restore (existence checks through the store) — files vacuumed
+    # away must be detected...
+    with pytest.raises(FileNotFoundError):
+        restore(path, version=1, spark=spark)
+    # ...and a restorable version restores
+    to_delta(_df(spark, 9, 12), path, mode="append")
+    restore(path, version=3, spark=spark)
+    assert read_delta(path, spark=spark).count() == 9
+
+    # log retention cleanup lists/deletes through the store
+    assert cleanup_metadata(path, dry_run=True) == []  # nothing expired
+
+
+def test_mock_scheme_arrow_engine_and_partition_dirs(spark, tmp_path):
+    """The Arrow write engine resolves the local mapping for its
+    Python-worker file I/O; hive dirs and stats land identically."""
+    path = f"mock:{tmp_path}/t"
+    to_delta(_df(spark, 0, 30), path, partition_by=["p"], engine="arrow")
+    snap = DeltaLog(path).snapshot()
+    assert all(a.partition_values.get("p") in {"0", "1", "2"}
+               for a in snap.add_actions)
+    assert all(json.loads(a.stats)["numRecords"] > 0 for a in snap.add_actions)
+    # the data really lives under the RESOLVED root with hive layout
+    assert os.path.isdir(os.path.join(str(tmp_path), "t", "p=1"))
+    assert read_delta(path, spark=spark).count() == 30
+
+
+def test_concurrent_commit_detected_through_store(spark, tmp_path):
+    from dask_deltalake_spark.delta.protocol import ConcurrentCommitError
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    path = f"mock:{tmp_path}/t"
+    to_delta(_df(spark, 0, 5), path)
+    with pytest.raises(ConcurrentCommitError):
+        write_commit(path, 0, [{"commitInfo": {"timestamp": 1}}])
