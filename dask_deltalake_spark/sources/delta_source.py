@@ -333,7 +333,31 @@ class DeltaPyStreamReader(DataSourceStreamReader):
         mb = options.get("maxBytesPerTrigger")
         self._max_files = int(mf) if mf else None
         self._max_bytes = int(mb) if mb else None
-        self._last_planned: Optional[int] = None
+        # AvailableNow semantics, Python-side (Spark 4.1's JVM wrapper
+        # PythonMicroBatchStream implements neither
+        # SupportsTriggerAvailableNow nor SupportsAdmissionControl —
+        # verified via javap — so .trigger(availableNow=True) always
+        # logs a fallback to one unbounded batch). Instead the drain
+        # helper (streaming/availablenow.py) resolves the table's
+        # latest version driver-side and passes it as
+        # ``endOffsetVersion``: latestOffset() never advances past it,
+        # which is exactly the capture-once contract
+        # prepareForTriggerAvailableNow would give us.
+        eo = options.get("endOffsetVersion")
+        self._end_cap = int(eo) if eo is not None else None
+        # ``startOffsetHint``: the drain helper reads the query's OWN
+        # checkpoint (latest entry of <ckpt>/offsets) and seeds the
+        # admission tracker with the last PLANNED offset — closing the
+        # measured first-batch-unbounded gap (latestOffset is called
+        # before partitions() reveals the restored position). Safe by
+        # construction: the hint comes from Spark's offset log itself,
+        # so it can never regress the stream; a missing/unreadable
+        # checkpoint sends no hint and keeps the conservative
+        # unbounded-first-batch behavior.
+        sh = options.get("startOffsetHint")
+        self._last_planned: Optional[int] = (
+            int(sh) if sh is not None else None
+        )
 
     def initialOffset(self) -> dict:
         self._last_planned = -1
@@ -351,6 +375,12 @@ class DeltaPyStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         latest = self._log.latest_version()
+        if self._end_cap is not None:
+            latest = min(latest, self._end_cap)
+        if self._last_planned is not None and latest < self._last_planned:
+            # capped below the stream position (end cap reached, or a
+            # stale hint): report the position itself — never regress
+            return {"version": self._last_planned}
         if self._last_planned is None or not (
             self._max_files or self._max_bytes
         ):
@@ -712,12 +742,20 @@ class DeltaPyCdfStreamReader(DataSourceStreamReader, _CdfBase):
 
     def __init__(self, schema: StructType, options):
         self._init_common(options)
+        eo = options.get("endOffsetVersion")
+        self._end_cap = int(eo) if eo is not None else None
 
     def initialOffset(self) -> dict:
         return {"version": -1}
 
     def latestOffset(self) -> dict:
-        return {"version": self._log.latest_version()}
+        # endOffsetVersion: the drain helper's capture-once cap (see
+        # DeltaPyStreamReader) — availableNow semantics without JVM
+        # SupportsTriggerAvailableNow support
+        latest = self._log.latest_version()
+        if self._end_cap is not None:
+            latest = min(latest, self._end_cap)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
         start_v, end_v = int(start["version"]), int(end["version"])

@@ -1,0 +1,117 @@
+"""AvailableNow-equivalent drains for the Python DataSource streams.
+
+Spark 4.1's JVM wrapper for Python streaming sources
+(``PythonMicroBatchStream``) implements neither
+``SupportsTriggerAvailableNow`` nor ``SupportsAdmissionControl``
+(verified: ``javap`` lists only ``MicroBatchStream`` +
+``AcceptsLatestSeenOffset``), so ``.trigger(availableNow=True)`` on
+``delta_py``/``delta_py_cdf`` logs
+``does not support Trigger.AvailableNow. Falling back to single
+batch`` and drains EVERYTHING in one unbounded micro-batch — silently
+voiding ``maxFilesPerTrigger``.
+
+``drain_available_now`` reproduces the real availableNow contract at
+the library level, from the pieces the Python API does give us:
+
+1. **capture-once end offset** — the table's latest version is
+   resolved driver-side BEFORE the query starts and passed as the
+   ``endOffsetVersion`` reader option; ``latestOffset()`` never
+   advances past it, so commits landing mid-drain wait for the next
+   drain (exactly ``prepareForTriggerAvailableNow``).
+2. **admission bounds on every batch** — the reader's
+   ``maxFilesPerTrigger``/``maxBytesPerTrigger`` paces the catch-up;
+   the measured first-batch-unbounded gap (``latestOffset`` is called
+   before the restored position is visible) is closed by reading the
+   query's OWN checkpoint (latest ``offsets/`` entry) and seeding the
+   reader via ``startOffsetHint`` — the hint IS Spark's offset log,
+   so it can never regress the stream.
+3. **drain-then-stop** — ``processAllAvailable()`` blocks until the
+   committed offset reaches the capped latest, then the query stops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dask_deltalake_spark.delta.log import DeltaLog
+
+
+def checkpoint_start_hint(checkpoint_dir: str) -> Optional[int]:
+    """Last PLANNED source-0 offset version in a query checkpoint, or
+    -1 for a fresh checkpoint (no offsets yet), or None when the
+    checkpoint cannot be read (then no hint is sent and the reader
+    keeps its conservative unbounded-first-batch behavior).
+
+    Offsets-file format (Spark's OffsetSeqLog): line 1 ``v1``, line 2
+    metadata JSON, then one offset JSON per source."""
+    offsets_dir = os.path.join(checkpoint_dir, "offsets")
+    try:
+        batches = [int(f) for f in os.listdir(offsets_dir) if f.isdigit()]
+    except OSError:
+        return -1  # no checkpoint at all -> stream starts at -1
+    if not batches:
+        return -1
+    try:
+        with open(
+            os.path.join(offsets_dir, str(max(batches))), encoding="utf-8"
+        ) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        return int(json.loads(lines[2])["version"])
+    except (OSError, IndexError, KeyError, ValueError):
+        return None  # unreadable -> conservative (no hint)
+
+
+def drain_available_now(
+    spark: SparkSession,
+    table_path: str,
+    configure_sink: Callable[[DataFrame], "DataStreamWriter"],
+    checkpoint_dir: str,
+    *,
+    source_format: str = "delta_py",
+    end_version: Optional[int] = None,
+    max_files_per_trigger: Optional[int] = None,
+    max_bytes_per_trigger: Optional[int] = None,
+    options: Optional[dict] = None,
+) -> int:
+    """Run one availableNow-equivalent drain of ``table_path`` through
+    ``configure_sink`` (a function mapping the streaming DataFrame to
+    a ready-to-start ``DataStreamWriter``; the helper owns the
+    checkpoint option). Returns the captured end version.
+
+    Every micro-batch honors the admission bounds — including the
+    first one of a resumed run, via the checkpoint-derived start hint
+    — and nothing past the captured end version is consumed."""
+    end = (
+        DeltaLog(table_path).latest_version()
+        if end_version is None
+        else int(end_version)
+    )
+    reader = (
+        spark.readStream.format(source_format)
+        .option("path", table_path)
+        .option("endOffsetVersion", str(end))
+    )
+    hint = checkpoint_start_hint(checkpoint_dir)
+    if hint is not None:
+        reader = reader.option("startOffsetHint", str(hint))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, str(v))
+    q = (
+        configure_sink(reader.load())
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # converges: latestOffset is capped
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return end

@@ -350,18 +350,21 @@ def s06_stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").coalesce(1)
     to_delta(r, tbl)
 
+    from dask_deltalake_spark.streaming.availablenow import (
+        drain_available_now,
+    )
+
     def drain():
-        q = (
-            spark.readStream.format("delta_py")
-            .option("path", tbl)
-            .load()
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
+        # availableNow semantics WITHOUT .trigger(availableNow=True):
+        # the JVM fallback ("single batch", which voids admission
+        # bounds) never fires — the helper captures the end version
+        # once and drains bounded micro-batches to it
+        drain_available_now(
+            spark,
+            tbl,
+            lambda df: df.writeStream.format("parquet").option("path", out),
+            ck,
         )
-        q.awaitTermination()
 
     drain()
     first_run_rows = spark.read.parquet(out).count()
@@ -646,17 +649,21 @@ def s09_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 txn_version=batch_id,
             )
 
+    from dask_deltalake_spark.streaming.availablenow import (
+        drain_available_now,
+    )
+
     def drain() -> None:
-        q = (
-            spark.readStream.format("delta_py_cdf")
-            .option("path", tbl)
-            .load()
-            .writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
+        # capture-once end + drain-then-stop through the helper (the
+        # availableNow trigger on a Python source falls back to one
+        # unbounded batch with a warning; see streaming/availablenow.py)
+        drain_available_now(
+            spark,
+            tbl,
+            lambda df: df.writeStream.foreachBatch(apply_batch),
+            ck,
+            source_format="delta_py_cdf",
         )
-        q.awaitTermination()
 
     drain()  # view := initial state
     to_delta(

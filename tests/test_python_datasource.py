@@ -316,3 +316,66 @@ def test_stream_admission_control_offset_walk(spark, tmp_path):
     parts = r5.partitions({"version": 4}, {"version": 5})
     files = [f for p in parts for f in p.files]
     assert len(files) == 1  # exactly the one commit's file
+
+
+def test_available_now_drain_honors_admission(spark, tmp_path):
+    """drain_available_now = availableNow semantics the JVM fallback
+    can't give the Python source: capture-once end offset, admission
+    bounds on EVERY batch (first included, via the checkpoint-derived
+    start hint), drain-then-stop. Asserts batch-by-batch pacing,
+    end-version capping, and exactly-once totals across drains."""
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.writer import to_delta
+    from dask_deltalake_spark.streaming.availablenow import (
+        drain_available_now,
+    )
+
+    register_python_datasource(spark)
+    tbl = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+
+    def commit(lo, hi, mode="append"):
+        to_delta(
+            spark.range(lo, hi).select(F.col("id").alias("k")).coalesce(1),
+            tbl,
+            mode=mode,
+        )
+
+    commit(0, 5, mode="error")  # v0
+    commit(5, 10)  # v1
+    commit(10, 15)  # v2
+
+    batches: list[tuple[int, int]] = []
+
+    def sink(df):
+        return df.writeStream.foreachBatch(
+            lambda bdf, bid: batches.append((bid, bdf.count()))
+        )
+
+    # fresh query, maxFilesPerTrigger=1: the start hint (-1, no
+    # checkpoint yet) makes even the FIRST batch bounded -> one commit
+    # (5 rows) per micro-batch, three data batches
+    end = drain_available_now(
+        spark, tbl, sink, ck, max_files_per_trigger=1
+    )
+    assert end == 2
+    data_batches = [(b, n) for b, n in batches if n > 0]
+    assert [n for _b, n in data_batches] == [5, 5, 5]
+
+    # end-version capping: two new commits, drain only through v3 —
+    # v4 must wait for the next drain
+    commit(15, 20)  # v3
+    commit(20, 25)  # v4
+    batches.clear()
+    end = drain_available_now(
+        spark, tbl, sink, ck, max_files_per_trigger=1, end_version=3
+    )
+    assert end == 3
+    assert sum(n for _b, n in batches) == 5  # v3 only, v4 capped out
+
+    # resumed drain picks up exactly the capped-out commit (the
+    # checkpoint hint keeps it bounded too) -> exactly-once totals
+    batches.clear()
+    drain_available_now(spark, tbl, sink, ck, max_files_per_trigger=1)
+    assert sum(n for _b, n in batches) == 5
+    assert DeltaLog(tbl).latest_version() == 4
