@@ -22,109 +22,90 @@ _ALL.update(_STREAMING)
 # Registry ordering — ROTATION POLICY: the driver's correctness gate
 # checks the FIRST 50 registry entries per round, so the front of the
 # registry rotates each round to keep every query hash-verified within
-# two rounds. History: r1+r2 verified q01-q44 + d01-d06; r3 led with
-# d07-d16, x01-x28, s01-s07 + q01-q05; r4 led with d17/d18/d19/x29
-# (new) + q07-q44 + d01-d06 + x18 + s06 (changed) — x30 was added in
-# r4 outside that round's window, so it has never had a driver row.
-# Round 5 fronts the complement of r4's window: q01-q04 + q06 (q06 is
-# the stalest, last hash-matched r2), d07-d16 less d08, x01-x28 less
-# x02/x05/x06/x09/x12/x17/x24, x30 (first-ever row), s01-s05 — plus
-# every query NEW or CHANGED this round: d20 (row-level CDC), d21
-# (column mapping), d22 (deletion vectors), d23 (CHECK constraints),
-# d24 (ADD/DROP COLUMN), d25 (delta_py_cdf source), d26 (generated
-# columns), x31 (SemDeDup), x32 (PQ ANN), s08 (streaming upsert),
-# d28 (schema_mode='merge' write evolution), d29 (row tracking),
-# d30 (in-commit timestamps), d31 (shallow clone), d32 (log
-# retention cleanup), q45 (recursive CTE), x33 (BPE vocab training;
-# rows-only — bounded exactly by test_x33_matches_reference_bpe),
-# x34 (bigram LM quality scoring), x35 (containment
-# decontamination), x36 (duplicated-span removal), d33
-# (replace_where + txn idempotent writes; s05 also changed — it now
-# stamps txn marks), d34 (column DEFAULT values), s09 (incremental
-# materialized-view maintenance from the change feed), and s06
-# (drain trimmed; path re-verified).
-# The twenty-five names that yield their slots to the
-# new-capability queries all lose no hash information this round:
-# x05/x06 are rows-only by design (pytest-bounded — recall floor /
-# Hamming-Jaccard bound), and s07/q05/d08/x02/x03/x09/x10/x11/x12/
-# x13/x14/x15/x16/x17/x19-x27 are unchanged since their r3
-# hash-green rows with in-window neighbors on the same code paths
-# (s01-s06 / q01-q06 / d15 compaction / x01 hash-dedup / x07
-# embedding exprs / x28 incremental hash-dedup; x10+x11 text stats
-# and x13+x17 multimodal mapInPandas plumbing are pytest-covered and
-# untouched since r3, all four rows lead r6). With 124 queries and a
-# 50-slot window, perfect 2-round coverage is no longer
-# arithmetically possible (needs 62/round) — the deferred set leads
-# r6 and the ledger tracks exactly which rows are 3 rounds old.
-# Next round (r6): lead with s07, q05, x05, x06, d08, x02, x03,
-# x09-x17, x19-x27 + the r4 tier (d17-d19, x29, q07-q44, d01-d06,
-# x18, s06).
-_R5_FRONT = (
-    [n for n in _ALL if n[:3] in {f"q{i:02d}" for i in (1, 2, 3, 4, 6, 45)}]
-    + [n for n in _ALL if n[:3] in {f"d{i:02d}" for i in (7, *range(9, 17))}]
-    + [
-        "d20_cdc_row_level",
-        "d21_column_mapping",
-        "d22_deletion_vectors",
-        "d23_check_constraints",
-        "d24_schema_alter",
-        "d25_streaming_cdf_source",
-        "d26_generated_columns",
-        "d27_identity_columns",
-        "d28_schema_merge",
-        "d29_row_tracking",
-        "d30_in_commit_timestamps",
-        "d31_shallow_clone",
-        "d32_log_cleanup",
-        "d33_replace_where_txn",
-        "d34_column_defaults",
-    ]
-    + [
-        n
-        for n in _ALL
-        if n[:3]
-        in {
-            f"x{i:02d}"
-            for i in (1, 4, 7, 8, 28)
-        }
-    ]
-    + ["x30_window_dedup", "x31_semantic_dedup", "x32_pq_ann",
-       "x33_bpe_vocab", "x34_lm_quality",
-       "x35_containment_decontamination", "x36_span_removal"]
-    + [n for n in _ALL if n[:3] in {f"s{i:02d}" for i in range(1, 6)}]
-    + ["s06_stream_delta_source", "s08_stream_upsert",
-       "s09_stream_incremental_agg"]
-    # positions 51+: first up in r6
-    + [
+# two rounds (with >100 queries and a 50-slot window that is no longer
+# arithmetically perfect — the ledger tracks exactly which rows age).
+# History: r1+r2 verified q01-q44 + d01-d06; r3 led with d07-d16,
+# x01-x28, s01-s07 + q01-q05; r4 led with d17-d19/x29 (new) + q07-q44
+# + d01-d06 + x18 + s06; r5 led with q01-q04/q06/q45, d07/d09-d16,
+# d20-d34, x01/x04/x07/x08/x28, x30-x36, s01-s06/s08/s09 — all 50
+# hash-green or rows-only-by-design (CORRECTNESS_r05).
+# Round 6 front, in priority order:
+# (a) the 25 names whose latest driver row is r3 and would otherwise
+#     turn 3 rounds stale — exactly the set staged by r5's comment:
+#     s07, q05, x05, x06, d08, x02, x03, x09-x17, x19-x27;
+# (b) every query NEW or CHANGED this round: d35 (NEW — LogStore
+#     lifecycle over the mock: scheme), q45 (now returns the lazy
+#     plan), x27/x31/x32 (corpus-derived K; x27 already in (a)),
+#     s06/s09 (drain through the availableNow helper), d14 (restore
+#     carries baseRowId through re-adds), d33 (replace_where persists
+#     before the region probe), d30 (ICT chain scans all actions),
+#     d29 (create-time v7 feature list derived from the implied map);
+# (c) the stalest r4-tier rows on the paths the LogStore refactor
+#     touched most: d01-d06, d17-d19, x29, x18, then q07-q10.
+# Left at positions 51+ for r7 (no hash information lost this round):
+# q01-q04/q06 + the r5-verified d20-d28/d31/d32/d34 + x01/x04/x07/
+# x08/x28/x30/x33-x36 + s01-s05/s08 all have r5 hash rows on unchanged
+# code; q11-q44 (r4 rows, unchanged relational paths with in-window
+# neighbors q07-q10) lead r7 next to d07/d09-d16.
+_R6_FRONT = (
+    [
+        # (a) r3-stale set
         "s07_stream_stream_join",
         "q05_join_multiway",
         "x05_minhash_lsh",
         "x06_simhash",
         "d08_delta_optimize",
         "x02_dedup_normalized",
-        "x09_embedding_stats",
-        "x12_token_classes",
-        "x24_source_mix",
-        "x17_multimodal_framesample",
-        "x25_pack_sequences",
         "x03_fingerprint",
-        "x26_curation_pipeline",
-        "x20_hash_split",
-        "x19_embedding_quantize",
-        "x23_pii_scrub",
-        "x22_repetition_filter",
-        "x21_decontaminate",
-        "x27_kmeans",
-        "x16_ivf_ann",
-        "x15_tfidf_top_terms",
-        "x14_embedding_near_dup",
-        "x13_multimodal_decode",
-        "x11_lang_id",
+        "x09_embedding_stats",
         "x10_text_quality",
+        "x11_lang_id",
+        "x12_token_classes",
+        "x13_multimodal_decode",
+        "x14_embedding_near_dup",
+        "x15_tfidf_top_terms",
+        "x16_ivf_ann",
+        "x17_multimodal_framesample",
+        "x19_embedding_quantize",
+        "x20_hash_split",
+        "x21_decontaminate",
+        "x22_repetition_filter",
+        "x23_pii_scrub",
+        "x24_source_mix",
+        "x25_pack_sequences",
+        "x26_curation_pipeline",
+        "x27_kmeans",
+        # (b) new or changed in r6
+        "d35_logstore_scheme",
+        "q45_recursive_cte",
+        "x31_semantic_dedup",
+        "x32_pq_ann",
+        "s06_stream_delta_source",
+        "s09_stream_incremental_agg",
+        "d14_delta_restore",
+        "d33_replace_where_txn",
+        "d30_in_commit_timestamps",
+        "d29_row_tracking",
+        # (c) stalest r4 tier on LogStore-touched paths
+        "d01_delta_roundtrip",
+        "d02_delta_time_travel",
+        "d03_delta_partition_prune",
+        "d04_delta_history",
+        "d05_delta_vacuum",
+        "d06_delta_schema_evolution",
+        "d17_storage_options",
+        "d18_table_create_metadata",
+        "d19_change_data_feed",
+        "x29_chunk_documents",
+        "x18_dedup_clusters",
+        "q07_join_semi",
+        "q08_join_anti",
+        "q09_join_theta",
+        "q10_asof_join",
     ]
 )
-_R5_FRONT = [n for n in _R5_FRONT if n in _ALL]
-_POS = {n: i for i, n in enumerate(_R5_FRONT)}
+_R6_FRONT = [n for n in _R6_FRONT if n in _ALL]
+_POS = {n: i for i, n in enumerate(_R6_FRONT)}
 
 
 def _key(name: str):
