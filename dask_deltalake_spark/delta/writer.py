@@ -1294,13 +1294,22 @@ def to_delta(
             for p in doomed
         )
 
-    # Optimistic-concurrency commit with APPEND retry: a blind append
-    # reads nothing, so losing the put-if-absent race is retryable at
-    # the next version — PROVIDED the winning commit(s) didn't change
-    # what the append validated against (schema, partitioning,
-    # protocol, appendOnly). delta-spark's conflict checker makes the
-    # same distinction; overwrite/create conflicts stay hard errors
-    # because their remove-set / existence assumptions are stale.
+    # Optimistic-concurrency commit with conflict-aware retry —
+    # delta-spark's WriteSerializable checker, re-expressed:
+    # - a blind APPEND reads nothing, so losing the put-if-absent race
+    #   is retryable at the next version PROVIDED the winners didn't
+    #   change what the append validated against (schema,
+    #   partitioning, protocol, appendOnly);
+    # - a REPLACE_WHERE overwrite reads exactly its partition region,
+    #   so it is retryable iff the winners provably did not touch that
+    #   region (no metaData/protocol change, and the region's file set
+    #   is unchanged) — two loaders re-materializing DISJOINT
+    #   partitions of a 100 TB table both commit instead of the loser
+    #   failing; a winner that wrote INTO the region is a real
+    #   conflict (serial re-execution would delete its rows) and
+    #   aborts, exactly delta-spark's ConcurrentAppendException;
+    # - full-table overwrite / create conflicts stay hard errors
+    #   because their remove-set / existence assumptions are stale.
     commit_version = current_version + 1
     attempt = 0
     while True:
@@ -1308,7 +1317,10 @@ def to_delta(
             write_commit(table_path, commit_version, actions)
             return
         except ConcurrentCommitError:
-            if snap is None or mode != "append" or attempt >= max_commit_retries:
+            retryable = mode == "append" or (
+                mode == "overwrite" and rw_dnf is not None
+            )
+            if snap is None or not retryable or attempt >= max_commit_retries:
                 raise
             if schema_mode == "merge":
                 # a merge-append may carry a metaData action and its
@@ -1379,5 +1391,52 @@ def to_delta(
                 },
             )
             _chk_ao(snap2.metadata, mode)
+            if rw_dnf is not None:
+                # region-stability check: scan the winning commits for
+                # anything that invalidates the replaced region
+                last_read = int(actions[0]["commitInfo"]["readVersion"])
+                for wv in range(last_read + 1, snap2.version + 1):
+                    for wa in log.read_commit_actions(wv):
+                        if "metaData" in wa or "protocol" in wa:
+                            raise ConcurrentCommitError(
+                                "Concurrent commit changed table "
+                                "metadata/protocol; the pending "
+                                "replace_where is aborted."
+                            )
+                from dask_deltalake_spark.delta.protocol import (
+                    column_mapping_mode as _cmm,
+                    prune_partitions as _pp,
+                )
+
+                prune_dnf2 = rw_dnf
+                if _cmm(snap2.metadata) != "none":
+                    from dask_deltalake_spark.delta.column_mapping import (
+                        logical_to_physical as _l2p_fn,
+                        translate_dnf as _tdnf,
+                    )
+
+                    prune_dnf2 = _tdnf(
+                        rw_dnf,
+                        _l2p_fn(
+                            StructType.fromJson(
+                                json.loads(snap2.metadata.schema_string)
+                            )
+                        ),
+                    )
+                doomed2 = sorted(
+                    a.path for a in _pp(snap2.add_actions, prune_dnf2)
+                )
+                # our own staged files are uncommitted (the race was
+                # lost atomically) so they can never appear in snap2
+                if doomed2 != sorted(doomed):
+                    # a winner wrote into (or removed from) OUR region:
+                    # serial re-execution would delete its rows / our
+                    # tombstones are stale — a true conflict
+                    raise ConcurrentCommitError(
+                        "Concurrent commit modified the replace_where "
+                        "region; the pending overwrite is aborted "
+                        "(winners touching DISJOINT regions retry "
+                        "automatically)."
+                    )
             actions[0]["commitInfo"]["readVersion"] = snap2.version
             commit_version = snap2.version + 1

@@ -4,6 +4,8 @@ semantics, atomicity with the data commit, checkpoint survival."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -11,6 +13,12 @@ from dask_deltalake_spark.delta.log import DeltaLog
 from dask_deltalake_spark.delta.maintenance import create_checkpoint
 from dask_deltalake_spark.delta.reader import read_delta
 from dask_deltalake_spark.delta.writer import to_delta
+
+
+def _pdf(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS k", "CAST(id % 3 AS BIGINT) AS p", "id * 2 AS v"
+    )
 
 
 def _df(spark, lo, hi, g=None):
@@ -117,3 +125,102 @@ def test_txn_survives_checkpoint(spark, tmp_path):
 def test_txn_args_must_pair(spark, tmp_path):
     with pytest.raises(ValueError, match="together"):
         to_delta(_df(spark, 0, 1), str(tmp_path / "t"), txn_app_id="job")
+
+
+def _competitor_add(table_path, src_rel, dst_dir, pval):
+    """Hard-link an existing live file into a new hive dir and return
+    its add action — a minimal real 'concurrent writer' commit."""
+    import json as _json
+
+    from dask_deltalake_spark.delta.protocol import AddAction, now_ms
+
+    src = os.path.join(table_path, src_rel)
+    os.makedirs(os.path.join(table_path, dst_dir), exist_ok=True)
+    dst_rel = f"{dst_dir}/part-competitor.snappy.parquet"
+    os.link(src, os.path.join(table_path, dst_rel))
+    return AddAction(
+        path=dst_rel,
+        size=os.path.getsize(src),
+        partition_values={"p": pval},
+        modification_time=now_ms(),
+        data_change=True,
+        stats=_json.dumps({"numRecords": 1, "minValues": {},
+                           "maxValues": {}, "nullCount": {}}),
+    )
+
+
+def _race_once(monkeypatch, competitor_actions):
+    """Patch the commit choke point so the FIRST commit attempt loses
+    the version race to ``competitor_actions``."""
+    import dask_deltalake_spark.delta.writer as W
+
+    real = W.write_commit
+    state = {"raced": False}
+
+    def racy(table_path, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            real(table_path, version, competitor_actions)
+        return real(table_path, version, actions)
+
+    monkeypatch.setattr(W, "write_commit", racy)
+    return state
+
+
+def test_replace_where_disjoint_region_race_retries(
+    spark, tmp_path, monkeypatch
+):
+    """Two loaders re-materializing DISJOINT partition regions must
+    BOTH commit (delta-spark WriteSerializable): the loser re-validates
+    that the winners never touched its region and retries."""
+    path = str(tmp_path / "t")
+    to_delta(_pdf(spark, 0, 30), path, partition_by=["p"])
+    snap = DeltaLog(path).snapshot()
+    src_rel = next(iter(snap.files))
+    add = _competitor_add(path, src_rel, "p=9", "9")
+    competitor = [
+        {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+        add.to_json(),
+    ]
+    state = _race_once(monkeypatch, competitor)
+
+    new_region = (
+        spark.range(100, 110)
+        .selectExpr("id AS k", "CAST(1 AS BIGINT) AS p", "id * 2 AS v")
+    )
+    to_delta(new_region, path, mode="overwrite", replace_where=[("p", "==", 1)])
+    assert state["raced"]
+    snap2 = DeltaLog(path).snapshot()
+    assert snap2.version == 2  # competitor at v1, our retry at v2
+    df = read_delta(path, spark=spark)
+    assert df.filter("p = 1").count() == 10  # region replaced
+    assert df.filter("p = 9").count() > 0  # competitor's region intact
+    assert df.filter("p = 0").count() == 10  # untouched region intact
+
+
+def test_replace_where_same_region_race_aborts(spark, tmp_path, monkeypatch):
+    """A winner that wrote INTO the replaced region is a true conflict
+    (serial re-execution would delete its rows) and must abort."""
+    from dask_deltalake_spark.delta.protocol import ConcurrentCommitError
+
+    path = str(tmp_path / "t")
+    to_delta(_pdf(spark, 0, 30), path, partition_by=["p"])
+    snap = DeltaLog(path).snapshot()
+    src_rel = next(iter(snap.files))
+    add = _competitor_add(path, src_rel, "p=1", "1")  # INSIDE the region
+    # competitor's file lands under the existing p=1 dir with a distinct name
+    competitor = [
+        {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+        add.to_json(),
+    ]
+    state = _race_once(monkeypatch, competitor)
+    new_region = (
+        spark.range(100, 110)
+        .selectExpr("id AS k", "CAST(1 AS BIGINT) AS p", "id * 2 AS v")
+    )
+    with pytest.raises(ConcurrentCommitError, match="region"):
+        to_delta(
+            new_region, path, mode="overwrite",
+            replace_where=[("p", "==", 1)],
+        )
+    assert state["raced"]
