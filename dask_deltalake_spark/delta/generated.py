@@ -109,3 +109,194 @@ def apply_generated_columns(
     ordered = [f.name for f in table_schema.fields if f.name in df.columns]
     extras = [c for c in df.columns if c not in ordered]
     return df.select(*ordered, *extras)
+
+
+# --- derived partition pruning ----------------------------------------------
+# delta-spark infers partition filters for GENERATED partition columns
+# from predicates on their SOURCE columns (OptimizeGeneratedColumn):
+# a query filtering `ts BETWEEN a AND b` over a table partitioned on
+# `event_date = CAST(ts AS DATE)` must prune to the matching date
+# partitions even though the user never mentioned event_date. At
+# 100 TB this is the difference between a metadata-level prune and a
+# full listing — derived-date partitioning is THE canonical layout for
+# event data. Supported expression shapes cover the spec's partition-
+# safe generation functions; each is either MONOTONIC non-decreasing
+# in its source (range predicates map through: < becomes <=, > becomes
+# >=) or equality-only (MONTH/DAY repeat across years — only ==/in
+# map). Unsupported shapes simply derive nothing (sound: pruning
+# predicates are only ever ADDED to a conjunction).
+
+import re as _re
+from datetime import date as _date, datetime as _dt
+
+
+def _to_dt(v):
+    if isinstance(v, _dt):
+        return v
+    if isinstance(v, _date):
+        return _dt(v.year, v.month, v.day)
+    if isinstance(v, str):
+        try:
+            return _dt.fromisoformat(v.replace("Z", "+00:00"))
+        except ValueError:
+            return None
+    return None
+
+
+def _day(v):
+    v = _to_dt(v)
+    return _dt(v.year, v.month, v.day) if v else None
+
+
+def _month_start(v):
+    v = _to_dt(v)
+    return _dt(v.year, v.month, 1) if v else None
+
+
+def _year_start(v):
+    v = _to_dt(v)
+    return _dt(v.year, 1, 1) if v else None
+
+
+def _year_num(v):
+    v = _to_dt(v)
+    return v.year if v else None
+
+
+def _month_num(v):
+    v = _to_dt(v)
+    return v.month if v else None
+
+
+def _day_num(v):
+    v = _to_dt(v)
+    return v.day if v else None
+
+
+def _fmt(pattern: str):
+    py = pattern.replace("yyyy", "%Y").replace("MM", "%m").replace(
+        "dd", "%d"
+    ).replace("HH", "%H")
+
+    def f(v):
+        v = _to_dt(v)
+        return v.strftime(py) if v else None
+
+    return f
+
+
+def _prefix(n: int):
+    def f(v):
+        return v[:n] if isinstance(v, str) else None
+
+    return f
+
+
+# (regex over the generation expression) -> (source-group, transform
+# factory, monotonic?). Transforms return None when the literal cannot
+# be converted — then nothing is derived for that predicate.
+_SHAPES = [
+    (_re.compile(r"^\s*CAST\s*\(\s*(\w+)\s+AS\s+DATE\s*\)\s*$", _re.I),
+     lambda m: _day, True),
+    (_re.compile(r"^\s*(?:TO_DATE|DATE)\s*\(\s*(\w+)\s*\)\s*$", _re.I),
+     lambda m: _day, True),
+    (_re.compile(r"^\s*YEAR\s*\(\s*(\w+)\s*\)\s*$", _re.I),
+     lambda m: _year_num, True),
+    (_re.compile(r"^\s*MONTH\s*\(\s*(\w+)\s*\)\s*$", _re.I),
+     lambda m: _month_num, False),
+    (_re.compile(r"^\s*(?:DAY|DAYOFMONTH)\s*\(\s*(\w+)\s*\)\s*$", _re.I),
+     lambda m: _day_num, False),
+    (_re.compile(
+        r"^\s*DATE_TRUNC\s*\(\s*'(DAY|MONTH|YEAR)'\s*,\s*(\w+)\s*\)\s*$",
+        _re.I),
+     lambda m: {"DAY": _day, "MONTH": _month_start, "YEAR": _year_start}[
+         m.group(1).upper()
+     ], True),
+    (_re.compile(
+        r"^\s*DATE_FORMAT\s*\(\s*(\w+)\s*,\s*'(yyyy(?:-MM(?:-dd)?)?)'\s*\)\s*$"),
+     lambda m: _fmt(m.group(2)), True),
+    (_re.compile(
+        r"^\s*SUBSTR(?:ING)?\s*\(\s*(\w+)\s*,\s*1\s*,\s*(\d+)\s*\)\s*$",
+        _re.I),
+     lambda m: _prefix(int(m.group(2))), True),
+]
+
+def _parse_generation(expr: str):
+    """(source_column, transform, monotonic) or None. DATE_TRUNC's
+    source column is capture group 2 (group 1 is the unit)."""
+    for rx, make, mono in _SHAPES:
+        m = rx.match(expr)
+        if m:
+            src = m.group(2) if rx.pattern.startswith(
+                r"^\s*DATE_TRUNC"
+            ) else m.group(1)
+            return src, make(m), mono
+    return None
+
+
+_MONO_OPS = {"==": "==", "<": "<=", "<=": "<=", ">": ">=", ">=": ">=",
+             "in": "in"}
+_EQ_OPS = {"==": "==", "in": "in"}
+
+
+def infer_partition_predicates(
+    dnf: list, metadata, partition_columns: Optional[list] = None
+) -> list:
+    """Augment each DNF conjunction with predicates DERIVED for
+    generated partition columns from predicates on their source
+    columns. Returns a new DNF for PRUNING only (row-level filtering
+    keeps the original); sound because derived terms are implied by
+    the generation invariant every committed file satisfies."""
+    if not dnf:
+        return dnf
+    gens = generated_columns(metadata)
+    parts = set(
+        partition_columns
+        if partition_columns is not None
+        else metadata.partition_columns
+    )
+    rules = {}
+    for gcol, gexpr in gens.items():
+        if gcol not in parts:
+            continue
+        parsed = _parse_generation(gexpr)
+        if parsed:
+            src, f, mono = parsed
+            rules.setdefault(src, []).append((gcol, f, mono))
+    if not rules:
+        return dnf
+    out = []
+    for conj in dnf:
+        extra = []
+        for col, op, val in conj:
+            for gcol, f, mono in rules.get(col, ()):
+                ops = _MONO_OPS if mono else _EQ_OPS
+                if op not in ops:
+                    continue
+                if op == "in":
+                    mapped = [f(v) for v in val]
+                    if all(m is not None for m in mapped):
+                        extra.append((gcol, "in", sorted(set(mapped))))
+                else:
+                    m = f(val)
+                    if m is None:
+                        continue
+                    mapped_op = ops[op]
+                    if op == "<":
+                        # x < v implies f(x) < f(v) when v sits EXACTLY
+                        # on the truncation boundary (e.g. ts <
+                        # 2024-01-15T00:00 -> date < 2024-01-15): the
+                        # boundary partition is then provably empty and
+                        # the prune stays exact, not just conservative
+                        vdt = _to_dt(val)
+                        if vdt is not None and (
+                            (isinstance(m, _dt) and vdt == m)
+                            or (
+                                f is _year_num
+                                and vdt == _dt(vdt.year, 1, 1)
+                            )
+                        ):
+                            mapped_op = "<"
+                    extra.append((gcol, mapped_op, m))
+        out.append(list(conj) + extra)
+    return out

@@ -163,8 +163,21 @@ def read_delta(
             "(pure parquet-field-id resolution) is not supported."
         )
     scan_schema = schema if mode == "none" else physical_schema(schema)
+    # Derived partition pruning (delta/generated.py): predicates on
+    # the SOURCE of a generated partition column imply predicates on
+    # the partition column itself (e.g. ts range -> event_date range
+    # for event_date = CAST(ts AS DATE)) — delta-spark's
+    # OptimizeGeneratedColumn. Pruning-only: the row-level filter
+    # below stays exactly the user's DNF.
+    from dask_deltalake_spark.delta.generated import (
+        infer_partition_predicates,
+    )
+
+    prune_src = infer_partition_predicates(dnf, snap.metadata)
     prune_dnf = (
-        dnf if mode == "none" else translate_dnf(dnf, logical_to_physical(schema))
+        prune_src
+        if mode == "none"
+        else translate_dnf(prune_src, logical_to_physical(schema))
     )
 
     # Driver-side metadata pruning: partitions first (exact), then

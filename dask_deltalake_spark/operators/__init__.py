@@ -39,9 +39,10 @@ _ALL.update(_STREAMING)
 #     s06/s09 (drain through the availableNow helper), d14 (restore
 #     carries baseRowId through re-adds), d33 (replace_where persists
 #     before the region probe), d30 (ICT chain scans all actions),
-#     d29 (create-time v7 feature list derived from the implied map);
+#     d29 (create-time v7 feature list derived from the implied map),
+#     d36 (NEW — derived partition pruning for generated columns);
 # (c) the stalest r4-tier rows on the paths the LogStore refactor
-#     touched most: d01-d06, d17-d19, x29, x18, then q07-q10.
+#     touched most: d01-d06, d17-d19, x29, x18, then q07-q09 (q10 joins the r7 front).
 # Left at positions 51+ for r7 (no hash information lost this round):
 # q01-q04/q06 + the r5-verified d20-d28/d31/d32/d34 + x01/x04/x07/
 # x08/x28/x30/x33-x36 + s01-s05/s08 all have r5 hash rows on unchanged
@@ -86,6 +87,7 @@ _R6_FRONT = (
         "d33_replace_where_txn",
         "d30_in_commit_timestamps",
         "d29_row_tracking",
+        "d36_generated_partition_inference",
         # (c) stalest r4 tier on LogStore-touched paths
         "d01_delta_roundtrip",
         "d02_delta_time_travel",
@@ -101,7 +103,6 @@ _R6_FRONT = (
         "q07_join_semi",
         "q08_join_anti",
         "q09_join_theta",
-        "q10_asof_join",
     ]
 )
 _R6_FRONT = [n for n in _R6_FRONT if n in _ALL]

@@ -1688,3 +1688,58 @@ def d35_logstore_scheme(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("race_detected", F.lit(race))
         .withColumn("vacuum_clean", F.lit(clean))
     )
+
+
+@query(
+    "d36_generated_partition_inference",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 2) AS value_sum,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+             AS n_partitions_scanned
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+    """,
+)
+def d36_generated_partition_inference(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Derived partition pruning for generated columns (delta-spark's
+    OptimizeGeneratedColumn, delta/generated.py
+    infer_partition_predicates): the table partitions on
+    ``event_date = CAST(ts AS DATE)`` — a column the query NEVER
+    names — and a ts-range filter must prune to exactly the matching
+    date partitions at the metadata level. The Spark side reports the
+    number of partition directories actually in the scan
+    (``inputFiles()``); the oracle recomputes it as the number of
+    distinct dates in the range — the hash matches ONLY if pruning is
+    both applied and exact. At 100 TB (the canonical event-data
+    layout) this inference is the difference between scanning 5 days
+    and scanning the table."""
+    import shutil
+    from datetime import datetime
+
+    path = _tmp_table(sf_dir, "events_genpart")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    to_delta(
+        ev,
+        path,
+        partition_by=["event_date"],
+        generated_columns={"event_date": "CAST(ts AS DATE)"},
+    )
+    got = read_delta(
+        path,
+        filter=[
+            ("ts", ">=", datetime(2024, 1, 10)),
+            ("ts", "<", datetime(2024, 1, 15)),
+        ],
+        spark=spark,
+    )
+    n_parts = len({f.rsplit("/", 2)[-2] for f in got.inputFiles()})
+    return got.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    ).withColumn("n_partitions_scanned", F.lit(n_parts).cast("long"))

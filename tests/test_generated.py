@@ -142,3 +142,64 @@ def test_merge_verifies_source_values(spark, tmp_path):
     with pytest.raises(GeneratedColumnViolationError):
         merge_into(path, bad, keys=["k"], spark=spark)
     assert read_delta(path, spark=spark).count() == 35
+
+
+def test_generated_partition_filter_inference(spark, tmp_path):
+    """Predicates on the SOURCE column of a generated partition column
+    must prune partitions at the metadata level (delta-spark's
+    OptimizeGeneratedColumn): a ts-range filter over a table
+    partitioned on event_date = CAST(ts AS DATE) scans only the
+    matching date partitions — without the user ever naming
+    event_date."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.delta.reader import read_delta
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    path = str(tmp_path / "t")
+    df = spark.range(96).select(
+        (
+            F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            + F.make_interval(hours=F.col("id"))
+        ).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    to_delta(
+        df,
+        path,
+        partition_by=["event_date"],
+        generated_columns={"event_date": "CAST(ts AS DATE)"},
+    )
+
+    from datetime import datetime
+
+    got = read_delta(
+        path,
+        filter=[
+            ("ts", ">=", datetime(2024, 3, 2, 6, 0)),
+            ("ts", "<", datetime(2024, 3, 3, 18, 0)),
+        ],
+        spark=spark,
+    )
+    # correctness: exactly the 36 hours in range
+    assert got.count() == 36
+    # pruning: only the 2 matching date partitions are in the scan
+    scanned_dirs = {
+        f.rsplit("/", 2)[-2] for f in got.inputFiles()
+    }
+    assert scanned_dirs == {"event_date=2024-03-02", "event_date=2024-03-03"}
+
+    # equality + IN map through too
+    got_eq = read_delta(
+        path, filter=[("ts", "==", datetime(2024, 3, 4, 0, 0))], spark=spark
+    )
+    assert got_eq.count() == 1
+    assert {
+        f.rsplit("/", 2)[-2] for f in got_eq.inputFiles()
+    } == {"event_date=2024-03-04"}
+
+    # unsupported shapes / ops derive nothing but stay CORRECT
+    got_ne = read_delta(
+        path, filter=[("ts", "!=", datetime(2024, 3, 4, 0, 0))], spark=spark
+    )
+    assert got_ne.count() == 95
