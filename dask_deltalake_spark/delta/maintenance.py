@@ -27,6 +27,7 @@ from dask_deltalake_spark.delta.log import DeltaLog
 from dask_deltalake_spark.delta.protocol import (
     LOG_DIR,
     AddAction,
+    ConcurrentCommitError,
     DeltaProtocolError,
     RemoveAction,
     check_read_protocol,
@@ -82,6 +83,7 @@ def vacuum(
     dry_run: bool = True,
     storage_options: Optional[dict] = None,
     spark: Optional[SparkSession] = None,
+    mode: str = "full",
 ):
     """List (dry run) or delete files in the table directory that are
     no longer referenced by the current version and are older than the
@@ -89,7 +91,18 @@ def vacuum(
     core.py:121). Deletes are fanned out across executors — one
     metadata-sized task list, deletion I/O distributed — mirroring the
     reference's one-delayed-task-per-tombstone design (core.py:143-151)
-    in Spark terms."""
+    in Spark terms.
+
+    ``mode="full"`` (default, the reference's semantics) WALKS the
+    table directory, catching logged removals AND orphans (crashed
+    writers' debris). ``mode="lite"`` (delta 3.1's VACUUM LITE)
+    derives candidates purely from the snapshot's tombstones — zero
+    directory listing. At 100 TB the full walk lists hundreds of
+    millions of objects (on S3: the dominant cost of vacuum); lite is
+    O(#tombstones) log metadata, the right routine cadence, with full
+    reserved for occasional orphan sweeps."""
+    if mode not in ("full", "lite"):
+        raise ValueError(f"Unsupported vacuum mode: {mode!r}")
     table_path = str(path).rstrip("/")
     log = DeltaLog(table_path)
     snap = log.snapshot()
@@ -128,18 +141,35 @@ def vacuum(
         p: r.deletion_timestamp for p, r in snap.tombstones.items()
     }
     store = log.store
-    for rel_p in store.walk_files(table_path):
-        # prune hidden/_delta_log segments (same contract as os.walk
-        # dir pruning: no segment may start with '.' or '_')
-        if any(seg.startswith((".", "_")) for seg in rel_p.split("/")):
-            continue
-        if rel_p in referenced:
-            continue
-        ts = removal_times.get(rel_p)
-        if ts is None:
-            ts = int(store.mtime(os.path.join(table_path, rel_p)) * 1000)
-        if ts < cutoff_ms:
-            tombstones.append(rel_p)
+    if mode == "lite":
+        # candidates straight from the log's remove actions — no
+        # listing; re-added paths are already excluded by replay
+        # (an add pops its tombstone), absolute/cloned paths are
+        # never touched (they belong to the source table)
+        from dask_deltalake_spark.delta.protocol import (
+            is_absolute_add_path,
+        )
+
+        for rel_p, ts in removal_times.items():
+            if is_absolute_add_path(rel_p) or rel_p in referenced:
+                continue
+            if ts < cutoff_ms and store.exists(
+                os.path.join(table_path, rel_p)
+            ):
+                tombstones.append(rel_p)
+    else:
+        for rel_p in store.walk_files(table_path):
+            # prune hidden/_delta_log segments (same contract as
+            # os.walk dir pruning: no segment may start with '.'/'_')
+            if any(seg.startswith((".", "_")) for seg in rel_p.split("/")):
+                continue
+            if rel_p in referenced:
+                continue
+            ts = removal_times.get(rel_p)
+            if ts is None:
+                ts = int(store.mtime(os.path.join(table_path, rel_p)) * 1000)
+            if ts < cutoff_ms:
+                tombstones.append(rel_p)
 
     if dry_run:
         return tombstones
@@ -614,11 +644,54 @@ def optimize(
                 path=p, deletion_timestamp=ts, data_change=False
             ).to_json()
         )
-    write_commit(table_path, snap.version + 1, actions)
+    # Concurrency: background compaction racing live APPENDS is the
+    # production steady state (streaming sink + maintenance job), so a
+    # lost commit race retries — a dataChange=false compaction only
+    # touches the files it read, so it is safe at the next version iff
+    # the winners (a) changed no metadata/protocol, (b) removed none
+    # of the files this compaction rewrites (delta-spark's
+    # ConcurrentDeleteRead), and (c) on a row-tracked table, did not
+    # advance the row-id mark (our assigned ranges would be stale).
+    old_set = set(old_paths)
+    commit_version = snap.version + 1
+    attempt = 0
+    while True:
+        try:
+            write_commit(table_path, commit_version, actions)
+            break
+        except ConcurrentCommitError:
+            if attempt >= 10:
+                raise
+            attempt += 1
+            snap2 = log.snapshot()
+            for wv in range(commit_version, snap2.version + 1):
+                for wa in log.read_commit_actions(wv):
+                    if "metaData" in wa or "protocol" in wa:
+                        raise ConcurrentCommitError(
+                            "Concurrent commit changed table metadata/"
+                            "protocol; the pending OPTIMIZE is aborted."
+                        )
+                    if (
+                        "remove" in wa
+                        and wa["remove"].get("path") in old_set
+                    ):
+                        raise ConcurrentCommitError(
+                            "Concurrent commit removed a file this "
+                            "OPTIMIZE was compacting; aborted "
+                            "(re-run to compact the current files)."
+                        )
+                    if _rt and "domainMetadata" in wa:
+                        raise ConcurrentCommitError(
+                            "Concurrent commit advanced the row-id "
+                            "high water mark; the pending OPTIMIZE's "
+                            "assigned ranges are stale — re-run."
+                        )
+            actions[0]["commitInfo"]["readVersion"] = snap2.version
+            commit_version = snap2.version + 1
     return {
         "numFilesAdded": len(add_rows),
         "numFilesRemoved": len(old_paths),
-        "version": snap.version + 1,
+        "version": commit_version,
     }
 
 

@@ -1,0 +1,140 @@
+"""OPTIMIZE-vs-append concurrency (the streaming-sink + background-
+compaction steady state) and VACUUM LITE (log-derived candidates, no
+directory walk)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from dask_deltalake_spark.delta.log import DeltaLog
+from dask_deltalake_spark.delta.maintenance import optimize, vacuum
+from dask_deltalake_spark.delta.protocol import (
+    AddAction,
+    ConcurrentCommitError,
+    RemoveAction,
+    now_ms,
+)
+from dask_deltalake_spark.delta.reader import read_delta
+from dask_deltalake_spark.delta.writer import to_delta
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id AS k", "id * 2 AS v")
+
+
+def _competitor_append_action(table_path):
+    """Hard-link a live file under a new name: a minimal real
+    concurrent blind append."""
+    snap = DeltaLog(table_path).snapshot()
+    src_rel = next(iter(snap.files))
+    dst_rel = "part-competitor.snappy.parquet"
+    os.link(
+        os.path.join(table_path, src_rel),
+        os.path.join(table_path, dst_rel),
+    )
+    a = snap.files[src_rel]
+    return AddAction(
+        path=dst_rel,
+        size=a.size,
+        partition_values={},
+        modification_time=now_ms(),
+        data_change=True,
+        stats=a.stats,
+    )
+
+
+def _race_once(monkeypatch, make_competitor_actions):
+    import dask_deltalake_spark.delta.writer as W
+    import dask_deltalake_spark.delta.maintenance as M
+
+    real = W.write_commit
+    state = {"raced": False}
+
+    def racy(table_path, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            real(table_path, version, make_competitor_actions())
+        return real(table_path, version, actions)
+
+    monkeypatch.setattr(W, "write_commit", racy)
+    monkeypatch.setattr(M, "write_commit", racy)
+    return state
+
+
+def test_optimize_retries_past_concurrent_append(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 20).repartition(4), path)
+    n_before = read_delta(path, spark=spark).count()
+
+    def competitor():
+        return [
+            {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+            _competitor_append_action(path).to_json(),
+        ]
+
+    state = _race_once(monkeypatch, competitor)
+    res = optimize(path, spark=spark)
+    assert state["raced"]
+    assert res["version"] == 2  # competitor won v1, compaction at v2
+    snap = DeltaLog(path).snapshot()
+    assert "part-competitor.snappy.parquet" in snap.files  # append survived
+    comp_rows = json.loads(
+        snap.files["part-competitor.snappy.parquet"].stats
+    )["numRecords"]
+    df = read_delta(path, spark=spark)
+    # compaction kept every pre-existing row AND the winner's rows
+    assert comp_rows > 0
+    assert df.count() == n_before + comp_rows
+
+
+def test_optimize_aborts_when_compacted_file_removed(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 20).repartition(4), path)
+    doomed = next(iter(DeltaLog(path).snapshot().files))
+
+    def competitor():
+        return [
+            {"commitInfo": {"timestamp": 1, "operation": "DELETE"}},
+            RemoveAction(
+                path=doomed, deletion_timestamp=now_ms(), data_change=True
+            ).to_json(),
+        ]
+
+    _race_once(monkeypatch, competitor)
+    with pytest.raises(ConcurrentCommitError, match="compacting"):
+        optimize(path, spark=spark)
+
+
+def test_vacuum_lite_uses_log_not_listing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10).coalesce(1), path)
+    to_delta(_df(spark, 10, 20).coalesce(1), path, mode="overwrite")
+    # an ORPHAN (crashed-writer debris): never logged
+    orphan = os.path.join(path, "orphan-debris.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    # backdate past the cutoff millisecond (mtime granularity)
+    import time
+
+    os.utime(orphan, (time.time() - 10, time.time() - 10))
+
+    lite = sorted(vacuum(path, retention_hours=0, dry_run=True, mode="lite"))
+    full = sorted(vacuum(path, retention_hours=0, dry_run=True, mode="full"))
+    snap = DeltaLog(path).snapshot()
+    # lite = exactly the logged tombstones; full = tombstones + orphan
+    assert lite == sorted(snap.tombstones)
+    assert set(full) == set(lite) | {"orphan-debris.parquet"}
+
+    vacuum(path, retention_hours=0, dry_run=False, mode="lite", spark=spark)
+    for rel in lite:
+        assert not os.path.exists(os.path.join(path, rel))
+    assert os.path.exists(orphan)  # lite never lists, never touches it
+    assert read_delta(path, spark=spark).count() == 10  # table intact
+    # retention respected: fresh tombstones survive a default-retention lite
+    to_delta(_df(spark, 0, 5).coalesce(1), path, mode="overwrite")
+    assert vacuum(path, retention_hours=168, dry_run=True, mode="lite") == []
