@@ -139,6 +139,8 @@ def read_delta_changes(
     ending_version: Optional[int] = None,
     spark: Optional[SparkSession] = None,
     key_columns: Optional[list] = None,
+    starting_timestamp: Optional[str] = None,
+    ending_timestamp: Optional[str] = None,
 ) -> DataFrame:
     """Rows changed in commits ``(starting_version, ending_version]``.
 
@@ -151,6 +153,15 @@ def read_delta_changes(
     me everything since the version I already consumed", the resume
     contract a streaming/incremental consumer wants (matches the
     delta_py stream reader's offset semantics, sources/delta_source.py).
+
+    ``starting_timestamp``/``ending_timestamp`` (delta-spark's
+    ``startingTimestamp``/``endingTimestamp`` CDF options, RFC3339):
+    resolved against the commit clock — the in-commit timestamp when
+    stamped (delta/ict.py), else storage mtime. The starting bound is
+    INCLUSIVE of the first commit at/after it (so it maps to an
+    exclusive ``starting_version`` of that commit minus one); the
+    ending bound is the last commit at/before it. Mutually exclusive
+    with the corresponding version argument.
     """
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
@@ -158,6 +169,22 @@ def read_delta_changes(
 
     log = DeltaLog(path)
     latest = log.latest_version()
+    if starting_timestamp is not None:
+        if starting_version not in (0, None):
+            raise ValueError(
+                "starting_version and starting_timestamp are mutually "
+                "exclusive"
+            )
+        starting_version = log.resolve_starting_timestamp(
+            starting_timestamp
+        ) - 1
+    if ending_timestamp is not None:
+        if ending_version is not None:
+            raise ValueError(
+                "ending_version and ending_timestamp are mutually "
+                "exclusive"
+            )
+        ending_version = log.resolve_datetime(ending_timestamp)
     end = latest if ending_version is None else int(ending_version)
     if end > latest:
         raise ValueError(

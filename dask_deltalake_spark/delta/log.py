@@ -157,6 +157,25 @@ class DeltaLog:
                 return a["commitInfo"].get("inCommitTimestamp")
         return None
 
+    def resolve_starting_timestamp(self, dt_string: str) -> int:
+        """FIRST version whose commit time is >= the RFC3339 string
+        (delta-spark's CDF ``startingTimestamp`` semantics — "changes
+        at or after this time"); raises when the timestamp is after
+        the last commit, matching delta-spark's error contract."""
+        s = dt_string.strip().replace("Z", "+00:00")
+        target = datetime.fromisoformat(s)
+        if target.tzinfo is None:
+            target = target.replace(tzinfo=timezone.utc)
+        target_ts = target.timestamp()
+        ts = self.version_timestamps()
+        for v in sorted(ts):
+            if ts[v] >= target_ts:
+                return v
+        raise ValueError(
+            f"startingTimestamp {dt_string!r} is after the latest "
+            f"commit of {self.table_path}; no changes to read."
+        )
+
     def resolve_datetime(self, dt_string: str) -> int:
         """Latest version whose commit time is <= the RFC3339 string;
         clamps to the earliest version if the time predates the log."""

@@ -713,13 +713,28 @@ class _CdfBase:
 class DeltaPyCdfReader(DataSourceReader, _CdfBase):
     """Batch change feed: ``option('startingVersion', N)`` (exclusive,
     default -1 = from table start) .. ``option('endingVersion', M)``
-    (default latest)."""
+    (default latest); or the timestamp twins
+    ``startingTimestamp``/``endingTimestamp`` (delta-spark CDF
+    semantics: first commit at/after resp. last commit at/before,
+    resolved against the in-commit clock when stamped)."""
 
     def __init__(self, schema: StructType, options):
         self._init_common(options)
-        self._start = int(options.get("startingversion", options.get("startingVersion", -1)))
-        end = options.get("endingversion", options.get("endingVersion"))
-        self._end = int(end) if end is not None else self._log.latest_version()
+        sts = options.get("startingtimestamp", options.get("startingTimestamp"))
+        ets = options.get("endingtimestamp", options.get("endingTimestamp"))
+        if sts is not None:
+            self._start = self._log.resolve_starting_timestamp(sts) - 1
+        else:
+            self._start = int(
+                options.get("startingversion", options.get("startingVersion", -1))
+            )
+        if ets is not None:
+            self._end = self._log.resolve_datetime(ets)
+        else:
+            end = options.get("endingversion", options.get("endingVersion"))
+            self._end = (
+                int(end) if end is not None else self._log.latest_version()
+            )
 
     def partitions(self):
         dv_state = self._dv_state_at(self._start)

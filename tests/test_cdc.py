@@ -132,3 +132,68 @@ def test_key_columns_validated(spark, tmp_path):
         read_delta_changes(
             path, starting_version=-1, spark=spark, key_columns=["nope"]
         )
+
+
+def test_cdf_timestamp_range_options(spark, tmp_path):
+    """startingTimestamp/endingTimestamp (delta-spark CDF parity):
+    starting = first commit at/after, ending = last commit at/before,
+    resolved against the commit clock; after-last starting raises."""
+    import time
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 3), path)  # v0
+    time.sleep(0.05)
+    to_delta(_df(spark, 3, 5), path, mode="append")  # v1
+    time.sleep(0.05)
+    to_delta(_df(spark, 5, 9), path, mode="append")  # v2
+    ts = DeltaLog(path).version_timestamps()
+
+    def iso(t):
+        from datetime import datetime, timezone
+
+        return datetime.fromtimestamp(t, tz=timezone.utc).isoformat()
+
+    between_0_1 = iso((ts[0] + ts[1]) / 2)
+    between_1_2 = iso((ts[1] + ts[2]) / 2)
+
+    got = read_delta_changes(
+        path, starting_timestamp=between_0_1, spark=spark
+    )
+    assert {r["_commit_version"] for r in got.collect()} == {1, 2}
+    assert got.count() == 6  # v1's 2 rows + v2's 4
+
+    only_v1 = read_delta_changes(
+        path,
+        starting_timestamp=between_0_1,
+        ending_timestamp=between_1_2,
+        spark=spark,
+    )
+    assert {r["_commit_version"] for r in only_v1.collect()} == {1}
+
+    # the DataSource twins resolve identically
+    from dask_deltalake_spark.sources import register_python_datasource
+
+    register_python_datasource(spark)
+    src = (
+        spark.read.format("delta_py_cdf")
+        .option("path", path)
+        .option("startingTimestamp", between_0_1)
+        .option("endingTimestamp", between_1_2)
+        .load()
+    )
+    assert {r["_commit_version"] for r in src.collect()} == {1}
+
+    with pytest.raises(ValueError, match="after the latest"):
+        read_delta_changes(
+            path, starting_timestamp="2099-01-01T00:00:00", spark=spark
+        )
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_delta_changes(
+            path,
+            starting_version=1,
+            starting_timestamp=between_0_1,
+            spark=spark,
+        )
