@@ -40,9 +40,10 @@ _ALL.update(_STREAMING)
 #     carries baseRowId through re-adds), d33 (replace_where persists
 #     before the region probe), d30 (ICT chain scans all actions),
 #     d29 (create-time v7 feature list derived from the implied map),
-#     d36 (NEW — derived partition pruning for generated columns);
+#     d36 (NEW — derived partition pruning for generated columns),
+#     q46 (NEW — Spark 4 VARIANT semi-structured extraction);
 # (c) the stalest r4-tier rows on the paths the LogStore refactor
-#     touched most: d01-d06, d17-d19, x29, x18, then q07-q09 (q10 joins the r7 front).
+#     touched most: d01-d06, d17-d19, x29, x18, then q07-q08 (q09/q10 join the r7 front).
 # Left at positions 51+ for r7 (no hash information lost this round):
 # q01-q04/q06 + the r5-verified d20-d28/d31/d32/d34 + x01/x04/x07/
 # x08/x28/x30/x33-x36 + s01-s05/s08 all have r5 hash rows on unchanged
@@ -88,6 +89,7 @@ _R6_FRONT = (
         "d30_in_commit_timestamps",
         "d29_row_tracking",
         "d36_generated_partition_inference",
+        "q46_variant_semistructured",
         # (c) stalest r4 tier on LogStore-touched paths
         "d01_delta_roundtrip",
         "d02_delta_time_travel",
@@ -102,7 +104,6 @@ _R6_FRONT = (
         "x18_dedup_clusters",
         "q07_join_semi",
         "q08_join_anti",
-        "q09_join_theta",
     ]
 )
 _R6_FRONT = [n for n in _R6_FRONT if n in _ALL]

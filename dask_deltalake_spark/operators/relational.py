@@ -1672,3 +1672,51 @@ def q45_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     and laziness means no driver materialization to scale with LIMIT)."""
     _t(spark, sf_dir, "part").createOrReplaceTempView("part_rcte")
     return spark.sql(_RCTE_SQL.format(part="part_rcte"))
+
+
+@query(
+    "q46_variant_semistructured",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           CAST(COUNT(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS n_typed,
+           MIN('OBJECT<k: BIGINT>') AS vschema
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q46_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data via Spark 4's VARIANT type: ``parse_json``
+    once into a binary variant, then TYPED path extraction with
+    ``try_variant_get`` and runtime schema discovery with
+    ``schema_of_variant``. Against string JSON (q28's
+    get_json_object), variant parses each document ONCE into a
+    compact binary encoding that every later path access reads
+    without re-parsing — the open-format answer to shredded JSON
+    columns, and at 100 TB the difference between one parse and one
+    parse per path per query. Delta-side this is the ``variantType``
+    table feature; the parse is a whole-stage-codegen projection,
+    the aggregate is an ordinary partial+final hash agg."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("pv")
+    )
+    return (
+        v.select(
+            "event_type",
+            F.try_variant_get("pv", "$.k", "bigint").alias("k"),
+            F.schema_of_variant(F.col("pv")).alias("vschema"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.count("k").alias("n_typed"),
+            F.min("vschema").alias("vschema"),
+        )
+        .orderBy("event_type")
+    )
