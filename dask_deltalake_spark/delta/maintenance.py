@@ -121,6 +121,7 @@ def vacuum(
             "deletionVectors",
             "rowTracking",
             "domainMetadata",
+            "clustering",
             "vacuumProtocolCheck",
         },
     )
@@ -520,9 +521,21 @@ def optimize(
         snap.protocol,
         metadata=snap.metadata,
         features={"columnMapping", "deletionVectors", "generatedColumns",
-                  "identityColumns", "rowTracking", "domainMetadata"},
+                  "identityColumns", "rowTracking", "domainMetadata",
+                  "clustering"},
     )
     partition_by = list(snap.metadata.partition_columns)
+
+    # Clustered tables (delta/clustering.py): OPTIMIZE without an
+    # explicit zorder_by clusters by the table's declared clustering
+    # columns — that IS the clustered-table maintenance contract
+    # (ingest free-form, cluster in the background).
+    if not zorder_by:
+        from dask_deltalake_spark.delta.clustering import (
+            clustering_columns,
+        )
+
+        zorder_by = clustering_columns(snap)
 
     old_paths = list(snap.files)
     total_bytes = sum(a.size for a in snap.add_actions)
@@ -554,18 +567,32 @@ def optimize(
         missing = [c for c in zorder_by if c not in df.columns]
         if missing:
             raise ValueError(f"zorder_by columns not in table: {missing}")
-        row = df.agg(
-            *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
-            *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
-        ).first()
-        bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in zorder_by}
-        z = _zorder_value(df, zorder_by, bounds)
-        df = (
-            df.withColumn("__z", z)
-            .repartitionByRange(n_out, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
+        from pyspark.sql.types import NumericType
+
+        numeric = all(
+            isinstance(df.schema[c].dataType, NumericType) for c in zorder_by
         )
+        if numeric:
+            row = df.agg(
+                *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
+            ).first()
+            bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in zorder_by}
+            z = _zorder_value(df, zorder_by, bounds)
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            # non-numeric clustering columns: hierarchical range-sort
+            # clustering (lexicographic) — files still get tight
+            # min/max ranges, leading columns tightest; the
+            # interleaved-bit path needs numeric width_bucket ranks
+            df = df.repartitionByRange(
+                n_out, *zorder_by
+            ).sortWithinPartitions(*zorder_by)
     elif partition_by:
         df = df.repartition(n_out, *partition_by)
     else:
@@ -726,6 +753,7 @@ def restore(
             "identityColumns",
             "rowTracking",
             "domainMetadata",
+            "clustering",
         },
     )
     target = log.snapshot(version=version)

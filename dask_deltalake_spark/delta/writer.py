@@ -683,6 +683,7 @@ def to_delta(
     replace_where: Optional[list] = None,
     txn_app_id: Optional[str] = None,
     txn_version: Optional[int] = None,
+    cluster_by: Optional[list | str] = None,
 ) -> None:
     """Write a Spark DataFrame as a Delta table commit.
 
@@ -752,7 +753,17 @@ def to_delta(
     This is the exactly-once contract for streaming foreachBatch
     sinks (appId = query id, version = batch id): a re-delivered
     micro-batch after a failure becomes a detected no-op instead of a
-    duplicate — delta-spark's ``txnAppId``/``txnVersion`` semantics."""
+    duplicate — delta-spark's ``txnAppId``/``txnVersion`` semantics.
+
+    ``cluster_by`` (CREATE only; the Delta ``clustering`` writer
+    feature — liquid clustering's protocol surface): declares
+    CLUSTERING COLUMNS in domain metadata ``delta.clustering`` instead
+    of hive partitions. Ingest stays shuffle-free (the fix for
+    partitioning's small-file explosion on high-cardinality keys);
+    ``optimize()`` then clusters by these columns by default so
+    per-file stats prune like partitions would. Mutually exclusive
+    with ``partition_by`` (spec: clustered tables are unpartitioned);
+    later appends preserve the domain automatically."""
     if engine not in ("native", "arrow"):
         raise ValueError(f"Unsupported write engine: {engine!r}")
     if (txn_app_id is None) != (txn_version is None):
@@ -777,6 +788,14 @@ def to_delta(
     if isinstance(partition_by, str):
         partition_by = [partition_by]
     partition_by = list(partition_by or [])
+    if isinstance(cluster_by, str):
+        cluster_by = [cluster_by]
+    cluster_by = list(cluster_by or [])
+    if cluster_by and partition_by:
+        raise ValueError(
+            "cluster_by and partition_by are mutually exclusive "
+            "(clustered tables are unpartitioned per the Delta spec)"
+        )
     if mode not in ("error", "append", "overwrite", "ignore"):
         raise ValueError(f"Unsupported write mode: {mode!r}")
 
@@ -816,6 +835,12 @@ def to_delta(
             "identity_columns is CREATE-only; this table already "
             "exists (its identity declarations live in the table "
             "schema and values are assigned automatically)."
+        )
+    if cluster_by and snap is not None:
+        raise ValueError(
+            "cluster_by is CREATE-only; this table already exists "
+            "(its clustering spec lives in domain metadata and "
+            "appends preserve it automatically)."
         )
     _id_decls: dict = {}
     if identity_columns and snap is None:
@@ -859,6 +884,9 @@ def to_delta(
     for c in partition_by:
         if c not in df.columns:
             raise ValueError(f"partition_by column {c!r} not in DataFrame")
+    for c in cluster_by:
+        if c not in df.columns:
+            raise ValueError(f"cluster_by column {c!r} not in DataFrame")
 
     if snap is not None:
         table_schema = StructType.fromJson(
@@ -945,6 +973,7 @@ def to_delta(
                 # preserve ids do NOT declare these and are refused.
                 "rowTracking",
                 "domainMetadata",
+                "clustering",
             },
         )
         check_append_only(snap.metadata, mode)
@@ -1169,10 +1198,19 @@ def to_delta(
                 create_schema, _id_decls
             )
             writer_version = 6
+        _create_feats: list = []
         if _rt_create:
+            _create_feats += list(ROW_TRACKING_FEATURES)
+        if cluster_by:
+            from dask_deltalake_spark.delta.clustering import (
+                CLUSTERING_FEATURE,
+            )
+
+            _create_feats += [CLUSTERING_FEATURE, "domainMetadata"]
+        if _create_feats:
             # v7 feature list: the ladder's implied obligations become
-            # explicit features alongside rowTracking/domainMetadata —
-            # derived from the SAME implied map the upgrade path uses
+            # explicit features alongside the requested ones — derived
+            # from the SAME implied map the upgrade path uses
             # (protocol_with_features), so create and upgrade can never
             # disagree about e.g. checkConstraints at v>=3
             from dask_deltalake_spark.delta.protocol import (
@@ -1182,7 +1220,7 @@ def to_delta(
             actions.append(
                 protocol_with_features(
                     Protocol(min_writer_version=writer_version),
-                    writer_features=ROW_TRACKING_FEATURES,
+                    writer_features=_create_feats,
                 ).to_json()
             )
         else:
@@ -1258,6 +1296,12 @@ def to_delta(
             ).to_json()
         )
 
+    if snap is None and cluster_by:
+        from dask_deltalake_spark.delta.clustering import (
+            clustering_domain_action,
+        )
+
+        actions.append(clustering_domain_action(cluster_by))
     actions.extend(a.to_json() for a in adds)
     if _rt_domain_action is not None:
         actions.append(_rt_domain_action)

@@ -41,9 +41,10 @@ _ALL.update(_STREAMING)
 #     before the region probe), d30 (ICT chain scans all actions),
 #     d29 (create-time v7 feature list derived from the implied map),
 #     d36 (NEW — derived partition pruning for generated columns),
-#     q46 (NEW — Spark 4 VARIANT semi-structured extraction);
+#     q46 (NEW — Spark 4 VARIANT semi-structured extraction),
+#     d37 (NEW — clustered tables / liquid clustering surface);
 # (c) the stalest r4-tier rows on the paths the LogStore refactor
-#     touched most: d01-d06, d17-d19, x29, x18, then q07-q08 (q09/q10 join the r7 front).
+#     touched most: d01-d06, d17-d19, x29, x18, then q07 (q08-q10 join the r7 front).
 # Left at positions 51+ for r7 (no hash information lost this round):
 # q01-q04/q06 + the r5-verified d20-d28/d31/d32/d34 + x01/x04/x07/
 # x08/x28/x30/x33-x36 + s01-s05/s08 all have r5 hash rows on unchanged
@@ -90,6 +91,7 @@ _R6_FRONT = (
         "d29_row_tracking",
         "d36_generated_partition_inference",
         "q46_variant_semistructured",
+        "d37_clustered_table",
         # (c) stalest r4 tier on LogStore-touched paths
         "d01_delta_roundtrip",
         "d02_delta_time_travel",
@@ -103,7 +105,6 @@ _R6_FRONT = (
         "x29_chunk_documents",
         "x18_dedup_clusters",
         "q07_join_semi",
-        "q08_join_anti",
     ]
 )
 _R6_FRONT = [n for n in _R6_FRONT if n in _ALL]

@@ -1743,3 +1743,65 @@ def d36_generated_partition_inference(
         F.count("*").alias("n_rows"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     ).withColumn("n_partitions_scanned", F.lit(n_parts).cast("long"))
+
+
+@query(
+    "d37_clustered_table",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS qty_sum,
+           1 AS clustering_declared,
+           1 AS probe_pruned
+    FROM lineitem
+    """,
+)
+def d37_clustered_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered table lifecycle (the Delta ``clustering`` writer
+    feature — liquid clustering's protocol surface, delta/clustering.py):
+    CREATE with ``cluster_by`` stores the clustering spec in domain
+    metadata ``delta.clustering`` under a v7 feature-list protocol
+    (no hive partitions — ingest stays shuffle-free), and OPTIMIZE
+    with no arguments clusters by the declared columns so per-file
+    min/max stats prune like partitions would. The ledger proves:
+    spec round-trips the log, a parameterless OPTIMIZE clustered the
+    data, and an equality probe on a clustered column scans fewer
+    files than the table holds — with the row/sum aggregates
+    recomputed by the oracle to pin data integrity through the
+    rewrite."""
+    import shutil
+
+    from dask_deltalake_spark.delta.clustering import clustering_columns
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.maintenance import optimize
+
+    path = _tmp_table(sf_dir, "lineitem_clustered")
+    shutil.rmtree(path, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    to_delta(li.repartition(8), path, cluster_by=["l_orderkey", "l_partkey"])
+    optimize(path, target_file_size=48 * 1024, spark=spark)
+    snap = DeltaLog(path).snapshot()
+    declared = int(
+        clustering_columns(snap) == ["l_orderkey", "l_partkey"]
+        and "clustering" in (snap.protocol.writer_features or [])
+    )
+    n_files = len(snap.add_actions)
+    # probe the FIRST clustered dimension's low range; with the
+    # interleaved-bit layout the most significant z bits alternate
+    # between dimensions, so any file count >= 4 gives both columns
+    # pruned sub-ranges (l_partkey also carries the single most
+    # significant bit — robust even at tiny file counts)
+    probe = read_delta(
+        path, filter=[("l_partkey", "<", 50)], spark=spark
+    )
+    pruned = int(n_files > 1 and len(probe.inputFiles()) < n_files)
+    return (
+        read_delta(path, spark=spark)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("qty_sum"),
+        )
+        .withColumn("clustering_declared", F.lit(declared))
+        .withColumn("probe_pruned", F.lit(pruned))
+    )
