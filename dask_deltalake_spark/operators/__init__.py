@@ -42,9 +42,10 @@ _ALL.update(_STREAMING)
 #     d29 (create-time v7 feature list derived from the implied map),
 #     d36 (NEW — derived partition pruning for generated columns),
 #     q46 (NEW — Spark 4 VARIANT semi-structured extraction),
-#     d37 (NEW — clustered tables / liquid clustering surface);
+#     d37 (NEW — clustered tables / liquid clustering surface),
+#     s10 (NEW — stream-static broadcast join via delta_py);
 # (c) the stalest r4-tier rows on the paths the LogStore refactor
-#     touched most: d01-d06, d17-d19, x29, x18, then q07 (q08-q10 join the r7 front).
+#     touched most: d01-d06, d17-d19, x29, x18 (q07-q10 join the r7 front).
 # Left at positions 51+ for r7 (no hash information lost this round):
 # q01-q04/q06 + the r5-verified d20-d28/d31/d32/d34 + x01/x04/x07/
 # x08/x28/x30/x33-x36 + s01-s05/s08 all have r5 hash rows on unchanged
@@ -92,6 +93,7 @@ _R6_FRONT = (
         "d36_generated_partition_inference",
         "q46_variant_semistructured",
         "d37_clustered_table",
+        "s10_stream_static_join",
         # (c) stalest r4 tier on LogStore-touched paths
         "d01_delta_roundtrip",
         "d02_delta_time_travel",
@@ -104,7 +106,6 @@ _R6_FRONT = (
         "d19_change_data_feed",
         "x29_chunk_documents",
         "x18_dedup_clusters",
-        "q07_join_semi",
     ]
 )
 _R6_FRONT = [n for n in _R6_FRONT if n in _ALL]

@@ -682,3 +682,81 @@ def s09_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "s10_stream_static_join",
+    """
+    SELECT n_name,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS acctbal_sum
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def s10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: an incrementally-arriving Delta fact stream
+    (delta_py source, two commits) joined per micro-batch against a
+    static broadcast dimension, feeding a streaming aggregate in
+    complete mode — the canonical streaming-enrichment topology. The
+    static side is planned ONCE and broadcast to every batch (no
+    stream-side shuffle for the join; state is only the aggregate);
+    at 100 TB of stream the per-batch cost is O(batch) + the
+    dimension broadcast, never O(history). Drained through the
+    availableNow helper (capture-once end version, then stop)."""
+    import hashlib
+    import shutil
+    import uuid as _uuid
+
+    from dask_deltalake_spark.delta.writer import to_delta
+    from dask_deltalake_spark.sources import register_python_datasource
+    from dask_deltalake_spark.streaming.availablenow import (
+        drain_available_now,
+    )
+    from dask_deltalake_spark.tables import load_table
+
+    register_python_datasource(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/ddl_spark_stream_static/{tag}"
+    tbl, ck = f"{base}/tbl", f"{base}/ck"
+    shutil.rmtree(base, ignore_errors=True)
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    # two commits -> the drain walks a real multi-version backlog
+    to_delta(c.filter(F.col("c_custkey") % 2 == 0).coalesce(1), tbl)
+    to_delta(
+        c.filter(F.col("c_custkey") % 2 == 1).coalesce(1), tbl, mode="append"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+
+    name = "s10_" + _uuid.uuid4().hex[:8]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STATE_PARTITIONS))
+    try:
+        drain_available_now(
+            spark,
+            tbl,
+            lambda df: (
+                df.join(
+                    F.broadcast(nation),
+                    df.c_nationkey == nation.n_nationkey,
+                )
+                .groupBy("n_name")
+                .agg(
+                    F.count("*").alias("n_customers"),
+                    F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+            ),
+            ck,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name).orderBy("n_name")
