@@ -914,3 +914,109 @@ import re as _re_mod
 _COMMIT_OR_CP_RE = _re_mod.compile(
     r"^(\d{20})\.(?:json|checkpoint(?:\.\d+\.\d+)?\.parquet)$"
 )
+
+
+def set_table_properties(
+    path: str,
+    properties: Optional[dict] = None,
+    unset: Optional[list] = None,
+) -> int:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES as one metadata-only commit
+    (delta-spark / delta-rs parity). Guarded: ``delta.*`` properties
+    that correspond to protocol FEATURES are refused here — they need
+    their dedicated enable path (enable_row_tracking,
+    enable_in_commit_timestamps, add_constraint, ...) because flipping
+    the property without the protocol upgrade writes a table other
+    engines must reject. Returns the committed version."""
+    gated = {
+        "delta.enablerowtracking",
+        "delta.enableincommittimestamps",
+        "delta.enablechangedatafeed",
+        "delta.columnmapping.mode",
+        "delta.enabledeletionvectors",
+    }
+    props = dict(properties or {})
+    for k in list(props) + list(unset or []):
+        if str(k).lower() in gated or str(k).lower().startswith(
+            "delta.constraints."
+        ):
+            raise DeltaProtocolError(
+                f"Property {k!r} controls a protocol feature; use its "
+                "dedicated enable/add function so the protocol upgrade "
+                "commits atomically with the property."
+            )
+    log = DeltaLog(str(path).rstrip("/"))
+    snap = log.snapshot()
+    check_write_protocol(
+        snap.protocol,
+        metadata=snap.metadata,
+        features={"columnMapping", "deletionVectors", "generatedColumns",
+                  "identityColumns", "rowTracking", "domainMetadata",
+                  "clustering"},
+    )
+    meta = snap.metadata
+    config = dict(meta.configuration)
+    config.update({str(k): str(v) for k, v in props.items()})
+    for k in unset or []:
+        config.pop(str(k), None)
+    from dask_deltalake_spark.delta.protocol import Metadata
+
+    ts = now_ms()
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(
+                        {str(k): str(v) for k, v in props.items()}
+                    )
+                },
+                "readVersion": snap.version,
+                "isBlindAppend": False,
+                "engineInfo": "dask_deltalake_spark/0.1.0",
+            }
+        },
+        Metadata(
+            id=meta.id,
+            schema_string=meta.schema_string,
+            partition_columns=meta.partition_columns,
+            configuration=config,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+        ).to_json(),
+    ]
+    write_commit(log.table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
+def table_detail(path: str) -> dict:
+    """DESCRIBE DETAIL analog (delta-spark's surface): one
+    metadata-only dict describing the current snapshot — format, id,
+    name/description, location, createdAt, partition/clustering
+    columns, live file count and bytes, properties, and protocol
+    versions/features. O(metadata); never touches data files."""
+    log = DeltaLog(str(path).rstrip("/"))
+    snap = log.snapshot()
+    from dask_deltalake_spark.delta.clustering import clustering_columns
+
+    meta = snap.metadata
+    return {
+        "format": "delta",
+        "id": meta.id,
+        "name": meta.name,
+        "description": meta.description,
+        "location": log.table_path,
+        "createdAt": meta.created_time,
+        "partitionColumns": list(meta.partition_columns),
+        "clusteringColumns": clustering_columns(snap) or [],
+        "numFiles": len(snap.files),
+        "sizeInBytes": sum(a.size for a in snap.add_actions),
+        "properties": dict(meta.configuration),
+        "minReaderVersion": snap.protocol.min_reader_version,
+        "minWriterVersion": snap.protocol.min_writer_version,
+        "readerFeatures": sorted(snap.protocol.reader_features or []),
+        "writerFeatures": sorted(snap.protocol.writer_features or []),
+        "version": snap.version,
+    }

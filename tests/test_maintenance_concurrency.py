@@ -138,3 +138,32 @@ def test_vacuum_lite_uses_log_not_listing(spark, tmp_path):
     # retention respected: fresh tombstones survive a default-retention lite
     to_delta(_df(spark, 0, 5).coalesce(1), path, mode="overwrite")
     assert vacuum(path, retention_hours=168, dry_run=True, mode="lite") == []
+
+
+def test_set_table_properties_and_detail(spark, tmp_path):
+    from dask_deltalake_spark.delta.maintenance import (
+        set_table_properties,
+        table_detail,
+    )
+    from dask_deltalake_spark.delta.protocol import DeltaProtocolError
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10).coalesce(1), path, name="facts",
+             configuration={"team": "data"})
+    v = set_table_properties(
+        path, {"delta.logRetentionDuration": "interval 7 days",
+               "owner": "pipeline"},
+        unset=["team"],
+    )
+    assert v == 1
+    d = table_detail(path)
+    assert d["properties"]["owner"] == "pipeline"
+    assert d["properties"]["delta.logRetentionDuration"] == "interval 7 days"
+    assert "team" not in d["properties"]
+    assert d["name"] == "facts" and d["numFiles"] == 1 and d["version"] == 1
+    assert d["sizeInBytes"] > 0 and d["partitionColumns"] == []
+    # data untouched by the metadata-only commit
+    assert read_delta(path, spark=spark).count() == 10
+    # feature-controlling properties are refused with a pointer
+    with pytest.raises(DeltaProtocolError, match="dedicated"):
+        set_table_properties(path, {"delta.enableRowTracking": "true"})
