@@ -28,8 +28,16 @@ from dask_deltalake_spark.delta.maintenance import (
     optimize,
     read_delta_history,
     restore,
+    set_table_properties,
+    table_detail,
     vacuum,
 )
+from dask_deltalake_spark.delta.clustering import clustering_columns
+from dask_deltalake_spark.delta.logstore import (
+    register_log_store,
+    resolve_spark_path,
+)
+from dask_deltalake_spark.streaming.availablenow import drain_available_now
 from dask_deltalake_spark.delta.cdc import read_delta_changes
 from dask_deltalake_spark.delta.column_mapping import (
     add_column,
@@ -81,6 +89,12 @@ __all__ = [
     "enable_row_tracking",
     "enable_in_commit_timestamps",
     "shallow_clone",
+    "set_table_properties",
+    "table_detail",
+    "clustering_columns",
+    "register_log_store",
+    "resolve_spark_path",
+    "drain_available_now",
     "get_spark",
 ]
 
