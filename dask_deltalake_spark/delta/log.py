@@ -40,6 +40,20 @@ class DeltaTableNotFoundError(Exception):
     pass
 
 
+# Incremental snapshot cache (delta-spark's SnapshotManagement.update
+# parity): latest-snapshot requests replay only the commits SINCE the
+# last replay of the same table instead of the whole log. Keyed by
+# table path; an entry is valid iff its anchor commit file still
+# exists with an unchanged mtime (a recreated table at the same path —
+# rmtree + rewrite — fails that check and falls back to full replay).
+# Entries hold the final replay-state dicts, which are never mutated
+# after snapshot construction (reuse COPIES them before continuing).
+# Bounded LRU; commits are immutable and versions monotone, so
+# incremental replay on a validated anchor is always exact.
+_SNAPSHOT_CACHE: dict[str, tuple] = {}
+_SNAPSHOT_CACHE_MAX = 16
+
+
 @dataclass
 class Snapshot:
     """Materialized table state at one version."""
@@ -313,8 +327,17 @@ class DeltaLog:
         txns: dict[str, int] = {}
 
         start = 0
+        cached = (
+            self._cache_lookup(versions)
+            if version == versions[-1]
+            else None
+        )
         usable_cp = [c for c in self.checkpoint_versions() if c <= version]
-        if usable_cp:
+        if cached is not None:
+            adds, tombstones, metadata, protocol, domains, txns, start = (
+                cached
+            )
+        elif usable_cp:
             cp = usable_cp[-1]
             adds, tombstones, metadata, protocol, domains, txns = (
                 self._load_checkpoint(cp)
@@ -372,6 +395,10 @@ class DeltaLog:
                 f"Table {self.table_path} has no metaData action up to "
                 f"version {version}"
             )
+        if version == versions[-1]:
+            self._cache_store(
+                version, (adds, tombstones, metadata, protocol, domains, txns)
+            )
         return Snapshot(
             path=self.table_path,
             version=version,
@@ -382,6 +409,67 @@ class DeltaLog:
             domain_metadata=domains,
             transactions=txns,
         )
+
+    # -- snapshot cache ---------------------------------------------------
+
+    def _cache_lookup(self, versions: list[int]):
+        """Validated cached replay state for this table, as COPIES plus
+        the next version to replay — or None (miss / stale / invalid).
+        Validation: the anchor commit file still exists with the mtime
+        recorded at cache time (detects a table recreated in place)."""
+        entry = _SNAPSHOT_CACHE.get(self.table_path)
+        if entry is None:
+            return None
+        cv, cmtime, state = entry
+        if cv not in versions or cv > versions[-1]:
+            _SNAPSHOT_CACHE.pop(self.table_path, None)
+            return None
+        try:
+            mtime = self.store.mtime(
+                os.path.join(self.log_path, commit_filename(cv))
+            )
+        except OSError:
+            _SNAPSHOT_CACHE.pop(self.table_path, None)
+            return None
+        if mtime != cmtime:
+            _SNAPSHOT_CACHE.pop(self.table_path, None)
+            return None
+        adds, tombstones, metadata, protocol, domains, txns = state
+        return (
+            dict(adds),
+            dict(tombstones),
+            metadata,
+            protocol,
+            dict(domains),
+            dict(txns),
+            cv + 1,
+        )
+
+    def _cache_store(self, version: int, state: tuple) -> None:
+        try:
+            mtime = self.store.mtime(
+                os.path.join(self.log_path, commit_filename(version))
+            )
+        except OSError:
+            return
+        adds, tombstones, metadata, protocol, domains, txns = state
+        _SNAPSHOT_CACHE.pop(self.table_path, None)
+        # COPIES: the returned Snapshot owns its dicts; a caller
+        # mutating them must never reach the cache
+        _SNAPSHOT_CACHE[self.table_path] = (
+            version,
+            mtime,
+            (
+                dict(adds),
+                dict(tombstones),
+                metadata,
+                protocol,
+                dict(domains),
+                dict(txns),
+            ),
+        )
+        while len(_SNAPSHOT_CACHE) > _SNAPSHOT_CACHE_MAX:
+            _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
 
     # -- history ----------------------------------------------------------
 
