@@ -133,7 +133,10 @@ def read_delta(
     check_read_protocol(
         snap.protocol,
         metadata=snap.metadata,
-        features={"columnMapping", "deletionVectors"},
+        # variantType: the native Spark scan decodes VARIANT; the
+        # Python-source path (delta_py) does NOT claim it (pyarrow
+        # cannot parse the logical type) and refuses such tables
+        features={"columnMapping", "deletionVectors", "variantType"},
     )
     schema = snapshot_schema(snap)
     dnf = normalize_dnf(filter)

@@ -182,11 +182,17 @@ def _write_partition_factory(table_path: str, partition_by: list[str], arrow_sch
 def _harvest_footer(args: tuple) -> tuple:
     """Executor-side parquet footer → per-file Delta stats. Reads ONLY
     the footer metadata (a few KB), never row data — the harvesting
-    pass over a 100 TB write is O(#files) metadata reads."""
+    pass over a 100 TB write is O(#files) metadata reads. A footer
+    pyarrow cannot parse (e.g. the VARIANT logical type predates this
+    pyarrow) yields the (-1, None) sentinel; the driver then recovers
+    row counts with one Spark job over exactly those files."""
     staging, rel, max_cols = args
     import pyarrow.parquet as pq
 
-    md = pq.read_metadata(os.path.join(staging, rel))
+    try:
+        md = pq.read_metadata(os.path.join(staging, rel))
+    except OSError:
+        return rel, -1, None
     n, stats = _footer_stats(md, max_cols)
     return rel, n, stats
 
@@ -347,12 +353,49 @@ def _write_files_native(df: DataFrame, table_path: str, partition_by: list[str])
 
             harvested = []
             for rel in rel_files:
-                with store.open_input(os.path.join(staging, rel)) as fh:
-                    md = pq.read_metadata(fh)
-                n, stats = _footer_stats(md, 32)
+                try:
+                    with store.open_input(os.path.join(staging, rel)) as fh:
+                        md = pq.read_metadata(fh)
+                    n, stats = _footer_stats(md, 32)
+                except OSError:
+                    n, stats = -1, None
                 harvested.append((rel, n, stats))
         else:
             harvested = []
+        unreadable = [rel for rel, n, _s in harvested if n < 0]
+        if unreadable:
+            # pyarrow couldn't parse these footers (e.g. VARIANT's
+            # logical type) — recover exact per-file row counts with
+            # ONE JVM-side job over just those files; they carry no
+            # stats (the protocol allows it; skipping degrades to
+            # row-filters, never to wrong rows)
+            from dask_deltalake_spark.delta.logstore import (
+                resolve_spark_path,
+            )
+
+            paths = [
+                resolve_spark_path(os.path.join(staging, rel))
+                for rel in unreadable
+            ]
+            counts_rows = (
+                spark.read.parquet(*paths)
+                .groupBy(F.col("_metadata.file_path").alias("fp"))
+                .count()
+                .collect()
+            )
+            by_name = {
+                r["fp"].rsplit("/", 1)[-1]: r["count"] for r in counts_rows
+            }
+            harvested = [
+                (
+                    rel,
+                    n if n >= 0 else int(
+                        by_name.get(rel.rsplit("/", 1)[-1], 0)
+                    ),
+                    stats,
+                )
+                for rel, n, stats in harvested
+            ]
         out = []
         write_root = local_root if local_root is not None else table_path
         for rel, num_records, stats in harvested:
@@ -415,6 +458,31 @@ def _spark_to_arrow_schema(schema: StructType) -> "pa.Schema":
         else:
             fields.append(f)
     return pa.schema(fields)
+
+
+def _type_features(schema: StructType) -> set:
+    """Protocol features REQUIRED by the types a schema carries
+    (public spec): TIMESTAMP_NTZ needs ``timestampNtz``, VARIANT needs
+    ``variantType`` — both reader+writer features, because a reader
+    that doesn't know the type misinterprets the physical data. Walks
+    nested array/map/struct types."""
+    feats: set = set()
+
+    def walk(dt):
+        t = dt.typeName()
+        if t == "timestamp_ntz":
+            feats.add("timestampNtz")
+        elif t == "variant":
+            feats.add("variantType")
+        for child in ("elementType", "keyType", "valueType"):
+            if hasattr(dt, child):
+                walk(getattr(dt, child))
+        if hasattr(dt, "fields"):
+            for f in dt.fields:
+                walk(f.dataType)
+
+    walk(schema)
+    return feats
 
 
 def _schemas_equivalent(a: StructType, b: StructType) -> bool:
@@ -974,6 +1042,10 @@ def to_delta(
                 "rowTracking",
                 "domainMetadata",
                 "clustering",
+                # the native engine writes VARIANT through the JVM
+                # parquet writer; footer stats fall back to a Spark
+                # count job where pyarrow can't parse the logical type
+                "variantType",
             },
         )
         check_append_only(snap.metadata, mode)
@@ -1199,6 +1271,7 @@ def to_delta(
             )
             writer_version = 6
         _create_feats: list = []
+        _create_reader_feats: list = []
         if _rt_create:
             _create_feats += list(ROW_TRACKING_FEATURES)
         if cluster_by:
@@ -1207,6 +1280,13 @@ def to_delta(
             )
 
             _create_feats += [CLUSTERING_FEATURE, "domainMetadata"]
+        # type-triggered features: a schema carrying TIMESTAMP_NTZ /
+        # VARIANT must DECLARE timestampNtz / variantType (reader AND
+        # writer features) or other engines misread the physical data
+        _tf = _type_features(create_schema)
+        if _tf:
+            _create_feats += sorted(_tf)
+            _create_reader_feats += sorted(_tf)
         if _create_feats:
             # v7 feature list: the ladder's implied obligations become
             # explicit features alongside the requested ones — derived
@@ -1220,6 +1300,7 @@ def to_delta(
             actions.append(
                 protocol_with_features(
                     Protocol(min_writer_version=writer_version),
+                    reader_features=_create_reader_feats,
                     writer_features=_create_feats,
                 ).to_json()
             )
@@ -1259,11 +1340,26 @@ def to_delta(
         # as the adds: the merged (evolved) schema, and identity high
         # water marks — crash recovery can never reuse an assigned
         # value or see the new columns' files before their schema
+        _up_rf: set = set()
         if merged_widened:
             # a widened column changes how OLDER (narrower) files must
             # be read — declare the typeWidening feature in the same
             # commit so non-supporting readers refuse instead of
             # misreading
+            _up_rf |= {"typeWidening"}
+        if merged_schema_string:
+            # merged-in TIMESTAMP_NTZ / VARIANT columns carry their
+            # type-triggered features into the same commit
+            _declared = set(snap.protocol.reader_features or []) | set(
+                snap.protocol.writer_features or []
+            )
+            _up_rf |= (
+                _type_features(
+                    StructType.fromJson(json.loads(merged_schema_string))
+                )
+                - _declared
+            )
+        if _up_rf:
             from dask_deltalake_spark.delta.protocol import (
                 protocol_with_features,
             )
@@ -1271,8 +1367,8 @@ def to_delta(
             actions.append(
                 protocol_with_features(
                     snap.protocol,
-                    reader_features=("typeWidening",),
-                    writer_features=("typeWidening",),
+                    reader_features=sorted(_up_rf),
+                    writer_features=sorted(_up_rf),
                 ).to_json()
             )
         meta = snap.metadata
