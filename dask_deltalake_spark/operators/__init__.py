@@ -43,9 +43,12 @@ _ALL.update(_STREAMING)
 #     d36 (NEW — derived partition pruning for generated columns),
 #     q46 (NEW — Spark 4 VARIANT semi-structured extraction),
 #     d37 (NEW — clustered tables / liquid clustering surface),
-#     s10 (NEW — stream-static broadcast join via delta_py);
+#     s10 (NEW — stream-static broadcast join via delta_py),
+#     d38 (NEW — VARIANT-column Delta round-trip + variantType);
 # (c) the stalest r4-tier rows on the paths the LogStore refactor
-#     touched most: d01-d06, d17-d19, x29, x18 (q07-q10 join the r7 front).
+#     touched most: d01-d06, d17-d19, x29, x18 (x29 and q07-q10 join the r7 front; x29 is
+# pytest-covered chunking with in-window neighbor x18 on the shared
+# tokenize path).
 # Left at positions 51+ for r7 (no hash information lost this round):
 # q01-q04/q06 + the r5-verified d20-d28/d31/d32/d34 + x01/x04/x07/
 # x08/x28/x30/x33-x36 + s01-s05/s08 all have r5 hash rows on unchanged
@@ -94,6 +97,7 @@ _R6_FRONT = (
         "q46_variant_semistructured",
         "d37_clustered_table",
         "s10_stream_static_join",
+        "d38_variant_table",
         # (c) stalest r4 tier on LogStore-touched paths
         "d01_delta_roundtrip",
         "d02_delta_time_travel",
@@ -104,7 +108,6 @@ _R6_FRONT = (
         "d17_storage_options",
         "d18_table_create_metadata",
         "d19_change_data_feed",
-        "x29_chunk_documents",
         "x18_dedup_clusters",
     ]
 )

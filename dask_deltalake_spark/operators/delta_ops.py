@@ -1805,3 +1805,55 @@ def d37_clustered_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("clustering_declared", F.lit(declared))
         .withColumn("probe_pruned", F.lit(pruned))
     )
+
+
+@query(
+    "d38_variant_table",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           1 AS variant_feature_declared
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def d38_variant_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta round-trip of a VARIANT column (the ``variantType``
+    reader+writer feature): events.props is parsed ONCE into Spark 4's
+    binary variant encoding at ingest, stored in the table, and every
+    later query does typed path access with no re-parsing — the
+    shredded-JSON storage pattern. The write declares variantType in
+    the create protocol (writer.py:_type_features) and recovers
+    per-file row counts through the Spark fallback (pyarrow cannot
+    parse the VARIANT footer); the oracle recomputes the typed
+    extraction from the raw JSON, so a hash match proves the
+    encode→store→decode cycle is lossless."""
+    import shutil
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+
+    path = _tmp_table(sf_dir, "events_variant")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.parse_json(F.col("props")).alias("pv")
+    )
+    to_delta(ev, path)
+    snap = DeltaLog(path).snapshot()
+    declared = int(
+        "variantType" in (snap.protocol.reader_features or [])
+        and "variantType" in (snap.protocol.writer_features or [])
+    )
+    got = read_delta(path, spark=spark)
+    return (
+        got.select(
+            "event_type",
+            F.try_variant_get("pv", "$.k", "bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
+        .withColumn("variant_feature_declared", F.lit(declared))
+        .orderBy("event_type")
+    )
