@@ -34,6 +34,7 @@ from pyspark.sql.types import StructType
 from dask_deltalake_spark.delta.log import DeltaLog
 from dask_deltalake_spark.delta.protocol import (
     AddAction,
+    ConcurrentCommitError,
     RemoveAction,
     check_append_only,
     check_read_protocol,
@@ -45,6 +46,71 @@ from dask_deltalake_spark.delta.protocol import (
 )
 
 
+def _commit_with_dml_retry(
+    table_path: str,
+    actions: list,
+    first_version: int,
+    touched_paths: set,
+    prune_dnf,
+    max_retries: int = 10,
+) -> int:
+    """Commit a DML rewrite with delta-spark's conflict resolution:
+    a lost version race retries at the next version iff the winners
+    provably do not interact with this DML — abort when a winner
+    (a) changed metadata/protocol, (b) removed (or re-vectored) any
+    file this DML read (ConcurrentDeleteRead), or (c) added files the
+    predicate may match by partition/stats pruning (serial
+    re-execution would have processed those rows —
+    ConcurrentAppendException). Streaming appends elsewhere in the
+    table and a GDPR delete on old partitions both commit.
+    ``prune_dnf=None`` (e.g. MERGE, whose read set is the join
+    condition, not a DNF) keeps the hard-abort behavior."""
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    log = DeltaLog(table_path)
+    commit_version = first_version
+    attempt = 0
+    while True:
+        try:
+            write_commit(table_path, commit_version, actions)
+            return commit_version
+        except ConcurrentCommitError:
+            if prune_dnf is None or attempt >= max_retries:
+                raise
+            attempt += 1
+            snap2 = log.snapshot()
+            for wv in range(commit_version, snap2.version + 1):
+                winner_adds = []
+                for wa in log.read_commit_actions(wv):
+                    if "metaData" in wa or "protocol" in wa:
+                        raise ConcurrentCommitError(
+                            "Concurrent commit changed table metadata/"
+                            "protocol; the pending DML is aborted."
+                        )
+                    r = wa.get("remove")
+                    if r and r.get("path") in touched_paths:
+                        raise ConcurrentCommitError(
+                            "Concurrent commit removed a file this DML "
+                            "read (ConcurrentDeleteRead); re-run against "
+                            "the current table state."
+                        )
+                    addj = wa.get("add")
+                    if addj and addj.get("dataChange", True):
+                        winner_adds.append(AddAction.from_json(addj))
+                if winner_adds:
+                    maybe = prune_by_stats(
+                        prune_partitions(winner_adds, prune_dnf), prune_dnf
+                    )
+                    if maybe:
+                        raise ConcurrentCommitError(
+                            "Concurrent commit added files the DML "
+                            "predicate may match (ConcurrentAppend); "
+                            "re-run to include the new rows."
+                        )
+            actions[0]["commitInfo"]["readVersion"] = snap2.version
+            commit_version = snap2.version + 1
+
+
 def _rewrite_and_commit(
     spark: SparkSession,
     table_path: str,
@@ -54,9 +120,13 @@ def _rewrite_and_commit(
     new_data: DataFrame,
     operation: str,
     op_params: dict,
+    prune_dnf=None,
 ) -> dict:
     """Write `new_data` as replacement files for `touched` and commit
-    adds+removes atomically. Shared tail of MERGE and DELETE."""
+    adds+removes atomically. Shared tail of MERGE and DELETE.
+    ``prune_dnf`` (DNF-predicate DML only) enables conflict-aware
+    retry past non-interacting concurrent commits
+    (_commit_with_dml_retry)."""
     from dask_deltalake_spark.delta.writer import (
         _ADD_ROW_SCHEMA,
         _spark_to_arrow_schema,
@@ -139,9 +209,15 @@ def _rewrite_and_commit(
                 path=a.path, deletion_timestamp=ts, data_change=True
             ).to_json()
         )
-    write_commit(table_path, snap.version + 1, actions)
+    version = _commit_with_dml_retry(
+        table_path,
+        actions,
+        snap.version + 1,
+        {a.path for a in touched},
+        prune_dnf,
+    )
     return {
-        "version": snap.version + 1,
+        "version": version,
         "numFilesRewritten": len(touched),
         "numFilesAdded": len(add_rows),
         "numFilesUntouched": len(untouched),
@@ -413,6 +489,7 @@ def delete_where(
         new_data,
         "DELETE",
         {"predicate": json.dumps([str(c) for c in (filter or [])])},
+        prune_dnf=prune_dnf,
     )
 
 
@@ -524,6 +601,7 @@ def _mor_commit(
     dv_targets: list,
     drops: list,
     extra_adds: Optional[list] = None,
+    prune_dnf=None,
 ) -> int:
     """Shared back half: write this commit's vectors into ONE .bin,
     emit remove+re-add per vectored file, removes for dropped files,
@@ -616,8 +694,12 @@ def _mor_commit(
                 stats=r.stats,
             ).to_json()
         )
-    write_commit(table_path, snap.version + 1, actions)
-    return snap.version + 1
+    touched_paths = {a.path for a, _pos in dv_targets} | {
+        a.path for a in drops
+    }
+    return _commit_with_dml_retry(
+        table_path, actions, snap.version + 1, touched_paths, prune_dnf
+    )
 
 
 def _delete_merge_on_read(
@@ -646,6 +728,7 @@ def _delete_merge_on_read(
         },
         dv_targets,
         drops,
+        prune_dnf=_translate(normalize_dnf(filter), _mapping(snap)),
     )
     return {
         "version": version,
@@ -752,6 +835,7 @@ def _update_merge_on_read(
         dv_targets,
         drops,
         extra_adds=add_rows,
+        prune_dnf=_translate(normalize_dnf(filter), _mapping(snap)),
     )
     return {
         "version": version,
@@ -859,4 +943,5 @@ def update_where(
         new_data,
         "UPDATE",
         {"predicate": json.dumps([str(c) for c in (filter or [])])},
+        prune_dnf=prune_dnf,
     )

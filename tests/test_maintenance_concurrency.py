@@ -167,3 +167,114 @@ def test_set_table_properties_and_detail(spark, tmp_path):
     # feature-controlling properties are refused with a pointer
     with pytest.raises(DeltaProtocolError, match="dedicated"):
         set_table_properties(path, {"delta.enableRowTracking": "true"})
+
+
+def _competitor_append_with_stats(spark, table_path, k_min, k_max):
+    """A REAL appended file whose rows (and therefore stats) cover
+    [k_min, k_max): written through a side table, hard-linked into the
+    target, its genuine add action re-pathed — so predicate pruning
+    classifies it during conflict checks AND the data matches."""
+    side = table_path + f"__side{k_min}"
+    to_delta(_df(spark, k_min, k_max).coalesce(1), side, mode="overwrite")
+    side_snap = DeltaLog(side).snapshot()
+    (src_rel,) = side_snap.files
+    a = side_snap.files[src_rel]
+    dst_rel = f"part-competitor-{k_min}.snappy.parquet"
+    os.link(
+        os.path.join(side, src_rel), os.path.join(table_path, dst_rel)
+    )
+    return AddAction(
+        path=dst_rel,
+        size=a.size,
+        partition_values={},
+        modification_time=now_ms(),
+        data_change=True,
+        stats=a.stats,
+    )
+
+
+def test_delete_retries_past_disjoint_append(spark, tmp_path, monkeypatch):
+    """Streaming appends elsewhere + a DELETE on old rows both commit
+    (delta-spark WriteSerializable): the delete's predicate provably
+    cannot match the winner's added file (stats-pruned), so the loser
+    retries."""
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 20).repartition(2), path)
+
+    def competitor():
+        return [
+            {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+            _competitor_append_with_stats(spark, path, 1000, 1100).to_json(),
+        ]
+
+    state = _race_once(monkeypatch, competitor)
+    res = delete_where(path, [("k", "<", 5)], spark=spark)
+    assert state["raced"]
+    assert res["version"] == 2  # competitor v1, delete retried at v2
+    snap = DeltaLog(path).snapshot()
+    assert any("competitor" in p for p in snap.files)  # append survived
+    df = read_delta(path, spark=spark)
+    assert df.filter("k < 5").count() == 0  # delete applied
+    assert df.filter("k >= 1000").count() == 100  # winner rows intact
+
+
+def test_delete_aborts_on_append_into_predicate_range(
+    spark, tmp_path, monkeypatch
+):
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 20).repartition(2), path)
+
+    def competitor():
+        return [
+            {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+            _competitor_append_with_stats(spark, path, 0, 4).to_json(),  # overlaps
+        ]
+
+    _race_once(monkeypatch, competitor)
+    with pytest.raises(ConcurrentCommitError, match="ConcurrentAppend"):
+        delete_where(path, [("k", "<", 5)], spark=spark)
+
+
+def test_delete_aborts_when_read_file_removed(spark, tmp_path, monkeypatch):
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 20).repartition(2), path)
+    doomed = next(iter(DeltaLog(path).snapshot().files))
+
+    def competitor():
+        return [
+            {"commitInfo": {"timestamp": 1, "operation": "DELETE"}},
+            RemoveAction(
+                path=doomed, deletion_timestamp=now_ms(), data_change=True
+            ).to_json(),
+        ]
+
+    _race_once(monkeypatch, competitor)
+    with pytest.raises(ConcurrentCommitError, match="ConcurrentDeleteRead"):
+        delete_where(path, [("k", ">=", 0)], spark=spark)
+
+
+def test_mor_delete_retries_past_disjoint_append(spark, tmp_path, monkeypatch):
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 20).repartition(2), path)
+
+    def competitor():
+        return [
+            {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+            _competitor_append_with_stats(spark, path, 1000, 1100).to_json(),
+        ]
+
+    state = _race_once(monkeypatch, competitor)
+    res = delete_where(
+        path, [("k", "<", 5)], spark=spark, strategy="merge-on-read"
+    )
+    assert state["raced"]
+    assert res["numDeletedRows"] == 5
+    assert res["version"] == 2
