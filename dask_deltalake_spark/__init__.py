@@ -27,6 +27,7 @@ from dask_deltalake_spark.delta.maintenance import (
     create_checkpoint,
     optimize,
     read_delta_history,
+    enable_v2_checkpoints,
     restore,
     set_table_properties,
     table_detail,
@@ -89,6 +90,7 @@ __all__ = [
     "enable_row_tracking",
     "enable_in_commit_timestamps",
     "shallow_clone",
+    "enable_v2_checkpoints",
     "set_table_properties",
     "table_detail",
     "clustering_columns",

@@ -32,8 +32,15 @@ from dask_deltalake_spark.delta.protocol import (
 )
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
-# single-part and multi-part checkpoint files
-_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+# checkpoint shapes: classic single (V.checkpoint.parquet), classic
+# multi-part (V.checkpoint.NNN.MMM.parquet), and V2
+# (V.checkpoint.<uniqueStr>.parquet — a manifest whose add/remove
+# actions live in _sidecars/ files, per the v2Checkpoint spec)
+_CHECKPOINT_RE = re.compile(
+    r"^(\d{20})\.checkpoint(\.\d{10}\.\d{10}|\.[0-9a-zA-Z-]+)?\.parquet$"
+)
+_CHECKPOINT_MULTIPART_RE = re.compile(r"^\.\d{10}\.\d{10}$")
+SIDECAR_DIR = "_sidecars"
 
 
 class DeltaTableNotFoundError(Exception):
@@ -227,11 +234,17 @@ class DeltaLog:
         dict[str, int],
     ]:
         """Load checkpoint parquet(s) for a version via pyarrow
-        (driver-side; checkpoints are metadata-scale)."""
+        (driver-side; checkpoints are metadata-scale). Understands all
+        three spec shapes: classic single, classic multi-part, and V2
+        (manifest + `sidecar` actions pointing into `_sidecars/` —
+        the v2Checkpoint table feature; the manifest is bounded and
+        the add/remove bulk lives in independently-readable sidecars,
+        which is what lets a distributed replayer fan the read out)."""
         import pyarrow.parquet as pq
         from urllib.parse import unquote
 
         parts = []
+        v2_manifests = []
         single = os.path.join(
             self.log_path, f"{version:020d}.checkpoint.parquet"
         )
@@ -241,62 +254,84 @@ class DeltaLog:
             for f in sorted(self.store.list_dir(self.log_path)):
                 m = _CHECKPOINT_RE.match(f)
                 if m and int(m.group(1)) == version and m.group(2):
-                    parts.append(os.path.join(self.log_path, f))
+                    if _CHECKPOINT_MULTIPART_RE.match(m.group(2)):
+                        parts.append(os.path.join(self.log_path, f))
+                    else:
+                        v2_manifests.append(
+                            os.path.join(self.log_path, f)
+                        )
+        if v2_manifests and not parts:
+            # any complete manifest serves; take the newest name
+            parts = [v2_manifests[-1]]
         adds: dict[str, AddAction] = {}
         removes: dict[str, RemoveAction] = {}
         metadata: Optional[Metadata] = None
         protocol: Optional[Protocol] = None
         domains: dict[str, str] = {}
         txns: dict[str, int] = {}
+        sidecars: list[str] = []
+
+        def consume(row) -> None:
+            nonlocal metadata, protocol
+            if row.get("sidecar") and row["sidecar"].get("path"):
+                sidecars.append(row["sidecar"]["path"])
+            elif row.get("add"):
+                a = row["add"]
+                path = unquote(a["path"])
+                dv = a.get("deletionVector")
+                if dv is not None and dv.get("storageType") is None:
+                    dv = None  # all-null struct from a DV-less row
+                brid = a.get("baseRowId")
+                drcv = a.get("defaultRowCommitVersion")
+                adds[path] = AddAction(
+                    path=path,
+                    size=int(a.get("size") or 0),
+                    partition_values=dict(a.get("partitionValues") or {}),
+                    modification_time=int(a.get("modificationTime") or 0),
+                    data_change=bool(a.get("dataChange", True)),
+                    stats=a.get("stats"),
+                    deletion_vector=dv,
+                    base_row_id=int(brid) if brid is not None else None,
+                    default_row_commit_version=(
+                        int(drcv) if drcv is not None else None
+                    ),
+                )
+            elif row.get("remove"):
+                r = row["remove"]
+                path = unquote(r["path"])
+                removes[path] = RemoveAction(
+                    path=path,
+                    deletion_timestamp=int(r.get("deletionTimestamp") or 0),
+                )
+            elif row.get("metaData") and row["metaData"].get("id") is not None:
+                metadata = Metadata.from_json(row["metaData"])
+            elif row.get("protocol") and row["protocol"].get(
+                "minReaderVersion"
+            ) is not None:
+                protocol = Protocol.from_json(row["protocol"])
+            elif row.get("domainMetadata") and row["domainMetadata"].get(
+                "domain"
+            ) is not None:
+                dm = row["domainMetadata"]
+                domains[dm["domain"]] = dm.get("configuration") or ""
+            elif row.get("txn") and row["txn"].get("appId") is not None:
+                t = row["txn"]
+                txns[t["appId"]] = max(
+                    int(t.get("version") or 0),
+                    txns.get(t["appId"], -1),
+                )
+
         for part in parts:
             with self.store.open_input(part) as fh:
                 tbl = pq.read_table(fh)
             for row in tbl.to_pylist():
-                if row.get("add"):
-                    a = row["add"]
-                    path = unquote(a["path"])
-                    dv = a.get("deletionVector")
-                    if dv is not None and dv.get("storageType") is None:
-                        dv = None  # all-null struct from a DV-less row
-                    brid = a.get("baseRowId")
-                    drcv = a.get("defaultRowCommitVersion")
-                    adds[path] = AddAction(
-                        path=path,
-                        size=int(a.get("size") or 0),
-                        partition_values=dict(a.get("partitionValues") or {}),
-                        modification_time=int(a.get("modificationTime") or 0),
-                        data_change=bool(a.get("dataChange", True)),
-                        stats=a.get("stats"),
-                        deletion_vector=dv,
-                        base_row_id=int(brid) if brid is not None else None,
-                        default_row_commit_version=(
-                            int(drcv) if drcv is not None else None
-                        ),
-                    )
-                elif row.get("remove"):
-                    r = row["remove"]
-                    path = unquote(r["path"])
-                    removes[path] = RemoveAction(
-                        path=path,
-                        deletion_timestamp=int(r.get("deletionTimestamp") or 0),
-                    )
-                elif row.get("metaData") and row["metaData"].get("id") is not None:
-                    metadata = Metadata.from_json(row["metaData"])
-                elif row.get("protocol") and row["protocol"].get(
-                    "minReaderVersion"
-                ) is not None:
-                    protocol = Protocol.from_json(row["protocol"])
-                elif row.get("domainMetadata") and row["domainMetadata"].get(
-                    "domain"
-                ) is not None:
-                    dm = row["domainMetadata"]
-                    domains[dm["domain"]] = dm.get("configuration") or ""
-                elif row.get("txn") and row["txn"].get("appId") is not None:
-                    t = row["txn"]
-                    txns[t["appId"]] = max(
-                        int(t.get("version") or 0),
-                        txns.get(t["appId"], -1),
-                    )
+                consume(row)
+        for sc in sidecars:
+            scp = os.path.join(self.log_path, SIDECAR_DIR, sc)
+            with self.store.open_input(scp) as fh:
+                tbl = pq.read_table(fh)
+            for row in tbl.to_pylist():
+                consume(row)
         return adds, removes, metadata, protocol, domains, txns
 
     def snapshot(

@@ -205,11 +205,25 @@ def vacuum(
 _CHECKPOINT_PART_ROWS = 500_000
 
 
-def create_checkpoint(path: str, version: Optional[int] = None) -> str:
+def create_checkpoint(
+    path: str, version: Optional[int] = None, format: Optional[str] = None
+) -> str:
     """Write a protocol checkpoint parquet for `version` (default:
     latest) plus `_last_checkpoint`, so future replays start from the
     checkpoint instead of the full JSON history (the log-replay
-    acceleration the reference inherits from delta-rs; SURVEY.md §4)."""
+    acceleration the reference inherits from delta-rs; SURVEY.md §4).
+
+    ``format`` (default: the table's ``delta.checkpointPolicy``
+    property, i.e. ``classic`` unless ``enable_v2_checkpoints`` ran):
+    ``"classic"`` writes the single/multi-part shape; ``"v2"`` writes
+    the v2Checkpoint shape — a BOUNDED manifest
+    (``V.checkpoint.<uuid>.parquet``: protocol/metaData/domain/txn +
+    ``checkpointMetadata`` + ``sidecar`` refs) with the add/remove
+    bulk in independently-readable ``_sidecars/`` parquet files. At
+    the 10M-file scale the manifest stays KB-sized and a distributed
+    replayer fans the sidecar reads out; it also enables incremental
+    checkpointing (reuse unchanged sidecars), which this writer does
+    not yet do."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from urllib.parse import quote
@@ -402,6 +416,102 @@ def create_checkpoint(path: str, version: Optional[int] = None) -> str:
         buf = io.BytesIO()
         pq.write_table(t, buf)
         log.store.write_bytes(path, buf.getvalue())
+
+    policy = format or snap.metadata.configuration.get(
+        "delta.checkpointPolicy", "classic"
+    )
+    if policy == "v2":
+        import uuid as _uuid
+
+        from dask_deltalake_spark.delta.log import SIDECAR_DIR
+
+        meta_cols = ["protocol", "metaData", "domainMetadata", "txn"]
+        data_rows = [r for r in norm if r.get("add") or r.get("remove")]
+        meta_rows = [
+            {c: r.get(c) for c in meta_cols}
+            for r in norm
+            if not (r.get("add") or r.get("remove"))
+        ]
+        side_schema = pa.schema(
+            [cp_schema.field("add"), cp_schema.field("remove")]
+        )
+        sidecar_struct = pa.struct(
+            [
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ]
+        )
+        manifest_schema = pa.schema(
+            [cp_schema.field(c) for c in meta_cols]
+            + [
+                pa.field(
+                    "checkpointMetadata",
+                    pa.struct([("version", pa.int64())]),
+                ),
+                pa.field("sidecar", sidecar_struct),
+            ]
+        )
+        sc_dir = os.path.join(table_path, LOG_DIR, SIDECAR_DIR)
+        n_parts = max(1, -(-len(data_rows) // _CHECKPOINT_PART_ROWS))
+        per = -(-max(1, len(data_rows)) // n_parts)
+        none_meta = {c: None for c in meta_cols}
+        sidecar_refs = []
+        for i in range(n_parts):
+            chunk = data_rows[i * per:(i + 1) * per]
+            sname = f"{_uuid.uuid4()}.parquet"
+            sp = os.path.join(sc_dir, sname)
+            _put_parquet(
+                pa.Table.from_pylist(
+                    [
+                        {"add": r.get("add"), "remove": r.get("remove")}
+                        for r in chunk
+                    ],
+                    schema=side_schema,
+                ),
+                sp,
+            )
+            sidecar_refs.append(
+                {
+                    **none_meta,
+                    "checkpointMetadata": None,
+                    "sidecar": {
+                        "path": sname,
+                        "sizeInBytes": log.store.size(sp),
+                        "modificationTime": now_ms(),
+                    },
+                }
+            )
+        manifest_rows = (
+            [
+                {**r, "checkpointMetadata": None, "sidecar": None}
+                for r in meta_rows
+            ]
+            + [
+                {
+                    **none_meta,
+                    "checkpointMetadata": {"version": snap.version},
+                    "sidecar": None,
+                }
+            ]
+            + sidecar_refs
+        )
+        cp_path = os.path.join(
+            table_path,
+            LOG_DIR,
+            f"{snap.version:020d}.checkpoint.{_uuid.uuid4()}.parquet",
+        )
+        _put_parquet(
+            pa.Table.from_pylist(manifest_rows, schema=manifest_schema),
+            cp_path,
+        )
+        log.store.write_bytes(
+            os.path.join(table_path, LOG_DIR, "_last_checkpoint"),
+            json.dumps(
+                {"version": snap.version, "size": len(norm)}
+            ).encode("utf-8"),
+        )
+        return cp_path
 
     last = {"version": snap.version, "size": len(rows)}
     if len(rows) > _CHECKPOINT_PART_ROWS:
@@ -912,7 +1022,8 @@ def cleanup_metadata(path: str, dry_run: bool = False) -> list:
 import re as _re_mod
 
 _COMMIT_OR_CP_RE = _re_mod.compile(
-    r"^(\d{20})\.(?:json|checkpoint(?:\.\d+\.\d+)?\.parquet)$"
+    r"^(\d{20})\.(?:json|checkpoint"
+    r"(?:\.\d+\.\d+|\.[0-9a-zA-Z-]+)?\.parquet)$"
 )
 
 
@@ -934,6 +1045,7 @@ def set_table_properties(
         "delta.enablechangedatafeed",
         "delta.columnmapping.mode",
         "delta.enabledeletionvectors",
+        "delta.checkpointpolicy",
     }
     props = dict(properties or {})
     for k in list(props) + list(unset or []):
@@ -1020,3 +1132,56 @@ def table_detail(path: str) -> dict:
         "writerFeatures": sorted(snap.protocol.writer_features or []),
         "version": snap.version,
     }
+
+
+def enable_v2_checkpoints(path: str) -> int:
+    """Enable the v2Checkpoint table feature in ONE commit: protocol
+    upgrade (reader v3 + the v2Checkpoint reader/writer feature,
+    existing features preserved) plus ``delta.checkpointPolicy=v2`` —
+    every later checkpoint (manual or the automatic
+    ``delta.checkpointInterval`` ones) then takes the manifest+sidecar
+    shape. Idempotent. Returns the committed version."""
+    from dask_deltalake_spark.delta.protocol import (
+        Metadata,
+        protocol_with_features,
+    )
+
+    log = DeltaLog(str(path).rstrip("/"))
+    snap = log.snapshot()
+    if (
+        snap.metadata.configuration.get("delta.checkpointPolicy") == "v2"
+        and "v2Checkpoint" in (snap.protocol.reader_features or [])
+    ):
+        return snap.version
+    meta = snap.metadata
+    config = dict(meta.configuration)
+    config["delta.checkpointPolicy"] = "v2"
+    ts = now_ms()
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "UPGRADE PROTOCOL",
+                "operationParameters": {"feature": "v2Checkpoint"},
+                "readVersion": snap.version,
+                "isBlindAppend": False,
+                "engineInfo": "dask_deltalake_spark/0.1.0",
+            }
+        },
+        protocol_with_features(
+            snap.protocol,
+            reader_features=("v2Checkpoint",),
+            writer_features=("v2Checkpoint",),
+        ).to_json(),
+        Metadata(
+            id=meta.id,
+            schema_string=meta.schema_string,
+            partition_columns=meta.partition_columns,
+            configuration=config,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+        ).to_json(),
+    ]
+    write_commit(log.table_path, snap.version + 1, actions)
+    return snap.version + 1

@@ -108,6 +108,9 @@ def check_read_protocol(protocol, metadata=None, features=frozenset()) -> None:
             "timestampNtz",
             "typeWidening",
             "vacuumProtocolCheck",
+            # replay understands the manifest+sidecar shape
+            # (log.py:_load_checkpoint), so every scan path supports it
+            "v2Checkpoint",
         }
         unsupported = listed - supported
         if not unsupported:
@@ -254,6 +257,10 @@ def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
             # constrains only VACUUM, which performs the mandated
             # protocol check for real (maintenance.py:vacuum)
             "vacuumProtocolCheck",
+            # checkpoints are written CENTRALLY (create_checkpoint /
+            # the auto-checkpoint hook) and follow the table's
+            # checkpointPolicy there, so every write path maintains it
+            "v2Checkpoint",
         }
         unsupported = set(protocol.writer_features) - supported
         if unsupported:
