@@ -44,11 +44,13 @@ _ALL.update(_STREAMING)
 #     q46 (NEW — Spark 4 VARIANT semi-structured extraction),
 #     d37 (NEW — clustered tables / liquid clustering surface),
 #     s10 (NEW — stream-static broadcast join via delta_py),
-#     d38 (NEW — VARIANT-column Delta round-trip + variantType);
+#     d38 (NEW — VARIANT-column Delta round-trip + variantType),
+#     d39 (NEW — v2 checkpoints: manifest + sidecars);
 # (c) the stalest r4-tier rows on the paths the LogStore refactor
-#     touched most: d01-d06, d17-d19, x29, x18 (x29 and q07-q10 join the r7 front; x29 is
-# pytest-covered chunking with in-window neighbor x18 on the shared
-# tokenize path).
+#     touched most: d01-d06, d17-d19, x29, then d01-d06 + d17-d19 (x18, x29 and q07-q10 join the r7
+# front: all four are unchanged r4-hash-green rows — x18/x29 are
+# pytest-covered with the x04 jaccard/tokenize paths re-verified in
+# r5 — and r7 leads with them plus q11-q44).
 # Left at positions 51+ for r7 (no hash information lost this round):
 # q01-q04/q06 + the r5-verified d20-d28/d31/d32/d34 + x01/x04/x07/
 # x08/x28/x30/x33-x36 + s01-s05/s08 all have r5 hash rows on unchanged
@@ -98,6 +100,7 @@ _R6_FRONT = (
         "d37_clustered_table",
         "s10_stream_static_join",
         "d38_variant_table",
+        "d39_v2_checkpoint",
         # (c) stalest r4 tier on LogStore-touched paths
         "d01_delta_roundtrip",
         "d02_delta_time_travel",
@@ -108,7 +111,6 @@ _R6_FRONT = (
         "d17_storage_options",
         "d18_table_create_metadata",
         "d19_change_data_feed",
-        "x18_dedup_clusters",
     ]
 )
 _R6_FRONT = [n for n in _R6_FRONT if n in _ALL]

@@ -1857,3 +1857,73 @@ def d38_variant_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("variant_feature_declared", F.lit(declared))
         .orderBy("event_type")
     )
+
+
+@query(
+    "d39_v2_checkpoint",
+    """
+    WITH s AS (SELECT COUNT(*) AS cnt, ROUND(SUM(s_acctbal), 2) AS bal
+               FROM supplier)
+    SELECT CAST((SELECT cnt FROM s) AS BIGINT) AS n_rows,
+           (SELECT bal FROM s) AS acctbal_sum,
+           1 AS manifest_shape,
+           1 AS sidecars_written,
+           1 AS replay_matches
+    FROM s
+    """,
+)
+def d39_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 checkpoints (the ``v2Checkpoint`` reader+writer feature):
+    enable → append → checkpoint → cold replay THROUGH the manifest.
+    The ledger proves the checkpoint took the v2 shape (uuid-named
+    manifest holding no add rows, with checkpointMetadata + sidecar
+    refs; add/remove bulk in ``_sidecars/``) and that a
+    checkpoint-started replay reconstructs the exact same live-file
+    set; the oracle recomputes the row/sum aggregates so the data
+    read through that replay is pinned too. Scale: the manifest stays
+    KB-sized at any file count and sidecars are independently
+    readable — the checkpoint shape built for 10M-file tables."""
+    import os as _os
+    import shutil
+
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+    from dask_deltalake_spark.delta.maintenance import (
+        create_checkpoint,
+        enable_v2_checkpoints,
+    )
+
+    path = _tmp_table(sf_dir, "supplier_v2cp")
+    shutil.rmtree(path, ignore_errors=True)
+    s = load_table(spark, sf_dir, "supplier")
+    to_delta(s.repartition(2), path)
+    enable_v2_checkpoints(path)
+    to_delta(s.limit(0), path, mode="append")  # empty commit keeps count
+    before = set(DeltaLog(path).snapshot().files)
+    cp = create_checkpoint(path)
+    name = _os.path.basename(cp)
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(cp).to_pylist()
+    manifest_shape = int(
+        name.startswith("00000000000000000002.checkpoint.")
+        and not name.endswith("checkpoint.parquet")
+        and all(r.get("add") is None for r in rows)
+        and any((r.get("checkpointMetadata") or {}).get("version") == 2
+                for r in rows)
+    )
+    sidecars_written = int(
+        len(_os.listdir(_os.path.join(path, "_delta_log", "_sidecars"))) >= 1
+    )
+    _SNAPSHOT_CACHE.clear()  # force the cold, checkpoint-started replay
+    after = set(DeltaLog(path).snapshot().files)
+    replay_matches = int(after == before)
+    return (
+        read_delta(path, spark=spark)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("s_acctbal"), 2).alias("acctbal_sum"),
+        )
+        .withColumn("manifest_shape", F.lit(manifest_shape))
+        .withColumn("sidecars_written", F.lit(sidecars_written))
+        .withColumn("replay_matches", F.lit(replay_matches))
+    )
