@@ -81,3 +81,23 @@ def test_merge_in_ntz_column_upgrades_protocol(spark, tmp_path):
     got = read_delta(path, spark=spark)
     assert got.count() == 6
     assert got.filter(F.col("tn").isNull()).count() == 4
+
+
+def test_delta_py_source_refuses_variant_tables(spark, tmp_path):
+    """The Python DataSource path reads files with pyarrow, which
+    cannot parse the VARIANT logical type — the reader gate must
+    REFUSE variantType tables (loud, before any wrong/failed read)
+    while the native scan path accepts them."""
+    from dask_deltalake_spark.delta.protocol import DeltaProtocolError
+    from dask_deltalake_spark.sources import register_python_datasource
+
+    path = str(tmp_path / "t")
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.parse_json(F.lit('{"a": 1}')).alias("v"),
+    )
+    to_delta(df.coalesce(1), path)
+    register_python_datasource(spark)
+    with pytest.raises(Exception, match="variantType"):
+        spark.read.format("delta_py").option("path", path).load().collect()
+    assert read_delta(path, spark=spark).count() == 3  # native path fine
