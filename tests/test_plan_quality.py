@@ -166,3 +166,38 @@ def test_x34_model_joins_broadcast(spark):
     strategies = join_strategies(_q(spark, "x34_lm_quality"))
     assert strategies, "no joins found in x34 plan"
     assert all("Broadcast" in s for s in strategies), strategies
+
+
+def test_q46_variant_stays_jvm_side(spark):
+    """VARIANT parse + typed path extraction are JVM expressions —
+    zero Python evaluation nodes in the plan (the whole point of the
+    binary encoding vs string re-parsing)."""
+    plan = (
+        _q(spark, "q46_variant_semistructured")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_s10_static_dimension_broadcasts(spark):
+    """The stream-static join's batch-side shape: joining the same
+    frames non-streaming must broadcast the dimension (per-batch the
+    streaming join reuses exactly this plan)."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.plans import join_strategies
+    from dask_deltalake_spark.tables import load_table
+
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    n = load_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    assert set(join_strategies(joined)) == {"BroadcastHashJoin"}
