@@ -32,6 +32,7 @@ from dask_deltalake_spark.delta.maintenance import (
     set_table_properties,
     table_detail,
     vacuum,
+    validate_version_checksum,
 )
 from dask_deltalake_spark.delta.clustering import clustering_columns
 from dask_deltalake_spark.delta.logstore import (
@@ -93,6 +94,7 @@ __all__ = [
     "enable_v2_checkpoints",
     "set_table_properties",
     "table_detail",
+    "validate_version_checksum",
     "clustering_columns",
     "register_log_store",
     "resolve_spark_path",

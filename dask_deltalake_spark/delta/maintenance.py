@@ -1022,7 +1022,7 @@ def cleanup_metadata(path: str, dry_run: bool = False) -> list:
 import re as _re_mod
 
 _COMMIT_OR_CP_RE = _re_mod.compile(
-    r"^(\d{20})\.(?:json|checkpoint"
+    r"^(\d{20})\.(?:json|crc|checkpoint"
     r"(?:\.\d+\.\d+|\.[0-9a-zA-Z-]+)?\.parquet)$"
 )
 
@@ -1185,3 +1185,37 @@ def enable_v2_checkpoints(path: str) -> int:
     ]
     write_commit(log.table_path, snap.version + 1, actions)
     return snap.version + 1
+
+
+def validate_version_checksum(path: str, version: Optional[int] = None) -> dict:
+    """Cross-check a replayed snapshot against its ``<version>.crc``
+    sidecar (delta-spark VersionChecksum): recompute table size, file
+    count, protocol, and metadata from log replay and compare.
+    Catches log corruption/truncation replay alone can't see. Returns
+    ``{"version", "valid", "mismatches"}``; raises FileNotFoundError
+    when no checksum was recorded for the version."""
+    log = DeltaLog(str(path).rstrip("/"))
+    snap = log.snapshot(version=version)
+    crc_path = os.path.join(log.log_path, f"{snap.version:020d}.crc")
+    if not log.store.exists(crc_path):
+        raise FileNotFoundError(
+            f"No version checksum recorded for version {snap.version} "
+            f"of {log.table_path}"
+        )
+    recorded = json.loads(log.store.read_bytes(crc_path).decode("utf-8"))
+    actual = {
+        "tableSizeBytes": sum(a.size for a in snap.add_actions),
+        "numFiles": len(snap.files),
+        "protocol": snap.protocol.to_json()["protocol"],
+        "metadata": snap.metadata.to_json()["metaData"],
+    }
+    mismatches = {
+        k: {"recorded": recorded.get(k), "actual": actual[k]}
+        for k in actual
+        if recorded.get(k) != actual[k]
+    }
+    return {
+        "version": snap.version,
+        "valid": not mismatches,
+        "mismatches": mismatches,
+    }

@@ -648,6 +648,7 @@ def write_commit(
             f"Version {version} of {table_path} was committed concurrently"
         )
     _maybe_auto_checkpoint(table_path, version)
+    _maybe_write_version_checksum(table_path, version)
 
 
 def _stamp_in_commit_timestamp(
@@ -703,6 +704,38 @@ def _stamp_in_commit_timestamp(
         ci.pop("inCommitTimestamp", None)
         return
     ci["inCommitTimestamp"] = max(now_ms(), int(prev_ict or 0) + 1)
+
+
+def _maybe_write_version_checksum(table_path: str, version: int) -> None:
+    """delta-spark's VersionChecksum sidecar (``<version>.crc``): a
+    one-line JSON summary of the post-commit snapshot (table size,
+    file count, protocol, metadata) written next to each commit.
+    Readers can cross-check a replayed snapshot against it —
+    ``maintenance.validate_version_checksum`` — catching log
+    corruption/truncation that replay alone can't see. Best-effort by
+    design (the checksum is an integrity AID; a failure here must
+    never fail the commit that already published), and skipped when a
+    racing writer already advanced the table (that commit writes its
+    own). Snapshot cost is O(new commits) via the incremental cache."""
+    try:
+        log = DeltaLog(table_path)
+        snap = log.snapshot()
+        if snap.version != version:
+            return
+        crc = {
+            "tableSizeBytes": sum(a.size for a in snap.add_actions),
+            "numFiles": len(snap.files),
+            "numMetadata": 1,
+            "numProtocol": 1,
+            "protocol": snap.protocol.to_json()["protocol"],
+            "metadata": snap.metadata.to_json()["metaData"],
+        }
+        log.store.write_bytes(
+            os.path.join(table_path, LOG_DIR, f"{version:020d}.crc"),
+            json.dumps(crc, separators=(",", ":")).encode("utf-8"),
+        )
+    except Exception:
+        pass
 
 
 def _maybe_auto_checkpoint(table_path: str, version: int) -> None:
