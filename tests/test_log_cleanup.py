@@ -46,7 +46,10 @@ def test_cleanup_prefix_below_checkpoint(spark, tmp_path):
     assert cleanup_metadata(path) == []
     _age_log(path, [0, 1, 2])
     doomed = cleanup_metadata(path, dry_run=True)
-    assert doomed == [f"{v:020d}.json" for v in (0, 1, 2)]
+    # commits AND their .crc version-checksum sidecars expire together
+    assert doomed == sorted(
+        f"{v:020d}.{ext}" for v in (0, 1, 2) for ext in ("crc", "json")
+    )
     cleanup_metadata(path)
     assert DeltaLog(path).versions() == [3, 4, 5]
     # everything remaining replays (v3 anchors at its checkpoint)
@@ -88,7 +91,10 @@ def test_cleanup_honors_configured_retention(spark, tmp_path):
     to_delta(_df(spark, 3, 6).coalesce(1), path, mode="append")
     create_checkpoint(path, version=1)
     _age_log(path, [0], age_s=2 * 3600)  # 2h old > 1h retention
-    assert cleanup_metadata(path, dry_run=True) == ["0" * 19 + "0.json"]
+    assert cleanup_metadata(path, dry_run=True) == [
+        "0" * 19 + "0.crc",
+        "0" * 19 + "0.json",
+    ]
 
 
 def test_multipart_checkpoint_roundtrip(spark, tmp_path, monkeypatch):
