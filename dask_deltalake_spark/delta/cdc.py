@@ -224,8 +224,14 @@ def read_delta_changes(
         serialize_positions,
     )
 
+    from dask_deltalake_spark.delta.logstore import resolve_spark_path
+
+    _scan_root = resolve_spark_path(log.table_path)
+
     def _abs(rel: str) -> str:
-        return os.path.join(log.table_path, rel)
+        # JVM-facing path: scheme'd tables resolve through the store's
+        # local mapping (same contract as reader.py's _scan)
+        return os.path.join(_scan_root, rel)
 
     def _rows(files: list, drop_dv: Optional[dict] = None,
               only_positions: Optional[dict] = None) -> DataFrame:
@@ -235,7 +241,7 @@ def read_delta_changes(
         image extraction). Bitmaps travel as compressed bytes."""
         df = (
             spark.read.schema(schema)
-            .option("basePath", log.table_path)
+            .option("basePath", _scan_root)
             .parquet(*files)
         )
         pred_map, keep_member = (

@@ -249,6 +249,23 @@ def _roaring32_size(buf: bytes) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _local(path: str) -> str:
+    """os-level path for DV file I/O (driver-side open/seek reads and
+    the single-bin commit write): resolves locally mapped schemes
+    (mock:), refuses unmapped object stores loudly — DV bytes would
+    otherwise land in a junk relative directory while the commit still
+    published."""
+    from dask_deltalake_spark.delta.logstore import store_for
+
+    lp = store_for(path).local_path(path)
+    if lp is None:
+        raise NotImplementedError(
+            "deletion-vector file I/O uses local file access; "
+            f"{path!r} has no local mapping."
+        )
+    return lp
+
+
 def write_dv_file(
     table_path: str, dv_blobs: list[bytes]
 ) -> tuple[str, list[dict]]:
@@ -261,7 +278,7 @@ def write_dv_file(
     rel = f"deletion_vector_{uid}.bin"
     encoded_uuid = z85_encode(uid.bytes)
     descriptors = []
-    with open(os.path.join(table_path, rel), "wb") as f:
+    with open(os.path.join(_local(table_path), rel), "wb") as f:
         f.write(b"\x01")  # format version
         offset = 1
         for blob in dv_blobs:
@@ -302,7 +319,7 @@ def read_dv_bytes(table_path: str, descriptor: dict) -> bytes:
     file storage)."""
     if descriptor["storageType"] == "i":
         return z85_decode(descriptor["pathOrInlineDv"])
-    path = dv_absolute_path(table_path, descriptor)
+    path = _local(dv_absolute_path(table_path, descriptor))
     size = int(descriptor["sizeInBytes"])
     with open(path, "rb") as f:
         f.seek(int(descriptor["offset"]))
@@ -381,8 +398,13 @@ def dv_membership_predicate(spark, blob_map: dict, keep_if_member: bool):
 def dv_keep_predicate(spark, table_path: str, dv_adds: list):
     """Keep-row predicate for DV'd file scans: False at deleted
     positions (see dv_membership_predicate)."""
+    from dask_deltalake_spark.delta.logstore import resolve_spark_path
+
+    # keys must match the SCAN's _metadata.file_path, which saw the
+    # JVM-resolved (scheme-mapped) paths
+    scan_root = resolve_spark_path(table_path)
     blob_map = {
-        os.path.abspath(os.path.join(table_path, a.path)): read_dv_bytes(
+        os.path.abspath(os.path.join(scan_root, a.path)): read_dv_bytes(
             table_path, a.deletion_vector
         )
         for a in dv_adds

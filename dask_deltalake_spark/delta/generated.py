@@ -131,16 +131,29 @@ from datetime import date as _date, datetime as _dt
 
 
 def _to_dt(v):
+    """Literal → NAIVE datetime in the engine's clock (UTC — the
+    session is pinned UTC, so Spark's CAST(ts AS DATE) truncates UTC
+    wall-clock). Offset-bearing literals are converted to UTC FIRST:
+    truncating their own wall-clock fields would derive the wrong
+    partition (e.g. 2024-01-15T23:30-05:00 is 2024-01-16 UTC) and
+    prune files containing matching rows. Partition values in the log
+    are naive strings, so comparisons stay naive-vs-naive."""
     if isinstance(v, _dt):
-        return v
-    if isinstance(v, _date):
-        return _dt(v.year, v.month, v.day)
-    if isinstance(v, str):
+        pass
+    elif isinstance(v, _date):
+        v = _dt(v.year, v.month, v.day)
+    elif isinstance(v, str):
         try:
-            return _dt.fromisoformat(v.replace("Z", "+00:00"))
+            v = _dt.fromisoformat(v.replace("Z", "+00:00"))
         except ValueError:
             return None
-    return None
+    else:
+        return None
+    if v.tzinfo is not None:
+        from datetime import timezone as _tz
+
+        v = v.astimezone(_tz.utc).replace(tzinfo=None)
+    return v
 
 
 def _day(v):

@@ -367,12 +367,19 @@ class DeltaLog:
             if version == versions[-1]
             else None
         )
-        usable_cp = [c for c in self.checkpoint_versions() if c <= version]
         if cached is not None:
+            # skip the checkpoint listing entirely — the hot path the
+            # cache exists for (per-commit checksum, streaming polls)
+            # must not pay a second directory LIST per snapshot
+            usable_cp = []
             adds, tombstones, metadata, protocol, domains, txns, start = (
                 cached
             )
-        elif usable_cp:
+        elif (
+            usable_cp := [
+                c for c in self.checkpoint_versions() if c <= version
+            ]
+        ):
             cp = usable_cp[-1]
             adds, tombstones, metadata, protocol, domains, txns = (
                 self._load_checkpoint(cp)

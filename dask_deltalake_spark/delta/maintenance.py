@@ -421,6 +421,16 @@ def create_checkpoint(
         "delta.checkpointPolicy", "classic"
     )
     if policy == "v2":
+        # spec gate: a v2-shape checkpoint on a table that never
+        # declared v2Checkpoint would be discovered by feature-unaware
+        # readers and replayed as an EMPTY add-set (the bulk lives in
+        # sidecars they don't know to read) — the protocol upgrade
+        # must come first (enable_v2_checkpoints does both atomically)
+        if "v2Checkpoint" not in (snap.protocol.reader_features or []):
+            raise DeltaProtocolError(
+                "v2 checkpoints require the v2Checkpoint table feature; "
+                "run enable_v2_checkpoints(path) first."
+            )
         import uuid as _uuid
 
         from dask_deltalake_spark.delta.log import SIDECAR_DIR
@@ -1016,7 +1026,49 @@ def cleanup_metadata(path: str, dry_run: bool = False) -> list:
     if not dry_run:
         for f in doomed:
             log.store.delete(os.path.join(log.log_path, f))
+        # v2 manifests reference _sidecars/ files by name; once the
+        # expired manifests are gone, any sidecar no REMAINING
+        # manifest references is unreachable — without this GC,
+        # sidecars accumulate a full add-set copy per checkpoint
+        _gc_orphan_sidecars(log)
     return doomed
+
+
+def _gc_orphan_sidecars(log: DeltaLog) -> None:
+    """Delete ``_sidecars/`` parquet files referenced by NO remaining
+    v2 checkpoint manifest. Bounded: one manifest read per retained
+    checkpoint (each KB-scale)."""
+    import pyarrow.parquet as pq
+
+    from dask_deltalake_spark.delta.log import (
+        _CHECKPOINT_MULTIPART_RE,
+        _CHECKPOINT_RE,
+        SIDECAR_DIR,
+    )
+
+    sc_dir = os.path.join(log.log_path, SIDECAR_DIR)
+    if not log.store.is_dir(sc_dir):
+        return
+    referenced: set = set()
+    for f in log.store.list_dir(log.log_path):
+        m = _CHECKPOINT_RE.match(f)
+        if m and m.group(2) and not _CHECKPOINT_MULTIPART_RE.match(
+            m.group(2)
+        ):
+            try:
+                with log.store.open_input(
+                    os.path.join(log.log_path, f)
+                ) as fh:
+                    rows = pq.read_table(fh, columns=["sidecar"]).to_pylist()
+            except Exception:
+                return  # unreadable manifest: never GC blindly
+            for row in rows:
+                sc = row.get("sidecar")
+                if sc and sc.get("path"):
+                    referenced.add(sc["path"])
+    for f in log.store.list_dir(sc_dir):
+        if f.endswith(".parquet") and f not in referenced:
+            log.store.delete(os.path.join(sc_dir, f))
 
 
 import re as _re_mod

@@ -172,7 +172,9 @@ def _rewrite_and_commit(
     schema_bytes = (
         _spark_to_arrow_schema(new_data.schema).serialize().to_pybytes()
     )
-    fn = _write_partition_factory(table_path, partition_by, schema_bytes)
+    fn = _write_partition_factory(
+        _local_data_root(table_path), partition_by, schema_bytes
+    )
     add_rows = new_data.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
 
     ts = now_ms()
@@ -246,6 +248,23 @@ def _translate(dnf: list, l2p: Optional[dict]) -> list:
     return translate_dnf(dnf, l2p)
 
 
+def _local_data_root(table_path: str) -> str:
+    """os-level root for the DML rewrite's Python-worker file writes:
+    resolves locally mapped schemes (mock:), refuses unmapped object
+    stores loudly — rewrite files would otherwise land in a junk
+    relative directory while the commit still published, corrupting
+    the table."""
+    from dask_deltalake_spark.delta.logstore import store_for
+
+    lp = store_for(table_path).local_path(table_path)
+    if lp is None:
+        raise NotImplementedError(
+            "DML rewrites write data files via local file I/O in "
+            f"Python workers; {table_path!r} has no local mapping."
+        )
+    return lp
+
+
 def _read_files(
     spark: SparkSession,
     snap,
@@ -270,11 +289,13 @@ def _read_files(
     # the source table, whose hive dirs anchor at the SOURCE root —
     # one scan per root (projected per group so _metadata resolves),
     # then a union. COW rewrites over clones thereby localize rows.
+    from dask_deltalake_spark.delta.logstore import resolve_spark_path
+
     groups: dict = {}
     for a in adds:
-        groups.setdefault(file_base_root(snap.path, a), []).append(
-            resolve_file_path(snap.path, a.path)
-        )
+        groups.setdefault(
+            resolve_spark_path(file_base_root(snap.path, a)), []
+        ).append(resolve_spark_path(resolve_file_path(snap.path, a.path)))
     l2p = _mapping(snap)
     from dask_deltalake_spark.delta.column_mapping import physical_schema
 
@@ -558,8 +579,14 @@ def _mor_mark_positions(spark: SparkSession, table_path: str, snap, dnf):
     if not folded:
         return None
 
+    from dask_deltalake_spark.delta.logstore import resolve_spark_path
+
+    # _metadata.file_path carries the JVM-RESOLVED path (scheme'd
+    # tables scan through their local mapping), so relativize against
+    # the resolved root, not the raw table path
+    scan_root = resolve_spark_path(table_path)
     by_rel = {
-        os.path.relpath(strip_file_scheme(row["fp"]), table_path): row
+        os.path.relpath(strip_file_scheme(row["fp"]), scan_root): row
         for row in folded
     }
     dv_targets = []  # (add_action, final_positions)
@@ -816,7 +843,9 @@ def _update_merge_on_read(
     schema_bytes = (
         _spark_to_arrow_schema(updated.schema).serialize().to_pybytes()
     )
-    fn = _write_partition_factory(table_path, partition_by, schema_bytes)
+    fn = _write_partition_factory(
+        _local_data_root(table_path), partition_by, schema_bytes
+    )
     add_rows = updated.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
 
     version = _mor_commit(

@@ -681,24 +681,12 @@ def _stamp_in_commit_timestamp(
                 )
     prev_ict = None
     if version > 0:
-        try:
-            text = store.read_bytes(
-                os.path.join(log_dir, commit_filename(version - 1))
-            ).decode("utf-8")
-        except OSError:
-            text = ""
-        for line in text.splitlines():
-            line = line.strip()
-            if not line:
-                continue
-            a = json.loads(line)
-            # commitInfo is CONVENTIONALLY first, but the spec permits
-            # any position (other engines differ) — scan the whole
-            # commit rather than silently treating it as unstamped and
-            # breaking the chain
-            if "commitInfo" in a:
-                prev_ict = a["commitInfo"].get("inCommitTimestamp")
-                break
+        # one implementation of the scan-for-commitInfo rule
+        # (commitInfo is conventionally first but the spec permits any
+        # position) — DeltaLog owns it; don't duplicate the parsing
+        prev_ict = DeltaLog(
+            os.path.dirname(log_dir)
+        )._in_commit_timestamp(version - 1)
     enabled = prop if prop is not None else prev_ict is not None
     if not enabled:
         ci.pop("inCommitTimestamp", None)
@@ -1557,10 +1545,17 @@ def to_delta(
             _chk_wp(
                 snap2.protocol,
                 metadata=snap2.metadata,
+                # the SAME feature set as the initial gate — a retry
+                # must never refuse a table the first attempt accepted
                 features={
                     "columnMapping",
                     "deletionVectors",
                     "generatedColumns",
+                    "identityColumns",
+                    "rowTracking",
+                    "domainMetadata",
+                    "clustering",
+                    "variantType",
                 },
             )
             _chk_ao(snap2.metadata, mode)

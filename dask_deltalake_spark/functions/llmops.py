@@ -1911,8 +1911,10 @@ def x31_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus so cells stay ~constant); one broadcast, one shuffle on
     cell, no all-pairs. K is corpus-derived (``derived_k``: ceil of
     n/_SEM_TARGET_CELL, oracle floor at test scale, IVF-cap) so the
-    per-cell bound actually holds as the corpus grows — the count()
-    that sizes it is a metadata-cheap scan."""
+    per-cell bound actually holds as the corpus grows. Sizing runs one
+    count() job at PLAN-BUILD time (a deliberate exception to the
+    lazy-query contract: K shapes the plan itself); Spark's parquet
+    count pushdown serves it from file footers, not data."""
     raw = _t(spark, sf_dir, "embeddings")
     k = derived_k(raw.count(), _SEM_K, _SEM_TARGET_CELL, _SEM_K_CAP)
     e = raw.select(

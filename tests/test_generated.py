@@ -203,3 +203,39 @@ def test_generated_partition_filter_inference(spark, tmp_path):
         path, filter=[("ts", "!=", datetime(2024, 3, 4, 0, 0))], spark=spark
     )
     assert got_ne.count() == 95
+
+
+def test_inference_handles_offset_bearing_literals(spark, tmp_path):
+    """A timezone-offset literal must derive the UTC date partition
+    (the session clock), not its own wall-clock date — otherwise the
+    prune silently drops files containing matching rows."""
+    from datetime import datetime, timedelta, timezone
+
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.delta.reader import read_delta
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    path = str(tmp_path / "t")
+    df = spark.range(48).select(
+        (
+            F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            + F.make_interval(hours=F.col("id"))
+        ).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    to_delta(
+        df,
+        path,
+        partition_by=["event_date"],
+        generated_columns={"event_date": "CAST(ts AS DATE)"},
+    )
+    # 2024-03-01T23:30-05:00 == 2024-03-02T04:30Z -> partition 03-02
+    aware = datetime(2024, 3, 1, 23, 30, tzinfo=timezone(timedelta(hours=-5)))
+    got = read_delta(path, filter=[("ts", ">=", aware)], spark=spark)
+    # == 2024-03-02T04:30Z: hours 29..47 of the series match (19 rows)
+    assert got.count() == 19
+    # and the prune keeps ONLY the 03-02 partition — derived from the
+    # UTC instant, not the literal's own wall-clock date (03-01)
+    dirs = {f.rsplit("/", 2)[-2] for f in got.inputFiles()}
+    assert dirs == {"event_date=2024-03-02"}

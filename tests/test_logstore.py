@@ -148,3 +148,30 @@ def test_concurrent_commit_detected_through_store(spark, tmp_path):
     to_delta(_df(spark, 0, 5), path)
     with pytest.raises(ConcurrentCommitError):
         write_commit(path, 0, [{"commitInfo": {"timestamp": 1}}])
+
+
+def test_mock_scheme_dml_and_cdc(spark, tmp_path):
+    """DML rewrites, deletion vectors, and CDC reads all route through
+    the seam on a scheme'd table — a bypassed path would write into a
+    junk relative directory while the commit still published."""
+    from dask_deltalake_spark.delta.cdc import read_delta_changes
+    from dask_deltalake_spark.delta.mutate import delete_where, update_where
+
+    path = f"mock:{tmp_path}/t"
+    to_delta(_df(spark, 0, 30), path)
+    delete_where(path, [("k", "<", 5)], spark=spark)  # COW rewrite
+    assert read_delta(path, spark=spark).count() == 25
+    update_where(path, [("k", ">=", 25)], {"v": 0}, spark=spark)
+    got = read_delta(path, spark=spark)
+    assert got.filter("v = 0").count() == 5
+    # merge-on-read writes a deletion vector THROUGH the seam
+    delete_where(
+        path, [("k", "==", 10)], spark=spark, strategy="merge-on-read"
+    )
+    assert read_delta(path, spark=spark).count() == 24
+    # no junk 'mock:' directory ever appeared under the CWD
+    assert not os.path.exists("mock:")
+    # CDC over the whole history reads through resolved paths
+    ch = read_delta_changes(path, starting_version=-1, spark=spark)
+    assert ch.filter("_change_type = 'insert'").count() >= 30
+    assert ch.filter("_change_type = 'delete'").count() >= 5

@@ -278,3 +278,25 @@ def test_mor_delete_retries_past_disjoint_append(spark, tmp_path, monkeypatch):
     assert state["raced"]
     assert res["numDeletedRows"] == 5
     assert res["version"] == 2
+
+
+def test_clustered_append_race_retries(spark, tmp_path, monkeypatch):
+    """The retry path must accept every feature the initial gate
+    accepted: a blind append to a CLUSTERED (v7 clustering +
+    domainMetadata) table that loses the race retries instead of
+    aborting with a spurious protocol error."""
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10).coalesce(1), path, cluster_by=["k"])
+
+    def competitor():
+        return [
+            {"commitInfo": {"timestamp": 1, "operation": "TXN"}},
+            {"txn": {"appId": "other", "version": 1}},
+        ]
+
+    state = _race_once(monkeypatch, competitor)
+    to_delta(_df(spark, 10, 15).coalesce(1), path, mode="append")
+    assert state["raced"]
+    snap = DeltaLog(path).snapshot()
+    assert snap.version == 2  # competitor v1, retried append v2
+    assert read_delta(path, spark=spark).count() == 15

@@ -88,3 +88,47 @@ def test_inference_never_excludes_a_matching_row(
 def test_all_shapes_parse():
     for gexpr, _ in _SHAPE_EXPRS:
         assert _parse_generation(gexpr) is not None
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    shape=st.integers(min_value=0, max_value=len(_SHAPE_EXPRS) - 1),
+    row_minutes=st.integers(min_value=-400_000, max_value=400_000),
+    lit_minutes=st.integers(min_value=-400_000, max_value=400_000),
+    offset_h=st.integers(min_value=-12, max_value=12),
+    op=st.sampled_from(["==", "<", "<=", ">", ">="]),
+)
+def test_offset_literals_compare_as_instants(
+    shape, row_minutes, lit_minutes, offset_h, op
+):
+    """Timezone-offset literals denote INSTANTS; the derived partition
+    predicates must be computed from the UTC clock (the engine's), so
+    a matching row's partition is never excluded regardless of the
+    literal's offset."""
+    from datetime import timezone as _tz
+
+    gexpr, partval = _SHAPE_EXPRS[shape]
+    row_ts = _BASE + timedelta(minutes=row_minutes)  # naive = UTC clock
+    lit_utc = _BASE + timedelta(minutes=lit_minutes)
+    # same instant, expressed with a wall-clock offset
+    lit_aware = (lit_utc + timedelta(hours=offset_h)).replace(
+        tzinfo=_tz(timedelta(hours=offset_h))
+    )
+    cmp = {
+        "==": row_ts == lit_utc, "<": row_ts < lit_utc,
+        "<=": row_ts <= lit_utc, ">": row_ts > lit_utc,
+        ">=": row_ts >= lit_utc,
+    }[op]
+    if not cmp:
+        return
+    md = _metadata(gexpr)
+    dnf = infer_partition_predicates([[("ts", op, lit_aware)]], md)
+    add = AddAction(
+        path="f.parquet", size=1,
+        partition_values={"g": partval(row_ts)},
+        modification_time=0, data_change=True, stats=None,
+    )
+    assert prune_partitions([add], dnf), (
+        f"offset literal excluded a matching row's partition: "
+        f"shape={gexpr} op={op} row={row_ts} lit={lit_aware}"
+    )

@@ -119,3 +119,50 @@ def test_cleanup_anchors_on_v2_checkpoint(spark, tmp_path):
 
     _SNAPSHOT_CACHE.clear()
     assert read_delta(path, spark=spark).count() == 6
+
+
+def test_v2_checkpoint_requires_feature(spark, tmp_path):
+    """A v2-shape checkpoint on a table that never declared the
+    v2Checkpoint feature would be replayed as an EMPTY add-set by
+    feature-unaware readers — refuse it."""
+    import pytest
+
+    from dask_deltalake_spark.delta.protocol import DeltaProtocolError
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 4).coalesce(1), path)
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+        create_checkpoint(path, format="v2")
+
+
+def test_cleanup_gcs_orphan_sidecars(spark, tmp_path):
+    """Expired v2 manifests take their now-unreferenced sidecars with
+    them; sidecars referenced by RETAINED manifests survive."""
+    import time
+
+    from dask_deltalake_spark.delta.maintenance import set_table_properties
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 4).coalesce(1), path)
+    enable_v2_checkpoints(path)  # v1
+    create_checkpoint(path)  # v2-shape checkpoint @ v1
+    to_delta(_df(spark, 4, 6).coalesce(1), path, mode="append")  # v2
+    create_checkpoint(path)  # second checkpoint @ v2
+    sc_dir = os.path.join(path, "_delta_log", "_sidecars")
+    assert len(os.listdir(sc_dir)) == 2
+    set_table_properties(
+        path, {"delta.logRetentionDuration": "interval 1 minute"}
+    )  # v3
+    log_dir = os.path.join(path, "_delta_log")
+    old = time.time() - 3600
+    for f in os.listdir(log_dir):
+        if f.endswith(".json"):
+            os.utime(os.path.join(log_dir, f), (old, old))
+    doomed = cleanup_metadata(path)
+    assert any(".checkpoint." in f for f in doomed)  # old manifest gone
+    # its sidecar was GC'd; the retained checkpoint's sidecar survives
+    assert len(os.listdir(sc_dir)) == 1
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE
+
+    _SNAPSHOT_CACHE.clear()
+    assert read_delta(path, spark=spark).count() == 6
