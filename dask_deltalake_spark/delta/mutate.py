@@ -328,12 +328,40 @@ def merge_into(
     source: DataFrame,
     keys: list[str] | str,
     spark: Optional[SparkSession] = None,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
 ) -> dict:
-    """Upsert: target rows whose key equals a source row's key are
-    replaced by the source row; source rows with no match are
-    inserted. Source schema must match the table schema."""
+    """MERGE with delta-spark's clause semantics over a key equality
+    condition. Defaults reproduce the classic UPSERT (matched target
+    rows replaced by their source row, unmatched source rows
+    inserted — the prior behavior of this function, byte-identical).
+
+    ``when_matched``: ``"update"`` replaces each matched target row
+    with its source row; ``"delete"`` removes matched target rows
+    (WHEN MATCHED THEN DELETE — the anti-join retention this rewrite
+    already computes); ``"ignore"`` leaves matched rows untouched
+    (insert-only merge).
+
+    ``when_not_matched``: ``"insert"`` adds unmatched source rows;
+    ``"ignore"`` drops them (update-only merge — WHEN NOT MATCHED has
+    no clause).
+
+    Scale shape is unchanged by the clause choice: one key-pruned
+    touched-file set, one anti/semi join against the (broadcast when
+    small) source key set, never a table-wide shuffle."""
     from dask_deltalake_spark.delta.reader import snapshot_schema
 
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(f"Unsupported when_matched: {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"Unsupported when_not_matched: {when_not_matched!r}"
+        )
+    if when_matched == "ignore" and when_not_matched == "ignore":
+        raise ValueError(
+            "MERGE with when_matched='ignore' and "
+            "when_not_matched='ignore' has no clause to apply"
+        )
     spark = spark or source.sparkSession
     table_path = str(path).rstrip("/")
     if isinstance(keys, str):
@@ -422,10 +450,30 @@ def merge_into(
     source_keys = source.select(*keys).dropDuplicates(keys)
     if small_key_set:
         source_keys = F.broadcast(source_keys)
-    keep = _read_files(spark, snap, touched, schema).join(
-        source_keys, keys, "left_anti"
+    target_rows = _read_files(spark, snap, touched, schema)
+    if when_matched == "ignore":
+        # matched target rows stay as-is: keep everything
+        keep = target_rows
+    else:
+        # update/delete both drop the matched rows from the rewrite
+        # (update re-adds them as their source images below)
+        keep = target_rows.join(source_keys, keys, "left_anti")
+    src = source.select(*schema.fieldNames())
+    if when_matched == "update" and when_not_matched == "insert":
+        incoming = src  # classic upsert: every source row lands
+    elif when_matched == "update":  # not_matched == "ignore"
+        # update-only: only source rows whose key EXISTS in the target
+        target_keys = target_rows.select(*keys).dropDuplicates(keys)
+        incoming = src.join(target_keys, keys, "left_semi")
+    elif when_not_matched == "insert":  # matched in (delete, ignore)
+        # only source rows with NO target match are inserted
+        target_keys = target_rows.select(*keys).dropDuplicates(keys)
+        incoming = src.join(target_keys, keys, "left_anti")
+    else:
+        incoming = None  # delete/ignore-only merges add no source rows
+    new_data = (
+        keep if incoming is None else keep.unionByName(incoming)
     )
-    new_data = keep.unionByName(source.select(*schema.fieldNames()))
     return _rewrite_and_commit(
         spark,
         table_path,
@@ -434,7 +482,11 @@ def merge_into(
         untouched,
         new_data,
         "MERGE",
-        {"matchedPredicates": json.dumps(keys)},
+        {
+            "matchedPredicates": json.dumps(keys),
+            "whenMatched": when_matched,
+            "whenNotMatched": when_not_matched,
+        },
     )
 
 

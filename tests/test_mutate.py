@@ -161,3 +161,62 @@ def test_merge_on_partitioned_table(spark, tmp_path):
     pruned = ddl.read_delta(path, filter=[("grp", "==", 1)], spark=spark)
     assert pruned.count() == 100
     assert pruned.filter(F.col("k") % 4 != 1).count() == 0
+
+
+def test_merge_clause_semantics(spark, tmp_path):
+    """delta-spark MERGE clause subsets over the key condition:
+    update-only, delete-on-match, insert-only — defaults stay the
+    classic upsert."""
+    import pytest
+
+    from dask_deltalake_spark.delta.mutate import merge_into
+    from dask_deltalake_spark.delta.reader import read_delta
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    def fresh(name):
+        p = str(tmp_path / name)
+        to_delta(
+            spark.range(5).selectExpr("id AS k", "id * 10 AS v").coalesce(1),
+            p,
+        )
+        return p
+
+    src = spark.range(3, 8).selectExpr("id AS k", "id * 100 AS v")
+
+    # update-only: matched keys 3,4 updated; 5,6,7 NOT inserted
+    p = fresh("t_upd")
+    merge_into(p, src, ["k"], spark=spark, when_not_matched="ignore")
+    got = {r["k"]: r["v"] for r in read_delta(p, spark=spark).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 300, 4: 400}
+
+    # delete-on-match + insert: keys 3,4 removed, 5,6,7 inserted
+    p = fresh("t_del_ins")
+    merge_into(p, src, ["k"], spark=spark, when_matched="delete")
+    got = {r["k"]: r["v"] for r in read_delta(p, spark=spark).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 5: 500, 6: 600, 7: 700}
+
+    # delete-only: keys 3,4 removed, nothing inserted
+    p = fresh("t_del")
+    merge_into(
+        p, src, ["k"], spark=spark,
+        when_matched="delete", when_not_matched="ignore",
+    )
+    got = {r["k"]: r["v"] for r in read_delta(p, spark=spark).collect()}
+    assert got == {0: 0, 1: 10, 2: 20}
+
+    # insert-only: matched rows untouched, 5,6,7 inserted
+    p = fresh("t_ins")
+    merge_into(p, src, ["k"], spark=spark, when_matched="ignore")
+    got = {r["k"]: r["v"] for r in read_delta(p, spark=spark).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 30, 4: 40, 5: 500, 6: 600, 7: 700}
+
+    # defaults = classic upsert (d11's hash-pinned behavior)
+    p = fresh("t_upsert")
+    merge_into(p, src, ["k"], spark=spark)
+    got = {r["k"]: r["v"] for r in read_delta(p, spark=spark).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 300, 4: 400, 5: 500,
+                   6: 600, 7: 700}
+
+    with pytest.raises(ValueError, match="no clause"):
+        merge_into(p, src, ["k"], spark=spark,
+                   when_matched="ignore", when_not_matched="ignore")
