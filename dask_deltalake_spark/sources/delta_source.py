@@ -358,10 +358,20 @@ class DeltaPyStreamReader(DataSourceStreamReader):
         self._last_planned: Optional[int] = (
             int(sh) if sh is not None else None
         )
+        # startingVersion (delta-spark streaming parity): a FRESH
+        # query begins at this version INCLUSIVE instead of the table
+        # start; checkpointed queries ignore it (their position wins)
+        sv = options.get("startingversion", options.get("startingVersion"))
+        self._starting_version = int(sv) if sv is not None else None
 
     def initialOffset(self) -> dict:
-        self._last_planned = -1
-        return {"version": -1}
+        start = (
+            self._starting_version - 1
+            if self._starting_version is not None
+            else -1
+        )
+        self._last_planned = start
+        return {"version": start}
 
     def _commit_add_footprint(self, version: int) -> tuple:
         """(#data-change add files, total bytes) of one commit."""
@@ -759,8 +769,12 @@ class DeltaPyCdfStreamReader(DataSourceStreamReader, _CdfBase):
         self._init_common(options)
         eo = options.get("endOffsetVersion")
         self._end_cap = int(eo) if eo is not None else None
+        sv = options.get("startingversion", options.get("startingVersion"))
+        self._starting_version = int(sv) if sv is not None else None
 
     def initialOffset(self) -> dict:
+        if self._starting_version is not None:
+            return {"version": self._starting_version - 1}
         return {"version": -1}
 
     def latestOffset(self) -> dict:

@@ -379,3 +379,35 @@ def test_available_now_drain_honors_admission(spark, tmp_path):
     drain_available_now(spark, tbl, sink, ck, max_files_per_trigger=1)
     assert sum(n for _b, n in batches) == 5
     assert DeltaLog(tbl).latest_version() == 4
+
+
+def test_streaming_starting_version(spark, tmp_path):
+    """startingVersion (delta-spark parity): a fresh stream begins at
+    that version inclusive; the table's earlier commits never emit."""
+    from dask_deltalake_spark.delta.writer import to_delta
+    from dask_deltalake_spark.streaming.availablenow import (
+        drain_available_now,
+    )
+
+    register_python_datasource(spark)
+    tbl = str(tmp_path / "t")
+    for lo in (0, 5, 10):  # v0, v1, v2
+        to_delta(
+            spark.range(lo, lo + 5).selectExpr("id AS k").coalesce(1),
+            tbl,
+            mode="append" if lo else "error",
+        )
+    batches = []
+    drain_available_now(
+        spark,
+        tbl,
+        lambda df: df.writeStream.foreachBatch(
+            lambda bdf, bid: batches.append(
+                sorted(r["k"] for r in bdf.collect())
+            )
+        ),
+        str(tmp_path / "ck"),
+        options={"startingVersion": 1},
+    )
+    got = sorted(k for b in batches for k in b)
+    assert got == list(range(5, 15))  # v1+v2 only; v0 never emitted
