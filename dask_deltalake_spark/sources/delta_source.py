@@ -151,9 +151,15 @@ class DeltaPyReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("delta_py requires .option('path', ...) or load(path)")
-        version = options.get("version")
+        version = options.get("version", options.get("versionAsOf"))
+        ts = options.get("timestampasof", options.get("timestampAsOf"))
+        if version is not None and ts is not None:
+            raise ValueError(
+                "versionAsOf and timestampAsOf are mutually exclusive"
+            )
         self._snap = DeltaLog(path).snapshot(
-            version=int(version) if version is not None else None
+            version=int(version) if version is not None else None,
+            datetime_string=ts,
         )
         check_read_protocol(
             self._snap.protocol,

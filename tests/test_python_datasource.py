@@ -411,3 +411,40 @@ def test_streaming_starting_version(spark, tmp_path):
     )
     got = sorted(k for b in batches for k in b)
     assert got == list(range(5, 15))  # v1+v2 only; v0 never emitted
+
+
+def test_batch_time_travel_options(spark, tmp_path):
+    """versionAsOf / timestampAsOf on the batch source (delta-spark
+    read-option parity)."""
+    import time
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    register_python_datasource(spark)
+    tbl = str(tmp_path / "t")
+    to_delta(spark.range(5).selectExpr("id AS k").coalesce(1), tbl)
+    time.sleep(0.05)
+    to_delta(
+        spark.range(5, 9).selectExpr("id AS k").coalesce(1),
+        tbl,
+        mode="append",
+    )
+    def r():
+        # a DataFrameReader builder accumulates options — fresh per read
+        return spark.read.format("delta_py").option("path", tbl)
+
+    assert r().option("versionAsOf", 0).load().count() == 5
+    ts = DeltaLog(tbl).version_timestamps()
+    from datetime import datetime, timezone
+
+    mid = datetime.fromtimestamp(
+        (ts[0] + ts[1]) / 2, tz=timezone.utc
+    ).isoformat()
+    assert r().option("timestampAsOf", mid).load().count() == 5
+    assert r().load().count() == 9
+    import pytest
+
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (r().option("versionAsOf", 0).option("timestampAsOf", mid)
+         .load().count())
