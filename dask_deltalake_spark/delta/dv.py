@@ -249,23 +249,6 @@ def _roaring32_size(buf: bytes) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _local(path: str) -> str:
-    """os-level path for DV file I/O (driver-side open/seek reads and
-    the single-bin commit write): resolves locally mapped schemes
-    (mock:), refuses unmapped object stores loudly — DV bytes would
-    otherwise land in a junk relative directory while the commit still
-    published."""
-    from dask_deltalake_spark.delta.logstore import store_for
-
-    lp = store_for(path).local_path(path)
-    if lp is None:
-        raise NotImplementedError(
-            "deletion-vector file I/O uses local file access; "
-            f"{path!r} has no local mapping."
-        )
-    return lp
-
-
 def write_dv_file(
     table_path: str, dv_blobs: list[bytes]
 ) -> tuple[str, list[dict]]:
@@ -273,27 +256,39 @@ def write_dv_file(
     (delta-spark's layout: a DELETE touching 10k files appends 10k
     blobs to one file, not 10k files). Returns (relative file path,
     one descriptor per blob, in input order — cardinality left for the
-    caller to fill)."""
+    caller to fill).
+
+    The bin is assembled in driver memory and written through the
+    LogStore seam, so DV commits work on pure-seam (object-store)
+    tables; size is bounded by the commit's deleted-row bitmaps
+    (RoaringBitmap-compressed — metadata-class, not data-class)."""
+    import io
+
+    from dask_deltalake_spark.delta.logstore import store_for
+
     uid = _uuid.uuid4()
     rel = f"deletion_vector_{uid}.bin"
     encoded_uuid = z85_encode(uid.bytes)
     descriptors = []
-    with open(os.path.join(_local(table_path), rel), "wb") as f:
-        f.write(b"\x01")  # format version
-        offset = 1
-        for blob in dv_blobs:
-            f.write(struct.pack(">i", len(blob)))
-            f.write(blob)
-            f.write(struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
-            descriptors.append(
-                {
-                    "storageType": "u",
-                    "pathOrInlineDv": encoded_uuid,
-                    "offset": offset,
-                    "sizeInBytes": len(blob),
-                }
-            )
-            offset += 4 + len(blob) + 4
+    buf = io.BytesIO()
+    buf.write(b"\x01")  # format version
+    offset = 1
+    for blob in dv_blobs:
+        buf.write(struct.pack(">i", len(blob)))
+        buf.write(blob)
+        buf.write(struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
+        descriptors.append(
+            {
+                "storageType": "u",
+                "pathOrInlineDv": encoded_uuid,
+                "offset": offset,
+                "sizeInBytes": len(blob),
+            }
+        )
+        offset += 4 + len(blob) + 4
+    store_for(table_path).write_bytes(
+        os.path.join(table_path, rel), buf.getvalue()
+    )
     return rel, descriptors
 
 
@@ -317,11 +312,13 @@ def dv_absolute_path(table_path: str, descriptor: dict) -> Optional[str]:
 def read_dv_bytes(table_path: str, descriptor: dict) -> bytes:
     """Descriptor → the RoaringBitmapArray data bytes (CRC-checked for
     file storage)."""
+    from dask_deltalake_spark.delta.logstore import store_for
+
     if descriptor["storageType"] == "i":
         return z85_decode(descriptor["pathOrInlineDv"])
-    path = _local(dv_absolute_path(table_path, descriptor))
+    path = dv_absolute_path(table_path, descriptor)
     size = int(descriptor["sizeInBytes"])
-    with open(path, "rb") as f:
+    with store_for(path).open_input(path) as f:
         f.seek(int(descriptor["offset"]))
         (length,) = struct.unpack(">i", f.read(4))
         if length != size:

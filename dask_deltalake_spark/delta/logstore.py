@@ -60,6 +60,17 @@ class LogStore:
         executors / the JVM can use it directly), else None."""
         return None
 
+    def spark_path(self, path: str) -> str:
+        """Path handed to the JVM / executors for DATA file I/O.
+        Default: the local mapping when one exists, else the path
+        unchanged (real object-store schemes resolve through Hadoop
+        FS conf on the executors — s3a:// etc.). Stores whose scheme
+        the JVM does not understand natively override this (the
+        S3-on-Hadoop split: Python metadata I/O through this store,
+        bulk data I/O through a DIFFERENT JVM-side scheme mapping)."""
+        lp = self.local_path(path)
+        return lp if lp is not None else path
+
     # each op takes the FULL path (scheme and all)
     def exists(self, path: str) -> bool:
         raise NotImplementedError
@@ -298,8 +309,8 @@ def store_for(path: str) -> LogStore:
 
 def resolve_spark_path(path: str) -> str:
     """Path handed to the JVM / executors for DATA file I/O: the local
-    mapping when the store has one (mock:, file:), otherwise unchanged
-    — real object-store schemes resolve through Hadoop FS conf, never
-    through Python."""
-    lp = store_for(path).local_path(path)
-    return lp if lp is not None else path
+    mapping when the store has one (mock:, file:), otherwise the
+    store's ``spark_path`` mapping (unchanged by default — real
+    object-store schemes resolve through Hadoop FS conf, never
+    through Python)."""
+    return store_for(path).spark_path(path)

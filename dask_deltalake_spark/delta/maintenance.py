@@ -731,14 +731,22 @@ def optimize(
         partition_by = [l2p.get(c, c) for c in partition_by]
 
     data_root = log.store.local_path(table_path)
-    if data_root is None:
-        raise NotImplementedError(
-            "optimize() rewrites files via local I/O in Python workers; "
-            f"{table_path!r} has no local mapping."
+    if data_root is not None:
+        schema_bytes = (
+            _spark_to_arrow_schema(df.schema).serialize().to_pybytes()
         )
-    schema_bytes = _spark_to_arrow_schema(df.schema).serialize().to_pybytes()
-    fn = _write_partition_factory(data_root, partition_by, schema_bytes)
-    add_rows = df.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
+        fn = _write_partition_factory(data_root, partition_by, schema_bytes)
+        add_rows = df.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
+    else:
+        # no local mapping (object store): the JVM-native write path
+        # stages through Hadoop FS / the store's spark_path mapping and
+        # renames into the table through the LogStore seam — the same
+        # split to_delta(engine="native") uses (writer.py). Closes the
+        # r6 S16 gap: OPTIMIZE (and thereby DV purge) works on
+        # pure-seam tables.
+        from dask_deltalake_spark.delta.writer import _write_files_native
+
+        add_rows = _write_files_native(df, table_path, partition_by)
 
     ts = now_ms()
     actions: list[dict] = [

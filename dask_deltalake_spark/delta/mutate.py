@@ -169,13 +169,20 @@ def _rewrite_and_commit(
     if l2p:
         new_data = new_data.toDF(*[l2p.get(c, c) for c in new_data.columns])
         partition_by = [l2p.get(c, c) for c in partition_by]
-    schema_bytes = (
-        _spark_to_arrow_schema(new_data.schema).serialize().to_pybytes()
-    )
-    fn = _write_partition_factory(
-        _local_data_root(table_path), partition_by, schema_bytes
-    )
-    add_rows = new_data.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
+    data_root = _local_data_root(table_path)
+    if data_root is not None:
+        schema_bytes = (
+            _spark_to_arrow_schema(new_data.schema).serialize().to_pybytes()
+        )
+        fn = _write_partition_factory(data_root, partition_by, schema_bytes)
+        add_rows = new_data.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
+    else:
+        # no local mapping (object store): JVM-native staging + seam
+        # rename, same split as to_delta(engine="native") — DML COW
+        # rewrites work on pure-seam tables (closes the r6 S16 gap)
+        from dask_deltalake_spark.delta.writer import _write_files_native
+
+        add_rows = _write_files_native(new_data, table_path, partition_by)
 
     ts = now_ms()
     actions: list[dict] = [
@@ -248,21 +255,17 @@ def _translate(dnf: list, l2p: Optional[dict]) -> list:
     return translate_dnf(dnf, l2p)
 
 
-def _local_data_root(table_path: str) -> str:
+def _local_data_root(table_path: str) -> Optional[str]:
     """os-level root for the DML rewrite's Python-worker file writes:
-    resolves locally mapped schemes (mock:), refuses unmapped object
-    stores loudly — rewrite files would otherwise land in a junk
-    relative directory while the commit still published, corrupting
-    the table."""
+    resolves locally mapped schemes (mock:); None for unmapped object
+    stores, where the caller takes the JVM-native staging + LogStore
+    seam rename path instead (never plain file I/O against an
+    unresolved scheme — rewrite files would land in a junk relative
+    directory while the commit still published, corrupting the
+    table)."""
     from dask_deltalake_spark.delta.logstore import store_for
 
-    lp = store_for(table_path).local_path(table_path)
-    if lp is None:
-        raise NotImplementedError(
-            "DML rewrites write data files via local file I/O in "
-            f"Python workers; {table_path!r} has no local mapping."
-        )
-    return lp
+    return store_for(table_path).local_path(table_path)
 
 
 def _read_files(
@@ -892,13 +895,17 @@ def _update_merge_on_read(
         # image files carry PHYSICAL names like every other write
         updated = updated.toDF(*[l2p.get(c, c) for c in updated.columns])
         partition_by = [l2p.get(c, c) for c in partition_by]
-    schema_bytes = (
-        _spark_to_arrow_schema(updated.schema).serialize().to_pybytes()
-    )
-    fn = _write_partition_factory(
-        _local_data_root(table_path), partition_by, schema_bytes
-    )
-    add_rows = updated.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
+    data_root = _local_data_root(table_path)
+    if data_root is not None:
+        schema_bytes = (
+            _spark_to_arrow_schema(updated.schema).serialize().to_pybytes()
+        )
+        fn = _write_partition_factory(data_root, partition_by, schema_bytes)
+        add_rows = updated.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
+    else:
+        from dask_deltalake_spark.delta.writer import _write_files_native
+
+        add_rows = _write_files_native(updated, table_path, partition_by)
 
     version = _mor_commit(
         table_path,

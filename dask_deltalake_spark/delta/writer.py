@@ -316,7 +316,12 @@ def _write_files_native(df: DataFrame, table_path: str, partition_by: list[str])
         w = df.write.mode("overwrite").option("compression", "snappy")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(staging)
+        # the JVM writer gets the store's spark_path mapping (differs
+        # from `staging` only for stores whose scheme the JVM cannot
+        # resolve natively — the seam half below keeps scheme form)
+        from dask_deltalake_spark.delta.logstore import resolve_spark_path
+
+        w.parquet(resolve_spark_path(staging))
     finally:
         if old_tt is not None:
             spark.conf.set("spark.sql.parquet.outputTimestampType", old_tt)

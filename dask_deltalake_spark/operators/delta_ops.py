@@ -1490,7 +1490,7 @@ def d31_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d32_log_cleanup",
     """
     WITH n AS (SELECT COUNT(*) AS cnt FROM region)
-    SELECT CAST(2 AS BIGINT) AS n_deleted,
+    SELECT CAST(2 * 2 AS BIGINT) AS n_deleted,
            CAST(2 AS BIGINT) AS earliest_version,
            CAST(4 * (SELECT cnt FROM n) AS BIGINT) AS rows_latest,
            CAST(3 * (SELECT cnt FROM n) AS BIGINT) AS rows_at_boundary
@@ -1503,7 +1503,11 @@ def d32_log_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _delta_log stays O(retention), not O(table lifetime) — while every
     remaining version replays exactly (latest AND the boundary
     version itself, anchored at its checkpoint). The oracle recomputes
-    the deletion ledger and both replay counts from source parquet."""
+    the deletion ledger and both replay counts from source parquet:
+    2 expired versions × 2 log files each (the commit .json AND its
+    .crc version-checksum sidecar, written per commit since r6 —
+    cleanup removes an expired version's whole file set, exactly as
+    delta-spark's metadata cleanup does)."""
     import os as _os
     import shutil
     import time as _time
@@ -1682,7 +1686,10 @@ def d35_logstore_scheme(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         full.agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("n_nationkey"), 2).alias("key_sum"),
+            # DuckDB's ROUND(SUM(int), 2) is DOUBLE; Spark's is BIGINT —
+            # cast explicitly so the driver's type-sensitive hash matches
+            # (same pattern as d17's `key_sum double` schema).
+            F.round(F.sum("n_nationkey"), 2).cast("double").alias("key_sum"),
         )
         .crossJoin(pruned.agg(F.count("*").alias("pruned_rows")))
         .withColumn("race_detected", F.lit(race))

@@ -70,10 +70,14 @@ def compare(name, spark_pdf, duck_pdf):
     n_mismatch = 0
     examples = []
     for i, (a, b) in enumerate(zip(srows, drows)):
-        if a == b:
-            continue
         row_bad = False
         for x, y in zip(a, b):
+            # Type-strict: the driver's value hash is type-sensitive, so
+            # int 300 vs float 300.0 must FAIL here even though == passes
+            # (this exact loophole masked d35's BIGINT-vs-DOUBLE bug in r6).
+            if x is not None and y is not None and type(x) is not type(y):
+                row_bad = True
+                continue
             if x == y:
                 continue
             if isinstance(x, float) and isinstance(y, float):
