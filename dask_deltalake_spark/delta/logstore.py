@@ -203,19 +203,116 @@ class PrefixLogStore(LocalLogStore):
         return self.root + p if self.root else p
 
 
+class LockClient:
+    """Commit-lock seam for stores with NO atomic put-if-absent (the
+    delta-rs DynamoDB lock-client / delta-spark S3DynamoDBLogStore
+    analog): serialize the existence-check + write of a commit file
+    behind an external mutual-exclusion service. Implementations must
+    provide cross-writer mutual exclusion per key."""
+
+    def acquire(self, key: str):
+        """Block until the lock for ``key`` is held; returns a token
+        to pass to release()."""
+        raise NotImplementedError
+
+    def release(self, token) -> None:
+        raise NotImplementedError
+
+
+class InProcessLockClient(LockClient):
+    """Single-driver lock client (threading): correct when every
+    writer to the table shares this process — multi-thread commit
+    races in one Spark driver. Cross-process/cross-host writers need
+    a distributed implementation (DynamoDB et al.) behind the same
+    two methods."""
+
+    def __init__(self):
+        import threading
+
+        self._guard = threading.Lock()
+        self._locks: dict = {}
+
+    def acquire(self, key: str):
+        import threading
+
+        with self._guard:
+            lk = self._locks.setdefault(key, threading.Lock())
+        lk.acquire()
+        return lk
+
+    def release(self, token) -> None:
+        token.release()
+
+
+def _is_precondition_failure(exc: BaseException) -> bool:
+    """Did a conditional PUT lose the race? Backend-agnostic by
+    message sniffing: S3 412 PreconditionFailed, GCS conditionNotMet,
+    Azure BlobAlreadyExists, generic 'already exists'."""
+    if isinstance(exc, FileExistsError):
+        return True
+    s = f"{type(exc).__name__}: {exc}"
+    return any(
+        m in s
+        for m in (
+            "PreconditionFailed",
+            "412",
+            "conditionNotMet",
+            "ConditionNotMet",
+            "BlobAlreadyExists",
+            "AlreadyExists",
+            "already exists",
+        )
+    )
+
+
+# per-scheme kwargs that turn pipe_file into an atomic create-only PUT
+# (server-side compare-and-swap): S3 If-None-Match:* (supported by AWS
+# since 2024-08 and by MinIO/R2), GCS generation-0 precondition, Azure
+# overwrite=False. Extendable via register_conditional_put_kwargs.
+_CONDITIONAL_PUT_KWARGS: dict[str, dict] = {
+    "s3": {"IfNoneMatch": "*"},
+    "s3a": {"IfNoneMatch": "*"},
+    "gs": {"if_generation_match": 0},
+    "gcs": {"if_generation_match": 0},
+    "abfs": {"overwrite": False},
+    "az": {"overwrite": False},
+}
+
+
+def register_conditional_put_kwargs(scheme: str, kwargs: dict) -> None:
+    _CONDITIONAL_PUT_KWARGS[scheme.lower()] = dict(kwargs)
+
+
 class FsspecLogStore(LogStore):
     """Object-store log I/O through fsspec (requires the optional
     dependency; constructed only for schemes with no registered
-    store). put_if_absent is exclusive-create where the backend
-    supports it — on eventually-consistent stores without it, commit
-    races are best-effort detected (delta-rs documents the same
-    caveat for S3 without a lock client)."""
+    store).
 
-    def __init__(self, scheme: str, **fs_options):
-        import fsspec
+    ``put_if_absent`` — the Delta protocol's one atomicity
+    requirement — resolves through a capability ladder:
 
+    1. exclusive-create ``open(path, "xb")`` where the backend
+       supports it;
+    2. a CONDITIONAL PUT (``pipe_file`` + per-scheme compare-and-swap
+       kwargs: S3 ``If-None-Match: *``, GCS ``if_generation_match=0``,
+       Azure ``overwrite=False``) — a losing race surfaces as the
+       backend's precondition failure and is re-raised as
+       ``FileExistsError``;
+    3. a registered ``LockClient`` (the delta-rs DynamoDB-lock /
+       delta-spark S3DynamoDBLogStore seam) serializing
+       check-then-write;
+    4. blind ``pipe_file`` — ONLY when none of the above apply,
+       preserving delta-rs's documented plain-S3-without-lock caveat.
+    """
+
+    def __init__(self, scheme: str, fs=None, lock_client: Optional[LockClient] = None, **fs_options):
+        if fs is None:
+            import fsspec
+
+            fs = fsspec.filesystem(scheme, **fs_options)
         self.scheme = scheme
-        self.fs = fsspec.filesystem(scheme, **fs_options)
+        self.fs = fs
+        self.lock_client = lock_client
 
     def exists(self, path: str) -> bool:
         return self.fs.exists(path)
@@ -244,13 +341,43 @@ class FsspecLogStore(LogStore):
         self.fs.pipe_file(path, data)
 
     def put_if_absent(self, path: str, data: bytes) -> None:
-        if self.fs.exists(path):
+        if self.fs.exists(path):  # cheap fast-fail; atomicity below
             raise FileExistsError(path)
+        # 1) exclusive create
         try:
-            with self.fs.open(path, "xb") as f:  # exclusive where supported
+            with self.fs.open(path, "xb") as f:
                 f.write(data)
-        except (ValueError, NotImplementedError):
-            self.fs.pipe_file(path, data)  # best-effort (documented)
+            return
+        except FileExistsError:
+            raise
+        except (ValueError, NotImplementedError, OSError) as e:
+            if _is_precondition_failure(e):
+                raise FileExistsError(path) from e
+            # mode unsupported — fall through the ladder
+        # 2) conditional PUT (server-side compare-and-swap)
+        cond = _CONDITIONAL_PUT_KWARGS.get(self.scheme.lower())
+        if cond is not None:
+            try:
+                self.fs.pipe_file(path, data, **cond)
+                return
+            except TypeError:
+                pass  # backend build doesn't accept the kwargs
+            except Exception as e:  # backend precondition failure
+                if _is_precondition_failure(e):
+                    raise FileExistsError(path) from e
+                raise
+        # 3) external lock client (DynamoDB-lock seam)
+        if self.lock_client is not None:
+            token = self.lock_client.acquire(path)
+            try:
+                if self.fs.exists(path):
+                    raise FileExistsError(path)
+                self.fs.pipe_file(path, data)
+                return
+            finally:
+                self.lock_client.release(token)
+        # 4) best-effort blind write (documented delta-rs caveat)
+        self.fs.pipe_file(path, data)
 
     def mtime(self, path: str) -> float:
         try:
