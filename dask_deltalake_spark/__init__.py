@@ -20,50 +20,68 @@ vacuum maintenance. Here the same surface is re-expressed Spark-first:
   analysis, multimodal plumbing) live in ``functions``.
 """
 
-from dask_deltalake_spark.delta.reader import read_delta
-from dask_deltalake_spark.delta.writer import to_delta
-from dask_deltalake_spark.delta.maintenance import (
-    cleanup_metadata,
-    create_checkpoint,
-    optimize,
-    read_delta_history,
-    enable_v2_checkpoints,
-    restore,
-    set_table_properties,
-    table_detail,
-    vacuum,
-    validate_version_checksum,
-)
-from dask_deltalake_spark.delta.clustering import clustering_columns
-from dask_deltalake_spark.delta.logstore import (
-    register_log_store,
-    resolve_spark_path,
-)
-from dask_deltalake_spark.streaming.availablenow import drain_available_now
-from dask_deltalake_spark.delta.cdc import read_delta_changes
-from dask_deltalake_spark.delta.column_mapping import (
-    add_column,
-    drop_column,
-    rename_column,
-    upgrade_to_column_mapping,
-)
-from dask_deltalake_spark.delta.constraints import (
-    add_constraint,
-    drop_constraint,
-)
-from dask_deltalake_spark.delta.generated import (
-    GeneratedColumnViolationError,
-    generated_columns,
-)
-from dask_deltalake_spark.delta.identity import (
-    IdentityColumnError,
-    identity_columns,
-)
-from dask_deltalake_spark.delta.clone import shallow_clone
-from dask_deltalake_spark.delta.ict import enable_in_commit_timestamps
-from dask_deltalake_spark.delta.mutate import delete_where, merge_into, update_where
-from dask_deltalake_spark.delta.rowtracking import enable_row_tracking
-from dask_deltalake_spark.session import get_spark
+# PEP 562 LAZY exports: importing any submodule of this package (which
+# Python's import machinery routes through this __init__) must NOT pay
+# for the whole engine. The cost is real and measured: Spark's Python
+# DataSource spawns a fresh worker process per streaming query (the
+# planner runner) and per batch-source plan, and each spawn imports
+# `sources.delta_source` — with eager exports that pulled mutate +
+# maintenance + pandas (~0.35 s extra per spawn, ×2 spawns per
+# streaming query). The public surface is unchanged: every name in
+# __all__ resolves on first attribute access.
+_EXPORTS = {
+    "read_delta": "dask_deltalake_spark.delta.reader",
+    "to_delta": "dask_deltalake_spark.delta.writer",
+    "cleanup_metadata": "dask_deltalake_spark.delta.maintenance",
+    "create_checkpoint": "dask_deltalake_spark.delta.maintenance",
+    "optimize": "dask_deltalake_spark.delta.maintenance",
+    "read_delta_history": "dask_deltalake_spark.delta.maintenance",
+    "enable_v2_checkpoints": "dask_deltalake_spark.delta.maintenance",
+    "restore": "dask_deltalake_spark.delta.maintenance",
+    "set_table_properties": "dask_deltalake_spark.delta.maintenance",
+    "table_detail": "dask_deltalake_spark.delta.maintenance",
+    "vacuum": "dask_deltalake_spark.delta.maintenance",
+    "validate_version_checksum": "dask_deltalake_spark.delta.maintenance",
+    "clustering_columns": "dask_deltalake_spark.delta.clustering",
+    "register_log_store": "dask_deltalake_spark.delta.logstore",
+    "resolve_spark_path": "dask_deltalake_spark.delta.logstore",
+    "drain_available_now": "dask_deltalake_spark.streaming.availablenow",
+    "read_delta_changes": "dask_deltalake_spark.delta.cdc",
+    "add_column": "dask_deltalake_spark.delta.column_mapping",
+    "drop_column": "dask_deltalake_spark.delta.column_mapping",
+    "rename_column": "dask_deltalake_spark.delta.column_mapping",
+    "upgrade_to_column_mapping": "dask_deltalake_spark.delta.column_mapping",
+    "add_constraint": "dask_deltalake_spark.delta.constraints",
+    "drop_constraint": "dask_deltalake_spark.delta.constraints",
+    "GeneratedColumnViolationError": "dask_deltalake_spark.delta.generated",
+    "generated_columns": "dask_deltalake_spark.delta.generated",
+    "IdentityColumnError": "dask_deltalake_spark.delta.identity",
+    "identity_columns": "dask_deltalake_spark.delta.identity",
+    "shallow_clone": "dask_deltalake_spark.delta.clone",
+    "enable_in_commit_timestamps": "dask_deltalake_spark.delta.ict",
+    "delete_where": "dask_deltalake_spark.delta.mutate",
+    "merge_into": "dask_deltalake_spark.delta.mutate",
+    "update_where": "dask_deltalake_spark.delta.mutate",
+    "enable_row_tracking": "dask_deltalake_spark.delta.rowtracking",
+    "get_spark": "dask_deltalake_spark.session",
+}
+
+
+def __getattr__(name: str):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(
+            f"module 'dask_deltalake_spark' has no attribute {name!r}"
+        )
+    import importlib
+
+    val = getattr(importlib.import_module(mod), name)
+    globals()[name] = val  # cache: next access skips __getattr__
+    return val
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_EXPORTS))
 
 __all__ = [
     "read_delta",

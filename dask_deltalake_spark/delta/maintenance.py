@@ -20,7 +20,6 @@ import json
 import os
 from typing import Optional
 
-import pandas as pd
 from pyspark.sql import SparkSession
 
 from dask_deltalake_spark.delta.log import DeltaLog
@@ -58,6 +57,10 @@ def read_delta_history(
     json-normalized commitInfo, desc-sorted by timestamp, 9 fixed
     columns, optional limit (reference core.py:88-108). Purely
     driver-side metadata, like the reference."""
+    # function-level: pandas costs ~0.25 s per fresh Python worker
+    # spawn and nothing else in this module needs it
+    import pandas as pd
+
     infos = DeltaLog(path).commit_infos()
     for info in infos:
         # the in-commit clock IS the commit time when stamped

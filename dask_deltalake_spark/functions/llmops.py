@@ -1852,8 +1852,104 @@ def window_dedup_stats(d: DataFrame) -> DataFrame:
 
 _SEM_K = 8  # coarse-cluster FLOOR (= the oracle literal at sf<=0.01)
 _SEM_TARGET_CELL = 250  # derived K keeps expected cell size ~this
-_SEM_K_CAP = 1 << 20  # beyond ~1M centroids: two-level IVF territory
+_SEM_K_CAP = 1 << 20  # beyond ~1M centroids: two-level IVF routing
 _SEM_THR = 0.35  # cosine threshold for "semantically duplicate"
+
+
+def _cosine_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ivf_assign(e, cent, k: int, *, two_level_from: int = _SEM_K_CAP):
+    """Nearest-centroid (cosine) assignment: ``e`` (vec_id, v, nrm) ×
+    ``cent`` (cell, cv, cnrm) → (vec_id, v, nrm, cell).
+
+    Below ``two_level_from`` centroids this is the classic broadcast
+    topology: every task scores all K centroids locally, one window
+    shuffle on vec_id picks the argmax — zero joins over data.
+
+    At or ABOVE the threshold the centroid table itself stops being
+    broadcastable, so assignment goes TWO-LEVEL (the IVF escalation
+    the r5/r6 docstrings promised): ~sqrt(K) SUPER-cells (the first
+    n_super centroids, same deterministic first-K convention) are
+    broadcast instead; centroids and vectors are each routed to their
+    nearest super-cell with that small broadcast, and the exact
+    scoring join runs PER SUPER-CELL (shuffle on super_cell, ~sqrt(K)
+    candidate centroids per group) — every stage is bounded:
+    broadcast side O(sqrt(K)), per-group candidate list O(sqrt(K)),
+    never an unbroadcastable build side or an all-pairs. The routing
+    is the standard IVF nprobe=1 approximation: a vector whose true
+    nearest centroid lives in a different super-cell than its own can
+    mis-assign — acceptable for clustering-granularity operators
+    (SemDeDup/IVF builds), and exact whenever super-cells separate at
+    least as well as cells (the pytest pins such a case)."""
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cell")
+    )
+    if k < two_level_from:
+        return (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn(
+                "csim",
+                _cosine_dot(F.col("v"), F.col("cv"))
+                / (F.col("nrm") * F.col("cnrm")),
+            )
+            .withColumn("crk", F.row_number().over(w_assign))
+            .filter(F.col("crk") == 1)
+            .select("vec_id", "v", "nrm", "cell")
+        )
+
+    import math
+
+    n_super = max(2, math.isqrt(k))
+    sup = cent.filter(F.col("cell") < n_super).select(
+        F.col("cell").alias("scell"),
+        F.col("cv").alias("sv"),
+        F.col("cnrm").alias("snrm"),
+    )
+    w_sup_cent = Window.partitionBy("cell").orderBy(
+        F.desc("ssim"), F.asc("scell")
+    )
+    cent_routed = (
+        cent.crossJoin(F.broadcast(sup))
+        .withColumn(
+            "ssim",
+            _cosine_dot(F.col("cv"), F.col("sv"))
+            / (F.col("cnrm") * F.col("snrm")),
+        )
+        .withColumn("srk", F.row_number().over(w_sup_cent))
+        .filter(F.col("srk") == 1)
+        .select("cell", "cv", "cnrm", "scell")
+    )
+    w_sup_vec = Window.partitionBy("vec_id").orderBy(
+        F.desc("ssim"), F.asc("scell")
+    )
+    vec_routed = (
+        e.crossJoin(F.broadcast(sup))
+        .withColumn(
+            "ssim",
+            _cosine_dot(F.col("v"), F.col("sv"))
+            / (F.col("nrm") * F.col("snrm")),
+        )
+        .withColumn("srk", F.row_number().over(w_sup_vec))
+        .filter(F.col("srk") == 1)
+        .select("vec_id", "v", "nrm", "scell")
+    )
+    return (
+        vec_routed.join(cent_routed, "scell")
+        .withColumn(
+            "csim",
+            _cosine_dot(F.col("v"), F.col("cv"))
+            / (F.col("nrm") * F.col("cnrm")),
+        )
+        .withColumn("crk", F.row_number().over(w_assign))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "v", "nrm", "cell")
+    )
 
 
 @query(
@@ -1930,25 +2026,11 @@ def x31_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cnrm"),
     )
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("cell")
-    )
-    inv = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "csim", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-        )
-        .withColumn("crk", F.row_number().over(w_assign))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "v", "nrm", "cell")
-    )
+    dot = _cosine_dot
+    # one-level broadcast below _SEM_K_CAP (always the case at oracle
+    # scale); beyond the cap _ivf_assign escalates to the two-level
+    # super-cell routing with every stage bounded at ~sqrt(K)
+    inv = _ivf_assign(e, cent, k)
     x = inv.select(
         F.col("cell").alias("xc"),
         F.col("vec_id").alias("xid"),

@@ -27,94 +27,98 @@ _ALL.update(_STREAMING)
 # History: r1+r2 verified q01-q44 + d01-d06; r3 led with d07-d16,
 # x01-x28, s01-s07 + q01-q05; r4 led with d17-d19/x29 (new) + q07-q44
 # + d01-d06 + x18 + s06; r5 led with q01-q04/q06/q45, d07/d09-d16,
-# d20-d34, x01/x04/x07/x08/x28, x30-x36, s01-s06/s08/s09 — all 50
-# hash-green or rows-only-by-design (CORRECTNESS_r05).
-# Round 6 front, in priority order:
-# (a) the 25 names whose latest driver row is r3 and would otherwise
-#     turn 3 rounds stale — exactly the set staged by r5's comment:
-#     s07, q05, x05, x06, d08, x02, x03, x09-x17, x19-x27;
-# (b) every query NEW or CHANGED this round: d35 (NEW — LogStore
-#     lifecycle over the mock: scheme), q45 (now returns the lazy
-#     plan), x27/x31/x32 (corpus-derived K; x27 already in (a)),
-#     s06/s09 (drain through the availableNow helper), d14 (restore
-#     carries baseRowId through re-adds), d33 (replace_where persists
-#     before the region probe), d30 (ICT chain scans all actions),
-#     d29 (create-time v7 feature list derived from the implied map),
-#     d36 (NEW — derived partition pruning for generated columns),
-#     q46 (NEW — Spark 4 VARIANT semi-structured extraction),
-#     d37 (NEW — clustered tables / liquid clustering surface),
-#     s10 (NEW — stream-static broadcast join via delta_py),
-#     d38 (NEW — VARIANT-column Delta round-trip + variantType),
-#     d39 (NEW — v2 checkpoints: manifest + sidecars);
-# (c) the stalest r4-tier rows on the paths the LogStore refactor
-#     touched most: d01-d06, d17-d19, x29, then d01-d06 + d17-d19 (x18, x29 and q07-q10 join the r7
-# front: all four are unchanged r4-hash-green rows — x18/x29 are
-# pytest-covered with the x04 jaccard/tokenize paths re-verified in
-# r5 — and r7 leads with them plus q11-q44).
-# Left at positions 51+ for r7 (no hash information lost this round):
-# q01-q04/q06 + the r5-verified d20-d28/d31/d32/d34 + x01/x04/x07/
-# x08/x28/x30/x33-x36 + s01-s05/s08 all have r5 hash rows on unchanged
-# code; q11-q44 (r4 rows, unchanged relational paths with in-window
-# neighbors q07-q10) lead r7 next to d07/d09-d16.
-_R6_FRONT = (
+# d20-d34, x01/x04/x07/x08/x28, x30-x36, s01-s06/s08/s09; r6 led with
+# the 25 r3-stale names (s07, q05, x05, x06, d08, x02, x03, x09-x17,
+# x19-x27) + everything new/changed in r6 (d35, q45, x31, x32, s06,
+# s09, d14, d33, d30, d29, d36, q46, d37, s10, d38, d39) + the r4-tier
+# d01-d06/d17-d19 — after r6 no row older than r4 (VERDICT r6).
+# Round 7 front, in priority order:
+# (a) the 40 names whose latest driver row is r4 (the staleness front
+#     VERDICT r6 #3 prescribes): q07-q44, x18, x29;
+# (b) every query CHANGED this round:
+#     d35 (key_sum cast to double — the r6 hash-red fix),
+#     d32 (oracle ledger now counts the .crc checksum sidecars the r6
+#         version-checksum feature added to expired versions — a
+#         latent r6 rotation miss caught by the now-type-strict local
+#         gate),
+#     x31 (centroid assignment refactored through _ivf_assign, which
+#         adds the two-level super-cell routing beyond _SEM_K_CAP;
+#         the oracle-scale plan is byte-identical one-level),
+#     d08/d12/d13/d15 (optimize + DML rewrites grew the no-local-
+#         mapping branch: JVM-native staging + LogStore-seam rename —
+#         their local execution path is unchanged, re-verified here),
+#     d22 (deletion-vector .bin I/O now goes through the LogStore
+#         seam; local path identical, re-verified here),
+#     d04 (read_delta_history's pandas import moved function-level
+#         for worker spawn cost);
+# (c) the two stalest remaining r5-tier rows: d07, d09 — d07 fills
+#     the last slot; d09 leads the 51+ region for r8.
+# Left at positions 51+ for r7, with justification:
+# q01-q06/q45/q46, d01-d06 minus d04, d09-d11/d14/d16-d21/d23-d31/
+# d33-d34/d36-d39, x01-x17/x19-x28/x30/x32-x36, s01-s10 all carry r5
+# or r6 driver rows on code unchanged this round. The dv.py read
+# seam-routing that d19/d20/d25 (CDC) share with d22 is represented
+# in-window by d22 and pinned by test_dv/test_cdc (pytest green);
+# s06/s09 changed only in BENCH-scoped session conf (bench.py
+# per_query_conf), not in query code. q07-q44 rotating in means
+# q01-q06 (r5 rows) lead the r8 staleness front together with the
+# r5-verified d-tier.
+_R7_FRONT = (
     [
-        # (a) r3-stale set
-        "s07_stream_stream_join",
-        "q05_join_multiway",
-        "x05_minhash_lsh",
-        "x06_simhash",
-        "d08_delta_optimize",
-        "x02_dedup_normalized",
-        "x03_fingerprint",
-        "x09_embedding_stats",
-        "x10_text_quality",
-        "x11_lang_id",
-        "x12_token_classes",
-        "x13_multimodal_decode",
-        "x14_embedding_near_dup",
-        "x15_tfidf_top_terms",
-        "x16_ivf_ann",
-        "x17_multimodal_framesample",
-        "x19_embedding_quantize",
-        "x20_hash_split",
-        "x21_decontaminate",
-        "x22_repetition_filter",
-        "x23_pii_scrub",
-        "x24_source_mix",
-        "x25_pack_sequences",
-        "x26_curation_pipeline",
-        "x27_kmeans",
-        # (b) new or changed in r6
+        "q07_join_semi",
+        "q08_join_anti",
+        "q09_join_theta",
+        "q10_asof_join",
+        "q11_agg_suite",
+        "q12_approx_count_distinct",
+        "q13_rollup",
+        "q14_cube_grouping_sets",
+        "q15_window_rank",
+        "q16_window_lag_lead",
+        "q17_window_running",
+        "q18_window_range_frame",
+        "q19_topk_global",
+        "q20_topk_per_group",
+        "q21_set_ops",
+        "q22_distinct_dropdup",
+        "q23_string_funcs",
+        "q24_date_funcs",
+        "q25_math_conditional",
+        "q26_array_explode",
+        "q27_higher_order_arrays",
+        "q28_json_funcs",
+        "q29_grouping_sets",
+        "q30_pivot",
+        "q31_subqueries",
+        "q32_collect_list_set",
+        "q33_percentiles",
+        "q34_bucketed_join",
+        "q35_pandas_udf",
+        "q36_udtf",
+        "q37_window_distribution",
+        "q38_salted_agg",
+        "q39_range_join_binned",
+        "q40_approx_percentiles",
+        "q41_map_funcs",
+        "q42_unpivot",
+        "q43_deterministic_sample",
+        "q44_sessionize_batch",
+        "x18_dedup_clusters",
+        "x29_chunk_documents",
         "d35_logstore_scheme",
-        "q45_recursive_cte",
+        "d32_log_cleanup",
         "x31_semantic_dedup",
-        "x32_pq_ann",
-        "s06_stream_delta_source",
-        "s09_stream_incremental_agg",
-        "d14_delta_restore",
-        "d33_replace_where_txn",
-        "d30_in_commit_timestamps",
-        "d29_row_tracking",
-        "d36_generated_partition_inference",
-        "q46_variant_semistructured",
-        "d37_clustered_table",
-        "s10_stream_static_join",
-        "d38_variant_table",
-        "d39_v2_checkpoint",
-        # (c) stalest r4 tier on LogStore-touched paths
-        "d01_delta_roundtrip",
-        "d02_delta_time_travel",
-        "d03_delta_partition_prune",
+        "d08_delta_optimize",
+        "d12_delta_delete",
+        "d13_delta_update",
+        "d15_delta_zorder",
+        "d22_deletion_vectors",
         "d04_delta_history",
-        "d05_delta_vacuum",
-        "d06_delta_schema_evolution",
-        "d17_storage_options",
-        "d18_table_create_metadata",
-        "d19_change_data_feed",
+        "d07_delta_checkpoint",
     ]
 )
-_R6_FRONT = [n for n in _R6_FRONT if n in _ALL]
-_POS = {n: i for i, n in enumerate(_R6_FRONT)}
+_R7_FRONT = [n for n in _R7_FRONT if n in _ALL]
+_POS = {n: i for i, n in enumerate(_R7_FRONT)}
 
 
 def _key(name: str):
