@@ -283,6 +283,24 @@ def register_conditional_put_kwargs(scheme: str, kwargs: dict) -> None:
     _CONDITIONAL_PUT_KWARGS[scheme.lower()] = dict(kwargs)
 
 
+class NoLocalPrefixStore(PrefixLogStore):
+    """``PrefixLogStore`` that HIDES its local mapping: seam
+    (metadata) ops still land on local disk, but ``local_path`` is
+    None, so every rewrite/maintenance path must take the object-store
+    route — JVM-native staging + seam rename, DV bytes through the
+    store, vacuum deletes through the store — exactly as on S3/GCS.
+    ``spark_path`` supplies the JVM's view of the data files (the
+    s3a:// analog of an s3:// log path). Registered under ``mocknl:``
+    as the permanent object-store-semantics test double (used by
+    d40_objectstore_dml and tests/test_logstore_dml.py)."""
+
+    def local_path(self, path: str) -> Optional[str]:
+        return None
+
+    def spark_path(self, path: str) -> str:
+        return self._p(path)
+
+
 class FsspecLogStore(LogStore):
     """Object-store log I/O through fsspec (requires the optional
     dependency; constructed only for schemes with no registered
@@ -406,6 +424,7 @@ _REGISTRY: dict[str, LogStore] = {
     "": _LOCAL,
     "file": _LOCAL,
     "mock": PrefixLogStore("mock"),
+    "mocknl": NoLocalPrefixStore("mocknl"),
 }
 
 

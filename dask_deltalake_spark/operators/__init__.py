@@ -51,8 +51,9 @@ _ALL.update(_STREAMING)
 #         seam; local path identical, re-verified here),
 #     d04 (read_delta_history's pandas import moved function-level
 #         for worker spawn cost);
-# (c) the two stalest remaining r5-tier rows: d07, d09 — d07 fills
-#     the last slot; d09 leads the 51+ region for r8.
+# (c) d40 (NEW — the object-store DML lifecycle itself as a driver-
+#     checked query: COW+MoR DELETE, OPTIMIZE-as-DV-purge, VACUUM on
+#     a no-local-mapping mocknl: table).
 # Left at positions 51+ for r7, with justification:
 # q01-q06/q45/q46, d01-d06 minus d04, d09-d11/d14/d16-d21/d23-d31/
 # d33-d34/d36-d39, x01-x17/x19-x28/x30/x32-x36, s01-s10 all carry r5
@@ -60,9 +61,9 @@ _ALL.update(_STREAMING)
 # seam-routing that d19/d20/d25 (CDC) share with d22 is represented
 # in-window by d22 and pinned by test_dv/test_cdc (pytest green);
 # s06/s09 changed only in BENCH-scoped session conf (bench.py
-# per_query_conf), not in query code. q07-q44 rotating in means
-# q01-q06 (r5 rows) lead the r8 staleness front together with the
-# r5-verified d-tier.
+# per_query_conf), not in query code; d07/d09-d16 keep r5 rows on
+# unchanged code and lead the r8 staleness front together with
+# q01-q06 (r5 rows).
 _R7_FRONT = (
     [
         "q07_join_semi",
@@ -114,7 +115,7 @@ _R7_FRONT = (
         "d15_delta_zorder",
         "d22_deletion_vectors",
         "d04_delta_history",
-        "d07_delta_checkpoint",
+        "d40_objectstore_dml",
     ]
 )
 _R7_FRONT = [n for n in _R7_FRONT if n in _ALL]

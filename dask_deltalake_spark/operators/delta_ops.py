@@ -1934,3 +1934,72 @@ def d39_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sidecars_written", F.lit(sidecars_written))
         .withColumn("replay_matches", F.lit(replay_matches))
     )
+
+
+@query(
+    "d40_objectstore_dml",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_after,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum_after,
+           1 AS dv_purged,
+           1 AS vacuum_clean
+    FROM nation
+    WHERE n_nationkey >= 5 AND n_nationkey < 20
+    """,
+)
+def d40_objectstore_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store DML lifecycle (the r6 S16 'What's missing #1'
+    closure, driver-verified): every rewrite path runs on a table
+    whose store has NO local mapping (``mocknl:`` —
+    delta/logstore.py's NoLocalPrefixStore: seam ops locally backed,
+    ``local_path()`` None, so the optimize/DML/DV shortcuts through
+    Python-worker local file I/O are unreachable and the JVM-native
+    staging + LogStore-seam rename route must carry everything, as it
+    would on S3/GCS).
+
+    Flow: native write → copy-on-write DELETE (JVM staging rewrite) →
+    merge-on-read DELETE (deletion-vector .bin written THROUGH the
+    seam) → OPTIMIZE (compaction doubles as DV purge, output files
+    staged by the JVM and renamed through the seam) → VACUUM (deletes
+    tombstoned originals + the purged DV bin through the seam). The
+    oracle recomputes the surviving aggregate from source parquet —
+    a hash match means the transport changed, never the data.
+    ``dv_purged`` asserts the DV bin existed after the MoR delete and
+    is gone after OPTIMIZE+VACUUM; ``vacuum_clean`` asserts a second
+    dry-run finds nothing."""
+    import shutil
+
+    from dask_deltalake_spark.delta.maintenance import optimize, vacuum
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    local = _tmp_table(sf_dir, "nation_objectstore")
+    shutil.rmtree(local, ignore_errors=True)
+    path = f"mocknl:{local}"
+    n = load_table(spark, sf_dir, "nation")
+    to_delta(n, path)
+    delete_where(path, [("n_nationkey", "<", 5)], spark=spark)
+    delete_where(
+        path, [("n_nationkey", ">=", 20)],
+        strategy="merge-on-read", spark=spark,
+    )
+
+    def _dv_bins() -> int:
+        return len(
+            [f for f in os.listdir(local)
+             if f.startswith("deletion_vector_")]
+        )
+
+    had_dv = _dv_bins() >= 1
+    optimize(path, spark=spark)
+    vacuum(path, retention_hours=0, dry_run=False, spark=spark)
+    dv_purged = int(had_dv and _dv_bins() == 0)
+    clean = int(vacuum(path, retention_hours=0, dry_run=True) == [])
+    return (
+        read_delta(path, spark=spark)
+        .agg(
+            F.count("*").alias("n_rows_after"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum_after"),
+        )
+        .withColumn("dv_purged", F.lit(dv_purged))
+        .withColumn("vacuum_clean", F.lit(clean))
+    )

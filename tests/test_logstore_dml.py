@@ -23,29 +23,14 @@ import os
 import pyspark.sql.functions as F
 import pytest
 
-from dask_deltalake_spark.delta.logstore import (
-    PrefixLogStore,
-    register_log_store,
-)
 from dask_deltalake_spark.delta.maintenance import optimize, vacuum
 from dask_deltalake_spark.delta.mutate import delete_where
 from dask_deltalake_spark.delta.reader import read_delta
 from dask_deltalake_spark.delta.writer import to_delta
 
-
-class NoLocalStore(PrefixLogStore):
-    """Seam ops land on local disk (test double), but there is no
-    local_path shortcut — code must route through the seam or the
-    JVM's spark_path mapping, exactly as on S3/GCS."""
-
-    def local_path(self, path):  # noqa: D102 — the point of the class
-        return None
-
-    def spark_path(self, path):
-        return self._p(path)
-
-
-register_log_store("mocknl", NoLocalStore("mocknl"))
+# the mocknl: NoLocalPrefixStore (delta/logstore.py) is registered by
+# default: seam ops land on local disk, local_path is None, spark_path
+# supplies the JVM's view — the permanent object-store test double
 
 
 @pytest.fixture()
