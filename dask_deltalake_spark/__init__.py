@@ -33,6 +33,7 @@ _EXPORTS = {
     "read_delta": "dask_deltalake_spark.delta.reader",
     "to_delta": "dask_deltalake_spark.delta.writer",
     "cleanup_metadata": "dask_deltalake_spark.delta.maintenance",
+    "compact_log": "dask_deltalake_spark.delta.maintenance",
     "create_checkpoint": "dask_deltalake_spark.delta.maintenance",
     "optimize": "dask_deltalake_spark.delta.maintenance",
     "read_delta_history": "dask_deltalake_spark.delta.maintenance",
@@ -92,6 +93,7 @@ __all__ = [
     "optimize",
     "create_checkpoint",
     "cleanup_metadata",
+    "compact_log",
     "restore",
     "merge_into",
     "delete_where",

@@ -32,6 +32,7 @@ from dask_deltalake_spark.delta.protocol import (
 )
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
 # checkpoint shapes: classic single (V.checkpoint.parquet), classic
 # multi-part (V.checkpoint.NNN.MMM.parquet), and V2
 # (V.checkpoint.<uniqueStr>.parquet — a manifest whose add/remove
@@ -118,6 +119,31 @@ class DeltaLog:
             if m:
                 out.append(int(m.group(1)))
         return sorted(out)
+
+    def compacted_ranges(self) -> list[tuple[int, int]]:
+        """Log-compaction files present: sorted (start, end) version
+        ranges from ``{x:020d}.{y:020d}.compacted.json`` names (the
+        Delta spec's Log Compaction Files — minor compactions). Replay
+        may substitute one file read for the whole commit range."""
+        out = []
+        for f in self.store.list_dir(self.log_path):
+            m = _COMPACTED_RE.match(f)
+            if m:
+                out.append((int(m.group(1)), int(m.group(2))))
+        return sorted(out)
+
+    def read_compacted_actions(
+        self, start: int, end: int
+    ) -> list[dict[str, Any]]:
+        p = os.path.join(
+            self.log_path, f"{start:020d}.{end:020d}.compacted.json"
+        )
+        actions = []
+        for line in self.store.read_bytes(p).decode("utf-8").splitlines():
+            line = line.strip()
+            if line:
+                actions.append(json.loads(line))
+        return actions
 
     def checkpoint_versions(self) -> list[int]:
         out = set()
@@ -397,40 +423,67 @@ class DeltaLog:
                 "cleanup."
             )
 
-        for v in range(start, version + 1):
-            if v not in versions and v > 0:
-                # gap in the log without a covering checkpoint
+        def _apply(action: dict) -> None:
+            nonlocal metadata, protocol
+            if "add" in action:
+                a = AddAction.from_json(action["add"])
+                adds[a.path] = a
+                tombstones.pop(a.path, None)
+            elif "remove" in action:
+                r = RemoveAction.from_json(action["remove"])
+                adds.pop(r.path, None)
+                tombstones[r.path] = r
+            elif "metaData" in action:
+                metadata = Metadata.from_json(action["metaData"])
+            elif "protocol" in action:
+                protocol = Protocol.from_json(action["protocol"])
+            elif "domainMetadata" in action:
+                dm = action["domainMetadata"]
+                if dm.get("removed"):
+                    domains.pop(dm.get("domain", ""), None)
+                else:
+                    domains[dm.get("domain", "")] = dm.get(
+                        "configuration", ""
+                    )
+            elif "txn" in action:
+                t = action["txn"]
+                app = t.get("appId")
+                if app is not None:
+                    txns[app] = max(
+                        int(t.get("version", 0)), txns.get(app, -1)
+                    )
+
+        # Log-compaction files (spec: Log Compaction Files): a range
+        # whose start ALIGNS with the replay position substitutes one
+        # file read for the whole commit range — O(#compactions)
+        # instead of O(#commits) between checkpoints, and commits that
+        # log cleanup already deleted replay through their covering
+        # compaction. Only aligned ranges are usable (an overlapping
+        # range would re-apply state from before the replay position);
+        # per start, the LARGEST covered end wins.
+        compacted: dict[int, int] = {}
+        for cs, ce in self.compacted_ranges():
+            if ce <= version:
+                compacted[cs] = max(ce, compacted.get(cs, -1))
+        versions_set = set(versions)
+        v = start
+        while v <= version:
+            ce = compacted.get(v)
+            if ce is not None:
+                for action in self.read_compacted_actions(v, ce):
+                    _apply(action)
+                v = ce + 1
+                continue
+            if v not in versions_set and v > 0:
+                # gap in the log without a covering checkpoint or
+                # compaction
                 if not usable_cp or v > version:
                     raise ValueError(f"Missing commit {v} in {self.log_path}")
+                v += 1
                 continue
             for action in self.read_commit_actions(v):
-                if "add" in action:
-                    a = AddAction.from_json(action["add"])
-                    adds[a.path] = a
-                    tombstones.pop(a.path, None)
-                elif "remove" in action:
-                    r = RemoveAction.from_json(action["remove"])
-                    adds.pop(r.path, None)
-                    tombstones[r.path] = r
-                elif "metaData" in action:
-                    metadata = Metadata.from_json(action["metaData"])
-                elif "protocol" in action:
-                    protocol = Protocol.from_json(action["protocol"])
-                elif "domainMetadata" in action:
-                    dm = action["domainMetadata"]
-                    if dm.get("removed"):
-                        domains.pop(dm.get("domain", ""), None)
-                    else:
-                        domains[dm.get("domain", "")] = dm.get(
-                            "configuration", ""
-                        )
-                elif "txn" in action:
-                    t = action["txn"]
-                    app = t.get("appId")
-                    if app is not None:
-                        txns[app] = max(
-                            int(t.get("version", 0)), txns.get(app, -1)
-                        )
+                _apply(action)
+            v += 1
 
         if metadata is None:
             raise ValueError(

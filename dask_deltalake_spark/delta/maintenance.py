@@ -998,6 +998,95 @@ def _parse_retention_interval(s: str) -> float:
     ]
 
 
+def compact_log(
+    path: str,
+    start_version: Optional[int] = None,
+    end_version: Optional[int] = None,
+) -> str:
+    """Write a LOG COMPACTION file (Delta spec "Log Compaction Files":
+    ``{start:020d}.{end:020d}.compacted.json``) holding the
+    action-reconciled state of commits ``start..end``: latest
+    metaData/protocol, net add/remove per file path (an add then
+    remove nets to the remove; remove then re-add nets to the add),
+    latest txn version per appId, and latest domainMetadata per domain
+    *including removal markers* (a mid-log range must preserve
+    removals or replay from older state would resurrect the domain).
+
+    Defaults: ``start`` = first version after the newest checkpoint
+    (else 0), ``end`` = latest. Readers substitute the single file for
+    the whole range when it aligns with their replay position
+    (delta/log.py snapshot loop) — between checkpoints, replay cost
+    drops from O(#commits) to O(#compactions), and commits that log
+    cleanup later deletes stay replayable through their covering
+    compaction. Writing is idempotent (same range → same content), so
+    plain ``write_bytes`` suffices — no commit race to arbitrate.
+    Returns the file name written."""
+    log = DeltaLog(str(path).rstrip("/"))
+    versions = log.versions()
+    if end_version is None:
+        end_version = versions[-1]
+    if start_version is None:
+        cps = [c for c in log.checkpoint_versions() if c < end_version]
+        start_version = cps[-1] + 1 if cps else 0
+    if start_version > end_version:
+        raise ValueError(
+            f"compact_log: empty range {start_version}..{end_version}"
+        )
+    adds: dict = {}
+    removes: dict = {}
+    metadata = None
+    protocol = None
+    domains: dict = {}
+    txns: dict = {}
+    for v in range(start_version, end_version + 1):
+        if v not in versions:
+            raise ValueError(
+                f"compact_log: commit {v} missing from "
+                f"{log.log_path} — can only compact retained ranges"
+            )
+        for action in log.read_commit_actions(v):
+            if "add" in action:
+                p = action["add"]["path"]
+                adds[p] = action
+                removes.pop(p, None)
+            elif "remove" in action:
+                p = action["remove"]["path"]
+                adds.pop(p, None)
+                removes[p] = action
+            elif "metaData" in action:
+                metadata = action
+            elif "protocol" in action:
+                protocol = action
+            elif "domainMetadata" in action:
+                domains[action["domainMetadata"].get("domain", "")] = action
+            elif "txn" in action:
+                t = action["txn"]
+                app = t.get("appId")
+                if app is not None and (
+                    app not in txns
+                    or int(t.get("version", 0))
+                    >= int(txns[app]["txn"].get("version", 0))
+                ):
+                    txns[app] = action
+            # commitInfo / cdc / sidecar actions are dropped, exactly
+            # as checkpoint reconciliation drops them
+    lines = []
+    if protocol is not None:
+        lines.append(protocol)
+    if metadata is not None:
+        lines.append(metadata)
+    lines.extend(txns.values())
+    lines.extend(domains.values())
+    lines.extend(adds.values())
+    lines.extend(removes.values())
+    name = f"{start_version:020d}.{end_version:020d}.compacted.json"
+    log.store.write_bytes(
+        os.path.join(log.log_path, name),
+        ("\n".join(json.dumps(a) for a in lines) + "\n").encode("utf-8"),
+    )
+    return name
+
+
 def cleanup_metadata(path: str, dry_run: bool = False) -> list:
     """Log retention (delta-spark's metadata cleanup, honoring
     ``delta.logRetentionDuration``, default 30 days): delete expired
@@ -1030,9 +1119,18 @@ def cleanup_metadata(path: str, dry_run: bool = False) -> list:
     if boundary <= 0:
         return []
     doomed: list = []
+    from dask_deltalake_spark.delta.log import _COMPACTED_RE
+
     for f in sorted(log.store.list_dir(log.log_path)):
         m = _COMMIT_OR_CP_RE.match(f)
         if m and int(m.group(1)) < boundary:
+            doomed.append(f)
+            continue
+        # log-compaction files: replay from the boundary checkpoint
+        # starts at boundary+1, so a range STARTING below the boundary
+        # can never align again — expired alongside its commits
+        mc = _COMPACTED_RE.match(f)
+        if mc and int(mc.group(1)) < boundary:
             doomed.append(f)
     if not dry_run:
         for f in doomed:

@@ -44,16 +44,20 @@ _ALL.update(_STREAMING)
 #     x31 (centroid assignment refactored through _ivf_assign, which
 #         adds the two-level super-cell routing beyond _SEM_K_CAP;
 #         the oracle-scale plan is byte-identical one-level),
-#     d08/d12/d13/d15 (optimize + DML rewrites grew the no-local-
-#         mapping branch: JVM-native staging + LogStore-seam rename —
-#         their local execution path is unchanged, re-verified here),
+#     d08/d12/d13 (optimize + DML rewrites grew the no-local-mapping
+#         branch: JVM-native staging + LogStore-seam rename — their
+#         local execution path is unchanged, re-verified here; d15's
+#         zorder shares exactly d08's optimize else-branch and keeps
+#         its r5 row + test_zorder),
 #     d22 (deletion-vector .bin I/O now goes through the LogStore
 #         seam; local path identical, re-verified here),
 #     d04 (read_delta_history's pandas import moved function-level
 #         for worker spawn cost);
 # (c) d40 (NEW — the object-store DML lifecycle itself as a driver-
 #     checked query: COW+MoR DELETE, OPTIMIZE-as-DV-purge, VACUUM on
-#     a no-local-mapping mocknl: table).
+#     a no-local-mapping mocknl: table) and d41 (NEW — log compaction
+#     files: compact_log reconciliation + replay substitution proven
+#     by replaying through a deleted commit).
 # Left at positions 51+ for r7, with justification:
 # q01-q06/q45/q46, d01-d06 minus d04, d09-d11/d14/d16-d21/d23-d31/
 # d33-d34/d36-d39, x01-x17/x19-x28/x30/x32-x36, s01-s10 all carry r5
@@ -112,7 +116,7 @@ _R7_FRONT = (
         "d08_delta_optimize",
         "d12_delta_delete",
         "d13_delta_update",
-        "d15_delta_zorder",
+        "d41_log_compaction",
         "d22_deletion_vectors",
         "d04_delta_history",
         "d40_objectstore_dml",

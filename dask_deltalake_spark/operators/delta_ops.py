@@ -2003,3 +2003,62 @@ def d40_objectstore_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dv_purged", F.lit(dv_purged))
         .withColumn("vacuum_clean", F.lit(clean))
     )
+
+
+@query(
+    "d41_log_compaction",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           1 AS replayed_through_compaction,
+           1 AS netted
+    FROM nation
+    WHERE n_nationkey >= 5 AND n_nationkey < 20
+    """,
+)
+def d41_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction files (Delta spec "Log Compaction Files",
+    maintenance.compact_log + the delta/log.py replay substitution):
+    ``{x}.{y}.compacted.json`` holds the action-reconciled state of
+    commits x..y, and an aligned range replaces the whole commit-range
+    read during replay — between checkpoints the log replay cost drops
+    from O(#commits) to O(#compactions), the listing-bound metadata
+    cost that dominates snapshot construction on a busy 100 TB table
+    (a commit every few seconds → thousands of JSON reads per cold
+    replay without compaction).
+
+    Proof here: v0 write → v1 DELETE (<5) → v2 DELETE (>=20), compact
+    0..2, then delete the MID commit file — replay succeeds only by
+    consuming the compacted file (the driver-hash-matched aggregate
+    comes from that replay), and ``netted`` asserts reconciliation
+    left no path on both the add and remove side."""
+    import shutil
+
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+    from dask_deltalake_spark.delta.maintenance import compact_log
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = _tmp_table(sf_dir, "nation_logcompact")
+    shutil.rmtree(path, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation")
+    to_delta(n, path)
+    delete_where(path, [("n_nationkey", "<", 5)], spark=spark)
+    delete_where(path, [("n_nationkey", ">=", 20)], spark=spark)
+    compact_log(path)
+    log = DeltaLog(path)
+    actions = log.read_compacted_actions(0, 2)
+    added = {a["add"]["path"] for a in actions if "add" in a}
+    removed = {a["remove"]["path"] for a in actions if "remove" in a}
+    netted = int(len(added & removed) == 0 and bool(added) and bool(removed))
+    os.remove(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+    _SNAPSHOT_CACHE.clear()  # force the cold replay through the range
+    replayed = int(set(DeltaLog(path).snapshot().files) == added)
+    return (
+        read_delta(path, spark=spark)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+        .withColumn("replayed_through_compaction", F.lit(replayed))
+        .withColumn("netted", F.lit(netted))
+    )

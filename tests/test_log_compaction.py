@@ -1,0 +1,177 @@
+"""Log compaction files (Delta spec "Log Compaction Files"):
+``{x:020d}.{y:020d}.compacted.json`` = action-reconciled commits x..y.
+
+Covers: replay equality with and without the compacted file, reader
+preference for an aligned range (proven by replaying THROUGH deleted
+commits), reconciliation semantics (add+remove netting, txn max,
+domain-removal markers preserved), checkpoint interplay (range
+starting at cp+1), and retention cleanup of expired compactions.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from dask_deltalake_spark.delta.log import DeltaLog, _SNAPSHOT_CACHE
+from dask_deltalake_spark.delta.maintenance import (
+    cleanup_metadata,
+    compact_log,
+    create_checkpoint,
+)
+from dask_deltalake_spark.delta.mutate import delete_where
+from dask_deltalake_spark.delta.reader import read_delta
+from dask_deltalake_spark.delta.writer import to_delta
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _build(spark, path):
+    """v0 create, v1 append, v2 delete (removes), v3 append."""
+    to_delta(_df(spark, 0, 10), path)
+    to_delta(_df(spark, 10, 20), path, mode="append")
+    delete_where(path, [("k", "<", 5)], spark=spark)
+    to_delta(_df(spark, 20, 30), path, mode="append")
+
+
+def _state(snap):
+    return (
+        set(snap.files),
+        set(snap.tombstones),
+        snap.metadata.schema_string,
+        dict(snap.transactions),
+        dict(snap.domain_metadata),
+    )
+
+
+def test_compacted_replay_equals_commit_replay(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _build(spark, path)
+    before = _state(DeltaLog(path).snapshot())
+    name = compact_log(path)
+    assert name == f"{0:020d}.{3:020d}.compacted.json"
+    _SNAPSHOT_CACHE.clear()
+    after = _state(DeltaLog(path).snapshot())
+    assert after == before
+    got = read_delta(path, spark=spark)
+    assert got.count() == 25
+    assert got.agg(F.min("k")).collect()[0][0] == 5
+
+
+def test_reader_uses_compaction_through_deleted_commits(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _build(spark, path)
+    before = _state(DeltaLog(path).snapshot())
+    compact_log(path)
+    # delete the covered mid-range commits: without the compacted file
+    # replay MUST fail, with it the snapshot is identical
+    for v in (1, 2):
+        os.remove(os.path.join(path, "_delta_log", f"{v:020d}.json"))
+    _SNAPSHOT_CACHE.clear()
+    assert _state(DeltaLog(path).snapshot()) == before
+    cp = os.path.join(
+        path, "_delta_log", f"{0:020d}.{3:020d}.compacted.json"
+    )
+    os.rename(cp, cp + ".bak")
+    _SNAPSHOT_CACHE.clear()
+    with pytest.raises(ValueError, match="Missing commit"):
+        DeltaLog(path).snapshot()
+    os.rename(cp + ".bak", cp)
+
+
+def test_partial_range_and_checkpoint_alignment(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _build(spark, path)
+    create_checkpoint(path, version=1)
+    before = _state(DeltaLog(path).snapshot())
+    # post-checkpoint default range: starts at cp+1
+    name = compact_log(path)
+    assert name == f"{2:020d}.{3:020d}.compacted.json"
+    # delete the mid commit only (the tail commit anchors latest-
+    # version discovery, as it always does in real retention): replay
+    # from the checkpoint must route through the compacted range
+    os.remove(os.path.join(path, "_delta_log", f"{2:020d}.json"))
+    _SNAPSHOT_CACHE.clear()
+    assert _state(DeltaLog(path).snapshot()) == before
+
+
+def test_reconciliation_semantics(spark, tmp_path):
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path, txn_app_id="app", txn_version=1)
+    to_delta(
+        _df(spark, 10, 20), path, mode="append",
+        txn_app_id="app", txn_version=7,
+    )
+    log = DeltaLog(path)
+    v = log.latest_version() + 1
+    write_commit(
+        path,
+        v,
+        [
+            {"commitInfo": {"timestamp": 1, "operation": "TEST"}},
+            {"domainMetadata": {"domain": "d1", "configuration": "x"}},
+            {"domainMetadata": {"domain": "d2", "configuration": "y"}},
+        ],
+    )
+    write_commit(
+        path,
+        v + 1,
+        [{"domainMetadata": {"domain": "d2", "removed": True}}],
+    )
+    compact_log(path)
+    actions = log.read_compacted_actions(0, v + 1)
+    kinds = [next(iter(a)) for a in actions]
+    assert "commitInfo" not in kinds  # dropped like checkpoints drop it
+    txn = [a["txn"] for a in actions if "txn" in a]
+    assert len(txn) == 1 and txn[0]["version"] == 7  # latest per appId
+    doms = {
+        a["domainMetadata"]["domain"]: a["domainMetadata"]
+        for a in actions
+        if "domainMetadata" in a
+    }
+    assert doms["d1"].get("removed") is None
+    assert doms["d2"]["removed"] is True  # removal marker PRESERVED
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    assert snap.transactions == {"app": 7}
+    assert "d1" in snap.domain_metadata and "d2" not in snap.domain_metadata
+
+
+def test_add_remove_netting(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _build(spark, path)  # v2's delete removed+re-added rewritten files
+    log = DeltaLog(path)
+    compact_log(path)
+    actions = log.read_compacted_actions(0, 3)
+    added = {a["add"]["path"] for a in actions if "add" in a}
+    removed = {a["remove"]["path"] for a in actions if "remove" in a}
+    assert not (added & removed), "net state only: no path on both sides"
+    snap = log.snapshot()
+    assert added == set(snap.files)
+    assert removed == set(snap.tombstones)
+
+
+def test_cleanup_deletes_expired_compactions(spark, tmp_path):
+    import time as _time
+
+    path = str(tmp_path / "t")
+    _build(spark, path)
+    compact_log(path, 0, 1)  # range starting below the future boundary
+    create_checkpoint(path, version=2)
+    old = _time.time() - 100 * 24 * 3600
+    for v in (0, 1):
+        os.utime(
+            os.path.join(path, "_delta_log", f"{v:020d}.json"), (old, old)
+        )
+    doomed = cleanup_metadata(path)
+    assert f"{0:020d}.{1:020d}.compacted.json" in doomed
+    _SNAPSHOT_CACHE.clear()
+    assert DeltaLog(path).snapshot().version == 3
