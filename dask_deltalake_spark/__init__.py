@@ -34,6 +34,9 @@ _EXPORTS = {
     "to_delta": "dask_deltalake_spark.delta.writer",
     "cleanup_metadata": "dask_deltalake_spark.delta.maintenance",
     "compact_log": "dask_deltalake_spark.delta.maintenance",
+    "enable_coordinated_commits": "dask_deltalake_spark.delta.coordinated",
+    "backfill_commits": "dask_deltalake_spark.delta.coordinated",
+    "register_commit_coordinator": "dask_deltalake_spark.delta.coordinated",
     "create_checkpoint": "dask_deltalake_spark.delta.maintenance",
     "optimize": "dask_deltalake_spark.delta.maintenance",
     "read_delta_history": "dask_deltalake_spark.delta.maintenance",
@@ -94,6 +97,9 @@ __all__ = [
     "create_checkpoint",
     "cleanup_metadata",
     "compact_log",
+    "enable_coordinated_commits",
+    "backfill_commits",
+    "register_commit_coordinator",
     "restore",
     "merge_into",
     "delete_where",

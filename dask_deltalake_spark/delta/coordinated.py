@@ -1,0 +1,287 @@
+"""Coordinated commits (Delta 4.0's catalog-managed commit protocol,
+spec section "Coordinated Commits" — the `coordinatedCommits` writer
+table feature).
+
+Classic Delta arbitrates commit races with filesystem put-if-absent on
+`_delta_log/{v}.json`. On stores without an atomic create that race is
+only best-effort (see logstore.py's conditional-put ladder), and a
+catalog (Unity, Glue, a database) often wants commit ownership anyway
+— for cross-table transactions, auditing, or stores with no CAS at
+all. Coordinated commits move the arbitration into a COMMIT
+COORDINATOR:
+
+1. the writer stages the commit under a race-free unique name,
+   ``_delta_log/_staged_commits/{v:020d}.{uuid}.json`` (UUID names
+   cannot collide, so plain write_bytes suffices);
+2. the coordinator — the single arbiter — accepts exactly ONE staged
+   file per version (the loser gets the same retry semantics as a
+   lost put-if-absent);
+3. accepted commits are BACKFILLED (copied to the classic
+   ``{v:020d}.json``) so coordinator-unaware readers and the existing
+   checkpoint/retention machinery keep working; until backfill,
+   coordinator-aware readers merge the staged tail from
+   ``get_commits`` on top of the backfilled replay (delta/log.py).
+
+Scale notes: the coordinator handles O(1) metadata per commit (a
+version→name mapping), never data; staged files live next to the log
+so backfill is a same-store copy; and a busy table's commit hot path
+drops the read-modify-check cycle on object stores that delta-rs's
+lock-client needs. The in-process implementation below is the
+single-driver arbiter (multi-thread writers in one Spark driver — the
+steady state for a streaming sink + maintenance loop); a production
+deployment implements the same four methods against its catalog
+service.
+
+Table properties (spec preview names):
+
+- ``delta.coordinatedCommits.commitCoordinator-preview`` — registered
+  coordinator name;
+- ``delta.coordinatedCommits.commitCoordinatorConf-preview`` — JSON
+  coordinator conf (here: ``backfill_interval``, 1 = backfill every
+  commit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import uuid as _uuid
+from typing import Optional
+
+COORDINATOR_PROP = "delta.coordinatedCommits.commitCoordinator-preview"
+COORDINATOR_CONF_PROP = (
+    "delta.coordinatedCommits.commitCoordinatorConf-preview"
+)
+STAGED_DIR = "_staged_commits"
+
+
+class CoordinatedCommitConflict(Exception):
+    """Another writer's staged commit won this version."""
+
+
+class CommitCoordinator:
+    """The four-method arbiter seam. All paths/versions refer to one
+    table; implementations must be safe under concurrent writers."""
+
+    def register_table(self, table_path: str, conf: dict) -> None:
+        """Called once at enablement; conf is the parsed coordinator
+        conf property."""
+        raise NotImplementedError
+
+    def commit(
+        self, table_path: str, version: int, staged_name: str
+    ) -> None:
+        """Accept ``staged_name`` as THE commit for ``version`` or
+        raise CoordinatedCommitConflict if the version is taken."""
+        raise NotImplementedError
+
+    def get_commits(
+        self, table_path: str, start_version: int
+    ) -> list[tuple[int, str]]:
+        """Accepted-but-unbackfilled (version, staged_name) pairs at or
+        above ``start_version``, ascending."""
+        raise NotImplementedError
+
+    def backfilled(self, table_path: str, version: int) -> None:
+        """All versions <= ``version`` now exist as classic commit
+        files; the coordinator may drop its tracking for them."""
+        raise NotImplementedError
+
+
+class InProcessCommitCoordinator(CommitCoordinator):
+    """Single-driver arbiter: correct whenever every writer to the
+    table shares this process (threaded writers in one Spark driver).
+    The catalog-backed production twin implements the same methods
+    against a service."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._tables: dict[str, dict[int, str]] = {}
+
+    def register_table(self, table_path: str, conf: dict) -> None:
+        # (re-)registration RESETS arbitration state: enablement is
+        # the handoff point, and a re-created table at the same path
+        # (tests, benchmarks) must not inherit a prior table's
+        # accepted-version ledger
+        with self._lock:
+            self._tables[table_path] = {}
+
+    def commit(self, table_path: str, version: int, staged_name: str) -> None:
+        with self._lock:
+            t = self._tables.setdefault(table_path, {})
+            if version in t:
+                raise CoordinatedCommitConflict(
+                    f"Version {version} of {table_path} already accepted "
+                    f"({t[version]})"
+                )
+            t[version] = staged_name
+
+    def get_commits(
+        self, table_path: str, start_version: int
+    ) -> list[tuple[int, str]]:
+        with self._lock:
+            t = self._tables.get(table_path, {})
+            return sorted(
+                (v, n) for v, n in t.items() if v >= start_version
+            )
+
+    def backfilled(self, table_path: str, version: int) -> None:
+        with self._lock:
+            t = self._tables.get(table_path, {})
+            for v in [v for v in t if v <= version]:
+                del t[v]
+
+
+_COORDINATORS: dict[str, CommitCoordinator] = {
+    "in-process": InProcessCommitCoordinator(),
+}
+
+
+def register_commit_coordinator(name: str, impl: CommitCoordinator) -> None:
+    _COORDINATORS[name] = impl
+
+
+def coordinator_from_metadata(metadata) -> Optional[tuple]:
+    """(impl, conf dict) when the table's metadata names a coordinator,
+    else None. Unknown names raise — a coordinated table MUST NOT be
+    read or written past the coordinator (the staged tail would be
+    silently invisible)."""
+    if metadata is None:
+        return None
+    conf = getattr(metadata, "configuration", None) or {}
+    name = conf.get(COORDINATOR_PROP)
+    if not name:
+        return None
+    impl = _COORDINATORS.get(name)
+    if impl is None:
+        raise ValueError(
+            f"Table names commit coordinator {name!r} but no such "
+            "coordinator is registered "
+            "(register_commit_coordinator); reading or writing past "
+            "the coordinator could miss accepted commits."
+        )
+    cconf = {}
+    raw = conf.get(COORDINATOR_CONF_PROP)
+    if raw:
+        try:
+            cconf = json.loads(raw)
+        except ValueError:
+            cconf = {}
+    return impl, cconf
+
+
+def staged_commit_path(log_dir: str, version: int, name: str) -> str:
+    return os.path.join(log_dir, STAGED_DIR, name)
+
+
+def write_staged_commit(
+    store, log_dir: str, version: int, payload: bytes
+) -> str:
+    """Stage the payload under a race-free unique name; returns the
+    staged file NAME (coordinator currency)."""
+    name = f"{version:020d}.{_uuid.uuid4().hex}.json"
+    store.write_bytes(os.path.join(log_dir, STAGED_DIR, name), payload)
+    return name
+
+
+def enable_coordinated_commits(
+    path: str,
+    coordinator: str = "in-process",
+    backfill_interval: int = 1,
+) -> int:
+    """Commit the coordinator table properties + the writer feature
+    upgrade (one atomic commit, still via filesystem put-if-absent —
+    enablement itself PRECEDES coordination). Returns the committed
+    version."""
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.protocol import Protocol, now_ms
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    if coordinator not in _COORDINATORS:
+        raise ValueError(f"Unknown commit coordinator {coordinator!r}")
+    log = DeltaLog(path)
+    snap = log.snapshot()
+    md = snap.metadata.to_json()["metaData"]
+    conf = dict(md["configuration"])
+    conf[COORDINATOR_PROP] = coordinator
+    conf[COORDINATOR_CONF_PROP] = json.dumps(
+        {"backfill_interval": int(backfill_interval)}
+    )
+    md["configuration"] = conf
+    proto = snap.protocol
+    wf = set(proto.writer_features or [])
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms(),
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(
+                        {COORDINATOR_PROP: coordinator}
+                    )
+                },
+                "readVersion": snap.version,
+                "engineInfo": "dask_deltalake_spark/0.1.0",
+            }
+        }
+    ]
+    if "coordinatedCommits" not in wf:
+        reader_features = list(proto.reader_features or [])
+        if proto.min_reader_version < 3:
+            # v7 writer requires explicit feature lists; carry the
+            # implied legacy set exactly as the DV/row-tracking
+            # upgrades do
+            reader_features = reader_features or []
+        actions.append(
+            Protocol(
+                min_reader_version=max(proto.min_reader_version, 1),
+                min_writer_version=7,
+                reader_features=(
+                    proto.reader_features
+                    if proto.min_reader_version >= 3
+                    else None
+                ),
+                writer_features=sorted(
+                    wf | {"appendOnly", "invariants", "coordinatedCommits"}
+                ),
+            ).to_json()
+        )
+    actions.append({"metaData": md})
+    version = snap.version + 1
+    write_commit(path, version, actions)
+    impl = _COORDINATORS[coordinator]
+    impl.register_table(str(path).rstrip("/"), {"backfill_interval": backfill_interval})
+    return version
+
+
+def backfill_commits(path: str) -> list[int]:
+    """Copy every accepted-but-unbackfilled staged commit to its
+    classic ``{v:020d}.json`` name (put-if-absent; a concurrent
+    backfiller is benign) and notify the coordinator. Returns the
+    backfilled versions."""
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.protocol import commit_filename
+
+    table_path = str(path).rstrip("/")
+    log = DeltaLog(table_path)
+    co = coordinator_from_metadata(log.snapshot().metadata)
+    if co is None:
+        return []
+    impl, _conf = co
+    backfilled_latest = log.versions()[-1] if log.versions() else -1
+    done = []
+    for v, name in impl.get_commits(table_path, backfilled_latest + 1):
+        payload = log.store.read_bytes(
+            staged_commit_path(log.log_path, v, name)
+        )
+        try:
+            log.store.put_if_absent(
+                os.path.join(log.log_path, commit_filename(v)), payload
+            )
+        except FileExistsError:
+            pass  # another backfiller got there first — same bytes
+        done.append(v)
+    if done:
+        impl.backfilled(table_path, max(done))
+    return done

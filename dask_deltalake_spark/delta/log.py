@@ -370,6 +370,7 @@ class DeltaLog:
             raise DeltaTableNotFoundError(
                 f"No Delta table found at {self.table_path}"
             )
+        want_latest = version is None and datetime_string is None
         if datetime_string is not None:
             version = self.resolve_datetime(datetime_string)
         if version is None:
@@ -490,7 +491,42 @@ class DeltaLog:
                 f"Table {self.table_path} has no metaData action up to "
                 f"version {version}"
             )
-        if version == versions[-1]:
+
+        # Coordinated commits (delta/coordinated.py): a LATEST read on
+        # a coordinated table merges the accepted-but-unbackfilled
+        # staged tail from the coordinator on top of the backfilled
+        # replay — without this, a reader could miss accepted commits
+        # whose backfill is deferred. An unknown coordinator name
+        # raises (reading past the coordinator silently drops commits).
+        # Explicit time travel resolves against BACKFILLED history only
+        # (documented: the travel ledger is the classic file log).
+        staged_applied = False
+        if want_latest:
+            from dask_deltalake_spark.delta.coordinated import (
+                coordinator_from_metadata,
+                staged_commit_path,
+            )
+
+            co = coordinator_from_metadata(metadata)
+            if co is not None:
+                impl, _conf = co
+                for sv, sname in impl.get_commits(self.table_path, v):
+                    if sv != v:
+                        if sv < v:
+                            continue  # already backfilled + replayed
+                        break  # gap in the staged tail: stop merging
+                    raw = self.store.read_bytes(
+                        staged_commit_path(self.log_path, sv, sname)
+                    )
+                    for line in raw.decode("utf-8").splitlines():
+                        line = line.strip()
+                        if line:
+                            _apply(json.loads(line))
+                    version = sv
+                    staged_applied = True
+                    v = sv + 1
+
+        if version == versions[-1] and not staged_applied:
             self._cache_store(
                 version, (adds, tombstones, metadata, protocol, domains, txns)
             )

@@ -261,6 +261,11 @@ def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
             # the auto-checkpoint hook) and follow the table's
             # checkpointPolicy there, so every write path maintains it
             "v2Checkpoint",
+            # commit routing is CENTRAL too: write_commit detects the
+            # coordinator property and stages + arbitrates through it
+            # (delta/coordinated.py), so every write path maintains
+            # the feature without knowing it exists
+            "coordinatedCommits",
         }
         unsupported = set(protocol.writer_features) - supported
         if unsupported:

@@ -646,12 +646,57 @@ def write_commit(
     payload = "".join(
         json.dumps(a, separators=(",", ":")) + "\n" for a in actions
     ).encode("utf-8")
-    try:
-        store.put_if_absent(final, payload)
-    except FileExistsError:
-        raise ConcurrentCommitError(
-            f"Version {version} of {table_path} was committed concurrently"
+    # Coordinated commits (delta/coordinated.py): when the PRE-commit
+    # snapshot's metadata names a commit coordinator, the commit is
+    # staged under a race-free UUID name and the coordinator — not
+    # filesystem put-if-absent — arbitrates the version. The
+    # enablement commit itself uses the classic path (its PRE-state
+    # is uncoordinated), exactly the spec's handoff.
+    co = None
+    if version > 0:
+        from dask_deltalake_spark.delta.coordinated import (
+            coordinator_from_metadata,
         )
+        from dask_deltalake_spark.delta.log import DeltaTableNotFoundError
+
+        try:
+            co = coordinator_from_metadata(
+                DeltaLog(table_path).snapshot().metadata
+            )
+        except DeltaTableNotFoundError:
+            co = None
+    if co is not None:
+        from dask_deltalake_spark.delta.coordinated import (
+            CoordinatedCommitConflict,
+            backfill_commits,
+            staged_commit_path,
+            write_staged_commit,
+        )
+
+        impl, cconf = co
+        name = write_staged_commit(store, log_dir, version, payload)
+        try:
+            impl.commit(table_path, version, name)
+        except CoordinatedCommitConflict:
+            try:  # losing stage file is junk; best-effort cleanup
+                store.delete(staged_commit_path(log_dir, version, name))
+            except OSError:
+                pass
+            raise ConcurrentCommitError(
+                f"Version {version} of {table_path} was committed "
+                "concurrently (coordinator)"
+            )
+        interval = int(cconf.get("backfill_interval", 1) or 1)
+        if interval <= 1 or version % interval == 0:
+            backfill_commits(table_path)
+    else:
+        try:
+            store.put_if_absent(final, payload)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"Version {version} of {table_path} was committed "
+                "concurrently"
+            )
     _maybe_auto_checkpoint(table_path, version)
     _maybe_write_version_checksum(table_path, version)
 

@@ -51,13 +51,18 @@ _ALL.update(_STREAMING)
 #         its r5 row + test_zorder),
 #     d22 (deletion-vector .bin I/O now goes through the LogStore
 #         seam; local path identical, re-verified here),
-#     d04 (read_delta_history's pandas import moved function-level
-#         for worker spawn cost);
+#     (d04 deferred: its only change is read_delta_history's pandas
+#         import relocating inside the function — behavior-identical,
+#         pinned by test_history — so the slot goes to new protocol
+#         surface);
 # (c) d40 (NEW — the object-store DML lifecycle itself as a driver-
 #     checked query: COW+MoR DELETE, OPTIMIZE-as-DV-purge, VACUUM on
 #     a no-local-mapping mocknl: table) and d41 (NEW — log compaction
 #     files: compact_log reconciliation + replay substitution proven
-#     by replaying through a deleted commit).
+#     by replaying through a deleted commit) and d42 (NEW —
+#     coordinated commits: staged-commit arbitration through a
+#     registered coordinator, deferred backfill read through the
+#     staged tail, then classic backfill).
 # Left at positions 51+ for r7, with justification:
 # q01-q06/q45/q46, d01-d06 minus d04, d09-d11/d14/d16-d21/d23-d31/
 # d33-d34/d36-d39, x01-x17/x19-x28/x30/x32-x36, s01-s10 all carry r5
@@ -118,7 +123,7 @@ _R7_FRONT = (
         "d13_delta_update",
         "d41_log_compaction",
         "d22_deletion_vectors",
-        "d04_delta_history",
+        "d42_coordinated_commits",
         "d40_objectstore_dml",
     ]
 )

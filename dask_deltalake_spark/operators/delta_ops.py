@@ -2062,3 +2062,73 @@ def d41_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("replayed_through_compaction", F.lit(replayed))
         .withColumn("netted", F.lit(netted))
     )
+
+
+@query(
+    "d42_coordinated_commits",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           1 AS staged_only_visible,
+           1 AS backfilled_classic
+    FROM nation
+    WHERE n_nationkey < 20
+    """,
+)
+def d42_coordinated_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinated commits (Delta 4.0's catalog-managed commit
+    protocol, delta/coordinated.py): after enablement, every commit is
+    STAGED under a race-free UUID name in `_delta_log/_staged_commits/`
+    and a registered COMMIT COORDINATOR — not filesystem put-if-absent
+    — arbitrates the version; accepted commits are backfilled to the
+    classic `{v}.json` so coordinator-unaware tooling keeps working.
+    The architecture matters at scale: on object stores with no atomic
+    create, classic commits race (logstore.py's documented caveat);
+    the coordinator is the single arbiter a catalog (Unity/Glue/DB)
+    provides, handling O(1) metadata per commit, never data.
+
+    Proof here: enablement commits the table properties + writer
+    feature; a DELETE with backfill DEFERRED (interval 1000) exists
+    only as a staged commit — the driver-hash-matched aggregate is
+    read THROUGH the coordinator-merged staged tail (no classic
+    `{v}.json` on disk at read time) — then `backfill_commits`
+    materializes the classic file and the same read comes from the
+    backfilled log."""
+    import shutil
+
+    from dask_deltalake_spark.delta.coordinated import (
+        backfill_commits,
+        enable_coordinated_commits,
+    )
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.protocol import commit_filename
+
+    path = _tmp_table(sf_dir, "nation_coordinated")
+    shutil.rmtree(path, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation")
+    to_delta(n, path)
+    enable_coordinated_commits(path, "in-process", backfill_interval=1000)
+    delete_where(path, [("n_nationkey", ">=", 20)], spark=spark)  # v2 staged
+    classic = os.path.join(path, "_delta_log", commit_filename(2))
+    staged_only = int(not os.path.exists(classic))
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()  # merges the staged tail
+    staged_only = int(staged_only and snap.version == 2)
+    pre = read_delta(path, spark=spark).agg(
+        F.count("*").alias("c"), F.sum("n_nationkey").alias("s")
+    ).collect()[0]
+    backfilled = int(backfill_commits(path) == [2] and os.path.exists(classic))
+    _SNAPSHOT_CACHE.clear()
+    return (
+        read_delta(path, spark=spark)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+        .withColumn(
+            "staged_only_visible",
+            F.lit(int(staged_only and pre["c"] == 20)),
+        )
+        .withColumn("backfilled_classic", F.lit(backfilled))
+    )
