@@ -168,6 +168,15 @@ def read_delta_changes(
         raise RuntimeError("No active SparkSession; pass spark=...")
 
     log = DeltaLog(path)
+    # Coordinated tables: CDC walks the CLASSIC commit ledger, so run
+    # the reader-side backfill catch-up first (the spec allows any
+    # party to backfill) — after it the classic log holds every
+    # accepted commit and the change feed can't silently miss a
+    # staged-only tail. No-op (one cached snapshot) when the table is
+    # not coordinated or nothing is staged.
+    from dask_deltalake_spark.delta.coordinated import backfill_commits
+
+    backfill_commits(path)
     latest = log.latest_version()
     if starting_timestamp is not None:
         if starting_version not in (0, None):

@@ -61,29 +61,35 @@ class CoordinatedCommitConflict(Exception):
 
 
 class CommitCoordinator:
-    """The four-method arbiter seam. All paths/versions refer to one
-    table; implementations must be safe under concurrent writers."""
+    """The four-method arbiter seam. The ledger is keyed by
+    ``table_id`` — the table's metadata GUID — NOT by path: path
+    spellings differ between callers (``/x/t`` vs ``file:///x/t``)
+    while the GUID is the table's identity, and a re-created table at
+    the same path gets a fresh GUID, so stale arbitration state can
+    never leak across incarnations. Implementations must be safe
+    under concurrent writers."""
 
-    def register_table(self, table_path: str, conf: dict) -> None:
-        """Called once at enablement; conf is the parsed coordinator
-        conf property."""
+    def register_table(self, table_id: str, conf: dict) -> None:
+        """Called at enablement; conf is the parsed coordinator conf
+        property. MUST be non-destructive for an already-registered
+        id (re-enablement must not wipe accepted commits)."""
         raise NotImplementedError
 
     def commit(
-        self, table_path: str, version: int, staged_name: str
+        self, table_id: str, version: int, staged_name: str
     ) -> None:
         """Accept ``staged_name`` as THE commit for ``version`` or
         raise CoordinatedCommitConflict if the version is taken."""
         raise NotImplementedError
 
     def get_commits(
-        self, table_path: str, start_version: int
+        self, table_id: str, start_version: int
     ) -> list[tuple[int, str]]:
         """Accepted-but-unbackfilled (version, staged_name) pairs at or
         above ``start_version``, ascending."""
         raise NotImplementedError
 
-    def backfilled(self, table_path: str, version: int) -> None:
+    def backfilled(self, table_id: str, version: int) -> None:
         """All versions <= ``version`` now exist as classic commit
         files; the coordinator may drop its tracking for them."""
         raise NotImplementedError
@@ -93,42 +99,40 @@ class InProcessCommitCoordinator(CommitCoordinator):
     """Single-driver arbiter: correct whenever every writer to the
     table shares this process (threaded writers in one Spark driver).
     The catalog-backed production twin implements the same methods
-    against a service."""
+    against a service. Ledger keyed by table GUID (see base class) —
+    re-registration is a no-op for a known id, and a re-created table
+    at the same path arrives with a fresh id and an empty ledger."""
 
     def __init__(self):
         self._lock = threading.Lock()
         self._tables: dict[str, dict[int, str]] = {}
 
-    def register_table(self, table_path: str, conf: dict) -> None:
-        # (re-)registration RESETS arbitration state: enablement is
-        # the handoff point, and a re-created table at the same path
-        # (tests, benchmarks) must not inherit a prior table's
-        # accepted-version ledger
+    def register_table(self, table_id: str, conf: dict) -> None:
         with self._lock:
-            self._tables[table_path] = {}
+            self._tables.setdefault(table_id, {})
 
-    def commit(self, table_path: str, version: int, staged_name: str) -> None:
+    def commit(self, table_id: str, version: int, staged_name: str) -> None:
         with self._lock:
-            t = self._tables.setdefault(table_path, {})
+            t = self._tables.setdefault(table_id, {})
             if version in t:
                 raise CoordinatedCommitConflict(
-                    f"Version {version} of {table_path} already accepted "
-                    f"({t[version]})"
+                    f"Version {version} of table {table_id} already "
+                    f"accepted ({t[version]})"
                 )
             t[version] = staged_name
 
     def get_commits(
-        self, table_path: str, start_version: int
+        self, table_id: str, start_version: int
     ) -> list[tuple[int, str]]:
         with self._lock:
-            t = self._tables.get(table_path, {})
+            t = self._tables.get(table_id, {})
             return sorted(
                 (v, n) for v, n in t.items() if v >= start_version
             )
 
-    def backfilled(self, table_path: str, version: int) -> None:
+    def backfilled(self, table_id: str, version: int) -> None:
         with self._lock:
-            t = self._tables.get(table_path, {})
+            t = self._tables.get(table_id, {})
             for v in [v for v in t if v <= version]:
                 del t[v]
 
@@ -227,12 +231,6 @@ def enable_coordinated_commits(
         }
     ]
     if "coordinatedCommits" not in wf:
-        reader_features = list(proto.reader_features or [])
-        if proto.min_reader_version < 3:
-            # v7 writer requires explicit feature lists; carry the
-            # implied legacy set exactly as the DV/row-tracking
-            # upgrades do
-            reader_features = reader_features or []
         actions.append(
             Protocol(
                 min_reader_version=max(proto.min_reader_version, 1),
@@ -248,40 +246,63 @@ def enable_coordinated_commits(
             ).to_json()
         )
     actions.append({"metaData": md})
+    # Ledger identity = the table GUID; register BEFORE the settings
+    # commit so a commit routed through the coordinator (when the
+    # table was ALREADY coordinated — re-enablement / conf change)
+    # lands in a registered ledger. register_table is non-destructive
+    # for a known id, so re-enablement never wipes accepted commits.
+    impl = _COORDINATORS[coordinator]
+    impl.register_table(md["id"], {"backfill_interval": backfill_interval})
+    prev = coordinator_from_metadata(snap.metadata)
     version = snap.version + 1
     write_commit(path, version, actions)
-    impl = _COORDINATORS[coordinator]
-    impl.register_table(str(path).rstrip("/"), {"backfill_interval": backfill_interval})
+    if prev is not None:
+        # the settings commit itself routed through the PREVIOUS
+        # coordinator (pre-state rules); flush its ledger so a
+        # coordinator migration strands nothing
+        backfill_commits(path, impl=prev[0], table_id=md["id"])
     return version
 
 
-def backfill_commits(path: str) -> list[int]:
+def backfill_commits(
+    path: str, impl: Optional[CommitCoordinator] = None,
+    table_id: Optional[str] = None,
+) -> list[int]:
     """Copy every accepted-but-unbackfilled staged commit to its
     classic ``{v:020d}.json`` name (put-if-absent; a concurrent
-    backfiller is benign) and notify the coordinator. Returns the
-    backfilled versions."""
+    backfiller is benign), notify the coordinator, and DELETE the
+    staged originals (the classic file now holds the bytes —
+    without this the staged dir grows one file per commit forever).
+    Returns the backfilled versions. ``impl``/``table_id`` override
+    the metadata-derived coordinator (coordinator-migration flush)."""
     from dask_deltalake_spark.delta.log import DeltaLog
     from dask_deltalake_spark.delta.protocol import commit_filename
 
     table_path = str(path).rstrip("/")
     log = DeltaLog(table_path)
-    co = coordinator_from_metadata(log.snapshot().metadata)
-    if co is None:
-        return []
-    impl, _conf = co
+    if impl is None or table_id is None:
+        metadata = log.snapshot().metadata
+        co = coordinator_from_metadata(metadata)
+        if co is None:
+            return []
+        impl = impl or co[0]
+        table_id = table_id or metadata.id
     backfilled_latest = log.versions()[-1] if log.versions() else -1
     done = []
-    for v, name in impl.get_commits(table_path, backfilled_latest + 1):
-        payload = log.store.read_bytes(
-            staged_commit_path(log.log_path, v, name)
-        )
+    for v, name in impl.get_commits(table_id, backfilled_latest + 1):
+        staged = staged_commit_path(log.log_path, v, name)
+        payload = log.store.read_bytes(staged)
         try:
             log.store.put_if_absent(
                 os.path.join(log.log_path, commit_filename(v)), payload
             )
         except FileExistsError:
             pass  # another backfiller got there first — same bytes
+        try:
+            log.store.delete(staged)
+        except OSError:
+            pass
         done.append(v)
     if done:
-        impl.backfilled(table_path, max(done))
+        impl.backfilled(table_id, max(done))
     return done

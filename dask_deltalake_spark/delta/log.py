@@ -461,11 +461,16 @@ class DeltaLog:
         # log cleanup already deleted replay through their covering
         # compaction. Only aligned ranges are usable (an overlapping
         # range would re-apply state from before the replay position);
-        # per start, the LARGEST covered end wins.
+        # per start, the LARGEST covered end wins. The scan is GATED on
+        # a cache miss: the incremental-cache hot path (streaming
+        # polls, per-commit checksums) replays O(1) new commits and
+        # must not pay a second directory LIST per snapshot (the
+        # invariant _cache_lookup exists for).
         compacted: dict[int, int] = {}
-        for cs, ce in self.compacted_ranges():
-            if ce <= version:
-                compacted[cs] = max(ce, compacted.get(cs, -1))
+        if cached is None:
+            for cs, ce in self.compacted_ranges():
+                if ce <= version:
+                    compacted[cs] = max(ce, compacted.get(cs, -1))
         versions_set = set(versions)
         v = start
         while v <= version:
@@ -510,14 +515,24 @@ class DeltaLog:
             co = coordinator_from_metadata(metadata)
             if co is not None:
                 impl, _conf = co
-                for sv, sname in impl.get_commits(self.table_path, v):
+                for sv, sname in impl.get_commits(metadata.id, v):
                     if sv != v:
                         if sv < v:
                             continue  # already backfilled + replayed
                         break  # gap in the staged tail: stop merging
-                    raw = self.store.read_bytes(
-                        staged_commit_path(self.log_path, sv, sname)
-                    )
+                    try:
+                        raw = self.store.read_bytes(
+                            staged_commit_path(self.log_path, sv, sname)
+                        )
+                    except OSError:
+                        # a concurrent backfill deleted the staged
+                        # file after we listed it — the classic commit
+                        # now holds the same bytes
+                        raw = self.store.read_bytes(
+                            os.path.join(
+                                self.log_path, commit_filename(sv)
+                            )
+                        )
                     for line in raw.decode("utf-8").splitlines():
                         line = line.strip()
                         if line:
@@ -606,7 +621,10 @@ class DeltaLog:
 
     def commit_infos(self) -> list[dict[str, Any]]:
         """One commitInfo dict per version (empty dict if a commit has
-        none), newest last; each is augmented with `version`."""
+        none), newest last; each is augmented with `version`. On a
+        coordinated table, the accepted-but-unbackfilled staged tail is
+        merged in (delta/coordinated.py) — history must show the same
+        commits a latest snapshot reflects."""
         out = []
         for v in self.versions():
             info: dict[str, Any] = {}
@@ -616,4 +634,33 @@ class DeltaLog:
                     break
             info["version"] = v
             out.append(info)
+        last = out[-1]["version"] if out else -1
+        try:
+            snap_meta = self.snapshot().metadata
+        except (ValueError, DeltaTableNotFoundError):
+            return out
+        from dask_deltalake_spark.delta.coordinated import (
+            coordinator_from_metadata,
+            staged_commit_path,
+        )
+
+        co = coordinator_from_metadata(snap_meta)
+        if co is not None:
+            for sv, sname in co[0].get_commits(snap_meta.id, last + 1):
+                info = {}
+                try:
+                    raw = self.store.read_bytes(
+                        staged_commit_path(self.log_path, sv, sname)
+                    ).decode("utf-8")
+                except OSError:
+                    continue  # backfilled mid-listing; next call sees it
+                for line in raw.splitlines():
+                    line = line.strip()
+                    if line:
+                        a = json.loads(line)
+                        if "commitInfo" in a:
+                            info = dict(a["commitInfo"])
+                            break
+                info["version"] = sv
+                out.append(info)
         return out

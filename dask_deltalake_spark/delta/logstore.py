@@ -230,18 +230,28 @@ class InProcessLockClient(LockClient):
         import threading
 
         self._guard = threading.Lock()
+        # key -> [lock, refcount]; the refcount prunes entries when
+        # the last holder releases — commit keys are one-shot
+        # ({v}.json), so an unpruned map grows one entry per commit
+        # for the process lifetime
         self._locks: dict = {}
 
     def acquire(self, key: str):
         import threading
 
         with self._guard:
-            lk = self._locks.setdefault(key, threading.Lock())
-        lk.acquire()
-        return lk
+            entry = self._locks.setdefault(key, [threading.Lock(), 0])
+            entry[1] += 1
+        entry[0].acquire()
+        return (key, entry)
 
     def release(self, token) -> None:
-        token.release()
+        key, entry = token
+        entry[0].release()
+        with self._guard:
+            entry[1] -= 1
+            if entry[1] == 0 and self._locks.get(key) is entry:
+                del self._locks[key]
 
 
 def _is_precondition_failure(exc: BaseException) -> bool:

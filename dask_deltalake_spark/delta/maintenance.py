@@ -1132,6 +1132,16 @@ def cleanup_metadata(path: str, dry_run: bool = False) -> list:
         mc = _COMPACTED_RE.match(f)
         if mc and int(mc.group(1)) < boundary:
             doomed.append(f)
+    # staged commits (coordinated tables): anything below the boundary
+    # is either a backfilled leftover or a lost race's orphan — the
+    # classic file (or its expiry) supersedes it either way
+    from dask_deltalake_spark.delta.coordinated import STAGED_DIR
+
+    staged_dir = os.path.join(log.log_path, STAGED_DIR)
+    for f in sorted(log.store.list_dir(staged_dir)):
+        head = f.split(".", 1)[0]
+        if head.isdigit() and int(head) < boundary:
+            doomed.append(os.path.join(STAGED_DIR, f))
     if not dry_run:
         for f in doomed:
             log.store.delete(os.path.join(log.log_path, f))

@@ -641,30 +641,40 @@ def write_commit(
     store = store_for(table_path)
     log_dir = os.path.join(table_path, LOG_DIR)
     store.makedirs(log_dir)
-    _stamp_in_commit_timestamp(store, log_dir, version, actions)
+    # ONE pre-commit snapshot serves both coordinated-commit detection
+    # and the ICT predecessor lookup below. Cost note: the incremental
+    # snapshot cache makes this O(new commits) + one LIST — and the
+    # post-commit checksum hook pays a snapshot anyway, so the commit
+    # path's listing count is unchanged from the pre-coordination
+    # design.
+    prev_meta = None
+    if version > 0:
+        from dask_deltalake_spark.delta.log import DeltaTableNotFoundError
+
+        try:
+            prev_meta = DeltaLog(table_path).snapshot().metadata
+        except DeltaTableNotFoundError:
+            prev_meta = None
+    co = None
+    if prev_meta is not None:
+        from dask_deltalake_spark.delta.coordinated import (
+            coordinator_from_metadata,
+        )
+
+        # Coordinated commits (delta/coordinated.py): when the
+        # PRE-commit snapshot's metadata names a commit coordinator,
+        # staging + coordinator arbitration replace filesystem
+        # put-if-absent. The enablement commit itself uses the classic
+        # path (its PRE-state is uncoordinated) — the spec's handoff.
+        co = coordinator_from_metadata(prev_meta)
+    _stamp_in_commit_timestamp(
+        store, log_dir, version, actions,
+        co=co, table_id=getattr(prev_meta, "id", None),
+    )
     final = os.path.join(log_dir, commit_filename(version))
     payload = "".join(
         json.dumps(a, separators=(",", ":")) + "\n" for a in actions
     ).encode("utf-8")
-    # Coordinated commits (delta/coordinated.py): when the PRE-commit
-    # snapshot's metadata names a commit coordinator, the commit is
-    # staged under a race-free UUID name and the coordinator — not
-    # filesystem put-if-absent — arbitrates the version. The
-    # enablement commit itself uses the classic path (its PRE-state
-    # is uncoordinated), exactly the spec's handoff.
-    co = None
-    if version > 0:
-        from dask_deltalake_spark.delta.coordinated import (
-            coordinator_from_metadata,
-        )
-        from dask_deltalake_spark.delta.log import DeltaTableNotFoundError
-
-        try:
-            co = coordinator_from_metadata(
-                DeltaLog(table_path).snapshot().metadata
-            )
-        except DeltaTableNotFoundError:
-            co = None
     if co is not None:
         from dask_deltalake_spark.delta.coordinated import (
             CoordinatedCommitConflict,
@@ -676,7 +686,7 @@ def write_commit(
         impl, cconf = co
         name = write_staged_commit(store, log_dir, version, payload)
         try:
-            impl.commit(table_path, version, name)
+            impl.commit(prev_meta.id, version, name)
         except CoordinatedCommitConflict:
             try:  # losing stage file is junk; best-effort cleanup
                 store.delete(staged_commit_path(log_dir, version, name))
@@ -688,7 +698,7 @@ def write_commit(
             )
         interval = int(cconf.get("backfill_interval", 1) or 1)
         if interval <= 1 or version % interval == 0:
-            backfill_commits(table_path)
+            backfill_commits(table_path, impl=impl, table_id=prev_meta.id)
     else:
         try:
             store.put_if_absent(final, payload)
@@ -702,7 +712,8 @@ def write_commit(
 
 
 def _stamp_in_commit_timestamp(
-    store, log_dir: str, version: int, actions: list[dict]
+    store, log_dir: str, version: int, actions: list[dict],
+    co=None, table_id: Optional[str] = None,
 ) -> None:
     """In-commit timestamps (writer feature ``inCommitTimestamp``,
     public spec): when the table property
@@ -737,6 +748,35 @@ def _stamp_in_commit_timestamp(
         prev_ict = DeltaLog(
             os.path.dirname(log_dir)
         )._in_commit_timestamp(version - 1)
+        if prev_ict is None and co is not None and table_id is not None:
+            # coordinated table with deferred backfill: the
+            # predecessor may exist only as a STAGED commit — read its
+            # clock through the coordinator, or the monotonic ICT
+            # chain would silently break at every unbackfilled commit
+            from dask_deltalake_spark.delta.coordinated import (
+                staged_commit_path,
+            )
+
+            impl = co[0]
+            for sv, sname in impl.get_commits(table_id, version - 1):
+                if sv != version - 1:
+                    continue
+                try:
+                    raw = store.read_bytes(
+                        staged_commit_path(log_dir, sv, sname)
+                    ).decode("utf-8")
+                except OSError:
+                    break  # backfilled concurrently; classic read raced
+                for line in raw.splitlines():
+                    line = line.strip()
+                    if line:
+                        a = json.loads(line)
+                        if "commitInfo" in a:
+                            prev_ict = a["commitInfo"].get(
+                                "inCommitTimestamp"
+                            )
+                            break
+                break
     enabled = prop if prop is not None else prev_ict is not None
     if not enabled:
         ci.pop("inCommitTimestamp", None)

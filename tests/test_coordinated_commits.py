@@ -43,11 +43,11 @@ def test_enable_sets_properties_and_feature(spark, tmp_path):
     snap = DeltaLog(path).snapshot()
     assert snap.metadata.configuration[COORDINATOR_PROP] == "in-process"
     assert "coordinatedCommits" in (snap.protocol.writer_features or [])
-    # post-enablement commits are staged (and, at interval 1,
-    # immediately backfilled: classic file exists too)
+    # post-enablement commits are staged, then (at interval 1)
+    # immediately backfilled: the classic file exists and the staged
+    # original is cleaned up
     to_delta(_df(spark, 10, 20), path, mode="append")
-    staged = os.listdir(os.path.join(path, "_delta_log", STAGED_DIR))
-    assert any(s.startswith(f"{2:020d}.") for s in staged)
+    assert os.listdir(os.path.join(path, "_delta_log", STAGED_DIR)) == []
     assert os.path.exists(
         os.path.join(path, "_delta_log", f"{2:020d}.json")
     )
@@ -107,7 +107,8 @@ def test_deferred_backfill_reader_merges_staged_tail(spark, tmp_path):
         assert os.path.exists(
             os.path.join(path, "_delta_log", f"{v:020d}.json")
         )
-    assert co.get_commits(path, 0) == []
+    tid = DeltaLog(path).snapshot().metadata.id
+    assert co.get_commits(tid, 0) == [], "ledger drained after backfill"
     _SNAPSHOT_CACHE.clear()
     assert DeltaLog(path).snapshot().version == 3
     assert read_delta(path, spark=spark).count() == 30
@@ -144,3 +145,145 @@ def test_backfilled_history_stays_classic(spark, tmp_path):
     assert len(hist) == 4  # create, enable, append, overwrite
     assert read_delta(path, version=2, spark=spark).count() == 20
     assert read_delta(path, spark=spark).count() == 5
+
+
+# --- r7 self-review regression pins ---------------------------------------
+
+
+def test_reenable_preserves_accepted_commits(spark, tmp_path):
+    """Re-enablement must NOT wipe the coordinator's ledger: a staged-
+    only commit stays visible across a second enable (conf change)."""
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path)
+    enable_coordinated_commits(path, "in-process", backfill_interval=1000)
+    to_delta(_df(spark, 10, 20), path, mode="append")  # v2 staged-only
+    enable_coordinated_commits(path, "in-process", backfill_interval=1)
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    assert snap.version == 3  # v2 (staged) + v3 (settings) both visible
+    assert read_delta(path, spark=spark).count() == 20
+    assert backfill_commits(path) != None  # noqa: E711 — flush remainder
+    _SNAPSHOT_CACHE.clear()
+    assert read_delta(path, spark=spark).count() == 20
+
+
+def test_recreated_table_does_not_inherit_ledger(spark, tmp_path):
+    """The ledger is keyed by table GUID: a re-created table at the
+    same path starts clean (no phantom version conflicts)."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path)
+    enable_coordinated_commits(path, "in-process", backfill_interval=1000)
+    to_delta(_df(spark, 10, 20), path, mode="append")  # staged v2
+    shutil.rmtree(path)
+    _SNAPSHOT_CACHE.clear()
+    to_delta(_df(spark, 0, 5), path)
+    enable_coordinated_commits(path, "in-process", backfill_interval=1000)
+    to_delta(_df(spark, 5, 8), path, mode="append")  # would be v2 again
+    _SNAPSHOT_CACHE.clear()
+    assert read_delta(path, spark=spark).count() == 8
+
+
+def test_ict_chain_survives_staged_only_predecessor(spark, tmp_path):
+    """ICT stamping must read a staged-only predecessor's clock
+    through the coordinator — the monotonic chain cannot break at an
+    unbackfilled commit."""
+    from dask_deltalake_spark.delta.coordinated import staged_commit_path
+    from dask_deltalake_spark.delta.ict import enable_in_commit_timestamps
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path)
+    enable_in_commit_timestamps(path)
+    enable_coordinated_commits(path, "in-process", backfill_interval=1000)
+    to_delta(_df(spark, 10, 20), path, mode="append")  # v3 staged-only
+    to_delta(_df(spark, 20, 30), path, mode="append")  # v4 staged-only
+    _SNAPSHOT_CACHE.clear()
+    log = DeltaLog(path)
+    snap = log.snapshot()
+    assert snap.version == 4
+    co_meta = snap.metadata
+    from dask_deltalake_spark.delta.coordinated import (
+        coordinator_from_metadata,
+    )
+    import json as _json
+
+    impl, _ = coordinator_from_metadata(co_meta)
+    icts = {}
+    for sv, sname in impl.get_commits(co_meta.id, 0):
+        raw = open(staged_commit_path(log.log_path, sv, sname)).read()
+        for line in raw.splitlines():
+            a = _json.loads(line)
+            if "commitInfo" in a:
+                icts[sv] = a["commitInfo"].get("inCommitTimestamp")
+                break
+    assert icts.get(3) is not None and icts.get(4) is not None
+    assert icts[4] > icts[3], "monotonic chain across staged-only commits"
+
+
+def test_backfill_removes_staged_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path)
+    enable_coordinated_commits(path, "in-process", backfill_interval=1000)
+    to_delta(_df(spark, 10, 20), path, mode="append")
+    sd = os.path.join(path, "_delta_log", STAGED_DIR)
+    assert len(os.listdir(sd)) == 1
+    backfill_commits(path)
+    assert os.listdir(sd) == [], "backfilled staged files are deleted"
+    # immediate-backfill mode cleans as it goes
+    path2 = str(tmp_path / "t2")
+    to_delta(_df(spark, 0, 10), path2)
+    enable_coordinated_commits(path2, "in-process", backfill_interval=1)
+    to_delta(_df(spark, 10, 20), path2, mode="append")
+    assert os.listdir(os.path.join(path2, "_delta_log", STAGED_DIR)) == []
+
+
+def test_history_and_cdc_see_staged_tail(spark, tmp_path):
+    from dask_deltalake_spark.delta.cdc import read_delta_changes
+    from dask_deltalake_spark.delta.maintenance import read_delta_history
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path)
+    enable_coordinated_commits(path, "in-process", backfill_interval=1000)
+    delete_where(path, [("k", "<", 3)], spark=spark)  # v2 staged-only
+    _SNAPSHOT_CACHE.clear()
+    hist = read_delta_history(path)
+    assert len(hist) == 3, "history merges the staged tail"
+    assert hist.iloc[0]["operation"] == "DELETE"
+    # CDC performs the reader-side backfill catch-up, then sees all
+    ch = read_delta_changes(path, starting_version=1, spark=spark)
+    assert ch.filter("_change_type = 'delete'").count() == 3
+    assert os.path.exists(
+        os.path.join(path, "_delta_log", f"{2:020d}.json")
+    ), "CDC catch-up backfilled the classic file"
+
+
+def test_cleanup_expires_staged_orphans(spark, tmp_path):
+    import time as _time
+
+    from dask_deltalake_spark.delta.maintenance import (
+        cleanup_metadata,
+        create_checkpoint,
+    )
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path)
+    to_delta(_df(spark, 10, 20), path, mode="append")
+    to_delta(_df(spark, 20, 30), path, mode="append")
+    # plant an orphan staged file (a lost race's leftover) below the
+    # future boundary
+    sd = os.path.join(path, "_delta_log", STAGED_DIR)
+    os.makedirs(sd, exist_ok=True)
+    orphan = os.path.join(sd, f"{1:020d}.deadbeef.json")
+    with open(orphan, "w") as f:
+        f.write("{}\n")
+    create_checkpoint(path, version=2)
+    old = _time.time() - 100 * 24 * 3600
+    for v in (0, 1):
+        os.utime(
+            os.path.join(path, "_delta_log", f"{v:020d}.json"), (old, old)
+        )
+    doomed = cleanup_metadata(path)
+    assert os.path.join(STAGED_DIR, f"{1:020d}.deadbeef.json") in doomed
+    assert not os.path.exists(orphan)
