@@ -106,6 +106,14 @@ class InProcessCommitCoordinator(CommitCoordinator):
     def __init__(self):
         self._lock = threading.Lock()
         self._tables: dict[str, dict[int, str]] = {}
+        # accepted high-water mark per table id. The unbackfilled
+        # ledger alone is NOT enough to arbitrate: once an accepted
+        # version is backfilled and dropped from the ledger, a late
+        # writer re-submitting that version would be accepted again —
+        # a log fork (caught by the thread-race pytest under full-
+        # suite timing). Sequencing against the mark (accept exactly
+        # max+1) closes it.
+        self._max: dict[str, int] = {}
 
     def register_table(self, table_id: str, conf: dict) -> None:
         with self._lock:
@@ -114,11 +122,16 @@ class InProcessCommitCoordinator(CommitCoordinator):
     def commit(self, table_id: str, version: int, staged_name: str) -> None:
         with self._lock:
             t = self._tables.setdefault(table_id, {})
-            if version in t:
+            # lazy mark init: an unknown id (fresh process) trusts the
+            # first writer's snapshot-derived version — its predecessor
+            # is the backfilled latest by construction
+            m = self._max.get(table_id, version - 1)
+            if version != m + 1:
                 raise CoordinatedCommitConflict(
-                    f"Version {version} of table {table_id} already "
-                    f"accepted ({t[version]})"
+                    f"Version {version} of table {table_id} rejected: "
+                    f"accepted high-water mark is {m}"
                 )
+            self._max[table_id] = version
             t[version] = staged_name
 
     def get_commits(
@@ -131,6 +144,9 @@ class InProcessCommitCoordinator(CommitCoordinator):
             )
 
     def backfilled(self, table_id: str, version: int) -> None:
+        # drops only the unbackfilled LEDGER entries — the accepted
+        # high-water mark survives, so a re-submitted old version
+        # still loses
         with self._lock:
             t = self._tables.get(table_id, {})
             for v in [v for v in t if v <= version]:

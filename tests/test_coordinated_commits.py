@@ -287,3 +287,25 @@ def test_cleanup_expires_staged_orphans(spark, tmp_path):
     doomed = cleanup_metadata(path)
     assert os.path.join(STAGED_DIR, f"{1:020d}.deadbeef.json") in doomed
     assert not os.path.exists(orphan)
+
+
+def test_backfilled_version_cannot_be_recommitted(spark, tmp_path):
+    """The arbitration bug the full-suite race caught: after backfill
+    drops a version from the unbackfilled ledger, a late writer
+    re-submitting that version must STILL lose (high-water mark), or
+    the log forks — one winner via coordinator, one via the classic
+    path."""
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path)
+    enable_coordinated_commits(path, "in-process")  # interval 1
+    to_delta(_df(spark, 10, 20), path, mode="append")  # v2, backfilled
+    with pytest.raises(ConcurrentCommitError):
+        write_commit(
+            path, 2, [{"commitInfo": {"timestamp": 1, "operation": "X"}}]
+        )
+    # and a version AHEAD of the chain is rejected too
+    with pytest.raises(ConcurrentCommitError):
+        write_commit(
+            path, 9, [{"commitInfo": {"timestamp": 1, "operation": "X"}}]
+        )
+    assert read_delta(path, spark=spark).count() == 20
