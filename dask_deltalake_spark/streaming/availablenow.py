@@ -95,6 +95,14 @@ def drain_available_now(
         .option("path", table_path)
         .option("endOffsetVersion", str(end))
     )
+    if source_format == "delta_py":
+        # schema is pure driver-side log metadata — providing it
+        # skips the plan-worker schema() round trip per drain (the
+        # CDF source's schema carries extra change columns the source
+        # itself owns, so only the plain source gets this shortcut)
+        from dask_deltalake_spark.delta.reader import snapshot_schema
+
+        reader = reader.schema(snapshot_schema(DeltaLog(table_path).snapshot()))
     hint = checkpoint_start_hint(checkpoint_dir)
     if hint is not None:
         reader = reader.option("startOffsetHint", str(hint))
