@@ -35,6 +35,7 @@ _EXPORTS = {
     "cleanup_metadata": "dask_deltalake_spark.delta.maintenance",
     "compact_log": "dask_deltalake_spark.delta.maintenance",
     "enable_coordinated_commits": "dask_deltalake_spark.delta.coordinated",
+    "disable_coordinated_commits": "dask_deltalake_spark.delta.coordinated",
     "backfill_commits": "dask_deltalake_spark.delta.coordinated",
     "register_commit_coordinator": "dask_deltalake_spark.delta.coordinated",
     "create_checkpoint": "dask_deltalake_spark.delta.maintenance",
@@ -98,6 +99,7 @@ __all__ = [
     "cleanup_metadata",
     "compact_log",
     "enable_coordinated_commits",
+    "disable_coordinated_commits",
     "backfill_commits",
     "register_commit_coordinator",
     "restore",

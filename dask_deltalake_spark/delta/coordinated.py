@@ -322,3 +322,58 @@ def backfill_commits(
     if done:
         impl.backfilled(table_id, max(done))
     return done
+
+
+def disable_coordinated_commits(path: str) -> int:
+    """Hand commit arbitration BACK to the filesystem: flush every
+    staged commit, then commit a metadata update removing the
+    coordinator properties (the removal commit itself still routes
+    through the coordinator — pre-state rules — and is force-
+    backfilled so the classic log is complete the moment coordination
+    ends). The ``coordinatedCommits`` writer feature stays declared
+    (feature REMOVAL is a protocol downgrade with its own machinery;
+    delta-spark leaves it too) — write_commit keys off the property,
+    so subsequent commits use classic put-if-absent. Returns the
+    committed version."""
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.protocol import now_ms
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    table_path = str(path).rstrip("/")
+    log = DeltaLog(table_path)
+    snap = log.snapshot()
+    co = coordinator_from_metadata(snap.metadata)
+    if co is None:
+        return snap.version  # already classic — nothing to do
+    backfill_commits(table_path)  # complete the classic log first
+    snap = log.snapshot()
+    md = snap.metadata.to_json()["metaData"]
+    conf = dict(md["configuration"])
+    conf.pop(COORDINATOR_PROP, None)
+    conf.pop(COORDINATOR_CONF_PROP, None)
+    md["configuration"] = conf
+    version = snap.version + 1
+    write_commit(
+        table_path,
+        version,
+        [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms(),
+                    "operation": "UNSET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": json.dumps(
+                            [COORDINATOR_PROP, COORDINATOR_CONF_PROP]
+                        )
+                    },
+                    "readVersion": snap.version,
+                    "engineInfo": "dask_deltalake_spark/0.1.0",
+                }
+            },
+            {"metaData": md},
+        ],
+    )
+    # the removal commit routed through the (old) coordinator; flush
+    # it so the classic log is complete with coordination over
+    backfill_commits(table_path, impl=co[0], table_id=md["id"])
+    return version

@@ -309,3 +309,31 @@ def test_backfilled_version_cannot_be_recommitted(spark, tmp_path):
             path, 9, [{"commitInfo": {"timestamp": 1, "operation": "X"}}]
         )
     assert read_delta(path, spark=spark).count() == 20
+
+
+def test_disable_returns_to_classic_commits(spark, tmp_path):
+    from dask_deltalake_spark.delta.coordinated import (
+        disable_coordinated_commits,
+    )
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path)
+    enable_coordinated_commits(path, "in-process", backfill_interval=1000)
+    to_delta(_df(spark, 10, 20), path, mode="append")  # staged-only v2
+    v = disable_coordinated_commits(path)
+    assert v == 3
+    # everything classic: staged flushed, removal commit backfilled
+    for ver in (2, 3):
+        assert os.path.exists(
+            os.path.join(path, "_delta_log", f"{ver:020d}.json")
+        )
+    assert os.listdir(os.path.join(path, "_delta_log", STAGED_DIR)) == []
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    assert COORDINATOR_PROP not in snap.metadata.configuration
+    # subsequent commits are classic put-if-absent (no staged file)
+    to_delta(_df(spark, 20, 30), path, mode="append")
+    assert os.listdir(os.path.join(path, "_delta_log", STAGED_DIR)) == []
+    assert read_delta(path, spark=spark).count() == 30
+    # idempotent
+    assert disable_coordinated_commits(path) == 4
