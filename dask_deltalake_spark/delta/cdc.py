@@ -173,10 +173,27 @@ def read_delta_changes(
     # party to backfill) — after it the classic log holds every
     # accepted commit and the change feed can't silently miss a
     # staged-only tail. No-op (one cached snapshot) when the table is
-    # not coordinated or nothing is staged.
-    from dask_deltalake_spark.delta.coordinated import backfill_commits
+    # not coordinated or nothing is staged. A reader that CANNOT
+    # backfill (read-only credentials) gets a clear refusal instead of
+    # a silently truncated feed.
+    from dask_deltalake_spark.delta.coordinated import (
+        backfill_commits,
+        coordinator_from_metadata,
+    )
 
-    backfill_commits(path)
+    try:
+        backfill_commits(path)
+    except (OSError, PermissionError) as e:
+        co = coordinator_from_metadata(log.snapshot().metadata)
+        if co is not None and co[0].get_commits(
+            log.snapshot().metadata.id, 0
+        ):
+            raise PermissionError(
+                "read_delta_changes on a coordinated table requires the "
+                "classic ledger to be complete, and the reader-side "
+                f"backfill failed ({e}); run backfill_commits() with "
+                "write access, or lower the table's backfill_interval."
+            ) from e
     latest = log.latest_version()
     if starting_timestamp is not None:
         if starting_version not in (0, None):

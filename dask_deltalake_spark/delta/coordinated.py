@@ -195,6 +195,32 @@ def staged_commit_path(log_dir: str, version: int, name: str) -> str:
     return os.path.join(log_dir, STAGED_DIR, name)
 
 
+def read_staged_commit_actions(
+    store, log_path: str, version: int, name: str,
+    classic_fallback: bool = True,
+) -> list:
+    """Parse a staged commit's action list. With ``classic_fallback``
+    (the default), a staged file deleted by a concurrent backfill is
+    served from the classic ``{v}.json`` that backfill just wrote —
+    the ONE uniform race policy for every staged-read site (snapshot
+    merge, history merge, ICT predecessor lookup, retry scans)."""
+    from dask_deltalake_spark.delta.protocol import commit_filename
+
+    try:
+        raw = store.read_bytes(os.path.join(log_path, STAGED_DIR, name))
+    except OSError:
+        if not classic_fallback:
+            raise
+        raw = store.read_bytes(
+            os.path.join(log_path, commit_filename(version))
+        )
+    return [
+        json.loads(line)
+        for line in raw.decode("utf-8").splitlines()
+        if line.strip()
+    ]
+
+
 def write_staged_commit(
     store, log_dir: str, version: int, payload: bytes
 ) -> str:
@@ -307,7 +333,20 @@ def backfill_commits(
     done = []
     for v, name in impl.get_commits(table_id, backfilled_latest + 1):
         staged = staged_commit_path(log.log_path, v, name)
-        payload = log.store.read_bytes(staged)
+        try:
+            payload = log.store.read_bytes(staged)
+        except OSError:
+            # a concurrent backfiller copied AND deleted this staged
+            # file between our get_commits and the read — the classic
+            # file must exist; count it done so the coordinator still
+            # gets notified (a commit that already succeeded must
+            # never surface as a failure here)
+            if log.store.exists(
+                os.path.join(log.log_path, commit_filename(v))
+            ):
+                done.append(v)
+                continue
+            raise
         try:
             log.store.put_if_absent(
                 os.path.join(log.log_path, commit_filename(v)), payload

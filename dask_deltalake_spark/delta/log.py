@@ -251,6 +251,33 @@ class DeltaLog:
                 actions.append(json.loads(line))
         return actions
 
+    def read_commit_actions_any(
+        self, version: int, metadata=None
+    ) -> list[dict[str, Any]]:
+        """Commit actions for ``version`` — the classic file, or, on a
+        coordinated table with deferred backfill, the accepted STAGED
+        commit via the coordinator. The conflict-retry scans use this:
+        a winner's commit may not be backfilled yet when the loser
+        inspects it."""
+        try:
+            return self.read_commit_actions(version)
+        except OSError:
+            from dask_deltalake_spark.delta.coordinated import (
+                coordinator_from_metadata,
+                read_staged_commit_actions,
+            )
+
+            if metadata is None:
+                metadata = self.snapshot().metadata
+            co = coordinator_from_metadata(metadata)
+            if co is not None:
+                for sv, sname in co[0].get_commits(metadata.id, version):
+                    if sv == version:
+                        return read_staged_commit_actions(
+                            self.store, self.log_path, sv, sname
+                        )
+            raise
+
     def _load_checkpoint(self, version: int) -> tuple[
         dict[str, AddAction],
         dict[str, RemoveAction],
@@ -394,14 +421,22 @@ class DeltaLog:
             if version == versions[-1]
             else None
         )
+        if cached is not None and cached[-1] and not want_latest:
+            # a STAGED-anchored entry reflects state past the classic
+            # latest — only a latest read may consume it (an explicit
+            # version request must replay the classic history)
+            cached = None
         if cached is not None:
             # skip the checkpoint listing entirely — the hot path the
             # cache exists for (per-commit checksum, streaming polls)
             # must not pay a second directory LIST per snapshot
             usable_cp = []
-            adds, tombstones, metadata, protocol, domains, txns, start = (
-                cached
-            )
+            (
+                adds, tombstones, metadata, protocol, domains, txns,
+                start, _staged_anchor,
+            ) = cached
+            # staged-anchored state may sit PAST the classic latest
+            version = max(version, start - 1)
         elif (
             usable_cp := [
                 c for c in self.checkpoint_versions() if c <= version
@@ -506,10 +541,12 @@ class DeltaLog:
         # Explicit time travel resolves against BACKFILLED history only
         # (documented: the travel ledger is the classic file log).
         staged_applied = False
+        staged_anchor_rel = None
         if want_latest:
             from dask_deltalake_spark.delta.coordinated import (
+                STAGED_DIR,
                 coordinator_from_metadata,
-                staged_commit_path,
+                read_staged_commit_actions,
             )
 
             co = coordinator_from_metadata(metadata)
@@ -520,28 +557,28 @@ class DeltaLog:
                         if sv < v:
                             continue  # already backfilled + replayed
                         break  # gap in the staged tail: stop merging
-                    try:
-                        raw = self.store.read_bytes(
-                            staged_commit_path(self.log_path, sv, sname)
-                        )
-                    except OSError:
-                        # a concurrent backfill deleted the staged
-                        # file after we listed it — the classic commit
-                        # now holds the same bytes
-                        raw = self.store.read_bytes(
-                            os.path.join(
-                                self.log_path, commit_filename(sv)
-                            )
-                        )
-                    for line in raw.decode("utf-8").splitlines():
-                        line = line.strip()
-                        if line:
-                            _apply(json.loads(line))
+                    for action in read_staged_commit_actions(
+                        self.store, self.log_path, sv, sname
+                    ):
+                        _apply(action)
                     version = sv
                     staged_applied = True
+                    staged_anchor_rel = os.path.join(STAGED_DIR, sname)
                     v = sv + 1
 
-        if version == versions[-1] and not staged_applied:
+        if staged_applied:
+            # staged-inclusive snapshots cache too — anchored on the
+            # LAST staged file (backfill deletes it → cache invalid →
+            # cold replay picks up the classic files). Without this, a
+            # deferred-backfill table re-reads its whole staged tail
+            # on every read — the O(#commits) planning cost the cache
+            # exists to prevent.
+            self._cache_store(
+                version,
+                (adds, tombstones, metadata, protocol, domains, txns),
+                anchor_rel=staged_anchor_rel,
+            )
+        elif version == versions[-1]:
             self._cache_store(
                 version, (adds, tombstones, metadata, protocol, domains, txns)
             )
@@ -566,14 +603,13 @@ class DeltaLog:
         entry = _SNAPSHOT_CACHE.get(self.table_path)
         if entry is None:
             return None
-        cv, cmtime, state = entry
-        if cv not in versions or cv > versions[-1]:
+        cv, anchor_rel, cmtime, state = entry
+        staged_anchor = anchor_rel != commit_filename(cv)
+        if not staged_anchor and (cv not in versions or cv > versions[-1]):
             _SNAPSHOT_CACHE.pop(self.table_path, None)
             return None
         try:
-            mtime = self.store.mtime(
-                os.path.join(self.log_path, commit_filename(cv))
-            )
+            mtime = self.store.mtime(os.path.join(self.log_path, anchor_rel))
         except OSError:
             _SNAPSHOT_CACHE.pop(self.table_path, None)
             return None
@@ -589,13 +625,19 @@ class DeltaLog:
             dict(domains),
             dict(txns),
             cv + 1,
+            staged_anchor,
         )
 
-    def _cache_store(self, version: int, state: tuple) -> None:
+    def _cache_store(
+        self, version: int, state: tuple, anchor_rel: Optional[str] = None
+    ) -> None:
+        """Cache replay state anchored on a log file's mtime: the
+        classic commit file by default, or (staged-inclusive
+        snapshots) the last applied STAGED file — whose deletion at
+        backfill time invalidates the entry by construction."""
+        anchor_rel = anchor_rel or commit_filename(version)
         try:
-            mtime = self.store.mtime(
-                os.path.join(self.log_path, commit_filename(version))
-            )
+            mtime = self.store.mtime(os.path.join(self.log_path, anchor_rel))
         except OSError:
             return
         adds, tombstones, metadata, protocol, domains, txns = state
@@ -604,6 +646,7 @@ class DeltaLog:
         # mutating them must never reach the cache
         _SNAPSHOT_CACHE[self.table_path] = (
             version,
+            anchor_rel,
             mtime,
             (
                 dict(adds),
@@ -636,31 +679,27 @@ class DeltaLog:
             out.append(info)
         last = out[-1]["version"] if out else -1
         try:
+            # an unknown-coordinator ValueError propagates from here:
+            # history silently missing accepted commits is exactly the
+            # condition the refusal exists for
             snap_meta = self.snapshot().metadata
-        except (ValueError, DeltaTableNotFoundError):
+        except DeltaTableNotFoundError:
             return out
         from dask_deltalake_spark.delta.coordinated import (
             coordinator_from_metadata,
-            staged_commit_path,
+            read_staged_commit_actions,
         )
 
         co = coordinator_from_metadata(snap_meta)
         if co is not None:
             for sv, sname in co[0].get_commits(snap_meta.id, last + 1):
                 info = {}
-                try:
-                    raw = self.store.read_bytes(
-                        staged_commit_path(self.log_path, sv, sname)
-                    ).decode("utf-8")
-                except OSError:
-                    continue  # backfilled mid-listing; next call sees it
-                for line in raw.splitlines():
-                    line = line.strip()
-                    if line:
-                        a = json.loads(line)
-                        if "commitInfo" in a:
-                            info = dict(a["commitInfo"])
-                            break
+                for a in read_staged_commit_actions(
+                    self.store, self.log_path, sv, sname
+                ):
+                    if "commitInfo" in a:
+                        info = dict(a["commitInfo"])
+                        break
                 info["version"] = sv
                 out.append(info)
         return out

@@ -371,18 +371,13 @@ class FsspecLogStore(LogStore):
     def put_if_absent(self, path: str, data: bytes) -> None:
         if self.fs.exists(path):  # cheap fast-fail; atomicity below
             raise FileExistsError(path)
-        # 1) exclusive create
-        try:
-            with self.fs.open(path, "xb") as f:
-                f.write(data)
-            return
-        except FileExistsError:
-            raise
-        except (ValueError, NotImplementedError, OSError) as e:
-            if _is_precondition_failure(e):
-                raise FileExistsError(path) from e
-            # mode unsupported — fall through the ladder
-        # 2) conditional PUT (server-side compare-and-swap)
+        # 1) conditional PUT (server-side compare-and-swap) — FIRST
+        # for schemes with registered CAS kwargs: on object stores,
+        # fsspec's generic "xb" mode is typically EMULATED as a
+        # non-atomic exists()-then-write, which would "succeed" here
+        # and leave the genuinely atomic PUT unreachable — a silent
+        # lost-commit window. The server-side precondition is the only
+        # arbitration these stores actually guarantee.
         cond = _CONDITIONAL_PUT_KWARGS.get(self.scheme.lower())
         if cond is not None:
             try:
@@ -394,6 +389,18 @@ class FsspecLogStore(LogStore):
                 if _is_precondition_failure(e):
                     raise FileExistsError(path) from e
                 raise
+        # 2) exclusive create (local-like backends, where "x" is a
+        # real O_EXCL)
+        try:
+            with self.fs.open(path, "xb") as f:
+                f.write(data)
+            return
+        except FileExistsError:
+            raise
+        except (ValueError, NotImplementedError, OSError) as e:
+            if _is_precondition_failure(e):
+                raise FileExistsError(path) from e
+            # mode unsupported — fall through the ladder
         # 3) external lock client (DynamoDB-lock seam)
         if self.lock_client is not None:
             token = self.lock_client.acquire(path)

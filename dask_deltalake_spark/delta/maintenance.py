@@ -823,7 +823,11 @@ def optimize(
             attempt += 1
             snap2 = log.snapshot()
             for wv in range(commit_version, snap2.version + 1):
-                for wa in log.read_commit_actions(wv):
+                # _any: a winner on a coordinated table may still be
+                # staged-only (deferred backfill)
+                for wa in log.read_commit_actions_any(
+                    wv, metadata=snap2.metadata
+                ):
                     if "metaData" in wa or "protocol" in wa:
                         raise ConcurrentCommitError(
                             "Concurrent commit changed table metadata/"

@@ -81,7 +81,11 @@ def _commit_with_dml_retry(
             snap2 = log.snapshot()
             for wv in range(commit_version, snap2.version + 1):
                 winner_adds = []
-                for wa in log.read_commit_actions(wv):
+                # _any: a winner on a coordinated table may still be
+                # staged-only (deferred backfill)
+                for wa in log.read_commit_actions_any(
+                    wv, metadata=snap2.metadata
+                ):
                     if "metaData" in wa or "protocol" in wa:
                         raise ConcurrentCommitError(
                             "Concurrent commit changed table metadata/"

@@ -754,28 +754,18 @@ def _stamp_in_commit_timestamp(
             # clock through the coordinator, or the monotonic ICT
             # chain would silently break at every unbackfilled commit
             from dask_deltalake_spark.delta.coordinated import (
-                staged_commit_path,
+                read_staged_commit_actions,
             )
 
-            impl = co[0]
-            for sv, sname in impl.get_commits(table_id, version - 1):
+            for sv, sname in co[0].get_commits(table_id, version - 1):
                 if sv != version - 1:
                     continue
-                try:
-                    raw = store.read_bytes(
-                        staged_commit_path(log_dir, sv, sname)
-                    ).decode("utf-8")
-                except OSError:
-                    break  # backfilled concurrently; classic read raced
-                for line in raw.splitlines():
-                    line = line.strip()
-                    if line:
-                        a = json.loads(line)
-                        if "commitInfo" in a:
-                            prev_ict = a["commitInfo"].get(
-                                "inCommitTimestamp"
-                            )
-                            break
+                for a in read_staged_commit_actions(
+                    store, log_dir, sv, sname
+                ):
+                    if "commitInfo" in a:
+                        prev_ict = a["commitInfo"].get("inCommitTimestamp")
+                        break
                 break
     enabled = prop if prop is not None else prev_ict is not None
     if not enabled:
@@ -1654,7 +1644,11 @@ def to_delta(
                 # anything that invalidates the replaced region
                 last_read = int(actions[0]["commitInfo"]["readVersion"])
                 for wv in range(last_read + 1, snap2.version + 1):
-                    for wa in log.read_commit_actions(wv):
+                    # _any: a winner on a coordinated table may still
+                    # be staged-only (deferred backfill)
+                    for wa in log.read_commit_actions_any(
+                        wv, metadata=snap2.metadata
+                    ):
                         if "metaData" in wa or "protocol" in wa:
                             raise ConcurrentCommitError(
                                 "Concurrent commit changed table "
