@@ -39,6 +39,26 @@ Table properties (spec preview names):
 - ``delta.coordinatedCommits.commitCoordinatorConf-preview`` — JSON
   coordinator conf (here: ``backfill_interval``, 1 = backfill every
   commit).
+
+Crash recovery (in-process coordinator): the ledger dies with the
+driver while accepted-but-unbackfilled staged files persist on disk.
+A fresh coordinator instance has no memory of the table, so a naive
+read would silently drop the staged tail and a naive write would
+re-issue its versions and FORK the log. Instead, a latest-mode read
+whose coordinator answers ``knows_table() == False`` scans
+``_staged_commits/`` once and REFUSES (OrphanedStagedCommitsError)
+when files exist above the acknowledged tail. The runbook:
+
+1. ``recover_staged_commits(path)`` — re-adopts the contiguous
+   orphan chain into the fresh coordinator (raises on ambiguity:
+   two differing payloads for one version, or junk beyond a gap —
+   resolve those manually, then re-run);
+2. ``backfill_commits(path)`` — flushes the adopted tail to classic
+   files; or ``disable_coordinated_commits(path)`` to do that AND
+   hand arbitration back to the filesystem.
+
+Durable catalog coordinators never enter this state (``knows_table``
+defaults to True), so steady-state reads pay no staged-dir LIST.
 """
 
 from __future__ import annotations
@@ -58,6 +78,25 @@ STAGED_DIR = "_staged_commits"
 
 class CoordinatedCommitConflict(Exception):
     """Another writer's staged commit won this version."""
+
+
+class OrphanedStagedCommitsError(RuntimeError):
+    """Staged commit files exist ABOVE the coordinator-acknowledged
+    tail while the coordinator has no memory of the table — the
+    crash-recovery state (module docstring, Crash recovery). Reading
+    past them could silently drop accepted commits; run
+    ``recover_staged_commits`` (adopt) or delete the junk files."""
+
+
+def list_staged_versions(store, log_path: str) -> list:
+    """(version, name) for every ``_staged_commits`` file, ascending
+    by version. [] when the directory is absent."""
+    out = []
+    for f in store.list_dir(os.path.join(log_path, STAGED_DIR)):
+        head = f.split(".", 1)[0]
+        if head.isdigit() and f.endswith(".json"):
+            out.append((int(head), f))
+    return sorted(out)
 
 
 class CommitCoordinator:
@@ -93,6 +132,16 @@ class CommitCoordinator:
         """All versions <= ``version`` now exist as classic commit
         files; the coordinator may drop its tracking for them."""
         raise NotImplementedError
+
+    def knows_table(self, table_id: str) -> bool:
+        """Has this coordinator instance EVER seen ``table_id``
+        (registered or committed)? A durable catalog coordinator
+        returns True for every table it coordinates; an in-process
+        coordinator answers False after a process restart — the
+        signal the reader uses to run the orphaned-staged-commit
+        check (see module docstring, Crash recovery). Default True:
+        a coordinator that cannot lose state never needs the check."""
+        return True
 
 
 class InProcessCommitCoordinator(CommitCoordinator):
@@ -151,6 +200,10 @@ class InProcessCommitCoordinator(CommitCoordinator):
             t = self._tables.get(table_id, {})
             for v in [v for v in t if v <= version]:
                 del t[v]
+
+    def knows_table(self, table_id: str) -> bool:
+        with self._lock:
+            return table_id in self._tables or table_id in self._max
 
 
 _COORDINATORS: dict[str, CommitCoordinator] = {
@@ -361,6 +414,82 @@ def backfill_commits(
     if done:
         impl.backfilled(table_id, max(done))
     return done
+
+
+def recover_staged_commits(
+    path: str,
+    impl: Optional[CommitCoordinator] = None,
+    table_id: Optional[str] = None,
+) -> list[int]:
+    """Crash recovery (module docstring, Crash recovery): re-adopt
+    orphaned staged commits into a FRESH coordinator instance after
+    the previous one died with accepted-but-unbackfilled commits on
+    disk. Adopts the contiguous chain starting at classic-latest + 1
+    (commit acceptance is sequential, so files beyond a gap cannot be
+    accepted commits) and returns the adopted versions; raises
+    OrphanedStagedCommitsError when a version has two staged
+    candidates with DIFFERENT payloads (the accepted one is unknowable
+    from the filesystem — resolve manually) or when junk files remain
+    beyond the chain (delete them, then reads proceed). After
+    adoption, ``backfill_commits`` flushes the tail to classic files.
+
+    Caveat: a file staged by a writer that crashed BEFORE coordinator
+    acceptance is indistinguishable from an accepted orphan — adoption
+    treats it as accepted (its payload is a complete, valid commit;
+    the spec's catalog coordinators avoid the ambiguity by being
+    durable)."""
+    from dask_deltalake_spark.delta.log import DeltaLog
+
+    table_path = str(path).rstrip("/")
+    log = DeltaLog(table_path)
+    classic_latest = log.versions()[-1]
+    # explicit-version snapshot: resolves against the CLASSIC log only,
+    # so it cannot itself trip the orphan refusal we are here to clear
+    snap = log.snapshot(version=classic_latest)
+    co = coordinator_from_metadata(snap.metadata)
+    if co is None:
+        raise ValueError(f"{table_path} is not a coordinated table")
+    impl = impl or co[0]
+    table_id = table_id or snap.metadata.id
+    acked = {v for v, _ in impl.get_commits(table_id, 0)}
+    by_ver: dict[int, list[str]] = {}
+    for v, name in list_staged_versions(log.store, log.log_path):
+        if v <= classic_latest or v in acked:
+            continue  # backfilled leftover / lost-race junk / known
+        by_ver.setdefault(v, []).append(name)
+    adopted: list[int] = []
+    expect = max([classic_latest, *acked]) + 1
+    for v in sorted(by_ver):
+        if v != expect:
+            break  # gap: everything beyond is junk, handled below
+        names = sorted(by_ver[v])
+        if len(names) > 1:
+            payloads = {
+                log.store.read_bytes(
+                    staged_commit_path(log.log_path, v, n)
+                )
+                for n in names
+            }
+            if len(payloads) > 1:
+                raise OrphanedStagedCommitsError(
+                    f"Version {v} of {table_path} has "
+                    f"{len(names)} staged candidates with differing "
+                    "payloads; the accepted one is unknowable from "
+                    "the filesystem — delete the losers, then re-run "
+                    "recover_staged_commits."
+                )
+        impl.commit(table_id, v, names[0])
+        adopted.append(v)
+        expect = v + 1
+    junk = [v for v in sorted(by_ver) if v >= expect]
+    if junk:
+        raise OrphanedStagedCommitsError(
+            f"Adopted staged versions {adopted} of {table_path}, but "
+            f"staged files at non-contiguous versions {junk} remain — "
+            "they cannot be accepted commits (acceptance is "
+            "sequential); delete them to unblock reads."
+        )
+    return adopted
 
 
 def disable_coordinated_commits(path: str) -> int:

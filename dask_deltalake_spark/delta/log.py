@@ -430,7 +430,6 @@ class DeltaLog:
             # skip the checkpoint listing entirely — the hot path the
             # cache exists for (per-commit checksum, streaming polls)
             # must not pay a second directory LIST per snapshot
-            usable_cp = []
             (
                 adds, tombstones, metadata, protocol, domains, txns,
                 start, _staged_anchor,
@@ -516,12 +515,14 @@ class DeltaLog:
                 v = ce + 1
                 continue
             if v not in versions_set and v > 0:
-                # gap in the log without a covering checkpoint or
-                # compaction
-                if not usable_cp or v > version:
-                    raise ValueError(f"Missing commit {v} in {self.log_path}")
-                v += 1
-                continue
+                # gap in the log: replay always starts ABOVE the
+                # chosen checkpoint / cache anchor, and legitimate log
+                # cleanup only ever deletes commits a checkpoint or an
+                # aligned compaction range covers — so a missing commit
+                # here is corruption (or a checkpoint mislabeled past
+                # the classic latest) and silently skipping it would
+                # serve data-loss state as a valid snapshot
+                raise ValueError(f"Missing commit {v} in {self.log_path}")
             for action in self.read_commit_actions(v):
                 _apply(action)
             v += 1
@@ -544,8 +545,10 @@ class DeltaLog:
         staged_anchor_rel = None
         if want_latest:
             from dask_deltalake_spark.delta.coordinated import (
+                OrphanedStagedCommitsError,
                 STAGED_DIR,
                 coordinator_from_metadata,
+                list_staged_versions,
                 read_staged_commit_actions,
             )
 
@@ -565,6 +568,36 @@ class DeltaLog:
                     staged_applied = True
                     staged_anchor_rel = os.path.join(STAGED_DIR, sname)
                     v = sv + 1
+                if cached is None and not impl.knows_table(metadata.id):
+                    # crash recovery (coordinated.py module docstring):
+                    # the coordinator has NO memory of this table —
+                    # staged files above the acknowledged tail are
+                    # accepted commits whose ledger died with the old
+                    # coordinator (or a crashed writer's junk; the
+                    # filesystem cannot tell). Reading past them would
+                    # silently drop accepted commits, and a write
+                    # would re-issue their versions and fork the log —
+                    # refuse and point at the recovery tools. Gated on
+                    # a cache miss + unknown table: the steady-state
+                    # hot path pays no staged-dir LIST.
+                    orphans = [
+                        sv
+                        for sv, _n in list_staged_versions(
+                            self.store, self.log_path
+                        )
+                        if sv > version
+                    ]
+                    if orphans:
+                        raise OrphanedStagedCommitsError(
+                            f"{self.table_path}: staged commits "
+                            f"{orphans} exist above the coordinator-"
+                            f"acknowledged version {version}, and the "
+                            "coordinator has no record of this table "
+                            "(process restart?). Run "
+                            "recover_staged_commits() to adopt them, "
+                            "or delete the files if they are a "
+                            "crashed writer's junk."
+                        )
 
         if staged_applied:
             # staged-inclusive snapshots cache too — anchored on the

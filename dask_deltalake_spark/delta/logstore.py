@@ -275,6 +275,29 @@ def _is_precondition_failure(exc: BaseException) -> bool:
     )
 
 
+def _is_unsupported_mode_error(exc: BaseException) -> bool:
+    """Does this error mean the backend doesn't implement exclusive
+    'xb' create (→ safe to fall down the ladder), as opposed to a
+    transient I/O failure (network hiccup, throttle, permission)
+    during an open the backend DOES support? The distinction matters:
+    falling through on a transient error would end at the blind
+    pipe_file and turn an atomic commit into an unconditional
+    overwrite that can clobber a concurrent winner."""
+    s = f"{type(exc).__name__}: {exc}".lower()
+    return any(
+        m in s
+        for m in (
+            "not supported",
+            "unsupported",
+            "not implemented",
+            "invalid mode",
+            "unacceptable mode",
+            "mode not",
+            "no such mode",
+        )
+    )
+
+
 # per-scheme kwargs that turn pipe_file into an atomic create-only PUT
 # (server-side compare-and-swap): S3 If-None-Match:* (supported by AWS
 # since 2024-08 and by MinIO/R2), GCS generation-0 precondition, Azure
@@ -397,10 +420,21 @@ class FsspecLogStore(LogStore):
             return
         except FileExistsError:
             raise
-        except (ValueError, NotImplementedError, OSError) as e:
+        except (ValueError, NotImplementedError) as e:
             if _is_precondition_failure(e):
                 raise FileExistsError(path) from e
             # mode unsupported — fall through the ladder
+        except OSError as e:
+            if _is_precondition_failure(e):
+                raise FileExistsError(path) from e
+            if not _is_unsupported_mode_error(e):
+                # transient I/O failure during a SUPPORTED exclusive
+                # create (network hiccup, throttle, permission):
+                # re-raise to the caller — degrading to the blind
+                # pipe_file at the ladder's end could overwrite a
+                # concurrent winner's commit file
+                raise
+            # backend signals 'xb' itself is unsupported — fall through
         # 3) external lock client (DynamoDB-lock seam)
         if self.lock_client is not None:
             token = self.lock_client.acquire(path)

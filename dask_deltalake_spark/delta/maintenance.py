@@ -233,6 +233,24 @@ def create_checkpoint(
 
     table_path = str(path).rstrip("/")
     log = DeltaLog(table_path)
+    if version is not None:
+        classic = log.versions()
+        if not classic or version > classic[-1]:
+            # A checkpoint is a claim that the CLASSIC log reaches
+            # `version`; labeling classic-latest state with a higher
+            # (e.g. staged-only, deferred-backfill) version would make
+            # later replays anchor on it and silently drop every
+            # commit between the classic latest and `version` —
+            # data-loss-class corruption. Latest (version=None)
+            # staged-merged checkpoints are fine: their STATE matches
+            # their label.
+            raise ValueError(
+                f"Cannot checkpoint {table_path} at version {version}: "
+                f"the classic log only reaches "
+                f"{classic[-1] if classic else 'no commits'} "
+                "(is this a staged-only coordinated-commit version? "
+                "run backfill_commits first)"
+            )
     snap = log.snapshot(version=version)
 
     rows = []
@@ -1116,8 +1134,17 @@ def cleanup_metadata(path: str, dry_run: bool = False) -> list:
     )
     cutoff_s = now_ms() / 1000.0 - retention_h * 3600.0
     ts = log.version_timestamps()
+    # cap at the CLASSIC latest: a checkpoint can legitimately sit at
+    # a staged-merged version past the classic log (latest-mode
+    # create_checkpoint on a deferred-backfill coordinated table); a
+    # boundary above the classic latest would delete the entire
+    # classic log (versions() goes empty → table unreadable) and the
+    # accepted-but-unbackfilled staged tail with it
+    classic_latest = log.versions()[-1]
     boundary = -1
     for c in cps:
+        if c > classic_latest:
+            continue
         if all(ts.get(v, float("inf")) < cutoff_s for v in ts if v < c):
             boundary = max(boundary, c)
     if boundary <= 0:
@@ -1136,15 +1163,29 @@ def cleanup_metadata(path: str, dry_run: bool = False) -> list:
         mc = _COMPACTED_RE.match(f)
         if mc and int(mc.group(1)) < boundary:
             doomed.append(f)
-    # staged commits (coordinated tables): anything below the boundary
-    # is either a backfilled leftover or a lost race's orphan — the
-    # classic file (or its expiry) supersedes it either way
-    from dask_deltalake_spark.delta.coordinated import STAGED_DIR
+    # staged commits (coordinated tables): below the boundary a staged
+    # file is either a backfilled leftover or a lost race's orphan —
+    # the classic file (or its expiry) supersedes it either way.
+    # EXCEPT a version the coordinator ledger still holds: that staged
+    # file is an ACCEPTED commit whose backfill is deferred — the only
+    # copy of its bytes. Deleting it would dangle the ledger and make
+    # the later backfill_commits raise (or fork the log). Belt on top
+    # of the boundary cap above.
+    from dask_deltalake_spark.delta.coordinated import (
+        STAGED_DIR,
+        coordinator_from_metadata,
+    )
 
+    live_staged: set = set()
+    co = coordinator_from_metadata(snap.metadata)
+    if co is not None:
+        live_staged = {v for v, _ in co[0].get_commits(snap.metadata.id, 0)}
     staged_dir = os.path.join(log.log_path, STAGED_DIR)
     for f in sorted(log.store.list_dir(staged_dir)):
         head = f.split(".", 1)[0]
-        if head.isdigit() and int(head) < boundary:
+        if head.isdigit() and int(head) < boundary and int(
+            head
+        ) not in live_staged:
             doomed.append(os.path.join(STAGED_DIR, f))
     if not dry_run:
         for f in doomed:

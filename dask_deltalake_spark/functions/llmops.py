@@ -1864,6 +1864,34 @@ def _cosine_dot(a, b):
     )
 
 
+def _route_centroids_to_super(cent, sup):
+    """Route every centroid to its nearest super-cell, SELF-FIRST on
+    ties: a super centroid's self-similarity is the 1.0 maximum, but a
+    duplicate / colinear centroid can TIE it — and float division can
+    even leave a vector routed to super-cell s while centroid s itself
+    tie-broke away, so the candidate inner join in _ivf_assign would
+    silently DROP those vectors (row loss, not just the documented
+    nprobe=1 mis-assignment). Preferring self on ties guarantees every
+    super-cell s contains at least centroid s, so every routed vector
+    finds candidates."""
+    w = Window.partitionBy("cell").orderBy(
+        F.desc("ssim"),
+        F.desc(F.col("cell") == F.col("scell")),
+        F.asc("scell"),
+    )
+    return (
+        cent.crossJoin(F.broadcast(sup))
+        .withColumn(
+            "ssim",
+            _cosine_dot(F.col("cv"), F.col("sv"))
+            / (F.col("cnrm") * F.col("snrm")),
+        )
+        .withColumn("srk", F.row_number().over(w))
+        .filter(F.col("srk") == 1)
+        .select("cell", "cv", "cnrm", "scell")
+    )
+
+
 def _ivf_assign(e, cent, k: int, *, two_level_from: int = _SEM_K_CAP):
     """Nearest-centroid (cosine) assignment: ``e`` (vec_id, v, nrm) ×
     ``cent`` (cell, cv, cnrm) → (vec_id, v, nrm, cell).
@@ -1911,20 +1939,7 @@ def _ivf_assign(e, cent, k: int, *, two_level_from: int = _SEM_K_CAP):
         F.col("cv").alias("sv"),
         F.col("cnrm").alias("snrm"),
     )
-    w_sup_cent = Window.partitionBy("cell").orderBy(
-        F.desc("ssim"), F.asc("scell")
-    )
-    cent_routed = (
-        cent.crossJoin(F.broadcast(sup))
-        .withColumn(
-            "ssim",
-            _cosine_dot(F.col("cv"), F.col("sv"))
-            / (F.col("cnrm") * F.col("snrm")),
-        )
-        .withColumn("srk", F.row_number().over(w_sup_cent))
-        .filter(F.col("srk") == 1)
-        .select("cell", "cv", "cnrm", "scell")
-    )
+    cent_routed = _route_centroids_to_super(cent, sup)
     w_sup_vec = Window.partitionBy("vec_id").orderBy(
         F.desc("ssim"), F.asc("scell")
     )

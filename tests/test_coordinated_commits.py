@@ -337,3 +337,147 @@ def test_disable_returns_to_classic_commits(spark, tmp_path):
     assert read_delta(path, spark=spark).count() == 30
     # idempotent
     assert disable_coordinated_commits(path) == 4
+
+
+# --- r8 ADVICE regression pins (stale-checkpoint corruption class) ---------
+
+
+def test_auto_checkpoint_skips_staged_only_version(spark, tmp_path):
+    """Deferred backfill + checkpointInterval crossing: the auto-
+    checkpoint hook must SKIP a staged-only version — a checkpoint
+    labeled past the classic latest would anchor later replays on
+    state that silently lost the staged tail (r7 ADVICE, high)."""
+    import glob
+
+    path = str(tmp_path / "t")
+    to_delta(
+        _df(spark, 0, 10),
+        path,
+        configuration={"delta.checkpointInterval": "2"},
+    )
+    enable_coordinated_commits(path, "in-process", backfill_interval=1000)
+    to_delta(_df(spark, 10, 20), path, mode="append")  # v2 staged-only
+    assert glob.glob(os.path.join(path, "_delta_log", "*.checkpoint*")) == []
+    _SNAPSHOT_CACHE.clear()
+    assert read_delta(path, spark=spark).count() == 20
+    # after backfill the same version checkpoints fine
+    backfill_commits(path)
+    from dask_deltalake_spark.delta.maintenance import create_checkpoint
+
+    create_checkpoint(path, version=2)
+    _SNAPSHOT_CACHE.clear()
+    assert read_delta(path, spark=spark).count() == 20
+
+
+def test_create_checkpoint_refuses_staged_only_version(spark, tmp_path):
+    from dask_deltalake_spark.delta.maintenance import create_checkpoint
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path)
+    enable_coordinated_commits(path, "in-process", backfill_interval=1000)
+    to_delta(_df(spark, 10, 20), path, mode="append")  # v2 staged-only
+    with pytest.raises(ValueError, match="backfill_commits"):
+        create_checkpoint(path, version=2)
+
+
+def test_cleanup_boundary_capped_at_classic_latest(spark, tmp_path):
+    """A latest-mode checkpoint on a deferred-backfill table sits at a
+    staged-merged version PAST the classic log; a cleanup boundary
+    anchored there would delete the whole classic log and the only
+    copy of the accepted staged tail (r7 ADVICE, medium)."""
+    from dask_deltalake_spark.delta.maintenance import (
+        cleanup_metadata,
+        create_checkpoint,
+    )
+
+    path = str(tmp_path / "t")
+    to_delta(
+        _df(spark, 0, 10),
+        path,
+        configuration={"delta.logRetentionDuration": "interval 1 hours"},
+    )
+    enable_coordinated_commits(path, "in-process", backfill_interval=1000)
+    to_delta(_df(spark, 10, 20), path, mode="append")  # v2 staged-only
+    to_delta(_df(spark, 20, 30), path, mode="append")  # v3 staged-only
+    create_checkpoint(path)  # staged-merged state, labeled v3
+    # age every classic commit far past retention
+    import time
+
+    old = time.time() - 100 * 24 * 3600
+    for v in (0, 1):
+        os.utime(os.path.join(path, "_delta_log", f"{v:020d}.json"), (old, old))
+    doomed = cleanup_metadata(path)
+    # boundary capped at classic latest (1): the classic log survives
+    assert os.path.exists(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+    sd = os.path.join(path, "_delta_log", STAGED_DIR)
+    assert len(os.listdir(sd)) == 2, "accepted staged tail survives"
+    _SNAPSHOT_CACHE.clear()
+    assert read_delta(path, spark=spark).count() == 30
+    assert backfill_commits(path) == [2, 3]
+    _SNAPSHOT_CACHE.clear()
+    assert read_delta(path, spark=spark).count() == 30
+    assert f"{3:020d}.json" not in doomed
+
+
+def test_crash_recovery_refuses_then_recovers(spark, tmp_path):
+    """Coordinator loss (driver restart): staged-but-unbackfilled
+    commits persist while a FRESH coordinator has no ledger. Reads
+    must refuse (never silently drop the staged tail), and
+    recover_staged_commits must re-adopt the chain (VERDICT r7 #8)."""
+    from dask_deltalake_spark.delta.coordinated import (
+        OrphanedStagedCommitsError,
+        recover_staged_commits,
+    )
+
+    co = InProcessCommitCoordinator()
+    register_commit_coordinator("test-crash", co)
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path)
+    enable_coordinated_commits(path, "test-crash", backfill_interval=1000)
+    to_delta(_df(spark, 10, 20), path, mode="append")  # v2 staged-only
+    to_delta(_df(spark, 20, 30), path, mode="append")  # v3 staged-only
+    # simulate the crash: a fresh coordinator instance under the name
+    fresh = InProcessCommitCoordinator()
+    register_commit_coordinator("test-crash", fresh)
+    try:
+        _SNAPSHOT_CACHE.clear()
+        with pytest.raises(OrphanedStagedCommitsError, match="recover"):
+            DeltaLog(path).snapshot()
+        # writes refuse too (a re-issued v2 would fork the log)
+        with pytest.raises(OrphanedStagedCommitsError):
+            to_delta(_df(spark, 30, 40), path, mode="append")
+        assert recover_staged_commits(path) == [2, 3]
+        _SNAPSHOT_CACHE.clear()
+        assert DeltaLog(path).snapshot().version == 3
+        assert read_delta(path, spark=spark).count() == 30
+        # adopted tail backfills normally
+        assert backfill_commits(path) == [2, 3]
+        for v in (2, 3):
+            assert os.path.exists(
+                os.path.join(path, "_delta_log", f"{v:020d}.json")
+            )
+    finally:
+        register_commit_coordinator("test-crash", co)
+
+
+def test_fresh_coordinator_clean_table_reads_fine(spark, tmp_path):
+    """No orphans (everything backfilled) → a fresh coordinator reads
+    the table without refusal: the orphan check is a crash gate, not
+    a restart tax."""
+    co = InProcessCommitCoordinator()
+    register_commit_coordinator("test-crash2", co)
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path)
+    enable_coordinated_commits(path, "test-crash2", backfill_interval=1000)
+    to_delta(_df(spark, 10, 20), path, mode="append")
+    backfill_commits(path)
+    fresh = InProcessCommitCoordinator()
+    register_commit_coordinator("test-crash2", fresh)
+    try:
+        _SNAPSHOT_CACHE.clear()
+        assert read_delta(path, spark=spark).count() == 20
+        to_delta(_df(spark, 20, 25), path, mode="append")
+        _SNAPSHOT_CACHE.clear()
+        assert read_delta(path, spark=spark).count() == 25
+    finally:
+        register_commit_coordinator("test-crash2", co)

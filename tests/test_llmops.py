@@ -443,3 +443,81 @@ def test_two_level_ivf_assignment(spark):
     # two-level routing
     sizes = two.groupBy("cell").count().collect()
     assert all(r["count"] == PER for r in sizes)
+
+
+def test_two_level_ivf_duplicate_super_centroids_no_row_loss(spark):
+    """r7 ADVICE (low): duplicate/colinear super centroids tie-break
+    centroid routing away from a super-cell; with an inner candidate
+    join that silently DROPPED every vector routed there. The
+    self-first tie-break guarantees super-cell s always contains at
+    least centroid s, so no vector can lose its candidate set.
+
+    Construction: centroids 0 and 1 are EXACT duplicates (both super
+    centroids under two_level_from=4, n_super=2) — without the
+    self-preference, centroid 1 routes to super-cell 0 and super-cell
+    1 is empty of centroids."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.functions.llmops import _ivf_assign
+
+    K, PER, DIM = 6, 10, 16
+    rows = []
+    for i in range(K * PER):
+        g = i % K
+        v = [0.0] * DIM
+        if g == 1:
+            v[0] = 1.0  # group 1 duplicates group 0's direction
+        else:
+            v[g] = 1.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    e = df.withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    cent = e.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    two = _ivf_assign(e, cent, K, two_level_from=4)  # n_super = 2
+    got = two.collect()
+    assert len(got) == K * PER, "no vector dropped by the candidate join"
+    assert len({r["vec_id"] for r in got}) == K * PER
+    # the duplicated direction resolves to the smaller cell id (the
+    # documented asc-cell tie-break of the FINAL assignment)
+    for r in got:
+        expect = r["vec_id"] % K
+        if expect == 1:
+            expect = 0  # duplicate centroid: ties go to cell 0
+        assert r["cell"] == expect
+
+
+def test_super_centroid_self_routing_invariant(spark):
+    """The property the no-row-loss guarantee rests on: with an EXACT
+    duplicate pair of super centroids (worst-case tie), each super
+    centroid still routes to ITSELF."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.functions.llmops import (
+        _route_centroids_to_super,
+    )
+
+    cent = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1.0),
+            (1, [1.0, 0.0], 1.0),  # exact duplicate of super 0
+            (2, [0.0, 1.0], 1.0),
+        ],
+        "cell long, cv array<double>, cnrm double",
+    )
+    sup = cent.filter(F.col("cell") < 2).select(
+        F.col("cell").alias("scell"),
+        F.col("cv").alias("sv"),
+        F.col("cnrm").alias("snrm"),
+    )
+    routed = {
+        r["cell"]: r["scell"]
+        for r in _route_centroids_to_super(cent, sup).collect()
+    }
+    assert routed[0] == 0 and routed[1] == 1, "self-first on exact ties"
+    assert routed[2] in (0, 1)

@@ -174,3 +174,24 @@ def test_vacuum_protocol_gate(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
         vacuum(path, retention_hours=0, dry_run=True)
+
+
+def test_snapshot_raises_on_missing_commit_above_checkpoint(spark, tmp_path):
+    """A gap ABOVE the replay start is corruption (legit cleanup only
+    deletes what a checkpoint/compaction covers) — silently skipping
+    it would serve data-loss state as a valid snapshot (r7 ADVICE)."""
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 2).coalesce(1), path)
+    for lo in range(2, 12, 2):
+        to_delta(_df(spark, lo, lo + 2).coalesce(1), path, mode="append")
+    create_checkpoint(path, version=3)
+    os.remove(os.path.join(path, "_delta_log", f"{4:020d}.json"))
+    _SNAPSHOT_CACHE.clear()
+    with pytest.raises(ValueError, match="Missing commit 4"):
+        DeltaLog(path).snapshot()
+    with pytest.raises(ValueError, match="Missing commit 4"):
+        DeltaLog(path).snapshot(version=5)
+    # replay at or below the checkpoint still works
+    assert DeltaLog(path).snapshot(version=3).version == 3

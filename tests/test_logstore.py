@@ -313,3 +313,42 @@ def test_no_capability_falls_back_blind():
     store = FsspecLogStore("dumb", fs=fs)  # no lock client either
     store.put_if_absent("k", b"v")  # documented best-effort path
     assert fs.blind_puts == 1
+
+
+def test_transient_oserror_does_not_degrade_to_blind_put():
+    """A transient I/O failure (network hiccup, throttle) during a
+    SUPPORTED exclusive create must re-raise — falling down the
+    ladder would end at the blind pipe_file and let this writer
+    overwrite a concurrent winner's commit file (r7 ADVICE)."""
+    from dask_deltalake_spark.delta.logstore import FsspecLogStore
+
+    class _FlakyFS(_DumbFS):
+        def open(self, p, mode="rb"):
+            if "x" in mode:
+                raise OSError("Connection reset by peer")
+            return super().open(p, mode)
+
+    fs = _FlakyFS()
+    store = FsspecLogStore("dumb", fs=fs)
+    with pytest.raises(OSError, match="Connection reset"):
+        store.put_if_absent("k", b"v")
+    assert fs.blind_puts == 0, "transient error must not blind-write"
+    assert "k" not in fs.objs
+
+
+def test_unsupported_mode_oserror_still_falls_through():
+    """Backends that signal missing 'xb' support via OSError (not
+    ValueError) keep the documented ladder fallback."""
+    from dask_deltalake_spark.delta.logstore import FsspecLogStore
+
+    class _ModeErrFS(_DumbFS):
+        def open(self, p, mode="rb"):
+            if "x" in mode:
+                raise OSError("mode 'xb' not supported by this backend")
+            return super().open(p, mode)
+
+    fs = _ModeErrFS()
+    store = FsspecLogStore("dumb", fs=fs)
+    store.put_if_absent("k", b"v")  # best-effort blind path, documented
+    assert fs.blind_puts == 1
+    assert fs.objs["k"] == b"v"
