@@ -201,3 +201,55 @@ def test_s10_static_dimension_broadcasts(spark):
         .agg(F.count("*").alias("n_customers"))
     )
     assert set(join_strategies(joined)) == {"BroadcastHashJoin"}
+
+
+def test_two_level_ivf_broadcasts_only_supercells(spark):
+    """VERDICT r7 #7: above `two_level_from` the ONLY broadcast sides
+    are the O(sqrt(K)) super-cell table (two crossJoin routings); the
+    full centroid table is never broadcast and the per-super-cell
+    candidate join is a shuffle join — the properties that keep the
+    escalation 100 TB-safe. autoBroadcastJoinThreshold=-1 silences
+    AQE's small-scale broadcasts so only EXPLICIT hints survive: a
+    future regression that hints broadcast(cent) or broadcast(
+    cent_routed) shows up as a broadcast candidate join here."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.functions.llmops import _ivf_assign
+    from dask_deltalake_spark.plans.inspect import executed_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = (
+            spark.range(0, 400)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.array(
+                    (F.col("id") % 20).cast("double"), F.lit(1.0)
+                ).alias("v"),
+            )
+            .withColumn(
+                "nrm",
+                F.sqrt(
+                    F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
+                ),
+            )
+        )
+        cent = e.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+        df = _ivf_assign(e, cent, 20, two_level_from=8)
+        df.count()  # materialize so executedPlan is final
+        plan = executed_plan(df)
+        # exactly the two sup routings broadcast (crossJoin → BNLJ)
+        assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+        # the candidate join is NOT broadcast: no other broadcast site
+        assert "BroadcastHashJoin" not in plan, (
+            "full centroid/cent_routed table must never be broadcast "
+            "on the two-level path"
+        )
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
