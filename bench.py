@@ -20,7 +20,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _tee_stderr(path: str) -> None:
+    """Mirror EVERYTHING written to fd 2 (Python and the JVM, which
+    inherits the fd when Spark launches afterwards) into ``path`` for
+    the lifetime of the process. The capture is part of the bench
+    invocation itself, so the artifact can never lag the run it
+    describes (VERDICT r7 #2 — bench_stderr.log was stale two rounds
+    running when captured by hand)."""
+    import threading
+
+    log = open(path, "wb", buffering=0)
+    log.write(
+        f"# bench stderr capture, started {time.strftime('%F %T %z')}, "
+        f"sf_dir={SF_DIR}\n".encode()
+    )
+    orig = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+
+    def pump() -> None:
+        while True:
+            chunk = os.read(r, 65536)
+            if not chunk:
+                break
+            os.write(orig, chunk)
+            log.write(chunk)
+
+    threading.Thread(target=pump, daemon=True).start()
+
+
 def main() -> None:
+    _tee_stderr(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_stderr.log"
+        )
+    )
     from dask_deltalake_spark.session import get_spark
     from dask_deltalake_spark.operators import REGISTRY
 
@@ -45,6 +80,38 @@ def main() -> None:
     except Exception:
         pass
 
+    # Streaming half of the same warmup: the first delta_py STREAMING
+    # query in a session pays Python-datasource registration, the
+    # streaming-engine + file-sink classload, and the reader worker
+    # spawn (~3-5 s measured at sf0.1) — a one-time constant that
+    # otherwise lands on whichever s-query touches the source first
+    # (s06: s01-s05 stream from file sources). One untimed 1-row drain
+    # absorbs it, same rationale as the batch warmup above.
+    try:
+        import shutil
+        import uuid as _uuid
+
+        from dask_deltalake_spark.delta.writer import to_delta
+        from dask_deltalake_spark.sources import register_python_datasource
+        from dask_deltalake_spark.streaming.availablenow import (
+            drain_available_now,
+        )
+
+        register_python_datasource(spark)
+        wbase = f"/tmp/ddl_spark_bench_warmup/{_uuid.uuid4().hex[:8]}"
+        to_delta(spark.range(1).selectExpr("id AS k"), f"{wbase}/tbl")
+        drain_available_now(
+            spark,
+            f"{wbase}/tbl",
+            lambda df: df.writeStream.format("parquet").option(
+                "path", f"{wbase}/out"
+            ),
+            f"{wbase}/ck",
+        )
+        shutil.rmtree(wbase, ignore_errors=True)
+    except Exception:
+        pass
+
     # Queries that consume the shared n-gram inverted index
     # (functions/llmops._jaccard_pairs). While any consumer is still
     # ahead in the run, the per-query cache clear is skipped so the
@@ -65,6 +132,16 @@ def main() -> None:
     # x18 so the shared n-gram inverted index is built once, consumed
     # by both back-to-back, and released — shrinking the no-clear
     # window below from ~15 queries (sorted distance x04..x18) to 2.
+    # r8 bisect of the r7 "x04 2.06x regression" (VERDICT r7 #1):
+    # measured 2x2 runs of [x15,x16,x17,x04,x18] (relocated context)
+    # vs [x03,x04,...,x18] (sorted context) at sf0.1 — relocated is
+    # reproducibly FASTER for the pair (x04 4.37s vs 5.59s avg; pair
+    # 7.2s vs 8.4s) and the 5-query totals are equal. The r7 swing was
+    # warm-up MIGRATION, not a plan change: whichever documents-heavy
+    # query runs first absorbs the scan+tokenize JIT constant (x15
+    # measured 6.2s cold vs 2.4s when x04 precedes it), so per-query
+    # numbers shift while the total stays in the variance band.
+    # Relocation kept.
     names = sorted(REGISTRY)
     if "x04_ngram_jaccard_pairs" in REGISTRY and "x18_dedup_clusters" in REGISTRY:
         names.remove("x04_ngram_jaccard_pairs")

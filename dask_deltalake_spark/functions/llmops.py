@@ -263,8 +263,10 @@ def x04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — one viral shingle shared by k docs would otherwise fan
     out k² join rows (the scale-killer of inverted-index similarity).
     Jaccard is therefore defined over the non-stop shingle sets, on
-    both the Spark and the oracle side."""
-    return _jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+    both the Spark and the oracle side. No output sort: the driver's
+    value hash sorts rows itself, so a global orderBy here is a pure
+    extra range-shuffle of the pair list."""
+    return _jaccard_pairs(spark, sf_dir)
 
 
 # One materialization of the capped inverted index per (session, SF):

