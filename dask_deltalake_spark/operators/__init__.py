@@ -32,103 +32,103 @@ _ALL.update(_STREAMING)
 # x19-x27) + everything new/changed in r6 (d35, q45, x31, x32, s06,
 # s09, d14, d33, d30, d29, d36, q46, d37, s10, d38, d39) + the r4-tier
 # d01-d06/d17-d19 — after r6 no row older than r4 (VERDICT r6).
-# Round 7 front, in priority order:
-# (a) the 40 names whose latest driver row is r4 (the staleness front
-#     VERDICT r6 #3 prescribes): q07-q44, x18, x29;
-# (b) every query CHANGED this round:
-#     d35 (key_sum cast to double — the r6 hash-red fix),
-#     d32 (oracle ledger now counts the .crc checksum sidecars the r6
-#         version-checksum feature added to expired versions — a
-#         latent r6 rotation miss caught by the now-type-strict local
-#         gate),
-#     x31 (centroid assignment refactored through _ivf_assign, which
-#         adds the two-level super-cell routing beyond _SEM_K_CAP;
-#         the oracle-scale plan is byte-identical one-level),
-#     d08/d12/d13 (optimize + DML rewrites grew the no-local-mapping
-#         branch: JVM-native staging + LogStore-seam rename — their
-#         local execution path is unchanged, re-verified here; d15's
-#         zorder shares exactly d08's optimize else-branch and keeps
-#         its r5 row + test_zorder),
-#     d22 (deletion-vector .bin I/O now goes through the LogStore
-#         seam; local path identical, re-verified here),
-#     (d04 deferred: its only change is read_delta_history's pandas
-#         import relocating inside the function — behavior-identical,
-#         pinned by test_history — so the slot goes to new protocol
-#         surface);
-# (c) d40 (NEW — the object-store DML lifecycle itself as a driver-
-#     checked query: COW+MoR DELETE, OPTIMIZE-as-DV-purge, VACUUM on
-#     a no-local-mapping mocknl: table) and d41 (NEW — log compaction
-#     files: compact_log reconciliation + replay substitution proven
-#     by replaying through a deleted commit) and d42 (NEW —
-#     coordinated commits: staged-commit arbitration through a
-#     registered coordinator, deferred backfill read through the
-#     staged tail, then classic backfill).
-# Left at positions 51+ for r7, with justification:
-# q01-q06/q45/q46, d01-d06 minus d04, d09-d11/d14/d16-d21/d23-d31/
-# d33-d34/d36-d39, x01-x17/x19-x28/x30/x32-x36, s01-s10 all carry r5
-# or r6 driver rows on code unchanged this round. The dv.py read
-# seam-routing that d19/d20/d25 (CDC) share with d22 is represented
-# in-window by d22 and pinned by test_dv/test_cdc (pytest green);
-# s06/s09 changed only in BENCH-scoped session conf (bench.py
-# per_query_conf), not in query code; d07/d09-d16 keep r5 rows on
-# unchanged code and lead the r8 staleness front together with
-# q01-q06 (r5 rows).
-_R7_FRONT = (
+# r7 led with the 40 r4-stale names (q07-q44, x18, x29) + everything
+# changed/new in r7 (d35, d32, x31, d08, d12, d13, d22, d40, d41,
+# d42) — after r7 no row older than r5.
+# Round 8 front, in priority order:
+# (a) the 37 names whose latest driver row is r5 (the staleness front
+#     VERDICT r7 #3 prescribes): q01-q04/q06, d07/d09-d11/d15/d16/
+#     d20/d21/d23-d28/d31/d34, s01-s05/s08, x01/x04/x07/x08/x28/x30/
+#     x33-x36;
+# (b) every query CHANGED or behavior-adjacent this round:
+#     x04 (already in (a): output orderBy dropped — the driver sorts
+#         rows before hashing, the sort was a pure extra shuffle),
+#     x18 (shares _jaccard_pairs with x04 — re-verified alongside),
+#     x31 (two-level _ivf_assign gained the self-first routing
+#         tie-break; the one-level oracle-scale plan was diffed
+#         IDENTICAL modulo lambda-id cosmetics to the pre-refactor
+#         construction, attributing r7's +25% to variance —
+#         VERDICT r7 #6),
+#     s06/s09 (drain_available_now collapses to a Trigger.Once
+#         single batch when no admission bound is set),
+#     d32 (cleanup_metadata: boundary capped at the classic latest +
+#         ledger-aware staged skip),
+#     d41 (snapshot() now raises on ANY missing commit above the
+#         replay start — the compaction-substitution replay d41
+#         exercises sits next to that branch),
+#     d42 (coordinated commits: knows_table orphan gate +
+#         recover_staged_commits + auto-checkpoint staged-only skip);
+# (c) six r6-tier rows most exposed to the r8 snapshot/checkpoint
+#     changes: d01 (roundtrip), d02 (explicit-version travel), d05
+#     (vacuum vs the cleanup changes), d14 (restore = explicit-version
+#     replay), d30 (ICT, coordinated-adjacent), d39 (v2 checkpoint
+#     replay).
+# Left at positions 51+ for r8, with justification: every remaining
+# name carries an r6 or r7 driver row on code unchanged this round
+# (d03/d04/d06/d17-d19/d29/d33/d36-d38, q05/q45/q46, s07/s10,
+# x02/x03/x05/x06/x09-x17/x19-x27/x32 — r6; the whole r7 tier was
+# verified last round). The put_if_absent OSError narrowing touches
+# only the fsspec ladder, which no registered query reaches (d35/d40
+# ride PrefixLogStore); it is pinned by tests/test_logstore.py and
+# tests/test_vendored_fsspec.py instead.
+_R8_FRONT = (
     [
-        "q07_join_semi",
-        "q08_join_anti",
-        "q09_join_theta",
-        "q10_asof_join",
-        "q11_agg_suite",
-        "q12_approx_count_distinct",
-        "q13_rollup",
-        "q14_cube_grouping_sets",
-        "q15_window_rank",
-        "q16_window_lag_lead",
-        "q17_window_running",
-        "q18_window_range_frame",
-        "q19_topk_global",
-        "q20_topk_per_group",
-        "q21_set_ops",
-        "q22_distinct_dropdup",
-        "q23_string_funcs",
-        "q24_date_funcs",
-        "q25_math_conditional",
-        "q26_array_explode",
-        "q27_higher_order_arrays",
-        "q28_json_funcs",
-        "q29_grouping_sets",
-        "q30_pivot",
-        "q31_subqueries",
-        "q32_collect_list_set",
-        "q33_percentiles",
-        "q34_bucketed_join",
-        "q35_pandas_udf",
-        "q36_udtf",
-        "q37_window_distribution",
-        "q38_salted_agg",
-        "q39_range_join_binned",
-        "q40_approx_percentiles",
-        "q41_map_funcs",
-        "q42_unpivot",
-        "q43_deterministic_sample",
-        "q44_sessionize_batch",
-        "x18_dedup_clusters",
-        "x29_chunk_documents",
-        "d35_logstore_scheme",
+        # (b) changed this round + (c) exposure picks, checked first
+        "d42_coordinated_commits",
+        "d41_log_compaction",
         "d32_log_cleanup",
         "x31_semantic_dedup",
-        "d08_delta_optimize",
-        "d12_delta_delete",
-        "d13_delta_update",
-        "d41_log_compaction",
-        "d22_deletion_vectors",
-        "d42_coordinated_commits",
-        "d40_objectstore_dml",
+        "x18_dedup_clusters",
+        "s06_stream_delta_source",
+        "s09_stream_incremental_agg",
+        "d01_delta_roundtrip",
+        "d02_delta_time_travel",
+        "d05_delta_vacuum",
+        "d14_delta_restore",
+        "d30_in_commit_timestamps",
+        "d39_v2_checkpoint",
+        # (a) the r5 staleness front
+        "q01_pricing_summary",
+        "q02_projection_compute",
+        "q03_filter_predicates",
+        "q04_join_inner_broadcast",
+        "q06_join_left",
+        "d07_delta_checkpoint",
+        "d09_delta_datetime_travel",
+        "d10_delta_write_modes",
+        "d11_delta_merge",
+        "d15_delta_zorder",
+        "d16_python_datasource",
+        "d20_cdc_row_level",
+        "d21_column_mapping",
+        "d23_check_constraints",
+        "d24_schema_alter",
+        "d25_streaming_cdf_source",
+        "d26_generated_columns",
+        "d27_identity_columns",
+        "d28_schema_merge",
+        "d31_shallow_clone",
+        "d34_column_defaults",
+        "s01_stream_tumbling_window",
+        "s02_stream_session_window",
+        "s03_stream_dedup",
+        "s04_stream_stateful_counter",
+        "s05_stream_delta_sink",
+        "s08_stream_upsert",
+        "x01_dedup_exact",
+        "x04_ngram_jaccard_pairs",
+        "x07_cosine_topk",
+        "x08_lsh_ann",
+        "x28_incremental_dedup",
+        "x30_window_dedup",
+        "x33_bpe_vocab",
+        "x34_lm_quality",
+        "x35_containment_decontamination",
+        "x36_span_removal",
     ]
 )
-_R7_FRONT = [n for n in _R7_FRONT if n in _ALL]
-_POS = {n: i for i, n in enumerate(_R7_FRONT)}
+_R8_FRONT = [n for n in _R8_FRONT if n in _ALL]
+_POS = {n: i for i, n in enumerate(_R8_FRONT)}
 
 
 def _key(name: str):
