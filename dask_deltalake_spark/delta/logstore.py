@@ -427,12 +427,18 @@ class FsspecLogStore(LogStore):
         except OSError as e:
             if _is_precondition_failure(e):
                 raise FileExistsError(path) from e
-            if not _is_unsupported_mode_error(e):
+            if not _is_unsupported_mode_error(e) and not isinstance(
+                e, FileNotFoundError
+            ):
                 # transient I/O failure during a SUPPORTED exclusive
                 # create (network hiccup, throttle, permission):
                 # re-raise to the caller — degrading to the blind
                 # pipe_file at the ladder's end could overwrite a
-                # concurrent winner's commit file
+                # concurrent winner's commit file. FileNotFoundError
+                # is exempt: it means the PARENT is missing (the
+                # target cannot exist, so nothing can be clobbered)
+                # and pipe_file/auto-mkdir backends handle it — the
+                # pre-narrowing behavior.
                 raise
             # backend signals 'xb' itself is unsupported — fall through
         # 3) external lock client (DynamoDB-lock seam)

@@ -823,22 +823,23 @@ def _maybe_auto_checkpoint(table_path: str, version: int) -> None:
         from dask_deltalake_spark.delta.maintenance import create_checkpoint
 
         log = DeltaLog(table_path)
-        if not log.store.exists(
-            os.path.join(table_path, LOG_DIR, commit_filename(version))
-        ):
-            # coordinated table with deferred backfill: `version` is
-            # staged-only (no classic {v}.json yet). A checkpoint here
-            # would label classic-latest state with a staged version —
-            # create_checkpoint refuses it anyway, but skip explicitly
-            # rather than lean on a swallowed exception. The table
-            # gets its checkpoint when a backfilled version next
-            # crosses the interval.
-            return
         snap = log.snapshot()
         interval = int(
             snap.metadata.configuration.get("delta.checkpointInterval", "10")
         )
         if interval > 0 and version > 0 and version % interval == 0:
+            if not log.store.exists(
+                os.path.join(table_path, LOG_DIR, commit_filename(version))
+            ):
+                # coordinated table with deferred backfill: `version`
+                # is staged-only (no classic {v}.json yet). A
+                # checkpoint here would label classic-latest state
+                # with a staged version — create_checkpoint refuses it
+                # anyway, but skip explicitly rather than lean on a
+                # swallowed exception. The table gets its checkpoint
+                # when a backfilled version next crosses the interval.
+                # (exists() probe paid only on interval rounds.)
+                return
             create_checkpoint(table_path, version)
     except Exception:
         pass
