@@ -266,6 +266,13 @@ def check_write_protocol(protocol, metadata=None, features=frozenset()) -> None:
             # (delta/coordinated.py), so every write path maintains
             # the feature without knowing it exists
             "coordinatedCommits",
+            # set by drop_feature's history-truncating reader-feature
+            # drops (delta/features.py). It constrains only metadata
+            # cleanup, and cleanup_metadata satisfies it by
+            # construction: every cleanup boundary is anchored at a
+            # checkpoint it never deletes, so post-drop replays always
+            # start at (or above) the protected checkpoint
+            "checkpointProtection",
         }
         unsupported = set(protocol.writer_features) - supported
         if unsupported:

@@ -2132,3 +2132,92 @@ def d42_coordinated_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("backfilled_classic", F.lit(backfilled))
     )
+
+
+@query(
+    "d43_drop_feature",
+    """
+    WITH t AS (SELECT MIN(o_orderkey) + 499 AS thr FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           1 AS dv_purged,
+           1 AS feature_dropped,
+           1 AS ckpt_protected,
+           1 AS history_readable,
+           3 AS protected_version
+    FROM orders, t
+    WHERE o_orderkey > thr
+    """,
+)
+def d43_drop_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP FEATURE with history truncation (delta/features.py — the
+    inverse of the protocol upgrades; delta-spark's ``ALTER TABLE ...
+    DROP FEATURE`` + ``REORG TABLE ... APPLY (PURGE)``; the reference
+    refuses feature-protocol tables entirely). Lifecycle: orders is
+    written partitioned (v0), a merge-on-read DELETE creates deletion
+    vectors and the reader-v3/writer-v7 upgrade (v1), then
+    ``drop_feature('deletionVectors')`` (a) purges — rewrites ONLY the
+    DV'd files, materializing survivors, cost O(DV'd bytes) at any
+    scale (v2) — and (b) demotes the protocol back to reader v1,
+    stamping ``delta.requireCheckpointProtectionBeforeVersion`` and a
+    checkpoint at the drop version so post-drop replays anchor on
+    purged state and never decode a DV action (v3). The hash matches
+    the oracle's survivor set only if the purge rewrote exactly the
+    deleted positions; the flag columns pin zero remaining DV adds,
+    the demoted protocol, the protected checkpoint, and that
+    pre-drop history (v1, DVs live) still time-travels for this
+    DV-capable reader."""
+    import shutil
+
+    from dask_deltalake_spark.delta.features import drop_feature
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = _tmp_table(sf_dir, "orders_dropfeat")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    to_delta(o, path, partition_by=["o_orderstatus"], shuffle=True)
+    lo = o.agg(F.min("o_orderkey")).first()[0]
+    delete_where(
+        path, [("o_orderkey", "<=", lo + 499)],
+        spark=spark, strategy="merge-on-read",
+    )
+    snap1 = DeltaLog(path).snapshot()
+    dv_before = sum(1 for a in snap1.add_actions if a.deletion_vector)
+    n_before = read_delta(path, spark=spark).count()
+    v = drop_feature(path, "deletionVectors", spark=spark)
+    _SNAPSHOT_CACHE.clear()  # cold replay must anchor on the new state
+    snap2 = DeltaLog(path).snapshot()
+    dv_after = sum(1 for a in snap2.add_actions if a.deletion_vector)
+    proto = snap2.protocol
+    feature_dropped = int(
+        proto.min_reader_version == 1
+        and "deletionVectors" not in (proto.writer_features or [])
+        and "checkpointProtection" in (proto.writer_features or [])
+    )
+    ckpt_protected = int(
+        snap2.metadata.configuration.get(
+            "delta.requireCheckpointProtectionBeforeVersion"
+        )
+        == str(v)
+        and os.path.exists(
+            os.path.join(path, "_delta_log", f"{v:020d}.checkpoint.parquet")
+        )
+    )
+    # pre-drop history stays readable for DV-capable engines: v1 has
+    # the DVs applied but not yet purged
+    history_readable = int(
+        read_delta(path, version=1, spark=spark).count() == n_before
+    )
+    return (
+        read_delta(path, spark=spark)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .withColumn("dv_purged", F.lit(int(dv_before > 0 and dv_after == 0)))
+        .withColumn("feature_dropped", F.lit(feature_dropped))
+        .withColumn("ckpt_protected", F.lit(ckpt_protected))
+        .withColumn("history_readable", F.lit(history_readable))
+        .withColumn("protected_version", F.lit(v))
+    )
