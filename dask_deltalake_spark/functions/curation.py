@@ -593,3 +593,132 @@ def x28_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# x38: hashed n-gram contrastive quality scorer (DSIR / fastText-style
+# importance weighting)
+# ---------------------------------------------------------------------------
+
+# 3 hex chars of md5 → 4096 feature buckets, identical in Spark and
+# DuckDB (both engines' MD5 of the same UTF-8 bytes agree, unlike
+# xxhash64). Production would widen to 1M+ buckets; the arithmetic
+# below is bucket-count-agnostic.
+_QS_BUCKET_HEX = 3
+
+
+@query(
+    "x38_quality_scorer",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_doc_hash_sql("doc_id", 2654435761, 100)} < 10 AS is_t,
+             {_TOKENS_SQL} AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, is_t, SUBSTR(MD5(gram), 1, {_QS_BUCKET_HEX}) AS b
+      FROM d, UNNEST(LIST_CONCAT(
+        toks,
+        LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks), 1)),
+                       i -> toks[i] || ' ' || toks[i+1])
+      )) AS u(gram)
+    ),
+    c AS (
+      SELECT b,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+      FROM g GROUP BY b
+    ),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM c),
+    w AS (SELECT b, ct * nr - cr * nt AS w FROM c, tot)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(w) AS BIGINT) AS score,
+           CASE WHEN SUM(w) > 0 THEN 1 ELSE 0 END AS selected
+    FROM g JOIN w USING (b)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x38_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance weighting (the DSIR / fastText-filter
+    family): a deterministic 10% doc-id slice stands in for the
+    curated TARGET corpus (Wikipedia/books in production), every doc
+    is featurized as hashed {1,2}-gram buckets, and each bucket gets a
+    contrastive weight from its target-vs-raw frequency. Per-doc score
+    = Σ over the doc's gram instances of the bucket weight; selected =
+    score > 0.
+
+    Integer-exact formulation: the naive-Bayes log-ratio
+    Σ log(p_t(b)/p_r(b)) is replaced by the cross-multiplied linear
+    form Σ (ct[b]·Nr − cr[b]·Nt) — sign-compatible per term, and pure
+    BIGINT so the oracle hash can never flake on float rounding (at
+    100 TB gram counts the production variant uses the double-precision
+    log form; the plan shape is identical).
+
+    Scale shape: featurize is a pure map (tokenize → gram → md5
+    substring); bucket counting is an algebraic groupBy over ≤4096
+    keys (map-side partials, tiny shuffle); the weight table is ≤4096
+    rows and BROADCAST back onto the gram stream (plan-asserted in
+    test_plan_quality.py), so scoring adds zero extra shuffle beyond
+    the final uniform doc_id aggregate. Two passes over the gram
+    stream (count, then score) — both streamed, nothing materialized."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return contrastive_scores(
+        d.select(
+            "doc_id",
+            (_doc_hash_mod(F.col("doc_id"), 2654435761, 100) < 10).alias(
+                "is_t"
+            ),
+            "text",
+        )
+    )
+
+
+def contrastive_scores(d: DataFrame) -> DataFrame:
+    """Core of x38 over any (doc_id, is_t, text) frame — split out so
+    the pytest invariant can drive it with a corpus whose bucket
+    weights are computable by hand."""
+    base = d.select(
+        "doc_id", "is_t", tokens(F.col("text")).alias("toks")
+    )
+    # sequence(1, n-1) would COUNT DOWN for n=1 (Spark infers step -1
+    # when start > stop) — guard exactly like shingles()
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(
+        "doc_id",
+        "is_t",
+        F.explode(F.concat(F.col("toks"), bigrams)).alias("gram"),
+    ).select(
+        "doc_id",
+        "is_t",
+        F.substring(F.md5("gram"), 1, _QS_BUCKET_HEX).alias("b"),
+    )
+    c = g.groupBy("b").agg(
+        F.sum(F.col("is_t").cast("long")).alias("ct"),
+        F.sum((~F.col("is_t")).cast("long")).alias("cr"),
+    )
+    tot = c.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    w = c.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (F.col("ct") * F.col("nr") - F.col("cr") * F.col("nt")).alias("w"),
+    )
+    return (
+        g.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("w").cast("bigint").alias("score"),
+            F.when(F.sum("w") > 0, 1).otherwise(0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2733,3 +2733,128 @@ def x36_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# x37: corpus-level chunk dedup with reconstruction (RefinedWeb /
+# CCNet line-dedup generalized to token chunks — the fixture text has
+# no newlines, so the "line" unit is a fixed 8-token chunk)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 8
+
+
+@query(
+    "x37_chunk_dedup",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             UNNEST(GENERATE_SERIES(1, LEN(toks), {_CHUNK_W})) AS st
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, st,
+             ARRAY_TO_STRING(
+               LIST_SLICE(toks, st, st + {_CHUNK_W - 1}), ' ') AS chunk
+      FROM s
+    ),
+    k AS (
+      SELECT doc_id, st, chunk,
+             ROW_NUMBER() OVER (
+               PARTITION BY chunk ORDER BY doc_id, st) = 1 AS kept
+      FROM c
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(COUNT(*) FILTER (kept) AS BIGINT) AS n_kept,
+           MD5(COALESCE(
+             STRING_AGG(chunk, ' ' ORDER BY st) FILTER (kept), ''))
+             AS clean_hash,
+           CAST(LENGTH(COALESCE(
+             STRING_AGG(chunk, ' ' ORDER BY st) FILTER (kept), ''))
+             AS BIGINT) AS clean_chars
+    FROM k GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x37_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level chunk dedup WITH RECONSTRUCTION (the RefinedWeb /
+    CCNet "remove duplicated lines across the corpus, keep one copy"
+    transform — x30 only measures duplication; this op rewrites the
+    documents): every doc is cut into non-overlapping 8-token chunks,
+    a chunk instance survives iff it is the globally FIRST occurrence
+    of that chunk text (ordered by doc_id, then position), and each
+    doc is re-assembled from its surviving chunks in order. Output is
+    per-doc: chunk counts and the md5 of the reconstructed text, so
+    the oracle pins the exact rebuilt corpus, not just statistics.
+
+    Scale shape (100 TB): the keeper is a groupBy(chunk).min(struct(
+    doc_id, st)) — an ALGEBRAIC aggregate with map-side partials, so a
+    boilerplate chunk occurring a billion times still reduces to one
+    row per partition before the shuffle (never a sort-window over the
+    hot key). The join back is chunk-keyed against the aggregated
+    (one-row-per-chunk) side, which AQE skew-splits; production
+    shuffles xxhash64(chunk) instead of the string for fixed-width
+    exchange (same trade as x30, 2^-64 collision). Reconstruction is
+    one groupBy(doc_id) — doc-keyed, uniform."""
+    return chunk_dedup(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+def chunk_dedup(d: DataFrame) -> DataFrame:
+    """Core of x37 over any (doc_id, text) frame — split out so the
+    pytest invariant can drive it with hand-built documents whose
+    exact keeper set and reconstruction are known."""
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    ch = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(_CHUNK_W))
+        ).alias("st"),
+    ).select(
+        "doc_id",
+        "st",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("st"), _CHUNK_W), " "
+        ).alias("chunk"),
+    )
+    first = ch.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "st")).alias("first")
+    )
+    k = ch.join(first, "chunk").select(
+        "doc_id",
+        "st",
+        "chunk",
+        (
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("st") == F.col("first.st"))
+        ).alias("kept"),
+    )
+    # collect once, derive md5+length from the single rebuilt string
+    # (no CSE across agg expressions — two inline collect_lists would
+    # buffer the chunks twice)
+    clean = F.array_join(
+        F.transform(F.array_sort(F.col("parts")), lambda x: x["chunk"]), " "
+    )
+    return (
+        k.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.collect_list(
+                F.when(F.col("kept"), F.struct("st", "chunk"))
+            ).alias("parts"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.md5(clean).alias("clean_hash"),
+            F.length(clean).cast("long").alias("clean_chars"),
+        )
+        .orderBy("doc_id")
+    )

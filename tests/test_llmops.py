@@ -521,3 +521,67 @@ def test_super_centroid_self_routing_invariant(spark):
     }
     assert routed[0] == 0 and routed[1] == 1, "self-first on exact ties"
     assert routed[2] in (0, 1)
+
+
+def test_x37_chunk_dedup_reconstruction(spark):
+    """Hand-built corpus with known chunk sharing: doc 0 owns chunks
+    A B; doc 1 repeats A (removed — doc 0 is the global first) then
+    its own C; doc 2 repeats A twice AND B (all removed), keeping
+    nothing. Reconstruction must drop exactly the non-first instances
+    and reassemble survivors in position order."""
+    import hashlib
+
+    from dask_deltalake_spark.functions.llmops import chunk_dedup
+
+    A = " ".join(f"a{i}" for i in range(8))
+    B = " ".join(f"b{i}" for i in range(8))
+    C = " ".join(f"c{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{A} {B}"),
+            (1, f"{A} {C}"),
+            (2, f"{A} {A} {B}"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in chunk_dedup(docs).collect()}
+    assert (rows[0]["n_chunks"], rows[0]["n_kept"]) == (2, 2)
+    assert (rows[1]["n_chunks"], rows[1]["n_kept"]) == (2, 1)
+    assert (rows[2]["n_chunks"], rows[2]["n_kept"]) == (3, 0)
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows[0]["clean_hash"] == md5(f"{A} {B}")
+    assert rows[1]["clean_hash"] == md5(C)
+    assert rows[2]["clean_hash"] == md5("")
+    assert rows[2]["clean_chars"] == 0
+    # trailing partial chunk is its own unit: a doc ending mid-chunk
+    # dedups the partial independently of the full chunk it prefixes
+    docs2 = spark.createDataFrame(
+        [(0, f"{A}"), (1, f"{A} a0 a1")],
+        "doc_id long, text string",
+    )
+    rows2 = {r["doc_id"]: r for r in chunk_dedup(docs2).collect()}
+    assert (rows2[1]["n_chunks"], rows2[1]["n_kept"]) == (2, 1)
+    assert rows2[1]["clean_hash"] == md5("a0 a1")
+
+
+def test_x38_contrastive_scores_hand_weights(spark):
+    """3-doc corpus with hand-computed bucket weights (buckets
+    verified collision-free at 3 hex chars): target doc = 'good good',
+    raw = 'good bad' / 'bad bad'. ct(good)=2 ct('good good')=1, Nt=3;
+    cr(good)=1 cr(bad)=3 cr('good bad')=1 cr('bad bad')=1, Nr=6.
+    w = ct*Nr - cr*Nt: good=9, 'good good'=6, bad=-9, others=-3."""
+    from dask_deltalake_spark.functions.curation import contrastive_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, True, "good good"),
+            (1, False, "good bad"),
+            (2, False, "bad bad"),
+        ],
+        "doc_id long, is_t boolean, text string",
+    )
+    rows = {r["doc_id"]: r for r in contrastive_scores(docs).collect()}
+    assert rows[0]["score"] == 9 + 9 + 6 and rows[0]["selected"] == 1
+    assert rows[1]["score"] == 9 - 9 - 3 and rows[1]["selected"] == 0
+    assert rows[2]["score"] == -9 - 9 - 3 and rows[2]["selected"] == 0
+    assert [rows[i]["n_grams"] for i in (0, 1, 2)] == [3, 3, 3]

@@ -253,3 +253,35 @@ def test_two_level_ivf_broadcasts_only_supercells(spark):
         assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_x38_weight_table_broadcasts(spark):
+    """x38's scoring join must broadcast the ≤4096-row bucket-weight
+    table onto the gram stream (explicit hint), never shuffle the
+    grams by bucket: with AQE's small-table broadcasts silenced, the
+    weight join still shows up as a BroadcastHashJoin."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.functions.curation import contrastive_scores
+    from dask_deltalake_spark.plans.inspect import executed_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.range(0, 200).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 10 == 0).alias("is_t"),
+            F.concat_ws(
+                " ",
+                F.lit("tok"),
+                (F.col("id") % 7).cast("string"),
+                (F.col("id") % 13).cast("string"),
+            ).alias("text"),
+        )
+        df = contrastive_scores(docs)
+        df.count()
+        plan = executed_plan(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
