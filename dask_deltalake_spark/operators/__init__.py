@@ -58,22 +58,31 @@ _ALL.update(_STREAMING)
 #         exercises sits next to that branch),
 #     d42 (coordinated commits: knows_table orphan gate +
 #         recover_staged_commits + auto-checkpoint staged-only skip);
-# (c) six r6-tier rows most exposed to the r8 snapshot/checkpoint
-#     changes: d01 (roundtrip), d02 (explicit-version travel), d05
-#     (vacuum vs the cleanup changes), d14 (restore = explicit-version
-#     replay), d30 (ICT, coordinated-adjacent), d39 (v2 checkpoint
-#     replay).
+# (c) the three queries NEW in r8 — d43 (DROP FEATURE + purge +
+#     checkpoint protection), x37 (chunk dedup w/ reconstruction),
+#     x38 (contrastive quality scorer) — a new query always debuts
+#     in the window;
+# (d) three r6-tier rows most exposed to the r8 snapshot/checkpoint
+#     changes: d01 (roundtrip), d02 (explicit-version travel), d14
+#     (restore = explicit-version replay).
 # Left at positions 51+ for r8, with justification: every remaining
 # name carries an r6 or r7 driver row on code unchanged this round
 # (d03/d04/d06/d17-d19/d29/d33/d36-d38, q05/q45/q46, s07/s10,
 # x02/x03/x05/x06/x09-x17/x19-x27/x32 — r6; the whole r7 tier was
-# verified last round). The put_if_absent OSError narrowing touches
+# verified last round). d05/d30/d39 (r6 rows) yielded their r8
+# exposure slots to the three new queries: vacuum-vs-cleanup is
+# covered in-window by d32, coordinated-adjacency by d42, and
+# checkpoint replay by d07+d41. The put_if_absent OSError narrowing touches
 # only the fsspec ladder, which no registered query reaches (d35/d40
 # ride PrefixLogStore); it is pinned by tests/test_logstore.py and
 # tests/test_vendored_fsspec.py instead.
 _R8_FRONT = (
     [
-        # (b) changed this round + (c) exposure picks, checked first
+        # (c) new in r8, checked first
+        "d43_drop_feature",
+        "x37_chunk_dedup",
+        "x38_quality_scorer",
+        # (b) changed this round + (d) exposure picks
         "d42_coordinated_commits",
         "d41_log_compaction",
         "d32_log_cleanup",
@@ -83,10 +92,7 @@ _R8_FRONT = (
         "s09_stream_incremental_agg",
         "d01_delta_roundtrip",
         "d02_delta_time_travel",
-        "d05_delta_vacuum",
         "d14_delta_restore",
-        "d30_in_commit_timestamps",
-        "d39_v2_checkpoint",
         # (a) the r5 staleness front
         "q01_pricing_summary",
         "q02_projection_compute",
