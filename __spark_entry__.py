@@ -7,8 +7,9 @@ extensions), each a callable ``(spark, sf_dir) -> DataFrame``.
 ``oracle_sql()`` — the DuckDB-equivalent ANSI SQL for every query
 that is exactly SQL-expressible; approximate/hash-specific or
 iterative-data-dependent operators (approx_count_distinct,
-MinHash/SimHash/LSH, BPE merge learning) are intentionally omitted →
-rows-only check, each bounded by a quantitative pytest invariant.
+MinHash/SimHash/LSH, BPE merge learning and its encode application)
+are intentionally omitted → rows-only check, each bounded by a
+quantitative pytest invariant.
 """
 
 from __future__ import annotations

@@ -2858,3 +2858,100 @@ def chunk_dedup(d: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x39: BPE tokenizer APPLICATION (encode the corpus with x33's rules)
+# ---------------------------------------------------------------------------
+
+# session cache for the learned rule list — driver-sized (≤_BPE_MERGES
+# (left, right) pairs), so unlike the Jaccard postings it never holds
+# executor memory and needs no bench-time clear. Keyed by sf_dir: x33
+# populates on a bench/gate run, x39 reuses; a lone x39 trains itself.
+_BPE_RULES_CACHE: dict = {}
+
+
+def _bpe_rules(spark: SparkSession, sf_dir: str) -> list:
+    rules = _BPE_RULES_CACHE.get(sf_dir)
+    if rules is None:
+        tbl = x33_bpe_vocab(spark, sf_dir)
+        # ≤ _BPE_MERGES rows — metadata-sized collect by construction
+        rules = [
+            (r["left"], r["right"])
+            for r in sorted(tbl.collect(), key=lambda r: r["rank"])
+        ]
+        _BPE_RULES_CACHE[sf_dir] = rules
+    return rules
+
+
+def bpe_encode_counts(d: DataFrame, rules: list) -> DataFrame:
+    """Core of x39 over any (doc_id, text) frame + learned rule list —
+    split out so the pytest invariant can drive it against a reference
+    in-memory BPE encoder with hand-checkable rules.
+
+    Encoding never touches the corpus per-rule: the DISTINCT eligible
+    words are character-split once, then all R merge rules apply as R
+    CHAINED narrow fold projections (one whole-stage-codegen pass, no
+    shuffle, no per-round materialization — application, unlike
+    training, needs no pair-count barrier between rules). The corpus
+    then takes one join against the (word → symbol count) table —
+    aggregated to one row per word, Zipf-hot words included, AQE
+    broadcasts it while it fits and skew-splits beyond. Words outside
+    the trained alphabet (non [a-z]{2,16}) count as 1 atomic token
+    (special-token fallback), tallied separately as n_oov."""
+    words = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    eligible = (
+        (F.length("w") >= 2)
+        & (F.length("w") <= _BPE_MAX_WORD)
+        & F.col("w").rlike("^[a-z]+$")
+    )
+    vocab = (
+        words.filter(eligible)
+        .select("w")
+        .distinct()
+        .select("w", F.split(F.col("w"), "(?!^)(?=.)").alias("syms"))
+    )
+    for a, b in rules:
+        # same greedy-leftmost fold as the training loop (x33): fuse
+        # with the accumulator tail iff it closes (a, b)
+        vocab = vocab.select(
+            "w",
+            F.expr(
+                "aggregate(slice(syms, 2, size(syms) - 1), "
+                "array(element_at(syms, 1)), "
+                f"(acc, x) -> IF(element_at(acc, -1) = '{a}' AND x = '{b}', "
+                f"concat(slice(acc, 1, size(acc) - 1), array('{a}{b}')), "
+                "concat(acc, array(x))))"
+            ).alias("syms"),
+        )
+    enc = vocab.select("w", F.size("syms").cast("long").alias("n_sym"))
+    return (
+        words.join(enc, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens_ws"),
+            F.sum(F.coalesce(F.col("n_sym"), F.lit(1)))
+            .cast("long")
+            .alias("n_tokens_bpe"),
+            F.sum(F.col("n_sym").isNull().cast("long")).alias("n_oov"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# depends on the learned (iterative, data-dependent) rule sequence →
+# rows-only like x33; bounded exactly by
+# tests/test_llmops.py::test_x39_matches_reference_bpe_encoding
+@query("x39_bpe_encode", None)
+def x39_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application at corpus scale — the other half of x33
+    (training without application never feeds a model): encode every
+    document with the learned BPE rules and report per-doc whitespace
+    vs subword token counts + OOV tally, the numbers a pretraining
+    pipeline needs for packing budgets (x25) and mixture weighting
+    (x24). See bpe_encode_counts for the scale topology (distinct-word
+    encode → chained narrow folds → one corpus join)."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return bpe_encode_counts(d, _bpe_rules(spark, sf_dir))

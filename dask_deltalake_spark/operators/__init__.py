@@ -58,13 +58,15 @@ _ALL.update(_STREAMING)
 #         exercises sits next to that branch),
 #     d42 (coordinated commits: knows_table orphan gate +
 #         recover_staged_commits + auto-checkpoint staged-only skip);
-# (c) the three queries NEW in r8 — d43 (DROP FEATURE + purge +
+# (c) the four queries NEW in r8 — d43 (DROP FEATURE + purge +
 #     checkpoint protection), x37 (chunk dedup w/ reconstruction),
-#     x38 (contrastive quality scorer) — a new query always debuts
-#     in the window;
-# (d) three r6-tier rows most exposed to the r8 snapshot/checkpoint
-#     changes: d01 (roundtrip), d02 (explicit-version travel), d14
-#     (restore = explicit-version replay).
+#     x38 (contrastive quality scorer), x39 (BPE encode, rows-only
+#     like x33) — a new query always debuts in the window;
+# (d) two r6-tier rows most exposed to the r8 snapshot/checkpoint
+#     changes: d02 (explicit-version travel), d14 (restore =
+#     explicit-version replay). d01 (roundtrip) yielded its slot to
+#     x39: every one of the 20+ in-window d-queries exercises the
+#     same to_delta→read_delta roundtrip as a precondition.
 # Left at positions 51+ for r8, with justification: every remaining
 # name carries an r6 or r7 driver row on code unchanged this round
 # (d03/d04/d06/d17-d19/d29/d33/d36-d38, q05/q45/q46, s07/s10,
@@ -82,6 +84,7 @@ _R8_FRONT = (
         "d43_drop_feature",
         "x37_chunk_dedup",
         "x38_quality_scorer",
+        "x39_bpe_encode",
         # (b) changed this round + (d) exposure picks
         "d42_coordinated_commits",
         "d41_log_compaction",
@@ -90,7 +93,6 @@ _R8_FRONT = (
         "x18_dedup_clusters",
         "s06_stream_delta_source",
         "s09_stream_incremental_agg",
-        "d01_delta_roundtrip",
         "d02_delta_time_travel",
         "d14_delta_restore",
         # (a) the r5 staleness front

@@ -585,3 +585,58 @@ def test_x38_contrastive_scores_hand_weights(spark):
     assert rows[1]["score"] == 9 - 9 - 3 and rows[1]["selected"] == 0
     assert rows[2]["score"] == -9 - 9 - 3 and rows[2]["selected"] == 0
     assert [rows[i]["n_grams"] for i in (0, 1, 2)] == [3, 3, 3]
+
+
+def test_x39_matches_reference_bpe_encoding(spark):
+    """x39 invariant (rows-only at the driver): applying a rule list
+    via the chained-fold encoder must reproduce a straightforward
+    in-memory greedy-leftmost BPE encoder token-for-token — including
+    rule interaction (later rules over earlier merges), sub-minimum /
+    over-maximum / non-alpha words falling back to 1 OOV token."""
+    import re
+
+    from dask_deltalake_spark.functions.llmops import (
+        _BPE_MAX_WORD,
+        bpe_encode_counts,
+    )
+
+    rules = [("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")]
+
+    def ref_encode(w):
+        syms = list(w)
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    texts = [
+        (0, "lower lowest low slower"),
+        (1, "o lo lol 123 verylongwordbeyondcap" + "x" * _BPE_MAX_WORD),
+        (2, "lower lower lower"),
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in bpe_encode_counts(
+            spark.createDataFrame(texts, "doc_id long, text string"), rules
+        ).collect()
+    }
+    for doc_id, text in texts:
+        exp_ws, exp_bpe, exp_oov = 0, 0, 0
+        for w in re.split(" +", text.lower().strip()):
+            exp_ws += 1
+            if 2 <= len(w) <= _BPE_MAX_WORD and re.fullmatch("[a-z]+", w):
+                exp_bpe += len(ref_encode(w))
+            else:
+                exp_bpe += 1
+                exp_oov += 1
+        got = rows[doc_id]
+        assert got["n_tokens_ws"] == exp_ws, (doc_id, got)
+        assert got["n_tokens_bpe"] == exp_bpe, (doc_id, got)
+        assert got["n_oov"] == exp_oov, (doc_id, got)
