@@ -1,0 +1,221 @@
+"""CONVERT TO DELTA — in-place conversion of a parquet directory.
+
+delta-spark's ``CONVERT TO DELTA parquet.`/path/``` (and delta-rs's
+``convert_to_deltalake``): an existing plain-parquet dataset — flat or
+hive-partitioned — becomes a Delta table by writing a v0 commit that
+REFERENCES the files where they already sit. Zero bytes of data move:
+at 100 TB the conversion cost is one file listing plus (optionally)
+one distributed stats pass, never a rewrite. The reference
+(hayesgb/dask_deltalake, core.py) has no conversion surface.
+
+Layout discovered, not trusted: partition columns come from the
+``col=value`` directory segments (names validated against every file's
+path), partition VALUES are parsed per file exactly as the protocol
+stores them (URL-decoded strings, ``__HIVE_DEFAULT_PARTITION__`` →
+null), and the table schema is Spark's own unified parquet+partition
+schema so later reads agree with what a plain ``spark.read.parquet``
+saw before the conversion.
+
+Statistics: ``collect_stats=True`` (default) runs ONE distributed
+Spark job — executors read their files Arrow-batched and fold
+``StatsAccumulator``-compatible {numRecords, minValues, maxValues,
+nullCount} JSON per file — so data skipping works from commit v0
+with byte-compatible stat shapes (the same delta-spark trade: stats
+at convert time cost a scan). ``collect_stats=False`` is the
+listing-only O(#files) path; adds legally carry no stats and skipping
+starts with the first post-convert OPTIMIZE/rewrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Optional
+from urllib.parse import unquote
+
+from pyspark.sql import SparkSession
+
+from dask_deltalake_spark.delta.protocol import (
+    LOG_DIR,
+    AddAction,
+    Metadata,
+    Protocol,
+    now_ms,
+)
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class ConvertError(Exception):
+    pass
+
+
+def _discover_files(root: str) -> list[str]:
+    """Relative paths of every data parquet file under ``root``
+    (hidden/underscore entries skipped, _delta_log excluded)."""
+    out = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [
+            d for d in dirnames if not d.startswith((".", "_"))
+        ]
+        for f in filenames:
+            if f.startswith((".", "_")) or not f.endswith(".parquet"):
+                continue
+            out.append(
+                os.path.relpath(os.path.join(dirpath, f), root)
+            )
+    return sorted(out)
+
+
+def _partition_values(relpath: str, cols: list[str]) -> dict:
+    """Parse ``col=value`` segments of one file's relative path into
+    protocol partitionValues; validates the layout is uniform."""
+    segs = relpath.split(os.sep)[:-1]
+    kv = []
+    for s in segs:
+        if "=" not in s:
+            raise ConvertError(
+                f"non-hive directory segment {s!r} in {relpath!r}; "
+                "CONVERT requires a flat or uniformly hive-partitioned "
+                "layout"
+            )
+        k, _, v = s.partition("=")
+        kv.append((k, None if v == _HIVE_NULL else unquote(v)))
+    if [k for k, _ in kv] != cols:
+        raise ConvertError(
+            f"file {relpath!r} has partition segments "
+            f"{[k for k, _ in kv]} but the dataset's layout is {cols}"
+        )
+    return dict(kv)
+
+
+def convert_to_delta(
+    path: str,
+    spark: Optional[SparkSession] = None,
+    collect_stats: bool = True,
+    name: str = "",
+    description: str = "",
+    configuration: Optional[dict] = None,
+) -> int:
+    """Convert the parquet directory at ``path`` into a Delta table
+    in place (commit v0 referencing the existing files). Returns the
+    committed version (0). Refuses when a ``_delta_log`` already
+    exists, when the directory holds no parquet files, or when the
+    layout mixes hive and non-hive segments."""
+    from dask_deltalake_spark.delta.logstore import (
+        resolve_spark_path,
+        store_for,
+    )
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    if spark is None:
+        spark = SparkSession.active()
+    table_path = str(path).rstrip("/")
+    local_root = store_for(table_path).local_path(table_path)
+    if local_root is None:
+        raise ConvertError(
+            "CONVERT requires a locally-mapped store for the file "
+            "listing; object-store conversion would route the walk "
+            "through the LogStore seam (not implemented)."
+        )
+    if os.path.isdir(os.path.join(local_root, LOG_DIR)):
+        raise ConvertError(
+            f"{table_path} already has a _delta_log; refusing to "
+            "re-convert (idempotence: the first conversion won)."
+        )
+    files = _discover_files(local_root)
+    if not files:
+        raise ConvertError(f"no parquet files under {table_path}")
+    # partition columns from the first file's directory chain; every
+    # other file is validated against them in _partition_values
+    part_cols = [
+        s.partition("=")[0]
+        for s in files[0].split(os.sep)[:-1]
+        if "=" in s
+    ]
+    parts = {f: _partition_values(f, part_cols) for f in files}
+    # Spark's own unified schema (data + discovered partition types),
+    # so post-convert reads see exactly the pre-convert frame
+    schema = (
+        spark.read.option("basePath", resolve_spark_path(table_path))
+        .parquet(resolve_spark_path(table_path))
+        .schema
+    )
+    stats: dict[str, Optional[str]] = {f: None for f in files}
+    if collect_stats:
+        stats = _collect_stats(spark, local_root, files, part_cols)
+    ts = now_ms()
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "numFiles": str(len(files)),
+                    "partitionedBy": json.dumps(part_cols),
+                    "collectStats": json.dumps(bool(collect_stats)),
+                },
+                "engineInfo": "dask_deltalake_spark/0.1.0",
+            }
+        },
+        Protocol(min_reader_version=1, min_writer_version=2).to_json(),
+        Metadata(
+            id=uuid.uuid4().hex,
+            schema_string=json.dumps(schema.jsonValue()),
+            partition_columns=part_cols,
+            configuration=dict(configuration or {}),
+            name=name,
+            description=description,
+            created_time=ts,
+        ).to_json(),
+    ]
+    for f in files:
+        st = os.stat(os.path.join(local_root, f))
+        actions.append(
+            AddAction(
+                path=f.replace(os.sep, "/"),
+                size=int(st.st_size),
+                partition_values=parts[f],
+                modification_time=int(st.st_mtime * 1000),
+                data_change=True,
+                stats=stats.get(f),
+            ).to_json()
+        )
+    write_commit(table_path, 0, actions)
+    return 0
+
+
+def _collect_stats(
+    spark: SparkSession, local_root: str, files: list[str], part_cols: list
+) -> dict:
+    """One distributed pass: executors read their assigned files
+    Arrow-batched and fold per-file protocol stats JSON. Partition
+    columns are excluded (their values live in partitionValues; the
+    reader prunes them separately)."""
+    import pandas as pd
+
+    def gen(batches):
+        from dask_deltalake_spark.delta.protocol import StatsAccumulator
+
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for rel in pdf["rel"]:
+                acc = StatsAccumulator()
+                pf = pq.ParquetFile(os.path.join(local_root, rel))
+                for batch in pf.iter_batches():
+                    b = batch.to_pandas()
+                    drop = [c for c in part_cols if c in b.columns]
+                    acc.update(b.drop(columns=drop) if drop else b)
+                out.append({"rel": rel, "stats": acc.to_json()})
+            yield pd.DataFrame(out, columns=["rel", "stats"])
+
+    rows = (
+        spark.createDataFrame([(f,) for f in files], "rel string")
+        .repartition(min(len(files), 64))
+        .mapInPandas(gen, schema="rel string, stats string")
+        .collect()
+    )
+    return {r["rel"]: r["stats"] for r in rows}

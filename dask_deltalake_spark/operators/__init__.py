@@ -58,15 +58,17 @@ _ALL.update(_STREAMING)
 #         exercises sits next to that branch),
 #     d42 (coordinated commits: knows_table orphan gate +
 #         recover_staged_commits + auto-checkpoint staged-only skip);
-# (c) the four queries NEW in r8 — d43 (DROP FEATURE + purge +
-#     checkpoint protection), x37 (chunk dedup w/ reconstruction),
-#     x38 (contrastive quality scorer), x39 (BPE encode, rows-only
-#     like x33) — a new query always debuts in the window;
-# (d) two r6-tier rows most exposed to the r8 snapshot/checkpoint
-#     changes: d02 (explicit-version travel), d14 (restore =
-#     explicit-version replay). d01 (roundtrip) yielded its slot to
-#     x39: every one of the 20+ in-window d-queries exercises the
-#     same to_delta→read_delta roundtrip as a precondition.
+# (c) the five queries NEW in r8 — d43 (DROP FEATURE + purge +
+#     checkpoint protection), d44 (CONVERT TO DELTA), x37 (chunk
+#     dedup w/ reconstruction), x38 (contrastive quality scorer),
+#     x39 (BPE encode, rows-only like x33) — a new query always
+#     debuts in the window;
+# (d) one r6-tier row most exposed to the r8 snapshot/checkpoint
+#     changes: d02 (explicit-version travel — the r8 log.py change
+#     was exactly the explicit-version replay path). d01 and d14
+#     yielded their slots to x39/d44: the roundtrip is a
+#     precondition of every in-window d-query, and restore's
+#     explicit-version replay is d02's read path.
 # Left at positions 51+ for r8, with justification: every remaining
 # name carries an r6 or r7 driver row on code unchanged this round
 # (d03/d04/d06/d17-d19/d29/d33/d36-d38, q05/q45/q46, s07/s10,
@@ -85,6 +87,7 @@ _R8_FRONT = (
         "x37_chunk_dedup",
         "x38_quality_scorer",
         "x39_bpe_encode",
+        "d44_convert_to_delta",
         # (b) changed this round + (d) exposure picks
         "d42_coordinated_commits",
         "d41_log_compaction",
@@ -94,7 +97,6 @@ _R8_FRONT = (
         "s06_stream_delta_source",
         "s09_stream_incremental_agg",
         "d02_delta_time_travel",
-        "d14_delta_restore",
         # (a) the r5 staleness front
         "q01_pricing_summary",
         "q02_projection_compute",

@@ -2221,3 +2221,68 @@ def d43_drop_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("history_readable", F.lit(history_readable))
         .withColumn("protected_version", F.lit(v))
     )
+
+
+@query(
+    "d44_convert_to_delta",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_open,
+           CAST(SUM(o_orderkey) AS BIGINT) AS open_key_sum,
+           CAST(2 * (SELECT COUNT(*) FROM orders) AS BIGINT)
+             AS total_after_append,
+           0 AS converted_version,
+           1 AS all_files_stats,
+           1 AS partition_discovered
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def d44_convert_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA (delta/convert.py — delta-spark's ``CONVERT TO
+    DELTA parquet.`/path/``` / delta-rs ``convert_to_deltalake``; the
+    reference has no conversion surface): orders is first written as a
+    PLAIN hive-partitioned parquet dataset (no Delta anywhere), then
+    converted IN PLACE — commit v0 references the existing files, zero
+    data bytes move, partition columns discovered from the col=value
+    layout, per-file stats folded by one distributed Arrow pass. The
+    hash matches only if the discovered partitionValues prune exactly
+    (the filtered read), the stats JSON is protocol-shaped on every
+    add, and the converted table immediately accepts a normal
+    transactional append (the point of converting)."""
+    import shutil
+
+    from dask_deltalake_spark.delta.convert import convert_to_delta
+    from dask_deltalake_spark.delta.log import DeltaLog
+
+    src = _tmp_table(sf_dir, "orders_plainpq")
+    shutil.rmtree(src, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(src)
+    v = convert_to_delta(src, spark=spark)
+    snap = DeltaLog(src).snapshot()
+    all_stats = int(
+        bool(snap.add_actions)
+        and all(a.stats for a in snap.add_actions)
+    )
+    part_ok = int(snap.metadata.partition_columns == ["o_orderstatus"])
+    open_slice = read_delta(
+        src, filter=[("o_orderstatus", "==", "O")], spark=spark
+    ).agg(
+        F.count("*").alias("n"), F.sum("o_orderkey").alias("s")
+    ).first()
+    # the converted table is a normal Delta table from here on
+    to_delta(o.select(*read_delta(src, spark=spark).columns), src,
+             mode="append")
+    total = read_delta(src, spark=spark).count()
+    return spark.createDataFrame(
+        [(
+            int(open_slice["n"]),
+            int(open_slice["s"]),
+            int(total),
+            int(v),
+            all_stats,
+            part_ok,
+        )],
+        "n_open bigint, open_key_sum bigint, total_after_append bigint, "
+        "converted_version int, all_files_stats int, "
+        "partition_discovered int",
+    )
