@@ -39,6 +39,8 @@ _EXPORTS = {
     "backfill_commits": "dask_deltalake_spark.delta.coordinated",
     "register_commit_coordinator": "dask_deltalake_spark.delta.coordinated",
     "create_checkpoint": "dask_deltalake_spark.delta.maintenance",
+    "recompute_statistics": "dask_deltalake_spark.delta.maintenance",
+    "fsck_repair": "dask_deltalake_spark.delta.maintenance",
     "optimize": "dask_deltalake_spark.delta.maintenance",
     "read_delta_history": "dask_deltalake_spark.delta.maintenance",
     "enable_v2_checkpoints": "dask_deltalake_spark.delta.maintenance",

@@ -1435,3 +1435,181 @@ def validate_version_checksum(path: str, version: Optional[int] = None) -> dict:
         "valid": not mismatches,
         "mismatches": mismatches,
     }
+
+
+def recompute_statistics(
+    path: str, spark: Optional[SparkSession] = None
+) -> dict:
+    """ANALYZE-style statistics recompute (delta-spark's
+    ``StatisticsCollection.recompute``): one distributed Arrow pass
+    reads every referenced data file and commits fresh protocol stats
+    ({numRecords, minValues, maxValues, nullCount}) as re-issued add
+    actions with ``dataChange=false`` — per the spec, a later add for
+    the same path REPLACES the earlier one during replay, so no
+    removes are written and no tombstones appear. The files
+    themselves never move: cost is one scan, after which data
+    skipping works on tables that were converted with
+    ``collect_stats=False``, written by statless engines, or whose
+    stats predate a widening.
+
+    Stats keys are the files' PHYSICAL column names by construction
+    (the pass reads raw parquet), so column-mapped tables get
+    correctly-keyed skipping stats for free. DV'd files keep physical
+    row counts (numRecords counts deleted positions too, per spec)."""
+    import pandas as pd
+
+    from dask_deltalake_spark.delta.logstore import store_for
+    from dask_deltalake_spark.delta.protocol import file_base_root
+
+    if spark is None:
+        spark = SparkSession.active()
+    log = DeltaLog(path)
+    snap = log.snapshot()
+    check_write_protocol(
+        snap.protocol,
+        snap.metadata,
+        features={
+            "columnMapping",
+            "deletionVectors",
+            "generatedColumns",
+            "identityColumns",
+            "rowTracking",
+        },
+    )
+    adds = snap.add_actions
+    if not adds:
+        return {"version": snap.version, "numFilesRecomputed": 0}
+    part_cols = set(snap.metadata.partition_columns)
+    pairs = []
+    for a in adds:
+        base = store_for(path).local_path(file_base_root(snap.path, a))
+        if base is None:
+            raise DeltaProtocolError(
+                "recompute_statistics requires locally-mapped storage "
+                "for the scan pass (object-store variant would read "
+                "through the executors' own credentials)."
+            )
+        pairs.append(
+            (a.path, os.path.join(base, a.path.replace("/", os.sep)))
+        )
+
+    def gen(batches):
+        import pyarrow.parquet as pq
+
+        from dask_deltalake_spark.delta.protocol import StatsAccumulator
+
+        for pdf in batches:
+            out = []
+            for rel, absp in zip(pdf["rel"], pdf["abs"]):
+                acc = StatsAccumulator()
+                pf = pq.ParquetFile(absp)
+                for batch in pf.iter_batches():
+                    b = batch.to_pandas()
+                    drop = [c for c in part_cols if c in b.columns]
+                    acc.update(b.drop(columns=drop) if drop else b)
+                out.append({"rel": rel, "stats": acc.to_json()})
+            yield pd.DataFrame(out, columns=["rel", "stats"])
+
+    rows = (
+        spark.createDataFrame(pairs, "rel string, abs string")
+        .repartition(min(len(pairs), 64))
+        .mapInPandas(gen, schema="rel string, stats string")
+        .collect()
+    )
+    stats = {r["rel"]: r["stats"] for r in rows}
+    ts = now_ms()
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "COMPUTE STATISTICS",
+                "operationParameters": {"numFiles": str(len(adds))},
+                "readVersion": snap.version,
+                "engineInfo": "dask_deltalake_spark/0.1.0",
+            }
+        }
+    ]
+    for a in adds:
+        actions.append(
+            AddAction(
+                path=a.path,
+                size=a.size,
+                partition_values=a.partition_values,
+                modification_time=a.modification_time,
+                data_change=False,
+                stats=stats[a.path],
+                deletion_vector=a.deletion_vector,
+                base_row_id=a.base_row_id,
+                default_row_commit_version=a.default_row_commit_version,
+            ).to_json()
+        )
+    write_commit(log.table_path, snap.version + 1, actions)
+    return {
+        "version": snap.version + 1,
+        "numFilesRecomputed": len(adds),
+    }
+
+
+def fsck_repair(
+    path: str, spark: Optional[SparkSession] = None, dry_run: bool = False
+) -> dict:
+    """``FSCK REPAIR TABLE``: drop references to data files that no
+    longer exist on storage (deleted out-of-band — lifecycle rules,
+    manual rm, a bad vacuum from another engine), so scans stop
+    failing on the missing files. Missing files are committed as
+    removes with ``dataChange=true`` (rows genuinely disappeared).
+    ``dry_run=True`` only reports. The existence probe is a per-file
+    metadata stat — at 100 TB file counts the probe distributes the
+    same way as the stats pass above; here it runs driver-side over
+    the snapshot's add list (already driver-resident by replay)."""
+    from dask_deltalake_spark.delta.logstore import store_for
+    from dask_deltalake_spark.delta.protocol import file_base_root
+
+    log = DeltaLog(path)
+    snap = log.snapshot()
+    missing = []
+    for a in snap.add_actions:
+        base = store_for(path).local_path(file_base_root(snap.path, a))
+        if base is None:
+            raise DeltaProtocolError(
+                "fsck_repair requires locally-mapped storage for the "
+                "existence probe."
+            )
+        if not os.path.exists(
+            os.path.join(base, a.path.replace("/", os.sep))
+        ):
+            missing.append(a)
+    if dry_run or not missing:
+        return {
+            "version": snap.version,
+            "numMissing": len(missing),
+            "missing": [a.path for a in missing],
+            "repaired": False,
+        }
+    ts = now_ms()
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "FSCK",
+                "operationParameters": {
+                    "numRemovedFiles": str(len(missing))
+                },
+                "readVersion": snap.version,
+                "engineInfo": "dask_deltalake_spark/0.1.0",
+            }
+        }
+    ]
+    for a in missing:
+        actions.append(
+            RemoveAction(
+                path=a.path, deletion_timestamp=ts, data_change=True
+            ).to_json()
+        )
+    write_commit(log.table_path, snap.version + 1, actions)
+    return {
+        "version": snap.version + 1,
+        "numMissing": len(missing),
+        "missing": [a.path for a in missing],
+        "repaired": True,
+    }

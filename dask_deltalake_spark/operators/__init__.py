@@ -58,25 +58,24 @@ _ALL.update(_STREAMING)
 #         exercises sits next to that branch),
 #     d42 (coordinated commits: knows_table orphan gate +
 #         recover_staged_commits + auto-checkpoint staged-only skip);
-# (c) the five queries NEW in r8 — d43 (DROP FEATURE + purge +
-#     checkpoint protection), d44 (CONVERT TO DELTA), x37 (chunk
-#     dedup w/ reconstruction), x38 (contrastive quality scorer),
-#     x39 (BPE encode, rows-only like x33) — a new query always
-#     debuts in the window;
-# (d) one r6-tier row most exposed to the r8 snapshot/checkpoint
-#     changes: d02 (explicit-version travel — the r8 log.py change
-#     was exactly the explicit-version replay path). d01 and d14
-#     yielded their slots to x39/d44: the roundtrip is a
-#     precondition of every in-window d-query, and restore's
-#     explicit-version replay is d02's read path.
+# (c) the six queries NEW in r8 — d43 (DROP FEATURE + purge +
+#     checkpoint protection), d44 (CONVERT TO DELTA), d45 (stats
+#     recompute), x37 (chunk dedup w/ reconstruction), x38
+#     (contrastive quality scorer), x39 (BPE encode, rows-only like
+#     x33) — a new query always debuts in the window.
+# The r6-tier exposure picks (d01/d02/d05/d14/d30/d39) all yielded
+# their slots to the new queries: the r8 explicit-version-replay
+# hardening is exercised IN-WINDOW by d41 (replays through a deleted
+# commit) and d43 (post-drop time travel to v1); the roundtrip is a
+# precondition of every in-window d-query; vacuum-vs-cleanup is
+# covered by d32, coordinated-adjacency by d42, checkpoint replay by
+# d07+d41; all six keep green r6 rows on read paths additionally
+# pinned by test_log_cleanup/test_log_compaction/test_drop_feature.
 # Left at positions 51+ for r8, with justification: every remaining
 # name carries an r6 or r7 driver row on code unchanged this round
 # (d03/d04/d06/d17-d19/d29/d33/d36-d38, q05/q45/q46, s07/s10,
 # x02/x03/x05/x06/x09-x17/x19-x27/x32 — r6; the whole r7 tier was
-# verified last round). d05/d30/d39 (r6 rows) yielded their r8
-# exposure slots to the three new queries: vacuum-vs-cleanup is
-# covered in-window by d32, coordinated-adjacency by d42, and
-# checkpoint replay by d07+d41. The put_if_absent OSError narrowing touches
+# verified last round). The put_if_absent OSError narrowing touches
 # only the fsspec ladder, which no registered query reaches (d35/d40
 # ride PrefixLogStore); it is pinned by tests/test_logstore.py and
 # tests/test_vendored_fsspec.py instead.
@@ -88,6 +87,7 @@ _R8_FRONT = (
         "x38_quality_scorer",
         "x39_bpe_encode",
         "d44_convert_to_delta",
+        "d45_stats_recompute",
         # (b) changed this round + (d) exposure picks
         "d42_coordinated_commits",
         "d41_log_compaction",
@@ -96,7 +96,6 @@ _R8_FRONT = (
         "x18_dedup_clusters",
         "s06_stream_delta_source",
         "s09_stream_incremental_agg",
-        "d02_delta_time_travel",
         # (a) the r5 staleness front
         "q01_pricing_summary",
         "q02_projection_compute",

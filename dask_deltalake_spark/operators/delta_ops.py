@@ -2286,3 +2286,75 @@ def d44_convert_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "converted_version int, all_files_stats int, "
         "partition_discovered int",
     )
+
+
+@query(
+    "d45_stats_recompute",
+    """
+    WITH t AS (SELECT MIN(o_orderkey) + 999 AS thr FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           0 AS skipped_before,
+           1 AS skipped_after,
+           1 AS no_tombstones
+    FROM orders, t
+    WHERE o_orderkey <= thr
+    """,
+)
+def d45_stats_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics recompute (maintenance.py:recompute_statistics —
+    delta-spark's StatisticsCollection.recompute / ANALYZE analog):
+    orders arrives as a STATLESS table (converted from plain parquet
+    with collect_stats=False — the 'other engine wrote it' state), so
+    a key-range filter can skip nothing; one distributed recompute
+    commit re-issues every add with protocol stats and dataChange=
+    false, after which the same filter PRUNES files at planning time.
+    The hash pins the filtered aggregate (stats must be exact, not
+    just present — wrong min/max would drop or duplicate rows), and
+    the flags pin: zero skipping before, real skipping after, and
+    zero tombstones (adds replace, nothing is removed)."""
+    import shutil
+
+    from dask_deltalake_spark.delta.convert import convert_to_delta
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.maintenance import recompute_statistics
+    from dask_deltalake_spark.delta.protocol import (
+        normalize_dnf,
+        prune_by_stats,
+    )
+
+    src = _tmp_table(sf_dir, "orders_statless")
+    shutil.rmtree(src, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    lo = o.agg(F.min("o_orderkey")).first()[0]
+    # several files so range pruning has something to skip
+    o.orderBy("o_orderkey").coalesce(1).write.parquet(src)
+    o2 = o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+    o2.orderBy("o_orderkey").coalesce(1).write.mode("append").parquet(src)
+    convert_to_delta(src, spark=spark, collect_stats=False)
+    dnf = normalize_dnf([("o_orderkey", "<=", lo + 999)])
+    snap0 = DeltaLog(src).snapshot()
+    n_files = len(snap0.add_actions)
+    skipped_before = int(
+        len(prune_by_stats(snap0.add_actions, dnf)) < n_files
+    )
+    recompute_statistics(src, spark=spark)
+    snap1 = DeltaLog(src).snapshot()
+    skipped_after = int(
+        len(prune_by_stats(snap1.add_actions, dnf)) < n_files
+    )
+    no_tombstones = int(
+        len(snap1.add_actions) == n_files and not snap1.tombstones
+    )
+    return (
+        read_delta(
+            src, filter=[("o_orderkey", "<=", lo + 999)], spark=spark
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .withColumn("skipped_before", F.lit(skipped_before))
+        .withColumn("skipped_after", F.lit(skipped_after))
+        .withColumn("no_tombstones", F.lit(no_tombstones))
+    )

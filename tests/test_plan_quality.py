@@ -285,3 +285,28 @@ def test_x38_weight_table_broadcasts(spark):
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_x37_keeper_is_aggregate_not_window(spark):
+    """x37's global-first keeper must be the algebraic
+    groupBy(chunk).min(struct(...)) with a map-side partial — never a
+    row_number window over the chunk key (a sort-window has no partial
+    aggregation, so one billion-occurrence boilerplate chunk would
+    serialize through a single task at scale)."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.functions.llmops import chunk_dedup
+    from dask_deltalake_spark.plans.inspect import executed_plan
+
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[(F.col("id") % 5 + i).cast("string") for i in range(10)]
+        ).alias("text"),
+    )
+    df = chunk_dedup(docs)
+    df.count()
+    plan = executed_plan(df)
+    assert "Window" not in plan, plan
+    # partial_min proves the map-side combine on the chunk groupBy
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan

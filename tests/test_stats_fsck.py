@@ -1,0 +1,103 @@
+"""recompute_statistics + fsck_repair (delta/maintenance.py r8)."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+from dask_deltalake_spark.delta.maintenance import (
+    fsck_repair,
+    recompute_statistics,
+)
+from dask_deltalake_spark.delta.protocol import (
+    normalize_dnf,
+    prune_by_stats,
+    stats_from_pandas,
+)
+from dask_deltalake_spark.delta.reader import read_delta
+from dask_deltalake_spark.delta.writer import to_delta
+
+
+def _statless_table(spark, path):
+    from dask_deltalake_spark.delta.convert import convert_to_delta
+
+    spark.range(0, 50).withColumn(
+        "val", F.col("id") * 2
+    ).coalesce(1).write.parquet(path)
+    spark.range(1000, 1050).withColumn(
+        "val", F.col("id") * 2
+    ).coalesce(1).write.mode("append").parquet(path)
+    convert_to_delta(path, spark=spark, collect_stats=False)
+
+
+def test_recompute_stats_exact_and_replacing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _statless_table(spark, path)
+    snap0 = DeltaLog(path).snapshot()
+    assert all(a.stats is None for a in snap0.add_actions)
+    res = recompute_statistics(path, spark=spark)
+    assert res["numFilesRecomputed"] == 2
+    _SNAPSHOT_CACHE.clear()
+    snap1 = DeltaLog(path).snapshot()
+    # same files, no tombstones, every add now carries EXACT stats
+    assert set(snap1.files) == set(snap0.files)
+    assert not snap1.tombstones
+    import pandas as pd
+
+    for a in snap1.add_actions:
+        pdf = pd.read_parquet(os.path.join(path, a.path))
+        assert json.loads(a.stats) == json.loads(stats_from_pandas(pdf))
+    kept = prune_by_stats(
+        snap1.add_actions, normalize_dnf([("id", ">=", 1000)])
+    )
+    assert len(kept) == 1
+    assert read_delta(
+        path, filter=[("id", ">=", 1000)], spark=spark
+    ).count() == 50
+
+
+def test_recompute_stats_partitioned_excludes_partition_cols(
+    spark, tmp_path
+):
+    path = str(tmp_path / "p")
+    df = spark.range(0, 40).withColumn("part", (F.col("id") % 2).cast("int"))
+    to_delta(df, path, partition_by=["part"])
+    # strip stats by re-issuing adds without them is fiddly; instead
+    # recompute over the already-statted table must be a no-op
+    # semantically: same stats keys, partition column absent
+    recompute_statistics(path, spark=spark)
+    _SNAPSHOT_CACHE.clear()
+    for a in DeltaLog(path).snapshot().add_actions:
+        st = json.loads(a.stats)
+        assert "part" not in st["minValues"]
+        assert "id" in st["minValues"]
+    assert read_delta(path, spark=spark).count() == 40
+
+
+def test_fsck_dry_run_and_repair(spark, tmp_path):
+    path = str(tmp_path / "f")
+    df = spark.range(0, 100).withColumn("part", (F.col("id") % 4).cast("int"))
+    to_delta(df, path, partition_by=["part"])
+    snap = DeltaLog(path).snapshot()
+    victim = next(a for a in snap.add_actions if a.partition_values["part"] == "3")
+    victim_rows = json.loads(victim.stats)["numRecords"]
+    os.remove(os.path.join(path, victim.path))
+    # scan now fails on the missing file
+    with pytest.raises(Exception):
+        read_delta(path, spark=spark).count()
+    rep = fsck_repair(path, spark=spark, dry_run=True)
+    assert rep["numMissing"] == 1 and not rep["repaired"]
+    assert rep["missing"] == [victim.path]
+    # dry run committed nothing
+    assert DeltaLog(path).latest_version() == snap.version
+    rep = fsck_repair(path, spark=spark)
+    assert rep["repaired"] and rep["numMissing"] == 1
+    _SNAPSHOT_CACHE.clear()
+    got = read_delta(path, spark=spark)
+    assert got.count() == 100 - victim_rows
+    assert got.filter(F.col("part") == 3).count() == 25 - victim_rows
+    # healthy table: fsck is a no-op
+    rep2 = fsck_repair(path, spark=spark)
+    assert rep2["numMissing"] == 0 and not rep2["repaired"]
