@@ -2176,7 +2176,16 @@ def d43_drop_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp_table(sf_dir, "orders_dropfeat")
     shutil.rmtree(path, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders")
-    to_delta(o, path, partition_by=["o_orderstatus"], shuffle=True)
+    # range-partition on the delete key so the deleted range clusters
+    # into few files: the purge then rewrites only the DV'd fraction —
+    # the O(DV'd bytes) property the docstring claims — instead of
+    # every file containing a stray low key (hash layout would DV the
+    # whole table and turn the purge into a full rewrite)
+    to_delta(
+        o.repartitionByRange(16, "o_orderkey"),
+        path,
+        partition_by=["o_orderstatus"],
+    )
     lo = o.agg(F.min("o_orderkey")).first()[0]
     delete_where(
         path, [("o_orderkey", "<=", lo + 499)],
