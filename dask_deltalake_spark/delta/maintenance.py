@@ -1563,10 +1563,16 @@ def fsck_repair(
     same way as the stats pass above; here it runs driver-side over
     the snapshot's add list (already driver-resident by replay)."""
     from dask_deltalake_spark.delta.logstore import store_for
-    from dask_deltalake_spark.delta.protocol import file_base_root
+    from dask_deltalake_spark.delta.protocol import (
+        check_append_only,
+        file_base_root,
+    )
 
     log = DeltaLog(path)
     snap = log.snapshot()
+    # repair removes rows (dataChange=true removes) — an appendOnly
+    # table must refuse it like any other delete
+    check_append_only(snap.metadata, "fsck_repair")
     missing = []
     for a in snap.add_actions:
         base = store_for(path).local_path(file_base_root(snap.path, a))

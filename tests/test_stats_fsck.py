@@ -101,3 +101,16 @@ def test_fsck_dry_run_and_repair(spark, tmp_path):
     # healthy table: fsck is a no-op
     rep2 = fsck_repair(path, spark=spark)
     assert rep2["numMissing"] == 0 and not rep2["repaired"]
+
+
+def test_fsck_refuses_append_only(spark, tmp_path):
+    from dask_deltalake_spark.delta.protocol import DeltaProtocolError
+
+    path = str(tmp_path / "ao")
+    to_delta(
+        spark.range(10),
+        path,
+        configuration={"delta.appendOnly": "true"},
+    )
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        fsck_repair(path, spark=spark)
