@@ -123,6 +123,11 @@ def test_vacuum_lite_uses_log_not_listing(spark, tmp_path):
 
     os.utime(orphan, (time.time() - 10, time.time() - 10))
 
+    # retention 0 is a knife-edge at millisecond granularity: a
+    # tombstone stamped in the same ms as the cutoff is (correctly)
+    # retained, and the run flakes. Step past the boundary.
+    time.sleep(0.005)
+
     lite = sorted(vacuum(path, retention_hours=0, dry_run=True, mode="lite"))
     full = sorted(vacuum(path, retention_hours=0, dry_run=True, mode="full"))
     snap = DeltaLog(path).snapshot()
