@@ -2343,6 +2343,10 @@ def x33_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f.unpersist()
             except Exception:
                 pass
+    # publish the learned rules for x39 (BPE application): the list is
+    # driver-sized (≤_BPE_MERGES pairs) and keyed by corpus, so the
+    # encode query never re-runs the training rounds in the same session
+    _BPE_RULES_CACHE[sf_dir] = [(a, b) for _r, a, b, _m, _c in merges]
     return spark.createDataFrame(
         merges,
         "rank int, left string, right string, merged string, pair_count long",
