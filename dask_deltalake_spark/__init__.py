@@ -65,6 +65,7 @@ _EXPORTS = {
     "IdentityColumnError": "dask_deltalake_spark.delta.identity",
     "identity_columns": "dask_deltalake_spark.delta.identity",
     "shallow_clone": "dask_deltalake_spark.delta.clone",
+    "deep_clone": "dask_deltalake_spark.delta.clone",
     "enable_in_commit_timestamps": "dask_deltalake_spark.delta.ict",
     "convert_to_delta": "dask_deltalake_spark.delta.convert",
     "drop_feature": "dask_deltalake_spark.delta.features",

@@ -112,3 +112,181 @@ def shallow_clone(
         )
     write_commit(tgt_log.table_path, 0, actions)
     return 0
+
+
+def deep_clone(
+    source_path: str,
+    target_path: str,
+    spark=None,
+    version: Optional[int] = None,
+) -> int:
+    """``CREATE TABLE ... DEEP CLONE``: a self-contained copy of the
+    source snapshot — every referenced data file (and live deletion
+    vector ``.bin``) is COPIED under the target root, preserving the
+    hive directory layout (partition discovery must re-anchor at the
+    clone), and a fresh v0 log references the copies. Unlike the
+    shallow clone the result has no ties to the source: source vacuum
+    cannot break it, and (because vector files travel too) DV'd
+    sources deep-clone fine — the clone keeps merge-on-read state and
+    its reads apply the copied vectors.
+
+    The copy itself is ONE distributed Spark job (executors each copy
+    their slice of the file list) — at 100 TB the clone is bounded by
+    aggregate copy bandwidth, never a driver loop. Cloning from a
+    shallow clone resolves each file against its own base root, so
+    the deep clone FLATTENS the chain into one self-contained table.
+
+    Configuration carries over except source-anchored properties:
+    coordinated-commit registration (the coordinator has never heard
+    of the clone) and the ICT enablement version/timestamp pair
+    (they name SOURCE versions; re-enable on the clone to restart the
+    clock). Returns the clone's committed version (always 0)."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from dask_deltalake_spark.delta.dv import dv_absolute_path
+    from dask_deltalake_spark.delta.logstore import store_for
+    from dask_deltalake_spark.delta.protocol import file_base_root
+
+    if spark is None:
+        spark = SparkSession.active()
+    src_log = DeltaLog(source_path)
+    snap = src_log.snapshot(version=version)
+    tgt_log = DeltaLog(target_path)
+    if tgt_log.exists():
+        raise ValueError(f"Target already exists: {target_path}")
+    tgt_root = store_for(tgt_log.table_path).local_path(tgt_log.table_path)
+    if tgt_root is None:
+        raise DeltaProtocolError(
+            "deep_clone: target must be locally mapped (the seam-only "
+            "variant would stage copies through the JVM)."
+        )
+    # (src_abs, tgt_rel) per data file; hive dirs preserved relative
+    # to each add's own base root so chains of clones flatten
+    jobs: list[tuple[str, str]] = []
+    rels: dict[str, str] = {}
+    for a in snap.add_actions:
+        base_unmapped = file_base_root(snap.path, a)
+        base = store_for(source_path).local_path(base_unmapped)
+        if base is None:
+            raise DeltaProtocolError(
+                "deep_clone: source files must be locally mapped."
+            )
+        # rel computed in the UNMAPPED namespace (scheme-consistent),
+        # then joined onto the locally-mapped base for the actual copy
+        rel = os.path.relpath(
+            resolve_file_path(snap.path, a.path)
+            if a.path.startswith(("/", "file:")) or "://" in a.path
+            else os.path.join(base_unmapped, a.path),
+            base_unmapped,
+        )
+        src_abs = os.path.join(base, rel)
+        if rel in rels:
+            raise DeltaProtocolError(
+                f"deep_clone: relative path collision on {rel!r} "
+                "across base roots; cannot flatten this clone chain."
+            )
+        rels[a.path] = rel
+        jobs.append((src_abs, rel))
+        desc = a.deletion_vector
+        if desc is not None:
+            st = desc.get("storageType")
+            if st == "i":
+                continue  # inline vector travels inside the add action
+            if st != "u":
+                raise DeltaProtocolError(
+                    f"deep_clone: unsupported DV storageType {st!r} "
+                    "(absolute-path vectors cannot be re-rooted)."
+                )
+            dv_abs = dv_absolute_path(src_log.table_path, desc)
+            dv_rel = os.path.relpath(dv_abs, src_log.table_path)
+            pair = (dv_abs, dv_rel)
+            if pair not in jobs:
+                jobs.append(pair)
+
+    def copy_slice(batches):
+        import os as _os
+        import shutil as _shutil
+
+        import pandas as _pd
+
+        for pdf in batches:
+            n = 0
+            for src, rel in zip(pdf["src"], pdf["rel"]):
+                dst = _os.path.join(tgt_root, rel)
+                _os.makedirs(_os.path.dirname(dst) or tgt_root,
+                             exist_ok=True)
+                _shutil.copyfile(src, dst)
+                n += 1
+            yield _pd.DataFrame({"n": [n]})
+
+    if jobs:
+        copied = (
+            spark.createDataFrame(jobs, "src string, rel string")
+            .repartition(min(len(jobs), 64))
+            .mapInPandas(copy_slice, schema="n long")
+            .agg({"n": "sum"})
+            .first()[0]
+        )
+        if copied != len(jobs):
+            raise DeltaProtocolError(
+                f"deep_clone: copied {copied} of {len(jobs)} files."
+            )
+    ts = now_ms()
+    meta = snap.metadata
+    config = dict(meta.configuration)
+    for k in (
+        "delta.coordinatedCommits.commitCoordinator-preview",
+        "delta.coordinatedCommits.commitCoordinatorConf-preview",
+        "delta.enableInCommitTimestamps",
+        "delta.inCommitTimestampEnablementVersion",
+        "delta.inCommitTimestampEnablementTimestamp",
+    ):
+        config.pop(k, None)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src_log.table_path,
+                    "sourceVersion": str(snap.version),
+                    "isShallow": "false",
+                },
+                "operationMetrics": {
+                    "sourceNumOfFiles": str(len(snap.files)),
+                    "numCopiedFiles": str(len(jobs)),
+                },
+                "engineInfo": "dask_deltalake_spark/0.1.0",
+            }
+        },
+        snap.protocol.to_json(),
+        Metadata(
+            id=str(uuid.uuid4()),
+            schema_string=meta.schema_string,
+            partition_columns=meta.partition_columns,
+            configuration=config,
+            name=meta.name,
+            description=meta.description,
+            created_time=ts,
+        ).to_json(),
+    ]
+    from urllib.parse import quote
+
+    for a in snap.add_actions:
+        d = a.to_json()["add"]
+        d["path"] = quote(rels[a.path].replace(os.sep, "/"))
+        actions.append({"add": d})
+    for domain, conf in snap.domain_metadata.items():
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": conf,
+                    "removed": False,
+                }
+            }
+        )
+    write_commit(tgt_log.table_path, 0, actions)
+    return 0

@@ -877,17 +877,27 @@ def optimize(
 
 def restore(
     path: str,
-    version: int,
+    version: Optional[int] = None,
     spark: Optional[SparkSession] = None,
+    timestamp: Optional[str] = None,
 ) -> dict:
     """RESTORE the table to a previous version (delta-spark
     `RESTORE TABLE ... TO VERSION AS OF` analog): one metadata-only
     commit that re-adds the target snapshot's files and removes the
     files added since. No data is read or written — the restored
     version's files must still exist (i.e. not vacuumed away).
+    ``timestamp=`` instead of ``version=`` is `TO TIMESTAMP AS OF`:
+    the version is resolved with the same ICT-aware datetime rule as
+    time-travel reads (last commit at or before the instant).
     """
     table_path = str(path).rstrip("/")
     log = DeltaLog(table_path)
+    if (version is None) == (timestamp is None):
+        raise ValueError(
+            "restore: pass exactly one of version= or timestamp=."
+        )
+    if version is None:
+        version = log.resolve_datetime(timestamp)
     cur = log.snapshot()
     if version == cur.version:
         return {"version": cur.version, "numFilesAdded": 0, "numFilesRemoved": 0}

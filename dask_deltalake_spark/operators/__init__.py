@@ -58,11 +58,15 @@ _ALL.update(_STREAMING)
 #         exercises sits next to that branch),
 #     d42 (coordinated commits: knows_table orphan gate +
 #         recover_staged_commits + auto-checkpoint staged-only skip);
-# (c) the six queries NEW in r8 — d43 (DROP FEATURE + purge +
+# (c) the seven queries NEW in r8 — d43 (DROP FEATURE + purge +
 #     checkpoint protection), d44 (CONVERT TO DELTA), d45 (stats
-#     recompute), x37 (chunk dedup w/ reconstruction), x38
-#     (contrastive quality scorer), x39 (BPE encode, rows-only like
-#     x33) — a new query always debuts in the window.
+#     recompute), d46 (deep clone), x37 (chunk dedup w/
+#     reconstruction), x38 (contrastive quality scorer), x39 (BPE
+#     encode, rows-only like x33) — a new query always debuts in the
+#     window. x18 yielded its (b) slot to d46: its only r8-adjacent
+#     change is the shared _jaccard_pairs index, which in-window x04
+#     hash-verifies (x18's own clustering code is r7-green,
+#     unchanged).
 # The r6-tier exposure picks (d01/d02/d05/d14/d30/d39) all yielded
 # their slots to the new queries: the r8 explicit-version-replay
 # hardening is exercised IN-WINDOW by d41 (replays through a deleted
@@ -88,12 +92,12 @@ _R8_FRONT = (
         "x39_bpe_encode",
         "d44_convert_to_delta",
         "d45_stats_recompute",
+        "d46_deep_clone",
         # (b) changed this round + (d) exposure picks
         "d42_coordinated_commits",
         "d41_log_compaction",
         "d32_log_cleanup",
         "x31_semantic_dedup",
-        "x18_dedup_clusters",
         "s06_stream_delta_source",
         "s09_stream_incremental_agg",
         # (a) the r5 staleness front

@@ -2367,3 +2367,71 @@ def d45_stats_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("skipped_after", F.lit(skipped_after))
         .withColumn("no_tombstones", F.lit(no_tombstones))
     )
+
+
+@query(
+    "d46_deep_clone",
+    """
+    WITH t AS (SELECT MIN(o_orderkey) + 499 AS thr FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           1 AS dv_carried,
+           1 AS diverged,
+           1 AS source_destroyed_alive
+    FROM orders, t
+    WHERE o_orderkey > thr
+    """,
+)
+def d46_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP CLONE (delta/clone.py:deep_clone — delta-spark's
+    ``CREATE TABLE ... DEEP CLONE``; the reference has no clone
+    surface at all): orders gets a merge-on-read DELETE (live
+    deletion vectors), is deep-cloned — ONE distributed copy job
+    moves every data file AND the vector ``.bin`` under the clone
+    root, a fresh v0 log references the copies — and then the source
+    is appended-to and finally DESTROYED outright. The clone must
+    (a) keep applying the copied vectors (the survivor aggregate
+    hash-matches the oracle), (b) not see the post-clone source
+    append (divergence), and (c) survive the source's deletion — the
+    self-containment property that distinguishes deep from shallow."""
+    import shutil
+
+    from dask_deltalake_spark.delta.clone import deep_clone
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    src = _tmp_table(sf_dir, "orders_dcsrc")
+    tgt = _tmp_table(sf_dir, "orders_dctgt")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(tgt, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    to_delta(o.repartitionByRange(16, "o_orderkey"), src)
+    lo = o.agg(F.min("o_orderkey")).first()[0]
+    delete_where(
+        src, [("o_orderkey", "<=", lo + 499)],
+        spark=spark, strategy="merge-on-read",
+    )
+    deep_clone(src, tgt, spark=spark)
+    dv_carried = int(
+        any(a.deletion_vector for a in DeltaLog(tgt).snapshot().add_actions)
+    )
+    n_clone = read_delta(tgt, spark=spark).count()
+    # post-clone source write must not reach the clone
+    to_delta(o.limit(100), src, mode="append")
+    diverged = int(
+        read_delta(tgt, spark=spark).count() == n_clone
+        and read_delta(src, spark=spark).count() == n_clone + 100
+    )
+    shutil.rmtree(src)
+    _SNAPSHOT_CACHE.clear()
+    alive = int(read_delta(tgt, spark=spark).count() == n_clone)
+    return (
+        read_delta(tgt, spark=spark)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .withColumn("dv_carried", F.lit(dv_carried))
+        .withColumn("diverged", F.lit(diverged))
+        .withColumn("source_destroyed_alive", F.lit(alive))
+    )
