@@ -224,9 +224,12 @@ def create_checkpoint(
     ``checkpointMetadata`` + ``sidecar`` refs) with the add/remove
     bulk in independently-readable ``_sidecars/`` parquet files. At
     the 10M-file scale the manifest stays KB-sized and a distributed
-    replayer fans the sidecar reads out; it also enables incremental
-    checkpointing (reuse unchanged sidecars), which this writer does
-    not yet do."""
+    replayer fans the sidecar reads out. v2 checkpoints are written
+    INCREMENTALLY: sidecars of the previous v2 checkpoint whose every
+    row is an add still describing a live file identically are
+    referenced VERBATIM by the new manifest (``_reusable_sidecars``),
+    so an append-mostly table's checkpoint writes O(changed files),
+    not O(table) — the capability sidecars exist for."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from urllib.parse import quote
@@ -484,12 +487,35 @@ def create_checkpoint(
             ]
         )
         sc_dir = os.path.join(table_path, LOG_DIR, SIDECAR_DIR)
+        none_meta = {c: None for c in meta_cols}
+        # INCREMENTAL checkpointing (the capability v2 sidecars exist
+        # for): a sidecar from the PREVIOUS v2 checkpoint is reused
+        # verbatim when every row in it is an add that still describes
+        # a live file identically (same stats/DV/row-id fields) — at
+        # the 10M-file scale most sidecars are untouched between
+        # checkpoints, so each new checkpoint writes O(changed files),
+        # not O(table). A sidecar containing any remove, or any add
+        # that changed or died, is not reused; its surviving adds are
+        # rewritten into the fresh sidecars below. GC stays correct:
+        # a shared sidecar is referenced by both manifests and
+        # _gc_orphan_sidecars keeps it until no retained manifest
+        # points at it.
+        reused_refs, covered = _reusable_sidecars(
+            log, snap.version, data_rows
+        )
+        if covered:
+            data_rows = [
+                r
+                for r in data_rows
+                if not (r.get("add") and r["add"]["path"] in covered)
+            ]
         n_parts = max(1, -(-len(data_rows) // _CHECKPOINT_PART_ROWS))
         per = -(-max(1, len(data_rows)) // n_parts)
-        none_meta = {c: None for c in meta_cols}
-        sidecar_refs = []
+        sidecar_refs = list(reused_refs)
         for i in range(n_parts):
             chunk = data_rows[i * per:(i + 1) * per]
+            if not chunk and sidecar_refs:
+                continue  # fully covered by reused sidecars
             sname = f"{_uuid.uuid4()}.parquet"
             sp = os.path.join(sc_dir, sname)
             _put_parquet(
@@ -1629,3 +1655,117 @@ def fsck_repair(
         "missing": [a.path for a in missing],
         "repaired": True,
     }
+
+
+def _canon_add(d: Optional[dict]) -> Optional[tuple]:
+    """Order-insensitive identity of one checkpoint add row, stable
+    across the dict→parquet→to_pylist round trip (map columns come
+    back as (k, v) tuple lists; absent DV structs come back all-None).
+    Two adds canonicalizing equal describe the same live file state —
+    the reuse criterion for incremental v2 checkpoints."""
+    if d is None:
+        return None
+    dv = d.get("deletionVector")
+    if dv is not None and dv.get("storageType") is None:
+        dv = None
+    pv = d.get("partitionValues") or []
+    if isinstance(pv, dict):
+        pv = list(pv.items())
+    return (
+        d.get("path"),
+        int(d.get("size") or 0),
+        int(d.get("modificationTime") or 0),
+        tuple(sorted((str(k), v) for k, v in pv)),
+        d.get("stats"),
+        tuple(sorted(dv.items())) if dv else None,
+        d.get("baseRowId"),
+        d.get("defaultRowCommitVersion"),
+    )
+
+
+def _reusable_sidecars(
+    log: DeltaLog, version: int, data_rows: list
+) -> tuple[list, list]:
+    """Sidecars of the latest previous v2 checkpoint that can be
+    referenced VERBATIM by the checkpoint being written at ``version``:
+    every row must be an add whose canonical form matches the current
+    live add for that path. Returns (manifest ref rows, covered
+    paths)."""
+    import pyarrow.parquet as pq
+
+    from dask_deltalake_spark.delta.log import (
+        _CHECKPOINT_MULTIPART_RE,
+        _CHECKPOINT_RE,
+        SIDECAR_DIR,
+    )
+
+    prev = [v for v in log.checkpoint_versions() if v < version]
+    if not prev:
+        return [], []
+    pv = max(prev)
+    manifest = None
+    for f in sorted(log.store.list_dir(log.log_path)):
+        m = _CHECKPOINT_RE.match(f)
+        if (
+            m
+            and int(m.group(1)) == pv
+            and m.group(2)
+            and not _CHECKPOINT_MULTIPART_RE.match(m.group(2))
+        ):
+            manifest = os.path.join(log.log_path, f)
+    if manifest is None:
+        return [], []  # previous checkpoint was classic-shaped
+    live = {
+        r["add"]["path"]: _canon_add(r["add"])
+        for r in data_rows
+        if r.get("add")
+    }
+    try:
+        with log.store.open_input(manifest) as fh:
+            refs = [
+                row["sidecar"]
+                for row in pq.read_table(
+                    fh, columns=["sidecar"]
+                ).to_pylist()
+                if row.get("sidecar") and row["sidecar"].get("path")
+            ]
+    except Exception:
+        return [], []
+    reused, covered = [], []
+    meta_cols = ["protocol", "metaData", "domainMetadata", "txn"]
+    none_meta = {c: None for c in meta_cols}
+    seen: set = set(covered)
+    for ref in refs:
+        scp = os.path.join(log.log_path, SIDECAR_DIR, ref["path"])
+        try:
+            with log.store.open_input(scp) as fh:
+                rows = pq.read_table(fh).to_pylist()
+        except Exception:
+            continue
+        paths = []
+        ok = bool(rows)
+        for row in rows:
+            a = row.get("add")
+            r = row.get("remove")
+            if r and r.get("path") is not None:
+                ok = False  # tombstones may have expired; rewrite
+                break
+            if not a or a.get("path") is None:
+                ok = False
+                break
+            p = a["path"]
+            if p in seen or live.get(p) != _canon_add(a):
+                ok = False
+                break
+            paths.append(p)
+        if ok:
+            seen.update(paths)
+            covered.extend(paths)
+            reused.append(
+                {
+                    **none_meta,
+                    "checkpointMetadata": None,
+                    "sidecar": dict(ref),
+                }
+            )
+    return reused, set(covered)
