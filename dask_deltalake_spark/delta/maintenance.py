@@ -87,6 +87,7 @@ def vacuum(
     storage_options: Optional[dict] = None,
     spark: Optional[SparkSession] = None,
     mode: str = "full",
+    inventory=None,
 ):
     """List (dry run) or delete files in the table directory that are
     no longer referenced by the current version and are older than the
@@ -103,9 +104,24 @@ def vacuum(
     directory listing. At 100 TB the full walk lists hundreds of
     millions of objects (on S3: the dominant cost of vacuum); lite is
     O(#tombstones) log metadata, the right routine cadence, with full
-    reserved for occasional orphan sweeps."""
+    reserved for occasional orphan sweeps.
+
+    ``inventory=`` (delta 3.1's ``VACUUM ... USING INVENTORY``): a
+    Spark DataFrame with columns ``path`` (table-relative) and
+    ``modificationTime`` (ms epoch) replaces the directory walk —
+    the candidate filter runs DISTRIBUTED (anti-join against the
+    broadcast referenced set + retention cut), so a billion-object
+    inventory exported from S3 Inventory / GCS Storage Insights never
+    lands on the driver; only the tombstone-sized survivor list does.
+    Orphans are caught exactly as in full mode, without a single
+    LIST call against the store."""
     if mode not in ("full", "lite"):
         raise ValueError(f"Unsupported vacuum mode: {mode!r}")
+    if inventory is not None and mode == "lite":
+        raise ValueError(
+            "inventory= replaces the full walk; it cannot combine "
+            "with mode='lite' (which lists nothing to begin with)."
+        )
     table_path = str(path).rstrip("/")
     log = DeltaLog(table_path)
     snap = log.snapshot()
@@ -161,6 +177,31 @@ def vacuum(
                 os.path.join(table_path, rel_p)
             ):
                 tombstones.append(rel_p)
+    elif inventory is not None:
+        import pyspark.sql.functions as F
+
+        isess = inventory.sparkSession
+        # referenced set + logged removal times are metadata-scale →
+        # broadcast; the inventory side streams through the anti-join
+        ref_df = isess.createDataFrame(
+            [(p,) for p in sorted(referenced)], "path string"
+        )
+        rt_df = isess.createDataFrame(
+            list(removal_times.items()) or [("", 0)],
+            "path string, rts long",
+        )
+        cand = (
+            inventory.select(
+                F.col("path").cast("string").alias("path"),
+                F.col("modificationTime").cast("long").alias("mts"),
+            )
+            .filter(~F.col("path").rlike(r"(^|/)[._]"))
+            .join(F.broadcast(ref_df), "path", "left_anti")
+            .join(F.broadcast(rt_df), "path", "left")
+            .filter(F.coalesce(F.col("rts"), F.col("mts")) < cutoff_ms)
+            .select("path")
+        )
+        tombstones = [r["path"] for r in cand.collect()]
     else:
         for rel_p in store.walk_files(table_path):
             # prune hidden/_delta_log segments (same contract as

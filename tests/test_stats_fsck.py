@@ -114,3 +114,44 @@ def test_fsck_refuses_append_only(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="appendOnly"):
         fsck_repair(path, spark=spark)
+
+
+def test_vacuum_using_inventory(spark, tmp_path):
+    """VACUUM USING INVENTORY: candidates from a caller-supplied file
+    inventory instead of a directory walk — logged tombstones AND
+    orphans vacuumed, referenced/fresh/hidden files untouched, zero
+    LIST calls against the store."""
+    import time
+
+    from dask_deltalake_spark.delta.maintenance import vacuum
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(0, 10).coalesce(1), path)
+    to_delta(spark.range(10, 20).coalesce(1), path, mode="overwrite")
+    orphan = "orphan-debris.parquet"
+    with open(os.path.join(path, orphan), "wb") as fh:
+        fh.write(b"junk")
+    snap = DeltaLog(path).snapshot()
+    old_ms = int((time.time() - 3600) * 1000)
+    rows = (
+        [(p, old_ms) for p in snap.tombstones]
+        + [(orphan, old_ms)]
+        + [(p, old_ms) for p in snap.files]          # referenced: kept
+        + [("fresh-debris.parquet", int((time.time() + 3600) * 1000))]
+        # ^ young (future-dated: retention 0 makes "now" a knife edge)
+        + [("_delta_log/00000000000000000000.json", old_ms)]   # hidden
+    )
+    inv = spark.createDataFrame(rows, "path string, modificationTime long")
+    got = sorted(
+        vacuum(path, retention_hours=0, dry_run=True, inventory=inv)
+    )
+    assert got == sorted(list(snap.tombstones) + [orphan])
+    vacuum(
+        path, retention_hours=0, dry_run=False, inventory=inv, spark=spark
+    )
+    assert not os.path.exists(os.path.join(path, orphan))
+    for p in snap.tombstones:
+        assert not os.path.exists(os.path.join(path, p))
+    assert read_delta(path, spark=spark).count() == 10
+    with pytest.raises(ValueError, match="cannot combine"):
+        vacuum(path, inventory=inv, mode="lite")
