@@ -165,7 +165,13 @@ def deep_clone(
     # (src_abs, tgt_rel) per data file; hive dirs preserved relative
     # to each add's own base root so chains of clones flatten
     jobs: list[tuple[str, str]] = []
-    rels: dict[str, str] = {}
+    # collision guard keys on the ASSIGNED rel (two adds from
+    # different base roots can flatten to the same relative path —
+    # generic CONVERT-style filenames chained through shallow clones);
+    # keying on the add's original path would never detect that.
+    assigned_rels: set[str] = set()
+    seen_dv_rels: set[str] = set()
+    rels: dict[str, str] = {}  # original add path -> assigned rel
     for a in snap.add_actions:
         base_unmapped = file_base_root(snap.path, a)
         base = store_for(source_path).local_path(base_unmapped)
@@ -182,11 +188,12 @@ def deep_clone(
             base_unmapped,
         )
         src_abs = os.path.join(base, rel)
-        if rel in rels:
+        if rel in assigned_rels:
             raise DeltaProtocolError(
                 f"deep_clone: relative path collision on {rel!r} "
                 "across base roots; cannot flatten this clone chain."
             )
+        assigned_rels.add(rel)
         rels[a.path] = rel
         jobs.append((src_abs, rel))
         desc = a.deletion_vector
@@ -201,9 +208,12 @@ def deep_clone(
                 )
             dv_abs = dv_absolute_path(src_log.table_path, desc)
             dv_rel = os.path.relpath(dv_abs, src_log.table_path)
-            pair = (dv_abs, dv_rel)
-            if pair not in jobs:
-                jobs.append(pair)
+            # set-membership dedup: many adds share one DV .bin; a
+            # linear `pair not in jobs` scan is O(n²) driver time at
+            # millions of files
+            if dv_rel not in seen_dv_rels:
+                seen_dv_rels.add(dv_rel)
+                jobs.append((dv_abs, dv_rel))
 
     def copy_slice(batches):
         import os as _os

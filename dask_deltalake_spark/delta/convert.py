@@ -189,33 +189,13 @@ def convert_to_delta(
 def _collect_stats(
     spark: SparkSession, local_root: str, files: list[str], part_cols: list
 ) -> dict:
-    """One distributed pass: executors read their assigned files
-    Arrow-batched and fold per-file protocol stats JSON. Partition
-    columns are excluded (their values live in partitionValues; the
-    reader prunes them separately)."""
-    import pandas as pd
+    """One distributed pass folding per-file protocol stats JSON —
+    shared with COMPUTE STATISTICS via protocol.fold_file_stats, so
+    convert-time and recomputed stats can never diverge."""
+    from dask_deltalake_spark.delta.protocol import fold_file_stats
 
-    def gen(batches):
-        from dask_deltalake_spark.delta.protocol import StatsAccumulator
-
-        import pyarrow.parquet as pq
-
-        for pdf in batches:
-            out = []
-            for rel in pdf["rel"]:
-                acc = StatsAccumulator()
-                pf = pq.ParquetFile(os.path.join(local_root, rel))
-                for batch in pf.iter_batches():
-                    b = batch.to_pandas()
-                    drop = [c for c in part_cols if c in b.columns]
-                    acc.update(b.drop(columns=drop) if drop else b)
-                out.append({"rel": rel, "stats": acc.to_json()})
-            yield pd.DataFrame(out, columns=["rel", "stats"])
-
-    rows = (
-        spark.createDataFrame([(f,) for f in files], "rel string")
-        .repartition(min(len(files), 64))
-        .mapInPandas(gen, schema="rel string, stats string")
-        .collect()
+    return fold_file_stats(
+        spark,
+        [(f, os.path.join(local_root, f)) for f in files],
+        part_cols,
     )
-    return {r["rel"]: r["stats"] for r in rows}

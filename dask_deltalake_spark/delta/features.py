@@ -208,6 +208,24 @@ def drop_feature(
     log = DeltaLog(path)
     snap = log.snapshot()
     proto = snap.protocol
+    # writer-feature gate: the drop commits a protocol/metadata
+    # rewrite, so a table carrying OTHER writer features this engine
+    # does not support must refuse here like every sibling mutation
+    # (the purge step alone is gated inside reorg_purge, which a
+    # DV-less drop never reaches)
+    check_write_protocol(
+        proto,
+        metadata=snap.metadata,
+        features={
+            "columnMapping",
+            "deletionVectors",
+            "generatedColumns",
+            "identityColumns",
+            "rowTracking",
+            "domainMetadata",
+            "clustering",
+        },
+    )
     # legacy version-ladder protocols carry features IMPLICITLY; the
     # drop normalizes to the feature-list form first (same implied
     # table as protocol_with_features — the spec's upgrade rule)

@@ -612,9 +612,25 @@ class DeltaLog:
                 anchor_rel=staged_anchor_rel,
             )
         elif version == versions[-1]:
-            self._cache_store(
-                version, (adds, tombstones, metadata, protocol, domains, txns)
+            from dask_deltalake_spark.delta.coordinated import (
+                COORDINATOR_PROP,
             )
+
+            if want_latest or not (
+                metadata.configuration or {}
+            ).get(COORDINATOR_PROP):
+                # an EXPLICIT-version read of a coordinated table must
+                # not warm the cache: it skipped the staged-tail merge
+                # AND the orphaned-staged-commit gate above, so a
+                # subsequent latest read consuming this entry would
+                # bypass the crash-recovery refusal and silently serve
+                # state missing accepted staged commits. The gate is
+                # contracted to run on every cache-MISS latest read —
+                # only gate-passing reads may warm the cache.
+                self._cache_store(
+                    version,
+                    (adds, tombstones, metadata, protocol, domains, txns),
+                )
         return Snapshot(
             path=self.table_path,
             version=version,

@@ -1570,30 +1570,12 @@ def recompute_statistics(
             (a.path, os.path.join(base, a.path.replace("/", os.sep)))
         )
 
-    def gen(batches):
-        import pyarrow.parquet as pq
+    # the stats fold is SHARED with CONVERT TO DELTA
+    # (protocol.fold_file_stats) — one accumulator implementation, so
+    # converted, recomputed, and written stats stay byte-compatible
+    from dask_deltalake_spark.delta.protocol import fold_file_stats
 
-        from dask_deltalake_spark.delta.protocol import StatsAccumulator
-
-        for pdf in batches:
-            out = []
-            for rel, absp in zip(pdf["rel"], pdf["abs"]):
-                acc = StatsAccumulator()
-                pf = pq.ParquetFile(absp)
-                for batch in pf.iter_batches():
-                    b = batch.to_pandas()
-                    drop = [c for c in part_cols if c in b.columns]
-                    acc.update(b.drop(columns=drop) if drop else b)
-                out.append({"rel": rel, "stats": acc.to_json()})
-            yield pd.DataFrame(out, columns=["rel", "stats"])
-
-    rows = (
-        spark.createDataFrame(pairs, "rel string, abs string")
-        .repartition(min(len(pairs), 64))
-        .mapInPandas(gen, schema="rel string, stats string")
-        .collect()
-    )
-    stats = {r["rel"]: r["stats"] for r in rows}
+    stats = fold_file_stats(spark, pairs, part_cols)
     ts = now_ms()
     actions: list[dict] = [
         {
@@ -1650,6 +1632,24 @@ def fsck_repair(
     # repair removes rows (dataChange=true removes) — an appendOnly
     # table must refuse it like any other delete
     check_append_only(snap.metadata, "fsck_repair")
+    # writer-feature gate (same bar as every sibling mutation): a
+    # repair that cannot honor a declared writer feature must refuse,
+    # not commit removes under it. Removing adds is safe for every
+    # listed feature — no rows are written, surviving files keep
+    # their baseRowId / identity / clustering state untouched.
+    check_write_protocol(
+        snap.protocol,
+        metadata=snap.metadata,
+        features={
+            "columnMapping",
+            "deletionVectors",
+            "generatedColumns",
+            "identityColumns",
+            "rowTracking",
+            "domainMetadata",
+            "clustering",
+        },
+    )
     missing = []
     for a in snap.add_actions:
         base = store_for(path).local_path(file_base_root(snap.path, a))

@@ -837,3 +837,44 @@ def _stat_value(v: Any) -> Any:
     if hasattr(v, "item"):
         return v.item()
     return v
+
+
+def fold_file_stats(spark, pairs, part_cols) -> dict:
+    """One distributed stats pass shared by CONVERT TO DELTA and
+    COMPUTE STATISTICS (delta/convert.py, delta/maintenance.py):
+    executors read their assigned parquet files Arrow-batched and fold
+    per-file protocol stats JSON through ``StatsAccumulator`` — the
+    SAME accumulator to_delta's write path uses, so converted,
+    recomputed, and written stats stay byte-compatible by
+    construction. ``pairs`` is ``[(rel_path, abs_path), ...]``;
+    partition columns are excluded (their values live in
+    partitionValues; the reader prunes them separately). Returns
+    ``{rel_path: stats_json}``. One mapInPandas job over
+    ``min(n, 64)`` slices — never a driver loop over file contents."""
+    part_cols = list(part_cols)
+
+    def gen(batches):
+        import pandas as _pd
+        import pyarrow.parquet as pq
+
+        from dask_deltalake_spark.delta.protocol import StatsAccumulator
+
+        for pdf in batches:
+            out = []
+            for rel, absp in zip(pdf["rel"], pdf["abs"]):
+                acc = StatsAccumulator()
+                pf = pq.ParquetFile(absp)
+                for batch in pf.iter_batches():
+                    b = batch.to_pandas()
+                    drop = [c for c in part_cols if c in b.columns]
+                    acc.update(b.drop(columns=drop) if drop else b)
+                out.append({"rel": rel, "stats": acc.to_json()})
+            yield _pd.DataFrame(out, columns=["rel", "stats"])
+
+    rows = (
+        spark.createDataFrame(list(pairs), "rel string, abs string")
+        .repartition(min(len(pairs), 64))
+        .mapInPandas(gen, schema="rel string, stats string")
+        .collect()
+    )
+    return {r["rel"]: r["stats"] for r in rows}

@@ -1867,18 +1867,21 @@ def _cosine_dot(a, b):
 
 
 def _route_centroids_to_super(cent, sup):
-    """Route every centroid to its nearest super-cell, SELF-FIRST on
-    ties: a super centroid's self-similarity is the 1.0 maximum, but a
-    duplicate / colinear centroid can TIE it — and float division can
-    even leave a vector routed to super-cell s while centroid s itself
-    tie-broke away, so the candidate inner join in _ivf_assign would
-    silently DROP those vectors (row loss, not just the documented
-    nprobe=1 mis-assignment). Preferring self on ties guarantees every
-    super-cell s contains at least centroid s, so every routed vector
-    finds candidates."""
+    """Route every centroid to its nearest super-cell, SELF-FIRST
+    UNCONDITIONALLY: a super centroid's self-similarity is the 1.0
+    maximum in exact arithmetic, but computed as dot(cv,cv)/(cnrm²) it
+    can round one ulp BELOW a colinear duplicate's cross term — with
+    self preferred only on exact ties, centroid s could still route
+    away from super-cell s while vectors round INTO it, and the
+    candidate inner join in _ivf_assign would silently DROP those
+    vectors (row loss, not just the documented nprobe=1
+    mis-assignment). Ordering the self flag ABOVE the similarity
+    guarantees every super-cell s contains at least centroid s
+    regardless of float rounding; it is exact, not approximate — no
+    other super-cell can be strictly nearer than self."""
     w = Window.partitionBy("cell").orderBy(
-        F.desc("ssim"),
         F.desc(F.col("cell") == F.col("scell")),
+        F.desc("ssim"),
         F.asc("scell"),
     )
     return (

@@ -481,3 +481,36 @@ def test_fresh_coordinator_clean_table_reads_fine(spark, tmp_path):
         assert read_delta(path, spark=spark).count() == 25
     finally:
         register_commit_coordinator("test-crash2", co)
+
+
+def test_explicit_version_read_cannot_bypass_orphan_gate(spark, tmp_path):
+    """An explicit-version snapshot at the classic latest must NOT
+    warm the cache on a coordinated table: pre-fix it did, and the
+    next latest read consumed the cached entry, skipped the
+    orphaned-staged-commit gate, and silently served state missing
+    the accepted staged tail (self-review r8 — the exact data-loss
+    class the gate exists to refuse)."""
+    from dask_deltalake_spark.delta.coordinated import (
+        OrphanedStagedCommitsError,
+    )
+
+    co = InProcessCommitCoordinator()
+    register_commit_coordinator("test-crash3", co)
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path)
+    enable_coordinated_commits(path, "test-crash3", backfill_interval=1000)
+    to_delta(_df(spark, 10, 20), path, mode="append")  # v2 staged-only
+    classic_latest = 1  # v0 create + v1 enable commit
+    fresh = InProcessCommitCoordinator()
+    register_commit_coordinator("test-crash3", fresh)
+    try:
+        _SNAPSHOT_CACHE.clear()
+        # explicit-version time travel on classic history is legal...
+        snap = DeltaLog(path).snapshot(version=classic_latest)
+        assert snap.version == classic_latest
+        # ...but must not have warmed the cache: the latest read still
+        # refuses on the orphaned staged tail
+        with pytest.raises(OrphanedStagedCommitsError):
+            DeltaLog(path).snapshot()
+    finally:
+        register_commit_coordinator("test-crash3", co)

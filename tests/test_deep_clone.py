@@ -118,3 +118,54 @@ def test_restore_to_timestamp(spark, tmp_path):
         restore(path)
     with pytest.raises(ValueError, match="exactly one"):
         restore(path, version=0, timestamp=between)
+
+
+def test_deep_clone_detects_cross_root_rel_collision(spark, tmp_path):
+    """Two adds from DIFFERENT base roots flattening to the same
+    relative path must refuse — the guard keys on the ASSIGNED rel
+    (self-review r8: keying on the add's original path never fired,
+    silently letting one copy clobber the other)."""
+    import shutil as _sh
+
+    from dask_deltalake_spark.delta.clone import shallow_clone
+    from dask_deltalake_spark.delta.protocol import (
+        AddAction,
+        DeltaProtocolError,
+    )
+    from dask_deltalake_spark.delta.writer import write_commit
+    from dask_deltalake_spark.delta.protocol import now_ms
+
+    a = str(tmp_path / "a")
+    c = str(tmp_path / "c")
+    to_delta(spark.range(0, 10).coalesce(1), a)
+    shallow_clone(a, c)
+    src_snap = DeltaLog(a).snapshot()
+    (fn,) = [x.path for x in src_snap.add_actions]
+    # give the clone a LOCAL file with the same relative name the
+    # source add flattens to
+    _sh.copyfile(os.path.join(a, fn), os.path.join(c, fn))
+    st = os.stat(os.path.join(c, fn))
+    write_commit(
+        c,
+        1,
+        [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms(),
+                    "operation": "WRITE",
+                    "operationParameters": {},
+                    "engineInfo": "test",
+                }
+            },
+            AddAction(
+                path=fn,
+                size=int(st.st_size),
+                partition_values={},
+                modification_time=int(st.st_mtime * 1000),
+                data_change=True,
+            ).to_json(),
+        ],
+    )
+    _SNAPSHOT_CACHE.clear()
+    with pytest.raises(DeltaProtocolError, match="collision"):
+        deep_clone(c, str(tmp_path / "d"), spark=spark)

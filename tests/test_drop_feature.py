@@ -166,3 +166,28 @@ def test_cleanup_after_drop_keeps_replayability(spark, tmp_path):
     assert not any(
         a.deletion_vector for a in DeltaLog(path).snapshot().add_actions
     )
+
+
+def test_drop_refuses_unknown_writer_feature(spark, tmp_path):
+    """drop_feature rewrites the protocol, so a table carrying an
+    UNRELATED writer feature this engine does not support must refuse
+    the drop like every sibling mutation (self-review r8)."""
+    from dask_deltalake_spark.delta.protocol import Protocol
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(0, 10).coalesce(1), path)
+    write_commit(
+        path,
+        1,
+        [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            Protocol(
+                min_writer_version=7,
+                writer_features=["checkConstraints", "someFutureFeature"],
+            ).to_json(),
+        ],
+    )
+    _SNAPSHOT_CACHE.clear()
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
+        drop_feature(path, "checkConstraints")

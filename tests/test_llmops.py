@@ -523,6 +523,50 @@ def test_super_centroid_self_routing_invariant(spark):
     assert routed[2] in (0, 1)
 
 
+def test_super_centroid_self_routing_survives_float_rounding(spark):
+    """Self-first must be UNCONDITIONAL, not tie-only (self-review
+    r8): a colinear-but-SCALED duplicate's cross similarity
+    dot(c,s)/(cn*sn) and the self term dot(c,c)/cn**2 are both
+    mathematically 1 but round differently — whenever the cross term
+    lands an ulp higher, a tie-only preference routes the super
+    centroid away from itself, empties its super-cell, and re-opens
+    the silent vector-drop. With awkward irrational-ish components and
+    scale factors, at least one direction of the pair historically
+    rounds unequal; self-first ordering makes routing exact either
+    way."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.functions.llmops import (
+        _route_centroids_to_super,
+    )
+
+    base = [math.sqrt(2) / 3, math.pi / 7, math.e / 11, 0.1234567891234]
+    rows = []
+    for cell, scale in ((0, 1.0), (1, 3.7), (2, 0.00313)):
+        v = [x * scale for x in base]
+        rows.append((cell, v, math.sqrt(sum(x * x for x in v))))
+    rows.append((3, [0.0, 0.0, 1.0, 0.0], 1.0))
+    cent = spark.createDataFrame(
+        rows, "cell long, cv array<double>, cnrm double"
+    )
+    sup = cent.filter(F.col("cell") < 3).select(
+        F.col("cell").alias("scell"),
+        F.col("cv").alias("sv"),
+        F.col("cnrm").alias("snrm"),
+    )
+    routed = {
+        r["cell"]: r["scell"]
+        for r in _route_centroids_to_super(cent, sup).collect()
+    }
+    for s_ in (0, 1, 2):
+        assert routed[s_] == s_, (
+            f"super centroid {s_} must route to itself (got "
+            f"{routed[s_]}) regardless of float rounding"
+        )
+
+
 def test_x37_chunk_dedup_reconstruction(spark):
     """Hand-built corpus with known chunk sharing: doc 0 owns chunks
     A B; doc 1 repeats A (removed — doc 0 is the global first) then

@@ -155,3 +155,35 @@ def test_vacuum_using_inventory(spark, tmp_path):
     assert read_delta(path, spark=spark).count() == 10
     with pytest.raises(ValueError, match="cannot combine"):
         vacuum(path, inventory=inv, mode="lite")
+
+
+def test_fsck_refuses_unknown_writer_feature(spark, tmp_path):
+    """fsck_repair commits dataChange=true removes, so it must run the
+    same writer-feature gate as every sibling mutation (self-review
+    r8: it previously skipped check_write_protocol and would mutate
+    tables carrying features this engine cannot maintain)."""
+    from dask_deltalake_spark.delta.maintenance import fsck_repair
+    from dask_deltalake_spark.delta.protocol import (
+        DeltaProtocolError,
+        Protocol,
+    )
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(0, 10).coalesce(1), path)
+    write_commit(
+        path,
+        1,
+        [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            Protocol(
+                min_writer_version=7,
+                writer_features=["someFutureFeature"],
+            ).to_json(),
+        ],
+    )
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    os.remove(os.path.join(path, next(iter(snap.files))))
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
+        fsck_repair(path, spark=spark)
