@@ -120,7 +120,14 @@ def main() -> None:
     # query start/stop: StreamExecution init, checkpoint metadata,
     # and the per-query DRIVER-side Python runner spawn
     # (python_streaming_source_runner fork + import, not reusable
-    # across queries by Spark's design). s06 = setup(0.4) + 2 drains
+    # across queries by Spark's design). Controls that pin the
+    # attribution (measured in isolation, warm, local[32]): the same
+    # Trigger.Once parquet-sink drain from the JVM-native `rate`
+    # source costs 0.44 s, so ~1.4 s/drain IS the Python-DataSource
+    # worker spawn; and Trigger.Once vs start+processAllAvailable+stop
+    # time IDENTICALLY (1.85-2.1 s over 3 alternations each), so the
+    # single-batch collapse is cost-neutral machinery simplification,
+    # not a wall-clock lever. s06 = setup(0.4) + 2 drains
     # (3.5) + append(0.3) + 2 counts(0.35) ≈ 4.6 s warm floor; s09
     # adds a COW delete + per-batch view MERGE. The r7 targets
     # (≤4.5 / ≤5.0) sit AT/below that floor, so the remaining gap is
