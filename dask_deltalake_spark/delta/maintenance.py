@@ -677,6 +677,7 @@ def optimize(
     target_file_size: int = 128 * 1024 * 1024,
     zorder_by: Optional[list[str]] = None,
     spark: Optional[SparkSession] = None,
+    where: Optional[list] = None,
 ) -> dict:
     """Bin-packing compaction (delta-spark OPTIMIZE analog), optionally
     Z-ORDER clustered.
@@ -691,7 +692,20 @@ def optimize(
     an interleaved-bit z-value so each output file covers a tight
     min/max range on every listed column — per-file stats then skip
     files for predicates on ANY of them, not just the first sort key.
-    """
+
+    ``where`` (delta-spark ``OPTIMIZE tbl WHERE ...``): a DNF filter
+    over PARTITION columns only (reference filter syntax), scoping the
+    rewrite to the matching partitions — the steady-state maintenance
+    shape at 100 TB, where a full-table OPTIMIZE after every ingest
+    window would rewrite petabytes to compact one day's partition.
+    Partition predicates prune EXACTLY (each file's partitionValues
+    are literals), so the scoped rewrite reads precisely the files it
+    tombstones; predicates on non-partition columns are refused (the
+    delta-spark contract) because row-level scoping could not keep
+    ``dataChange=false`` honest. Untouched partitions keep their
+    files; the concurrency retry tolerates concurrent appends
+    anywhere, aborting only if a winner removed a file this OPTIMIZE
+    is compacting."""
     import pyspark.sql.functions as F
 
     from dask_deltalake_spark.delta.reader import read_delta, snapshot_schema
@@ -745,8 +759,52 @@ def optimize(
 
         zorder_by = clustering_columns(snap)
 
-    old_paths = list(snap.files)
-    total_bytes = sum(a.size for a in snap.add_actions)
+    target_adds = snap.add_actions
+    where_dnf = None
+    if where is not None:
+        from dask_deltalake_spark.delta.protocol import (
+            normalize_dnf,
+            prune_partitions,
+        )
+
+        where_dnf = normalize_dnf(where)
+        referenced = {c for conj in where_dnf for (c, _op, _v) in conj}
+        non_part = sorted(referenced - set(partition_by))
+        if non_part:
+            raise ValueError(
+                f"optimize(where=): predicate references non-partition "
+                f"columns {non_part}; OPTIMIZE WHERE supports partition "
+                "predicates only."
+            )
+        from dask_deltalake_spark.delta.protocol import (
+            column_mapping_mode as _cm_mode,
+        )
+
+        prune_dnf = where_dnf
+        if _cm_mode(snap.metadata) != "none":
+            from dask_deltalake_spark.delta.column_mapping import (
+                logical_to_physical,
+                translate_dnf,
+            )
+            from dask_deltalake_spark.delta.reader import snapshot_schema
+
+            prune_dnf = translate_dnf(
+                where_dnf, logical_to_physical(snapshot_schema(snap))
+            )
+        # exact for partition-only predicates: each file's
+        # partitionValues are literals, so the predicate decides
+        # every file definitively — the scoped read below (same
+        # filter through read_delta) sees exactly these files' rows
+        target_adds = prune_partitions(target_adds, prune_dnf)
+        if not target_adds:
+            return {
+                "numFilesAdded": 0,
+                "numFilesRemoved": 0,
+                "version": snap.version,
+            }
+
+    old_paths = [a.path for a in target_adds]
+    total_bytes = sum(a.size for a in target_adds)
     n_out = max(1, round(total_bytes / target_file_size))
 
     from dask_deltalake_spark.delta.rowtracking import (
@@ -765,12 +823,14 @@ def optimize(
                 "its configuration; cannot preserve ids through OPTIMIZE."
             )
         df = (
-            read_delta(table_path, spark=spark, with_row_ids=True)
+            read_delta(
+                table_path, spark=spark, with_row_ids=True, filter=where
+            )
             .withColumnRenamed("_row_id", rid_col)
             .withColumnRenamed("_row_commit_version", rcv_col)
         )
     else:
-        df = read_delta(table_path, spark=spark)
+        df = read_delta(table_path, spark=spark, filter=where)
     if zorder_by:
         missing = [c for c in zorder_by if c not in df.columns]
         if missing:
@@ -845,6 +905,12 @@ def optimize(
                 "operationParameters": {
                     "targetSize": str(target_file_size),
                     "zOrderBy": json.dumps(list(zorder_by or [])),
+                    "predicate": json.dumps(
+                        [[list(t) for t in conj] for conj in where_dnf],
+                        default=str,
+                    )
+                    if where_dnf
+                    else "[]",
                 },
                 "readVersion": snap.version,
                 "isBlindAppend": False,

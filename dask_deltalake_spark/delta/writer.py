@@ -845,6 +845,105 @@ def _maybe_auto_checkpoint(table_path: str, version: int) -> None:
         pass
 
 
+AUTO_COMPACT_MIN_FILES_KEY = "delta.autoOptimize.minNumFiles"
+_AUTO_COMPACT_MIN_FILES = 50  # delta-spark autoCompact.minNumFiles default
+_DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024
+
+
+def _auto_optimize_enabled(config: dict, which: str) -> bool:
+    return (
+        str(config.get(f"delta.autoOptimize.{which}", "")).lower() == "true"
+    )
+
+
+def _target_file_size(config: dict) -> int:
+    """``delta.targetFileSize`` (bytes string) or the 128 MiB default."""
+    try:
+        v = int(str(config.get("delta.targetFileSize", "")).strip())
+        return v if v > 0 else _DEFAULT_TARGET_FILE_SIZE
+    except (TypeError, ValueError):
+        return _DEFAULT_TARGET_FILE_SIZE
+
+
+def _maybe_auto_compact(
+    table_path: str,
+    config: dict,
+    adds: list,
+    logical_partition_by: list,
+    physical_partition_by: list,
+    spark,
+) -> None:
+    """Post-commit hook for ``delta.autoOptimize.autoCompact``
+    (delta-spark auto compaction): after a write lands, opportunistically
+    compact the partitions it touched once they accumulate ≥
+    minNumFiles files smaller than targetFileSize (threshold from the
+    ``delta.autoOptimize.minNumFiles`` table property, default 50 —
+    delta-spark's ``autoCompact.minNumFiles``). Scope is the OR-of-ANDs
+    partition predicate of the touched partitions via
+    ``optimize(where=...)`` — O(touched partitions), never a full-table
+    rewrite riding an append. Touched partitions with a NULL value are
+    skipped (the reference DNF grammar has no is-null operator; a
+    manual ``optimize()`` covers them). Best-effort by contract: the
+    data commit already succeeded, so a lost compaction race (or any
+    other failure) warns instead of failing the write — identical to
+    delta-spark, where auto compaction is a post-commit hook whose
+    failure never fails the transaction."""
+    from dask_deltalake_spark.delta.log import DeltaLog
+
+    try:
+        snap = DeltaLog(table_path).snapshot()
+        target = _target_file_size(config)
+        try:
+            min_files = int(config.get(AUTO_COMPACT_MIN_FILES_KEY, ""))
+        except (TypeError, ValueError):
+            min_files = _AUTO_COMPACT_MIN_FILES
+        where: Optional[list] = None
+        if physical_partition_by:
+            touched = {
+                tuple(a.partition_values.get(c) for c in physical_partition_by)
+                for a in adds
+            }
+            touched = {t for t in touched if None not in t}
+            if not touched:
+                return
+            in_scope = [
+                a
+                for a in snap.add_actions
+                if tuple(
+                    a.partition_values.get(c) for c in physical_partition_by
+                )
+                in touched
+            ]
+            # logical names in the DNF — optimize() translates back
+            where = [
+                [
+                    (lc, "==", v)
+                    for lc, v in zip(logical_partition_by, t)
+                ]
+                for t in sorted(touched)
+            ]
+        else:
+            in_scope = list(snap.add_actions)
+        small = [a for a in in_scope if a.size < target]
+        if len(small) < min_files:
+            return
+        from dask_deltalake_spark.delta.maintenance import optimize
+
+        optimize(
+            table_path, target_file_size=target, spark=spark, where=where
+        )
+    except Exception as e:  # noqa: BLE001 — post-commit, best-effort
+        import warnings
+
+        warnings.warn(
+            f"auto compaction after commit to {table_path} failed "
+            f"({type(e).__name__}: {e}); the data commit itself "
+            "succeeded.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+
 def to_delta(
     df: DataFrame,
     table_or_uri: str,
@@ -1243,13 +1342,55 @@ def to_delta(
         merged_config = None
         merged_widened = False
         rw_dnf = None  # replace_where on a CREATE replaces nothing
+        # on create, partition_by is still the logical spelling
+        # (physical translation only applies to mapped EXISTING tables)
+        logical_partition_by = list(partition_by)
     if rw_dnf is None:
         _rw_persisted = None
 
     log.store.makedirs(table_path)
 
+    # effective table properties for the auto-optimize pair below:
+    # the EXISTING table's configuration wins (a writer cannot opt
+    # out of table-level tuning per delta-spark semantics); on create
+    # it is the requested configuration
+    _eff_config = (
+        dict(snap.metadata.configuration)
+        if snap is not None
+        else dict(configuration or {})
+    )
+
     if shuffle and partition_by:
         df = df.repartition(*partition_by)
+    elif _auto_optimize_enabled(_eff_config, "optimizeWrite"):
+        # delta-spark `delta.autoOptimize.optimizeWrite`: shape the
+        # frame BEFORE the file write so task count ≈ output-file
+        # count ≈ data/targetFileSize. Partitioned: repartition on the
+        # partition columns (each value lands in one task → one file,
+        # the small-files-per-partition fix). Unpartitioned: bounded
+        # COALESCE down to ceil(estimate/target) using Catalyst's
+        # plan-size estimate — coalesce-only (never a shuffle up, and
+        # never above the current partition count) so a wild estimate
+        # can at worst keep the existing parallelism. The classic win:
+        # a dimension frame arriving with 200 upstream partitions no
+        # longer writes 200 tiny files.
+        if partition_by:
+            df = df.repartition(*partition_by)
+        else:
+            try:
+                est = int(
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+                n_cur = df.rdd.getNumPartitions()
+                tgt = _target_file_size(_eff_config)
+                n_tgt = max(1, min(n_cur, -(-est // tgt)))
+                if n_tgt < n_cur:
+                    df = df.coalesce(n_tgt)
+            except Exception:
+                pass  # estimate unavailable: write as-is
 
     if snap is None and configuration:
         # creating a table WITH constraints: the first rows must
@@ -1569,6 +1710,15 @@ def to_delta(
     while True:
         try:
             write_commit(table_path, commit_version, actions)
+            if _auto_optimize_enabled(_eff_config, "autoCompact"):
+                _maybe_auto_compact(
+                    table_path,
+                    _eff_config,
+                    adds,
+                    logical_partition_by,
+                    partition_by,
+                    df.sparkSession,
+                )
             return
         except ConcurrentCommitError:
             retryable = mode == "append" or (

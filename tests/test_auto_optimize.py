@@ -1,0 +1,175 @@
+"""OPTIMIZE WHERE + auto-optimize table properties (r8).
+
+delta-spark parity surfaces: ``OPTIMIZE tbl WHERE <partition pred>``
+(maintenance.optimize(where=)), ``delta.autoOptimize.optimizeWrite``
+(pre-write frame shaping), ``delta.autoOptimize.autoCompact``
+(post-commit opportunistic compaction of the touched partitions).
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+from dask_deltalake_spark.delta.maintenance import optimize
+from dask_deltalake_spark.delta.reader import read_delta
+from dask_deltalake_spark.delta.writer import to_delta
+
+
+def _files_per_partition(path, col):
+    per = {}
+    for a in DeltaLog(path).snapshot().add_actions:
+        per.setdefault(a.partition_values.get(col), []).append(a.path)
+    return per
+
+
+def test_optimize_where_scopes_to_matching_partitions(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.range(0, 900).withColumn("part", (F.col("id") % 3).cast("int"))
+    to_delta(df.repartition(4), p, partition_by=["part"])
+    to_delta(df.repartition(4), p, partition_by=["part"], mode="append")
+    before = _files_per_partition(p, "part")
+    assert all(len(v) == 8 for v in before.values())
+
+    res = optimize(p, where=[("part", "==", 1)], spark=spark)
+    assert res["numFilesRemoved"] == 8 and res["numFilesAdded"] == 1
+    _SNAPSHOT_CACHE.clear()
+    after = _files_per_partition(p, "part")
+    # untouched partitions keep their EXACT file lists
+    assert after["0"] == before["0"] and after["2"] == before["2"]
+    assert len(after["1"]) == 1
+    got = read_delta(p, spark=spark)
+    assert got.count() == 1800
+    assert got.agg(F.sum("id")).first()[0] == 2 * sum(range(900))
+
+
+def test_optimize_where_refuses_non_partition_predicate(spark, tmp_path):
+    p = str(tmp_path / "t")
+    to_delta(
+        spark.range(0, 10).withColumn("part", F.lit(0)),
+        p,
+        partition_by=["part"],
+    )
+    with pytest.raises(ValueError, match="non-partition"):
+        optimize(p, where=[("id", "<", 5)], spark=spark)
+
+
+def test_optimize_where_no_match_is_a_noop(spark, tmp_path):
+    p = str(tmp_path / "t")
+    to_delta(
+        spark.range(0, 10).withColumn("part", F.lit(0)),
+        p,
+        partition_by=["part"],
+    )
+    v = DeltaLog(p).snapshot().version
+    res = optimize(p, where=[("part", "==", 99)], spark=spark)
+    assert res == {"numFilesAdded": 0, "numFilesRemoved": 0, "version": v}
+    assert DeltaLog(p).versions()[-1] == v  # no commit written
+
+
+def test_optimize_write_partitioned_one_file_per_value(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = (
+        spark.range(0, 900)
+        .withColumn("part", (F.col("id") % 3).cast("int"))
+        .repartition(8)
+    )
+    to_delta(
+        df,
+        p,
+        partition_by=["part"],
+        configuration={"delta.autoOptimize.optimizeWrite": "true"},
+    )
+    assert len(DeltaLog(p).snapshot().add_actions) == 3
+    assert read_delta(p, spark=spark).count() == 900
+
+
+def test_optimize_write_unpartitioned_coalesces(spark, tmp_path):
+    p = str(tmp_path / "t")
+    to_delta(
+        spark.range(0, 1000).repartition(16),
+        p,
+        configuration={"delta.autoOptimize.optimizeWrite": "true"},
+    )
+    # tiny frame, 128 MiB target -> one output file (vs 16 without)
+    assert len(DeltaLog(p).snapshot().add_actions) == 1
+    assert read_delta(p, spark=spark).count() == 1000
+
+
+def test_optimize_write_off_by_default(spark, tmp_path):
+    p = str(tmp_path / "t")
+    to_delta(spark.range(0, 1000).repartition(16), p)
+    assert len(DeltaLog(p).snapshot().add_actions) == 16
+
+
+def test_optimize_write_sticks_from_table_config(spark, tmp_path):
+    """The EXISTING table's property governs later appends — a writer
+    does not have to re-request it (delta-spark semantics)."""
+    p = str(tmp_path / "t")
+    to_delta(
+        spark.range(0, 10),
+        p,
+        configuration={"delta.autoOptimize.optimizeWrite": "true"},
+    )
+    to_delta(spark.range(10, 1000).repartition(16), p, mode="append")
+    assert len(DeltaLog(p).snapshot().add_actions) == 2
+    assert read_delta(p, spark=spark).count() == 1000
+
+
+def test_auto_compact_threshold_and_commit(spark, tmp_path):
+    p = str(tmp_path / "t")
+    cfg = {
+        "delta.autoOptimize.autoCompact": "true",
+        "delta.autoOptimize.minNumFiles": "6",
+    }
+    to_delta(spark.range(0, 100).repartition(2), p, configuration=cfg)
+    to_delta(spark.range(100, 200).repartition(2), p, mode="append")
+    _SNAPSHOT_CACHE.clear()
+    assert len(DeltaLog(p).snapshot().add_actions) == 4  # below threshold
+    to_delta(spark.range(200, 300).repartition(2), p, mode="append")
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(p).snapshot()
+    assert len(snap.add_actions) == 1  # 6 small files -> compacted
+    ops = [c.get("operation") for c in DeltaLog(p).commit_infos()]
+    assert ops[-1] == "OPTIMIZE"
+    got = read_delta(p, spark=spark)
+    assert got.count() == 300
+    assert got.agg(F.sum("id")).first()[0] == sum(range(300))
+
+
+def test_auto_compact_scopes_to_touched_partition(spark, tmp_path):
+    p = str(tmp_path / "t")
+    cfg = {
+        "delta.autoOptimize.autoCompact": "true",
+        "delta.autoOptimize.minNumFiles": "4",
+    }
+    d0 = spark.range(0, 100).withColumn("part", F.lit(0)).repartition(2)
+    d1 = spark.range(100, 200).withColumn("part", F.lit(1)).repartition(2)
+    to_delta(d0, p, partition_by=["part"], configuration=cfg)
+    to_delta(d1, p, mode="append")
+    to_delta(d1, p, mode="append")  # part 1 now has 4 small files
+    _SNAPSHOT_CACHE.clear()
+    per = _files_per_partition(p, "part")
+    # only the partition that crossed the threshold compacts; the
+    # untouched partition's 2 files (below threshold) stay put
+    assert len(per["1"]) == 1 and len(per["0"]) == 2
+    assert read_delta(p, spark=spark).count() == 300
+
+
+def test_auto_compact_ignores_large_files(spark, tmp_path):
+    """Files at/above targetFileSize never count toward the
+    threshold: an already-compacted table does not re-compact."""
+    p = str(tmp_path / "t")
+    cfg = {
+        "delta.autoOptimize.autoCompact": "true",
+        "delta.autoOptimize.minNumFiles": "2",
+        # absurdly small target: every real file counts as "large"
+        "delta.targetFileSize": "1",
+    }
+    to_delta(spark.range(0, 100).repartition(2), p, configuration=cfg)
+    to_delta(spark.range(100, 200).repartition(2), p, mode="append")
+    _SNAPSHOT_CACHE.clear()
+    ops = [c.get("operation") for c in DeltaLog(p).commit_infos()]
+    assert "OPTIMIZE" not in ops
+    assert len(DeltaLog(p).snapshot().add_actions) == 4
