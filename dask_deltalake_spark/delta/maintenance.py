@@ -82,7 +82,7 @@ def read_delta_history(
 
 def vacuum(
     path: str,
-    retention_hours: int = 168,
+    retention_hours: Optional[int] = None,
     dry_run: bool = True,
     storage_options: Optional[dict] = None,
     spark: Optional[SparkSession] = None,
@@ -91,8 +91,10 @@ def vacuum(
 ):
     """List (dry run) or delete files in the table directory that are
     no longer referenced by the current version and are older than the
-    retention threshold (default 168h, matching reference
-    core.py:121). Deletes are fanned out across executors — one
+    retention threshold. ``retention_hours=None`` (default) resolves
+    the table's ``delta.deletedFileRetentionDuration`` property, else
+    168 h — delta-spark's default ladder (an explicit RETAIN always
+    wins; the reference hard-codes 168 h, core.py:121). Deletes are fanned out across executors — one
     metadata-sized task list, deletion I/O distributed — mirroring the
     reference's one-delayed-task-per-tombstone design (core.py:143-151)
     in Spark terms.
@@ -154,6 +156,12 @@ def vacuum(
 
             abs_dv = dv_absolute_path(table_path, a.deletion_vector)
             referenced.add(os.path.relpath(abs_dv, table_path))
+    if retention_hours is None:
+        retention_hours = _parse_retention_interval(
+            snap.metadata.configuration.get(
+                "delta.deletedFileRetentionDuration", "interval 168 hours"
+            )
+        )
     cutoff_ms = now_ms() - retention_hours * 3600 * 1000
 
     tombstones: list[str] = []

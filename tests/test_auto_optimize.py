@@ -173,3 +173,33 @@ def test_auto_compact_ignores_large_files(spark, tmp_path):
     ops = [c.get("operation") for c in DeltaLog(p).commit_infos()]
     assert "OPTIMIZE" not in ops
     assert len(DeltaLog(p).snapshot().add_actions) == 4
+
+
+def test_vacuum_default_honors_retention_property(spark, tmp_path):
+    """vacuum(retention_hours=None) resolves
+    delta.deletedFileRetentionDuration (delta-spark's default ladder);
+    an explicit retention still wins."""
+    import time
+
+    from dask_deltalake_spark.delta.maintenance import vacuum
+
+    p = str(tmp_path / "t")
+    to_delta(
+        spark.range(0, 10).coalesce(1),
+        p,
+        configuration={
+            "delta.deletedFileRetentionDuration": "interval 0 hours"
+        },
+    )
+    to_delta(spark.range(10, 20).coalesce(1), p, mode="overwrite")
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(p).snapshot()
+    assert len(snap.tombstones) == 1
+    # age the tombstoned file a hair so the 0-hour cutoff passes it
+    victim = next(iter(snap.tombstones))
+    old = time.time() - 60
+    os.utime(os.path.join(p, victim), (old, old))
+    # property default (0 h) -> the tombstone is expired
+    assert sorted(vacuum(p, dry_run=True)) == [victim]
+    # explicit retention overrides the property -> nothing expired
+    assert vacuum(p, retention_hours=168, dry_run=True) == []
