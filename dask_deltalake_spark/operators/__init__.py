@@ -45,10 +45,11 @@ _ALL.update(_STREAMING)
 #         rows before hashing, the sort was a pure extra shuffle),
 #     x18 (shares _jaccard_pairs with x04 — re-verified alongside),
 #     x31 (two-level _ivf_assign gained the self-first routing
-#         tie-break; the one-level oracle-scale plan was diffed
-#         IDENTICAL modulo lambda-id cosmetics to the pre-refactor
-#         construction, attributing r7's +25% to variance —
-#         VERDICT r7 #6),
+#         tie-break, made UNCONDITIONAL in the r8 self-review pass
+#         (ulp-rounding could beat an exact-tie preference); the
+#         one-level oracle-scale plan was diffed IDENTICAL modulo
+#         lambda-id cosmetics to the pre-refactor construction,
+#         attributing r7's +25% to variance — VERDICT r7 #6),
 #     s06/s09 (drain_available_now collapses to a Trigger.Once
 #         single batch when no admission bound is set),
 #     d32 (cleanup_metadata: boundary capped at the classic latest +
