@@ -157,11 +157,25 @@ def vacuum(
             abs_dv = dv_absolute_path(table_path, a.deletion_vector)
             referenced.add(os.path.relpath(abs_dv, table_path))
     if retention_hours is None:
-        retention_hours = _parse_retention_interval(
-            snap.metadata.configuration.get(
-                "delta.deletedFileRetentionDuration", "interval 168 hours"
-            )
+        _prop = snap.metadata.configuration.get(
+            "delta.deletedFileRetentionDuration", "interval 168 hours"
         )
+        try:
+            retention_hours = _parse_retention_interval(_prop)
+        except ValueError:
+            # pre-r8 vacuum ignored the property entirely; a foreign
+            # engine's unparseable spelling must not make a previously
+            # vacuumable table un-vacuumable — warn and keep the
+            # reference default
+            import warnings
+
+            warnings.warn(
+                f"Unparseable delta.deletedFileRetentionDuration "
+                f"{_prop!r}; vacuum falls back to the 168 h default.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            retention_hours = 168
     cutoff_ms = now_ms() - retention_hours * 3600 * 1000
 
     tombstones: list[str] = []
@@ -686,6 +700,7 @@ def optimize(
     zorder_by: Optional[list[str]] = None,
     spark: Optional[SparkSession] = None,
     where: Optional[list] = None,
+    min_file_size: Optional[int] = None,
 ) -> dict:
     """Bin-packing compaction (delta-spark OPTIMIZE analog), optionally
     Z-ORDER clustered.
@@ -713,7 +728,16 @@ def optimize(
     ``dataChange=false`` honest. Untouched partitions keep their
     files; the concurrency retry tolerates concurrent appends
     anywhere, aborting only if a winner removed a file this OPTIMIZE
-    is compacting."""
+    is compacting.
+
+    ``min_file_size`` (delta-spark's OPTIMIZE candidate bound,
+    ``optimize.minFileSize``): only files strictly below the bound
+    are compacted — files already at/above it are neither read nor
+    tombstoned, so repeated OPTIMIZE runs on a growing table cost
+    O(small-file bytes), not O(table). Fewer than two candidates is a
+    no-op. On row-tracked tables the bound is ignored (the
+    id-preserving read path is scope-wide) — the whole scope
+    rewrites, as before."""
     import pyspark.sql.functions as F
 
     from dask_deltalake_spark.delta.reader import read_delta, snapshot_schema
@@ -767,14 +791,15 @@ def optimize(
 
         zorder_by = clustering_columns(snap)
 
+    from dask_deltalake_spark.delta.protocol import (
+        column_mapping_mode,
+        normalize_dnf,
+        prune_partitions,
+    )
+
     target_adds = snap.add_actions
     where_dnf = None
     if where is not None:
-        from dask_deltalake_spark.delta.protocol import (
-            normalize_dnf,
-            prune_partitions,
-        )
-
         where_dnf = normalize_dnf(where)
         referenced = {c for conj in where_dnf for (c, _op, _v) in conj}
         non_part = sorted(referenced - set(partition_by))
@@ -784,17 +809,12 @@ def optimize(
                 f"columns {non_part}; OPTIMIZE WHERE supports partition "
                 "predicates only."
             )
-        from dask_deltalake_spark.delta.protocol import (
-            column_mapping_mode as _cm_mode,
-        )
-
         prune_dnf = where_dnf
-        if _cm_mode(snap.metadata) != "none":
+        if column_mapping_mode(snap.metadata) != "none":
             from dask_deltalake_spark.delta.column_mapping import (
                 logical_to_physical,
                 translate_dnf,
             )
-            from dask_deltalake_spark.delta.reader import snapshot_schema
 
             prune_dnf = translate_dnf(
                 where_dnf, logical_to_physical(snapshot_schema(snap))
@@ -804,16 +824,6 @@ def optimize(
         # every file definitively — the scoped read below (same
         # filter through read_delta) sees exactly these files' rows
         target_adds = prune_partitions(target_adds, prune_dnf)
-        if not target_adds:
-            return {
-                "numFilesAdded": 0,
-                "numFilesRemoved": 0,
-                "version": snap.version,
-            }
-
-    old_paths = [a.path for a in target_adds]
-    total_bytes = sum(a.size for a in target_adds)
-    n_out = max(1, round(total_bytes / target_file_size))
 
     from dask_deltalake_spark.delta.rowtracking import (
         assign_base_row_ids,
@@ -821,6 +831,33 @@ def optimize(
         row_id_high_water_mark,
         row_tracking_enabled,
     )
+
+    # min_file_size (delta-spark's OPTIMIZE candidate cut, the knob
+    # auto-compact rides): only files BELOW the bound are rewritten;
+    # already-compacted large files stay untouched instead of being
+    # re-read and re-written on every trigger. Row-tracked tables
+    # rewrite the whole scope regardless (the id-materializing read
+    # path is scope-wide; documented in _maybe_auto_compact) — and
+    # compacting fewer than 2 candidates is a no-op by definition.
+    if min_file_size is not None and not row_tracking_enabled(snap.metadata):
+        target_adds = [a for a in target_adds if a.size < min_file_size]
+        if len(target_adds) < 2:
+            return {
+                "numFilesAdded": 0,
+                "numFilesRemoved": 0,
+                "version": snap.version,
+            }
+    if not target_adds:
+        return {
+            "numFilesAdded": 0,
+            "numFilesRemoved": 0,
+            "version": snap.version,
+        }
+    subset = len(target_adds) < len(snap.add_actions)
+
+    old_paths = [a.path for a in target_adds]
+    total_bytes = sum(a.size for a in target_adds)
+    n_out = max(1, round(total_bytes / target_file_size))
 
     _rt = row_tracking_enabled(snap.metadata)
     if _rt:
@@ -837,8 +874,16 @@ def optimize(
             .withColumnRenamed("_row_id", rid_col)
             .withColumnRenamed("_row_commit_version", rcv_col)
         )
+    elif subset:
+        # the candidate set is a strict subset (min_file_size cut or
+        # where-scope): read EXACTLY those files so untouched files'
+        # rows never enter the rewrite — the same logical-row reader
+        # the DML paths use (column-mapped rename included)
+        from dask_deltalake_spark.delta.mutate import _read_files
+
+        df = _read_files(spark, snap, target_adds, snapshot_schema(snap))
     else:
-        df = read_delta(table_path, spark=spark, filter=where)
+        df = read_delta(table_path, spark=spark)
     if zorder_by:
         missing = [c for c in zorder_by if c not in df.columns]
         if missing:
@@ -873,8 +918,6 @@ def optimize(
         df = df.repartition(n_out, *partition_by)
     else:
         df = df.repartition(n_out)
-
-    from dask_deltalake_spark.delta.protocol import column_mapping_mode
 
     if column_mapping_mode(snap.metadata) != "none":
         from dask_deltalake_spark.delta.column_mapping import (
@@ -1155,20 +1198,47 @@ def restore(
     }
 
 
+_INTERVAL_UNIT_HOURS = {
+    "week": 168.0,
+    "day": 24.0,
+    "hour": 1.0,
+    "minute": 1 / 60,
+    "second": 1 / 3600,
+    "millisecond": 1 / 3_600_000,
+    "microsecond": 1 / 3_600_000_000,
+}
+
+
 def _parse_retention_interval(s: str) -> float:
-    """'interval 30 days' / '12 hours' / '2 weeks' → hours."""
+    """Delta retention interval → hours. Accepts the full
+    delta-spark/CalendarInterval day-time subset: one or more
+    '<n> <unit>' pairs ('interval 30 days', '1 week 2 days',
+    '90 seconds'); month/year units are REJECTED exactly as
+    delta-spark's DeltaConfigs does (calendar-variable units cannot
+    define a retention duration)."""
     import re as _re
 
-    m = _re.fullmatch(
-        r"(?:interval\s+)?(\d+)\s*(week|day|hour|minute)s?",
-        str(s).strip().lower(),
-    )
-    if not m:
+    text = str(s).strip().lower()
+    body = _re.sub(r"^interval\s+", "", text)
+    pairs = _re.findall(r"([+-]?\d+)\s*([a-z]+)", body)
+    if not pairs or _re.sub(r"[+-]?\d+\s*[a-z]+\s*", "", body).strip():
         raise ValueError(f"Unparseable retention interval: {s!r}")
-    n = int(m.group(1))
-    return n * {"week": 168, "day": 24, "hour": 1, "minute": 1 / 60}[
-        m.group(2)
-    ]
+    hours = 0.0
+    for n, unit in pairs:
+        unit = unit.rstrip("s") if unit not in ("ms", "us") else unit
+        unit = {"ms": "millisecond", "us": "microsecond"}.get(unit, unit)
+        if unit in ("month", "year"):
+            raise ValueError(
+                f"Retention interval {s!r} uses calendar-variable unit "
+                f"{unit!r}; only week/day/hour/minute/second intervals "
+                "are valid (delta-spark rejects these too)."
+            )
+        if unit not in _INTERVAL_UNIT_HOURS:
+            raise ValueError(f"Unparseable retention interval: {s!r}")
+        hours += int(n) * _INTERVAL_UNIT_HOURS[unit]
+    if hours < 0:
+        raise ValueError(f"Negative retention interval: {s!r}")
+    return hours
 
 
 def compact_log(

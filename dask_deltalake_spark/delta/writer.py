@@ -857,12 +857,39 @@ def _auto_optimize_enabled(config: dict, which: str) -> bool:
 
 
 def _target_file_size(config: dict) -> int:
-    """``delta.targetFileSize`` (bytes string) or the 128 MiB default."""
-    try:
-        v = int(str(config.get("delta.targetFileSize", "")).strip())
-        return v if v > 0 else _DEFAULT_TARGET_FILE_SIZE
-    except (TypeError, ValueError):
+    """``delta.targetFileSize`` → bytes. Accepts the documented
+    delta-spark spellings: a plain byte count ('134217728') or a size
+    suffix ('100mb', '1g', '512kb'). A present-but-unparseable value
+    warns and falls back to 128 MiB — silently ignoring a property
+    the user set would mis-size every optimizeWrite/auto-compact
+    decision with no trace."""
+    raw = config.get("delta.targetFileSize")
+    if raw is None or str(raw).strip() == "":
         return _DEFAULT_TARGET_FILE_SIZE
+    import re as _re
+
+    m = _re.fullmatch(
+        r"(\d+)\s*(b|kb?|mb?|gb?|tb?)?",
+        str(raw).strip().lower(),
+    )
+    if m and int(m.group(1)) > 0:
+        mult = {
+            None: 1, "b": 1,
+            "k": 1 << 10, "kb": 1 << 10,
+            "m": 1 << 20, "mb": 1 << 20,
+            "g": 1 << 30, "gb": 1 << 30,
+            "t": 1 << 40, "tb": 1 << 40,
+        }[m.group(2)]
+        return int(m.group(1)) * mult
+    import warnings
+
+    warnings.warn(
+        f"Unparseable delta.targetFileSize {raw!r}; using the "
+        "128 MiB default.",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return _DEFAULT_TARGET_FILE_SIZE
 
 
 def _maybe_auto_compact(
@@ -875,19 +902,25 @@ def _maybe_auto_compact(
 ) -> None:
     """Post-commit hook for ``delta.autoOptimize.autoCompact``
     (delta-spark auto compaction): after a write lands, opportunistically
-    compact the partitions it touched once they accumulate ≥
+    compact the touched partitions that have EACH accumulated ≥
     minNumFiles files smaller than targetFileSize (threshold from the
     ``delta.autoOptimize.minNumFiles`` table property, default 50 —
-    delta-spark's ``autoCompact.minNumFiles``). Scope is the OR-of-ANDs
-    partition predicate of the touched partitions via
-    ``optimize(where=...)`` — O(touched partitions), never a full-table
-    rewrite riding an append. Touched partitions with a NULL value are
+    delta-spark's ``autoCompact.minNumFiles``, which is a per-directory
+    bound: a wide append brushing 60 partitions with one small file
+    apiece must NOT trigger). Scope is twofold: the OR-of-ANDs
+    partition predicate of the qualifying partitions via
+    ``optimize(where=...)``, AND ``min_file_size=target`` so
+    already-compacted large files in those partitions are neither read
+    nor rewritten — per trigger the I/O is O(small files), never
+    O(partition) or O(table). Touched partitions with a NULL value are
     skipped (the reference DNF grammar has no is-null operator; a
     manual ``optimize()`` covers them). Best-effort by contract: the
     data commit already succeeded, so a lost compaction race (or any
     other failure) warns instead of failing the write — identical to
     delta-spark, where auto compaction is a post-commit hook whose
-    failure never fails the transaction."""
+    failure never fails the transaction. Row-tracked tables are the
+    one exception to the small-file-only cut (optimize's id-preserving
+    read is scope-wide; see its docstring)."""
     from dask_deltalake_spark.delta.log import DeltaLog
 
     try:
@@ -906,31 +939,38 @@ def _maybe_auto_compact(
             touched = {t for t in touched if None not in t}
             if not touched:
                 return
-            in_scope = [
-                a
-                for a in snap.add_actions
-                if tuple(
+            small_per_part: dict = {}
+            for a in snap.add_actions:
+                key = tuple(
                     a.partition_values.get(c) for c in physical_partition_by
                 )
-                in touched
-            ]
+                if key in touched and a.size < target:
+                    small_per_part[key] = small_per_part.get(key, 0) + 1
+            qualifying = sorted(
+                t for t, n in small_per_part.items() if n >= min_files
+            )
+            if not qualifying:
+                return
             # logical names in the DNF — optimize() translates back
             where = [
                 [
                     (lc, "==", v)
                     for lc, v in zip(logical_partition_by, t)
                 ]
-                for t in sorted(touched)
+                for t in qualifying
             ]
         else:
-            in_scope = list(snap.add_actions)
-        small = [a for a in in_scope if a.size < target]
-        if len(small) < min_files:
-            return
+            small = [a for a in snap.add_actions if a.size < target]
+            if len(small) < min_files:
+                return
         from dask_deltalake_spark.delta.maintenance import optimize
 
         optimize(
-            table_path, target_file_size=target, spark=spark, where=where
+            table_path,
+            target_file_size=target,
+            spark=spark,
+            where=where,
+            min_file_size=target,
         )
     except Exception as e:  # noqa: BLE001 — post-commit, best-effort
         import warnings
@@ -1365,9 +1405,13 @@ def to_delta(
     elif _auto_optimize_enabled(_eff_config, "optimizeWrite"):
         # delta-spark `delta.autoOptimize.optimizeWrite`: shape the
         # frame BEFORE the file write so task count ≈ output-file
-        # count ≈ data/targetFileSize. Partitioned: repartition on the
-        # partition columns (each value lands in one task → one file,
-        # the small-files-per-partition fix). Unpartitioned: bounded
+        # count ≈ data/targetFileSize. Partitioned: AQE REBALANCE on
+        # the partition columns — co-locates each value's rows AND
+        # lets AQE split a skewed value across tasks at the advisory
+        # size (a 200 GB hot partition becomes N capped files, never
+        # one straggler task sorting 200 GB, which a plain
+        # repartition(*cols) would force) while still coalescing the
+        # small values into few tasks. Unpartitioned: bounded
         # COALESCE down to ceil(estimate/target) using Catalyst's
         # plan-size estimate — coalesce-only (never a shuffle up, and
         # never above the current partition count) so a wild estimate
@@ -1375,7 +1419,7 @@ def to_delta(
         # a dimension frame arriving with 200 upstream partitions no
         # longer writes 200 tiny files.
         if partition_by:
-            df = df.repartition(*partition_by)
+            df = df.hint("rebalance", *partition_by)
         else:
             try:
                 est = int(

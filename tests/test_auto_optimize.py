@@ -203,3 +203,115 @@ def test_vacuum_default_honors_retention_property(spark, tmp_path):
     assert sorted(vacuum(p, dry_run=True)) == [victim]
     # explicit retention overrides the property -> nothing expired
     assert vacuum(p, retention_hours=168, dry_run=True) == []
+
+
+def test_auto_compact_threshold_is_per_partition(spark, tmp_path):
+    """A wide append brushing many partitions with one small file each
+    must NOT trigger (delta-spark's minNumFiles is per directory)."""
+    p = str(tmp_path / "t")
+    cfg = {
+        "delta.autoOptimize.autoCompact": "true",
+        "delta.autoOptimize.minNumFiles": "4",
+    }
+    wide = (
+        spark.range(0, 60)
+        .withColumn("part", F.col("id") % 30)
+        .coalesce(1)  # exactly ONE file per partition value per write
+    )
+    to_delta(wide, p, partition_by=["part"], configuration=cfg)
+    to_delta(wide, p, mode="append")  # 30 partitions × 2 small files
+    _SNAPSHOT_CACHE.clear()
+    ops = [c.get("operation") for c in DeltaLog(p).commit_infos()]
+    # 60 small files total, but no single partition holds >= 4
+    assert "OPTIMIZE" not in ops
+
+
+def test_auto_compact_rewrites_only_small_files(spark, tmp_path):
+    """Large already-compacted files in a qualifying partition are
+    neither read nor tombstoned — the trigger's I/O is O(small files)."""
+    from dask_deltalake_spark.delta.maintenance import optimize
+
+    p = str(tmp_path / "t")
+    to_delta(spark.range(0, 500).coalesce(1), p)
+    optimize(p, spark=spark)  # one "large" baseline file
+    _SNAPSHOT_CACHE.clear()
+    (big,) = [a.path for a in DeltaLog(p).snapshot().add_actions]
+    big_size = DeltaLog(p).snapshot().add_actions[0].size
+    # now enable auto-compact with a target BELOW the big file's size
+    # so only the new small appends count and compact
+    from dask_deltalake_spark.delta.maintenance import set_table_properties
+
+    set_table_properties(
+        p,
+        {
+            "delta.autoOptimize.autoCompact": "true",
+            "delta.autoOptimize.minNumFiles": "4",
+            "delta.targetFileSize": str(big_size - 1),
+        },
+    )
+    for lo in (500, 510):
+        to_delta(spark.range(lo, lo + 10).repartition(2), p, mode="append")
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(p).snapshot()
+    paths = [a.path for a in snap.add_actions]
+    assert big in paths, "large file must survive untouched"
+    assert len(paths) == 2  # big + one compacted small-file output
+    assert read_delta(p, spark=spark).count() == 520
+
+
+def test_optimize_min_file_size_cut(spark, tmp_path):
+    from dask_deltalake_spark.delta.maintenance import optimize
+
+    p = str(tmp_path / "t")
+    to_delta(spark.range(0, 500).coalesce(1), p)
+    to_delta(spark.range(500, 510).repartition(3), p, mode="append")
+    _SNAPSHOT_CACHE.clear()
+    sizes = {a.path: a.size for a in DeltaLog(p).snapshot().add_actions}
+    big = max(sizes, key=sizes.get)
+    res = optimize(p, min_file_size=sizes[big], spark=spark)
+    assert res["numFilesRemoved"] == 3 and res["numFilesAdded"] == 1
+    _SNAPSHOT_CACHE.clear()
+    paths = [a.path for a in DeltaLog(p).snapshot().add_actions]
+    assert big in paths and len(paths) == 2
+    assert read_delta(p, spark=spark).count() == 510
+    # fewer than 2 candidates -> no-op, no commit
+    v = DeltaLog(p).snapshot().version
+    res2 = optimize(p, min_file_size=sizes[big], spark=spark)
+    assert res2["numFilesRemoved"] == 0 and DeltaLog(p).versions()[-1] == v
+
+
+def test_target_file_size_suffix_and_interval_grammar(spark, tmp_path):
+    from dask_deltalake_spark.delta.maintenance import (
+        _parse_retention_interval,
+    )
+    from dask_deltalake_spark.delta.writer import _target_file_size
+
+    assert _target_file_size({"delta.targetFileSize": "100mb"}) == 100 << 20
+    assert _target_file_size({"delta.targetFileSize": "1g"}) == 1 << 30
+    assert _target_file_size({"delta.targetFileSize": "134217728"}) == 128 << 20
+    assert _target_file_size({}) == 128 << 20
+    with pytest.warns(RuntimeWarning, match="targetFileSize"):
+        assert _target_file_size({"delta.targetFileSize": "huge"}) == 128 << 20
+
+    assert _parse_retention_interval("interval 1 week 2 days") == 168 + 48
+    assert _parse_retention_interval("interval 90 seconds") == 90 / 3600
+    assert _parse_retention_interval("7 days") == 168
+    with pytest.raises(ValueError, match="calendar-variable"):
+        _parse_retention_interval("interval 1 month")
+    with pytest.raises(ValueError, match="Unparseable"):
+        _parse_retention_interval("whenever")
+
+
+def test_vacuum_warns_not_crashes_on_bad_retention_property(spark, tmp_path):
+    from dask_deltalake_spark.delta.maintenance import vacuum
+
+    p = str(tmp_path / "t")
+    to_delta(
+        spark.range(0, 5).coalesce(1),
+        p,
+        configuration={
+            "delta.deletedFileRetentionDuration": "interval 1 month"
+        },
+    )
+    with pytest.warns(RuntimeWarning, match="deletedFileRetentionDuration"):
+        assert vacuum(p) == []  # falls back to 168 h, does not raise
