@@ -41,6 +41,7 @@ _EXPORTS = {
     "create_checkpoint": "dask_deltalake_spark.delta.maintenance",
     "recompute_statistics": "dask_deltalake_spark.delta.maintenance",
     "fsck_repair": "dask_deltalake_spark.delta.maintenance",
+    "generate_symlink_manifest": "dask_deltalake_spark.delta.maintenance",
     "optimize": "dask_deltalake_spark.delta.maintenance",
     "read_delta_history": "dask_deltalake_spark.delta.maintenance",
     "enable_v2_checkpoints": "dask_deltalake_spark.delta.maintenance",
@@ -101,6 +102,7 @@ __all__ = [
     "read_delta_history",
     "vacuum",
     "optimize",
+    "generate_symlink_manifest",
     "create_checkpoint",
     "cleanup_metadata",
     "compact_log",

@@ -1954,3 +1954,105 @@ def _reusable_sidecars(
                 }
             )
     return reused, set(covered)
+
+
+def generate_symlink_manifest(path: str) -> dict:
+    """``GENERATE symlink_format_manifest FOR TABLE`` (delta-spark's
+    ``DeltaTable.generate``): write the Hive-symlink manifest files
+    that let manifest-based readers (Presto/Trino/Athena/Hive external
+    tables) scan the CURRENT snapshot without understanding the Delta
+    log. Layout is delta-spark's exactly:
+
+    - unpartitioned: ``_symlink_format_manifest/manifest`` — one text
+      file, one ABSOLUTE data-file URI per line;
+    - partitioned: ``_symlink_format_manifest/<hive dirs>/manifest``
+      per partition value combination, each listing that partition's
+      files (``__HIVE_DEFAULT_PARTITION__`` for nulls, key=value
+      URL-encoded like the data layout).
+
+    Stale manifest directories for partitions that no longer exist in
+    the snapshot are removed — a manifest reader must never see
+    dropped partitions. The manifest is a SNAPSHOT artifact, not
+    transactional: like delta-spark, concurrent writers racing the
+    generation can leave it one version behind; re-run after writes
+    (delta.compatibility.symlinkFormatManifest.enabled's auto-mode is
+    a table-property hook a caller can wire the same way autoCompact
+    is). Deletion vectors refuse: a symlink reader would see deleted
+    rows resurrected (same refusal delta-spark raises).
+
+    Driver cost is O(#files) metadata — no data I/O; at 100 TB the
+    manifest write is proportional to the file count, the same scale
+    as any snapshot listing."""
+    from urllib.parse import quote as _q
+
+    from dask_deltalake_spark.delta.logstore import store_for
+    from dask_deltalake_spark.delta.protocol import (
+        file_base_root,
+        resolve_file_path,
+    )
+
+    table_path = str(path).rstrip("/")
+    log = DeltaLog(table_path)
+    snap = log.snapshot()
+    # deletionVectors is claimed at the GATE (generation only lists
+    # file metadata, which it fully understands) so the refusal below
+    # can name the actual problem — a DV'd SNAPSHOT has no faithful
+    # symlink representation, whatever the protocol says
+    check_read_protocol(
+        snap.protocol,
+        metadata=snap.metadata,
+        features={"columnMapping", "deletionVectors"},
+    )
+    if any(a.deletion_vector for a in snap.add_actions):
+        raise DeltaProtocolError(
+            "generate_symlink_manifest: the snapshot carries deletion "
+            "vectors; a symlink-manifest reader cannot apply them and "
+            "would resurrect deleted rows. Purge first (reorg_purge)."
+        )
+    store = store_for(table_path)
+    root = store.local_path(table_path)
+    if root is None:
+        raise DeltaProtocolError(
+            "generate_symlink_manifest requires locally-mapped storage "
+            "(the manifest lists absolute URIs of the mapped files)."
+        )
+    part_cols = list(snap.metadata.partition_columns)
+    manifest_root = os.path.join(root, "_symlink_format_manifest")
+
+    def _hive_dir(pv: dict) -> str:
+        segs = []
+        for c in part_cols:
+            v = pv.get(c)
+            seg = (
+                "__HIVE_DEFAULT_PARTITION__"
+                if v is None
+                else _q(str(v), safe="")
+            )
+            segs.append(f"{_q(c, safe='')}={seg}")
+        return os.path.join(*segs) if segs else ""
+    groups: dict = {}
+    for a in snap.add_actions:
+        abs_path = os.path.join(
+            store.local_path(file_base_root(snap.path, a)) or "",
+            os.path.relpath(
+                resolve_file_path(snap.path, a.path),
+                file_base_root(snap.path, a),
+            ),
+        )
+        groups.setdefault(_hive_dir(a.partition_values), []).append(
+            "file://" + os.path.abspath(abs_path)
+        )
+
+    import shutil as _sh
+
+    _sh.rmtree(manifest_root, ignore_errors=True)  # drop stale partitions
+    for hive_dir, uris in groups.items():
+        d = os.path.join(manifest_root, hive_dir) if hive_dir else manifest_root
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "manifest"), "w", encoding="utf-8") as f:
+            f.write("\n".join(sorted(uris)) + "\n")
+    return {
+        "version": snap.version,
+        "numManifestFiles": len(groups),
+        "numDataFiles": len(snap.add_actions),
+    }

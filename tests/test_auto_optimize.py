@@ -315,3 +315,53 @@ def test_vacuum_warns_not_crashes_on_bad_retention_property(spark, tmp_path):
     )
     with pytest.warns(RuntimeWarning, match="deletedFileRetentionDuration"):
         assert vacuum(p) == []  # falls back to 168 h, does not raise
+
+
+def test_generate_symlink_manifest(spark, tmp_path):
+    """delta-spark GENERATE symlink_format_manifest: hive-layout
+    manifest files listing the CURRENT snapshot's absolute URIs;
+    regeneration drops stale partitions; DV snapshots refuse."""
+    from dask_deltalake_spark.delta.maintenance import (
+        generate_symlink_manifest,
+    )
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.protocol import DeltaProtocolError
+
+    # unpartitioned
+    p = str(tmp_path / "t")
+    to_delta(spark.range(0, 10).repartition(2), p)
+    res = generate_symlink_manifest(p)
+    assert res["numManifestFiles"] == 1 and res["numDataFiles"] == 2
+    mf = os.path.join(p, "_symlink_format_manifest", "manifest")
+    uris = open(mf).read().strip().splitlines()
+    assert len(uris) == 2 and all(u.startswith("file://") for u in uris)
+    for u in uris:
+        assert os.path.exists(u[len("file://"):])
+
+    # partitioned + stale-partition cleanup after delete
+    p2 = str(tmp_path / "t2")
+    df = spark.range(0, 100).withColumn("part", (F.col("id") % 2).cast("int"))
+    to_delta(df, p2, partition_by=["part"])
+    generate_symlink_manifest(p2)
+    assert os.path.exists(
+        os.path.join(p2, "_symlink_format_manifest", "part=1", "manifest")
+    )
+    delete_where(p2, [("part", "==", 1)], spark=spark)
+    _SNAPSHOT_CACHE.clear()
+    res2 = generate_symlink_manifest(p2)
+    assert res2["numManifestFiles"] == 1
+    assert not os.path.exists(
+        os.path.join(p2, "_symlink_format_manifest", "part=1")
+    )
+    uris0 = open(
+        os.path.join(p2, "_symlink_format_manifest", "part=0", "manifest")
+    ).read().strip().splitlines()
+    assert uris0, "surviving partition listed"
+
+    # DV refusal
+    p3 = str(tmp_path / "t3")
+    to_delta(spark.range(0, 50).repartition(2), p3)
+    delete_where(p3, [("id", "<", 5)], spark=spark, strategy="merge-on-read")
+    _SNAPSHOT_CACHE.clear()
+    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+        generate_symlink_manifest(p3)
