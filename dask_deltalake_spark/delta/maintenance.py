@@ -212,10 +212,32 @@ def vacuum(
             list(removal_times.items()) or [("", 0)],
             "path string, rts long",
         )
+        # containment gate (delta-spark filters inventory candidates
+        # to the table base path): an S3-style inventory legitimately
+        # covers the whole bucket, so absolute paths under the table
+        # root are relativized and kept, everything else absolute (or
+        # scheme-qualified, or containing a '..' segment) is DROPPED —
+        # otherwise os.path.join(base, rel) with an absolute/.. rel
+        # resolves OUTSIDE the table and vacuum deletes files that
+        # were never part of it.
+        _base = table_path.rstrip("/") + "/"
         cand = (
             inventory.select(
                 F.col("path").cast("string").alias("path"),
                 F.col("modificationTime").cast("long").alias("mts"),
+            )
+            .withColumn(
+                "path",
+                F.when(
+                    F.col("path").startswith(_base),
+                    F.col("path").substr(F.lit(len(_base) + 1), F.lit(2**30)),
+                ).otherwise(F.col("path")),
+            )
+            .filter(
+                ~F.col("path").startswith("/")
+                & ~F.col("path").rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+                & ~F.col("path").rlike(r"(^|/)\.\.(/|$)")
+                & (F.col("path") != "")
             )
             .filter(~F.col("path").rlike(r"(^|/)[._]"))
             .join(F.broadcast(ref_df), "path", "left_anti")
@@ -878,10 +900,33 @@ def optimize(
         # the candidate set is a strict subset (min_file_size cut or
         # where-scope): read EXACTLY those files so untouched files'
         # rows never enter the rewrite — the same logical-row reader
-        # the DML paths use (column-mapped rename included)
+        # the DML paths use (column-mapped rename included). Candidates
+        # carrying deletion vectors are filtered through their DVs
+        # (exactly as reorg_purge does): without this, compacting a
+        # DV'd file — e.g. autoCompact right after a merge-on-read
+        # DELETE — would resurrect its deleted rows into the output
+        # while the DV itself is tombstoned, under a dataChange=false
+        # commit that CDC/streaming readers skip. delta-spark applies
+        # DVs during OPTIMIZE reads; so do we.
         from dask_deltalake_spark.delta.mutate import _read_files
 
-        df = _read_files(spark, snap, target_adds, snapshot_schema(snap))
+        _schema = snapshot_schema(snap)
+        dv_adds = [a for a in target_adds if a.deletion_vector]
+        if dv_adds:
+            from dask_deltalake_spark.delta.dv import dv_keep_predicate
+
+            raw = _read_files(
+                spark, snap, target_adds, _schema, with_metadata=True
+            )
+            keep = dv_keep_predicate(spark, snap.path, dv_adds)
+            df = raw.filter(
+                keep(
+                    F.col("_metadata.file_path"),
+                    F.col("_metadata.row_index"),
+                )
+            ).select(*_schema.fieldNames())
+        else:
+            df = _read_files(spark, snap, target_adds, _schema)
     else:
         df = read_delta(table_path, spark=spark)
     if zorder_by:
@@ -2043,14 +2088,42 @@ def generate_symlink_manifest(path: str) -> dict:
             "file://" + os.path.abspath(abs_path)
         )
 
-    import shutil as _sh
-
-    _sh.rmtree(manifest_root, ignore_errors=True)  # drop stale partitions
+    # write-then-cleanup, never a blackout: each manifest lands via
+    # temp file + atomic rename over its predecessor, so a
+    # Presto/Trino/Athena reader racing the generation sees either the
+    # previous snapshot's manifest or the new one — never an empty
+    # table (delta-spark overwrites manifests in place the same way).
+    # Only AFTER the new manifests exist are directories for
+    # partitions absent from the snapshot removed.
+    live_dirs = set()
     for hive_dir, uris in groups.items():
         d = os.path.join(manifest_root, hive_dir) if hive_dir else manifest_root
+        live_dirs.add(os.path.normpath(d))
         os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, "manifest"), "w", encoding="utf-8") as f:
+        tmp = os.path.join(d, ".manifest.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
             f.write("\n".join(sorted(uris)) + "\n")
+        os.replace(tmp, os.path.join(d, "manifest"))
+    # stale-partition sweep: drop manifests whose directory is no
+    # longer a live partition, leftover temp files from crashed runs,
+    # then prune empty directories bottom-up (rmdir only succeeds on
+    # empty dirs, so live content is structurally safe)
+    for dirpath, _dn, filenames in os.walk(manifest_root, topdown=False):
+        for fn in filenames:
+            stale_manifest = (
+                fn == "manifest"
+                and os.path.normpath(dirpath) not in live_dirs
+            )
+            if stale_manifest or fn == ".manifest.tmp":
+                try:
+                    os.remove(os.path.join(dirpath, fn))
+                except FileNotFoundError:
+                    pass
+        if os.path.normpath(dirpath) != os.path.normpath(manifest_root):
+            try:
+                os.rmdir(dirpath)
+            except OSError:
+                pass
     return {
         "version": snap.version,
         "numManifestFiles": len(groups),

@@ -365,3 +365,40 @@ def test_generate_symlink_manifest(spark, tmp_path):
     _SNAPSHOT_CACHE.clear()
     with pytest.raises(DeltaProtocolError, match="deletion vector"):
         generate_symlink_manifest(p3)
+
+
+def test_symlink_manifest_no_blackout_regeneration(spark, tmp_path):
+    """ADVICE r9 (low): regeneration must not rmtree the manifest root
+    — new manifests land via temp+rename over their predecessors and
+    only stale partition directories are removed afterwards, so a
+    Presto/Trino/Athena reader racing the generation sees the previous
+    snapshot or the new one, never an empty table."""
+    from dask_deltalake_spark.delta.maintenance import (
+        generate_symlink_manifest,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 40).withColumn("part", (F.col("id") % 2).cast("int"))
+    to_delta(df, p, partition_by=["part"])
+    generate_symlink_manifest(p)
+    root = os.path.join(p, "_symlink_format_manifest")
+    # foreign marker a blanket rmtree would have destroyed
+    marker = os.path.join(root, "_reader_marker")
+    with open(marker, "w") as fh:
+        fh.write("x")
+    # leftover temp from a crashed run inside a live partition dir
+    tmp_left = os.path.join(root, "part=0", ".manifest.tmp")
+    with open(tmp_left, "w") as fh:
+        fh.write("junk")
+    before = open(os.path.join(root, "part=0", "manifest")).read()
+    to_delta(
+        df.filter("part = 0"), p, mode="overwrite", partition_by=["part"]
+    )
+    _SNAPSHOT_CACHE.clear()
+    res = generate_symlink_manifest(p)
+    assert res["numManifestFiles"] == 1
+    assert os.path.exists(marker), "non-manifest content preserved"
+    assert not os.path.exists(tmp_left), "crashed-run temp swept"
+    assert not os.path.exists(os.path.join(root, "part=1")), "stale gone"
+    after = open(os.path.join(root, "part=0", "manifest")).read()
+    assert after != before, "live manifest replaced with the new snapshot"

@@ -386,3 +386,35 @@ def test_restore_across_vector_commits(spark, tmp_path):
     assert read_delta(path, spark=spark).agg(F.min("id")).first()[0] == 30
     restore(path, 0, spark=spark)                                     # full table
     assert read_delta(path, spark=spark).count() == 400
+
+
+def test_optimize_subset_applies_vectors(spark, tmp_path):
+    """ADVICE r9 (high): OPTIMIZE's subset path (where=/min_file_size=,
+    the branch auto-compact always takes) must filter DV'd candidates
+    through their deletion vectors exactly as reorg_purge does —
+    previously it read raw parquet via _read_files, resurrecting
+    merge-on-read-deleted rows into the compacted output under a
+    dataChange=false commit invisible to CDC/streaming readers."""
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.maintenance import optimize
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.reader import read_delta
+
+    path = str(tmp_path / "t")
+    _table(spark, path)  # 400 rows, part = id % 2
+    delete_where(
+        path, [("id", "<", 100)], spark=spark, strategy="merge-on-read"
+    )
+    # scope to one DV'd partition: a strict subset of the snapshot's
+    # adds, i.e. the _read_files branch
+    optimize(path, spark=spark, where=[("part", "=", 0)])
+    snap = DeltaLog(path).snapshot()
+    p0 = [
+        a
+        for a in snap.add_actions
+        if a.partition_values.get("part") == "0"
+    ]
+    assert p0 and all(a.deletion_vector is None for a in p0)
+    out = read_delta(path, spark=spark)
+    assert out.count() == 300, "deleted rows stay deleted through OPTIMIZE"
+    assert out.agg(F.min("id")).first()[0] == 100

@@ -187,3 +187,41 @@ def test_fsck_refuses_unknown_writer_feature(spark, tmp_path):
     os.remove(os.path.join(path, next(iter(snap.files))))
     with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
         fsck_repair(path, spark=spark)
+
+
+def test_vacuum_inventory_path_containment(spark, tmp_path):
+    """ADVICE r9 (medium): inventory paths are filtered to the table
+    root before the anti-join — absolute paths under the root are
+    relativized and honored (S3-bucket-wide inventories list them that
+    way), while absolute/scheme-qualified/'..'-traversal paths outside
+    it are dropped, so vacuum can never delete a file that was never
+    part of the table."""
+    import time
+
+    from dask_deltalake_spark.delta.maintenance import vacuum
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(0, 10).coalesce(1), path)
+    to_delta(spark.range(10, 20).coalesce(1), path, mode="overwrite")
+    victim = tmp_path / "outside.parquet"  # sibling of the table root
+    victim.write_bytes(b"not yours")
+    snap = DeltaLog(path).snapshot()
+    old_ms = int((time.time() - 3600) * 1000)
+    tomb = sorted(snap.tombstones)[0]
+    rows = [
+        (str(victim), old_ms),                  # absolute, outside root
+        ("../outside.parquet", old_ms),         # leading .. traversal
+        ("sub/../../outside.parquet", old_ms),  # embedded .. traversal
+        ("file:///etc/passwd", old_ms),         # scheme-qualified URI
+        ("", old_ms),                           # degenerate empty path
+        (os.path.join(path, tomb), old_ms),     # absolute UNDER root: kept
+    ]
+    inv = spark.createDataFrame(rows, "path string, modificationTime long")
+    got = vacuum(path, retention_hours=0, dry_run=True, inventory=inv)
+    assert got == [tomb], "only the relativized under-root path survives"
+    vacuum(
+        path, retention_hours=0, dry_run=False, inventory=inv, spark=spark
+    )
+    assert victim.exists(), "outside-root file untouched"
+    assert not os.path.exists(os.path.join(path, tomb))
+    assert read_delta(path, spark=spark).count() == 10
