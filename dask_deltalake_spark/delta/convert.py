@@ -51,27 +51,29 @@ class ConvertError(Exception):
     pass
 
 
-def _discover_files(root: str) -> list[str]:
-    """Relative paths of every data parquet file under ``root``
-    (hidden/underscore entries skipped, _delta_log excluded)."""
+def _discover_files(store, root: str) -> list[str]:
+    """Relative paths of every data parquet file under ``root``,
+    discovered THROUGH the LogStore seam (hidden/underscore segments
+    skipped, so _delta_log and temp staging are excluded). On a local
+    store this is os.walk; on an object store it is the store's
+    recursive listing — the same d40 seam pattern the DML paths use,
+    so conversion works on S3/GCS-class stores, not just local disk."""
     out = []
-    for dirpath, dirnames, filenames in os.walk(root):
-        dirnames[:] = [
-            d for d in dirnames if not d.startswith((".", "_"))
-        ]
-        for f in filenames:
-            if f.startswith((".", "_")) or not f.endswith(".parquet"):
-                continue
-            out.append(
-                os.path.relpath(os.path.join(dirpath, f), root)
-            )
+    for rel in store.walk_files(root):
+        rel = rel.replace(os.sep, "/")
+        segs = rel.split("/")
+        if any(s.startswith((".", "_")) for s in segs):
+            continue
+        if not segs[-1].endswith(".parquet"):
+            continue
+        out.append(rel)
     return sorted(out)
 
 
 def _partition_values(relpath: str, cols: list[str]) -> dict:
     """Parse ``col=value`` segments of one file's relative path into
     protocol partitionValues; validates the layout is uniform."""
-    segs = relpath.split(os.sep)[:-1]
+    segs = relpath.split("/")[:-1]
     kv = []
     for s in segs:
         if "=" not in s:
@@ -112,26 +114,21 @@ def convert_to_delta(
     if spark is None:
         spark = SparkSession.active()
     table_path = str(path).rstrip("/")
-    local_root = store_for(table_path).local_path(table_path)
-    if local_root is None:
-        raise ConvertError(
-            "CONVERT requires a locally-mapped store for the file "
-            "listing; object-store conversion would route the walk "
-            "through the LogStore seam (not implemented)."
-        )
-    if os.path.isdir(os.path.join(local_root, LOG_DIR)):
+    store = store_for(table_path)
+    local_root = store.local_path(table_path)
+    if store.is_dir(os.path.join(table_path, LOG_DIR)):
         raise ConvertError(
             f"{table_path} already has a _delta_log; refusing to "
             "re-convert (idempotence: the first conversion won)."
         )
-    files = _discover_files(local_root)
+    files = _discover_files(store, table_path)
     if not files:
         raise ConvertError(f"no parquet files under {table_path}")
     # partition columns from the first file's directory chain; every
     # other file is validated against them in _partition_values
     part_cols = [
         s.partition("=")[0]
-        for s in files[0].split(os.sep)[:-1]
+        for s in files[0].split("/")[:-1]
         if "=" in s
     ]
     parts = {f: _partition_values(f, part_cols) for f in files}
@@ -144,7 +141,9 @@ def convert_to_delta(
     )
     stats: dict[str, Optional[str]] = {f: None for f in files}
     if collect_stats:
-        stats = _collect_stats(spark, local_root, files, part_cols)
+        stats = _collect_stats(
+            spark, store, table_path, local_root, files, part_cols
+        )
     ts = now_ms()
     actions: list[dict] = [
         {
@@ -171,13 +170,15 @@ def convert_to_delta(
         ).to_json(),
     ]
     for f in files:
-        st = os.stat(os.path.join(local_root, f))
+        # size/mtime through the seam — one metadata call per file on
+        # any store (HEAD-request-shaped on object stores)
+        fp = os.path.join(table_path, f)
         actions.append(
             AddAction(
-                path=f.replace(os.sep, "/"),
-                size=int(st.st_size),
+                path=f,
+                size=int(store.size(fp)),
                 partition_values=parts[f],
-                modification_time=int(st.st_mtime * 1000),
+                modification_time=int(store.mtime(fp) * 1000),
                 data_change=True,
                 stats=stats.get(f),
             ).to_json()
@@ -187,15 +188,30 @@ def convert_to_delta(
 
 
 def _collect_stats(
-    spark: SparkSession, local_root: str, files: list[str], part_cols: list
+    spark: SparkSession,
+    store,
+    table_path: str,
+    local_root: Optional[str],
+    files: list[str],
+    part_cols: list,
 ) -> dict:
     """One distributed pass folding per-file protocol stats JSON —
     shared with COMPUTE STATISTICS via protocol.fold_file_stats, so
-    convert-time and recomputed stats can never diverge."""
+    convert-time and recomputed stats can never diverge. Locally
+    mapped stores hand pyarrow plain paths; object stores ship the
+    (picklable) store to executors so each file opens through
+    ``store.open_input`` — the seam route, no local mapping needed."""
     from dask_deltalake_spark.delta.protocol import fold_file_stats
 
+    if local_root is not None:
+        return fold_file_stats(
+            spark,
+            [(f, os.path.join(local_root, f)) for f in files],
+            part_cols,
+        )
     return fold_file_stats(
         spark,
-        [(f, os.path.join(local_root, f)) for f in files],
+        [(f, os.path.join(table_path, f)) for f in files],
         part_cols,
+        store=store,
     )

@@ -839,7 +839,7 @@ def _stat_value(v: Any) -> Any:
     return v
 
 
-def fold_file_stats(spark, pairs, part_cols) -> dict:
+def fold_file_stats(spark, pairs, part_cols, store=None) -> dict:
     """One distributed stats pass shared by CONVERT TO DELTA and
     COMPUTE STATISTICS (delta/convert.py, delta/maintenance.py):
     executors read their assigned parquet files Arrow-batched and fold
@@ -850,7 +850,12 @@ def fold_file_stats(spark, pairs, part_cols) -> dict:
     partition columns are excluded (their values live in
     partitionValues; the reader prunes them separately). Returns
     ``{rel_path: stats_json}``. One mapInPandas job over
-    ``min(n, 64)`` slices — never a driver loop over file contents."""
+    ``min(n, 64)`` slices — never a driver loop over file contents.
+
+    ``store`` (optional): a picklable LogStore shipped to executors;
+    each file then opens through ``store.open_input(abs)`` instead of
+    a plain path — the seam route for stores with no local mapping
+    (CONVERT TO DELTA on S3/GCS-class stores)."""
     part_cols = list(part_cols)
 
     def gen(batches):
@@ -863,11 +868,16 @@ def fold_file_stats(spark, pairs, part_cols) -> dict:
             out = []
             for rel, absp in zip(pdf["rel"], pdf["abs"]):
                 acc = StatsAccumulator()
-                pf = pq.ParquetFile(absp)
-                for batch in pf.iter_batches():
-                    b = batch.to_pandas()
-                    drop = [c for c in part_cols if c in b.columns]
-                    acc.update(b.drop(columns=drop) if drop else b)
+                src = store.open_input(absp) if store is not None else absp
+                try:
+                    pf = pq.ParquetFile(src)
+                    for batch in pf.iter_batches():
+                        b = batch.to_pandas()
+                        drop = [c for c in part_cols if c in b.columns]
+                        acc.update(b.drop(columns=drop) if drop else b)
+                finally:
+                    if store is not None:
+                        src.close()
                 out.append({"rel": rel, "stats": acc.to_json()})
             yield _pd.DataFrame(out, columns=["rel", "stats"])
 

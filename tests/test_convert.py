@@ -113,3 +113,37 @@ def test_convert_refusals(spark, tmp_path):
     spark.range(5).coalesce(1).write.parquet(os.path.join(mixed, "stray"))
     with pytest.raises(ConvertError, match="non-hive|layout"):
         convert_to_delta(mixed, spark=spark)
+
+
+def test_convert_on_object_store_seam(spark, tmp_path):
+    """VERDICT r8 #5: CONVERT TO DELTA on a store with NO local mapping
+    — discovery walks, per-file size/mtime, the distributed stats pass
+    (executors open files through the shipped store), and the commit
+    all route through the LogStore seam, the same d40 pattern the DML
+    paths use. The old locally-mapped refusal is gone."""
+    src_local = str(tmp_path / "objconv")
+    df = spark.range(0, 60).withColumn("part", (F.col("id") % 3).cast("int"))
+    df.write.partitionBy("part").parquet(src_local)
+    seam = "mocknl:" + src_local
+    assert convert_to_delta(seam, spark=spark) == 0
+    out = read_delta(seam, spark=spark)
+    assert out.count() == 60
+    # hive-partition discovery + pruning work through the seam
+    assert (
+        read_delta(seam, filter=[("part", "==", 1)], spark=spark).count()
+        == 20
+    )
+    snap = DeltaLog(seam).snapshot()
+    assert all(a.stats for a in snap.add_actions), "seam stats pass ran"
+    assert all(a.size > 0 for a in snap.add_actions)
+    # converted table is transactional on the same seam
+    to_delta(
+        spark.range(100, 110).withColumn("part", F.lit(0).cast("int")),
+        seam,
+        mode="append",
+    )
+    assert read_delta(seam, spark=spark).count() == 70
+    assert read_delta(seam, version=0, spark=spark).count() == 60
+    # idempotence refusal still fires through the seam
+    with pytest.raises(ConvertError, match="already has a _delta_log"):
+        convert_to_delta(seam, spark=spark)
