@@ -2891,21 +2891,38 @@ def _bpe_rules(spark: SparkSession, sf_dir: str) -> list:
     return rules
 
 
-def bpe_encode_counts(d: DataFrame, rules: list) -> DataFrame:
+_BPE_SEGMENT = 48  # merge rules per planning segment (measured, see below)
+
+
+def bpe_encode_counts(
+    d: DataFrame, rules: list, segment_size: int = _BPE_SEGMENT
+) -> DataFrame:
     """Core of x39 over any (doc_id, text) frame + learned rule list —
     split out so the pytest invariant can drive it against a reference
     in-memory BPE encoder with hand-checkable rules.
 
     Encoding never touches the corpus per-rule: the DISTINCT eligible
-    words are character-split once, then all R merge rules apply as R
-    CHAINED narrow fold projections (one whole-stage-codegen pass, no
-    shuffle, no per-round materialization — application, unlike
-    training, needs no pair-count barrier between rules). The corpus
-    then takes one join against the (word → symbol count) table —
-    aggregated to one row per word, Zipf-hot words included, AQE
-    broadcasts it while it fits and skew-splits beyond. Words outside
-    the trained alphabet (non [a-z]{2,16}) count as 1 atomic token
-    (special-token fallback), tallied separately as n_oov."""
+    words are character-split once, then the R merge rules apply as
+    CHAINED narrow fold projections (no shuffle, no pair-count barrier
+    — application, unlike training, is embarrassingly per-word). The
+    corpus then takes one join against the (word → symbol count)
+    table — aggregated to one row per word, Zipf-hot words included,
+    AQE broadcasts it while it fits and skew-splits beyond. Words
+    outside the trained alphabet (non [a-z]{2,16}) count as 1 atomic
+    token (special-token fallback), tallied separately as n_oov.
+
+    SEGMENTED application (production rule counts): Catalyst's
+    analysis + codegen cost on one unbroken R-deep projection chain is
+    superlinear — measured on this harness: R=256 6.5 s, R=512 35 s
+    driver-side, and a 32k-merge vocab would spend hours planning, not
+    executing. Every ``segment_size`` rules the vocab frame's lineage
+    is therefore cut with ``localCheckpoint(eager=False)``: planning
+    returns to ~linear (R=512: 12 s, R=1024: 14 s — ~3× at 512 and
+    flattening, same measurements), at the cost of materializing the
+    DISTINCT-WORD frame (O(vocab), never O(corpus)) once per segment
+    to executor-local storage. Cluster caveat: localCheckpoint trades
+    executor-loss recoverability for speed — the standard Spark trade
+    for iteratively-deepened plans (MLlib does the same)."""
     words = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("w")
     )
@@ -2920,7 +2937,7 @@ def bpe_encode_counts(d: DataFrame, rules: list) -> DataFrame:
         .distinct()
         .select("w", F.split(F.col("w"), "(?!^)(?=.)").alias("syms"))
     )
-    for a, b in rules:
+    for i, (a, b) in enumerate(rules):
         # same greedy-leftmost fold as the training loop (x33): fuse
         # with the accumulator tail iff it closes (a, b)
         vocab = vocab.select(
@@ -2933,6 +2950,12 @@ def bpe_encode_counts(d: DataFrame, rules: list) -> DataFrame:
                 "concat(acc, array(x))))"
             ).alias("syms"),
         )
+        if (
+            segment_size
+            and (i + 1) % segment_size == 0
+            and (i + 1) < len(rules)
+        ):
+            vocab = vocab.localCheckpoint(eager=False)
     enc = vocab.select("w", F.size("syms").cast("long").alias("n_sym"))
     return (
         words.join(enc, "w", "left")

@@ -684,3 +684,76 @@ def test_x39_matches_reference_bpe_encoding(spark):
         assert got["n_tokens_ws"] == exp_ws, (doc_id, got)
         assert got["n_tokens_bpe"] == exp_bpe, (doc_id, got)
         assert got["n_oov"] == exp_oov, (doc_id, got)
+
+
+def test_x39_segmented_encoding_at_production_rule_counts(spark):
+    """VERDICT r8 #6: at production rule counts (R ≥ 64) the encoder
+    applies merge rules in SEGMENTS — the vocab frame's lineage is cut
+    with localCheckpoint every ``segment_size`` rules because
+    Catalyst's planning cost on one unbroken R-deep projection chain
+    is superlinear (measured: R=256 6.5 s, R=512 35 s unbroken vs 12 s
+    segmented; ledgered on bpe_encode_counts). Segmentation must be
+    token-for-token invisible: the output matches the in-memory
+    greedy-leftmost reference encoder across several lineage cuts,
+    including compound rules that only fire over earlier merges."""
+    import itertools
+    import re
+
+    from dask_deltalake_spark.functions.llmops import (
+        _BPE_MAX_WORD,
+        bpe_encode_counts,
+    )
+
+    rules = [
+        (a, b) for a, b in itertools.product("etaoinshrdlu", repeat=2)
+    ][:64]
+    # compounds exercising rule interaction across segment boundaries
+    rules += [
+        ("th", "e"), ("in", "g"), ("an", "d"), ("er", "s"),
+        ("the", "re"), ("and", "s"), ("ing", "s"), ("es", "t"),
+    ]
+    assert len(rules) == 72
+
+    def ref_encode(w):
+        syms = list(w)
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = [
+        "there", "standing", "threads", "nothing", "handers",
+        "interesting", "estates", "sandstone", "inland", "strand",
+        "a", "zz9", "the", "ands", "ingest", "x" * (_BPE_MAX_WORD + 1),
+    ]
+    texts = [(i, " ".join(words[i::3] + words)) for i in range(3)]
+    got = {
+        r["doc_id"]: r
+        for r in bpe_encode_counts(
+            spark.createDataFrame(texts, "doc_id long, text string"),
+            rules,
+            segment_size=16,  # force 4 lineage cuts in-test
+        ).collect()
+    }
+    for doc_id, text in texts:
+        exp_ws = exp_bpe = exp_oov = 0
+        for w in re.split(" +", text.lower().strip()):
+            exp_ws += 1
+            if 2 <= len(w) <= _BPE_MAX_WORD and re.fullmatch("[a-z]+", w):
+                exp_bpe += len(ref_encode(w))
+            else:
+                exp_bpe += 1
+                exp_oov += 1
+        r = got[doc_id]
+        assert (r["n_tokens_ws"], r["n_tokens_bpe"], r["n_oov"]) == (
+            exp_ws,
+            exp_bpe,
+            exp_oov,
+        ), (doc_id, r)
