@@ -35,7 +35,38 @@ _ALL.update(_STREAMING)
 # r7 led with the 40 r4-stale names (q07-q44, x18, x29) + everything
 # changed/new in r7 (d35, d32, x31, d08, d12, d13, d22, d40, d41,
 # d42) — after r7 no row older than r5.
-# Round 8 front, in priority order:
+# r8 led with the 37 r5-stale names + the 13 changed/new (d43-d46,
+# x37-x39, d42/d41/d32/x31/s06/s09) — after r8 no row older than r6.
+# Round 9 front, in priority order:
+# (a) the 45 names whose latest driver row is r6 (the staleness front
+#     VERDICT r8 #3 prescribes): d01-d06, d14, d17-d19, d29, d30,
+#     d33, d36-d39, q05, q45, q46, s07, s10, x02, x03, x05, x06,
+#     x09-x17, x19-x27, x32;
+# (b) queries NEW in r9: d47_auto_optimize (optimizeWrite shaping +
+#     autoCompact threshold lifecycle), d48_manifest_inventory
+#     (GENERATE symlink_format_manifest read back through a
+#     hive-reader's-eye scan + VACUUM USING INVENTORY) — the r8
+#     pytest-only surfaces VERDICT r8 #4 prescribes driver rows for;
+# (c) queries CHANGED in r9: d44 (CONVERT TO DELTA seam-routed for
+#     object stores — discovery/stats/size all through the LogStore),
+#     x39 (BPE application now SEGMENTED: lineage cut every 48 rules),
+#     d08 (optimize's subset branch now applies deletion vectors —
+#     d08 re-verifies the full-table branch it rides; the changed
+#     subset branch itself is exercised in-window by d47's autoCompact
+#     and pinned by tests/test_dv.py::test_optimize_subset_applies_
+#     vectors).
+# 45 + 2 + 3 = 50 exactly. Deferred-though-adjacent, with
+# justification: d15 (zorder) also calls optimize but takes the
+# full-table read_delta path the r9 diff does not touch (its r8 row
+# stands; the subset branch is d47's job); d05 vacuum is already in
+# the (a) front, and the r9 inventory-containment filter lives only on
+# the inventory branch, which in-window d48 drives end-to-end plus
+# tests/test_stats_fsck.py::test_vacuum_inventory_path_containment;
+# the symlink-manifest write-then-cleanup rewrite is driven in-window
+# by d48 and pinned by tests/test_auto_optimize.py::test_symlink_
+# manifest_no_blackout_regeneration. Everything else at positions 51+
+# carries an r7 or r8 driver row on code unchanged this round.
+# Round 8 front (history), in priority order:
 # (a) the 37 names whose latest driver row is r5 (the staleness front
 #     VERDICT r7 #3 prescribes): q01-q04/q06, d07/d09-d11/d15/d16/
 #     d20/d21/d23-d28/d31/d34, s01-s05/s08, x01/x04/x07/x08/x28/x30/
@@ -84,6 +115,61 @@ _ALL.update(_STREAMING)
 # only the fsspec ladder, which no registered query reaches (d35/d40
 # ride PrefixLogStore); it is pinned by tests/test_logstore.py and
 # tests/test_vendored_fsspec.py instead.
+_R9_FRONT = [
+    # (b) new in r9, checked first
+    "d47_auto_optimize",
+    "d48_manifest_inventory",
+    # (c) changed in r9
+    "d44_convert_to_delta",
+    "x39_bpe_encode",
+    "d08_delta_optimize",
+    # (a) the r6 staleness front
+    "d01_delta_roundtrip",
+    "d02_delta_time_travel",
+    "d03_delta_partition_prune",
+    "d04_delta_history",
+    "d05_delta_vacuum",
+    "d06_delta_schema_evolution",
+    "d14_delta_restore",
+    "d17_storage_options",
+    "d18_table_create_metadata",
+    "d19_change_data_feed",
+    "d29_row_tracking",
+    "d30_in_commit_timestamps",
+    "d33_replace_where_txn",
+    "d36_generated_partition_inference",
+    "d37_clustered_table",
+    "d38_variant_table",
+    "d39_v2_checkpoint",
+    "q05_join_multiway",
+    "q45_recursive_cte",
+    "q46_variant_semistructured",
+    "s07_stream_stream_join",
+    "s10_stream_static_join",
+    "x02_dedup_normalized",
+    "x03_fingerprint",
+    "x05_minhash_lsh",
+    "x06_simhash",
+    "x09_embedding_stats",
+    "x10_text_quality",
+    "x11_lang_id",
+    "x12_token_classes",
+    "x13_multimodal_decode",
+    "x14_embedding_near_dup",
+    "x15_tfidf_top_terms",
+    "x16_ivf_ann",
+    "x17_multimodal_framesample",
+    "x19_embedding_quantize",
+    "x20_hash_split",
+    "x21_decontaminate",
+    "x22_repetition_filter",
+    "x23_pii_scrub",
+    "x24_source_mix",
+    "x25_pack_sequences",
+    "x26_curation_pipeline",
+    "x27_kmeans",
+    "x32_pq_ann",
+]
 _R8_FRONT = (
     [
         # (c) new in r8, checked first
@@ -141,8 +227,8 @@ _R8_FRONT = (
         "x36_span_removal",
     ]
 )
-_R8_FRONT = [n for n in _R8_FRONT if n in _ALL]
-_POS = {n: i for i, n in enumerate(_R8_FRONT)}
+_R9_FRONT = [n for n in _R9_FRONT if n in _ALL]
+_POS = {n: i for i, n in enumerate(_R9_FRONT)}
 
 
 def _key(name: str):
