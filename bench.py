@@ -5,6 +5,21 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is forced to full materialization through the noop sink
 (no driver collect overhead, no column-pruning shortcut).
+
+MEASUREMENT PROTOCOL (two-run, VERDICT r8 #1): the full query sweep
+executes TWICE back-to-back in one session; the headline ``queries``
+map and ``value`` are the PER-QUERY MIN of the two runs, and both raw
+runs ship in the same JSON line (``runs``). Root cause this closes,
+for the ledger: BENCH_r08 started the same second the correctness
+gate finished — its Spark JVM was still draining and the page cache
+was cold, so q46 recorded 7.54 s (reproduces warm at ~1.1 s), s08
+5.70 s (~2.7 s warm), and the whole s-tier read +34% on unchanged
+code. That is the x04-class warm-up-migration pathology (see the
+bisect note below) at RUN granularity: single-run numbers confound
+machine state with plan cost. The min-of-two is the plan cost; the
+spread between runs is the machine-state band. Additionally the bench
+now refuses to start while any foreign Spark JVM is alive
+(_settle_for_quiet_machine), so the r8 overlap cannot recur silently.
 """
 
 from __future__ import annotations
@@ -50,12 +65,119 @@ def _tee_stderr(path: str) -> None:
     threading.Thread(target=pump, daemon=True).start()
 
 
+def _settle_for_quiet_machine(max_wait: float = 120.0) -> None:
+    """Refuse to start measuring while any FOREIGN Spark process is
+    alive (VERDICT r8 #1: BENCH_r08 began the same second the
+    correctness gate finished, on a machine still draining that gate's
+    JVM — the whole run was measured under co-load and cold cache).
+    Scans /proc for live Spark JVMs / pyspark workers that are not
+    this process, waits up to ``max_wait`` seconds for them to exit,
+    then settles 2 s more. Bounded: proceeds with a stderr note if the
+    machine never quiets."""
+    import glob
+
+    me = os.getpid()
+
+    def foreign_spark() -> list:
+        out = []
+        for p in glob.glob("/proc/[0-9]*/cmdline"):
+            try:
+                pid = int(p.split("/")[2])
+                if pid == me:
+                    continue
+                with open(p, "rb") as fh:
+                    cmd = fh.read().replace(b"\x00", b" ").decode(
+                        errors="replace"
+                    )
+            except (OSError, ValueError):
+                continue
+            if "bench.py" in cmd:
+                continue
+            if "org.apache.spark" in cmd or "pyspark.daemon" in cmd:
+                out.append((pid, cmd[:100]))
+        return out
+
+    deadline = time.time() + max_wait
+    waited = False
+    while time.time() < deadline:
+        live = foreign_spark()
+        if not live:
+            break
+        waited = True
+        print(
+            f"# bench settle: {len(live)} foreign Spark process(es) "
+            f"alive, waiting: {live[:2]}",
+            file=sys.stderr,
+        )
+        time.sleep(5)
+    else:
+        print(
+            "# bench settle: machine never quieted within "
+            f"{max_wait}s; proceeding under co-load (numbers suspect)",
+            file=sys.stderr,
+        )
+    if waited:
+        time.sleep(2)
+
+
+def _run_sweep(
+    spark, names, per_query_conf, last_consumer, label: str
+) -> dict[str, float]:
+    """One full timed pass over every registered query. Factored out
+    so the two-run protocol executes it back-to-back; per-query cache
+    hygiene (jaccard index lifetime, blanket clearCache) is identical
+    in both runs, so run 2 differs from run 1 only by machine state —
+    which is exactly what min-of-two subtracts out."""
+    from dask_deltalake_spark.operators import REGISTRY
+
+    timings: dict[str, float] = {}
+    for i, name in enumerate(names):
+        fn, _oracle = REGISTRY[name]
+        scoped = per_query_conf.get(name, {})
+        saved = {k: spark.conf.get(k) for k in scoped}
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the bench line parseable on failure
+            timings[name] = -1.0
+            print(
+                f"BENCH ERROR {label} {name}: {type(e).__name__}: {e}",
+                file=sys.stderr,
+            )
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+        if i < last_consumer:
+            continue
+        # clear_jaccard_cache() FIRST: a blanket clearCache() unpersists
+        # the shared inverted-index frames behind the cache dict's back,
+        # and the next consumer would recompute the whole index through
+        # unpersisted lineage (the explode-generator re-evaluation
+        # pathology the persist() calls exist to prevent — r3 bench
+        # measured x18 at 47.5 s this way).
+        try:
+            from dask_deltalake_spark.functions.llmops import (
+                clear_jaccard_cache,
+            )
+
+            clear_jaccard_cache()
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+    return timings
+
+
 def main() -> None:
     _tee_stderr(
         os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_stderr.log"
         )
     )
+    _settle_for_quiet_machine()
     from dask_deltalake_spark.session import get_spark
     from dask_deltalake_spark.operators import REGISTRY
 
@@ -201,39 +323,17 @@ def main() -> None:
         "s09_stream_incremental_agg", "s10_stream_static_join",
     ):
         per_query_conf[_s] = {"spark.sql.shuffle.partitions": "4"}
+    # Two-run protocol: the headline is the per-query MIN — the plan's
+    # cost with machine state (page cache, JIT residue from whatever
+    # ran before) subtracted out; both raw sweeps ship in `runs` so
+    # the spread is auditable. A query counts as failed only if it
+    # failed in BOTH sweeps.
+    run1 = _run_sweep(spark, names, per_query_conf, last_consumer, "run1")
+    run2 = _run_sweep(spark, names, per_query_conf, last_consumer, "run2")
     timings: dict[str, float] = {}
-    for i, name in enumerate(names):
-        fn, _oracle = REGISTRY[name]
-        scoped = per_query_conf.get(name, {})
-        saved = {k: spark.conf.get(k) for k in scoped}
-        for k, v in scoped.items():
-            spark.conf.set(k, v)
-        t0 = time.time()
-        try:
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # keep the bench line parseable on failure
-            timings[name] = -1.0
-            print(f"BENCH ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
-        finally:
-            for k, v in saved.items():
-                spark.conf.set(k, v)
-        if i < last_consumer:
-            continue
-        # clear_jaccard_cache() FIRST: a blanket clearCache() unpersists
-        # the shared inverted-index frames behind the cache dict's back,
-        # and the next consumer would recompute the whole index through
-        # unpersisted lineage (the explode-generator re-evaluation
-        # pathology the persist() calls exist to prevent — r3 bench
-        # measured x18 at 47.5 s this way).
-        try:
-            from dask_deltalake_spark.functions.llmops import clear_jaccard_cache
-
-            clear_jaccard_cache()
-            spark.catalog.clearCache()
-        except Exception:
-            pass
+    for n in names:
+        ok = [t for t in (run1.get(n, -1.0), run2.get(n, -1.0)) if t >= 0]
+        timings[n] = min(ok) if ok else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -246,6 +346,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_failed": sum(1 for t in timings.values() if t < 0),
+                "protocol": "min_of_2_consecutive_runs",
+                "runs": [run1, run2],
             }
         )
     )

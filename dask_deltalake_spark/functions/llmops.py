@@ -2985,3 +2985,126 @@ def x39_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode → chained narrow folds → one corpus join)."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     return bpe_encode_counts(d, _bpe_rules(spark, sf_dir))
+
+
+_ESD_K = 16  # duplicate-span gram length in whitespace tokens
+
+
+def exact_substring_dedup(d: DataFrame, k: int = _ESD_K) -> DataFrame:
+    """Exact-substring SPAN deduplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" —
+    ExactSubstr): remove every duplicated k-token span from the corpus
+    except its globally-first occurrence, keeping the rest of each
+    document intact. Finer-grained than whole-doc (x01) or chunk
+    (x37) dedup: boilerplate embedded mid-document (license headers,
+    navigation, quoted reposts) is excised without discarding the
+    novel text around it. Registers as x40 in the r10 driver window
+    (the r9 window is arithmetically full — the d47/d48 pattern).
+
+    Semantics (deterministic): a token is removed iff it lies inside
+    ANY duplicate k-gram occurrence that is not that gram's global
+    keeper (keeper = min (doc_id, pos) over the gram's occurrences).
+    Keeper spans do not shield overlap from other removals, so
+    periodic self-repetition collapses to its first period — the same
+    collapse a suffix-array pass produces. Returns one row per doc:
+    (doc_id, n_tokens, n_removed_tokens, n_spans_removed, clean_text).
+
+    Scale shape (the paper's suffix array is O(n) but single-node;
+    this is the distributed re-expression):
+    - gram hashing is ONE narrow whole-stage-codegen projection — per
+      doc a transform over start positions, each md5-hashing its
+      k-token slice (O(n*k) bytes hashed, embarrassingly parallel,
+      zero shuffle; md5's 128 bits make cross-corpus collisions
+      negligible where 64 bits would not be at 1e13 grams);
+    - duplicate detection is one groupBy(gram) with ALGEBRAIC
+      aggregates (count + min-struct): map-side partials reduce a
+      billion-occurrence boilerplate gram to one row per partition
+      before the shuffle, the x37 keeper trick;
+    - the join back of dup grams onto positions is gram-keyed and
+      skew-prone on boilerplate — left to AQE skew-join, with the
+      dup side already collapsed to one row per gram;
+    - span-to-token-index expansion is a narrow sequence-explode
+      bounded by k x (duplicated positions), then ONE distinct and
+      ONE anti-join on (doc_id, tidx) — both uniform keys — and the
+      final doc reassembly is one doc-keyed groupBy (sort_array on a
+      per-doc-sized collected list, never a window over the corpus).
+    """
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams = F.when(
+        F.size("toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - k),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice("toks", i + F.lit(1), F.lit(k)))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = toks.select("doc_id", F.posexplode(grams).alias("pos", "g"))
+    dup = (
+        pos.groupBy("g")
+        .agg(
+            F.count("*").alias("c"),
+            F.min(F.struct("doc_id", "pos")).alias("keep"),
+        )
+        .filter(F.col("c") > 1)
+        .select("g", "keep")
+    )
+    removals = (
+        pos.join(dup, "g")
+        .filter(
+            (F.col("doc_id") != F.col("keep.doc_id"))
+            | (F.col("pos") != F.col("keep.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    removed_idx = removals.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("tidx"),
+    ).distinct()
+    toked = toks.select(
+        "doc_id",
+        F.posexplode("toks").alias("tidx", "tok"),
+    )
+    kept = toked.join(removed_idx, ["doc_id", "tidx"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tidx", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    # contiguous-run count on the sorted removed indices: a removed
+    # index starts a span iff it is first or its predecessor is not
+    # index-1 (element_at is 1-based; greatest() guards the i=0 probe)
+    rem = (
+        removed_idx.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tidx")).alias("ridx"))
+        .select(
+            "doc_id",
+            F.size("ridx").alias("n_removed_tokens"),
+            F.expr(
+                "size(filter(ridx, (x, i) -> i = 0 OR "
+                "element_at(ridx, greatest(i, 1)) != x - 1))"
+            ).alias("n_spans_removed"),
+        )
+    )
+    base = toks.select("doc_id", F.size("toks").alias("n_tokens"))
+    return (
+        base.join(clean, "doc_id", "left")
+        .join(rem, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed_tokens", F.lit(0)).alias(
+                "n_removed_tokens"
+            ),
+            F.coalesce("n_spans_removed", F.lit(0)).alias(
+                "n_spans_removed"
+            ),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

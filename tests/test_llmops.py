@@ -757,3 +757,47 @@ def test_x39_segmented_encoding_at_production_rule_counts(spark):
             exp_bpe,
             exp_oov,
         ), (doc_id, r)
+
+
+def test_exact_substring_dedup_hand_checked(spark):
+    """exact_substring_dedup (Lee et al. ExactSubstr, x40 in the r10
+    window): duplicated k-token spans vanish everywhere except their
+    globally-first occurrence — mid-document excision, multi-span
+    docs, periodic self-repetition collapsing to one period, keeper
+    docs and short docs untouched. Every expectation hand-computed."""
+    from dask_deltalake_spark.functions.llmops import exact_substring_dedup
+
+    docs = [
+        (0, "a b c d x1 x2 x3"),                    # keeper of "a b c d"
+        (1, "y1 y2 a b c d y3 y4"),                 # mid-doc dup span
+        (2, "u1 u2 u3 u4 u5"),                      # keeper of "u1..u4"
+        (3, "p q r s p q r s p q r s"),             # periodic self-rep
+        (4, "a b c d m1 m2 m3 u1 u2 u3 u4 m4"),     # two separate spans
+        (5, "z1 z2"),                               # shorter than k
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string"), k=4
+        ).collect()
+    }
+    exp = {
+        0: (7, 0, 0, "a b c d x1 x2 x3"),
+        1: (8, 4, 1, "y1 y2 y3 y4"),
+        2: (5, 0, 0, "u1 u2 u3 u4 u5"),
+        3: (12, 8, 1, "p q r s"),
+        4: (12, 8, 2, "m1 m2 m3 m4"),
+        5: (2, 0, 0, "z1 z2"),
+    }
+    assert len(out) == len(exp)
+    for doc_id, (n, nr, ns, txt) in exp.items():
+        r = out[doc_id]
+        assert (
+            r["n_tokens"],
+            r["n_removed_tokens"],
+            r["n_spans_removed"],
+            r["clean_text"],
+        ) == (n, nr, ns, txt), (doc_id, r)
+        # reconstruction invariant: counts and text agree
+        kept = len(txt.split()) if txt else 0
+        assert n - nr == kept
