@@ -51,22 +51,24 @@ class ConvertError(Exception):
     pass
 
 
-def _discover_files(store, root: str) -> list[str]:
-    """Relative paths of every data parquet file under ``root``,
-    discovered THROUGH the LogStore seam (hidden/underscore segments
-    skipped, so _delta_log and temp staging are excluded). On a local
-    store this is os.walk; on an object store it is the store's
-    recursive listing — the same d40 seam pattern the DML paths use,
-    so conversion works on S3/GCS-class stores, not just local disk."""
+def _discover_files(store, root: str) -> list[tuple]:
+    """``(relative path, size, mtime)`` of every data parquet file
+    under ``root``, discovered THROUGH the LogStore seam in one
+    listing pass (walk_files_stats: the listing response already
+    carries size/mtime, so a 100k-file lake costs one LIST, not 200k
+    HEADs). Hidden/underscore segments are skipped, so _delta_log and
+    temp staging are excluded. Same d40 seam pattern the DML paths
+    use — conversion works on S3/GCS-class stores, not just local
+    disk."""
     out = []
-    for rel in store.walk_files(root):
+    for rel, size, mtime in store.walk_files_stats(root):
         rel = rel.replace(os.sep, "/")
         segs = rel.split("/")
         if any(s.startswith((".", "_")) for s in segs):
             continue
         if not segs[-1].endswith(".parquet"):
             continue
-        out.append(rel)
+        out.append((rel, size, mtime))
     return sorted(out)
 
 
@@ -121,9 +123,11 @@ def convert_to_delta(
             f"{table_path} already has a _delta_log; refusing to "
             "re-convert (idempotence: the first conversion won)."
         )
-    files = _discover_files(store, table_path)
-    if not files:
+    listed = _discover_files(store, table_path)
+    if not listed:
         raise ConvertError(f"no parquet files under {table_path}")
+    files = [rel for rel, _sz, _mt in listed]
+    meta = {rel: (sz, mt) for rel, sz, mt in listed}
     # partition columns from the first file's directory chain; every
     # other file is validated against them in _partition_values
     part_cols = [
@@ -170,15 +174,15 @@ def convert_to_delta(
         ).to_json(),
     ]
     for f in files:
-        # size/mtime through the seam — one metadata call per file on
-        # any store (HEAD-request-shaped on object stores)
-        fp = os.path.join(table_path, f)
+        # size/mtime came with the discovery listing — no per-file
+        # metadata round-trips here
+        sz, mt = meta[f]
         actions.append(
             AddAction(
                 path=f,
-                size=int(store.size(fp)),
+                size=int(sz),
                 partition_values=parts[f],
-                modification_time=int(store.mtime(fp) * 1000),
+                modification_time=int(mt * 1000),
                 data_change=True,
                 stats=stats.get(f),
             ).to_json()

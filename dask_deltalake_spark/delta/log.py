@@ -352,9 +352,13 @@ class DeltaLog:
             elif row.get("remove"):
                 r = row["remove"]
                 path = unquote(r["path"])
+                rdv = r.get("deletionVector")
+                if rdv is not None and rdv.get("storageType") is None:
+                    rdv = None  # null struct from a checkpoint row
                 removes[path] = RemoveAction(
                     path=path,
                     deletion_timestamp=int(r.get("deletionTimestamp") or 0),
+                    deletion_vector=rdv,
                 )
             elif row.get("metaData") and row["metaData"].get("id") is not None:
                 metadata = Metadata.from_json(row["metaData"])

@@ -86,6 +86,18 @@ class LogStore:
         """All file paths under root, RELATIVE to it (for vacuum)."""
         raise NotImplementedError
 
+    def walk_files_stats(self, root: str) -> Iterator[tuple]:
+        """``(relative path, size, mtime)`` of every file under root,
+        in ONE listing pass where the backend supports it. Default
+        composes walk_files + two per-file metadata calls so custom
+        stores stay source-compatible; the local and fsspec stores
+        override with single-pass listings — CONVERT TO DELTA on a
+        100k-file object-store lake must not issue 200k HEAD
+        requests."""
+        for rel in self.walk_files(root):
+            p = os.path.join(root, rel)
+            yield rel, self.size(p), self.mtime(p)
+
     def read_bytes(self, path: str) -> bytes:
         raise NotImplementedError
 
@@ -139,6 +151,29 @@ class LocalLogStore(LogStore):
         for dirpath, _dirs, files in os.walk(r):
             for f in files:
                 yield os.path.relpath(os.path.join(dirpath, f), r)
+
+    def walk_files_stats(self, root: str) -> Iterator[tuple]:
+        # scandir recursion: one stat per entry, straight off the
+        # directory read — half the syscalls of walk + getsize + getmtime
+        r = self._p(root)
+        stack = [r]
+        while stack:
+            d = stack.pop()
+            try:
+                entries = os.scandir(d)
+            except FileNotFoundError:
+                continue
+            with entries:
+                for e in entries:
+                    if e.is_dir(follow_symlinks=False):
+                        stack.append(e.path)
+                    else:
+                        st = e.stat()
+                        yield (
+                            os.path.relpath(e.path, r),
+                            st.st_size,
+                            st.st_mtime,
+                        )
 
     def read_bytes(self, path: str) -> bytes:
         with open(self._p(path), "rb") as f:
@@ -381,6 +416,23 @@ class FsspecLogStore(LogStore):
         for p in self.fs.find(root):
             sp = self.fs._strip_protocol(p)
             yield sp[len(base) + 1:]
+
+    def walk_files_stats(self, root: str) -> Iterator[tuple]:
+        # one LIST pass: find(detail=True) already carries size and
+        # modification time in the listing response — zero HEADs
+        base = self.fs._strip_protocol(root).rstrip("/")
+        for p, info in sorted(self.fs.find(root, detail=True).items()):
+            sp = self.fs._strip_protocol(p)
+            mt = (
+                info.get("mtime")
+                or info.get("LastModified")
+                or info.get("last_modified")
+            )
+            if hasattr(mt, "timestamp"):  # datetime from s3fs/gcsfs
+                mt = mt.timestamp()
+            yield sp[len(base) + 1:], int(info.get("size") or 0), float(
+                mt if mt is not None else 0.0
+            )
 
     def read_bytes(self, path: str) -> bytes:
         return self.fs.cat_file(path)

@@ -182,6 +182,27 @@ def vacuum(
     removal_times = {
         p: r.deletion_timestamp for p, r in snap.tombstones.items()
     }
+    # tombstoned DV bins age by their remove's LOGICAL deletion time,
+    # not file mtime: a bin created at T0 and tombstoned at T1 (e.g.
+    # autoCompact purging a long-lived merge-on-read delete) must stay
+    # reclaim-protected until T1 + retention, or time travel / RESTORE
+    # to versions in [T0, T1] breaks while still inside the window —
+    # the reason removes carry the removed add's deletionVector
+    # descriptor (delta-spark parity, r9 self-review). One bin can
+    # back several files (write_dv_file packs descriptors), so the
+    # LATEST referencing remove governs; live references stay
+    # protected by the `referenced` set checked first in every branch.
+    for r in snap.tombstones.values():
+        dvd = r.deletion_vector
+        if dvd and dvd.get("storageType") == "u":
+            from dask_deltalake_spark.delta.dv import dv_absolute_path
+
+            rel = os.path.relpath(
+                dv_absolute_path(table_path, dvd), table_path
+            )
+            removal_times[rel] = max(
+                removal_times.get(rel, 0), r.deletion_timestamp
+            )
     store = log.store
     if mode == "lite":
         # candidates straight from the log's remove actions — no
@@ -383,6 +404,7 @@ def create_checkpoint(
                     "path": quote(r.path),
                     "deletionTimestamp": r.deletion_timestamp,
                     "dataChange": False,
+                    "deletionVector": r.deletion_vector,
                 }
             }
         )
@@ -472,6 +494,18 @@ def create_checkpoint(
                         ("path", pa.string()),
                         ("deletionTimestamp", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -1043,10 +1077,13 @@ def optimize(
             )
         )
     actions.extend(a.to_json() for a in compacted)
-    for p in old_paths:
+    for a in target_adds:
         actions.append(
             RemoveAction(
-                path=p, deletion_timestamp=ts, data_change=False
+                path=a.path,
+                deletion_timestamp=ts,
+                data_change=False,
+                deletion_vector=a.deletion_vector,
             ).to_json()
         )
     # Concurrency: background compaction racing live APPENDS is the
@@ -1233,7 +1270,12 @@ def restore(
         )
     for p in removes:
         actions.append(
-            RemoveAction(path=p, deletion_timestamp=ts, data_change=True).to_json()
+            RemoveAction(
+                path=p,
+                deletion_timestamp=ts,
+                data_change=True,
+                deletion_vector=cur_by_path[p].deletion_vector,
+            ).to_json()
         )
     write_commit(table_path, cur.version + 1, actions)
     return {
@@ -1875,7 +1917,10 @@ def fsck_repair(
     for a in missing:
         actions.append(
             RemoveAction(
-                path=a.path, deletion_timestamp=ts, data_change=True
+                path=a.path,
+                deletion_timestamp=ts,
+                data_change=True,
+                deletion_vector=a.deletion_vector,
             ).to_json()
         )
     write_commit(log.table_path, snap.version + 1, actions)
@@ -2095,28 +2140,44 @@ def generate_symlink_manifest(path: str) -> dict:
     # table (delta-spark overwrites manifests in place the same way).
     # Only AFTER the new manifests exist are directories for
     # partitions absent from the snapshot removed.
+    import time as _time
+    import uuid as _uuid
+
     live_dirs = set()
+    run_tag = _uuid.uuid4().hex[:8]
     for hive_dir, uris in groups.items():
         d = os.path.join(manifest_root, hive_dir) if hive_dir else manifest_root
         live_dirs.add(os.path.normpath(d))
         os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, ".manifest.tmp")
+        # per-run tmp name: two concurrent generations (the docstring's
+        # post-commit-hook wiring) never share an in-flight tmp path,
+        # so neither can rename or sweep the other's half-written file
+        tmp = os.path.join(d, f".manifest.{run_tag}.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
             f.write("\n".join(sorted(uris)) + "\n")
         os.replace(tmp, os.path.join(d, "manifest"))
     # stale-partition sweep: drop manifests whose directory is no
-    # longer a live partition, leftover temp files from crashed runs,
+    # longer a live partition, temp files from CRASHED runs (age-gated
+    # 60 s so a concurrent generation's in-flight tmp is never swept),
     # then prune empty directories bottom-up (rmdir only succeeds on
     # empty dirs, so live content is structurally safe)
+    _now = _time.time()
     for dirpath, _dn, filenames in os.walk(manifest_root, topdown=False):
         for fn in filenames:
+            full = os.path.join(dirpath, fn)
             stale_manifest = (
                 fn == "manifest"
                 and os.path.normpath(dirpath) not in live_dirs
             )
-            if stale_manifest or fn == ".manifest.tmp":
+            crashed_tmp = False
+            if fn.startswith(".manifest.") and fn.endswith(".tmp"):
                 try:
-                    os.remove(os.path.join(dirpath, fn))
+                    crashed_tmp = _now - os.path.getmtime(full) > 60
+                except OSError:
+                    pass
+            if stale_manifest or crashed_tmp:
+                try:
+                    os.remove(full)
                 except FileNotFoundError:
                     pass
         if os.path.normpath(dirpath) != os.path.normpath(manifest_root):

@@ -219,7 +219,10 @@ def _rewrite_and_commit(
     for a in touched:
         actions.append(
             RemoveAction(
-                path=a.path, deletion_timestamp=ts, data_change=True
+                path=a.path,
+                deletion_timestamp=ts,
+                data_change=True,
+                deletion_vector=a.deletion_vector,
             ).to_json()
         )
     version = _commit_with_dml_retry(
@@ -747,9 +750,17 @@ def _mor_commit(
         )
         for (a, pos), desc in zip(dv_targets, descriptors):
             desc = dict(desc, cardinality=int(len(pos)))
+            # the remove carries the PRE-update descriptor (the re-add
+            # below carries the merged one); note the same-path re-add
+            # pops this tombstone during replay, so the superseded
+            # bin's retention still ages by mtime — the (path, dvId)
+            # tombstone keying delta-kernel uses is the full fix
             actions.append(
                 RemoveAction(
-                    path=a.path, deletion_timestamp=ts, data_change=True
+                    path=a.path,
+                    deletion_timestamp=ts,
+                    data_change=True,
+                    deletion_vector=a.deletion_vector,
                 ).to_json()
             )
             actions.append(
@@ -766,7 +777,10 @@ def _mor_commit(
     for a in drops:
         actions.append(
             RemoveAction(
-                path=a.path, deletion_timestamp=ts, data_change=True
+                path=a.path,
+                deletion_timestamp=ts,
+                data_change=True,
+                deletion_vector=a.deletion_vector,
             ).to_json()
         )
     for r in extra_adds or []:

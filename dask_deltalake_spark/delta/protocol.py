@@ -357,15 +357,23 @@ class RemoveAction:
     path: str
     deletion_timestamp: int = 0  # ms epoch
     data_change: bool = True
+    # the removed add's deletionVector descriptor, carried on the
+    # remove exactly as delta-spark records it: without it a
+    # tombstoned DV .bin has no LOGICAL deletion time, so vacuum ages
+    # it by file mtime and can reclaim it while the pre-removal
+    # version is still inside the retention window (breaking time
+    # travel / RESTORE to any version that reads the vector)
+    deletion_vector: Optional[dict] = None
 
     def to_json(self) -> dict[str, Any]:
-        return {
-            "remove": {
-                "path": quote(self.path),
-                "deletionTimestamp": self.deletion_timestamp,
-                "dataChange": self.data_change,
-            }
+        d: dict[str, Any] = {
+            "path": quote(self.path),
+            "deletionTimestamp": self.deletion_timestamp,
+            "dataChange": self.data_change,
         }
+        if self.deletion_vector is not None:
+            d["deletionVector"] = self.deletion_vector
+        return {"remove": d}
 
     @classmethod
     def from_json(cls, d: dict[str, Any]) -> "RemoveAction":
@@ -373,6 +381,7 @@ class RemoveAction:
             path=unquote(d["path"]),
             deletion_timestamp=int(d.get("deletionTimestamp") or 0),
             data_change=bool(d.get("dataChange", True)),
+            deletion_vector=d.get("deletionVector") or None,
         )
 
 

@@ -1726,9 +1726,13 @@ def to_delta(
                 a.path
                 for a in prune_partitions(snap.add_actions, prune_dnf)
             ]
+        _dv_by_path = {a.path: a.deletion_vector for a in snap.add_actions}
         actions.extend(
             RemoveAction(
-                path=p, deletion_timestamp=ts, data_change=True
+                path=p,
+                deletion_timestamp=ts,
+                data_change=True,
+                deletion_vector=_dv_by_path.get(p),
             ).to_json()
             for p in doomed
         )

@@ -3009,6 +3009,16 @@ def exact_substring_dedup(d: DataFrame, k: int = _ESD_K) -> DataFrame:
     collapse a suffix-array pass produces. Returns one row per doc:
     (doc_id, n_tokens, n_removed_tokens, n_spans_removed, clean_text).
 
+    Tokenization is CASE- and BYTE-PRESERVING (unlike the lowercasing
+    ``tokens()`` the fuzzy dedup tier uses — exact-substring dedup
+    must neither rewrite surviving text nor conflate case-different
+    spans): tokens are maximal ``\\s+``-separated runs, so newline- or
+    tab-wrapped duplicates still align. The one lossy step is that
+    ``clean_text`` rejoins surviving tokens with single spaces —
+    token-level surgery cannot preserve intra-document whitespace
+    without an offset sidecar; documented contract, asserted in the
+    test.
+
     Scale shape (the paper's suffix array is O(n) but single-node;
     this is the distributed re-expression):
     - gram hashing is ONE narrow whole-stage-codegen projection — per
@@ -3029,7 +3039,13 @@ def exact_substring_dedup(d: DataFrame, k: int = _ESD_K) -> DataFrame:
       final doc reassembly is one doc-keyed groupBy (sort_array on a
       per-doc-sized collected list, never a window over the corpus).
     """
-    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    _t = F.trim(F.col("text"))
+    toks = d.select(
+        "doc_id",
+        F.when(F.length(_t) > 0, F.split(_t, r"\s+"))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("toks"),
+    )
     grams = F.when(
         F.size("toks") >= k,
         F.transform(
@@ -3039,7 +3055,16 @@ def exact_substring_dedup(d: DataFrame, k: int = _ESD_K) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pos = toks.select("doc_id", F.posexplode(grams).alias("pos", "g"))
+    # pos feeds TWO plan subtrees (the dup groupBy and the join back)
+    # and Spark does no cross-subtree CSE — without a persist the
+    # O(n*k) md5 gram projection executes once per subtree (the
+    # explode re-evaluation pathology the jaccard index cache already
+    # ledgers). MEMORY_AND_DISK: gram rows are corpus-scale.
+    from pyspark import StorageLevel
+
+    pos = toks.select(
+        "doc_id", F.posexplode(grams).alias("pos", "g")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         pos.groupBy("g")
         .agg(
@@ -3057,12 +3082,18 @@ def exact_substring_dedup(d: DataFrame, k: int = _ESD_K) -> DataFrame:
         )
         .select("doc_id", "pos")
     )
-    removed_idx = removals.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
-        ).alias("tidx"),
-    ).distinct()
+    # removed_idx also feeds two subtrees (kept anti-join + span
+    # count); it is duplicated-positions-sized, far below corpus scale
+    removed_idx = (
+        removals.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tidx"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     toked = toks.select(
         "doc_id",
         F.posexplode("toks").alias("tidx", "tok"),

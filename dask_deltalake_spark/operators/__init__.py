@@ -170,63 +170,8 @@ _R9_FRONT = [
     "x27_kmeans",
     "x32_pq_ann",
 ]
-_R8_FRONT = (
-    [
-        # (c) new in r8, checked first
-        "d43_drop_feature",
-        "x37_chunk_dedup",
-        "x38_quality_scorer",
-        "x39_bpe_encode",
-        "d44_convert_to_delta",
-        "d45_stats_recompute",
-        "d46_deep_clone",
-        # (b) changed this round + (d) exposure picks
-        "d42_coordinated_commits",
-        "d41_log_compaction",
-        "d32_log_cleanup",
-        "x31_semantic_dedup",
-        "s06_stream_delta_source",
-        "s09_stream_incremental_agg",
-        # (a) the r5 staleness front
-        "q01_pricing_summary",
-        "q02_projection_compute",
-        "q03_filter_predicates",
-        "q04_join_inner_broadcast",
-        "q06_join_left",
-        "d07_delta_checkpoint",
-        "d09_delta_datetime_travel",
-        "d10_delta_write_modes",
-        "d11_delta_merge",
-        "d15_delta_zorder",
-        "d16_python_datasource",
-        "d20_cdc_row_level",
-        "d21_column_mapping",
-        "d23_check_constraints",
-        "d24_schema_alter",
-        "d25_streaming_cdf_source",
-        "d26_generated_columns",
-        "d27_identity_columns",
-        "d28_schema_merge",
-        "d31_shallow_clone",
-        "d34_column_defaults",
-        "s01_stream_tumbling_window",
-        "s02_stream_session_window",
-        "s03_stream_dedup",
-        "s04_stream_stateful_counter",
-        "s05_stream_delta_sink",
-        "s08_stream_upsert",
-        "x01_dedup_exact",
-        "x04_ngram_jaccard_pairs",
-        "x07_cosine_topk",
-        "x08_lsh_ann",
-        "x28_incremental_dedup",
-        "x30_window_dedup",
-        "x33_bpe_vocab",
-        "x34_lm_quality",
-        "x35_containment_decontamination",
-        "x36_span_removal",
-    ]
-)
+# (the r8 front list itself was removed once superseded — ordering
+# history lives in the prose block above; only _R9_FRONT is live)
 _R9_FRONT = [n for n in _R9_FRONT if n in _ALL]
 _POS = {n: i for i, n in enumerate(_R9_FRONT)}
 

@@ -386,10 +386,18 @@ def test_symlink_manifest_no_blackout_regeneration(spark, tmp_path):
     marker = os.path.join(root, "_reader_marker")
     with open(marker, "w") as fh:
         fh.write("x")
-    # leftover temp from a crashed run inside a live partition dir
-    tmp_left = os.path.join(root, "part=0", ".manifest.tmp")
+    # leftover temp from a CRASHED run inside a live partition dir —
+    # backdated past the 60 s age gate (a fresh tmp is presumed to be
+    # a concurrent generation's in-flight write and is never swept)
+    tmp_left = os.path.join(root, "part=0", ".manifest.dead1234.tmp")
     with open(tmp_left, "w") as fh:
         fh.write("junk")
+    old = __import__("time").time() - 3600
+    os.utime(tmp_left, (old, old))
+    # a FRESH tmp (concurrent run in flight) must survive the sweep
+    tmp_live = os.path.join(root, "part=0", ".manifest.live5678.tmp")
+    with open(tmp_live, "w") as fh:
+        fh.write("in-flight")
     before = open(os.path.join(root, "part=0", "manifest")).read()
     to_delta(
         df.filter("part = 0"), p, mode="overwrite", partition_by=["part"]
@@ -399,6 +407,7 @@ def test_symlink_manifest_no_blackout_regeneration(spark, tmp_path):
     assert res["numManifestFiles"] == 1
     assert os.path.exists(marker), "non-manifest content preserved"
     assert not os.path.exists(tmp_left), "crashed-run temp swept"
+    assert os.path.exists(tmp_live), "in-flight concurrent tmp kept"
     assert not os.path.exists(os.path.join(root, "part=1")), "stale gone"
     after = open(os.path.join(root, "part=0", "manifest")).read()
     assert after != before, "live manifest replaced with the new snapshot"

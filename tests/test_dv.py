@@ -418,3 +418,60 @@ def test_optimize_subset_applies_vectors(spark, tmp_path):
     out = read_delta(path, spark=spark)
     assert out.count() == 300, "deleted rows stay deleted through OPTIMIZE"
     assert out.agg(F.min("id")).first()[0] == 100
+
+
+def test_vacuum_respects_dv_tombstone_retention(spark, tmp_path):
+    """Self-review r9: removes carry the removed add's deletionVector
+    descriptor (delta-spark parity; serialized through commits AND
+    checkpoints), and vacuum ages tombstoned DV bins by their remove's
+    LOGICAL deletion time instead of file mtime — a bin created 10
+    days ago but tombstoned a second ago (autoCompact purging an old
+    merge-on-read delete) must survive a retention-window vacuum so
+    time travel to the pre-purge version keeps working."""
+    import time
+
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+    from dask_deltalake_spark.delta.maintenance import (
+        create_checkpoint,
+        optimize,
+        vacuum,
+    )
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.reader import read_delta
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    delete_where(
+        path, [("id", "<", 30)], spark=spark, strategy="merge-on-read"
+    )
+    v_mor = DeltaLog(path).snapshot().version
+    old = time.time() - 10 * 86400
+    bins = [f for f in os.listdir(path) if f.endswith(".bin")]
+    assert bins, "merge-on-read delete wrote vector bins"
+    for b in bins:
+        os.utime(os.path.join(path, b), (old, old))
+    optimize(path, spark=spark)  # purges vectors, tombstones the adds
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    assert any(
+        r.deletion_vector for r in snap.tombstones.values()
+    ), "removes carry the descriptor"
+    # 168 h retention: the bin was REMOVED seconds ago, so despite its
+    # 10-day-old mtime it must not be a vacuum candidate
+    got = vacuum(path, retention_hours=168, dry_run=True, spark=spark)
+    assert not any(p.endswith(".bin") for p in got), got
+    for b in bins:
+        assert os.path.exists(os.path.join(path, b))
+    # time travel to the merge-on-read version still applies the vector
+    assert read_delta(path, version=v_mor, spark=spark).count() == 370
+    # descriptor survives a checkpoint-anchored replay too
+    create_checkpoint(path)
+    _SNAPSHOT_CACHE.clear()
+    snap2 = DeltaLog(path).snapshot()
+    assert any(r.deletion_vector for r in snap2.tombstones.values())
+    got2 = vacuum(path, retention_hours=168, dry_run=True, spark=spark)
+    assert not any(p.endswith(".bin") for p in got2), got2
+    # retention elapsed: now reclaimable
+    vacuum(path, retention_hours=0, dry_run=False, spark=spark)
+    assert not any(f.endswith(".bin") for f in os.listdir(path))
+    assert read_delta(path, spark=spark).count() == 370

@@ -774,6 +774,9 @@ def test_exact_substring_dedup_hand_checked(spark):
         (3, "p q r s p q r s p q r s"),             # periodic self-rep
         (4, "a b c d m1 m2 m3 u1 u2 u3 u4 m4"),     # two separate spans
         (5, "z1 z2"),                               # shorter than k
+        (6, "A B C D x9"),                  # case differs: NOT a dup
+        (7, "w1\na b\nc d\tw2"),            # newline/tab-wrapped dup
+        (8, ""),                            # empty doc
     ]
     out = {
         r["doc_id"]: r
@@ -788,6 +791,13 @@ def test_exact_substring_dedup_hand_checked(spark):
         3: (12, 8, 1, "p q r s"),
         4: (12, 8, 2, "m1 m2 m3 m4"),
         5: (2, 0, 0, "z1 z2"),
+        # exact means exact: case-different spans are distinct, and the
+        # surviving text keeps its original bytes (no lowercasing)
+        6: (5, 0, 0, "A B C D x9"),
+        # \s+ tokenization aligns newline/tab-wrapped duplicates; the
+        # only lossy step is clean_text's single-space rejoin
+        7: (6, 4, 1, "w1 w2"),
+        8: (0, 0, 0, ""),
     }
     assert len(out) == len(exp)
     for doc_id, (n, nr, ns, txt) in exp.items():
