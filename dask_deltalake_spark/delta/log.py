@@ -29,6 +29,7 @@ from dask_deltalake_spark.delta.protocol import (
     Protocol,
     RemoveAction,
     commit_filename,
+    dv_unique_id,
 )
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -80,6 +81,12 @@ class Snapshot:
     # stamp (appId=query, version=batch_id) so a re-delivered batch
     # is detected and skipped)
     transactions: dict[str, int] = field(default_factory=dict)
+    # EVERY retained remove under delta-kernel's (path, dvId) identity
+    # — including superseded-vector tombstones whose path is live
+    # again (invisible in the path-keyed dict above). Vacuum's DV
+    # retention ledger and checkpoint persistence read this; plain
+    # consumers keep the path-keyed view.
+    tombstones_all: list = field(default_factory=list)
 
     @property
     def add_actions(self) -> list[AddAction]:
@@ -317,7 +324,7 @@ class DeltaLog:
             # any complete manifest serves; take the newest name
             parts = [v2_manifests[-1]]
         adds: dict[str, AddAction] = {}
-        removes: dict[str, RemoveAction] = {}
+        removes: dict[tuple, RemoveAction] = {}  # (path, dv_unique_id)
         metadata: Optional[Metadata] = None
         protocol: Optional[Protocol] = None
         domains: dict[str, str] = {}
@@ -355,7 +362,7 @@ class DeltaLog:
                 rdv = r.get("deletionVector")
                 if rdv is not None and rdv.get("storageType") is None:
                     rdv = None  # null struct from a checkpoint row
-                removes[path] = RemoveAction(
+                removes[(path, dv_unique_id(rdv))] = RemoveAction(
                     path=path,
                     deletion_timestamp=int(r.get("deletionTimestamp") or 0),
                     deletion_vector=rdv,
@@ -413,7 +420,12 @@ class DeltaLog:
             )
 
         adds: dict[str, AddAction] = {}
-        tombstones: dict[str, RemoveAction] = {}
+        # keyed by (path, dv_unique_id) — delta-kernel's file-action
+        # identity, so a remove of (path, dvA) survives an add of
+        # (path, dvB) and the superseded bin keeps its logical
+        # deletion time; projected to the public path-keyed dict at
+        # Snapshot construction
+        tombstones: dict[tuple, RemoveAction] = {}
         metadata: Optional[Metadata] = None
         protocol: Optional[Protocol] = None
         domains: dict[str, str] = {}
@@ -466,12 +478,50 @@ class DeltaLog:
             nonlocal metadata, protocol
             if "add" in action:
                 a = AddAction.from_json(action["add"])
+                old = adds.get(a.path)
+                if (
+                    old is not None
+                    and old.deletion_vector
+                    and dv_unique_id(old.deletion_vector)
+                    != dv_unique_id(a.deletion_vector)
+                ):
+                    # same-path re-add superseding a DIFFERENT vector
+                    # with no remove action in between (the RESTORE
+                    # shape): archive the old descriptor so its bin
+                    # keeps a logical deletion time for vacuum
+                    tombstones.setdefault(
+                        (a.path, dv_unique_id(old.deletion_vector)),
+                        RemoveAction(
+                            path=a.path,
+                            deletion_timestamp=a.modification_time,
+                            data_change=True,
+                            deletion_vector=old.deletion_vector,
+                        ),
+                    )
                 adds[a.path] = a
-                tombstones.pop(a.path, None)
+                tombstones.pop(
+                    (a.path, dv_unique_id(a.deletion_vector)), None
+                )
             elif "remove" in action:
                 r = RemoveAction.from_json(action["remove"])
-                adds.pop(r.path, None)
-                tombstones[r.path] = r
+                old = adds.pop(r.path, None)
+                if (
+                    old is not None
+                    and old.deletion_vector
+                    and dv_unique_id(old.deletion_vector)
+                    != dv_unique_id(r.deletion_vector)
+                ):
+                    # legacy remove that did not carry the removed
+                    # add's descriptor: synthesize its dv tombstone
+                    tombstones[
+                        (r.path, dv_unique_id(old.deletion_vector))
+                    ] = RemoveAction(
+                        path=r.path,
+                        deletion_timestamp=r.deletion_timestamp,
+                        data_change=r.data_change,
+                        deletion_vector=old.deletion_vector,
+                    )
+                tombstones[(r.path, dv_unique_id(r.deletion_vector))] = r
             elif "metaData" in action:
                 metadata = Metadata.from_json(action["metaData"])
             elif "protocol" in action:
@@ -635,15 +685,27 @@ class DeltaLog:
                     version,
                     (adds, tombstones, metadata, protocol, domains, txns),
                 )
+        # public projection: one tombstone per REMOVED path (latest
+        # wins; a path that is live again is not a vacuum candidate),
+        # with the full (path, dvId)-keyed set kept on tombstones_all
+        # for DV-retention accounting and checkpoint persistence
+        public_tombs: dict[str, RemoveAction] = {}
+        for (p, _uid), r in tombstones.items():
+            if p in adds:
+                continue
+            prev = public_tombs.get(p)
+            if prev is None or r.deletion_timestamp >= prev.deletion_timestamp:
+                public_tombs[p] = r
         return Snapshot(
             path=self.table_path,
             version=version,
             metadata=metadata,
             protocol=protocol or Protocol(),
             files=adds,
-            tombstones=tombstones,
+            tombstones=public_tombs,
             domain_metadata=domains,
             transactions=txns,
+            tombstones_all=list(tombstones.values()),
         )
 
     # -- snapshot cache ---------------------------------------------------

@@ -192,7 +192,11 @@ def vacuum(
     # back several files (write_dv_file packs descriptors), so the
     # LATEST referencing remove governs; live references stay
     # protected by the `referenced` set checked first in every branch.
-    for r in snap.tombstones.values():
+    # tombstones_all (the (path, dvId)-keyed set) additionally covers
+    # superseded vectors whose PATH is live again — a second
+    # merge-on-read delete or RESTORE across vector states leaves the
+    # old bin referenced by no snapshot but still inside its window.
+    for r in snap.tombstones_all or snap.tombstones.values():
         dvd = r.deletion_vector
         if dvd and dvd.get("storageType") == "u":
             from dask_deltalake_spark.delta.dv import dv_absolute_path
@@ -397,7 +401,28 @@ def create_checkpoint(
                 }
             }
         )
-    for r in snap.tombstones.values():
+    # the FULL (path, dvId)-keyed tombstone set: superseded-vector
+    # removes whose path is live again must survive a
+    # checkpoint-anchored replay or their bins lose retention
+    # protection the moment a checkpoint lands. EXPIRED tombstones
+    # (older than delta.deletedFileRetentionDuration) are dropped
+    # here, exactly as delta-spark's checkpoint does — that is what
+    # bounds checkpoint size on a long-lived merge-on-read table
+    # (every MoR update retires a vector; without expiry the keyed
+    # set grows monotonically forever). Post-expiry the files age by
+    # mtime, which is by then past retention too — vacuum semantics
+    # unchanged. Unknown (0) timestamps are kept, conservatively.
+    _prop = snap.metadata.configuration.get(
+        "delta.deletedFileRetentionDuration", "interval 168 hours"
+    )
+    try:
+        _ret_h = _parse_retention_interval(_prop)
+    except ValueError:
+        _ret_h = 168
+    _tomb_cutoff = now_ms() - int(_ret_h * 3600 * 1000)
+    for r in snap.tombstones_all or snap.tombstones.values():
+        if r.deletion_timestamp and r.deletion_timestamp < _tomb_cutoff:
+            continue
         rows.append(
             {
                 "remove": {

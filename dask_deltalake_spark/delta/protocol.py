@@ -352,6 +352,19 @@ class AddAction:
         )
 
 
+def dv_unique_id(dv: Optional[dict]) -> str:
+    """delta-kernel's deletion-vector unique id ('' for no vector):
+    file actions reconcile on (path, dvId), not path alone — a remove
+    of (path, dvA) must survive an add of (path, dvB) so the
+    superseded vector keeps a logical deletion time for vacuum."""
+    if not dv:
+        return ""
+    return (
+        f"{dv.get('storageType', '')}"
+        f"{dv.get('pathOrInlineDv', '')}@{dv.get('offset') or 0}"
+    )
+
+
 @dataclass
 class RemoveAction:
     path: str

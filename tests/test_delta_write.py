@@ -449,3 +449,38 @@ def test_auto_checkpoint_every_interval(spark, tmp_path):
     assert json.load(open(lc2))["version"] == 5
     snap = DeltaLog(path2).snapshot()
     assert snap.version == 5
+
+
+def test_checkpoint_expires_old_tombstones(spark, tmp_path):
+    """delta-spark parity: a checkpoint drops remove tombstones older
+    than delta.deletedFileRetentionDuration — that bound is what keeps
+    checkpoints from growing monotonically on merge-on-read-heavy
+    tables now that the full (path, dvId) tombstone set persists.
+    Fresh tombstones survive; with retention 0 they expire."""
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+    from dask_deltalake_spark.delta.maintenance import create_checkpoint
+
+    # default retention: fresh tombstones SURVIVE the checkpoint
+    p1 = str(tmp_path / "keep")
+    to_delta(spark.range(0, 10).coalesce(1), p1)
+    to_delta(spark.range(10, 20).coalesce(1), p1, mode="overwrite")
+    create_checkpoint(p1)
+    _SNAPSHOT_CACHE.clear()
+    assert DeltaLog(p1).snapshot().tombstones, "fresh tombstones kept"
+
+    # retention 0: every aged tombstone expires out of the checkpoint
+    p2 = str(tmp_path / "drop")
+    to_delta(
+        spark.range(0, 10).coalesce(1),
+        p2,
+        configuration={"delta.deletedFileRetentionDuration": "interval 0 hours"},
+    )
+    to_delta(spark.range(10, 20).coalesce(1), p2, mode="overwrite")
+    import time
+
+    time.sleep(0.01)  # deletionTimestamp strictly below the cutoff
+    create_checkpoint(p2)
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(p2).snapshot()
+    assert not snap.tombstones and not snap.tombstones_all
+    assert read_delta(p2, spark=spark).count() == 10

@@ -475,3 +475,65 @@ def test_vacuum_respects_dv_tombstone_retention(spark, tmp_path):
     vacuum(path, retention_hours=0, dry_run=False, spark=spark)
     assert not any(f.endswith(".bin") for f in os.listdir(path))
     assert read_delta(path, spark=spark).count() == 370
+
+
+def test_vacuum_protects_superseded_vector_bins(spark, tmp_path):
+    """(path, dvId) tombstone keying (delta-kernel's file-action
+    identity): a SECOND merge-on-read delete re-adds the same path
+    with a merged vector, so the first delete's bin is referenced by
+    no current add — but time travel to the inter-delete versions
+    still reads it. The remove of (path, dvA) must survive the add of
+    (path, dvB) in replay, giving the old bin a LOGICAL deletion time
+    for vacuum retention; and the full keyed set must survive a
+    checkpoint-anchored replay."""
+    import time
+
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+    from dask_deltalake_spark.delta.maintenance import (
+        create_checkpoint,
+        vacuum,
+    )
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.reader import read_delta
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    delete_where(
+        path, [("id", "<", 20)], spark=spark, strategy="merge-on-read"
+    )
+    v1 = DeltaLog(path).snapshot().version
+    bins1 = {f for f in os.listdir(path) if f.endswith(".bin")}
+    assert bins1
+    old = time.time() - 10 * 86400
+    for b in bins1:
+        os.utime(os.path.join(path, b), (old, old))
+    # second delete merges vectors: same paths re-added with new bins
+    delete_where(
+        path, [("id", "<", 40)], spark=spark, strategy="merge-on-read"
+    )
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    # the superseded descriptors live in the keyed set, not the
+    # path-keyed public dict (their paths are live again)
+    assert any(
+        r.deletion_vector for r in snap.tombstones_all
+        if r.path in snap.files
+    ), "superseded-vector tombstone retained for a live path"
+    got = vacuum(path, retention_hours=168, dry_run=True, spark=spark)
+    assert not any(p.endswith(".bin") for p in got), got
+    assert read_delta(path, version=v1, spark=spark).count() == 380
+    # keyed set survives a checkpoint-anchored replay
+    create_checkpoint(path)
+    _SNAPSHOT_CACHE.clear()
+    snap2 = DeltaLog(path).snapshot()
+    assert any(
+        r.deletion_vector for r in snap2.tombstones_all
+        if r.path in snap2.files
+    )
+    got2 = vacuum(path, retention_hours=168, dry_run=True, spark=spark)
+    assert not any(p.endswith(".bin") for p in got2), got2
+    # after retention the old bins reclaim; the live table is intact
+    vacuum(path, retention_hours=0, dry_run=False, spark=spark)
+    for b in bins1:
+        assert not os.path.exists(os.path.join(path, b))
+    assert read_delta(path, spark=spark).count() == 360
