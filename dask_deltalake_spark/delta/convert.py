@@ -204,7 +204,10 @@ def _collect_stats(
     convert-time and recomputed stats can never diverge. Locally
     mapped stores hand pyarrow plain paths; object stores ship the
     (picklable) store to executors so each file opens through
-    ``store.open_input`` — the seam route, no local mapping needed."""
+    ``store.open_input`` — the seam route, no local mapping needed.
+    The store CLASS must be importable on executors (true for any
+    installed module; a driver-only class can still convert with
+    ``collect_stats=False``)."""
     from dask_deltalake_spark.delta.protocol import fold_file_stats
 
     if local_root is not None:

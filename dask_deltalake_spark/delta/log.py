@@ -504,23 +504,35 @@ class DeltaLog:
                 )
             elif "remove" in action:
                 r = RemoveAction.from_json(action["remove"])
-                old = adds.pop(r.path, None)
-                if (
-                    old is not None
-                    and old.deletion_vector
-                    and dv_unique_id(old.deletion_vector)
-                    != dv_unique_id(r.deletion_vector)
-                ):
-                    # legacy remove that did not carry the removed
-                    # add's descriptor: synthesize its dv tombstone
-                    tombstones[
-                        (r.path, dv_unique_id(old.deletion_vector))
-                    ] = RemoveAction(
-                        path=r.path,
-                        deletion_timestamp=r.deletion_timestamp,
-                        data_change=r.data_change,
-                        deletion_vector=old.deletion_vector,
-                    )
+                old = adds.get(r.path)
+                if old is not None:
+                    if dv_unique_id(old.deletion_vector) == dv_unique_id(
+                        r.deletion_vector
+                    ):
+                        # the remove targets the live add's exact
+                        # (path, dvId) identity
+                        adds.pop(r.path)
+                    elif r.deletion_vector is None and old.deletion_vector:
+                        # legacy remove (pre-descriptor writers never
+                        # stamp one): it targets the then-live add
+                        # whatever its vector — pop it and synthesize
+                        # the dv tombstone so the bin keeps retention
+                        adds.pop(r.path)
+                        tombstones[
+                            (r.path, dv_unique_id(old.deletion_vector))
+                        ] = RemoveAction(
+                            path=r.path,
+                            deletion_timestamp=r.deletion_timestamp,
+                            data_change=r.data_change,
+                            deletion_vector=old.deletion_vector,
+                        )
+                    # else: a remove of a STALE vector identity while a
+                    # DIFFERENT (path, dvId) is live — e.g. a conforming
+                    # writer ordering add(path, dvNew) before
+                    # remove(path, dvOld) in one MoR commit. Delta's
+                    # reconciliation is keyed by (path, dvId), so the
+                    # live add survives; popping it here would vanish
+                    # every surviving row of the file.
                 tombstones[(r.path, dv_unique_id(r.deletion_vector))] = r
             elif "metaData" in action:
                 metadata = Metadata.from_json(action["metaData"])

@@ -167,13 +167,19 @@ class LocalLogStore(LogStore):
                 for e in entries:
                     if e.is_dir(follow_symlinks=False):
                         stack.append(e.path)
-                    else:
-                        st = e.stat()
-                        yield (
-                            os.path.relpath(e.path, r),
-                            st.st_size,
-                            st.st_mtime,
-                        )
+                        continue
+                    if e.is_dir():
+                        # symlink to a directory: os.walk-based
+                        # walk_files lists it in dirnames and never
+                        # yields it — keep the two seam methods
+                        # reporting the same file set
+                        continue
+                    st = e.stat()
+                    yield (
+                        os.path.relpath(e.path, r),
+                        st.st_size,
+                        st.st_mtime,
+                    )
 
     def read_bytes(self, path: str) -> bytes:
         with open(self._p(path), "rb") as f:
@@ -419,7 +425,12 @@ class FsspecLogStore(LogStore):
 
     def walk_files_stats(self, root: str) -> Iterator[tuple]:
         # one LIST pass: find(detail=True) already carries size and
-        # modification time in the listing response — zero HEADs
+        # modification time in the listing response — zero HEADs.
+        # mtime keys and types vary per backend (s3fs LastModified
+        # datetime, gcsfs 'updated' ISO string, ...): anything not
+        # directly float-able falls back to ONE per-file mtime() seam
+        # call, which normalizes per backend — correctness first, the
+        # listing fast path for the common backends.
         base = self.fs._strip_protocol(root).rstrip("/")
         for p, info in sorted(self.fs.find(root, detail=True).items()):
             sp = self.fs._strip_protocol(p)
@@ -427,12 +438,18 @@ class FsspecLogStore(LogStore):
                 info.get("mtime")
                 or info.get("LastModified")
                 or info.get("last_modified")
+                or info.get("updated")
             )
-            if hasattr(mt, "timestamp"):  # datetime from s3fs/gcsfs
+            if hasattr(mt, "timestamp"):  # datetime from s3fs et al.
                 mt = mt.timestamp()
-            yield sp[len(base) + 1:], int(info.get("size") or 0), float(
-                mt if mt is not None else 0.0
-            )
+            try:
+                mt = float(mt)
+            except (TypeError, ValueError):
+                try:
+                    mt = float(self.mtime(p))
+                except Exception:
+                    mt = 0.0
+            yield sp[len(base) + 1:], int(info.get("size") or 0), mt
 
     def read_bytes(self, path: str) -> bytes:
         return self.fs.cat_file(path)

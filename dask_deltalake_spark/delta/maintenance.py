@@ -106,7 +106,11 @@ def vacuum(
     directory listing. At 100 TB the full walk lists hundreds of
     millions of objects (on S3: the dominant cost of vacuum); lite is
     O(#tombstones) log metadata, the right routine cadence, with full
-    reserved for occasional orphan sweeps.
+    reserved for occasional orphan sweeps. Note lite's candidate
+    source is bounded by checkpoint tombstone expiry (delta-spark
+    parity): a file whose tombstone aged out of a checkpoint before
+    any vacuum ran is no longer a lite candidate — the periodic full
+    sweep reclaims it by mtime.
 
     ``inventory=`` (delta 3.1's ``VACUUM ... USING INVENTORY``): a
     Spark DataFrame with columns ``path`` (table-relative) and
@@ -409,9 +413,15 @@ def create_checkpoint(
     # here, exactly as delta-spark's checkpoint does — that is what
     # bounds checkpoint size on a long-lived merge-on-read table
     # (every MoR update retires a vector; without expiry the keyed
-    # set grows monotonically forever). Post-expiry the files age by
-    # mtime, which is by then past retention too — vacuum semantics
-    # unchanged. Unknown (0) timestamps are kept, conservatively.
+    # set grows monotonically forever). The trade is delta-spark's
+    # too, stated honestly: once a tombstone expires out of a
+    # checkpoint, (a) a LATER vacuum called with a retention window
+    # longer than the table property falls back to file mtime for
+    # that file, i.e. the property is the effective ceiling on
+    # logical-deletion-time protection, and (b) VACUUM LITE (whose
+    # only candidate source is the tombstone set) will no longer see
+    # the file — full/inventory modes still reclaim it by mtime.
+    # Unknown (0) timestamps are kept, conservatively.
     _prop = snap.metadata.configuration.get(
         "delta.deletedFileRetentionDuration", "interval 168 hours"
     )
@@ -2106,6 +2116,9 @@ def generate_symlink_manifest(path: str) -> dict:
         resolve_file_path,
     )
 
+    import time as _time
+
+    run_start = _time.time()  # concurrency fence for the sweep below
     table_path = str(path).rstrip("/")
     log = DeltaLog(table_path)
     snap = log.snapshot()
@@ -2165,7 +2178,6 @@ def generate_symlink_manifest(path: str) -> dict:
     # table (delta-spark overwrites manifests in place the same way).
     # Only AFTER the new manifests exist are directories for
     # partitions absent from the snapshot removed.
-    import time as _time
     import uuid as _uuid
 
     live_dirs = set()
@@ -2182,24 +2194,42 @@ def generate_symlink_manifest(path: str) -> dict:
             f.write("\n".join(sorted(uris)) + "\n")
         os.replace(tmp, os.path.join(d, "manifest"))
     # stale-partition sweep: drop manifests whose directory is no
-    # longer a live partition, temp files from CRASHED runs (age-gated
-    # 60 s so a concurrent generation's in-flight tmp is never swept),
-    # then prune empty directories bottom-up (rmdir only succeeds on
-    # empty dirs, so live content is structurally safe)
+    # longer a live partition, temp files from CRASHED runs, then
+    # prune empty directories bottom-up (rmdir only succeeds on empty
+    # dirs, so live content is structurally safe). Concurrency fences:
+    # a stale-looking manifest written AFTER this run started belongs
+    # to a concurrent generation working from a NEWER snapshot that
+    # added the partition — deleting it would un-publish that
+    # partition, so only manifests predating run_start are swept
+    # (genuinely dropped partitions still clean up immediately);
+    # temp files sweep behind a 60 s age gate (a generation's driver
+    # metadata work finishes well inside a minute — an older tmp is a
+    # crashed run's, a fresh one is a concurrent run's in-flight
+    # write).
     _now = _time.time()
+
+    def _mtime_or_none(p: str):
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return None
+
     for dirpath, _dn, filenames in os.walk(manifest_root, topdown=False):
         for fn in filenames:
             full = os.path.join(dirpath, fn)
+            mt = _mtime_or_none(full)
             stale_manifest = (
                 fn == "manifest"
                 and os.path.normpath(dirpath) not in live_dirs
+                and mt is not None
+                and mt < run_start
             )
-            crashed_tmp = False
-            if fn.startswith(".manifest.") and fn.endswith(".tmp"):
-                try:
-                    crashed_tmp = _now - os.path.getmtime(full) > 60
-                except OSError:
-                    pass
+            crashed_tmp = (
+                fn.startswith(".manifest.")
+                and fn.endswith(".tmp")
+                and mt is not None
+                and _now - mt > 60
+            )
             if stale_manifest or crashed_tmp:
                 try:
                     os.remove(full)

@@ -751,10 +751,10 @@ def _mor_commit(
         for (a, pos), desc in zip(dv_targets, descriptors):
             desc = dict(desc, cardinality=int(len(pos)))
             # the remove carries the PRE-update descriptor (the re-add
-            # below carries the merged one); note the same-path re-add
-            # pops this tombstone during replay, so the superseded
-            # bin's retention still ages by mtime — the (path, dvId)
-            # tombstone keying delta-kernel uses is the full fix
+            # below carries the merged one); replay keys tombstones by
+            # (path, dvId), so this tombstone SURVIVES the same-path
+            # re-add and the superseded bin keeps a logical deletion
+            # time for vacuum retention (log.py:_apply)
             actions.append(
                 RemoveAction(
                     path=a.path,

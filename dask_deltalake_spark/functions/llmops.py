@@ -2989,6 +2989,23 @@ def x39_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ESD_K = 16  # duplicate-span gram length in whitespace tokens
 
+# persisted frames registered by exact_substring_dedup, released via
+# clear_esd_cache() — the same lifecycle handle the jaccard index
+# gives callers (clear_jaccard_cache), so a long-lived session running
+# per-batch dedup does not pin corpus-scale MEMORY_AND_DISK blocks
+# forever
+_ESD_PERSISTED: list = []
+
+
+def clear_esd_cache() -> None:
+    """Unpersist every frame exact_substring_dedup pinned."""
+    for frame in _ESD_PERSISTED:
+        try:
+            frame.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _ESD_PERSISTED.clear()
+
 
 def exact_substring_dedup(d: DataFrame, k: int = _ESD_K) -> DataFrame:
     """Exact-substring SPAN deduplication (Lee et al. 2021,
@@ -3065,6 +3082,7 @@ def exact_substring_dedup(d: DataFrame, k: int = _ESD_K) -> DataFrame:
     pos = toks.select(
         "doc_id", F.posexplode(grams).alias("pos", "g")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _ESD_PERSISTED.append(pos)
     dup = (
         pos.groupBy("g")
         .agg(
@@ -3094,6 +3112,7 @@ def exact_substring_dedup(d: DataFrame, k: int = _ESD_K) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _ESD_PERSISTED.append(removed_idx)
     toked = toks.select(
         "doc_id",
         F.posexplode("toks").alias("tidx", "tok"),

@@ -537,3 +537,75 @@ def test_vacuum_protects_superseded_vector_bins(spark, tmp_path):
     for b in bins1:
         assert not os.path.exists(os.path.join(path, b))
     assert read_delta(path, spark=spark).count() == 360
+
+
+def test_replay_remove_of_stale_vector_keeps_live_add(spark, tmp_path):
+    """Review r9 #2: Delta's action reconciliation is keyed by
+    (path, dvId), so a conforming writer may order add(path, dvNew)
+    BEFORE remove(path, dvOld) in one merge-on-read commit — the
+    remove targets the STALE vector identity and must not evict the
+    just-added live file (popping by path alone vanished every
+    surviving row of the file)."""
+    from dask_deltalake_spark.delta.dv import serialize_positions
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.protocol import (
+        AddAction,
+        RemoveAction,
+        dv_unique_id,
+        now_ms,
+    )
+    from dask_deltalake_spark.delta.reader import read_delta
+    from dask_deltalake_spark.delta.writer import to_delta, write_commit
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(0, 10).coalesce(1), path)
+    delete_where(
+        path, [("id", "<", 2)], spark=spark, strategy="merge-on-read"
+    )
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    [a] = snap.add_actions
+    dv_a = a.deletion_vector
+    assert dv_a
+    blob = serialize_positions([0, 1, 2])
+    pad = (-len(blob)) % 4
+    dv_b = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(blob + b"\x00" * pad),
+        "sizeInBytes": len(blob),
+        "cardinality": 3,
+    }
+    ts = now_ms()
+    write_commit(
+        path,
+        snap.version + 1,
+        [
+            AddAction(
+                path=a.path,
+                size=a.size,
+                partition_values=a.partition_values,
+                modification_time=ts,
+                data_change=True,
+                stats=a.stats,
+                deletion_vector=dv_b,
+            ).to_json(),
+            RemoveAction(
+                path=a.path,
+                deletion_timestamp=ts,
+                data_change=True,
+                deletion_vector=dv_a,
+            ).to_json(),
+        ],
+    )
+    _SNAPSHOT_CACHE.clear()
+    snap2 = DeltaLog(path).snapshot()
+    assert a.path in snap2.files, "live add survived the stale remove"
+    assert snap2.files[a.path].deletion_vector == dv_b
+    assert read_delta(path, spark=spark).count() == 7
+    # the stale vector keeps its own tombstone identity for retention
+    assert any(
+        r.deletion_vector
+        and dv_unique_id(r.deletion_vector) == dv_unique_id(dv_a)
+        for r in snap2.tombstones_all
+    )
