@@ -1723,3 +1723,45 @@ def q46_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# r10 debut (the r9 driver window is arithmetically full — the
+# d47/d48 pattern): NOT yet in REGISTRY; register as q47 with the
+# DuckDB LATERAL oracle below when the r10 window opens.
+_Q47_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS top_price
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) o
+"""
+
+
+def q47_lateral_topn_per_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 LATERAL / Spark 3.2+
+    lateral join): for each customer, the top-2 orders by price — the
+    canonical 'top-N per group via lateral' shape. Expressed as an
+    actual LATERAL subquery (Catalyst's DecorrelateInnerQuery rewrites
+    it into a ranked join — the same physical plan a manual
+    row_number() window produces), so the SQL surface is exercised,
+    not paraphrased. Scale: the decorrelated plan is one shuffle of
+    orders by o_custkey with a per-key bounded sort (LIMIT pushes into
+    the window), never a per-customer re-scan. Customers with no
+    orders drop (inner lateral), matching the oracle."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q47_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q47_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(o.o_totalprice AS DOUBLE) AS top_price
+        FROM q47_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM q47_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        """
+    )
