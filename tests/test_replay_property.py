@@ -1,0 +1,153 @@
+"""Property test for log-replay action reconciliation (log.py:_apply,
+the (path, dvId)-keyed tombstone machinery) — no Spark, pure driver
+metadata, so hypothesis can run hundreds of histories.
+
+Invariant: CHECKPOINT-SPLIT INVARIANCE. For any random action history
+H and any split point k, replaying H in full must produce exactly the
+same table state (live adds AND the (path, dvId) tombstone set) as
+writing the same history with a checkpoint at version k and replaying
+from it — i.e. checkpoints are semantics-free acceleration, for every
+add/remove interleaving a writer can produce, including same-commit
+add-before-remove orderings, vector supersession, and resurrected
+paths."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+from dask_deltalake_spark.delta.maintenance import create_checkpoint
+from dask_deltalake_spark.delta.protocol import (
+    AddAction,
+    Metadata,
+    Protocol,
+    RemoveAction,
+    dv_unique_id,
+)
+from dask_deltalake_spark.delta.writer import write_commit
+
+_PATHS = ["a.parquet", "b.parquet", "c.parquet"]
+_DVS = [
+    None,
+    {"storageType": "i", "pathOrInlineDv": "dv-one", "cardinality": 1},
+    {"storageType": "i", "pathOrInlineDv": "dv-two", "cardinality": 2},
+]
+
+_SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {},
+            }
+        ],
+    }
+)
+
+_action = st.tuples(
+    st.sampled_from(["add", "remove"]),
+    st.sampled_from(range(len(_PATHS))),
+    st.sampled_from(range(len(_DVS))),
+)
+_history = st.lists(
+    st.lists(_action, min_size=1, max_size=3), min_size=1, max_size=6
+)
+
+
+def _to_json(kind: str, pi: int, di: int, ts: int) -> dict:
+    if kind == "add":
+        return AddAction(
+            path=_PATHS[pi],
+            size=10,
+            partition_values={},
+            modification_time=ts,
+            data_change=True,
+            deletion_vector=_DVS[di],
+        ).to_json()
+    return RemoveAction(
+        path=_PATHS[pi],
+        deletion_timestamp=ts,
+        data_change=True,
+        deletion_vector=_DVS[di],
+    ).to_json()
+
+
+def _write_table(base: str, history: list) -> str:
+    tbl = f"{base}/t-{uuid.uuid4().hex[:8]}"
+    meta = Metadata(
+        id=uuid.uuid4().hex,
+        schema_string=_SCHEMA,
+        configuration={
+            # DV protocol features so replay accepts the descriptors;
+            # NO tombstone expiry (huge retention) so the comparison
+            # is over the full sets
+            "delta.deletedFileRetentionDuration": "interval 876000 hours",
+        },
+    ).to_json()
+    proto = Protocol(
+        min_reader_version=3,
+        min_writer_version=7,
+        reader_features=["deletionVectors"],
+        writer_features=["deletionVectors"],
+    ).to_json()
+    write_commit(tbl, 0, [proto, meta] + [
+        _to_json(k, p, d, 1_000) for (k, p, d) in history[0]
+    ])
+    for v, commit in enumerate(history[1:], start=1):
+        write_commit(
+            tbl, v, [_to_json(k, p, d, 1_000 + v) for (k, p, d) in commit]
+        )
+    return tbl
+
+
+def _state(tbl: str):
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(tbl).snapshot()
+    files = {
+        (p, dv_unique_id(a.deletion_vector)) for p, a in snap.files.items()
+    }
+    tombs = {
+        (r.path, dv_unique_id(r.deletion_vector), r.deletion_timestamp)
+        for r in snap.tombstones_all
+    }
+    pub = {
+        (p, r.deletion_timestamp) for p, r in snap.tombstones.items()
+    }
+    return files, tombs, pub
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(history=_history, data=st.data())
+def test_replay_checkpoint_split_invariance(history, data):
+    with tempfile.TemporaryDirectory(prefix="replay_prop_") as base:
+        plain = _write_table(base, history)
+        want = _state(plain)
+
+        k = data.draw(
+            st.integers(min_value=0, max_value=len(history) - 1),
+            label="checkpoint version",
+        )
+        # same history in a sibling table, checkpoint written
+        # mid-stream at version k, then the tail commits
+        tail = history[k + 1:]
+        tbl = _write_table(base, history[: k + 1])
+        _SNAPSHOT_CACHE.clear()
+        create_checkpoint(tbl)
+        for v, commit in enumerate(tail, start=k + 1):
+            write_commit(
+                tbl, v, [_to_json(kk, p, d, 1_000 + v) for (kk, p, d) in commit]
+            )
+        got = _state(tbl)
+        assert got == want, (history, k, got, want)
