@@ -287,7 +287,7 @@ class DeltaLog:
 
     def _load_checkpoint(self, version: int) -> tuple[
         dict[str, AddAction],
-        dict[str, RemoveAction],
+        dict[tuple[str, str], RemoveAction],
         Optional[Metadata],
         Optional[Protocol],
         dict[str, str],
@@ -474,6 +474,18 @@ class DeltaLog:
                 "cleanup."
             )
 
+        # commit sequence for the legacy-remove heuristic below: a
+        # descriptor-less remove may evict a DV'd live add ONLY when
+        # that add was installed by an EARLIER replay unit (commit /
+        # compacted range / staged commit; checkpoint- or cache-loaded
+        # adds count as seq 0). Within one commit, Delta action order
+        # is insignificant and reconciliation is kernel-strict on
+        # (path, dvId) — otherwise a conforming writer ordering
+        # add(path, dvNew) before remove(path, no-descriptor) in one
+        # MoR commit would have its just-added file evicted.
+        commit_seq = 0
+        add_seq: dict[str, int] = {}
+
         def _apply(action: dict) -> None:
             nonlocal metadata, protocol
             if "add" in action:
@@ -488,17 +500,28 @@ class DeltaLog:
                     # same-path re-add superseding a DIFFERENT vector
                     # with no remove action in between (the RESTORE
                     # shape): archive the old descriptor so its bin
-                    # keeps a logical deletion time for vacuum
+                    # keeps a logical deletion time for vacuum. The
+                    # timestamp is the best DETERMINISTIC proxy replay
+                    # has — the max of the two adds' modification
+                    # times; a foreign RESTORE that preserves ancient
+                    # mtimes on both sides under-protects (its own
+                    # remove, when it writes one, carries the real
+                    # time and overwrites this entry — setdefault/
+                    # assignment ordering below).
                     tombstones.setdefault(
                         (a.path, dv_unique_id(old.deletion_vector)),
                         RemoveAction(
                             path=a.path,
-                            deletion_timestamp=a.modification_time,
+                            deletion_timestamp=max(
+                                a.modification_time,
+                                old.modification_time,
+                            ),
                             data_change=True,
                             deletion_vector=old.deletion_vector,
                         ),
                     )
                 adds[a.path] = a
+                add_seq[a.path] = commit_seq
                 tombstones.pop(
                     (a.path, dv_unique_id(a.deletion_vector)), None
                 )
@@ -512,11 +535,18 @@ class DeltaLog:
                         # the remove targets the live add's exact
                         # (path, dvId) identity
                         adds.pop(r.path)
-                    elif r.deletion_vector is None and old.deletion_vector:
+                    elif (
+                        r.deletion_vector is None
+                        and old.deletion_vector
+                        and add_seq.get(r.path, 0) < commit_seq
+                    ):
                         # legacy remove (pre-descriptor writers never
-                        # stamp one): it targets the then-live add
-                        # whatever its vector — pop it and synthesize
-                        # the dv tombstone so the bin keeps retention
+                        # stamp one) from a LATER commit than the live
+                        # add: it targets that add whatever its vector
+                        # — pop it and synthesize the dv tombstone so
+                        # the bin keeps retention. Same-commit
+                        # descriptor-less removes stay kernel-strict
+                        # (see commit_seq above).
                         adds.pop(r.path)
                         tombstones[
                             (r.path, dv_unique_id(old.deletion_vector))
@@ -576,6 +606,10 @@ class DeltaLog:
         while v <= version:
             ce = compacted.get(v)
             if ce is not None:
+                # one seq for the whole range is sound: compaction nets
+                # actions per path, so a range never holds both an add
+                # and a remove for one path
+                commit_seq += 1
                 for action in self.read_compacted_actions(v, ce):
                     _apply(action)
                 v = ce + 1
@@ -589,6 +623,7 @@ class DeltaLog:
                 # the classic latest) and silently skipping it would
                 # serve data-loss state as a valid snapshot
                 raise ValueError(f"Missing commit {v} in {self.log_path}")
+            commit_seq += 1
             for action in self.read_commit_actions(v):
                 _apply(action)
             v += 1
@@ -626,6 +661,7 @@ class DeltaLog:
                         if sv < v:
                             continue  # already backfilled + replayed
                         break  # gap in the staged tail: stop merging
+                    commit_seq += 1
                     for action in read_staged_commit_actions(
                         self.store, self.log_path, sv, sname
                     ):

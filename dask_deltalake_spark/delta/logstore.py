@@ -174,7 +174,13 @@ class LocalLogStore(LogStore):
                         # yields it — keep the two seam methods
                         # reporting the same file set
                         continue
-                    st = e.stat()
+                    try:
+                        st = e.stat()
+                    except FileNotFoundError:
+                        # dangling symlink: walk_files yields it, so
+                        # this walk must too — with the link's own
+                        # stat rather than crashing the whole listing
+                        st = e.stat(follow_symlinks=False)
                     yield (
                         os.path.relpath(e.path, r),
                         st.st_size,

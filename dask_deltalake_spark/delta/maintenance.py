@@ -161,25 +161,14 @@ def vacuum(
             abs_dv = dv_absolute_path(table_path, a.deletion_vector)
             referenced.add(os.path.relpath(abs_dv, table_path))
     if retention_hours is None:
-        _prop = snap.metadata.configuration.get(
-            "delta.deletedFileRetentionDuration", "interval 168 hours"
+        # warn=True: a foreign engine's unparseable spelling must not
+        # make a previously vacuumable table un-vacuumable — fall back
+        # to the reference default, loudly (the user-facing verb);
+        # create_checkpoint shares the SAME helper so the expiry
+        # cutoff can never diverge from vacuum's
+        retention_hours = _configured_retention_hours(
+            snap.metadata.configuration, warn=True
         )
-        try:
-            retention_hours = _parse_retention_interval(_prop)
-        except ValueError:
-            # pre-r8 vacuum ignored the property entirely; a foreign
-            # engine's unparseable spelling must not make a previously
-            # vacuumable table un-vacuumable — warn and keep the
-            # reference default
-            import warnings
-
-            warnings.warn(
-                f"Unparseable delta.deletedFileRetentionDuration "
-                f"{_prop!r}; vacuum falls back to the 168 h default.",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-            retention_hours = 168
     cutoff_ms = now_ms() - retention_hours * 3600 * 1000
 
     tombstones: list[str] = []
@@ -200,7 +189,7 @@ def vacuum(
     # superseded vectors whose PATH is live again — a second
     # merge-on-read delete or RESTORE across vector states leaves the
     # old bin referenced by no snapshot but still inside its window.
-    for r in snap.tombstones_all or snap.tombstones.values():
+    for r in snap.tombstones_all:
         dvd = r.deletion_vector
         if dvd and dvd.get("storageType") == "u":
             from dask_deltalake_spark.delta.dv import dv_absolute_path
@@ -422,15 +411,12 @@ def create_checkpoint(
     # only candidate source is the tombstone set) will no longer see
     # the file — full/inventory modes still reclaim it by mtime.
     # Unknown (0) timestamps are kept, conservatively.
-    _prop = snap.metadata.configuration.get(
-        "delta.deletedFileRetentionDuration", "interval 168 hours"
+    _tomb_cutoff = now_ms() - int(
+        _configured_retention_hours(snap.metadata.configuration)
+        * 3600
+        * 1000
     )
-    try:
-        _ret_h = _parse_retention_interval(_prop)
-    except ValueError:
-        _ret_h = 168
-    _tomb_cutoff = now_ms() - int(_ret_h * 3600 * 1000)
-    for r in snap.tombstones_all or snap.tombstones.values():
+    for r in snap.tombstones_all:
         if r.deletion_timestamp and r.deletion_timestamp < _tomb_cutoff:
             continue
         rows.append(
@@ -1331,6 +1317,35 @@ _INTERVAL_UNIT_HOURS = {
 }
 
 
+def _configured_retention_hours(
+    configuration: dict,
+    prop: str = "delta.deletedFileRetentionDuration",
+    default: str = "interval 168 hours",
+    fallback_hours: float = 168.0,
+    warn: bool = False,
+) -> float:
+    """delta-spark's retention-property ladder, shared by vacuum and
+    create_checkpoint's tombstone expiry so their cutoffs can never
+    diverge: parse the table property (``default`` when unset); an
+    unparseable foreign spelling falls back to ``fallback_hours`` —
+    warning only where ``warn`` says so (the user-facing vacuum verb;
+    checkpoints stay quiet but consistent)."""
+    raw = (configuration or {}).get(prop, default)
+    try:
+        return _parse_retention_interval(raw)
+    except ValueError:
+        if warn:
+            import warnings
+
+            warnings.warn(
+                f"Unparseable {prop} {raw!r}; falling back to the "
+                f"{fallback_hours:g} h default.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        return fallback_hours
+
+
 def _parse_retention_interval(s: str) -> float:
     """Delta retention interval → hours. Accepts the full
     delta-spark/CalendarInterval day-time subset: one or more
@@ -2222,7 +2237,13 @@ def generate_symlink_manifest(path: str) -> dict:
                 fn == "manifest"
                 and os.path.normpath(dirpath) not in live_dirs
                 and mt is not None
-                and mt < run_start
+                # 2 s slack under run_start: coarse-mtime filesystems
+                # (1 s granularity) truncate a concurrent run's
+                # just-written manifest below run_start — without the
+                # slack the fence is porous exactly on those mounts.
+                # A genuinely dropped partition's manifest written
+                # within the last 2 s just waits for the next sweep.
+                and mt < run_start - 2.0
             )
             crashed_tmp = (
                 fn.startswith(".manifest.")

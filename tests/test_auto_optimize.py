@@ -347,6 +347,11 @@ def test_generate_symlink_manifest(spark, tmp_path):
         os.path.join(p2, "_symlink_format_manifest", "part=1", "manifest")
     )
     delete_where(p2, [("part", "==", 1)], spark=spark)
+    # the sweep's concurrency fence only removes manifests written
+    # >2 s before the run starts — backdate to make cleanup immediate
+    _m1 = os.path.join(p2, "_symlink_format_manifest", "part=1", "manifest")
+    _old = __import__("time").time() - 60
+    os.utime(_m1, (_old, _old))
     _SNAPSHOT_CACHE.clear()
     res2 = generate_symlink_manifest(p2)
     assert res2["numManifestFiles"] == 1
@@ -402,6 +407,10 @@ def test_symlink_manifest_no_blackout_regeneration(spark, tmp_path):
     to_delta(
         df.filter("part = 0"), p, mode="overwrite", partition_by=["part"]
     )
+    # backdate past the sweep's 2 s concurrency-fence slack so the
+    # dropped partition cleans up in THIS regeneration
+    _m1 = os.path.join(root, "part=1", "manifest")
+    os.utime(_m1, (old, old))
     _SNAPSHOT_CACHE.clear()
     res = generate_symlink_manifest(p)
     assert res["numManifestFiles"] == 1

@@ -609,3 +609,81 @@ def test_replay_remove_of_stale_vector_keeps_live_add(spark, tmp_path):
         and dv_unique_id(r.deletion_vector) == dv_unique_id(dv_a)
         for r in snap2.tombstones_all
     )
+
+
+def test_replay_same_commit_descriptorless_remove_is_kernel_strict(
+    spark, tmp_path
+):
+    """Review r9 #3: within ONE commit, Delta action order is
+    insignificant — a descriptor-less remove serialized AFTER its
+    commit's add(path, dvNew) (a foreign writer's first
+    merge-on-read delete, add-first) must not evict the just-added
+    file. ACROSS commits a descriptor-less legacy remove still
+    targets the live add whatever its vector (pre-r9 logs)."""
+    from dask_deltalake_spark.delta.dv import serialize_positions
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.protocol import (
+        AddAction,
+        RemoveAction,
+        now_ms,
+    )
+    from dask_deltalake_spark.delta.reader import read_delta
+    from dask_deltalake_spark.delta.writer import to_delta, write_commit
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(0, 10).coalesce(1), path)
+    delete_where(
+        path, [("id", "<", 2)], spark=spark, strategy="merge-on-read"
+    )
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    [a] = snap.add_actions
+    blob = serialize_positions([0, 1, 2])
+    pad = (-len(blob)) % 4
+    dv_b = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(blob + b"\x00" * pad),
+        "sizeInBytes": len(blob),
+        "cardinality": 3,
+    }
+    ts = now_ms()
+    # same-commit, add FIRST, then a descriptor-less remove
+    write_commit(
+        path,
+        snap.version + 1,
+        [
+            AddAction(
+                path=a.path,
+                size=a.size,
+                partition_values=a.partition_values,
+                modification_time=ts,
+                data_change=True,
+                stats=a.stats,
+                deletion_vector=dv_b,
+            ).to_json(),
+            RemoveAction(
+                path=a.path, deletion_timestamp=ts, data_change=True
+            ).to_json(),
+        ],
+    )
+    _SNAPSHOT_CACHE.clear()
+    snap2 = DeltaLog(path).snapshot()
+    assert a.path in snap2.files, "same-commit remove must not evict"
+    assert snap2.files[a.path].deletion_vector == dv_b
+    assert read_delta(path, spark=spark).count() == 7
+    # cross-commit legacy remove: pops the DV'd live add
+    write_commit(
+        path,
+        snap2.version + 1,
+        [
+            RemoveAction(
+                path=a.path, deletion_timestamp=now_ms(), data_change=True
+            ).to_json()
+        ],
+    )
+    _SNAPSHOT_CACHE.clear()
+    snap3 = DeltaLog(path).snapshot()
+    assert not snap3.files, "legacy cross-commit remove still applies"
+    # the evicted vector kept a retention tombstone
+    assert any(r.deletion_vector for r in snap3.tombstones_all)
