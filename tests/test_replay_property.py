@@ -151,3 +151,113 @@ def test_replay_checkpoint_split_invariance(history, data):
             )
         got = _state(tbl)
         assert got == want, (history, k, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Kernel conformance + order insensitivity
+# ---------------------------------------------------------------------------
+#
+# The split-invariance test above cannot catch a reconciliation bug
+# that affects both replays identically. This half checks _apply
+# against an INDEPENDENT declarative reconciler written straight from
+# the intended spec, and checks that within-commit action order does
+# not matter (the Delta protocol's reconciliation is set-based per
+# (path, dvId); a commit never contains two file actions with the
+# same identity — the generator enforces that legality).
+
+
+def _uid(di: int) -> str:
+    return dv_unique_id(_DVS[di])
+
+
+def _ref_replay(history: list):
+    """Declarative spec: per commit, removes apply against the
+    PRE-commit live state (popping on exact (path, dvId) identity, or
+    on ANY identity for descriptor-less legacy removes — which then
+    archive the popped vector), then adds define the post-commit state
+    (superseding a surviving different-vector add archives its
+    descriptor at max(modification times); an add cancels its own
+    identity's tombstone). All timestamps are 1000+version by
+    construction of the generator."""
+    live: dict[str, int] = {}  # path -> dv index
+    live_mt: dict[str, int] = {}
+    tombs: dict[tuple, int] = {}  # (path, uid) -> ts
+    for v, commit in enumerate(history):
+        ts = 1_000 + v if v else 1_000
+        removes = [(p, d) for (k, p, d) in commit if k == "remove"]
+        adds = [(p, d) for (k, p, d) in commit if k == "add"]
+        for pi, di in removes:
+            p = _PATHS[pi]
+            if p in live:
+                lived = live[p]
+                if _uid(lived) == _uid(di):
+                    live.pop(p)
+                    live_mt.pop(p)
+                elif _DVS[di] is None and _DVS[lived] is not None:
+                    live.pop(p)
+                    live_mt.pop(p)
+                    tombs[(p, _uid(lived))] = ts
+            tombs[(p, _uid(di))] = ts
+        for pi, di in adds:
+            p = _PATHS[pi]
+            if p in live and _uid(live[p]) != _uid(di):
+                old = live[p]
+                if _DVS[old] is not None:
+                    tombs.setdefault(
+                        (p, _uid(old)), max(ts, live_mt[p])
+                    )
+            live[p] = di
+            live_mt[p] = ts
+            tombs.pop((p, _uid(di)), None)
+    files = {(p, _uid(d)) for p, d in live.items()}
+    tset = {(p, u, ts) for (p, u), ts in tombs.items()}
+    return files, tset
+
+
+def _legalize(history: list) -> list:
+    """Enforce per-commit legality: at most one add per path, and no
+    (path, dvId) both added and removed in one commit (the protocol
+    forbids duplicate file-action identities per version)."""
+    out = []
+    for commit in history:
+        add_ids = {
+            (p, _uid(d)) for (k, p, d) in commit if k == "add"
+        }
+        acts = []
+        emitted_adds: set = set()
+        for k, p, d in commit:
+            if k == "add":
+                if p in emitted_adds:
+                    continue
+                emitted_adds.add(p)
+                acts.append((k, p, d))
+            elif (p, _uid(d)) not in add_ids:
+                acts.append((k, p, d))
+        if acts:
+            out.append(acts)
+    return out or [[("add", 0, 0)]]
+
+
+@settings(
+    max_examples=150,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(history=_history)
+def test_replay_matches_reference_and_order_insensitive(history):
+    history = _legalize(history)
+    with tempfile.TemporaryDirectory(prefix="replay_ref_") as base:
+        fwd = _write_table(base, history)
+        files_f, tombs_f, _pub = _state(fwd)
+        # within-commit order reversed: reconciliation must not care
+        rev = _write_table(
+            base, [list(reversed(c)) for c in history]
+        )
+        files_r, tombs_r, _pub2 = _state(rev)
+        assert (files_f, tombs_f) == (files_r, tombs_r), (
+            "within-commit order changed the replayed state",
+            history,
+        )
+        ref_files, ref_tombs = _ref_replay(history)
+        assert files_f == ref_files, (history, files_f, ref_files)
+        assert tombs_f == ref_tombs, (history, tombs_f, ref_tombs)
