@@ -310,3 +310,47 @@ def test_x37_keeper_is_aggregate_not_window(spark):
     assert "Window" not in plan, plan
     # partial_min proves the map-side combine on the chunk groupBy
     assert "partial_min" in plan or "partial min" in plan.lower(), plan
+
+
+def test_exact_substring_dedup_plan_reuses_persisted_frames(spark):
+    """x40's scale claims as plan assertions: the corpus-scale gram
+    frame and the removed-index frame are PERSISTED and the final plan
+    consumes them through InMemory scans (no cross-subtree
+    re-evaluation of the O(n*k) md5 gram projection — the explode
+    re-evaluation pathology the jaccard cache ledgers); the whole
+    pipeline is JVM expressions, zero Python row path."""
+    from dask_deltalake_spark.functions.llmops import (
+        clear_esd_cache,
+        exact_substring_dedup,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i} x{i} y{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = exact_substring_dedup(d, k=4)
+    try:
+        out.collect()  # materialize so the caches are live in-plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+    finally:
+        clear_esd_cache()
+        spark.catalog.clearCache()
+
+
+def test_q47_lateral_decorrelates_to_ranked_join(spark):
+    """q47's LATERAL subquery must decorrelate: the physical plan is a
+    window/rank + join, never a per-customer re-scan expressed as a
+    cartesian product."""
+    from dask_deltalake_spark.operators.relational import (
+        q47_lateral_topn_per_group,
+    )
+    from dask_deltalake_spark.plans import join_strategies
+
+    df = q47_lateral_topn_per_group(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, "lateral failed to decorrelate"
+    assert "Window" in plan, "expected the rank-rewrite window"
+    assert join_strategies(df), "expected a real join after decorrelation"
