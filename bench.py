@@ -161,10 +161,17 @@ def _run_sweep(
         # measured x18 at 47.5 s this way).
         try:
             from dask_deltalake_spark.functions.llmops import (
+                clear_esd_cache,
                 clear_jaccard_cache,
             )
 
             clear_jaccard_cache()
+            # x40's gram/removed-index frames are single-query scoped
+            # (no cross-query consumer like the jaccard index) but the
+            # registry dict outlives the blanket clearCache — drop the
+            # references so the list doesn't pin corpus-scale frames
+            # across the rest of the sweep.
+            clear_esd_cache()
             spark.catalog.clearCache()
         except Exception:
             pass

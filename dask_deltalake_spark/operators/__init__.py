@@ -37,7 +37,89 @@ _ALL.update(_STREAMING)
 # d42) — after r7 no row older than r5.
 # r8 led with the 37 r5-stale names + the 13 changed/new (d43-d46,
 # x37-x39, d42/d41/d32/x31/s06/s09) — after r8 no row older than r6.
-# Round 9 front, in priority order:
+# Round 10 front, in priority order:
+# (b) queries NEW in r10 — q47_lateral_topn_per_group (LATERAL top-N
+#     per group, staged in r9), q48_correlated_scalar_agg (correlated
+#     scalar aggregate subqueries in SELECT — the decorrelation family
+#     VERDICT r9 #5 prescribes), x40_exact_substring_dedup
+#     (ExactSubstr span dedup, staged in r9; full hash-match DuckDB
+#     oracle per VERDICT r9 #1);
+# (a) the 45 names whose latest driver row is r7 (the staleness front
+#     VERDICT r9 #3 prescribes): d12, d13, d22, d35, d40, q07-q44
+#     (all 38), x18, x29;
+# (c) the two OLDEST r8 rows (d07 checkpoint replay, d09 datetime
+#     travel) fill the remaining slots. 3 + 45 + 2 = 50 exactly.
+# Deferred with justification: d10 (write modes) keeps its r8 row —
+# it lost the coin-flip for the last slot to d07/d09 because its
+# surface (mode dispatch in delta/writer.py) has no r9/r10 diff while
+# d07 rides the replay/tombstone code that changed materially in r9;
+# after r10 no query's latest driver row is older than r8 either way
+# (the #3 done-bar). r10 source changes outside the window: bench.py
+# (settle gate — not a query), delta/logstore.py walk_files_stats
+# mtime fallback (ADVICE low — the parse-failure branch is
+# unreachable over local listings; pinned by tests/test_logstore.py),
+# delta/protocol.py dv_unique_id offset format (ADVICE low — both
+# comparison sides use the same function, behavior-neutral for every
+# registered query; pinned by tests/test_dv.py), and the
+# checkpoint-tombstone-expiry contract test (test-only). In-window
+# d22 (deletion vectors) + d07 (checkpoint replay) re-verify the DV
+# identity plumbing end-to-end regardless.
+_R10_FRONT = [
+    # (b) new in r10, checked first
+    "q47_lateral_topn_per_group",
+    "q48_correlated_scalar_agg",
+    "x40_exact_substring_dedup",
+    # (a) the r7 staleness front
+    "d12_delta_delete",
+    "d13_delta_update",
+    "d22_deletion_vectors",
+    "d35_logstore_scheme",
+    "d40_objectstore_dml",
+    "q07_join_semi",
+    "q08_join_anti",
+    "q09_join_theta",
+    "q10_asof_join",
+    "q11_agg_suite",
+    "q12_approx_count_distinct",
+    "q13_rollup",
+    "q14_cube_grouping_sets",
+    "q15_window_rank",
+    "q16_window_lag_lead",
+    "q17_window_running",
+    "q18_window_range_frame",
+    "q19_topk_global",
+    "q20_topk_per_group",
+    "q21_set_ops",
+    "q22_distinct_dropdup",
+    "q23_string_funcs",
+    "q24_date_funcs",
+    "q25_math_conditional",
+    "q26_array_explode",
+    "q27_higher_order_arrays",
+    "q28_json_funcs",
+    "q29_grouping_sets",
+    "q30_pivot",
+    "q31_subqueries",
+    "q32_collect_list_set",
+    "q33_percentiles",
+    "q34_bucketed_join",
+    "q35_pandas_udf",
+    "q36_udtf",
+    "q37_window_distribution",
+    "q38_salted_agg",
+    "q39_range_join_binned",
+    "q40_approx_percentiles",
+    "q41_map_funcs",
+    "q42_unpivot",
+    "q43_deterministic_sample",
+    "q44_sessionize_batch",
+    "x18_dedup_clusters",
+    "x29_chunk_documents",
+    # (c) the two oldest r8 rows
+    "d07_delta_checkpoint",
+    "d09_delta_datetime_travel",
+]
+# Round 9 front (history), in priority order:
 # (a) the 45 names whose latest driver row is r6 (the staleness front
 #     VERDICT r8 #3 prescribes): d01-d06, d14, d17-d19, d29, d30,
 #     d33, d36-d39, q05, q45, q46, s07, s10, x02, x03, x05, x06,
@@ -115,65 +197,10 @@ _ALL.update(_STREAMING)
 # only the fsspec ladder, which no registered query reaches (d35/d40
 # ride PrefixLogStore); it is pinned by tests/test_logstore.py and
 # tests/test_vendored_fsspec.py instead.
-_R9_FRONT = [
-    # (b) new in r9, checked first
-    "d47_auto_optimize",
-    "d48_manifest_inventory",
-    # (c) changed in r9
-    "d44_convert_to_delta",
-    "x39_bpe_encode",
-    "d08_delta_optimize",
-    # (a) the r6 staleness front
-    "d01_delta_roundtrip",
-    "d02_delta_time_travel",
-    "d03_delta_partition_prune",
-    "d04_delta_history",
-    "d05_delta_vacuum",
-    "d06_delta_schema_evolution",
-    "d14_delta_restore",
-    "d17_storage_options",
-    "d18_table_create_metadata",
-    "d19_change_data_feed",
-    "d29_row_tracking",
-    "d30_in_commit_timestamps",
-    "d33_replace_where_txn",
-    "d36_generated_partition_inference",
-    "d37_clustered_table",
-    "d38_variant_table",
-    "d39_v2_checkpoint",
-    "q05_join_multiway",
-    "q45_recursive_cte",
-    "q46_variant_semistructured",
-    "s07_stream_stream_join",
-    "s10_stream_static_join",
-    "x02_dedup_normalized",
-    "x03_fingerprint",
-    "x05_minhash_lsh",
-    "x06_simhash",
-    "x09_embedding_stats",
-    "x10_text_quality",
-    "x11_lang_id",
-    "x12_token_classes",
-    "x13_multimodal_decode",
-    "x14_embedding_near_dup",
-    "x15_tfidf_top_terms",
-    "x16_ivf_ann",
-    "x17_multimodal_framesample",
-    "x19_embedding_quantize",
-    "x20_hash_split",
-    "x21_decontaminate",
-    "x22_repetition_filter",
-    "x23_pii_scrub",
-    "x24_source_mix",
-    "x25_pack_sequences",
-    "x26_curation_pipeline",
-    "x27_kmeans",
-    "x32_pq_ann",
-]
-# (the r8 front list itself was removed once superseded — ordering
-# history lives in the prose block above; only _R9_FRONT is live)
-_R9_FRONT = [n for n in _R9_FRONT if n in _ALL]
-_POS = {n: i for i, n in enumerate(_R9_FRONT)}
+# (superseded front lists are removed — ordering history lives in the
+# prose blocks above; only _R10_FRONT is live)
+_R10_FRONT = [n for n in _R10_FRONT if n in _ALL]
+_POS = {n: i for i, n in enumerate(_R10_FRONT)}
 
 
 def _key(name: str):

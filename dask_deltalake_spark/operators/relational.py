@@ -1725,9 +1725,6 @@ def q46_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r10 debut (the r9 driver window is arithmetically full — the
-# d47/d48 pattern): NOT yet in REGISTRY; register as q47 with the
-# DuckDB LATERAL oracle below when the r10 window opens.
 _Q47_ORACLE = """
 SELECT c.c_custkey, o.o_orderkey,
        CAST(o.o_totalprice AS DOUBLE) AS top_price
@@ -1739,6 +1736,7 @@ FROM customer c, LATERAL (
 """
 
 
+@query("q47_lateral_topn_per_group", _Q47_ORACLE)
 def q47_lateral_topn_per_group(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1763,5 +1761,52 @@ def q47_lateral_topn_per_group(
           WHERE o_custkey = c.c_custkey
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
         ) o
+        """
+    )
+
+
+_Q48_ORACLE = """
+SELECT c.c_custkey,
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       (SELECT CAST(MAX(o.o_totalprice) AS DOUBLE) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_price
+FROM customer c
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@query("q48_correlated_scalar_agg", _Q48_ORACLE)
+def q48_correlated_scalar_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated scalar aggregate subqueries in SELECT — the other
+    decorrelation family q47's LATERAL samples (VERDICT r9 #5): for
+    each BUILDING customer, an inline order count and max order price.
+    Catalyst decorrelates each scalar subquery into a group-by on the
+    correlation key plus a left outer join — plan-asserted: hash
+    aggregates + hash joins, no nested loop, no cartesian
+    (tests/test_plan_quality.py). Count-bug semantics (empty group →
+    0, not NULL, via the alwaysTrue-probe projection) and MAX over no
+    rows → NULL both match DuckDB. Scale: shuffles of orders by
+    o_custkey (uniform key) + joins against the filtered customer
+    side — never a per-customer re-scan. Honest plan note: Catalyst's
+    MergeScalarSubqueries does NOT fuse correlated subqueries (they
+    decorrelate in RewriteCorrelatedScalarSubquery, after the merge
+    rule), so the two subqueries cost two orders aggregations; a user
+    wanting one pass writes the explicit join+agg (q11's shape) — this
+    query exists to exercise the SQL surface itself."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q48_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q48_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               (SELECT COUNT(*) FROM q48_orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               (SELECT CAST(MAX(o.o_totalprice) AS DOUBLE)
+                FROM q48_orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_price
+        FROM q48_customer c
+        WHERE c.c_mktsegment = 'BUILDING'
         """
     )

@@ -354,3 +354,37 @@ def test_q47_lateral_decorrelates_to_ranked_join(spark):
     assert "CartesianProduct" not in plan, "lateral failed to decorrelate"
     assert "Window" in plan, "expected the rank-rewrite window"
     assert join_strategies(df), "expected a real join after decorrelation"
+
+
+def test_q48_correlated_scalar_subqueries_decorrelate(spark):
+    """q48's two correlated scalar aggregate subqueries must
+    decorrelate into per-key hash aggregates joined back to customer —
+    never a per-customer nested-loop re-scan of orders or a cartesian.
+    Also pins the count-bug rewrite: the COUNT(*) subquery's null
+    probe coalesces to 0 for orderless customers (asserted on data:
+    every BUILDING customer appears exactly once, zero-order customers
+    included with n_orders = 0 and max_price NULL)."""
+    from dask_deltalake_spark.operators.relational import (
+        q48_correlated_scalar_agg,
+    )
+
+    df = q48_correlated_scalar_agg(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "scalar subquery failed to decorrelate"
+    )
+    assert "HashAggregate" in plan, "expected per-key aggregation"
+    rows = {r["c_custkey"]: r for r in df.collect()}
+    from dask_deltalake_spark.tables import load_table
+
+    cust = (
+        load_table(spark, SF_DIR, "customer")
+        .filter("c_mktsegment = 'BUILDING'")
+        .select("c_custkey")
+        .collect()
+    )
+    assert set(rows) == {r["c_custkey"] for r in cust}
+    orderless = [r for r in rows.values() if r["n_orders"] == 0]
+    for r in orderless:
+        assert r["max_price"] is None
