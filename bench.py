@@ -20,6 +20,17 @@ machine state with plan cost. The min-of-two is the plan cost; the
 spread between runs is the machine-state band. Additionally the bench
 now refuses to start while any foreign Spark JVM is alive
 (_settle_for_quiet_machine), so the r8 overlap cannot recur silently.
+
+r10 HARDENING (VERDICT r9 #2, the s07 artifact): liveness alone
+cannot see a machine still hot from a gate whose JVM already exited,
+so the settle guard additionally waits for the 1-minute load average
+to decay below 0.25*ncpus before starting (a ~80 s enforced cool-down
+after a fully-loaded gate), the settle outcome ships in the record
+(``settle``), and any query whose two sweeps disagree by >2x and
+>0.75 s gets a THIRD measurement in a partial sweep
+(``diverged_rerun``) — two contended sweeps can both be wrong, and
+the re-run happens at the end of the session when the machine has had
+the longest time to quiet.
 """
 
 from __future__ import annotations
@@ -65,15 +76,34 @@ def _tee_stderr(path: str) -> None:
     threading.Thread(target=pump, daemon=True).start()
 
 
-def _settle_for_quiet_machine(max_wait: float = 120.0) -> None:
+def _settle_for_quiet_machine(
+    max_wait: float = 120.0, load_wait: float = 180.0
+) -> dict:
     """Refuse to start measuring while any FOREIGN Spark process is
     alive (VERDICT r8 #1: BENCH_r08 began the same second the
     correctness gate finished, on a machine still draining that gate's
     JVM — the whole run was measured under co-load and cold cache).
     Scans /proc for live Spark JVMs / pyspark workers that are not
     this process, waits up to ``max_wait`` seconds for them to exit,
-    then settles 2 s more. Bounded: proceeds with a stderr note if the
-    machine never quiets."""
+    then settles 2 s more.
+
+    Second gate (VERDICT r9 #2 — the JVM scan alone cannot see a
+    machine still hot from a gate whose JVM already EXITED, which is
+    exactly how BENCH_r09 recorded s07 at 7.59 s on unchanged code):
+    after the process scan passes, wait up to ``load_wait`` seconds
+    for the 1-minute load average to decay below ``0.25 * ncpus``
+    (min 4.0). Load1 is an EWMA with a ~60 s time constant, so a gate
+    that just saturated 32 cores holds load1 above the threshold for
+    ~80 s after exit — the gate therefore enforces a real cool-down
+    the liveness scan cannot. Both gates are BOUNDED: the bench
+    proceeds with a stderr note (and flags it in the returned dict,
+    which ships in the JSON record) if the machine never quiets —
+    the driver environment may simply be busy, and an absent record
+    is worse than an annotated one.
+
+    Returns a settle report for the bench record: initial/final
+    load1, seconds waited in each gate, and whether either gate gave
+    up."""
     import glob
 
     me = os.getpid()
@@ -97,7 +127,9 @@ def _settle_for_quiet_machine(max_wait: float = 120.0) -> None:
                 out.append((pid, cmd[:100]))
         return out
 
-    deadline = time.time() + max_wait
+    t0 = time.time()
+    report: dict = {"jvm_gave_up": False, "load_gave_up": False}
+    deadline = t0 + max_wait
     waited = False
     while time.time() < deadline:
         live = foreign_spark()
@@ -111,6 +143,7 @@ def _settle_for_quiet_machine(max_wait: float = 120.0) -> None:
         )
         time.sleep(5)
     else:
+        report["jvm_gave_up"] = True
         print(
             "# bench settle: machine never quieted within "
             f"{max_wait}s; proceeding under co-load (numbers suspect)",
@@ -118,6 +151,42 @@ def _settle_for_quiet_machine(max_wait: float = 120.0) -> None:
         )
     if waited:
         time.sleep(2)
+    report["jvm_wait_s"] = round(time.time() - t0, 1)
+
+    # Gate 2: load-average cool-down (see docstring).
+    try:
+        ncpus = os.cpu_count() or 8
+        threshold = max(4.0, 0.25 * ncpus)
+        load1 = os.getloadavg()[0]
+        report["load1_initial"] = round(load1, 2)
+        t1 = time.time()
+        load_deadline = t1 + load_wait
+        notified = False
+        while load1 > threshold and time.time() < load_deadline:
+            if not notified:
+                print(
+                    f"# bench settle: load1 {load1:.1f} > threshold "
+                    f"{threshold:.1f} (machine hot from a prior job); "
+                    f"cooling down up to {load_wait:.0f}s",
+                    file=sys.stderr,
+                )
+                notified = True
+            time.sleep(5)
+            load1 = os.getloadavg()[0]
+        if load1 > threshold:
+            report["load_gave_up"] = True
+            print(
+                f"# bench settle: load1 still {load1:.1f} after "
+                f"{load_wait:.0f}s; proceeding on a hot machine "
+                "(numbers suspect)",
+                file=sys.stderr,
+            )
+        report["load1_at_start"] = round(load1, 2)
+        report["load_wait_s"] = round(time.time() - t1, 1)
+        report["load1_threshold"] = round(threshold, 2)
+    except (OSError, AttributeError):
+        report["load1_initial"] = None  # platform without getloadavg
+    return report
 
 
 def _run_sweep(
@@ -184,7 +253,7 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), "bench_stderr.log"
         )
     )
-    _settle_for_quiet_machine()
+    settle = _settle_for_quiet_machine()
     from dask_deltalake_spark.session import get_spark
     from dask_deltalake_spark.operators import REGISTRY
 
@@ -355,9 +424,49 @@ def main() -> None:
     # failed in BOTH sweeps.
     run1 = _run_sweep(spark, names, per_query_conf, last_consumer, "run1")
     run2 = _run_sweep(spark, names, per_query_conf, last_consumer, "run2")
+    # Divergence third sweep (VERDICT r9 #2): when both sweeps ran
+    # CONTENDED (the r9 s07 case — 20.6 / 7.6 s on unchanged code),
+    # min-of-two does not converge. Any query whose two runs disagree
+    # by >2x AND >0.75 s absolute (the absolute floor keeps 0.05-vs-
+    # 0.12 s noise from triggering re-runs) gets a third measurement
+    # in a partial sweep; the headline is the min of all its runs.
+    # x04 is pulled in ahead of a diverged x18 so x18's third run
+    # consumes a staged jaccard index exactly as the full sweeps do.
+    diverged = [
+        n
+        for n in names
+        if run1.get(n, -1.0) >= 0
+        and run2.get(n, -1.0) >= 0
+        and max(run1[n], run2[n]) > 2.0 * min(run1[n], run2[n])
+        and max(run1[n], run2[n]) - min(run1[n], run2[n]) > 0.75
+    ]
+    run3: dict[str, float] = {}
+    if diverged:
+        want = set(diverged)
+        if "x18_dedup_clusters" in want:
+            want.add("x04_ngram_jaccard_pairs")
+        sub = [n for n in names if n in want]
+        sub_last = max(
+            (i for i, n in enumerate(sub) if n in jaccard_consumers),
+            default=-1,
+        )
+        print(
+            f"# bench: third sweep over {len(sub)} diverged "
+            f"query(ies): {sub}",
+            file=sys.stderr,
+        )
+        run3 = _run_sweep(spark, sub, per_query_conf, sub_last, "run3")
     timings: dict[str, float] = {}
     for n in names:
-        ok = [t for t in (run1.get(n, -1.0), run2.get(n, -1.0)) if t >= 0]
+        ok = [
+            t
+            for t in (
+                run1.get(n, -1.0),
+                run2.get(n, -1.0),
+                run3.get(n, -1.0),
+            )
+            if t >= 0
+        ]
         timings[n] = min(ok) if ok else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -368,8 +477,10 @@ def main() -> None:
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
-        "protocol": "min_of_2_consecutive_runs",
-        "runs": [run1, run2],
+        "protocol": "min_of_2_consecutive_runs_plus_divergence_rerun",
+        "settle": settle,
+        "diverged_rerun": sorted(run3),
+        "runs": [run1, run2] + ([run3] if run3 else []),
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),

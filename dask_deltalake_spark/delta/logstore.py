@@ -41,6 +41,7 @@ from __future__ import annotations
 import os
 import re
 import uuid
+import warnings
 from typing import Iterator, Optional
 
 _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://?")
@@ -454,7 +455,25 @@ class FsspecLogStore(LogStore):
                 try:
                     mt = float(self.mtime(p))
                 except Exception:
-                    mt = 0.0
+                    # Double fallback failed (listing mtime unparseable
+                    # AND the per-file seam errored). Use NOW, not 0.0
+                    # (ADVICE r9): CONVERT TO DELTA records this value
+                    # as the add's modificationTime, which full-mode
+                    # vacuum and the replay RESTORE-shape tombstone
+                    # treat as a logical time — a 0 looks infinitely
+                    # old and would make the file instantly
+                    # reclaimable; NOW is conservative for retention
+                    # (the file merely waits one extra window).
+                    import time as _time
+
+                    warnings.warn(
+                        f"walk_files_stats: no parseable mtime for "
+                        f"{p!r}; recording current time "
+                        "(conservative for retention)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    mt = _time.time()
             yield sp[len(base) + 1:], int(info.get("size") or 0), mt
 
     def read_bytes(self, path: str) -> bytes:

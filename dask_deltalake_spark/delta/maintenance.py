@@ -2217,10 +2217,15 @@ def generate_symlink_manifest(path: str) -> dict:
     # added the partition — deleting it would un-publish that
     # partition, so only manifests predating run_start are swept
     # (genuinely dropped partitions still clean up immediately);
-    # temp files sweep behind a 60 s age gate (a generation's driver
-    # metadata work finishes well inside a minute — an older tmp is a
-    # crashed run's, a fresh one is a concurrent run's in-flight
-    # write).
+    # temp files sweep behind a 15-MINUTE age gate (ADVICE r9 widened
+    # it from 60 s: a concurrent generation stalled by a GC pause or a
+    # slow NFS mount could exceed a minute mid-write, and deleting its
+    # in-flight tmp aborts that run's os.replace — whereas a crashed
+    # run's tmp waiting 15 minutes for cleanup costs nothing; the
+    # per-run-uuid tmp names already guarantee no name collisions in
+    # the interim). Still best-effort wall-clock fencing by design: a
+    # writer stalled >15 min needs a lock file per manifest root,
+    # which no post-commit-hook cadence we target requires.
     _now = _time.time()
 
     def _mtime_or_none(p: str):
@@ -2249,7 +2254,7 @@ def generate_symlink_manifest(path: str) -> dict:
                 fn.startswith(".manifest.")
                 and fn.endswith(".tmp")
                 and mt is not None
-                and _now - mt > 60
+                and _now - mt > 900
             )
             if stale_manifest or crashed_tmp:
                 try:

@@ -356,13 +356,21 @@ def dv_unique_id(dv: Optional[dict]) -> str:
     """delta-kernel's deletion-vector unique id ('' for no vector):
     file actions reconcile on (path, dvId), not path alone — a remove
     of (path, dvA) must survive an add of (path, dvB) so the
-    superseded vector keeps a logical deletion time for vacuum."""
+    superseded vector keeps a logical deletion time for vacuum.
+
+    Format matches kernel's DeletionVectorDescriptor.uniqueId exactly
+    (ADVICE r9): the '@offset' suffix is appended ONLY when the
+    descriptor carries an offset — an offset-less descriptor (inline
+    vectors, or relative-path vectors written without one) must not
+    gain a synthetic '@0', or any future interop that compares
+    against kernel-computed uniqueIds mismatches on it. An offset
+    that IS present and equals 0 still stamps '@0', also kernel's
+    behavior."""
     if not dv:
         return ""
-    return (
-        f"{dv.get('storageType', '')}"
-        f"{dv.get('pathOrInlineDv', '')}@{dv.get('offset') or 0}"
-    )
+    base = f"{dv.get('storageType', '')}{dv.get('pathOrInlineDv', '')}"
+    off = dv.get("offset")
+    return f"{base}@{off}" if off is not None else base
 
 
 @dataclass

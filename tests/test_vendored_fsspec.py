@@ -340,3 +340,52 @@ def test_vendored_fs_convert_walk_files_stats(spark, vfs_table, tmp_path):
     finally:
         fs.info = orig_info
     assert stats2 and all(isinstance(mt, float) for _r, _s, mt in stats2)
+
+
+def test_walk_files_stats_double_fallback_uses_now(vfs_table, tmp_path):
+    """ADVICE r9: when the listing mtime is unparseable AND the
+    per-file mtime seam also fails, walk_files_stats records CURRENT
+    time (conservative for retention — the file waits one extra
+    window), never 0.0 (which CONVERT would persist as
+    modificationTime and vacuum would read as infinitely old),
+    and warns once per file."""
+    import time
+
+    from dask_deltalake_spark.delta.logstore import store_for
+
+    src = f"{tmp_path}/lake"
+    os.makedirs(src)
+    with open(f"{src}/a.parquet", "wb") as fh:
+        fh.write(b"x" * 8)
+    seam = f"vfs:{src}"
+    store = store_for(seam)
+    fs = store.fs
+    orig_find = fs.find
+
+    def bad_find(path, **kw):
+        out = orig_find(path, **kw)
+        if kw.get("detail"):
+            return {
+                p: {**info, "mtime": "not-a-time"}
+                for p, info in out.items()
+            }
+        return out
+
+    def bad_mtime(path):
+        raise OSError("HEAD failed")
+
+    fs.find = bad_find
+    orig_mtime = store.mtime
+    store.mtime = bad_mtime
+    t0 = time.time()
+    try:
+        with pytest.warns(RuntimeWarning, match="no parseable mtime"):
+            stats = list(store.walk_files_stats(seam))
+    finally:
+        fs.find = orig_find
+        store.mtime = orig_mtime
+    assert stats
+    for _rel, _size, mt in stats:
+        assert t0 - 5 <= mt <= time.time() + 5, (
+            "double fallback must record NOW, not 0.0"
+        )
