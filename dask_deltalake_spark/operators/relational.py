@@ -1810,3 +1810,46 @@ def q48_correlated_scalar_agg(
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+_Q49_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM (SELECT o_orderkey, NULLIF(o_custkey, 13) AS probe_key,
+             o_totalprice
+      FROM orders)
+WHERE probe_key NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_acctbal < 0)
+"""
+
+
+@query("q49_null_aware_anti_join", _Q49_ORACLE)
+def q49_null_aware_anti_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NOT IN with a nullable probe column — SQL's most
+    misunderstood predicate and a physical-operator family nothing
+    else samples: three-valued logic makes `x NOT IN (set)` UNKNOWN
+    (row dropped) when x IS NULL, so a plain anti join is WRONG and
+    Spark plans a NULL-AWARE anti join (single-column NOT-IN
+    optimization: BroadcastHashJoin LeftAnti with
+    isNullAwareAntiJoin=true) — plan-asserted. The NULLIF fabricates
+    probe-side nulls (TPC-H keys are never null) so the semantics are
+    actually exercised, not vacuously green: customer-13 orders MUST
+    drop even though 13 is not in the exclusion set. Scale: the
+    exclusion set (negative-balance customers) is a filtered dimension
+    → broadcast; a huge exclusion set degrades to null-aware shuffle
+    strategies, never a per-row re-scan."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q49_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q49_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM (SELECT o_orderkey, NULLIF(o_custkey, 13) AS probe_key,
+                     o_totalprice
+              FROM q49_orders)
+        WHERE probe_key NOT IN (SELECT c_custkey FROM q49_customer
+                                WHERE c_acctbal < 0)
+        """
+    )

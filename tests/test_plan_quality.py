@@ -388,3 +388,80 @@ def test_q48_correlated_scalar_subqueries_decorrelate(spark):
     orderless = [r for r in rows.values() if r["n_orders"] == 0]
     for r in orderless:
         assert r["max_price"] is None
+
+
+def test_q49_plans_null_aware_anti_join(spark):
+    """q49's NOT IN over a nullable probe must plan Spark's
+    null-aware anti join (the single-column NOT-IN optimization):
+    BroadcastHashJoin LeftAnti with isNullAwareAntiJoin=true — never
+    the O(probe x build) BroadcastNestedLoopJoin fallback multi-column
+    NOT IN degrades to, and never a plain (null-wrong) anti join.
+    Data assertion pins the three-valued logic: customer-13 orders
+    (probe NULLified) drop even though 13 is not in the exclusion
+    set."""
+    from dask_deltalake_spark.operators.relational import (
+        q49_null_aware_anti_join,
+    )
+    from dask_deltalake_spark.tables import load_table
+
+    df = q49_null_aware_anti_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    m = re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight, true", plan)
+    assert m, f"expected null-aware anti join, got:\n{plan[:800]}"
+    got = {r["o_orderkey"] for r in df.collect()}
+    o = load_table(spark, SF_DIR, "orders")
+    cust13 = {
+        r["o_orderkey"] for r in o.filter("o_custkey = 13").collect()
+    }
+    assert cust13 and not (got & cust13), (
+        "NULL probe rows must be dropped by NOT IN (UNKNOWN), "
+        "not retained like a plain anti join would"
+    )
+
+
+def test_x41_plan_no_python_no_cartesian(spark):
+    """x41's scale claims at the plan level: the whole overlap matrix
+    is JVM expressions (zero Python eval nodes) and the only
+    non-equi/cross expansions run over BROADCAST mask-histogram /
+    source frames — never a CartesianProduct over corpus-scale
+    input."""
+    from dask_deltalake_spark.functions.llmops import x41_source_overlap
+
+    df = x41_source_overlap(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, (
+        "pairwise expansion must broadcast, not cartesian-shuffle"
+    )
+    # mask-histogram algebra must agree with a direct per-pair
+    # intersection on data: spot-check one pair against a brute count
+    rows = {(r["source_a"], r["source_b"]): r for r in df.collect()}
+    assert rows, "matrix empty"
+    (sa, sb), r0 = sorted(rows.items())[0]
+    from dask_deltalake_spark.functions.llmops import (
+        _spread,
+        shingles,
+        tokens,
+    )
+    from dask_deltalake_spark.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, SF_DIR, "documents")
+    def gramset(src):
+        return {
+            g["g"]
+            for g in d.filter(F.col("source") == src)
+            .select(tokens(F.col("text")).alias("toks"))
+            .filter(F.size("toks") >= 3)
+            .select(F.explode(shingles(F.col("toks"))).alias("g"))
+            .distinct()
+            .collect()
+        }
+
+    ga, gb = gramset(sa), gramset(sb)
+    assert r0["n_common"] == len(ga & gb)
