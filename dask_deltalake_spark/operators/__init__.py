@@ -84,7 +84,7 @@ _R10_FRONT = [
     "q48_correlated_scalar_agg",
     "q49_null_aware_anti_join",
     "x40_exact_substring_dedup",
-    "x41_lm_perplexity",
+    "x41_source_overlap",
     # (a) the r7 staleness front
     "d12_delta_delete",
     "d13_delta_update",

@@ -375,7 +375,8 @@ def test_q48_correlated_scalar_subqueries_decorrelate(spark):
         "scalar subquery failed to decorrelate"
     )
     assert "HashAggregate" in plan, "expected per-key aggregation"
-    rows = {r["c_custkey"]: r for r in df.collect()}
+    collected = df.collect()
+    rows = {r["c_custkey"]: r for r in collected}
     from dask_deltalake_spark.tables import load_table
 
     cust = (
@@ -384,6 +385,9 @@ def test_q48_correlated_scalar_subqueries_decorrelate(spark):
         .select("c_custkey")
         .collect()
     )
+    # exactly once: a decorrelation regression multiplying rows per
+    # customer must fail here, not only at the external oracle gate
+    assert len(collected) == len(cust)
     assert set(rows) == {r["c_custkey"] for r in cust}
     orderless = [r for r in rows.values() if r["n_orders"] == 0]
     for r in orderless:
