@@ -170,6 +170,15 @@ def vacuum(
             snap.metadata.configuration, warn=True
         )
     cutoff_ms = now_ms() - retention_hours * 3600 * 1000
+    # Candidate eligibility below is ts <= cutoff (age >= retention),
+    # NOT strict <: with retention 0 a tombstone stamped in the SAME
+    # millisecond vacuum computes now_ms() would be skipped by the
+    # strict form — a real race seen once in a warm full-window gate
+    # run (d40: OPTIMIZE's DV-bin remove and the vacuum cutoff landed
+    # in one ms; the bin survived, the 2 ms-later dry-run listed it).
+    # delta-spark compares strictly, but its boundary is unobservable
+    # at hour-granularity retentions — the 1 ms sliver only matters
+    # for retention-0 lifecycle tests, where inclusive is the intent.
 
     tombstones: list[str] = []
     removal_times = {
@@ -213,7 +222,7 @@ def vacuum(
         for rel_p, ts in removal_times.items():
             if is_absolute_add_path(rel_p) or rel_p in referenced:
                 continue
-            if ts < cutoff_ms and store.exists(
+            if ts <= cutoff_ms and store.exists(
                 os.path.join(table_path, rel_p)
             ):
                 tombstones.append(rel_p)
@@ -260,7 +269,7 @@ def vacuum(
             .filter(~F.col("path").rlike(r"(^|/)[._]"))
             .join(F.broadcast(ref_df), "path", "left_anti")
             .join(F.broadcast(rt_df), "path", "left")
-            .filter(F.coalesce(F.col("rts"), F.col("mts")) < cutoff_ms)
+            .filter(F.coalesce(F.col("rts"), F.col("mts")) <= cutoff_ms)
             .select("path")
         )
         tombstones = [r["path"] for r in cand.collect()]
@@ -275,7 +284,7 @@ def vacuum(
             ts = removal_times.get(rel_p)
             if ts is None:
                 ts = int(store.mtime(os.path.join(table_path, rel_p)) * 1000)
-            if ts < cutoff_ms:
+            if ts <= cutoff_ms:
                 tombstones.append(rel_p)
 
     if dry_run:
