@@ -760,3 +760,117 @@ def s10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name).orderBy("n_name")
+
+
+# Staged, ENVIRONMENTALLY GATED (NOT yet in REGISTRY): registers as
+# s11 with the oracle below the moment the sandbox gains
+# google.protobuf — transformWithState's Python driver worker speaks
+# a protobuf state-server protocol (pyspark.sql.streaming.proto) and
+# crashes on import without it (STREAMING_PYTHON_RUNNER_
+# INITIALIZATION_FAILURE, reproduced). Same environmental class as
+# the real-fsspec gate: the implementation below follows the public
+# API exactly and the importorskip test in test_registry_smoke.py
+# un-gates automatically.
+_S11_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 50
+"""
+
+
+def s11_stream_transform_with_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arbitrary stateful processing via Spark 4's transformWithState
+    API (SPARK-40434, the successor to s04's applyInPandasWithState):
+    a StatefulProcessor holding TWO typed state variables per user —
+    a ValueState running event total and a MapState of per-event-type
+    counts — emits (user_id, n_events, n_types) each micro-batch; the
+    final value per user is the max (both quantities are monotone).
+    What the new API adds over GroupState and why a pipeline would
+    migrate: multiple independently-typed state variables per key
+    (value/list/map) instead of one tuple, schema'd state with
+    per-variable TTL, timers, and a RocksDB-backed store — the shape
+    long-running keyed enrichment/CEP state machines need.
+
+    Scale: state is partitioned by user_id across RocksDB stores (one
+    per shuffle partition — sized via spark.sql.shuffle.partitions
+    exactly like every other stateful op here); per-key state is
+    O(#event_types), bounded; rows stream through Arrow batches
+    (vectorized, not per-row Python). The provider conf is scoped to
+    this query and restored — RocksDB is REQUIRED by the API, while
+    the session default (HDFS-backed) keeps governing the other
+    streaming shapes' checkpoints."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.total = handle.getValueState("total", "n bigint")
+            self.per_type = handle.getMapState(
+                "per_type", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            running = self.total.get()[0] if self.total.exists() else 0
+            for pdf in rows:
+                running += len(pdf)
+                for et, c in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self.per_type.getValue((et,))[0]
+                        if self.per_type.containsKey((et,))
+                        else 0
+                    )
+                    self.per_type.updateValue((et,), (prev + int(c),))
+            self.total.update((running,))
+            n_types = sum(1 for _ in self.per_type.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [running],
+                    "n_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        counted = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TypeCounter(),
+            outputStructType="user_id bigint, n_events bigint, "
+            "n_types bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = _run_to_memory(counted, "update")
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_types").cast("bigint").alias("n_types"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(50)
+    )

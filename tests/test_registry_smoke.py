@@ -73,3 +73,53 @@ def test_q47_lateral_matches_window_reference(spark):
     assert got.count() == ref.count() > 0
     assert got.exceptAll(ref).count() == 0
     assert ref.exceptAll(got).count() == 0
+
+
+def test_s11_transform_with_state_matches_batch(spark):
+    """s11 (staged, ENVIRONMENTALLY GATED — transformWithState,
+    Spark 4's StatefulProcessor API): the streaming per-user
+    (n_events, n_types) from a ValueState + MapState processor over
+    RocksDB must equal the batch groupBy on the same events table,
+    and the session's state-store provider conf must be RESTORED
+    after the query's scoped override. The gate: transformWithState's
+    Python driver worker speaks a protobuf state-server protocol
+    (pyspark.sql.streaming.proto), and google.protobuf is NOT
+    installed in this sandbox (pip is unavailable) — the same
+    environmental class as the real-fsspec skip. This importorskip
+    un-gates automatically the moment the module appears; until then
+    the query stays out of the registry (a driver row would fail on
+    the missing import, not on the semantics)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state-server protocol needs protobuf",
+    )
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.streaming.ops import (
+        s11_stream_transform_with_state,
+    )
+    from dask_deltalake_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(provider_key, None)
+    got = {
+        r["user_id"]: (r["n_events"], r["n_types"])
+        for r in s11_stream_transform_with_state(spark, sf_dir).collect()
+    }
+    assert spark.conf.get(provider_key, None) == before, (
+        "scoped RocksDB provider conf must not leak"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    exp_rows = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(50)
+        .collect()
+    )
+    exp = {r["user_id"]: (r["n_events"], r["n_types"]) for r in exp_rows}
+    assert got == exp and len(got) > 0
