@@ -3427,3 +3427,97 @@ def x41_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+
+# r11 debut (the r10 driver window is arithmetically full — the same
+# staging pattern x40/q47 used in r9): NOT yet in REGISTRY; register
+# as x42 with the oracle below when the r11 window opens.
+_X42_ORACLE = f"""
+WITH tok AS (
+  SELECT UNNEST({_TOKENS_SQL}) AS tok FROM documents
+),
+freqs AS (
+  SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok
+),
+ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+  FROM freqs
+),
+tot AS (SELECT SUM(freq) AS n_tokens, COUNT(*) AS vocab FROM freqs),
+ols AS (
+  SELECT COUNT(*) AS n,
+         SUM(LOG10(rnk))              AS sx,
+         SUM(LOG10(freq))             AS sy,
+         SUM(LOG10(rnk) * LOG10(rnk)) AS sxx,
+         SUM(LOG10(rnk) * LOG10(freq)) AS sxy
+  FROM ranked
+),
+topk AS (SELECT SUM(freq) AS top_freq FROM ranked WHERE rnk <= 10)
+SELECT CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+       CAST(tot.vocab AS BIGINT) AS vocab,
+       CAST((SELECT COUNT(*) FROM freqs WHERE freq = 1) AS BIGINT)
+         AS hapax,
+       ROUND(CAST(topk.top_freq AS DOUBLE) / tot.n_tokens, 4)
+         AS top10_coverage,
+       ROUND((ols.n * ols.sxy - ols.sx * ols.sy)
+             / (ols.n * ols.sxx - ols.sx * ols.sx), 4) AS zipf_slope
+FROM tot CROSS JOIN ols CROSS JOIN topk
+"""
+
+
+def x42_zipf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-distribution diagnostics — the numbers a
+    pretraining pipeline inspects before committing a tokenizer and
+    mixture (and the classic corpus-health check: natural language
+    follows Zipf's law with slope ≈ -1; templated/synthetic/boilerplate
+    corpora deviate sharply): total tokens, vocabulary size, hapax
+    legomena count (types seen once — OOV-pressure proxy), share of
+    tokens covered by the 10 most frequent types, and the OLS slope
+    of log10(freq) on log10(rank) over the whole rank-frequency
+    spectrum.
+
+    Scale shape: ONE algebraic token-count groupBy collapses the
+    corpus to a VOCAB-sized frequency table (map-side partials — 'the'
+    reduces per partition before the shuffle); ranking is a
+    row_number over that vocab table ordered (freq DESC, token) — an
+    unpartitioned window, i.e. one sorted task over ~1e7-1e8 types at
+    100 TB (GBs, not the corpus; the only knowingly serial step,
+    inherent to exact global ranks) — and the regression reduces to
+    FIVE algebraic sums (n, Σx, Σy, Σxx, Σxy), never a per-point
+    fit. Deterministic (ties broken by token) → hash oracle."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    freqs = tok.groupBy("tok").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = freqs.select(
+        "freq", F.row_number().over(w).alias("rnk")
+    )
+    lx = F.log10("rnk")
+    ly = F.log10("freq")
+    stats = ranked.agg(
+        F.sum("freq").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.sum((F.col("freq") == 1).cast("long")).alias("hapax"),
+        F.sum(F.when(F.col("rnk") <= 10, F.col("freq"))).alias("top_freq"),
+        F.count("*").alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    return stats.select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("hapax").cast("long").alias("hapax"),
+        F.round(
+            F.coalesce(F.col("top_freq"), F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+            4,
+        ).alias("top10_coverage"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
+    )

@@ -123,3 +123,69 @@ def test_s11_transform_with_state_matches_batch(spark):
     )
     exp = {r["user_id"]: (r["n_events"], r["n_types"]) for r in exp_rows}
     assert got == exp and len(got) > 0
+
+
+def test_x42_zipf_stats_matches_duckdb_oracle(spark):
+    """x42 (staged r11 debut): the Spark Zipf/token-distribution
+    diagnostics must match the drafted DuckDB oracle cell-for-cell on
+    the same parquet — the exact comparison the driver gate will run
+    when x42 registers — plus an independent pure-pandas recomputation
+    of the hapax/vocab/slope arithmetic."""
+    import math
+
+    import duckdb
+
+    from dask_deltalake_spark.functions.llmops import (
+        _X42_ORACLE,
+        x42_zipf_token_stats,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = x42_zipf_token_stats(spark, sf_dir).collect()[0].asDict()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = dict(
+        zip(
+            [d[0] for d in con.execute(_X42_ORACLE).description],
+            con.execute(_X42_ORACLE).fetchone(),
+        )
+    )
+    assert set(got) == set(exp)
+    for k in got:
+        g, e = got[k], exp[k]
+        assert (g == e) or (
+            isinstance(g, float) and abs(g - float(e)) < 1e-9
+        ), (k, g, e)
+
+    # independent reference: pure-python recomputation
+    import collections
+    import re as _re
+
+    import pandas as pd
+
+    texts = pd.read_parquet(f"{sf_dir}/documents.parquet")["text"]
+    cnt = collections.Counter()
+    for t in texts:
+        t = (t or "").strip().lower()
+        if t:
+            cnt.update(_re.split(" +", t))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    n_tokens = sum(cnt.values())
+    assert got["n_tokens"] == n_tokens
+    assert got["vocab"] == len(cnt)
+    assert got["hapax"] == sum(1 for _, c in cnt.items() if c == 1)
+    assert got["top10_coverage"] == round(
+        sum(c for _, c in ranked[:10]) / n_tokens, 4
+    )
+    xs = [math.log10(i + 1) for i in range(len(ranked))]
+    ys = [math.log10(c) for _, c in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(got["zipf_slope"] - round(slope, 4)) <= 1e-4
