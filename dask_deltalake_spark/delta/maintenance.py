@@ -425,6 +425,16 @@ def create_checkpoint(
         * 3600
         * 1000
     )
+    # Expiry stays STRICTLY less-than while vacuum's candidate cutoff
+    # is inclusive — a DELIBERATE 1 ms asymmetry, each side erring
+    # toward safety at the exact boundary: vacuum reclaim-eager
+    # (age == retention is 'older than the window', the retention-0
+    # intent), expiry retain-conservative (a tombstone at exactly the
+    # boundary survives one more checkpoint rather than losing the
+    # (path, dvId) identity a replay may still need). Do NOT 'fix'
+    # this to inclusive: dropping at the boundary is the dangerous
+    # direction. The shared _configured_retention_hours ladder keeps
+    # the WINDOW identical; only the boundary millisecond differs.
     for r in snap.tombstones_all:
         if r.deletion_timestamp and r.deletion_timestamp < _tomb_cutoff:
             continue

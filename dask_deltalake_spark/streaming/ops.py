@@ -820,16 +820,26 @@ def s11_stream_transform_with_state(
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            import collections
+
             running = self.total.get()[0] if self.total.exists() else 0
+            # accumulate per-type counts LOCALLY across the Arrow
+            # chunks, then one read-modify-write per type: every
+            # containsKey/getValue/updateValue is a protobuf
+            # state-server round-trip (the ledgered dominant cost of
+            # the Python streaming workers) — per-chunk writes would
+            # pay it up to 3x per (type, chunk)
+            batch_counts: collections.Counter = collections.Counter()
             for pdf in rows:
                 running += len(pdf)
-                for et, c in pdf["event_type"].value_counts().items():
-                    prev = (
-                        self.per_type.getValue((et,))[0]
-                        if self.per_type.containsKey((et,))
-                        else 0
-                    )
-                    self.per_type.updateValue((et,), (prev + int(c),))
+                batch_counts.update(pdf["event_type"].value_counts().to_dict())
+            for et, c in batch_counts.items():
+                prev = (
+                    self.per_type.getValue((et,))[0]
+                    if self.per_type.containsKey((et,))
+                    else 0
+                )
+                self.per_type.updateValue((et,), (prev + int(c),))
             self.total.update((running,))
             n_types = sum(1 for _ in self.per_type.keys())
             yield pd.DataFrame(

@@ -148,17 +148,16 @@ def test_x42_zipf_stats_matches_duckdb_oracle(spark):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
-    exp = dict(
-        zip(
-            [d[0] for d in con.execute(_X42_ORACLE).description],
-            con.execute(_X42_ORACLE).fetchone(),
-        )
-    )
+    res = con.execute(_X42_ORACLE)
+    cols = [d[0] for d in res.description]
+    exp = dict(zip(cols, res.fetchone()))
     assert set(got) == set(exp)
     for k in got:
         g, e = got[k], exp[k]
         assert (g == e) or (
-            isinstance(g, float) and abs(g - float(e)) < 1e-9
+            isinstance(g, float)
+            and e is not None
+            and abs(g - float(e)) < 1e-9
         ), (k, g, e)
 
     # independent reference: pure-python recomputation
@@ -170,9 +169,12 @@ def test_x42_zipf_stats_matches_duckdb_oracle(spark):
     texts = pd.read_parquet(f"{sf_dir}/documents.parquet")["text"]
     cnt = collections.Counter()
     for t in texts:
-        t = (t or "").strip().lower()
-        if t:
-            cnt.update(_re.split(" +", t))
+        # mirror tokens()/the oracle EXACTLY: lowercase, trim SPACES
+        # only (not all whitespace), split on ' +', and keep the ''
+        # token an empty/space-only text produces — str.strip() +
+        # skip-empty would silently diverge on whitespace-edge docs
+        t = (t or "").lower().strip(" ")
+        cnt.update(_re.split(" +", t))
     ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
     n_tokens = sum(cnt.values())
     assert got["n_tokens"] == n_tokens
