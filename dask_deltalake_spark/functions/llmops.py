@@ -3327,14 +3327,19 @@ def x41_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus to a gram→source-bitmask table with algebraic map-side
     partials (a boilerplate gram in a billion docs reduces to one
     row per partition before the shuffle), and a mask HISTOGRAM —
-    at most min(#grams, 2^S) rows, in practice a few hundred —
-    is all the pairwise matrix needs: n_common(a,b) = Σ cnt over
-    masks with both bits set, totals likewise, so the S(S-1)/2
-    expansion runs over broadcast-tiny frames, never the corpus.
-    Bitmask capacity is S ≤ 63 per long; beyond that the mask
-    becomes an array of longs (bit_or elementwise via zip_with) —
-    same topology. Corpus is touched EXACTLY ONCE. All JVM
-    expressions, zero Python row path (plan-asserted)."""
+    at most min(#grams, 2^S) rows — is all the pairwise matrix
+    needs: n_common(a,b) = Σ cnt over masks with both bits set,
+    totals likewise, so the S(S-1)/2 expansion runs over
+    broadcast-tiny frames, never the corpus. Capacity, stated
+    honestly: the 2^S histogram bound keeps the broadcast safe
+    through S ≈ 20-25 sources (2^20 masks x 16 B = 16 MB worst
+    case); for larger S, skip the histogram and aggregate the
+    matrix DIRECTLY from the gram→mask table with S(S-1)/2
+    conditional-sum columns (still one pass, no broadcast), and
+    beyond S = 63 the long mask becomes an array of longs (bit_or
+    elementwise via zip_with) — same topology throughout. Corpus
+    is touched EXACTLY ONCE. All JVM expressions, zero Python row
+    path (plan-asserted)."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = d.select("source", tokens(F.col("text")).alias("toks"))
     sg = (

@@ -212,7 +212,15 @@ _R10_FRONT = [
 # tests/test_vendored_fsspec.py instead.
 # (superseded front lists are removed — ordering history lives in the
 # prose blocks above; only _R10_FRONT is live)
-_R10_FRONT = [n for n in _R10_FRONT if n in _ALL]
+_unknown = [n for n in _R10_FRONT if n not in _ALL]
+if _unknown:
+    # FAIL LOUDLY, never filter: a front name that doesn't resolve is
+    # always a bug (r10 self-review caught x41 listed under a
+    # discarded working name — the silent filter dropped the round's
+    # new query out of the driver's 50-slot gate window).
+    raise RuntimeError(
+        f"registry front lists unregistered queries: {_unknown}"
+    )
 _POS = {n: i for i, n in enumerate(_R10_FRONT)}
 
 

@@ -1836,10 +1836,15 @@ def q49_null_aware_anti_join(
     isNullAwareAntiJoin=true) — plan-asserted. The NULLIF fabricates
     probe-side nulls (TPC-H keys are never null) so the semantics are
     actually exercised, not vacuously green: customer-13 orders MUST
-    drop even though 13 is not in the exclusion set. Scale: the
-    exclusion set (negative-balance customers) is a filtered dimension
-    → broadcast; a huge exclusion set degrades to null-aware shuffle
-    strategies, never a per-row re-scan."""
+    drop even though 13 is not in the exclusion set. Scale, stated
+    honestly: Spark's null-aware anti join exists ONLY as a broadcast
+    strategy (single-column NOT IN); an exclusion set too large to
+    broadcast degrades to BroadcastNestedLoopJoin — O(probe x build).
+    Here the set is a filtered dimension (negative-balance customers),
+    the broadcast case by construction; at scale, a NOT IN over a
+    corpus-sized subquery should be REWRITTEN as NOT EXISTS with
+    explicit null predicates (a shuffled anti join) — this query
+    exists to pin the three-valued-logic operator itself."""
     _t(spark, sf_dir, "customer").createOrReplaceTempView("q49_customer")
     _t(spark, sf_dir, "orders").createOrReplaceTempView("q49_orders")
     return spark.sql(
