@@ -145,8 +145,19 @@ def convert_to_delta(
     )
     stats: dict[str, Optional[str]] = {f: None for f in files}
     if collect_stats:
+        from dask_deltalake_spark.delta.protocol import stats_column_spec
+
+        # the requested table configuration governs convert-time stats
+        # exactly like write-time stats (schema has no mapping yet —
+        # a fresh conversion's names are physical by construction)
         stats = _collect_stats(
-            spark, store, table_path, local_root, files, part_cols
+            spark,
+            store,
+            table_path,
+            local_root,
+            files,
+            part_cols,
+            stats_spec=stats_column_spec(configuration),
         )
     ts = now_ms()
     actions: list[dict] = [
@@ -198,6 +209,7 @@ def _collect_stats(
     local_root: Optional[str],
     files: list[str],
     part_cols: list,
+    stats_spec: tuple = (32, None),
 ) -> dict:
     """One distributed pass folding per-file protocol stats JSON —
     shared with COMPUTE STATISTICS via protocol.fold_file_stats, so
@@ -215,10 +227,12 @@ def _collect_stats(
             spark,
             [(f, os.path.join(local_root, f)) for f in files],
             part_cols,
+            stats_spec=stats_spec,
         )
     return fold_file_stats(
         spark,
         [(f, os.path.join(table_path, f)) for f in files],
         part_cols,
         store=store,
+        stats_spec=stats_spec,
     )

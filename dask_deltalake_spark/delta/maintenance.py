@@ -1048,12 +1048,20 @@ def optimize(
         df = df.toDF(*[l2p.get(c, c) for c in df.columns])
         partition_by = [l2p.get(c, c) for c in partition_by]
 
+    from dask_deltalake_spark.delta.protocol import stats_column_spec
+    from dask_deltalake_spark.delta.reader import snapshot_schema as _ss
+
+    _stats_spec = stats_column_spec(
+        snap.metadata.configuration, schema=_ss(snap)
+    )
     data_root = log.store.local_path(table_path)
     if data_root is not None:
         schema_bytes = (
             _spark_to_arrow_schema(df.schema).serialize().to_pybytes()
         )
-        fn = _write_partition_factory(data_root, partition_by, schema_bytes)
+        fn = _write_partition_factory(
+            data_root, partition_by, schema_bytes, stats_spec=_stats_spec
+        )
         add_rows = df.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
     else:
         # no local mapping (object store): the JVM-native write path
@@ -1064,7 +1072,9 @@ def optimize(
         # pure-seam tables.
         from dask_deltalake_spark.delta.writer import _write_files_native
 
-        add_rows = _write_files_native(df, table_path, partition_by)
+        add_rows = _write_files_native(
+            df, table_path, partition_by, stats_spec=_stats_spec
+        )
 
     ts = now_ms()
     actions: list[dict] = [
@@ -1873,9 +1883,22 @@ def recompute_statistics(
     # the stats fold is SHARED with CONVERT TO DELTA
     # (protocol.fold_file_stats) — one accumulator implementation, so
     # converted, recomputed, and written stats stay byte-compatible
-    from dask_deltalake_spark.delta.protocol import fold_file_stats
+    from dask_deltalake_spark.delta.protocol import (
+        fold_file_stats,
+        stats_column_spec,
+    )
+    from dask_deltalake_spark.delta.reader import snapshot_schema as _rss
 
-    stats = fold_file_stats(spark, pairs, part_cols)
+    # honor the table's stats-collection properties exactly like the
+    # write path (delta-spark's StatisticsCollection does the same)
+    stats = fold_file_stats(
+        spark,
+        pairs,
+        part_cols,
+        stats_spec=stats_column_spec(
+            snap.metadata.configuration, schema=_rss(snap)
+        ),
+    )
     ts = now_ms()
     actions: list[dict] = [
         {

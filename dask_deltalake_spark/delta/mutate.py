@@ -173,12 +173,20 @@ def _rewrite_and_commit(
     if l2p:
         new_data = new_data.toDF(*[l2p.get(c, c) for c in new_data.columns])
         partition_by = [l2p.get(c, c) for c in partition_by]
+    from dask_deltalake_spark.delta.protocol import stats_column_spec
+    from dask_deltalake_spark.delta.reader import snapshot_schema as _ss
+
+    _stats_spec = stats_column_spec(
+        snap.metadata.configuration, schema=_ss(snap)
+    )
     data_root = _local_data_root(table_path)
     if data_root is not None:
         schema_bytes = (
             _spark_to_arrow_schema(new_data.schema).serialize().to_pybytes()
         )
-        fn = _write_partition_factory(data_root, partition_by, schema_bytes)
+        fn = _write_partition_factory(
+            data_root, partition_by, schema_bytes, stats_spec=_stats_spec
+        )
         add_rows = new_data.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
     else:
         # no local mapping (object store): JVM-native staging + seam
@@ -186,7 +194,9 @@ def _rewrite_and_commit(
         # rewrites work on pure-seam tables (closes the r6 S16 gap)
         from dask_deltalake_spark.delta.writer import _write_files_native
 
-        add_rows = _write_files_native(new_data, table_path, partition_by)
+        add_rows = _write_files_native(
+            new_data, table_path, partition_by, stats_spec=_stats_spec
+        )
 
     ts = now_ms()
     actions: list[dict] = [
@@ -913,17 +923,27 @@ def _update_merge_on_read(
         # image files carry PHYSICAL names like every other write
         updated = updated.toDF(*[l2p.get(c, c) for c in updated.columns])
         partition_by = [l2p.get(c, c) for c in partition_by]
+    from dask_deltalake_spark.delta.protocol import stats_column_spec
+    from dask_deltalake_spark.delta.reader import snapshot_schema as _ss
+
+    _stats_spec = stats_column_spec(
+        snap.metadata.configuration, schema=_ss(snap)
+    )
     data_root = _local_data_root(table_path)
     if data_root is not None:
         schema_bytes = (
             _spark_to_arrow_schema(updated.schema).serialize().to_pybytes()
         )
-        fn = _write_partition_factory(data_root, partition_by, schema_bytes)
+        fn = _write_partition_factory(
+            data_root, partition_by, schema_bytes, stats_spec=_stats_spec
+        )
         add_rows = updated.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
     else:
         from dask_deltalake_spark.delta.writer import _write_files_native
 
-        add_rows = _write_files_native(updated, table_path, partition_by)
+        add_rows = _write_files_native(
+            updated, table_path, partition_by, stats_spec=_stats_spec
+        )
 
     version = _mor_commit(
         table_path,

@@ -740,18 +740,80 @@ def _range_feasible(op: str, lo: Any, hi: Any, val: Any) -> bool:
     return True
 
 
-def stats_from_pandas(pdf, max_cols: int = 32) -> str:
+def stats_column_spec(
+    configuration: Optional[dict], schema=None
+) -> tuple:
+    """Resolve delta-spark's stats-collection table properties into a
+    ``(max_cols, stats_columns)`` spec every stats producer threads
+    through:
+
+    - ``delta.dataSkippingStatsColumns`` — comma-separated column
+      names; when set it WINS (delta-spark precedence) and
+      numIndexedCols is ignored. Names are the table's LOGICAL names;
+      when a schema is supplied they translate to PHYSICAL names (the
+      stats JSON is keyed physically on column-mapped tables).
+    - ``delta.dataSkippingNumIndexedCols`` — stats for the first N
+      data columns; ``-1`` means all; unparseable warns and keeps the
+      default 32 (delta-spark's default).
+
+    Returns ``(32, None)`` when neither property is set: first-32
+    columns, the long-standing default."""
+    conf = configuration or {}
+    raw_cols = (conf.get("delta.dataSkippingStatsColumns") or "").strip()
+    if raw_cols:
+        names = [c.strip() for c in raw_cols.split(",") if c.strip()]
+        if schema is not None:
+            from dask_deltalake_spark.delta.column_mapping import (
+                logical_to_physical,
+            )
+
+            l2p = logical_to_physical(schema)
+            names = [l2p.get(n, n) for n in names]
+        return None, set(names)
+    raw_n = (conf.get("delta.dataSkippingNumIndexedCols") or "").strip()
+    if raw_n:
+        try:
+            n = int(raw_n)
+        except ValueError:
+            import warnings
+
+            warnings.warn(
+                "unparseable delta.dataSkippingNumIndexedCols "
+                f"{raw_n!r}; using the default 32",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return 32, None
+        return (None if n < 0 else n), None
+    return 32, None
+
+
+def _select_stats_cols(names, max_cols, stats_columns) -> list:
+    """Shared column-selection rule: explicit stats_columns win
+    (order-preserving intersection), else the first max_cols
+    (None = all)."""
+    if stats_columns is not None:
+        return [n for n in names if n in stats_columns]
+    if max_cols is None:
+        return list(names)
+    return list(names)[:max_cols]
+
+
+def stats_from_pandas(
+    pdf, max_cols: Optional[int] = 32, stats_columns=None
+) -> str:
     """Compute the protocol's per-file stats JSON
     ({numRecords, minValues, maxValues, nullCount}) from a pandas batch.
     Limited to the first ``max_cols`` leaf columns (delta-spark's
-    dataSkippingNumIndexedCols analog)."""
+    dataSkippingNumIndexedCols; None = all) or, when ``stats_columns``
+    is set, to exactly those columns (dataSkippingStatsColumns)."""
     import pandas as pd
 
     num = int(len(pdf))
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
     nulls: dict[str, int] = {}
-    for name in list(pdf.columns)[:max_cols]:
+    for name in _select_stats_cols(pdf.columns, max_cols, stats_columns):
         s = pdf[name]
         nulls[name] = int(s.isna().sum())
         if s.dtype == object:
@@ -784,8 +846,11 @@ class StatsAccumulator:
     Produces byte-identical JSON to ``stats_from_pandas(concat(batches))``
     for homogeneous-schema batches."""
 
-    def __init__(self, max_cols: int = 32):
+    def __init__(self, max_cols: Optional[int] = 32, stats_columns=None):
         self.max_cols = max_cols
+        self.stats_columns = (
+            set(stats_columns) if stats_columns is not None else None
+        )
         self.num = 0
         self.cols: list | None = None
         self.nulls: dict[str, int] = {}
@@ -799,7 +864,9 @@ class StatsAccumulator:
         import pandas as pd
 
         if self.cols is None:
-            self.cols = list(pdf.columns)[: self.max_cols]
+            self.cols = _select_stats_cols(
+                pdf.columns, self.max_cols, self.stats_columns
+            )
         self.num += int(len(pdf))
         for name in self.cols:
             s = pdf[name]
@@ -869,7 +936,9 @@ def _stat_value(v: Any) -> Any:
     return v
 
 
-def fold_file_stats(spark, pairs, part_cols, store=None) -> dict:
+def fold_file_stats(
+    spark, pairs, part_cols, store=None, stats_spec: tuple = (32, None)
+) -> dict:
     """One distributed stats pass shared by CONVERT TO DELTA and
     COMPUTE STATISTICS (delta/convert.py, delta/maintenance.py):
     executors read their assigned parquet files Arrow-batched and fold
@@ -887,6 +956,7 @@ def fold_file_stats(spark, pairs, part_cols, store=None) -> dict:
     a plain path — the seam route for stores with no local mapping
     (CONVERT TO DELTA on S3/GCS-class stores)."""
     part_cols = list(part_cols)
+    _max_cols, _stats_columns = stats_spec
 
     def gen(batches):
         import pandas as _pd
@@ -897,7 +967,9 @@ def fold_file_stats(spark, pairs, part_cols, store=None) -> dict:
         for pdf in batches:
             out = []
             for rel, absp in zip(pdf["rel"], pdf["abs"]):
-                acc = StatsAccumulator()
+                acc = StatsAccumulator(
+                    max_cols=_max_cols, stats_columns=_stats_columns
+                )
                 src = store.open_input(absp) if store is not None else absp
                 try:
                     pf = pq.ParquetFile(src)

@@ -53,6 +53,7 @@ from dask_deltalake_spark.delta.protocol import (
     RemoveAction,
     commit_filename,
     now_ms,
+    stats_column_spec,
     StatsAccumulator,
 )
 
@@ -84,10 +85,17 @@ def _partition_str(v) -> Optional[str]:
     return str(v)
 
 
-def _write_partition_factory(table_path: str, partition_by: list[str], arrow_schema_bytes: bytes):
+def _write_partition_factory(
+    table_path: str,
+    partition_by: list[str],
+    arrow_schema_bytes: bytes,
+    stats_spec: tuple = (32, None),
+):
     """Build the executor-side writer fn. All state is serialized into
     the closure (arrow schema via IPC bytes — pa.Schema pickles poorly
-    across versions)."""
+    across versions). ``stats_spec`` = (max_cols, stats_columns) from
+    protocol.stats_column_spec — the dataSkippingNumIndexedCols /
+    dataSkippingStatsColumns table properties."""
 
     def write_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -131,7 +139,16 @@ def _write_partition_factory(table_path: str, partition_by: list[str], arrow_sch
                 data_schema,
                 compression="snappy",
             )
-            state = (w, rel_path, {"stats": StatsAccumulator(), "rows": 0})
+            state = (
+                w,
+                rel_path,
+                {
+                    "stats": StatsAccumulator(
+                        max_cols=stats_spec[0], stats_columns=stats_spec[1]
+                    ),
+                    "rows": 0,
+                },
+            )
             writers[pkey] = state
             return state
 
@@ -186,18 +203,18 @@ def _harvest_footer(args: tuple) -> tuple:
     pyarrow cannot parse (e.g. the VARIANT logical type predates this
     pyarrow) yields the (-1, None) sentinel; the driver then recovers
     row counts with one Spark job over exactly those files."""
-    staging, rel, max_cols = args
+    staging, rel, max_cols, stats_columns = args
     import pyarrow.parquet as pq
 
     try:
         md = pq.read_metadata(os.path.join(staging, rel))
     except OSError:
         return rel, -1, None
-    n, stats = _footer_stats(md, max_cols)
+    n, stats = _footer_stats(md, max_cols, stats_columns)
     return rel, n, stats
 
 
-def _footer_stats(md, max_cols: int) -> tuple:
+def _footer_stats(md, max_cols, stats_columns=None) -> tuple:
     """(num_rows, stats-JSON) from an already-read parquet footer."""
     names = [md.schema.column(i).path for i in range(md.num_columns)]
     mins: dict = {}
@@ -205,7 +222,11 @@ def _footer_stats(md, max_cols: int) -> tuple:
     nulls: dict = {}
     incomplete: set = set()
     null_incomplete: set = set()  # any row group missing null_count → omit entirely
-    kept = [n for n in names if "." not in n][:max_cols]
+    from dask_deltalake_spark.delta.protocol import _select_stats_cols
+
+    kept = _select_stats_cols(
+        [n for n in names if "." not in n], max_cols, stats_columns
+    )
     idx = {n: i for i, n in enumerate(names)}
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
@@ -276,7 +297,12 @@ def _partition_values_from_rel(rel_dir: str, partition_by: list[str]) -> dict:
     return {c: pvals.get(c) for c in partition_by}
 
 
-def _write_files_native(df: DataFrame, table_path: str, partition_by: list[str]) -> list:
+def _write_files_native(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str],
+    stats_spec: tuple = (32, None),
+) -> list:
     """Native write path: the JVM parquet writer (whole-stage codegen,
     zero Python in the row path) writes into a staging dir, a parallel
     footer-harvest pass builds the per-file stats, and the files are
@@ -348,7 +374,11 @@ def _write_files_native(df: DataFrame, table_path: str, partition_by: list[str])
             n_slices = max(1, min(len(rel_files), sc.defaultParallelism))
             harvested = (
                 sc.parallelize(
-                    [(staging, rel, 32) for rel in rel_files], n_slices
+                    [
+                        (staging, rel, stats_spec[0], stats_spec[1])
+                        for rel in rel_files
+                    ],
+                    n_slices,
                 )
                 .map(_harvest_footer)
                 .collect()
@@ -361,7 +391,7 @@ def _write_files_native(df: DataFrame, table_path: str, partition_by: list[str])
                 try:
                     with store.open_input(os.path.join(staging, rel)) as fh:
                         md = pq.read_metadata(fh)
-                    n, stats = _footer_stats(md, 32)
+                    n, stats = _footer_stats(md, stats_spec[0], stats_spec[1])
                 except OSError:
                     n, stats = -1, None
                 harvested.append((rel, n, stats))
@@ -1399,6 +1429,18 @@ def to_delta(
         if snap is not None
         else dict(configuration or {})
     )
+    # dataSkippingStatsColumns / dataSkippingNumIndexedCols: resolved
+    # once from the effective configuration; df's columns are already
+    # PHYSICAL at this point on mapped tables (the toDF above), so the
+    # property's logical names translate through the table schema.
+    _stats_spec = stats_column_spec(
+        _eff_config,
+        schema=(
+            StructType.fromJson(json.loads(snap.metadata.schema_string))
+            if snap is not None
+            else df.schema
+        ),
+    )
 
     if shuffle and partition_by:
         df = df.repartition(*partition_by)
@@ -1450,7 +1492,9 @@ def to_delta(
         )
 
     if engine == "native":
-        add_rows = _write_files_native(df, table_path, partition_by)
+        add_rows = _write_files_native(
+            df, table_path, partition_by, stats_spec=_stats_spec
+        )
     else:
         # the Arrow path writes data files with plain file I/O inside
         # Python workers, so it needs a locally mapped root (real
@@ -1464,7 +1508,9 @@ def to_delta(
             )
         arrow_schema = _spark_to_arrow_schema(df.schema)
         schema_bytes = arrow_schema.serialize().to_pybytes()
-        fn = _write_partition_factory(data_root, partition_by, schema_bytes)
+        fn = _write_partition_factory(
+            data_root, partition_by, schema_bytes, stats_spec=_stats_spec
+        )
         add_rows = df.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
     if _rw_persisted is not None:
         # files are on disk — the validated rows have been consumed

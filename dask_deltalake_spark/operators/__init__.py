@@ -77,7 +77,14 @@ _ALL.update(_STREAMING)
 # vs _SHINGLES_SQL), and every out-of-window consumer was re-run
 # green through tools/check_oracle.py this round (ledgered in
 # COVERAGE.md). In-window d22 (deletion vectors) re-verifies the DV
-# identity plumbing end-to-end regardless.
+# identity plumbing end-to-end regardless. Late-r10 source change:
+# the stats-collection properties (dataSkippingStatsColumns /
+# NumIndexedCols, staged d49) threaded a stats_spec through every
+# stats producer — behavior-NEUTRAL for tables without the
+# properties (the default spec (32, None) is exactly the old
+# hard-coded path), and the in-window d12/d13/d22/d35/d40 plus
+# out-of-window d01/d08/d44/d45/d47 were re-run green through
+# tools/check_oracle.py ON the threaded code this round.
 _R10_FRONT = [
     # (b) new in r10, checked first
     "q47_lateral_topn_per_group",

@@ -2606,3 +2606,74 @@ def d48_manifest_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tombstones_vacuumed", F.lit(tombstones_vacuumed))
         .withColumn("live_files_intact", F.lit(live_files_intact))
     )
+
+
+# r11 debut (the r10 driver window is arithmetically full — the same
+# staging pattern x40/q47 used in r9): NOT yet in REGISTRY; register
+# as d49 with the oracle below when the r11 window opens.
+_D49_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       CAST(1 AS INT) AS stats_scoped,
+       CAST(1 AS INT) AS unstatsed_filter_correct
+FROM nation
+WHERE n_regionkey <> 0
+"""
+
+
+def d49_stats_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta.dataSkippingStatsColumns / dataSkippingNumIndexedCols
+    lifecycle: create with stats scoped to ONE column, append, COW
+    DELETE, OPTIMIZE, COMPUTE STATISTICS — every stats producer must
+    keep emitting stats for exactly the configured column
+    (``stats_scoped``), and filtering on an UNSTATSED column must stay
+    correct (skipping just cannot prune — ``unstatsed_filter_correct``
+    compares the filtered delta read against the full-scan count).
+    At 100 TB this property is how wide tables keep add-action stats
+    JSON (driver-resident at planning time) bounded: stats for the 3
+    columns queries actually filter on, not 3000."""
+    import json as _json
+    import shutil
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.maintenance import (
+        optimize,
+        recompute_statistics,
+    )
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = _tmp_table(sf_dir, "nation_stats_columns")
+    shutil.rmtree(path, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation")
+    half = n.filter("n_nationkey < 12")
+    rest = n.filter("n_nationkey >= 12")
+    to_delta(
+        half,
+        path,
+        configuration={"delta.dataSkippingStatsColumns": "n_nationkey"},
+    )
+    to_delta(rest, path, mode="append")
+    delete_where(path, [("n_regionkey", "==", 0)], spark=spark)
+    optimize(path, spark=spark)
+    recompute_statistics(path, spark=spark)
+    snap = DeltaLog(path).snapshot()
+    scoped = int(
+        bool(snap.add_actions)
+        and all(
+            a.stats
+            and set(_json.loads(a.stats)["minValues"]) == {"n_nationkey"}
+            for a in snap.add_actions
+        )
+    )
+    got = read_delta(path, filter=[("n_regionkey", "!=", 0)], spark=spark)
+    full = read_delta(path, spark=spark)
+    unstatsed_ok = int(got.count() == full.count())
+    return full.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        F.lit(scoped).alias("stats_scoped"),
+        F.lit(unstatsed_ok).alias("unstatsed_filter_correct"),
+    )

@@ -373,13 +373,13 @@ def test_append_retries_after_concurrent_commit(spark, tmp_path, monkeypatch):
     orig = W._write_files_native
     state = {"done": False}
 
-    def hooked(d, tp, pb):
+    def hooked(d, tp, pb, **kw):
         if not state["done"]:
             inject_commit(
                 json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n"
             )
             state["done"] = True
-        return orig(d, tp, pb)
+        return orig(d, tp, pb, **kw)
 
     monkeypatch.setattr(W, "_write_files_native", hooked)
     to_delta(df, path, mode="append")  # must retry to v2, not raise
@@ -391,7 +391,7 @@ def test_append_retries_after_concurrent_commit(spark, tmp_path, monkeypatch):
     changed = json.loads(snap.metadata.schema_string)
     changed["fields"] = changed["fields"][:1]
 
-    def hooked2(d, tp, pb):
+    def hooked2(d, tp, pb, **kw):
         if not state["reset"]:
             with open(
                 os.path.join(path, "_delta_log", "00000000000000000003.json"),
@@ -412,7 +412,7 @@ def test_append_retries_after_concurrent_commit(spark, tmp_path, monkeypatch):
                     + "\n"
                 )
             state["reset"] = True
-        return orig(d, tp, pb)
+        return orig(d, tp, pb, **kw)
 
     state["reset"] = False
     monkeypatch.setattr(W, "_write_files_native", hooked2)

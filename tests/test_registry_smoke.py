@@ -191,3 +191,29 @@ def test_x42_zipf_stats_matches_duckdb_oracle(spark):
     sxy = sum(x * y for x, y in zip(xs, ys))
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert abs(got["zipf_slope"] - round(slope, 4)) <= 1e-4
+
+
+def test_d49_stats_columns_matches_duckdb_oracle(spark):
+    """d49 (staged r11 debut): the stats-collection-properties
+    lifecycle must match its drafted DuckDB oracle cell-for-cell —
+    the exact comparison the driver gate will run when d49 registers.
+    (The property mechanics themselves are pinned column-by-column in
+    tests/test_stats_columns.py; this pins the registered shape.)"""
+    import duckdb
+
+    from dask_deltalake_spark.operators.delta_ops import (
+        _D49_ORACLE,
+        d49_stats_columns,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = d49_stats_columns(spark, sf_dir).collect()[0].asDict()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW nation AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/nation.parquet')"
+    )
+    res = con.execute(_D49_ORACLE)
+    exp = dict(zip([d[0] for d in res.description], res.fetchone()))
+    assert got == exp
+    assert got["stats_scoped"] == 1 and got["unstatsed_filter_correct"] == 1

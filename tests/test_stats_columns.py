@@ -1,0 +1,133 @@
+"""delta.dataSkippingStatsColumns / delta.dataSkippingNumIndexedCols:
+stats-collection table properties honored by every stats producer —
+to_delta (both engines), the DML/OPTIMIZE rewrites, COMPUTE
+STATISTICS, and CONVERT TO DELTA — with delta-spark's precedence
+(statsColumns wins over numIndexedCols; -1 = all; default first 32).
+Reads on unstatsed columns stay CORRECT (skipping just can't prune)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from dask_deltalake_spark import read_delta, to_delta
+from dask_deltalake_spark.delta.log import DeltaLog
+from dask_deltalake_spark.delta.protocol import stats_column_spec
+
+
+def _stats_keys(path, version=None):
+    """minValues key set of every add action carrying stats."""
+    snap = DeltaLog(path).snapshot(version=version)
+    out = []
+    for a in snap.add_actions:
+        assert a.stats, f"add {a.path} carries no stats"
+        out.append(set(json.loads(a.stats)["minValues"]))
+    return out
+
+
+def _df(spark, n=20):
+    return spark.range(n).selectExpr(
+        "id AS k", "id * 2 AS v", "CAST(id AS STRING) AS w"
+    )
+
+
+def test_spec_parsing_and_precedence():
+    assert stats_column_spec(None) == (32, None)
+    assert stats_column_spec({}) == (32, None)
+    assert stats_column_spec(
+        {"delta.dataSkippingNumIndexedCols": "2"}
+    ) == (2, None)
+    assert stats_column_spec(
+        {"delta.dataSkippingNumIndexedCols": "-1"}
+    ) == (None, None)
+    assert stats_column_spec(
+        {"delta.dataSkippingStatsColumns": "v, w"}
+    ) == (None, {"v", "w"})
+    # statsColumns WINS when both are set (delta-spark precedence)
+    assert stats_column_spec(
+        {
+            "delta.dataSkippingStatsColumns": "v",
+            "delta.dataSkippingNumIndexedCols": "1",
+        }
+    ) == (None, {"v"})
+    with pytest.warns(RuntimeWarning, match="dataSkippingNumIndexedCols"):
+        assert stats_column_spec(
+            {"delta.dataSkippingNumIndexedCols": "many"}
+        ) == (32, None)
+
+
+def test_stats_columns_limits_write_stats(spark, tmp_path):
+    path = str(tmp_path / "t_cols")
+    to_delta(
+        _df(spark),
+        path,
+        configuration={"delta.dataSkippingStatsColumns": "v"},
+    )
+    for keys in _stats_keys(path):
+        assert keys == {"v"}
+    # filtering on the UNstatsed column is still correct — data
+    # skipping simply cannot prune those files
+    got = read_delta(path, filter=[("k", "<", 5)], spark=spark)
+    assert got.count() == 5
+    # appends inherit the table property (existing config wins)
+    to_delta(_df(spark), path, mode="append")
+    for keys in _stats_keys(path):
+        assert keys == {"v"}
+
+
+def test_num_indexed_cols(spark, tmp_path):
+    path = str(tmp_path / "t_n1")
+    to_delta(
+        _df(spark),
+        path,
+        configuration={"delta.dataSkippingNumIndexedCols": "1"},
+    )
+    for keys in _stats_keys(path):
+        assert keys == {"k"}, "first data column only"
+    path2 = str(tmp_path / "t_all")
+    to_delta(
+        _df(spark),
+        path2,
+        configuration={"delta.dataSkippingNumIndexedCols": "-1"},
+    )
+    for keys in _stats_keys(path2):
+        assert keys == {"k", "v", "w"}
+
+
+def test_arrow_engine_honors_spec(spark, tmp_path):
+    path = str(tmp_path / "t_arrow")
+    to_delta(
+        _df(spark),
+        path,
+        engine="arrow",
+        configuration={"delta.dataSkippingStatsColumns": "w"},
+    )
+    for keys in _stats_keys(path):
+        assert keys == {"w"}
+
+
+def test_rewrites_and_recompute_honor_spec(spark, tmp_path):
+    from dask_deltalake_spark import delete_where, optimize
+    from dask_deltalake_spark.delta.maintenance import (
+        recompute_statistics,
+    )
+
+    path = str(tmp_path / "t_rw")
+    to_delta(
+        _df(spark),
+        path,
+        configuration={"delta.dataSkippingStatsColumns": "v"},
+    )
+    to_delta(_df(spark), path, mode="append")
+    delete_where(path, [("k", "<", 3)], spark=spark)  # COW rewrite
+    for keys in _stats_keys(path):
+        assert keys == {"v"}
+    optimize(path, spark=spark)  # compaction rewrite
+    for keys in _stats_keys(path):
+        assert keys == {"v"}
+    recompute_statistics(path, spark=spark)
+    for keys in _stats_keys(path):
+        assert keys == {"v"}
+    got = read_delta(path, spark=spark)
+    assert got.count() == 34  # 2x20 minus 2x3 deleted
