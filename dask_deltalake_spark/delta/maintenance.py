@@ -1048,12 +1048,9 @@ def optimize(
         df = df.toDF(*[l2p.get(c, c) for c in df.columns])
         partition_by = [l2p.get(c, c) for c in partition_by]
 
-    from dask_deltalake_spark.delta.protocol import stats_column_spec
-    from dask_deltalake_spark.delta.reader import snapshot_schema as _ss
+    from dask_deltalake_spark.delta.protocol import stats_spec_for
 
-    _stats_spec = stats_column_spec(
-        snap.metadata.configuration, schema=_ss(snap)
-    )
+    _stats_spec = stats_spec_for(snap)
     data_root = log.store.local_path(table_path)
     if data_root is not None:
         schema_bytes = (
@@ -1885,19 +1882,13 @@ def recompute_statistics(
     # converted, recomputed, and written stats stay byte-compatible
     from dask_deltalake_spark.delta.protocol import (
         fold_file_stats,
-        stats_column_spec,
+        stats_spec_for,
     )
-    from dask_deltalake_spark.delta.reader import snapshot_schema as _rss
 
     # honor the table's stats-collection properties exactly like the
     # write path (delta-spark's StatisticsCollection does the same)
     stats = fold_file_stats(
-        spark,
-        pairs,
-        part_cols,
-        stats_spec=stats_column_spec(
-            snap.metadata.configuration, schema=_rss(snap)
-        ),
+        spark, pairs, part_cols, stats_spec=stats_spec_for(snap)
     )
     ts = now_ms()
     actions: list[dict] = [

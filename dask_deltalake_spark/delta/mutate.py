@@ -173,12 +173,9 @@ def _rewrite_and_commit(
     if l2p:
         new_data = new_data.toDF(*[l2p.get(c, c) for c in new_data.columns])
         partition_by = [l2p.get(c, c) for c in partition_by]
-    from dask_deltalake_spark.delta.protocol import stats_column_spec
-    from dask_deltalake_spark.delta.reader import snapshot_schema as _ss
+    from dask_deltalake_spark.delta.protocol import stats_spec_for
 
-    _stats_spec = stats_column_spec(
-        snap.metadata.configuration, schema=_ss(snap)
-    )
+    _stats_spec = stats_spec_for(snap)
     data_root = _local_data_root(table_path)
     if data_root is not None:
         schema_bytes = (
@@ -923,12 +920,9 @@ def _update_merge_on_read(
         # image files carry PHYSICAL names like every other write
         updated = updated.toDF(*[l2p.get(c, c) for c in updated.columns])
         partition_by = [l2p.get(c, c) for c in partition_by]
-    from dask_deltalake_spark.delta.protocol import stats_column_spec
-    from dask_deltalake_spark.delta.reader import snapshot_schema as _ss
+    from dask_deltalake_spark.delta.protocol import stats_spec_for
 
-    _stats_spec = stats_column_spec(
-        snap.metadata.configuration, schema=_ss(snap)
-    )
+    _stats_spec = stats_spec_for(snap)
     data_root = _local_data_root(table_path)
     if data_root is not None:
         schema_bytes = (

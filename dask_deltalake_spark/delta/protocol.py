@@ -758,16 +758,50 @@ def stats_column_spec(
 
     Returns ``(32, None)`` when neither property is set: first-32
     columns, the long-standing default."""
+    import warnings
+
     conf = configuration or {}
     raw_cols = (conf.get("delta.dataSkippingStatsColumns") or "").strip()
     if raw_cols:
         names = [c.strip() for c in raw_cols.split(",") if c.strip()]
+        if not names:
+            # ',' / ' , ' — non-empty but nameless. Treating it as
+            # 'stats for NO columns' would silently kill skipping
+            # table-wide while '' gives the default: two adjacent
+            # degenerate spellings of 'unset' must not produce
+            # opposite extremes. Warn and fall back to the default.
+            warnings.warn(
+                "delta.dataSkippingStatsColumns is set but names no "
+                f"columns ({raw_cols!r}); using the default 32",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return 32, None
         if schema is not None:
             from dask_deltalake_spark.delta.column_mapping import (
                 logical_to_physical,
             )
 
             l2p = logical_to_physical(schema)
+            known = set(l2p)
+            for n in names:
+                if n not in known:
+                    # a typo silently disables skipping for the
+                    # intended column; nested 'a.b' paths are not
+                    # supported by these stats producers (top-level
+                    # leaves only) — either way the user must hear it
+                    # (delta-spark rejects unknown names at
+                    # property-set time; we resolve at write time, so
+                    # warn here)
+                    warnings.warn(
+                        "delta.dataSkippingStatsColumns names "
+                        f"{n!r}, which is not a top-level column of "
+                        "the table schema (typo, or an unsupported "
+                        "nested path) — no stats will be collected "
+                        "for it",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
             names = [l2p.get(n, n) for n in names]
         return None, set(names)
     raw_n = (conf.get("delta.dataSkippingNumIndexedCols") or "").strip()
@@ -775,8 +809,6 @@ def stats_column_spec(
         try:
             n = int(raw_n)
         except ValueError:
-            import warnings
-
             warnings.warn(
                 "unparseable delta.dataSkippingNumIndexedCols "
                 f"{raw_n!r}; using the default 32",
@@ -786,6 +818,17 @@ def stats_column_spec(
             return 32, None
         return (None if n < 0 else n), None
     return 32, None
+
+
+def stats_spec_for(snap) -> tuple:
+    """(max_cols, stats_columns) for a live snapshot — the one
+    resolution every rewrite-path stats producer shares (DELETE /
+    UPDATE / OPTIMIZE / COMPUTE STATISTICS), so they cannot drift."""
+    from dask_deltalake_spark.delta.reader import snapshot_schema
+
+    return stats_column_spec(
+        snap.metadata.configuration, schema=snapshot_schema(snap)
+    )
 
 
 def _select_stats_cols(names, max_cols, stats_columns) -> list:

@@ -1432,15 +1432,22 @@ def to_delta(
     # dataSkippingStatsColumns / dataSkippingNumIndexedCols: resolved
     # once from the effective configuration; df's columns are already
     # PHYSICAL at this point on mapped tables (the toDF above), so the
-    # property's logical names translate through the table schema.
-    _stats_spec = stats_column_spec(
-        _eff_config,
-        schema=(
-            StructType.fromJson(json.loads(snap.metadata.schema_string))
-            if snap is not None
-            else df.schema
-        ),
-    )
+    # property's logical names translate through the table schema —
+    # the MERGED one when schema_mode='merge' evolved it this write
+    # (a property naming a just-merged column must resolve to that
+    # column's fresh physical name, not miss against the pre-merge
+    # schema and silently drop its stats).
+    if merged_schema_string:
+        _spec_schema = StructType.fromJson(
+            json.loads(merged_schema_string)
+        )
+    elif snap is not None:
+        _spec_schema = StructType.fromJson(
+            json.loads(snap.metadata.schema_string)
+        )
+    else:
+        _spec_schema = df.schema
+    _stats_spec = stats_column_spec(_eff_config, schema=_spec_schema)
 
     if shuffle and partition_by:
         df = df.repartition(*partition_by)

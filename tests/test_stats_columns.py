@@ -131,3 +131,22 @@ def test_rewrites_and_recompute_honor_spec(spark, tmp_path):
         assert keys == {"v"}
     got = read_delta(path, spark=spark)
     assert got.count() == 34  # 2x20 minus 2x3 deleted
+
+
+def test_degenerate_and_unknown_names_warn():
+    """',' (set but nameless) must fall back to the default with a
+    warning — NOT silently disable skipping table-wide — and a name
+    missing from the schema's top level (typo / nested path) warns
+    instead of silently dropping the intended column's stats."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    with pytest.warns(RuntimeWarning, match="names no columns"):
+        assert stats_column_spec(
+            {"delta.dataSkippingStatsColumns": " , "}
+        ) == (32, None)
+    schema = StructType([StructField("k", LongType())])
+    with pytest.warns(RuntimeWarning, match="not a top-level column"):
+        mx, cols = stats_column_spec(
+            {"delta.dataSkippingStatsColumns": "k, pric"}, schema=schema
+        )
+    assert mx is None and cols == {"k", "pric"}
