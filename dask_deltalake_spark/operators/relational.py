@@ -1858,3 +1858,118 @@ def q49_null_aware_anti_join(
                                 WHERE c_acctbal < 0)
         """
     )
+
+
+# r11 debut (the r10 driver window is arithmetically full — the same
+# staging pattern x40/q47 used in r9): NOT yet in REGISTRY; register
+# as q50 with the oracle below when the r11 window opens.
+_Q50_ORACLE = """
+WITH fe AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+s1 AS (
+  SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS t1
+  FROM fe GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM fe e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM fe e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(s1.t1) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_full_funnel,
+       ROUND((SELECT AVG((epoch_us(s3.t3) - epoch_us(b.t1)) / 1e6)
+              FROM s3 JOIN s1 b USING (user_id)), 2) AS avg_convert_secs
+FROM s1
+"""
+
+
+def q50_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase), the
+    product-analytics query every event pipeline runs and no other
+    q-row samples: a user converts a stage only by an event STRICTLY
+    AFTER the previous stage's first completion — ordered-subsequence
+    matching, not per-type existence. Expressed as ONE shuffle: per
+    user, sort_array(collect_list(struct(ts, type))) then a single
+    F.aggregate fold walks the timeline once carrying (t1, t2, t3) —
+    each stage latches the first qualifying event. The multi-join
+    phrasing (the oracle's shape) re-shuffles events once per stage;
+    the fold is how funnels with many stages stay one pass at 100 TB,
+    with per-user state O(stages) and the per-user event list bounded
+    by session-scoping in production (here the demo corpus is ~70
+    events/user). Strict `>` comparisons make the fold agree with the
+    oracle's MIN-cascade exactly, ties included; ``n_users`` counts
+    users with at least one FUNNEL-type event (both sides filter to
+    the funnel universe before grouping — a user with only
+    error/signup events is outside the funnel, not a stage-0 drop)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    ev = ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias(
+            "seq"
+        )
+    )
+    init = F.struct(
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
+    )
+    folded = per_user.select(
+        "user_id",
+        F.aggregate(
+            "seq",
+            init,
+            lambda acc, e: F.struct(
+                F.when(
+                    acc["t1"].isNull() & (e["event_type"] == "view"),
+                    e["ts"],
+                )
+                .otherwise(acc["t1"])
+                .alias("t1"),
+                F.when(
+                    acc["t2"].isNull()
+                    & acc["t1"].isNotNull()
+                    & (e["event_type"] == "click")
+                    & (e["ts"] > acc["t1"]),
+                    e["ts"],
+                )
+                .otherwise(acc["t2"])
+                .alias("t2"),
+                F.when(
+                    acc["t3"].isNull()
+                    & acc["t2"].isNotNull()
+                    & (e["event_type"] == "purchase")
+                    & (e["ts"] > acc["t2"]),
+                    e["ts"],
+                )
+                .otherwise(acc["t3"])
+                .alias("t3"),
+            ),
+        ).alias("f"),
+    )
+    return folded.agg(
+        F.count("*").alias("n_users"),
+        F.count("f.t1").alias("n_view"),
+        F.count("f.t2").alias("n_view_click"),
+        F.count("f.t3").alias("n_full_funnel"),
+        F.round(
+            F.avg(
+                (
+                    F.unix_micros(F.col("f.t3"))
+                    - F.unix_micros(F.col("f.t1"))
+                )
+                / 1e6
+            ),
+            2,
+        ).alias("avg_convert_secs"),
+    )

@@ -217,3 +217,33 @@ def test_d49_stats_columns_matches_duckdb_oracle(spark):
     exp = dict(zip([d[0] for d in res.description], res.fetchone()))
     assert got == exp
     assert got["stats_scoped"] == 1 and got["unstatsed_filter_correct"] == 1
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_q50_funnel_matches_duckdb_oracle(spark, sf_dir):
+    """q50 (staged r11 debut): the single-shuffle ordered-funnel fold
+    must match the MIN-cascade DuckDB oracle cell-for-cell at both
+    test scales — sf0.001's sparser per-user timelines exercise the
+    partial-funnel (NULL stage) rows the dense sf0.01 corpus does
+    not."""
+    import duckdb
+
+    from dask_deltalake_spark.operators.relational import (
+        _Q50_ORACLE,
+        q50_funnel_ordered,
+    )
+
+    if not os.path.isdir(sf_dir):
+        pytest.skip("testdata scale not present")
+    got = q50_funnel_ordered(spark, sf_dir).collect()[0].asDict()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    res = con.execute(_Q50_ORACLE)
+    exp = dict(zip([d[0] for d in res.description], res.fetchone()))
+    assert got == exp
+    assert got["n_users"] >= got["n_view"] >= got["n_view_click"] >= got[
+        "n_full_funnel"
+    ] >= 0
