@@ -223,9 +223,11 @@ def test_d49_stats_columns_matches_duckdb_oracle(spark):
 def test_q50_funnel_matches_duckdb_oracle(spark, sf_dir):
     """q50 (staged r11 debut): the single-shuffle ordered-funnel fold
     must match the MIN-cascade DuckDB oracle cell-for-cell at both
-    test scales — sf0.001's sparser per-user timelines exercise the
-    partial-funnel (NULL stage) rows the dense sf0.01 corpus does
-    not."""
+    test scales. NOTE: on this synthetic corpus every funnel user
+    fully converts at BOTH scales (the four counts are equal), so the
+    fold's NULL-stage branches are exercised by the dedicated
+    partial-funnel fixture test below, not here — this test pins the
+    driver-gate comparison shape and the conversion-delay value."""
     import duckdb
 
     from dask_deltalake_spark.operators.relational import (
@@ -247,3 +249,72 @@ def test_q50_funnel_matches_duckdb_oracle(spark, sf_dir):
     assert got["n_users"] >= got["n_view"] >= got["n_view_click"] >= got[
         "n_full_funnel"
     ] >= 0
+
+
+def test_q50_funnel_partial_and_tie_branches(spark, tmp_path):
+    """The fold's NULL-latching and strict-after branches on a
+    synthetic corpus the real testdata cannot exercise (every real
+    user fully converts): view-only, view+click-only, click-BEFORE-
+    view, purchase-before-click, same-timestamp ties (strict > must
+    reject), and a non-funnel-only user (outside the universe) — each
+    hand-computed AND cross-checked against the DuckDB oracle on the
+    same parquet."""
+    import datetime as dt
+
+    import duckdb
+
+    from dask_deltalake_spark.operators.relational import (
+        _Q50_ORACLE,
+        q50_funnel_ordered,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        # u1: full funnel in order
+        (1, at(0), "view"), (1, at(10), "click"), (1, at(20), "purchase"),
+        # u2: view only
+        (2, at(0), "view"),
+        # u3: view + click, no purchase
+        (3, at(0), "view"), (3, at(5), "click"),
+        # u4: click BEFORE view (ignored), valid click after
+        (4, at(0), "click"), (4, at(1), "view"), (4, at(2), "click"),
+        (4, at(3), "purchase"),
+        # u5: purchase before click -> no t3
+        (5, at(0), "view"), (5, at(1), "purchase"), (5, at(2), "click"),
+        # u6: non-funnel events only -> outside the funnel universe
+        (6, at(0), "error"), (6, at(1), "signup"),
+        # u7: click at the SAME ts as view (strict > rejects), a later
+        # click converts; purchase at same ts as that click rejected,
+        # none later -> no t3
+        (7, at(0), "view"), (7, at(0), "click"), (7, at(4), "click"),
+        (7, at(4), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+    got = q50_funnel_ordered(spark, sf_dir).collect()[0].asDict()
+    # hand-computed: universe = u1-u5, u7 (6 users, all with a view);
+    # clicks-after-view: u1, u3, u4, u5 (its click at minute 2 IS
+    # after its view — only the purchase precedes the click), u7 (5);
+    # full funnel: u1, u4 (2); delays: u1 20 min, u4 2 min -> 660 s
+    assert got == {
+        "n_users": 6,
+        "n_view": 6,
+        "n_view_click": 5,
+        "n_full_funnel": 2,
+        "avg_convert_secs": 660.0,
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    res = con.execute(_Q50_ORACLE)
+    exp = dict(zip([d[0] for d in res.description], res.fetchone()))
+    assert got == exp
