@@ -313,13 +313,14 @@ def main() -> None:
     # s06/s09 floor ledger — r10 refresh: fresh isolation measurement
     # this round (dedicated session, shuffle partitions 4, one warm
     # pass, 3 timed repeats): s06 = [5.55, 5.46, 5.07] s, s09 =
-    # [7.34, 5.55, 5.58] s — the r9 floors stand. The r10 two-run
-    # record has s06 at 9.46 (both sweeps elevated, 11.8/9.5): that
-    # is in-sweep machine state on a 148-query session (heap/page
-    # residue by the time the s-tier runs; the s-queries spawn
-    # non-reusable Python DataSource workers, the ledgered dominant
-    # cost), not a plan change — s06/s09 code has no r10 diff and the
-    # isolation numbers above were taken the same hour.
+    # [7.34, 5.55, 5.58] s — the r9 floors stand. A mid-round two-run
+    # record had s06 at 9.46 (both sweeps elevated, 11.8/9.5) on
+    # unchanged code; the end-of-round committed record measured the
+    # SAME code at 4.63 s — i.e. the elevation was in-sweep machine
+    # state (the s-queries spawn non-reusable Python DataSource
+    # workers, the ledgered dominant cost, and their wall time swings
+    # ±2-4 s with VM state), bracketing the isolation floor from both
+    # sides. No plan change either direction.
     #
     # s06/s09 floor ledger — r9 RECONCILIATION (VERDICT r8 #2, closes
     # the two-round "target missed, floor claimed" loop): fresh
