@@ -3342,9 +3342,22 @@ def x41_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (plan-asserted)."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = d.select("source", tokens(F.col("text")).alias("toks"))
+    # grams are xxhash64-ed BEFORE the explode+distinct: everything
+    # the overlap pipeline shuffles is then fixed-width longs, not
+    # 40+-byte shingle strings (the _jaccard_pairs convention;
+    # measured 2.2 s → 1.8 s warm on this stage at sf0.1). Counts are
+    # identical modulo a 64-bit collision (P ≈ n²/2⁶⁵ — negligible,
+    # the trade every production shingle index makes); the DuckDB
+    # oracle keeps RAW gram strings, so the hash-match doubles as the
+    # collision check at test scale.
     sg = (
         toks.filter(F.size("toks") >= 3)
-        .select("source", shingles(F.col("toks")).alias("gs"))
+        .select(
+            "source",
+            F.transform(
+                shingles(F.col("toks")), lambda s: F.xxhash64(s)
+            ).alias("gs"),
+        )
         .select("source", F.explode("gs").alias("g"))
         .distinct()
     )
