@@ -150,3 +150,50 @@ def test_degenerate_and_unknown_names_warn():
             {"delta.dataSkippingStatsColumns": "k, pric"}, schema=schema
         )
     assert mx is None and cols == {"k", "pric"}
+
+
+def test_accumulator_matches_batch_stats_under_specs():
+    """The accumulator-vs-batch byte-equivalence (writer swap
+    invariant) must hold under EVERY spec shape, not just the default:
+    scoped stats_columns, numIndexedCols truncation, and the
+    all-columns (-1) spec — and the scoped JSON must key exactly the
+    selected columns in schema order."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    from dask_deltalake_spark.delta.protocol import (
+        StatsAccumulator,
+        stats_from_pandas,
+    )
+
+    rng = np.random.default_rng(11)
+    batches = []
+    for i in range(3):
+        n = 23 + i
+        batches.append(
+            pd.DataFrame(
+                {
+                    "a": rng.integers(-50, 50, n),
+                    "b": rng.random(n) * 10,
+                    "c": [f"v{rng.integers(0, 99):02d}" for _ in range(n)],
+                }
+            )
+        )
+    whole = pd.concat(batches, ignore_index=True)
+    for spec in ((32, None), (1, None), (None, None), (None, {"b", "c"}),
+                 (None, {"b", "missing"}), (None, set())):
+        mx, cols = spec
+        acc = StatsAccumulator(max_cols=mx, stats_columns=cols)
+        for b in batches:
+            acc.update(b)
+        assert acc.to_json() == stats_from_pandas(
+            whole, max_cols=mx, stats_columns=cols
+        ), spec
+    scoped = _json.loads(
+        stats_from_pandas(whole, max_cols=None, stats_columns={"c", "a"})
+    )
+    assert list(scoped["minValues"]) == ["a", "c"], "schema order kept"
+    one = _json.loads(stats_from_pandas(whole, max_cols=1))
+    assert list(one["minValues"]) == ["a"]
