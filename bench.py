@@ -185,7 +185,10 @@ def _settle_for_quiet_machine(
         report["load_wait_s"] = round(time.time() - t1, 1)
         report["load1_threshold"] = round(threshold, 2)
     except (OSError, AttributeError):
-        report["load1_initial"] = None  # platform without getloadavg
+        # only claim 'platform without getloadavg' when the INITIAL
+        # read never happened; a mid-loop failure keeps the measured
+        # entry values rather than erasing them
+        report.setdefault("load1_initial", None)
     return report
 
 

@@ -148,8 +148,10 @@ def convert_to_delta(
         from dask_deltalake_spark.delta.protocol import stats_column_spec
 
         # the requested table configuration governs convert-time stats
-        # exactly like write-time stats (schema has no mapping yet —
-        # a fresh conversion's names are physical by construction)
+        # exactly like write-time stats; the INFERRED schema is passed
+        # so a typo in dataSkippingStatsColumns warns here too instead
+        # of silently collecting nothing (a fresh conversion's names
+        # are physical by construction — the translation is identity)
         stats = _collect_stats(
             spark,
             store,
@@ -157,7 +159,7 @@ def convert_to_delta(
             local_root,
             files,
             part_cols,
-            stats_spec=stats_column_spec(configuration),
+            stats_spec=stats_column_spec(configuration, schema=schema),
         )
     ts = now_ms()
     actions: list[dict] = [

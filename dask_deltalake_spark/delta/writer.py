@@ -1441,11 +1441,15 @@ def to_delta(
         _spec_schema = StructType.fromJson(
             json.loads(merged_schema_string)
         )
-    elif snap is not None:
+    elif snap is not None and not overwrite_schema:
         _spec_schema = StructType.fromJson(
             json.loads(snap.metadata.schema_string)
         )
     else:
+        # create, or overwrite_schema REPLACING the table schema this
+        # write: the NEW schema governs (resolving against the
+        # pre-overwrite schema would warn about columns that DO get
+        # stats and miss ones that vanished)
         _spec_schema = df.schema
     _stats_spec = stats_column_spec(_eff_config, schema=_spec_schema)
 

@@ -392,8 +392,9 @@ def test_symlink_manifest_no_blackout_regeneration(spark, tmp_path):
     with open(marker, "w") as fh:
         fh.write("x")
     # leftover temp from a CRASHED run inside a live partition dir —
-    # backdated past the 60 s age gate (a fresh tmp is presumed to be
-    # a concurrent generation's in-flight write and is never swept)
+    # backdated past the 15-MINUTE age gate (r10 widened it from 60 s;
+    # a fresh tmp is presumed to be a concurrent generation's
+    # in-flight write and is never swept)
     tmp_left = os.path.join(root, "part=0", ".manifest.dead1234.tmp")
     with open(tmp_left, "w") as fh:
         fh.write("junk")

@@ -197,3 +197,33 @@ def test_accumulator_matches_batch_stats_under_specs():
     assert list(scoped["minValues"]) == ["a", "c"], "schema order kept"
     one = _json.loads(stats_from_pandas(whole, max_cols=1))
     assert list(one["minValues"]) == ["a"]
+
+
+def test_overwrite_schema_spec_uses_new_schema(spark, tmp_path):
+    """schema_mode='overwrite' REPLACES the table schema, so the stats
+    spec must resolve against the NEW schema: a statsColumns entry
+    naming a column that exists only post-overwrite collects its stats
+    without the spurious 'not a top-level column' warning the
+    pre-overwrite schema would trigger."""
+    import warnings as _w
+
+    path = str(tmp_path / "t_ow")
+    to_delta(
+        spark.range(5).selectExpr("id AS a", "id AS b"),
+        path,
+        configuration={"delta.dataSkippingStatsColumns": "c"},
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        to_delta(
+            spark.range(5).selectExpr("id AS a", "id * 3 AS c"),
+            path,
+            mode="overwrite",
+            schema_mode="overwrite",
+        )
+    spurious = [
+        w for w in caught if "not a top-level column" in str(w.message)
+    ]
+    assert not spurious, [str(w.message) for w in spurious]
+    for keys in _stats_keys(path):
+        assert keys == {"c"}
