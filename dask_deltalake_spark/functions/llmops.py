@@ -3447,9 +3447,8 @@ def x41_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r11 debut (the r10 driver window is arithmetically full — the same
-# staging pattern x40/q47 used in r9): NOT yet in REGISTRY; register
-# as x42 with the oracle below when the r11 window opens.
+# Registered in r11 (staged through r10 while that window was
+# arithmetically full — the same staging pattern x40/q47 used in r9).
 _X42_ORACLE = f"""
 WITH tok AS (
   SELECT UNNEST({_TOKENS_SQL}) AS tok FROM documents
@@ -3484,6 +3483,7 @@ FROM tot CROSS JOIN ols CROSS JOIN topk
 """
 
 
+@query("x42_zipf_token_stats", _X42_ORACLE)
 def x42_zipf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-distribution diagnostics — the numbers a
     pretraining pipeline inspects before committing a tokenizer and

@@ -37,7 +37,45 @@ _ALL.update(_STREAMING)
 # d42) — after r7 no row older than r5.
 # r8 led with the 37 r5-stale names + the 13 changed/new (d43-d46,
 # x37-x39, d42/d41/d32/x31/s06/s09) — after r8 no row older than r6.
-# Round 10 front, in priority order:
+# Round 11 front, in priority order:
+# (b) queries NEW in r11 — d49_stats_columns (dataSkippingStatsColumns
+#     / NumIndexedCols lifecycle across every stats producer, staged
+#     in r10), q50_funnel_ordered (ordered view→click→purchase funnel
+#     via a single-shuffle timeline fold, staged in r10),
+#     x42_zipf_token_stats (corpus token-distribution diagnostics,
+#     staged in r10), q51_exists_disjunctive (correlated EXISTS /
+#     NOT EXISTS under OR with a disjunctive correlated predicate —
+#     the ExistenceJoin decorrelation family VERDICT r10 #5
+#     prescribes, plan-asserted no-nested-loop);
+# (a) 46 of the 48 names whose latest driver row is r8 (the staleness
+#     front VERDICT r10 #2 prescribes): d07, d09, d11, d15, d20, d21,
+#     d23-d28, d31, d32, d34, d41-d43, d45, d46, q01-q04, q06,
+#     s01-s06, s08, s09, x01, x04, x07, x08, x28, x30, x31, x33-x38.
+# 4 + 46 = 50 exactly. Deferred with justification (48 stale + 4 new
+# = 52 candidates; a genuinely NEW query MUST debut in-window — the
+# precedent r10 set when q49/x41 outranked filler re-verification):
+#   - d10_delta_write_modes (VERDICT r10 #2's own suggested deferral):
+#     the error/append/overwrite/ignore mode ladder has no r10/r11
+#     diff and is pinned end-to-end by tests/test_writer.py's mode
+#     matrix; every in-window d-query also exercises append/overwrite
+#     as a precondition.
+#   - d16_python_datasource (batch): the Python DataSource machinery
+#     has no r10/r11 diff, and its STREAM sibling s06 is in-window,
+#     driving the same DataSource registration + Arrow-batch read
+#     path; the batch reader is additionally pinned by
+#     tests/test_python_datasource.py.
+# Both keep green r8 rows; ledgered in COVERAGE.md. r11 source
+# changes and their in-window/pytest cover: delta/log.py legacy
+# descriptor-less-remove heuristic now GATED on logs that have never
+# written a descriptor-carrying remove (VERDICT r10 #4) — in-window
+# d07/d41/d22-adjacent replay plus tests/test_dv.py regression;
+# llmops.py x41 S>63 hard error + direct conditional-sum path for
+# S>25 (VERDICT r10 #6 / ADVICE) — x41 holds its green r10 row, the
+# new path is pytest-pinned equal to the histogram path;
+# delta/protocol.py stats_column_spec rejects negative
+# NumIndexedCols != -1 with a warning (ADVICE) — in-window d49 drives
+# the spec end-to-end.
+# Round 10 front (history), in priority order:
 # (b) queries NEW in r10 — q47_lateral_topn_per_group (LATERAL top-N
 #     per group, staged in r9), q48_correlated_scalar_agg (correlated
 #     scalar aggregate subqueries in SELECT — the decorrelation family
@@ -85,59 +123,59 @@ _ALL.update(_STREAMING)
 # hard-coded path), and the in-window d12/d13/d22/d35/d40 plus
 # out-of-window d01/d08/d44/d45/d47 were re-run green through
 # tools/check_oracle.py ON the threaded code this round.
-_R10_FRONT = [
-    # (b) new in r10, checked first
-    "q47_lateral_topn_per_group",
-    "q48_correlated_scalar_agg",
-    "q49_null_aware_anti_join",
-    "x40_exact_substring_dedup",
-    "x41_source_overlap",
-    # (a) the r7 staleness front
-    "d12_delta_delete",
-    "d13_delta_update",
-    "d22_deletion_vectors",
-    "d35_logstore_scheme",
-    "d40_objectstore_dml",
-    "q07_join_semi",
-    "q08_join_anti",
-    "q09_join_theta",
-    "q10_asof_join",
-    "q11_agg_suite",
-    "q12_approx_count_distinct",
-    "q13_rollup",
-    "q14_cube_grouping_sets",
-    "q15_window_rank",
-    "q16_window_lag_lead",
-    "q17_window_running",
-    "q18_window_range_frame",
-    "q19_topk_global",
-    "q20_topk_per_group",
-    "q21_set_ops",
-    "q22_distinct_dropdup",
-    "q23_string_funcs",
-    "q24_date_funcs",
-    "q25_math_conditional",
-    "q26_array_explode",
-    "q27_higher_order_arrays",
-    "q28_json_funcs",
-    "q29_grouping_sets",
-    "q30_pivot",
-    "q31_subqueries",
-    "q32_collect_list_set",
-    "q33_percentiles",
-    "q34_bucketed_join",
-    "q35_pandas_udf",
-    "q36_udtf",
-    "q37_window_distribution",
-    "q38_salted_agg",
-    "q39_range_join_binned",
-    "q40_approx_percentiles",
-    "q41_map_funcs",
-    "q42_unpivot",
-    "q43_deterministic_sample",
-    "q44_sessionize_batch",
-    "x18_dedup_clusters",
-    "x29_chunk_documents",
+_R11_FRONT = [
+    # (b) new in r11, checked first
+    "d49_stats_columns",
+    "q50_funnel_ordered",
+    "x42_zipf_token_stats",
+    "q51_exists_disjunctive",
+    # (a) the r8 staleness front (d10/d16 deferred, justified above)
+    "d07_delta_checkpoint",
+    "d09_delta_datetime_travel",
+    "d11_delta_merge",
+    "d15_delta_zorder",
+    "d20_cdc_row_level",
+    "d21_column_mapping",
+    "d23_check_constraints",
+    "d24_schema_alter",
+    "d25_streaming_cdf_source",
+    "d26_generated_columns",
+    "d27_identity_columns",
+    "d28_schema_merge",
+    "d31_shallow_clone",
+    "d32_log_cleanup",
+    "d34_column_defaults",
+    "d41_log_compaction",
+    "d42_coordinated_commits",
+    "d43_drop_feature",
+    "d45_stats_recompute",
+    "d46_deep_clone",
+    "q01_pricing_summary",
+    "q02_projection_compute",
+    "q03_filter_predicates",
+    "q04_join_inner_broadcast",
+    "q06_join_left",
+    "s01_stream_tumbling_window",
+    "s02_stream_session_window",
+    "s03_stream_dedup",
+    "s04_stream_stateful_counter",
+    "s05_stream_delta_sink",
+    "s06_stream_delta_source",
+    "s08_stream_upsert",
+    "s09_stream_incremental_agg",
+    "x01_dedup_exact",
+    "x04_ngram_jaccard_pairs",
+    "x07_cosine_topk",
+    "x08_lsh_ann",
+    "x28_incremental_dedup",
+    "x30_window_dedup",
+    "x31_semantic_dedup",
+    "x33_bpe_vocab",
+    "x34_lm_quality",
+    "x35_containment_decontamination",
+    "x36_span_removal",
+    "x37_chunk_dedup",
+    "x38_quality_scorer",
 ]
 # Round 9 front (history), in priority order:
 # (a) the 45 names whose latest driver row is r6 (the staleness front
@@ -218,8 +256,8 @@ _R10_FRONT = [
 # ride PrefixLogStore); it is pinned by tests/test_logstore.py and
 # tests/test_vendored_fsspec.py instead.
 # (superseded front lists are removed — ordering history lives in the
-# prose blocks above; only _R10_FRONT is live)
-_unknown = [n for n in _R10_FRONT if n not in _ALL]
+# prose blocks above; only _R11_FRONT is live)
+_unknown = [n for n in _R11_FRONT if n not in _ALL]
 if _unknown:
     # FAIL LOUDLY, never filter: a front name that doesn't resolve is
     # always a bug (r10 self-review caught x41 listed under a
@@ -228,7 +266,7 @@ if _unknown:
     raise RuntimeError(
         f"registry front lists unregistered queries: {_unknown}"
     )
-_POS = {n: i for i, n in enumerate(_R10_FRONT)}
+_POS = {n: i for i, n in enumerate(_R11_FRONT)}
 
 
 def _key(name: str):

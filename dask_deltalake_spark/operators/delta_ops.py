@@ -2608,9 +2608,8 @@ def d48_manifest_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r11 debut (the r10 driver window is arithmetically full — the same
-# staging pattern x40/q47 used in r9): NOT yet in REGISTRY; register
-# as d49 with the oracle below when the r11 window opens.
+# Registered in r11 (staged through r10 while that window was
+# arithmetically full — the same staging pattern x40/q47 used in r9).
 _D49_ORACLE = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
@@ -2621,6 +2620,7 @@ WHERE n_regionkey <> 0
 """
 
 
+@query("d49_stats_columns", _D49_ORACLE)
 def d49_stats_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """delta.dataSkippingStatsColumns / dataSkippingNumIndexedCols
     lifecycle: create with stats scoped to ONE column, append, COW

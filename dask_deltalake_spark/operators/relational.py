@@ -1860,9 +1860,61 @@ def q49_null_aware_anti_join(
     )
 
 
-# r11 debut (the r10 driver window is arithmetically full — the same
-# staging pattern x40/q47 used in r9): NOT yet in REGISTRY; register
-# as q50 with the oracle below when the r11 window opens.
+_Q51_ORACLE = """
+SELECT c.c_custkey, CAST(c.c_acctbal AS DOUBLE) AS acctbal
+FROM customer c
+WHERE c.c_mktsegment IN ('MACHINERY', 'AUTOMOBILE')
+  AND (EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND (o.o_totalprice > c.c_acctbal * 30
+                      OR o.o_orderpriority = '1-URGENT'))
+       OR NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F'))
+"""
+
+
+@query("q51_exists_disjunctive", _Q51_ORACLE)
+def q51_exists_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS under OR with a disjunctive
+    correlated predicate — the decorrelation family q31/q47/q48/q49
+    do not sample (VERDICT r10 #5) and the shape where engines
+    silently fall back to BroadcastNestedLoopJoin. Two hard parts:
+    (1) the EXISTS body's predicate is a DISJUNCTION mixing a
+    correlated non-equi term (o_totalprice > c_acctbal * 30) with an
+    uncorrelated term — the equality conjunct o_custkey = c_custkey
+    must still be extracted as the join key with the disjunction kept
+    as a residual join condition, not abandoned for a nested loop;
+    (2) EXISTS OR NOT EXISTS at the outer level means neither semi
+    nor anti join applies directly — Catalyst must plan ExistenceJoin
+    (exists# flags materialized as columns, filtered afterward), a
+    physical join family no other q-row reaches. Plan-asserted: two
+    hash ExistenceJoins, zero BroadcastNestedLoopJoin/Cartesian
+    (tests/test_plan_quality.py). Scale: both joins key on o_custkey
+    (uniform); the residual disjunction evaluates per matched pair
+    inside the hash probe, and under AQE the broadcast sides degrade
+    to shuffled hash joins when orders outgrows the threshold — the
+    plan stays nested-loop-free at any scale."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q51_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q51_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, CAST(c.c_acctbal AS DOUBLE) AS acctbal
+        FROM q51_customer c
+        WHERE c.c_mktsegment IN ('MACHINERY', 'AUTOMOBILE')
+          AND (EXISTS (SELECT 1 FROM q51_orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND (o.o_totalprice > c.c_acctbal * 30
+                              OR o.o_orderpriority = '1-URGENT'))
+               OR NOT EXISTS (SELECT 1 FROM q51_orders o2
+                              WHERE o2.o_custkey = c.c_custkey
+                                AND o2.o_orderstatus = 'F'))
+        """
+    )
+
+
+# Registered in r11 (staged through r10 while that window was
+# arithmetically full — the same staging pattern x40/q47 used in r9).
 _Q50_ORACLE = """
 WITH fe AS (
   SELECT user_id, ts, event_type FROM events
@@ -1894,6 +1946,7 @@ FROM s1
 """
 
 
+@query("q50_funnel_ordered", _Q50_ORACLE)
 def q50_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis (view → click → purchase), the
     product-analytics query every event pipeline runs and no other

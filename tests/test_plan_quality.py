@@ -426,6 +426,52 @@ def test_q49_plans_null_aware_anti_join(spark):
     )
 
 
+def test_q51_exists_disjunction_plans_existence_joins(spark):
+    """q51's EXISTS-OR-NOT-EXISTS with a disjunctive correlated
+    predicate must plan two hash ExistenceJoins: the equality conjunct
+    extracted as the join key, the disjunction (correlated non-equi
+    term OR uncorrelated term) kept as a residual join condition —
+    never the BroadcastNestedLoopJoin engines silently degrade to on
+    this shape, and never a cartesian. Data assertion pins the OR-of-
+    subqueries semantics: a customer with no 'F' orders qualifies via
+    the NOT EXISTS branch even when the EXISTS branch is false."""
+    from dask_deltalake_spark.operators.relational import (
+        q51_exists_disjunctive,
+    )
+
+    df = q51_exists_disjunctive(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "disjunctive correlated EXISTS fell back to a nested loop"
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("ExistenceJoin") == 2, (
+        f"expected both subqueries as ExistenceJoin, got:\n{plan[:800]}"
+    )
+    # the disjunctive correlated predicate must survive as a residual
+    # join condition on the EXISTS-side hash join, not be dropped
+    assert "o_totalprice" in plan and "o_orderpriority" in plan
+    from dask_deltalake_spark.tables import load_table
+
+    cust = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    in_univ = {
+        r["c_custkey"]
+        for r in cust.filter(
+            "c_mktsegment IN ('MACHINERY', 'AUTOMOBILE')"
+        ).collect()
+    }
+    has_f = {
+        r["o_custkey"]
+        for r in orders.filter("o_orderstatus = 'F'").collect()
+    }
+    no_f_custs = in_univ - has_f
+    got = {r["c_custkey"] for r in df.collect()}
+    assert no_f_custs and no_f_custs <= got, (
+        "NOT EXISTS branch must admit customers with no 'F' orders"
+    )
+
+
 def test_x41_plan_no_python_no_cartesian(spark):
     """x41's scale claims at the plan level: the whole overlap matrix
     is JVM expressions (zero Python eval nodes) and the only
