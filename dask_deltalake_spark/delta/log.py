@@ -362,10 +362,13 @@ class DeltaLog:
                 rdv = r.get("deletionVector")
                 if rdv is not None and rdv.get("storageType") is None:
                     rdv = None  # null struct from a checkpoint row
+                # pyarrow maps round-trip to_pylist as (k, v) tuples
+                rtags = r.get("tags")
                 removes[(path, dv_unique_id(rdv))] = RemoveAction(
                     path=path,
                     deletion_timestamp=int(r.get("deletionTimestamp") or 0),
                     deletion_vector=rdv,
+                    tags=dict(rtags) if rtags else None,
                 )
             elif row.get("metaData") and row["metaData"].get("id") is not None:
                 metadata = Metadata.from_json(row["metaData"])
@@ -485,9 +488,59 @@ class DeltaLog:
         # MoR commit would have its just-added file evicted.
         commit_seq = 0
         add_seq: dict[str, int] = {}
+        # Second gate on the same heuristic (VERDICT r10 #4): it is
+        # reachable ONLY on logs that have NEVER written a
+        # descriptor-carrying remove. A conforming DV-aware writer
+        # (delta-spark, kernel) stamps the removed file's descriptor
+        # on every remove of a DV'd file — so the FIRST remove that
+        # could ever target a DV'd add in such a log already carries a
+        # descriptor and permanently disarms the heuristic; a
+        # descriptor-less remove hitting a DV'd live add there is a
+        # stale-identity action that kernel keying ignores, and we now
+        # ignore it too (kernel-identical). The heuristic stays armed
+        # exactly for logs written by pre-descriptor engines (this
+        # repo's own pre-r9 logs — the documented divergence in
+        # ARCHITECTURE.md), which never stamp descriptors anywhere.
+        # The gate must satisfy three pinned invariants at once
+        # (tests/test_replay_property.py): checkpoint-SPLIT invariance
+        # forces it to be a function of reconciled STATE (anything
+        # remembered outside the checkpointed state diverges when a
+        # checkpoint is cut after the memory was formed), and
+        # within-commit ORDER insensitivity forces it to be evaluated
+        # against the PRE-commit state, refreshed once per replay unit
+        # (_begin_unit), never mid-commit. So: armed iff the current
+        # tombstone set holds no WRITER-STAMPED descriptor-carrying
+        # remove. Replay itself synthesizes DV tombstones (descriptor
+        # archives for superseded vectors) — those are marked with
+        # REPLAY_ARCHIVE_TAG (spec-legal `tags`, persisted through
+        # commits and checkpoints) and never count, or a pre-descriptor
+        # legacy log would disarm its own heuristic at the first
+        # supersession. Honest residues: a conforming log whose only
+        # descriptor remove is CANCELED by a same-identity re-add (the
+        # RESTORE shape), or whose DV tombstones all EXPIRE, re-arms
+        # until the next descriptor-carrying remove replays.
+        def _writer_stamped(t: Optional[RemoveAction]) -> bool:
+            return bool(
+                t is not None
+                and t.deletion_vector
+                and not (t.tags or {}).get(
+                    RemoveAction.REPLAY_ARCHIVE_TAG
+                )
+            )
+
+        _archive_tags = {RemoveAction.REPLAY_ARCHIVE_TAG: "replay"}
+        dv_tombs = sum(
+            1 for t in tombstones.values() if _writer_stamped(t)
+        )
+        heuristic_armed = dv_tombs == 0
+
+        def _begin_unit() -> None:
+            nonlocal commit_seq, heuristic_armed
+            commit_seq += 1
+            heuristic_armed = dv_tombs == 0
 
         def _apply(action: dict) -> None:
-            nonlocal metadata, protocol
+            nonlocal metadata, protocol, dv_tombs
             if "add" in action:
                 a = AddAction.from_json(action["add"])
                 old = adds.get(a.path)
@@ -518,13 +571,16 @@ class DeltaLog:
                             ),
                             data_change=True,
                             deletion_vector=old.deletion_vector,
+                            tags=_archive_tags,
                         ),
                     )
                 adds[a.path] = a
                 add_seq[a.path] = commit_seq
-                tombstones.pop(
+                canceled = tombstones.pop(
                     (a.path, dv_unique_id(a.deletion_vector)), None
                 )
+                if _writer_stamped(canceled):
+                    dv_tombs -= 1
             elif "remove" in action:
                 r = RemoveAction.from_json(action["remove"])
                 old = adds.get(r.path)
@@ -539,6 +595,7 @@ class DeltaLog:
                         r.deletion_vector is None
                         and old.deletion_vector
                         and add_seq.get(r.path, 0) < commit_seq
+                        and heuristic_armed
                     ):
                         # legacy remove (pre-descriptor writers never
                         # stamp one) from a LATER commit than the live
@@ -548,13 +605,17 @@ class DeltaLog:
                         # descriptor-less removes stay kernel-strict
                         # (see commit_seq above).
                         adds.pop(r.path)
-                        tombstones[
-                            (r.path, dv_unique_id(old.deletion_vector))
-                        ] = RemoveAction(
+                        arch_key = (
+                            r.path, dv_unique_id(old.deletion_vector),
+                        )
+                        if _writer_stamped(tombstones.get(arch_key)):
+                            dv_tombs -= 1
+                        tombstones[arch_key] = RemoveAction(
                             path=r.path,
                             deletion_timestamp=r.deletion_timestamp,
                             data_change=r.data_change,
                             deletion_vector=old.deletion_vector,
+                            tags=_archive_tags,
                         )
                     # else: a remove of a STALE vector identity while a
                     # DIFFERENT (path, dvId) is live — e.g. a conforming
@@ -563,7 +624,12 @@ class DeltaLog:
                     # reconciliation is keyed by (path, dvId), so the
                     # live add survives; popping it here would vanish
                     # every surviving row of the file.
-                tombstones[(r.path, dv_unique_id(r.deletion_vector))] = r
+                r_key = (r.path, dv_unique_id(r.deletion_vector))
+                if _writer_stamped(tombstones.get(r_key)):
+                    dv_tombs -= 1
+                if _writer_stamped(r):
+                    dv_tombs += 1
+                tombstones[r_key] = r
             elif "metaData" in action:
                 metadata = Metadata.from_json(action["metaData"])
             elif "protocol" in action:
@@ -609,7 +675,7 @@ class DeltaLog:
                 # one seq for the whole range is sound: compaction nets
                 # actions per path, so a range never holds both an add
                 # and a remove for one path
-                commit_seq += 1
+                _begin_unit()
                 for action in self.read_compacted_actions(v, ce):
                     _apply(action)
                 v = ce + 1
@@ -623,7 +689,7 @@ class DeltaLog:
                 # the classic latest) and silently skipping it would
                 # serve data-loss state as a valid snapshot
                 raise ValueError(f"Missing commit {v} in {self.log_path}")
-            commit_seq += 1
+            _begin_unit()
             for action in self.read_commit_actions(v):
                 _apply(action)
             v += 1
@@ -661,7 +727,7 @@ class DeltaLog:
                         if sv < v:
                             continue  # already backfilled + replayed
                         break  # gap in the staged tail: stop merging
-                    commit_seq += 1
+                    _begin_unit()
                     for action in read_staged_commit_actions(
                         self.store, self.log_path, sv, sname
                     ):

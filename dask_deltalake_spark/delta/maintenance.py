@@ -445,6 +445,11 @@ def create_checkpoint(
                     "deletionTimestamp": r.deletion_timestamp,
                     "dataChange": False,
                     "deletionVector": r.deletion_vector,
+                    # tags survive the checkpoint round-trip: the
+                    # replay-archive marker must stay distinguishable
+                    # from writer-stamped descriptor removes across a
+                    # checkpoint-anchored replay (log.py gate)
+                    "tags": r.tags,
                 }
             }
         )
@@ -546,6 +551,7 @@ def create_checkpoint(
                                 ]
                             ),
                         ),
+                        ("tags", pa.map_(pa.string(), pa.string())),
                     ]
                 ),
             ),

@@ -375,6 +375,8 @@ def dv_unique_id(dv: Optional[dict]) -> str:
 
 @dataclass
 class RemoveAction:
+    REPLAY_ARCHIVE_TAG = "descriptorArchive"
+
     path: str
     deletion_timestamp: int = 0  # ms epoch
     data_change: bool = True
@@ -385,6 +387,12 @@ class RemoveAction:
     # version is still inside the retention window (breaking time
     # travel / RESTORE to any version that reads the vector)
     deletion_vector: Optional[dict] = None
+    # spec `tags` (arbitrary string map on file actions). Replay uses
+    # one key, REPLAY_ARCHIVE_TAG, to mark tombstones it SYNTHESIZED
+    # (descriptor archives for superseded/legacy-evicted vectors) as
+    # distinct from writer-stamped descriptor removes — the
+    # distinction the legacy-remove heuristic gate needs (log.py).
+    tags: Optional[dict] = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -394,6 +402,8 @@ class RemoveAction:
         }
         if self.deletion_vector is not None:
             d["deletionVector"] = self.deletion_vector
+        if self.tags:
+            d["tags"] = self.tags
         return {"remove": d}
 
     @classmethod
@@ -403,6 +413,7 @@ class RemoveAction:
             deletion_timestamp=int(d.get("deletionTimestamp") or 0),
             data_change=bool(d.get("dataChange", True)),
             deletion_vector=d.get("deletionVector") or None,
+            tags=dict(d["tags"]) if d.get("tags") else None,
         )
 
 

@@ -689,6 +689,80 @@ def test_replay_same_commit_descriptorless_remove_is_kernel_strict(
     assert any(r.deletion_vector for r in snap3.tombstones_all)
 
 
+def test_replay_descriptor_aware_log_disarms_legacy_heuristic(
+    spark, tmp_path
+):
+    """VERDICT r10 #4: the cross-commit legacy descriptor-less-remove
+    heuristic must be UNREACHABLE on a log that has ever written a
+    descriptor-carrying remove (proof of a conforming DV-aware
+    writer). Here the second MoR delete stamps the removed dvA
+    descriptor (the current engine is conforming), so a later
+    descriptor-less remove targeting the live (path, dvB) add is a
+    stale-identity action: delta-kernel's (path, dvId) keying ignores
+    it, and replay now does too — the add survives where the pre-gate
+    heuristic evicted it. Verified through a fresh replay AND through
+    a checkpoint-anchored replay (the dv_removes_seen seed from
+    checkpoint tombstones), with live-row counts pinned end-to-end."""
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+    from dask_deltalake_spark.delta.maintenance import create_checkpoint
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.protocol import RemoveAction, now_ms
+    from dask_deltalake_spark.delta.reader import read_delta
+    from dask_deltalake_spark.delta.writer import to_delta, write_commit
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(0, 10).coalesce(1), path)
+    delete_where(
+        path, [("id", "<", 2)], spark=spark, strategy="merge-on-read"
+    )
+    delete_where(
+        path, [("id", "<", 4)], spark=spark, strategy="merge-on-read"
+    )
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    [a] = snap.add_actions
+    assert a.deletion_vector, "precondition: live add carries dvB"
+    assert any(
+        r.deletion_vector for r in snap.tombstones_all
+    ), "precondition: the dvA remove carried its descriptor"
+    # a descriptor-less remove from a LATER commit — on this
+    # descriptor-aware log it is stale-identity noise, not a legacy
+    # eviction order
+    write_commit(
+        path,
+        snap.version + 1,
+        [
+            RemoveAction(
+                path=a.path, deletion_timestamp=now_ms(), data_change=True
+            ).to_json()
+        ],
+    )
+    _SNAPSHOT_CACHE.clear()
+    snap2 = DeltaLog(path).snapshot()
+    assert a.path in snap2.files, (
+        "descriptor-aware log: kernel keying must keep the DV'd add"
+    )
+    assert snap2.files[a.path].deletion_vector == a.deletion_vector
+    assert read_delta(path, spark=spark).count() == 6
+    # same contract through a checkpoint-anchored replay: the seed
+    # from checkpoint tombstones must keep the heuristic disarmed
+    create_checkpoint(path)
+    write_commit(
+        path,
+        snap2.version + 1,
+        [
+            RemoveAction(
+                path=a.path, deletion_timestamp=now_ms(), data_change=True
+            ).to_json()
+        ],
+    )
+    _SNAPSHOT_CACHE.clear()
+    snap3 = DeltaLog(path).snapshot()
+    assert a.path in snap3.files and read_delta(
+        path, spark=spark
+    ).count() == 6
+
+
 def test_dv_unique_id_kernel_format():
     """ADVICE r9: uniqueId matches delta-kernel's format — '@offset'
     appended only when the descriptor carries one (a present offset of

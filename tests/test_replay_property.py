@@ -177,13 +177,20 @@ def _ref_replay(history: list):
     archive the popped vector), then adds define the post-commit state
     (superseding a surviving different-vector add archives its
     descriptor at max(modification times); an add cancels its own
-    identity's tombstone). All timestamps are 1000+version by
-    construction of the generator."""
+    identity's tombstone). The legacy descriptor-less branch is GATED
+    (VERDICT r10 #4): it applies only while the PRE-commit tombstone
+    state holds no WRITER-STAMPED descriptor-carrying remove —
+    replay-synthesized archives don't count (they'd disarm a
+    pre-descriptor log's own heuristic at its first supersession).
+    All timestamps are 1000+version by construction of the
+    generator."""
     live: dict[str, int] = {}  # path -> dv index
     live_mt: dict[str, int] = {}
     tombs: dict[tuple, int] = {}  # (path, uid) -> ts
+    stamped: set = set()  # keys whose CURRENT value is writer-stamped
     for v, commit in enumerate(history):
         ts = 1_000 + v if v else 1_000
+        armed = not stamped  # evaluated against PRE-commit state
         removes = [(p, d) for (k, p, d) in commit if k == "remove"]
         adds = [(p, d) for (k, p, d) in commit if k == "add"]
         for pi, di in removes:
@@ -193,22 +200,31 @@ def _ref_replay(history: list):
                 if _uid(lived) == _uid(di):
                     live.pop(p)
                     live_mt.pop(p)
-                elif _DVS[di] is None and _DVS[lived] is not None:
+                elif (
+                    _DVS[di] is None
+                    and _DVS[lived] is not None
+                    and armed
+                ):
                     live.pop(p)
                     live_mt.pop(p)
                     tombs[(p, _uid(lived))] = ts
+                    stamped.discard((p, _uid(lived)))  # synthesized
             tombs[(p, _uid(di))] = ts
+            if _DVS[di] is not None:
+                stamped.add((p, _uid(di)))
+            else:
+                stamped.discard((p, _uid(di)))
         for pi, di in adds:
             p = _PATHS[pi]
             if p in live and _uid(live[p]) != _uid(di):
                 old = live[p]
-                if _DVS[old] is not None:
-                    tombs.setdefault(
-                        (p, _uid(old)), max(ts, live_mt[p])
-                    )
+                if _DVS[old] is not None and (p, _uid(old)) not in tombs:
+                    # synthesized archive — never writer-stamped
+                    tombs[(p, _uid(old))] = max(ts, live_mt[p])
             live[p] = di
             live_mt[p] = ts
             tombs.pop((p, _uid(di)), None)
+            stamped.discard((p, _uid(di)))
     files = {(p, _uid(d)) for p, d in live.items()}
     tset = {(p, u, ts) for (p, u), ts in tombs.items()}
     return files, tset
