@@ -827,7 +827,20 @@ def stats_column_spec(
                 stacklevel=2,
             )
             return 32, None
-        return (None if n < 0 else n), None
+        if n < -1:
+            # delta-spark accepts exactly -1 as the all-columns
+            # sentinel and rejects other negatives at property-SET
+            # time; we resolve at write time, so warn and keep the
+            # default rather than silently widening stats (ADVICE r10)
+            warnings.warn(
+                "invalid delta.dataSkippingNumIndexedCols "
+                f"{raw_n!r} (only -1 means all columns); using the "
+                "default 32",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return 32, None
+        return (None if n == -1 else n), None
     return 32, None
 
 

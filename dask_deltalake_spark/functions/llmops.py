@@ -3326,21 +3326,38 @@ def x41_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1 << source_id); ONE bit_or groupBy per gram collapses the
     corpus to a gram→source-bitmask table with algebraic map-side
     partials (a boilerplate gram in a billion docs reduces to one
-    row per partition before the shuffle), and a mask HISTOGRAM —
-    at most min(#grams, 2^S) rows — is all the pairwise matrix
-    needs: n_common(a,b) = Σ cnt over masks with both bits set,
-    totals likewise, so the S(S-1)/2 expansion runs over
-    broadcast-tiny frames, never the corpus. Capacity, stated
-    honestly: the 2^S histogram bound keeps the broadcast safe
-    through S ≈ 20-25 sources (2^20 masks x 16 B = 16 MB worst
-    case); for larger S, skip the histogram and aggregate the
-    matrix DIRECTLY from the gram→mask table with S(S-1)/2
-    conditional-sum columns (still one pass, no broadcast), and
-    beyond S = 63 the long mask becomes an array of longs (bit_or
-    elementwise via zip_with) — same topology throughout. Corpus
-    is touched EXACTLY ONCE. All JVM expressions, zero Python row
-    path (plan-asserted)."""
+    row per partition before the shuffle). From there
+    source_overlap_matrix picks the matrix construction by S: the
+    mask HISTOGRAM — at most min(#grams, 2^S) rows — through
+    S ≤ 25 sources (2^25 masks x 16 B ≈ 0.5 GB worst case is the
+    broadcast ceiling; real corpora sit far below the 2^S bound),
+    and the DIRECT one-pass aggregation over the gram→mask table
+    with S(S-1)/2 + S conditional-sum columns (no broadcast, one
+    single-row result) for larger S — both paths pinned equal by
+    tests/test_llmops.py. S > 63 overflows the long mask (JVM
+    shiftleft masks the shift amount to 6 bits — source 64 would
+    silently alias source 0) and now raises, naming the
+    array-of-longs extension. Corpus is touched EXACTLY ONCE. All
+    JVM expressions, zero Python row path (plan-asserted)."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return source_overlap_matrix(d)
+
+
+def source_overlap_matrix(
+    d: DataFrame, method: str = "auto"
+) -> DataFrame:
+    """Pairwise distinct-3-gram overlap matrix over a corpus with a
+    ``source`` + ``text`` column (see x41_source_overlap). ``method``:
+    ``"histogram"`` (pairwise sums over the broadcast mask histogram —
+    the right shape while 2^S stays broadcast-safe), ``"direct"``
+    (one wide conditional-sum aggregation straight over the gram→mask
+    table — no broadcast, the S > 25 path), or ``"auto"``. The source
+    count S is probed with one tiny job over the distinct source
+    column (the same frame the sid assignment needs; at scale this is
+    a single-column partial-agg scan, and the probe doubles as the
+    S ≤ 63 capacity guard — beyond 63 the single long mask is
+    structurally too narrow and this raises rather than silently
+    wrapping)."""
     toks = d.select("source", tokens(F.col("text")).alias("toks"))
     # grams are xxhash64-ed BEFORE the explode+distinct: everything
     # the overlap pipeline shuffles is then fixed-width longs, not
@@ -3374,6 +3391,26 @@ def x41_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w) - 1).cast("long").alias("sid"),
         )
     )
+    # the probe is limit(64)-bounded so the guard itself can never
+    # collect an unbounded source list: 64 rows collected == at least
+    # one source past the mask capacity
+    src_rows = srcs.limit(64).collect()
+    n_sources = len(src_rows)
+    if n_sources >= 64:
+        raise ValueError(
+            "source_overlap_matrix: more than 63 distinct sources "
+            "exceed the 64-bit mask capacity (JVM shiftleft masks the "
+            "shift amount to 6 bits, so source 64 would silently wrap "
+            "onto bit 0). Extend the mask to array<long> (elementwise "
+            "bit_or via zip_with) for wider source sets."
+        )
+    if method == "auto":
+        method = "histogram" if n_sources <= 25 else "direct"
+    if n_sources < 2:
+        # no pairs — the histogram machinery already yields the empty
+        # matrix with the right schema; the direct path's wide agg
+        # cannot be built over zero pair columns
+        method = "histogram"
     gm = (
         sg.join(F.broadcast(srcs), "source")
         .select(
@@ -3385,6 +3422,8 @@ def x41_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .agg(F.expr("bit_or(bit)").alias("mask"))
     )
+    if method == "direct":
+        return _overlap_matrix_direct(gm, src_rows)
     hist = gm.groupBy("mask").agg(F.count("*").alias("cnt"))
     a = srcs.select(
         F.col("source").alias("source_a"), F.col("sid").alias("ia")
@@ -3441,6 +3480,80 @@ def x41_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(denom == 0, F.lit(0.0))
             .otherwise(
                 F.round(F.col("n_common").cast("double") / denom, 4)
+            )
+            .alias("jaccard"),
+        )
+    )
+
+
+def _overlap_matrix_direct(gm: DataFrame, src_rows: list) -> DataFrame:
+    """The S > 25 overlap-matrix path: ONE wide aggregation over the
+    corpus-derived gram→mask table with S(S-1)/2 pair conditional
+    sums + S per-source totals — no 2^S histogram, no broadcast, one
+    pass, one single-row result. The row is then unpivoted back to
+    (source_a, source_b, n_common, jaccard) via an array-of-structs
+    explode (driver never touches the matrix — only the one aggregate
+    row flows through the plan). At S = 63 that is 1953 + 63 agg
+    columns: wide but flat, each a when/sum over the same input row —
+    exactly the shape Catalyst's partial aggregation was built for."""
+    ids = sorted((r["sid"], r["source"]) for r in src_rows)
+    aggs = []
+    for i, _ in ids:
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.expr(f"(shiftright(mask, {int(i)}) & 1) = 1"),
+                        F.lit(1),
+                    )
+                ),
+                F.lit(0),
+            ).alias(f"t_{i}")
+        )
+    pair_list = [
+        (ia, ib) for ia, _ in ids for ib, _ in ids if ia < ib
+    ]
+    for ia, ib in pair_list:
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.expr(
+                            f"(shiftright(mask, {int(ia)}) & 1) = 1 "
+                            f"AND (shiftright(mask, {int(ib)}) & 1) = 1"
+                        ),
+                        F.lit(1),
+                    )
+                ),
+                F.lit(0),
+            ).alias(f"c_{ia}_{ib}")
+        )
+    one = gm.agg(*aggs)
+    name = dict(ids)
+    cells = [
+        F.struct(
+            F.lit(name[ia]).alias("source_a"),
+            F.lit(name[ib]).alias("source_b"),
+            F.col(f"c_{ia}_{ib}").cast("long").alias("n_common"),
+            (
+                F.col(f"t_{ia}") + F.col(f"t_{ib}") - F.col(f"c_{ia}_{ib}")
+            ).cast("long").alias("denom"),
+        )
+        for ia, ib in pair_list
+    ]
+    return (
+        one.select(F.explode(F.array(*cells)).alias("cell"))
+        .select(
+            F.col("cell.source_a").alias("source_a"),
+            F.col("cell.source_b").alias("source_b"),
+            F.col("cell.n_common").alias("n_common"),
+            F.when(F.col("cell.denom") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("cell.n_common").cast("double")
+                    / F.col("cell.denom"),
+                    4,
+                )
             )
             .alias("jaccard"),
         )

@@ -55,6 +55,13 @@ def test_spec_parsing_and_precedence():
         assert stats_column_spec(
             {"delta.dataSkippingNumIndexedCols": "many"}
         ) == (32, None)
+    # ADVICE r10: only -1 is the all-columns sentinel (delta-spark
+    # rejects other negatives at property-set time) — a stray '-5'
+    # must warn and keep the default, never silently widen stats
+    with pytest.warns(RuntimeWarning, match="only -1 means all columns"):
+        assert stats_column_spec(
+            {"delta.dataSkippingNumIndexedCols": "-5"}
+        ) == (32, None)
 
 
 def test_stats_columns_limits_write_stats(spark, tmp_path):
