@@ -3652,3 +3652,129 @@ def x42_zipf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_slope"),
     )
+
+
+# r12 debut (staged; the r11 window is full at 52 candidates for 50
+# slots — the same staging pattern d49/q50/x42 used in r10): NOT yet
+# in REGISTRY; register as x43 with the oracle below when the r12
+# window opens.
+_X43_ORACLE = """
+WITH u AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(UNNEST(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+gcent AS (SELECT pos, AVG(val) AS gv FROM u GROUP BY pos),
+lcent AS (SELECT label, pos, AVG(val) AS lv FROM u GROUP BY label, pos),
+dots AS (
+  SELECT u.vec_id, u.label,
+         SUM(u.val * u.val) AS vv,
+         SUM(u.val * g.gv)  AS vg,
+         SUM(g.gv * g.gv)   AS gg,
+         SUM(u.val * l.lv)  AS vl,
+         SUM(l.lv * l.lv)   AS ll
+  FROM u
+  JOIN gcent g USING (pos)
+  JOIN lcent l ON l.label = u.label AND l.pos = u.pos
+  GROUP BY u.vec_id, u.label
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(SQRT(vv)), 4) AS avg_norm,
+       ROUND(AVG(vg / NULLIF(SQRT(vv) * SQRT(gg), 0)), 4)
+         AS cos_to_global,
+       ROUND(AVG(vl / NULLIF(SQRT(vv) * SQRT(ll), 0)), 4) AS cos_to_own
+FROM dots
+GROUP BY label
+"""
+
+
+def x43_embedding_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space cohesion diagnostics per label/cluster — the
+    sanity numbers an embedding-based curation pipeline checks before
+    trusting semantic dedup (x31) or ANN retrieval (x07/x08): per
+    label, the vector count, mean L2 norm (un-normalized embeddings
+    distort cosine buckets), mean cosine to the GLOBAL centroid
+    (anisotropy — embedding collapse pushes this toward 1), and mean
+    cosine to the label's OWN centroid (cluster cohesion; own ≤
+    global means the labeling carries no geometry). Scale shape:
+    centroids come from ONE posexplode + groupBy(label, pos)
+    aggregation — the explode's rows×dim blow-up reduces map-side to
+    (#labels × dim) partials per partition before the shuffle, and
+    the global centroid derives from the label sums (dim-sized
+    second-stage agg, no second corpus pass). The small centroid
+    frame (#labels rows, reassembled via sort_array(collect_list))
+    broadcasts back; per-row dot products are JVM zip_with/aggregate
+    folds over doubles — zero Python, no all-pairs expansion,
+    corpus touched exactly twice (once for centroids, once for
+    per-row cosines) with both passes one-shuffle algebraic."""
+    e = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    u = e.select(
+        "label", F.posexplode("v").alias("pos", "val")
+    )
+    lsums = u.groupBy("label", "pos").agg(
+        F.sum("val").alias("s"), F.count("*").alias("n")
+    )
+    lcent = lsums.select(
+        "label", "pos", (F.col("s") / F.col("n")).alias("lv")
+    )
+    # global centroid from the label sums — dim-sized agg, not a
+    # second pass over the corpus
+    gcent = lsums.groupBy("pos").agg(
+        (F.sum("s") / F.sum("n")).alias("gv")
+    )
+    larr = lcent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "lv"))),
+            lambda s: s["lv"],
+        ).alias("lc")
+    )
+    garr = gcent.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "gv"))),
+            lambda s: s["gv"],
+        ).alias("gc")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        e.join(F.broadcast(larr), "label")
+        .crossJoin(F.broadcast(garr))
+        .select(
+            "label",
+            F.sqrt(dot("v", "v")).alias("nrm"),
+            dot("v", "gc").alias("vg"),
+            F.sqrt(dot("gc", "gc")).alias("gnrm"),
+            dot("v", "lc").alias("vl"),
+            F.sqrt(dot("lc", "lc")).alias("lnrm"),
+        )
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        F.round(
+            F.avg(
+                F.col("vg")
+                / F.nullif(F.col("nrm") * F.col("gnrm"), F.lit(0.0))
+            ),
+            4,
+        ).alias("cos_to_global"),
+        F.round(
+            F.avg(
+                F.col("vl")
+                / F.nullif(F.col("nrm") * F.col("lnrm"), F.lit(0.0))
+            ),
+            4,
+        ).alias("cos_to_own"),
+    )

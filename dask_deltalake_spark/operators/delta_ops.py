@@ -2677,3 +2677,89 @@ def d49_stats_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(scoped).alias("stats_scoped"),
         F.lit(unstatsed_ok).alias("unstatsed_filter_correct"),
     )
+
+
+# r12 debut (staged; the r11 window is full at 52 candidates for 50
+# slots — the same staging pattern d49/q50/x42 used in r10): NOT yet
+# in REGISTRY; register as d50 with the oracle below when the r12
+# window opens.
+_D50_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+       CAST(1 AS INT) AS all_versions_valid,
+       CAST(1 AS INT) AS tamper_detected,
+       CAST(1 AS INT) AS missing_crc_raises
+FROM supplier
+WHERE s_nationkey <> 0
+"""
+
+
+def d50_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-checksum sidecars (delta-spark's VersionChecksum
+    ``<version>.crc``) as a driver-checked lifecycle: write, append,
+    COW DELETE, OPTIMIZE — every commit path records a checksum, and
+    ``validate_version_checksum`` must (a) pass at EVERY version
+    against independent log replay (``all_versions_valid``), (b)
+    catch a tampered sidecar — tableSizeBytes flipped — as an explicit
+    mismatch (``tamper_detected``), and (c) raise FileNotFoundError
+    for a version whose sidecar was deleted rather than silently
+    passing (``missing_crc_raises``). At 100 TB the checksum is the
+    O(1) integrity probe that catches log truncation/corruption a
+    plain replay cannot see (replay of a truncated log is
+    self-consistent — only the recorded numFiles/tableSizeBytes
+    disagree). Data goes through the same hash-match oracle as every
+    d-query, so the lifecycle cannot go green on a corrupted table."""
+    import json as _json
+    import shutil
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.maintenance import (
+        optimize,
+        validate_version_checksum,
+    )
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = _tmp_table(sf_dir, "supplier_checksum")
+    shutil.rmtree(path, ignore_errors=True)
+    s = load_table(spark, sf_dir, "supplier")
+    half = s.filter("s_suppkey % 2 = 0")
+    rest = s.filter("s_suppkey % 2 = 1")
+    to_delta(half, path)
+    to_delta(rest, path, mode="append")
+    delete_where(path, [("s_nationkey", "==", 0)], spark=spark)
+    optimize(path, spark=spark)
+    log = DeltaLog(path)
+    latest = log.latest_version()
+    all_valid = int(
+        all(
+            validate_version_checksum(path, version=v)["valid"]
+            for v in range(latest + 1)
+        )
+    )
+    # tamper: flip tableSizeBytes in the latest sidecar
+    crc = os.path.join(log.log_path, f"{latest:020d}.crc")
+    rec = _json.loads(log.store.read_bytes(crc).decode("utf-8"))
+    rec["tableSizeBytes"] = int(rec.get("tableSizeBytes") or 0) + 1
+    log.store.write_bytes(crc, _json.dumps(rec).encode("utf-8"))
+    after = validate_version_checksum(path, version=latest)
+    tampered = int(
+        not after["valid"] and "tableSizeBytes" in after["mismatches"]
+    )
+    # missing sidecar must raise, never silently pass
+    log.store.delete(crc)
+    try:
+        validate_version_checksum(path, version=latest)
+        missing_raises = 0
+    except FileNotFoundError:
+        missing_raises = 1
+    got = read_delta(path, spark=spark)
+    return got.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("s_suppkey").cast("bigint").alias("key_sum"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        F.lit(all_valid).alias("all_versions_valid"),
+        F.lit(tampered).alias("tamper_detected"),
+        F.lit(missing_raises).alias("missing_crc_raises"),
+    )

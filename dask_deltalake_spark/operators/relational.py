@@ -2026,3 +2026,75 @@ def q50_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("avg_convert_secs"),
     )
+
+
+# r12 debut (staged; the r11 window is full at 52 candidates for 50
+# slots — the same staging pattern d49/q50/x42 used in r10): NOT yet
+# in REGISTRY; register as q52 with the oracle below when the r12
+# window opens. The oracle spells IGNORE NULLS in DuckDB's dialect
+# (inside the call parens); Spark uses the ANSI postfix clause —
+# values are pinned identical by the staged smoke test.
+_Q52_ORACLE = """
+WITH t AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS p
+  FROM orders WHERE o_custkey <= 200
+)
+SELECT o_orderkey,
+       CAST(LAG(p IGNORE NULLS) OVER w AS DOUBLE) AS prev_open,
+       CAST(LEAD(p IGNORE NULLS) OVER w AS DOUBLE) AS next_open,
+       CAST(LAST_VALUE(p IGNORE NULLS) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS last_known,
+       CAST(NTH_VALUE(p, 2 IGNORE NULLS) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS second_open
+FROM t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q52_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IGNORE NULLS window family (lag / lead / last_value /
+    nth_value) — the null-skipping offset semantics no other window
+    q-row samples (q15-q18/q37 cover rank, physical offsets, running
+    and range frames, distributions), and the backbone of
+    gap-filling / last-observation-carried-forward over sparse event
+    data (the asof-join helper uses last(ignorenulls) internally;
+    this exercises the full SQL surface including FROM-FIRST
+    nth_value). Nullable values are fabricated from o_orderstatus so
+    the skipping is actually exercised: for each customer's order
+    timeline, the previous/next OPEN order's price, the running
+    last-known price, and the running second observed price. Scale:
+    one shuffle on o_custkey (uniform key), sequential per-partition
+    scan — IGNORE NULLS adds O(1) state (one carried value per
+    expression), not a frame re-scan. Deterministic: the order key
+    carries a unique tie-break."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q52_orders")
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS p
+          FROM q52_orders WHERE o_custkey <= 200
+        )
+        SELECT o_orderkey,
+               CAST(LAG(p) IGNORE NULLS OVER w AS DOUBLE) AS prev_open,
+               CAST(LEAD(p) IGNORE NULLS OVER w AS DOUBLE) AS next_open,
+               CAST(LAST_VALUE(p) IGNORE NULLS OVER
+                    (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS last_known,
+               CAST(NTH_VALUE(p, 2) IGNORE NULLS OVER
+                    (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS second_open
+        FROM t
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+        """
+    )

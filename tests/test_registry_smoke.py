@@ -318,3 +318,107 @@ def test_q50_funnel_partial_and_tie_branches(spark, tmp_path):
     res = con.execute(_Q50_ORACLE)
     exp = dict(zip([d[0] for d in res.description], res.fetchone()))
     assert got == exp
+
+
+def test_d50_version_checksum_matches_duckdb_oracle(spark):
+    """d50 (staged r12 debut): the version-checksum lifecycle must
+    match its drafted DuckDB oracle cell-for-cell — the exact
+    comparison the driver gate will run when d50 registers. (The
+    checksum mechanics — best-effort writes on every commit path,
+    replay cross-check, tamper fields, cleanup with commits — are
+    pinned in tests/test_version_checksum.py; this pins the
+    registered shape: all versions valid, tamper detected, missing
+    sidecar raises.)"""
+    import duckdb
+
+    from dask_deltalake_spark.operators.delta_ops import (
+        _D50_ORACLE,
+        d50_version_checksum,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = d50_version_checksum(spark, sf_dir).collect()[0].asDict()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW supplier AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/supplier.parquet')"
+    )
+    res = con.execute(_D50_ORACLE)
+    exp = dict(zip([d[0] for d in res.description], res.fetchone()))
+    assert got == exp
+    assert got["all_versions_valid"] == 1
+    assert got["tamper_detected"] == 1
+    assert got["missing_crc_raises"] == 1
+
+
+def test_q52_ignore_nulls_matches_duckdb_oracle(spark):
+    """q52 (staged r12 debut): the IGNORE NULLS window family must
+    match the DuckDB oracle row-for-row — the exact driver-gate
+    comparison (the two engines spell IGNORE NULLS differently —
+    Spark's ANSI postfix clause vs DuckDB's in-paren form — which is
+    exactly why the staged pin matters). Also asserts the skipping
+    is non-vacuous: the fabricated nullable column has NULLs, and at
+    least one prev_open differs from a plain LAG."""
+    import duckdb
+
+    from dask_deltalake_spark.operators.relational import (
+        _Q52_ORACLE,
+        q52_window_ignore_nulls,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {
+        r["o_orderkey"]: (
+            r["prev_open"], r["next_open"], r["last_known"],
+            r["second_open"],
+        )
+        for r in q52_window_ignore_nulls(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    exp = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(_Q52_ORACLE).fetchall()
+    }
+    assert got == exp and len(got) > 100
+    # non-vacuous: some rows have a null-skipped predecessor
+    assert any(v[0] is None for v in got.values())
+    assert any(v[0] is not None for v in got.values())
+
+
+def test_x43_embedding_cohesion_matches_duckdb_oracle(spark):
+    """x43 (staged r12 debut): per-label embedding cohesion
+    diagnostics must match the positional-UNNEST DuckDB oracle
+    cell-for-cell, plus geometry sanity: cohesion to a label's own
+    centroid is at least cohesion to the global centroid on a
+    clustered corpus (own centroid is the mean that maximizes it)."""
+    import duckdb
+
+    from dask_deltalake_spark.functions.llmops import (
+        _X43_ORACLE,
+        x43_embedding_cohesion,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {
+        r["label"]: (
+            r["n_vecs"], r["avg_norm"], r["cos_to_global"],
+            r["cos_to_own"],
+        )
+        for r in x43_embedding_cohesion(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    exp = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(_X43_ORACLE).fetchall()
+    }
+    assert got == exp and len(got) >= 2
+    for lbl, (_n, _nrm, cg, co) in got.items():
+        assert co >= cg - 1e-9, (lbl, co, cg)
