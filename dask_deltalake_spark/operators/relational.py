@@ -2098,3 +2098,60 @@ def q52_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ORDER BY o_orderdate, o_orderkey)
         """
     )
+
+
+# r12 debut (staged alongside q52 — see the note there).
+_Q53_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, NULLIF(c_nationkey, 3) AS nk, c_acctbal
+  FROM customer WHERE c_custkey <= 500
+),
+o AS (
+  SELECT o_orderkey, NULLIF(o_custkey % 25, 3) AS nk
+  FROM orders WHERE o_orderkey <= 2000
+)
+SELECT c.nk AS nk,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_cust,
+       ROUND(SUM(c.c_acctbal), 2) AS bal_sum
+FROM c JOIN o ON c.nk IS NOT DISTINCT FROM o.nk
+GROUP BY c.nk
+"""
+
+
+def q53_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark's ``<=>`` / ANSI IS NOT
+    DISTINCT FROM) — the join-key semantics no other q-row samples:
+    under plain equality NULL keys never match (q06's left join keeps
+    them as unmatched rows; q49's NOT IN drops them via three-valued
+    logic); under null-safe equality the NULL group JOINS with itself,
+    which is how pipelines join on genuinely-optional dimensions
+    (e.g. 'unknown language' buckets) without a COALESCE-sentinel
+    rewrite that corrupts real values. NULLs are fabricated on BOTH
+    sides (NULLIF) so the null-bucket match is actually exercised.
+    Physical plan: EqualNullSafe is a hashable join key in Spark —
+    this plans a hash join shuffled on the key (null-safe comparison
+    hashes NULL like a value), NOT a nested loop; the NULL bucket is
+    the one skew-ish key, the exact case AQE skew handling exists
+    for. Scale: both sides shuffle once on nk; the aggregate is
+    partial+final."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q53_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q53_orders")
+    return spark.sql(
+        """
+        WITH c AS (
+          SELECT c_custkey, NULLIF(c_nationkey, 3) AS nk, c_acctbal
+          FROM q53_customer WHERE c_custkey <= 500
+        ),
+        o AS (
+          SELECT o_orderkey, NULLIF(o_custkey % 25, 3) AS nk
+          FROM q53_orders WHERE o_orderkey <= 2000
+        )
+        SELECT c.nk AS nk,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_cust,
+               ROUND(SUM(c.c_acctbal), 2) AS bal_sum
+        FROM c JOIN o ON c.nk <=> o.nk
+        GROUP BY c.nk
+        """
+    )

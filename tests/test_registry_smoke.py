@@ -422,3 +422,37 @@ def test_x43_embedding_cohesion_matches_duckdb_oracle(spark):
     assert got == exp and len(got) >= 2
     for lbl, (_n, _nrm, cg, co) in got.items():
         assert co >= cg - 1e-9, (lbl, co, cg)
+
+
+def test_q53_null_safe_join_matches_duckdb_oracle(spark):
+    """q53 (staged r12 debut): null-safe equality join — Spark's <=>
+    pinned value-identical to DuckDB's IS NOT DISTINCT FROM, with the
+    NULL bucket asserted non-empty (the semantics the query exists to
+    exercise) and the plan asserted hash-join, never a nested loop
+    (EqualNullSafe is a hashable key)."""
+    import duckdb
+
+    from dask_deltalake_spark.operators.relational import (
+        _Q53_ORACLE,
+        q53_null_safe_join,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    df = q53_null_safe_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = {r["nk"]: (r["n_pairs"], r["n_cust"], r["bal_sum"])
+           for r in df.collect()}
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    exp = {r[0]: (r[1], r[2], r[3])
+           for r in con.execute(_Q53_ORACLE).fetchall()}
+    assert got == exp
+    assert None in got and got[None][0] > 0, (
+        "the NULL bucket must join with itself under <=>"
+    )
