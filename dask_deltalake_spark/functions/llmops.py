@@ -3334,11 +3334,14 @@ def x41_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the DIRECT one-pass aggregation over the gram→mask table
     with S(S-1)/2 + S conditional-sum columns (no broadcast, one
     single-row result) for larger S — both paths pinned equal by
-    tests/test_llmops.py. S > 63 overflows the long mask (JVM
-    shiftleft masks the shift amount to 6 bits — source 64 would
-    silently alias source 0) and now raises, naming the
-    array-of-longs extension. Corpus is touched EXACTLY ONCE. All
-    JVM expressions, zero Python row path (plan-asserted)."""
+    tests/test_llmops.py. Past S = 63 the mask widens to ceil(S/64)
+    long words (same direct aggregation, more words — pinned against
+    a constructed truth at S = 70 including the word-boundary pair),
+    while the single-long histogram method raises rather than
+    silently wrapping (JVM shiftleft masks the shift amount to 6
+    bits — source 64 would alias source 0). Corpus is touched
+    EXACTLY ONCE. All JVM expressions, zero Python row path
+    (plan-asserted)."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     return source_overlap_matrix(d)
 
@@ -3349,15 +3352,26 @@ def source_overlap_matrix(
     """Pairwise distinct-3-gram overlap matrix over a corpus with a
     ``source`` + ``text`` column (see x41_source_overlap). ``method``:
     ``"histogram"`` (pairwise sums over the broadcast mask histogram —
-    the right shape while 2^S stays broadcast-safe), ``"direct"``
-    (one wide conditional-sum aggregation straight over the gram→mask
-    table — no broadcast, the S > 25 path), or ``"auto"``. The source
+    the right shape while 2^S stays broadcast-safe, S ≤ 25),
+    ``"direct"`` (one wide conditional-sum aggregation straight over
+    the gram→mask table — no broadcast; S ≤ 63 packs one long,
+    beyond that the mask WIDENS to ceil(S/64) long words bit_or-ed
+    per word, same one-pass topology), or ``"auto"``. The source
     count S is probed with one tiny job over the distinct source
-    column (the same frame the sid assignment needs; at scale this is
-    a single-column partial-agg scan, and the probe doubles as the
-    S ≤ 63 capacity guard — beyond 63 the single long mask is
-    structurally too narrow and this raises rather than silently
-    wrapping)."""
+    column (the same frame the sid assignment needs; at scale this
+    is a single-column partial-agg scan) — the probe is
+    limit-bounded at 4096 sources (the repo's broadcast-table
+    convention), past which the S² matrix itself stops being a
+    sensible artifact and this raises. Explicit
+    ``method="histogram"`` past 63 sources also raises (its single
+    long mask is structurally too narrow; JVM shiftleft masks the
+    shift amount to 6 bits, so source 64 would silently wrap onto
+    bit 0 — the ADVICE r10 finding, now an enforced contract with
+    the wide-mask fallback implemented, not just named). Planning
+    honesty: the direct agg is S(S-1)/2 + S flat columns — fine
+    through S ≈ 100 (≈5 000 expressions); beyond that, switch to an
+    explode-pairs aggregation (S² shuffle rows per gram) before the
+    planner becomes the bottleneck."""
     toks = d.select("source", tokens(F.col("text")).alias("toks"))
     # grams are xxhash64-ed BEFORE the explode+distinct: everything
     # the overlap pipeline shuffles is then fixed-width longs, not
@@ -3391,26 +3405,56 @@ def source_overlap_matrix(
             (F.row_number().over(w) - 1).cast("long").alias("sid"),
         )
     )
-    # the probe is limit(64)-bounded so the guard itself can never
-    # collect an unbounded source list: 64 rows collected == at least
-    # one source past the mask capacity
-    src_rows = srcs.limit(64).collect()
+    # the probe is limit-bounded so the guard itself can never
+    # collect an unbounded source list
+    src_rows = srcs.limit(4097).collect()
     n_sources = len(src_rows)
-    if n_sources >= 64:
+    if n_sources > 4096:
         raise ValueError(
-            "source_overlap_matrix: more than 63 distinct sources "
-            "exceed the 64-bit mask capacity (JVM shiftleft masks the "
-            "shift amount to 6 bits, so source 64 would silently wrap "
-            "onto bit 0). Extend the mask to array<long> (elementwise "
-            "bit_or via zip_with) for wider source sets."
+            "source_overlap_matrix: more than 4096 distinct sources — "
+            "an S x S overlap matrix at this cardinality is not a "
+            "sensible artifact (8M+ cells) and the flat conditional-"
+            "sum aggregation would overwhelm the planner; bucket the "
+            "sources first."
         )
     if method == "auto":
         method = "histogram" if n_sources <= 25 else "direct"
+    if method == "histogram" and n_sources > 63:
+        raise ValueError(
+            "source_overlap_matrix: the histogram method packs one "
+            "64-bit mask (JVM shiftleft masks the shift amount to 6 "
+            "bits, so source 64 would silently wrap onto bit 0); use "
+            "method='direct' (or 'auto'), whose mask widens to "
+            "ceil(S/64) long words."
+        )
     if n_sources < 2:
         # no pairs — the histogram machinery already yields the empty
         # matrix with the right schema; the direct path's wide agg
         # cannot be built over zero pair columns
         method = "histogram"
+    if method == "direct":
+        nwords = (max(n_sources, 1) + 63) // 64
+        word_cols = [
+            F.expr(
+                f"CASE WHEN sid >= {wi * 64} AND sid < {wi * 64 + 64} "
+                f"THEN shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(sid - {wi * 64} AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias(f"w{wi}")
+            for wi in range(nwords)
+        ]
+        gm_wide = (
+            sg.join(F.broadcast(srcs), "source")
+            .select("g", *word_cols)
+            .groupBy("g")
+            .agg(
+                *[
+                    F.expr(f"bit_or(w{wi})").alias(f"w{wi}")
+                    for wi in range(nwords)
+                ]
+            )
+        )
+        return _overlap_matrix_direct(gm_wide, src_rows)
     gm = (
         sg.join(F.broadcast(srcs), "source")
         .select(
@@ -3422,8 +3466,6 @@ def source_overlap_matrix(
         .groupBy("g")
         .agg(F.expr("bit_or(bit)").alias("mask"))
     )
-    if method == "direct":
-        return _overlap_matrix_direct(gm, src_rows)
     hist = gm.groupBy("mask").agg(F.count("*").alias("cnt"))
     a = srcs.select(
         F.col("source").alias("source_a"), F.col("sid").alias("ia")
@@ -3495,18 +3537,21 @@ def _overlap_matrix_direct(gm: DataFrame, src_rows: list) -> DataFrame:
     explode (driver never touches the matrix — only the one aggregate
     row flows through the plan). At S = 63 that is 1953 + 63 agg
     columns: wide but flat, each a when/sum over the same input row —
-    exactly the shape Catalyst's partial aggregation was built for."""
-    ids = sorted((r["sid"], r["source"]) for r in src_rows)
+    exactly the shape Catalyst's partial aggregation was built for.
+    The mask arrives as ceil(S/64) long words ``w0..w{k-1}`` (source
+    sid lives in word sid>>6, bit sid&63), so S > 63 is the SAME
+    aggregation over more words — no topology change past the
+    single-long capacity."""
+
+    def _bit(sid: int) -> str:
+        return f"(shiftright(w{sid >> 6}, {sid & 63}) & 1) = 1"
+
+    ids = sorted((int(r["sid"]), r["source"]) for r in src_rows)
     aggs = []
     for i, _ in ids:
         aggs.append(
             F.coalesce(
-                F.sum(
-                    F.when(
-                        F.expr(f"(shiftright(mask, {int(i)}) & 1) = 1"),
-                        F.lit(1),
-                    )
-                ),
+                F.sum(F.when(F.expr(_bit(i)), F.lit(1))),
                 F.lit(0),
             ).alias(f"t_{i}")
         )
@@ -3518,11 +3563,7 @@ def _overlap_matrix_direct(gm: DataFrame, src_rows: list) -> DataFrame:
             F.coalesce(
                 F.sum(
                     F.when(
-                        F.expr(
-                            f"(shiftright(mask, {int(ia)}) & 1) = 1 "
-                            f"AND (shiftright(mask, {int(ib)}) & 1) = 1"
-                        ),
-                        F.lit(1),
+                        F.expr(f"{_bit(ia)} AND {_bit(ib)}"), F.lit(1)
                     )
                 ),
                 F.lit(0),

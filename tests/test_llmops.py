@@ -852,10 +852,54 @@ def test_x41_direct_path_matches_histogram_at_s30(spark):
     assert any(c == 0 for (_, _, c, _) in hist)
 
 
-def test_x41_rejects_more_than_63_sources(spark):
+def test_x41_wide_mask_matches_construction_at_s70(spark):
+    """Past the single-long capacity the mask widens to ceil(S/64)
+    long words and the direct aggregation is unchanged — pinned
+    against a constructed truth at S = 70 (no tokenizer re-
+    implementation: every doc is exactly ONE 3-token gram by
+    construction, so the expected matrix is set arithmetic on the
+    construction itself). Source i holds grams {own_i, sh_i,
+    sh_{(i-1) % 70}} — consecutive pairs (mod 70) share exactly one
+    gram (Jaccard 1/5), everything else shares none. The pair
+    (0, 69) crosses the word boundary (bits 0 and 5 of words 0 and
+    1), the exact aliasing the ADVICE r10 finding was about."""
+    from dask_deltalake_spark.functions.llmops import (
+        source_overlap_matrix,
+    )
+
+    S = 70
+    rows = []
+    for i in range(S):
+        rows.append((f"s{i:03d}", f"o{i}a o{i}b o{i}c"))
+        rows.append((f"s{i:03d}", f"sh{i}a sh{i}b sh{i}c"))
+        rows.append(
+            (f"s{i:03d}", f"sh{(i - 1) % S}a sh{(i - 1) % S}b "
+             f"sh{(i - 1) % S}c")
+        )
+    d = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_common"], r["jaccard"])
+        for r in source_overlap_matrix(d, method="direct").collect()
+    }
+    assert len(got) == S * (S - 1) // 2
+    for i in range(S):
+        for j in range(i + 1, S):
+            neighbors = (j == i + 1) or (i == 0 and j == S - 1)
+            exp = (1, round(1 / 5, 4)) if neighbors else (0, 0.0)
+            assert got[(f"s{i:03d}", f"s{j:03d}")] == exp, (i, j)
+    # auto must route S=70 to the wide direct path, same matrix
+    auto = {
+        (r["source_a"], r["source_b"]): (r["n_common"], r["jaccard"])
+        for r in source_overlap_matrix(d, method="auto").collect()
+    }
+    assert auto == got
+
+
+def test_x41_histogram_rejects_more_than_63_sources(spark):
     """ADVICE r10: JVM shiftleft masks the shift amount to 6 bits, so
-    source 64 would silently alias source 0 — the capacity is now an
-    enforced guard, not a docstring."""
+    source 64 would silently alias source 0 in the single-long
+    histogram mask — explicit method='histogram' past 63 sources is
+    an enforced error (auto/direct take the wide mask instead)."""
     import pytest as _pytest
 
     from dask_deltalake_spark.functions.llmops import (
@@ -864,5 +908,5 @@ def test_x41_rejects_more_than_63_sources(spark):
 
     rows = [(f"s{i:03d}", f"text {i} a b c d") for i in range(64)]
     d = spark.createDataFrame(rows, "source string, text string")
-    with _pytest.raises(ValueError, match="63 distinct sources"):
-        source_overlap_matrix(d)
+    with _pytest.raises(ValueError, match="histogram method packs one"):
+        source_overlap_matrix(d, method="histogram")
