@@ -528,7 +528,13 @@ class DeltaLog:
                 )
             )
 
-        _archive_tags = {RemoveAction.REPLAY_ARCHIVE_TAG: "replay"}
+        def _archive_tags() -> dict:
+            # fresh dict per synthesized tombstone: the tags dict is
+            # carried by reference into snapshot state, the snapshot
+            # cache, and to_json output — a shared instance would let
+            # one consumer's mutation rewrite every synthesized
+            # tombstone's classification (review r11)
+            return {RemoveAction.REPLAY_ARCHIVE_TAG: "replay"}
         dv_tombs = sum(
             1 for t in tombstones.values() if _writer_stamped(t)
         )
@@ -571,7 +577,7 @@ class DeltaLog:
                             ),
                             data_change=True,
                             deletion_vector=old.deletion_vector,
-                            tags=_archive_tags,
+                            tags=_archive_tags(),
                         ),
                     )
                 adds[a.path] = a
@@ -615,7 +621,7 @@ class DeltaLog:
                             deletion_timestamp=r.deletion_timestamp,
                             data_change=r.data_change,
                             deletion_vector=old.deletion_vector,
-                            tags=_archive_tags,
+                            tags=_archive_tags(),
                         )
                     # else: a remove of a STALE vector identity while a
                     # DIFFERENT (path, dvId) is live — e.g. a conforming

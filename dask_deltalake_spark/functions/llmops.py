@@ -81,6 +81,21 @@ def derived_k(n_rows: int, floor_k: int, target_cell: int, cap: int) -> int:
     return int(min(cap, max(floor_k, math.ceil(n_rows / max(1, target_cell)))))
 
 
+def dot_product(a, b) -> Column:
+    """JVM-side dot product of two double arrays (zip_with fold) —
+    the one shared helper for every similarity operator (x07/x08/
+    x14/x16/x43; hoisted review r11 from four inline copies).
+    Unequal lengths: zip_with NULL-pads the shorter array, so each
+    product coalesces to 0.0 and the sum runs over positions present
+    in BOTH arrays (matching a position-join oracle) instead of one
+    NULL poisoning the whole fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.coalesce(x * y, F.lit(0.0))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def tokens(col) -> Column:
     """Whitespace tokens of trimmed lowercased text (JVM expression).
     Oracle equivalent: STRING_SPLIT_REGEX(TRIM(LOWER(x)), ' +')."""
@@ -645,9 +660,7 @@ def x07_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
+    dot = dot_product("qv", "v")
     pairs = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .withColumn("score", F.round(dot / (F.col("qnrm") * F.col("nrm")), 4))
@@ -734,9 +747,7 @@ def x08_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").alias("qband"),
         F.col("key").alias("qkey"),
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
+    dot = dot_product("qv", "v")
     cand = (
         e.join(
             F.broadcast(q),
@@ -1189,11 +1200,7 @@ def x16_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
+    dot = dot_product
 
     sim = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
@@ -2205,13 +2212,7 @@ def x32_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("cm"),
         F.col("s").alias("cs"),
     )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    dot = dot_product
 
     l2 = F.aggregate(
         F.zip_with(F.col("s"), F.col("cs"), lambda x, y: (x - y) * (x - y)),
@@ -3405,6 +3406,13 @@ def source_overlap_matrix(
             (F.row_number().over(w) - 1).cast("long").alias("sid"),
         )
     )
+    if method not in ("auto", "histogram", "direct"):
+        # an unrecognized method must never fall through to the
+        # single-long histogram path past its capacity (review r11)
+        raise ValueError(
+            f"source_overlap_matrix: unknown method {method!r} "
+            "(expected 'auto', 'histogram' or 'direct')"
+        )
     # the probe is limit-bounded so the guard itself can never
     # collect an unbounded source list
     src_rows = srcs.limit(4097).collect()
@@ -3467,6 +3475,18 @@ def source_overlap_matrix(
         .agg(F.expr("bit_or(bit)").alias("mask"))
     )
     hist = gm.groupBy("mask").agg(F.count("*").alias("cnt"))
+    # a zero-count empty-mask sentinel keeps the histogram non-empty
+    # on a corpus with NO grams at all (every doc under 3 tokens):
+    # mask 0 passes no bit test and cnt 0 adds nothing, but the
+    # crossJoins below keep their left rows, so a gram-less corpus
+    # yields the full all-zero matrix — the same shape the direct
+    # path's empty-input aggregation produces (methods-equal
+    # contract, review r11; pinned by test_llmops.py)
+    hist = hist.unionByName(
+        hist.sparkSession.createDataFrame(
+            [(0, 0)], "mask long, cnt long"
+        )
+    )
     a = srcs.select(
         F.col("source").alias("source_a"), F.col("sid").alias("ia")
     )
@@ -3781,13 +3801,7 @@ def x43_embedding_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["gv"],
         ).alias("gc")
     )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    dot = dot_product
 
     scored = (
         e.join(F.broadcast(larr), "label")

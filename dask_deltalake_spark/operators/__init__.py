@@ -78,7 +78,16 @@ _ALL.update(_STREAMING)
 # raise is pytest-pinned at S=64 (tests/test_llmops.py);
 # delta/protocol.py stats_column_spec rejects negative
 # NumIndexedCols != -1 with a warning (ADVICE) — in-window d49 drives
-# the spec end-to-end.
+# the spec end-to-end. Late-r11 review fixes: the shared dot_product
+# helper (hoisted from four inline copies, now NULL-safe on ragged
+# arrays) touches x07/x08/x31 (in-window) and x14/x16/x32
+# (out-of-window — deferred with justification: output-identical on
+# equal-length arrays, each re-run hash-green through
+# tools/check_oracle.py ON the refactored code this round, full
+# plan-quality suite re-run green); x41's histogram gained a
+# zero-count sentinel row (gram-less-corpus shape contract,
+# pytest-pinned) and a method-name guard — x41 is re-verified by the
+# same check_oracle run.
 # Round 10 front (history), in priority order:
 # (b) queries NEW in r10 — q47_lateral_topn_per_group (LATERAL top-N
 #     per group, staged in r9), q48_correlated_scalar_agg (correlated

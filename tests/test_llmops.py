@@ -910,3 +910,42 @@ def test_x41_histogram_rejects_more_than_63_sources(spark):
     d = spark.createDataFrame(rows, "source string, text string")
     with _pytest.raises(ValueError, match="histogram method packs one"):
         source_overlap_matrix(d, method="histogram")
+
+
+def test_x41_gramless_corpus_same_shape_both_methods(spark):
+    """Review r11: a corpus where every doc has fewer than 3 tokens
+    produces NO grams — both methods must still return the full
+    all-zero matrix (the zero-gram-sources contract), not an empty
+    frame on one path and S(S-1)/2 zero rows on the other."""
+    from dask_deltalake_spark.functions.llmops import (
+        source_overlap_matrix,
+    )
+
+    rows = [(f"s{i}", f"a{i} b{i}") for i in range(3)]
+    d = spark.createDataFrame(rows, "source string, text string")
+    for method in ("histogram", "direct"):
+        got = sorted(
+            (r["source_a"], r["source_b"], r["n_common"], r["jaccard"])
+            for r in source_overlap_matrix(d, method=method).collect()
+        )
+        assert got == [
+            ("s0", "s1", 0, 0.0),
+            ("s0", "s2", 0, 0.0),
+            ("s1", "s2", 0, 0.0),
+        ], (method, got)
+
+
+def test_x41_unknown_method_raises(spark):
+    """Review r11: a typo'd method must never fall through to the
+    capacity-limited histogram path."""
+    import pytest as _pytest
+
+    from dask_deltalake_spark.functions.llmops import (
+        source_overlap_matrix,
+    )
+
+    d = spark.createDataFrame(
+        [("a", "x y z")], "source string, text string"
+    )
+    with _pytest.raises(ValueError, match="unknown method"):
+        source_overlap_matrix(d, method="Histogram")
