@@ -313,6 +313,19 @@ def main() -> None:
     except Exception:
         pass
 
+    # s06/s09 floor ledger — r11 refresh: full-sweep record s06 6.96 /
+    # s09 7.67 s (vs committed 5.37 / 6.23). Both ratios (1.30x /
+    # 1.23x) sit under the 1.5x escalation bar on UNCHANGED code, and
+    # the whole d/s write-heavy tier moved together this sweep (d07
+    # 1.27x, s08 1.38x, d11 1.46x — all lifecycle/commit I/O) while
+    # pure-compute queries held or improved (s07 0.68x, x35 flat):
+    # the documented VM machine-state band, not a plan change. s09's
+    # 7.67 is within its bracketed 5.6-7.3 isolation band's measured
+    # spread; s06's 6.96 is 1.3 s above its 5.1-5.6 band, same class
+    # as the r10 mid-round 9.46 observation on identical code. Keep
+    # the two-run + divergence-third-sweep protocol; escalate only
+    # past 1.5x.
+    #
     # s06/s09 floor ledger — r10 refresh: fresh isolation measurement
     # this round (dedicated session, shuffle partitions 4, one warm
     # pass, 3 timed repeats): s06 = [5.55, 5.46, 5.07] s, s09 =

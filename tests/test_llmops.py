@@ -949,3 +949,53 @@ def test_x41_unknown_method_raises(spark):
     )
     with _pytest.raises(ValueError, match="unknown method"):
         source_overlap_matrix(d, method="Histogram")
+
+
+from hypothesis import HealthCheck as _HealthCheck
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+_overlap_corpus = _st.lists(
+    _st.tuples(
+        _st.integers(min_value=0, max_value=5),  # source id
+        _st.lists(  # token ids from a tiny shared vocab -> overlaps
+            _st.integers(min_value=0, max_value=7), min_size=0, max_size=7
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@_settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[_HealthCheck.too_slow],
+)
+@_given(corpus=_overlap_corpus)
+def test_x41_histogram_direct_equivalence_property(spark, corpus):
+    """Property over the r11 method seam: for ANY corpus the
+    histogram and direct constructions are the same matrix — same
+    pairs, same counts, same jaccard — including gram-less docs,
+    single-source corpora, and full-overlap sources (the S=30/S=70
+    pins cover specific shapes; this sweeps the seam)."""
+    from dask_deltalake_spark.functions.llmops import (
+        source_overlap_matrix,
+    )
+
+    rows = [
+        (f"s{sid}", " ".join(f"t{t}" for t in toks))
+        for sid, toks in corpus
+    ]
+    d = spark.createDataFrame(rows, "source string, text string")
+
+    def canon(df):
+        return sorted(
+            (r["source_a"], r["source_b"], r["n_common"], r["jaccard"])
+            for r in df.collect()
+        )
+
+    assert canon(source_overlap_matrix(d, method="histogram")) == canon(
+        source_overlap_matrix(d, method="direct")
+    )
