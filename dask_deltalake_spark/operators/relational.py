@@ -2155,3 +2155,57 @@ def q53_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.nk
         """
     )
+
+
+# r12 debut (staged alongside q52/q53 — see the note at q52).
+_Q54_ORACLE = """
+SELECT l_returnflag AS flag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+         AS n_discounted,
+       ROUND(SUM(l_extendedprice) FILTER (WHERE l_tax = 0), 2)
+         AS untaxed_revenue,
+       CAST(COUNT(DISTINCT l_partkey) FILTER (WHERE l_quantity >= 25)
+            AS BIGINT) AS n_bulk_parts
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q54_multi_distinct_filter_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiple DISTINCT aggregates over DIFFERENT columns mixed with
+    ANSI FILTER-clause aggregates (including FILTER on a DISTINCT
+    aggregate) — the one aggregation shape no other q-row reaches
+    physically: Catalyst rewrites multi-distinct through an EXPAND
+    operator (each input row replicated once per distinct group with
+    a grouping-id column, then two-level aggregation), which is the
+    plan family that silently multiplies shuffle volume by the number
+    of distinct clauses. Plan-asserted Expand + no extra corpus
+    scans. Scale note, stated honestly: three DISTINCT clauses here
+    mean Expand emits 4x the input rows into the shuffle (one
+    replica per distinct group + one for the plain aggregates) —
+    at 100 TB a pipeline that can tolerate approximation should
+    prefer approx_count_distinct (q12's shape, no Expand); this
+    query exists to pin the exact path's semantics and its cost
+    shape. FILTER clauses push into the aggregate (no pre-filter
+    scan duplication)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q54_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS flag,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+               CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+                 AS n_discounted,
+               ROUND(SUM(l_extendedprice) FILTER (WHERE l_tax = 0), 2)
+                 AS untaxed_revenue,
+               CAST(COUNT(DISTINCT l_partkey)
+                    FILTER (WHERE l_quantity >= 25) AS BIGINT)
+                 AS n_bulk_parts
+        FROM q54_lineitem
+        GROUP BY l_returnflag
+        """
+    )

@@ -456,3 +456,35 @@ def test_q53_null_safe_join_matches_duckdb_oracle(spark):
     assert None in got and got[None][0] > 0, (
         "the NULL bucket must join with itself under <=>"
     )
+
+
+def test_q54_multi_distinct_filter_matches_duckdb_oracle(spark):
+    """q54 (staged r12 debut): mixed multi-DISTINCT + FILTER
+    aggregates pinned cell-for-cell against DuckDB, with the Expand
+    rewrite plan-asserted (the physical family the query exists to
+    sample) and exactly one lineitem scan."""
+    import duckdb
+
+    from dask_deltalake_spark.operators.relational import (
+        _Q54_ORACLE,
+        q54_multi_distinct_filter_agg,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    df = q54_multi_distinct_filter_agg(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan, "multi-distinct must take the Expand rewrite"
+    assert plan.count("FileScan parquet") <= 1, (
+        "FILTER clauses must not duplicate the corpus scan"
+    )
+    got = {r["flag"]: (r["n_orders"], r["n_suppliers"], r["n_discounted"],
+                       r["untaxed_revenue"], r["n_bulk_parts"])
+           for r in df.collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    exp = {r[0]: (r[1], r[2], r[3], r[4], r[5])
+           for r in con.execute(_Q54_ORACLE).fetchall()}
+    assert got == exp and len(got) == 3
