@@ -515,3 +515,48 @@ def test_x41_plan_no_python_no_cartesian(spark):
 
     ga, gb = gramset(sa), gramset(sb)
     assert r0["n_common"] == len(ga & gb)
+
+
+def test_q50_funnel_is_one_shuffle_fold(spark):
+    """q50's scale claim as a plan assertion: the ordered-funnel fold
+    is ONE shuffle (the groupBy on user_id) feeding a JVM aggregate
+    fold — no window, no per-stage re-joins of events (the oracle's
+    MIN-cascade shape would show 3+ joins), no Python nodes."""
+    from dask_deltalake_spark.operators.relational import (
+        q50_funnel_ordered,
+    )
+    from dask_deltalake_spark.plans import join_strategies
+
+    df = q50_funnel_ordered(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert join_strategies(df) == [], (
+        "the fold must not re-join events per funnel stage"
+    )
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2, (
+        "expected one user_id shuffle + the final single-row agg, "
+        f"got:\n{plan[:800]}"
+    )
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
+                 "MapInPandas"):
+        assert node not in plan
+
+
+def test_x42_zipf_single_scan_single_window(spark):
+    """x42's scale claims as plan assertions: the corpus is scanned
+    ONCE (one algebraic token-count groupBy), the exact global rank
+    is ONE window (the documented serial step — over the vocab-sized
+    frequency table, not the corpus), and the regression is algebraic
+    sums with zero Python nodes."""
+    from dask_deltalake_spark.functions.llmops import (
+        x42_zipf_token_stats,
+    )
+
+    df = x42_zipf_token_stats(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, (
+        "the corpus must be scanned exactly once"
+    )
+    assert plan.count("Window") == 1, "exactly one (ledgered) rank window"
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
