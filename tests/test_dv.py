@@ -763,6 +763,115 @@ def test_replay_descriptor_aware_log_disarms_legacy_heuristic(
     ).count() == 6
 
 
+def test_replay_pre_r11_checkpoint_residue_is_exactly_as_documented(
+    spark, tmp_path
+):
+    """ARCHITECTURE.md residue (2), pinned: a checkpoint written
+    BEFORE the archive tag existed carries replay-synthesized
+    descriptor archives indistinguishable from writer-stamped
+    removes, so a checkpoint-ANCHORED replay of a legacy log reads a
+    later bare remove strictly (the DV'd add survives), while the
+    full replay of the same log re-synthesizes its archives WITH the
+    tag and keeps the legacy eviction. Both sides asserted — if a
+    future change silently shrinks or widens the residue, this
+    fails."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_deltalake_spark.delta.dv import serialize_positions
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+    from dask_deltalake_spark.delta.maintenance import create_checkpoint
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.protocol import (
+        AddAction,
+        RemoveAction,
+        now_ms,
+    )
+    from dask_deltalake_spark.delta.writer import to_delta, write_commit
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(0, 10).coalesce(1), path)
+    delete_where(
+        path, [("id", "<", 2)], spark=spark, strategy="merge-on-read"
+    )
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    [a] = snap.add_actions
+    blob = serialize_positions([0, 1, 2])
+    pad = (-len(blob)) % 4
+    dv_b = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(blob + b"\x00" * pad),
+        "sizeInBytes": len(blob),
+        "cardinality": 3,
+    }
+    # v2: bare supersession add — replay synthesizes a TAGGED archive
+    # for the old vector
+    write_commit(
+        path,
+        snap.version + 1,
+        [
+            AddAction(
+                path=a.path,
+                size=a.size,
+                partition_values=a.partition_values,
+                modification_time=now_ms(),
+                data_change=True,
+                stats=a.stats,
+                deletion_vector=dv_b,
+            ).to_json()
+        ],
+    )
+    cp = create_checkpoint(path)
+    # simulate a pre-r11 checkpoint: strip the tags column content
+    t = pq.read_table(cp)
+    cols = {}
+    for name in t.schema.names:
+        col = t.column(name)
+        if name == "remove":
+            rows = col.to_pylist()
+            for r in rows:
+                if r is not None:
+                    r["tags"] = None
+            col = pa.array(rows, type=t.schema.field("remove").type)
+        cols[name] = col
+    pq.write_table(
+        pa.table(cols, schema=t.schema), cp + ".tmp"
+    )
+    os.replace(cp + ".tmp", cp)
+    # v3: the legacy writer's bare remove
+    _SNAPSHOT_CACHE.clear()
+    v3 = DeltaLog(path).latest_version() + 1
+    write_commit(
+        path,
+        v3,
+        [
+            RemoveAction(
+                path=a.path, deletion_timestamp=now_ms(), data_change=True
+            ).to_json()
+        ],
+    )
+    # checkpoint-ANCHORED replay: the untagged archive classifies as
+    # writer-stamped -> heuristic disarmed -> strict reading, add
+    # survives (the documented residue)
+    _SNAPSHOT_CACHE.clear()
+    anchored = DeltaLog(path).snapshot()
+    assert a.path in anchored.files, "residue: anchored replay is strict"
+    # FULL replay of the same history (checkpoint removed): the
+    # archive is re-synthesized WITH the tag -> heuristic armed ->
+    # the legacy eviction applies
+    log = DeltaLog(path)
+    log.store.delete(cp)
+    lc = os.path.join(log.log_path, "_last_checkpoint")
+    if log.store.exists(lc):
+        log.store.delete(lc)
+    _SNAPSHOT_CACHE.clear()
+    full = DeltaLog(path).snapshot()
+    assert a.path not in full.files, (
+        "full replay must keep the legacy writer's intent"
+    )
+
+
 def test_dv_unique_id_kernel_format():
     """ADVICE r9: uniqueId matches delta-kernel's format — '@offset'
     appended only when the descriptor carries one (a present offset of
