@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 import dask_deltalake_spark as ddl
 
@@ -220,3 +221,64 @@ def test_merge_clause_semantics(spark, tmp_path):
     with pytest.raises(ValueError, match="no clause"):
         merge_into(p, src, ["k"], spark=spark,
                    when_matched="ignore", when_not_matched="ignore")
+
+
+@pytest.mark.parametrize(
+    "pred",
+    [
+        [("k", "<", 7)],
+        [("k", "<=", 0)],
+        [("v", "==", 2)],
+        [("v", "!=", 2)],
+        [("k", "in", [3, 5, 44])],
+        # OR-of-ANDs (list of lists)
+        [[("k", "<", 3)], [("v", "==", 4), ("k", ">", 20)]],
+        # null-column predicate: NULL w rows never match -> survive
+        [("w", "==", 1)],
+        # matches nothing
+        [("k", ">", 10_000)],
+        # matches everything
+        [("k", ">=", 0)],
+    ],
+    ids=["lt", "le-edge", "eq", "ne", "in", "or-of-ands", "null-trap",
+         "none", "all"],
+)
+def test_delete_cow_mor_equivalence(spark, tmp_path, pred):
+    """Cross-strategy contract: for ANY reference-grammar predicate,
+    copy-on-write (file rewrite) and merge-on-read (deletion vectors
+    + Arrow position filter on read) must expose IDENTICAL visible
+    data — same rows, same values, including three-valued-logic
+    corners (NULL predicate columns never match a DELETE, so those
+    rows survive under both strategies) and the degenerate
+    nothing/everything matches."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.reader import read_delta
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    df = (
+        spark.range(0, 50)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).cast("int").alias("v"),
+            F.when((F.col("id") % 3) == 0, F.col("id") % 2)
+            .cast("int")
+            .alias("w"),
+        )
+        .repartition(3)
+    )
+    out = {}
+    for strat in ("copy-on-write", "merge-on-read"):
+        path = str(tmp_path / strat)
+        to_delta(df, path)
+        delete_where(path, pred, spark=spark, strategy=strat)
+        rows = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in read_delta(path, spark=spark).collect()
+        )
+        out[strat] = rows
+    assert out["copy-on-write"] == out["merge-on-read"]
+    if pred == [("w", "==", 1)]:
+        # NULL w rows must survive a DELETE they can't match
+        assert any(w is None for (_, _, w) in out["copy-on-write"])
