@@ -282,3 +282,54 @@ def test_delete_cow_mor_equivalence(spark, tmp_path, pred):
     if pred == [("w", "==", 1)]:
         # NULL w rows must survive a DELETE they can't match
         assert any(w is None for (_, _, w) in out["copy-on-write"])
+
+
+@pytest.mark.parametrize(
+    "pred",
+    [
+        [("k", "<", 7)],
+        [[("k", "<", 3)], [("v", "==", 4), ("k", ">", 20)]],
+        [("w", "==", 1)],  # NULL w rows never match -> unchanged
+        [("k", ">", 10_000)],  # no-op update
+    ],
+    ids=["lt", "or-of-ands", "null-trap", "none"],
+)
+def test_update_cow_mor_equivalence(spark, tmp_path, pred):
+    """Same cross-strategy contract for UPDATE: the copy-on-write
+    rewrite and the merge-on-read path must expose identical visible
+    data for any predicate shape, including rows shielded by
+    three-valued logic and the empty match."""
+    from dask_deltalake_spark.delta.mutate import update_where
+    from dask_deltalake_spark.delta.reader import read_delta
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    df = (
+        spark.range(0, 50)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).cast("int").alias("v"),
+            F.when((F.col("id") % 3) == 0, F.col("id") % 2)
+            .cast("int")
+            .alias("w"),
+        )
+        .repartition(3)
+    )
+    out = {}
+    for strat in ("copy-on-write", "merge-on-read"):
+        path = str(tmp_path / strat)
+        to_delta(df, path)
+        update_where(
+            path,
+            pred,
+            {"v": F.col("v") + 100},
+            spark=spark,
+            strategy=strat,
+        )
+        rows = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in read_delta(path, spark=spark).collect()
+        )
+        out[strat] = rows
+    assert out["copy-on-write"] == out["merge-on-read"]
+    # row count is invariant under UPDATE
+    assert len(out["copy-on-write"]) == 50
