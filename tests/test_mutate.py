@@ -333,3 +333,101 @@ def test_update_cow_mor_equivalence(spark, tmp_path, pred):
     assert out["copy-on-write"] == out["merge-on-read"]
     # row count is invariant under UPDATE
     assert len(out["copy-on-write"]) == 50
+
+
+from hypothesis import HealthCheck as _HealthCheck
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+_target_rows = _st.lists(
+    _st.tuples(
+        _st.integers(min_value=0, max_value=12),  # key
+        _st.integers(min_value=-5, max_value=5),  # value
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+_source_rows = _st.lists(
+    _st.tuples(
+        _st.integers(min_value=0, max_value=12),
+        _st.integers(min_value=100, max_value=110),
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+_clauses = _st.tuples(
+    _st.sampled_from(["update", "delete", "ignore"]),
+    _st.sampled_from(["insert", "ignore"]),
+).filter(
+    # ("ignore", "ignore") is a MERGE with no clause — the engine
+    # rejects it loudly (pinned by the ValueError in merge_into)
+    lambda c: c != ("ignore", "ignore")
+)
+
+
+@_settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[_HealthCheck.too_slow],
+)
+@_given(target=_target_rows, source=_source_rows, clauses=_clauses)
+def test_merge_matches_reference_semantics_property(
+    spark, tmp_path_factory, target, source, clauses
+):
+    """MERGE against an independent reference: for random
+    (keyed-unique) target/source frames and every clause combination,
+    the merged table equals the set-arithmetic spec — matched keys
+    updated/deleted/kept per when_matched, unmatched source keys
+    inserted/dropped per when_not_matched, untouched target rows
+    byte-identical. Empty target, empty source, and full-overlap
+    shapes all fall out of the generator."""
+    from dask_deltalake_spark.delta.mutate import merge_into
+    from dask_deltalake_spark.delta.reader import read_delta
+    from dask_deltalake_spark.delta.writer import to_delta
+
+    when_matched, when_not_matched = clauses
+    base = tmp_path_factory.mktemp("merge_prop")
+    path = str(base / "t")
+    tgt = spark.createDataFrame(
+        target or [(99999, 0)], "k long, v long"
+    )
+    if not target:
+        tgt = tgt.filter("k < 0")  # truly empty, schema kept
+    to_delta(tgt.coalesce(1), path)
+    src = spark.createDataFrame(
+        source or [(99999, 0)], "k long, v long"
+    )
+    if not source:
+        src = src.filter("k < 0")
+    merge_into(
+        path,
+        src,
+        keys="k",
+        spark=spark,
+        when_matched=when_matched,
+        when_not_matched=when_not_matched,
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in read_delta(path, spark=spark).collect()
+    )
+    t, s = dict(target), dict(source)
+    exp = {}
+    for k, v in t.items():
+        if k in s:
+            if when_matched == "update":
+                exp[k] = s[k]
+            elif when_matched == "ignore":
+                exp[k] = v
+            # "delete": drop
+        else:
+            exp[k] = v
+    if when_not_matched == "insert":
+        for k, v in s.items():
+            if k not in t:
+                exp[k] = v
+    assert got == sorted(exp.items()), (
+        target, source, clauses, got, sorted(exp.items())
+    )
