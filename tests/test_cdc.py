@@ -197,3 +197,66 @@ def test_cdf_timestamp_range_options(spark, tmp_path):
             starting_timestamp=between_0_1,
             spark=spark,
         )
+
+
+def test_cdf_fold_reconstructs_every_version(spark, tmp_path):
+    """The change feed's defining invariant, pinned end-to-end: for a
+    lifecycle mixing appends, row-level DELETE/UPDATE (both
+    strategies), MERGE upsert, and a dataChange=false OPTIMIZE,
+    folding the CDF (+insert / -delete / update_pre→update_post)
+    onto any version-k snapshot reproduces the version-m snapshot
+    for EVERY k < m — if any commit's change set is incomplete,
+    duplicated, or signed wrong, some fold diverges."""
+    from dask_deltalake_spark.delta.mutate import merge_into, update_where
+    from dask_deltalake_spark.delta.reader import read_delta
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 60).coalesce(2), path)                 # v0
+    to_delta(_df(spark, 60, 80), path, mode="append")             # v1
+    delete_where(path, [("id", "<", 10)], spark=spark)            # v2 COW
+    update_where(
+        path, [("part", "==", 1)], {"val": F.col("val") + 1},
+        spark=spark,
+    )                                                             # v3
+    merge_into(
+        path,
+        _df(spark, 55, 65).withColumn("val", F.lit(-1)),
+        keys="id",
+        spark=spark,
+    )                                                             # v4
+    # MoR last: MERGE refuses DV tables by documented design (a COW
+    # rewrite would resurrect vector-deleted rows, mutate.py)
+    delete_where(
+        path, [("id", ">=", 70)], spark=spark,
+        strategy="merge-on-read",
+    )                                                             # v5 MoR
+    optimize(path, spark=spark)                                   # v6 no-op CDF
+
+    def snap(v):
+        return {
+            (r["id"], r["part"], r["val"])
+            for r in read_delta(path, version=v, spark=spark).collect()
+        }
+
+    latest = 6
+    states = {v: snap(v) for v in range(latest + 1)}
+    assert states[6] == states[5], "OPTIMIZE must be CDF/data invisible"
+    for k in range(latest):
+        ch = read_delta_changes(
+            path, starting_version=k, spark=spark
+        ).collect()
+        folded = set(states[k])
+        # apply in commit order; within a commit removals before adds
+        by_v: dict = {}
+        for r in ch:
+            by_v.setdefault(r["_commit_version"], []).append(r)
+        for v in sorted(by_v):
+            for r in by_v[v]:
+                if r["_change_type"] in ("delete", "update_preimage"):
+                    folded.discard((r["id"], r["part"], r["val"]))
+            for r in by_v[v]:
+                if r["_change_type"] in ("insert", "update_postimage"):
+                    folded.add((r["id"], r["part"], r["val"]))
+        assert folded == states[latest], (
+            f"CDF fold from v{k} diverged from v{latest}"
+        )
