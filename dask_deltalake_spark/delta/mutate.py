@@ -294,7 +294,17 @@ def _read_files(
     back; ``with_metadata`` additionally surfaces the ``_metadata``
     struct as a real column (the merge-on-read paths need
     file_path/row_index AFTER the rename projection, which would
-    otherwise drop the hidden pseudo-column)."""
+    otherwise drop the hidden pseudo-column).
+
+    DV'd adds are read THROUGH their deletion vectors when
+    ``with_metadata`` is False (the COW rewrite paths): the rewrite
+    then MATERIALIZES the vector state into clean files — raw reads
+    here would resurrect vector-deleted rows into the rewrite, the
+    exact corruption the pre-r11 protocol gates refused DML on DV
+    tables to prevent. The merge-on-read front halves
+    (``with_metadata=True``) keep raw positions: they fold matches
+    into bitmaps and MERGE with the existing vector, so re-marking an
+    already-dead row is idempotent by construction."""
     if not adds:
         return spark.createDataFrame([], schema)
     from dask_deltalake_spark.delta.protocol import (
@@ -308,8 +318,13 @@ def _read_files(
     # then a union. COW rewrites over clones thereby localize rows.
     from dask_deltalake_spark.delta.logstore import resolve_spark_path
 
+    if with_metadata:
+        dv_adds, plain = [], list(adds)
+    else:
+        dv_adds = [a for a in adds if a.deletion_vector]
+        plain = [a for a in adds if not a.deletion_vector]
     groups: dict = {}
-    for a in adds:
+    for a in plain:
         groups.setdefault(
             resolve_spark_path(file_base_root(snap.path, a)), []
         ).append(resolve_spark_path(resolve_file_path(snap.path, a.path)))
@@ -334,6 +349,50 @@ def _read_files(
         if with_metadata:
             cols.append(F.col("_metadata"))
         parts.append(df.select(*cols))
+    if dv_adds:
+        from dask_deltalake_spark.delta.dv import dv_keep_predicate
+
+        dv_groups: dict = {}
+        for a in dv_adds:
+            dv_groups.setdefault(
+                resolve_spark_path(file_base_root(snap.path, a)), []
+            ).append(resolve_spark_path(resolve_file_path(snap.path, a.path)))
+        if len(dv_groups) > 1:
+            from dask_deltalake_spark.delta.protocol import (
+                DeltaProtocolError,
+            )
+
+            # same refusal as the reader: dv_keep_predicate keys blobs
+            # against ONE scan root, which a shallow clone's foreign
+            # absolutes break
+            raise DeltaProtocolError(
+                "Deletion vectors on a mixed-root (shallow-cloned) "
+                "table are not supported by the rewrite; run "
+                "optimize() to localize the files first."
+            )
+        keep = dv_keep_predicate(spark, snap.path, dv_adds)
+        [(root, files)] = dv_groups.items()
+        raw = (
+            spark.read.schema(scan_schema)
+            .option("basePath", root)
+            .parquet(*files)
+            .filter(
+                keep(
+                    F.col("_metadata.file_path"),
+                    F.col("_metadata.row_index"),
+                )
+            )
+        )
+        parts.append(
+            raw.select(
+                *[
+                    F.col(p).alias(l)
+                    for p, l in zip(
+                        scan_schema.fieldNames(), schema.fieldNames()
+                    )
+                ]
+            )
+        )
     out = parts[0]
     for extra in parts[1:]:
         out = out.unionByName(extra)
@@ -385,17 +444,21 @@ def merge_into(
         keys = [keys]
     log = DeltaLog(table_path)
     snap = log.snapshot()
-    # COW reads+rewrites translate through the mapping; DV tables stay
-    # refused here (a rewrite would resurrect vector-deleted rows)
+    # COW reads+rewrites translate through the mapping; DV'd files
+    # are read THROUGH their vectors (r11: _read_files materializes
+    # the vector state, so the rewrite can no longer resurrect
+    # vector-deleted rows — the reason this gate used to refuse DVs)
     check_read_protocol(
-        snap.protocol, metadata=snap.metadata, features={"columnMapping"}
+        snap.protocol, metadata=snap.metadata,
+        features={"columnMapping", "deletionVectors"},
     )
     # writer-feature gate (see delete_where): refuse features this
     # rewrite cannot maintain, e.g. rowTracking
     check_write_protocol(
         snap.protocol,
         metadata=snap.metadata,
-        features={"columnMapping", "generatedColumns", "identityColumns"},
+        features={"columnMapping", "deletionVectors", "generatedColumns",
+                  "identityColumns"},
     )
     check_append_only(snap.metadata, "merge")
     schema = snapshot_schema(snap)
@@ -551,8 +614,11 @@ def delete_where(
             features={"deletionVectors", "columnMapping"},
         )
         return _delete_merge_on_read(spark, table_path, snap, filter)
+    # COW on DV'd files reads through the vectors and materializes
+    # them into the rewrite (r11)
     check_read_protocol(
-        snap.protocol, metadata=snap.metadata, features={"columnMapping"}
+        snap.protocol, metadata=snap.metadata,
+        features={"columnMapping", "deletionVectors"},
     )
     schema = snapshot_schema(snap)
     dnf = normalize_dnf(filter)
@@ -1007,8 +1073,9 @@ def update_where(
             raise ValueError(f"UPDATE of unknown columns: {bad_cols}")
         return _update_merge_on_read(spark, table_path, snap, filter, set)
     check_read_protocol(
-        snap.protocol, metadata=snap.metadata, features={"columnMapping"}
-    )  # copy-on-write READS files; DV tables refused (would resurrect)
+        snap.protocol, metadata=snap.metadata,
+        features={"columnMapping", "deletionVectors"},
+    )  # COW reads DV'd files THROUGH their vectors (r11)
     schema = snapshot_schema(snap)
     bad = [c for c in set if c not in schema.fieldNames()]
     if bad:

@@ -87,7 +87,12 @@ _ALL.update(_STREAMING)
 # plan-quality suite re-run green); x41's histogram gained a
 # zero-count sentinel row (gram-less-corpus shape contract,
 # pytest-pinned) and a method-name guard — x41 is re-verified by the
-# same check_oracle run.
+# same check_oracle run. Also late-r11: COW DML (MERGE/DELETE/UPDATE)
+# now works on DV tables (mutate.py _read_files applies vectors;
+# gates lifted) — in-window d11 drives MERGE, and out-of-window
+# d12/d13/d22/d08 were re-run hash-green through check_oracle ON the
+# changed code, with the new test_dv materialization test and the
+# CDF fold (MoR→MERGE) pinning the semantics.
 # Round 10 front (history), in priority order:
 # (b) queries NEW in r10 — q47_lateral_topn_per_group (LATERAL top-N
 #     per group, staged in r9), q48_correlated_scalar_agg (correlated

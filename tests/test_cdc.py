@@ -218,18 +218,20 @@ def test_cdf_fold_reconstructs_every_version(spark, tmp_path):
         path, [("part", "==", 1)], {"val": F.col("val") + 1},
         spark=spark,
     )                                                             # v3
+    delete_where(
+        path, [("id", ">=", 70)], spark=spark,
+        strategy="merge-on-read",
+    )                                                             # v4 MoR
+    # MERGE AFTER the MoR delete: r11 COW DML reads touched files
+    # through their vectors, so the upsert's rewrite must materialize
+    # the v4 vector state without resurrecting its dead rows — the
+    # fold below would diverge if it did
     merge_into(
         path,
         _df(spark, 55, 65).withColumn("val", F.lit(-1)),
         keys="id",
         spark=spark,
-    )                                                             # v4
-    # MoR last: MERGE refuses DV tables by documented design (a COW
-    # rewrite would resurrect vector-deleted rows, mutate.py)
-    delete_where(
-        path, [("id", ">=", 70)], spark=spark,
-        strategy="merge-on-read",
-    )                                                             # v5 MoR
+    )                                                             # v5
     optimize(path, spark=spark)                                   # v6 no-op CDF
 
     def snap(v):

@@ -207,31 +207,68 @@ def test_vacuum_protects_live_vectors(spark, tmp_path):
     assert read_delta(path, spark=spark).count() == 380  # still correct
 
 
-def test_dv_unaware_paths_refuse_dv_tables(spark, tmp_path):
+def test_cow_dml_on_dv_tables_materializes_vectors(spark, tmp_path):
+    """r11: copy-on-write DML on a DV table reads touched files
+    THROUGH their deletion vectors (_read_files), so the rewrite
+    MATERIALIZES the vector state instead of being refused (the
+    pre-r11 gate) and can never resurrect vector-deleted rows —
+    delta-spark parity. The rewrite's removes carry the consumed
+    descriptors so the vector bins keep retention protection."""
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
     from dask_deltalake_spark.delta.mutate import (
         delete_where,
         merge_into,
         update_where,
     )
-    from dask_deltalake_spark.delta.protocol import DeltaProtocolError
+    from dask_deltalake_spark.delta.reader import read_delta
     from dask_deltalake_spark.delta.writer import to_delta
 
     path = str(tmp_path / "t")
     df = _table(spark, path)
     delete_where(path, [("id", "<", 5)], spark=spark, strategy="merge-on-read")
-    with pytest.raises(DeltaProtocolError):
-        delete_where(path, [("id", "<", 9)], spark=spark)  # COW would resurrect
-    with pytest.raises(DeltaProtocolError):
-        update_where(path, [("id", "<", 9)], {"val": F.lit(0)}, spark=spark)
-    with pytest.raises(DeltaProtocolError):
-        merge_into(path, df.limit(3), keys=["id"], spark=spark)
-    # the python datasource DOES apply vectors — reads live rows
+    # COW delete on the vectored table: rows 5-8 go; rows 0-4 must
+    # NOT resurrect out of the raw parquet
+    delete_where(path, [("id", "<", 9)], spark=spark)
+    got = {r["id"] for r in read_delta(path, spark=spark).collect()}
+    assert got == set(range(9, 400))
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    assert not any(a.deletion_vector for a in snap.add_actions), (
+        "the rewrite must materialize vectors into clean files"
+    )
+    assert any(r.deletion_vector for r in snap.tombstones_all), (
+        "consumed descriptors must survive as retention tombstones"
+    )
+    # fresh vectors, then COW UPDATE through them
+    delete_where(
+        path, [("id", "<", 12)], spark=spark, strategy="merge-on-read"
+    )
+    update_where(path, [("id", "<", 20)], {"val": F.lit(0)}, spark=spark)
+    rows = {r["id"]: r["val"] for r in read_delta(path, spark=spark).collect()}
+    assert set(rows) == set(range(12, 400))
+    assert all(rows[i] == 0 for i in range(12, 20))
+    assert rows[20] == 200
+    # fresh vectors, then MERGE through them: vector-dead source keys
+    # count as NOT MATCHED and insert (they are not in the table)
+    delete_where(
+        path, [("id", ">=", 395)], spark=spark, strategy="merge-on-read"
+    )
+    merge_into(
+        path,
+        df.filter("id IN (396, 20)").withColumn("val", F.lit(-1)),
+        keys=["id"],
+        spark=spark,
+    )
+    rows = {r["id"]: r["val"] for r in read_delta(path, spark=spark).collect()}
+    assert rows[396] == -1 and rows[20] == -1  # insert + update
+    assert set(rows) == set(range(12, 395)) | {396}
+    # the python datasource applies vectors too — counts agree
     from dask_deltalake_spark.sources import register_python_datasource
 
     register_python_datasource(spark)
     assert (
         spark.read.format("delta_py").option("path", path).load().count()
-        == 395
+        == len(rows)
     )
     # appends remain legal on a DV table
     to_delta(
@@ -241,9 +278,7 @@ def test_dv_unaware_paths_refuse_dv_tables(spark, tmp_path):
         path,
         mode="append",
     )
-    from dask_deltalake_spark.delta.reader import read_delta
-
-    assert read_delta(path, spark=spark).count() == 405
+    assert read_delta(path, spark=spark).count() == len(rows) + 10
 
 
 def test_mor_update(spark, tmp_path):
