@@ -988,25 +988,13 @@ def optimize(
         # while the DV itself is tombstoned, under a dataChange=false
         # commit that CDC/streaming readers skip. delta-spark applies
         # DVs during OPTIMIZE reads; so do we.
+        # r11: _read_files itself applies DVs in this mode (and
+        # refuses foreign-root DV'd adds its keep-predicate could not
+        # key) — the previous local keep-filter copy is gone, so the
+        # OPTIMIZE and DML read paths can never drift.
         from dask_deltalake_spark.delta.mutate import _read_files
 
-        _schema = snapshot_schema(snap)
-        dv_adds = [a for a in target_adds if a.deletion_vector]
-        if dv_adds:
-            from dask_deltalake_spark.delta.dv import dv_keep_predicate
-
-            raw = _read_files(
-                spark, snap, target_adds, _schema, with_metadata=True
-            )
-            keep = dv_keep_predicate(spark, snap.path, dv_adds)
-            df = raw.filter(
-                keep(
-                    F.col("_metadata.file_path"),
-                    F.col("_metadata.row_index"),
-                )
-            ).select(*_schema.fieldNames())
-        else:
-            df = _read_files(spark, snap, target_adds, _schema)
+        df = _read_files(spark, snap, target_adds, snapshot_schema(snap))
     else:
         df = read_delta(table_path, spark=spark)
     if zorder_by:

@@ -357,18 +357,23 @@ def _read_files(
             dv_groups.setdefault(
                 resolve_spark_path(file_base_root(snap.path, a)), []
             ).append(resolve_spark_path(resolve_file_path(snap.path, a.path)))
-        if len(dv_groups) > 1:
+        table_root = resolve_spark_path(snap.path)
+        if set(dv_groups) != {table_root}:
             from dask_deltalake_spark.delta.protocol import (
                 DeltaProtocolError,
             )
 
-            # same refusal as the reader: dv_keep_predicate keys blobs
-            # against ONE scan root, which a shallow clone's foreign
-            # absolutes break
+            # dv_keep_predicate keys blobs against THE TABLE's scan
+            # root — any DV'd add anchored elsewhere (a shallow
+            # clone's foreign absolutes, even all under ONE foreign
+            # root) would miss the key map, default to keep, and
+            # silently resurrect vector-deleted rows (review r11: the
+            # guard must check root IDENTITY, not just root count)
             raise DeltaProtocolError(
-                "Deletion vectors on a mixed-root (shallow-cloned) "
-                "table are not supported by the rewrite; run "
-                "optimize() to localize the files first."
+                "Deletion vectors on files outside the table root "
+                "(shallow-cloned / foreign absolutes) are not "
+                "supported by the rewrite; deep-clone or OPTIMIZE a "
+                "localized table first."
             )
         keep = dv_keep_predicate(spark, snap.path, dv_adds)
         [(root, files)] = dv_groups.items()

@@ -537,8 +537,8 @@ def test_q50_funnel_is_one_shuffle_fold(spark):
         "expected one user_id shuffle + the final single-row agg, "
         f"got:\n{plan[:800]}"
     )
-    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
-                 "MapInPandas"):
+    for node in ("BatchEvalPython", "ArrowEvalPython",
+                 "FlatMapGroupsInPandas", "MapInPandas"):
         assert node not in plan
 
 
