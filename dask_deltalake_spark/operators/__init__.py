@@ -93,6 +93,16 @@ _ALL.update(_STREAMING)
 # d12/d13/d22/d08 were re-run hash-green through check_oracle ON the
 # changed code, with the new test_dv materialization test and the
 # CDF fold (MoR→MERGE) pinning the semantics.
+# r12 ROTATION PREVIEW (plan the squeeze before building): the r12
+# staleness front is the 50 r9-verified names (d01-d06, d08, d14,
+# d17-d19, d29, d30, d33, d36-d39, d44, d47, d48, q05, q45, q46,
+# s07, s10, x02, x03, x05, x06, x09-x17, x19-x27, x32, x39) PLUS the
+# two r8-row deferrals d10/d16 (OLDEST — rotate them first), and the
+# five r11-staged debuts (d50, q52, q53, q54, x43) must also land =
+# 57 candidates for 50 slots. Seven deferrals will need written
+# justification; favor deferring r9-tier names whose surfaces carry
+# no r11/r12 diff and strong pytest cover, and do NOT stage more
+# than ~2 new queries in r12 unless the window math is re-derived.
 # Round 10 front (history), in priority order:
 # (b) queries NEW in r10 — q47_lateral_topn_per_group (LATERAL top-N
 #     per group, staged in r9), q48_correlated_scalar_agg (correlated
