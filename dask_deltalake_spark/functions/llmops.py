@@ -3751,6 +3751,7 @@ GROUP BY label
 """
 
 
+@query("x43_embedding_cohesion", _X43_ORACLE)
 def x43_embedding_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space cohesion diagnostics per label/cluster — the
     sanity numbers an embedding-based curation pipeline checks before

@@ -93,16 +93,49 @@ _ALL.update(_STREAMING)
 # d12/d13/d22/d08 were re-run hash-green through check_oracle ON the
 # changed code, with the new test_dv materialization test and the
 # CDF fold (MoR→MERGE) pinning the semantics.
-# r12 ROTATION PREVIEW (plan the squeeze before building): the r12
-# staleness front is the 50 r9-verified names (d01-d06, d08, d14,
-# d17-d19, d29, d30, d33, d36-d39, d44, d47, d48, q05, q45, q46,
-# s07, s10, x02, x03, x05, x06, x09-x17, x19-x27, x32, x39) PLUS the
-# two r8-row deferrals d10/d16 (OLDEST — rotate them first), and the
-# five r11-staged debuts (d50, q52, q53, q54, x43) must also land =
-# 57 candidates for 50 slots. Seven deferrals will need written
-# justification; favor deferring r9-tier names whose surfaces carry
-# no r11/r12 diff and strong pytest cover, and do NOT stage more
-# than ~2 new queries in r12 unless the window math is re-derived.
+# r12 ROTATION (the squeeze planned in the r11 preview, executed):
+# 57 candidates for 50 slots — the 50 r9-verified names PLUS the two
+# r8-row deferrals d10/d16 (OLDEST — rotate first) PLUS the five
+# r11-staged debuts (d50, q52, q53, q54, x43; a new query MUST debut
+# in-window, the standing precedent). Fixed picks per VERDICT r11 #1:
+# d10 + d16 + all five debuts = 7 slots; 43 of the 50 r9-tier names
+# fill the rest. The seven r9-tier deferrals, each keeping a green r9
+# row on code carrying NO r10/r11/r12 diff (verified via git log -L
+# on each function body), with written justification:
+#   - q05_join_multiway: the multiway join pipeline is plain
+#     inner-join composition; every physical join family it uses is
+#     freshly sampled (q04 broadcast r11, q06 left r11, q07-q09
+#     bucketed/theta r10) and the plan suite pins its shape
+#     (tests/test_plan_quality.py). Function body unchanged since r1.
+#   - x05_minhash_lsh / x06_simhash: rows-only-by-design driver rows
+#     (approximate recall) — the stronger check is their quantitative
+#     pytest bounds, which run every session (test_llmops.py:75
+#     recall floor, :175 Hamming-tracks-Jaccard). The shared shingle/
+#     band helpers they ride are hash-verified in-window by x04/x18's
+#     r10/r11 rows and x22/x26 in this window.
+#   - x39_bpe_encode: rows-only by design; pinned cell-for-cell
+#     against the reference BPE encoder at two rule counts
+#     (test_llmops.py:634, :689 — a stronger check than the driver's
+#     rows-only row), and its vocab sibling x33 carries an r11 row on
+#     the shared merge-table builder.
+#   - x13_multimodal_decode / x17_multimodal_framesample: hash-green
+#     r9 on deterministic-fake decode paths unchanged since r5
+#     (git -L verified); the mapInPandas/Arrow plumbing they exercise
+#     has no r10/r11/r12 diff and both are smoke-run every session by
+#     test_registry_smoke::test_query_runs.
+#   - x19_embedding_quantize: pure JVM expression code unchanged
+#     since its debut commit (00fa763), exact reconstruction-error
+#     oracle, hash-green r9; no shared-helper exposure (does not ride
+#     dot_product or shingles).
+# r12 source changes and their in-window cover: RemoveAction
+# serialization now sets extendedFileMetadata=true whenever
+# tags/size/partitionValues are emitted (ADVICE r11 #1) — the remove
+# write path is driven in-window by d05 (vacuum), d08 (optimize),
+# d14 (restore), d33 (replace_where), d44, d47, d48, d50 (COW
+# DELETE + OPTIMIZE lifecycle) and checkpoint serialization by d39
+# (v2 checkpoint); out-of-window remove-writers (d11-d13, d22, d41)
+# were re-run hash-green via tools/check_oracle.py ON the changed
+# code this round (ledgered in COVERAGE.md).
 # Round 10 front (history), in priority order:
 # (b) queries NEW in r10 — q47_lateral_topn_per_group (LATERAL top-N
 #     per group, staged in r9), q48_correlated_scalar_agg (correlated
@@ -151,59 +184,66 @@ _ALL.update(_STREAMING)
 # hard-coded path), and the in-window d12/d13/d22/d35/d40 plus
 # out-of-window d01/d08/d44/d45/d47 were re-run green through
 # tools/check_oracle.py ON the threaded code this round.
-_R11_FRONT = [
-    # (b) new in r11, checked first
-    "d49_stats_columns",
-    "q50_funnel_ordered",
-    "x42_zipf_token_stats",
-    "q51_exists_disjunctive",
-    # (a) the r8 staleness front (d10/d16 deferred, justified above)
-    "d07_delta_checkpoint",
-    "d09_delta_datetime_travel",
-    "d11_delta_merge",
-    "d15_delta_zorder",
-    "d20_cdc_row_level",
-    "d21_column_mapping",
-    "d23_check_constraints",
-    "d24_schema_alter",
-    "d25_streaming_cdf_source",
-    "d26_generated_columns",
-    "d27_identity_columns",
-    "d28_schema_merge",
-    "d31_shallow_clone",
-    "d32_log_cleanup",
-    "d34_column_defaults",
-    "d41_log_compaction",
-    "d42_coordinated_commits",
-    "d43_drop_feature",
-    "d45_stats_recompute",
-    "d46_deep_clone",
-    "q01_pricing_summary",
-    "q02_projection_compute",
-    "q03_filter_predicates",
-    "q04_join_inner_broadcast",
-    "q06_join_left",
-    "s01_stream_tumbling_window",
-    "s02_stream_session_window",
-    "s03_stream_dedup",
-    "s04_stream_stateful_counter",
-    "s05_stream_delta_sink",
-    "s06_stream_delta_source",
-    "s08_stream_upsert",
-    "s09_stream_incremental_agg",
-    "x01_dedup_exact",
-    "x04_ngram_jaccard_pairs",
-    "x07_cosine_topk",
-    "x08_lsh_ann",
-    "x28_incremental_dedup",
-    "x30_window_dedup",
-    "x31_semantic_dedup",
-    "x33_bpe_vocab",
-    "x34_lm_quality",
-    "x35_containment_decontamination",
-    "x36_span_removal",
-    "x37_chunk_dedup",
-    "x38_quality_scorer",
+# Round 11 front (history): d49/q50/x42/q51 (new) + the 46-name r8
+# staleness front (d07, d09, d11, d15, d20, d21, d23-d28, d31, d32,
+# d34, d41-d43, d45, d46, q01-q04, q06, s01-s06, s08, s09, x01, x04,
+# x07, x08, x28, x30, x31, x33-x38) — all 50 landed green
+# (CORRECTNESS_r11: 48 hash, x08/x33 rows-only by design).
+_R12_FRONT = [
+    # (b) new in r12 (staged through r11), checked first
+    "d50_version_checksum",
+    "q52_window_ignore_nulls",
+    "q53_null_safe_join",
+    "q54_multi_distinct_filter_agg",
+    "x43_embedding_cohesion",
+    # (a0) the two r8-row deferrals — the OLDEST rows, rotate first
+    "d10_delta_write_modes",
+    "d16_python_datasource",
+    # (a) 43 of the 50-name r9 staleness front (7 deferrals justified
+    # in the r12 ROTATION block above)
+    "d01_delta_roundtrip",
+    "d02_delta_time_travel",
+    "d03_delta_partition_prune",
+    "d04_delta_history",
+    "d05_delta_vacuum",
+    "d06_delta_schema_evolution",
+    "d08_delta_optimize",
+    "d14_delta_restore",
+    "d17_storage_options",
+    "d18_table_create_metadata",
+    "d19_change_data_feed",
+    "d29_row_tracking",
+    "d30_in_commit_timestamps",
+    "d33_replace_where_txn",
+    "d36_generated_partition_inference",
+    "d37_clustered_table",
+    "d38_variant_table",
+    "d39_v2_checkpoint",
+    "d44_convert_to_delta",
+    "d47_auto_optimize",
+    "d48_manifest_inventory",
+    "q45_recursive_cte",
+    "q46_variant_semistructured",
+    "s07_stream_stream_join",
+    "s10_stream_static_join",
+    "x02_dedup_normalized",
+    "x03_fingerprint",
+    "x09_embedding_stats",
+    "x10_text_quality",
+    "x11_lang_id",
+    "x12_token_classes",
+    "x14_embedding_near_dup",
+    "x15_tfidf_top_terms",
+    "x16_ivf_ann",
+    "x20_hash_split",
+    "x21_decontaminate",
+    "x22_repetition_filter",
+    "x23_pii_scrub",
+    "x24_source_mix",
+    "x25_pack_sequences",
+    "x26_curation_pipeline",
+    "x27_kmeans",
+    "x32_pq_ann",
 ]
 # Round 9 front (history), in priority order:
 # (a) the 45 names whose latest driver row is r6 (the staleness front
@@ -285,7 +325,7 @@ _R11_FRONT = [
 # tests/test_vendored_fsspec.py instead.
 # (superseded front lists are removed — ordering history lives in the
 # prose blocks above; only _R11_FRONT is live)
-_unknown = [n for n in _R11_FRONT if n not in _ALL]
+_unknown = [n for n in _R12_FRONT if n not in _ALL]
 if _unknown:
     # FAIL LOUDLY, never filter: a front name that doesn't resolve is
     # always a bug (r10 self-review caught x41 listed under a
@@ -294,7 +334,7 @@ if _unknown:
     raise RuntimeError(
         f"registry front lists unregistered queries: {_unknown}"
     )
-_POS = {n: i for i, n in enumerate(_R11_FRONT)}
+_POS = {n: i for i, n in enumerate(_R12_FRONT)}
 
 
 def _key(name: str):

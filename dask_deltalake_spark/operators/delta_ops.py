@@ -2694,6 +2694,7 @@ WHERE s_nationkey <> 0
 """
 
 
+@query("d50_version_checksum", _D50_ORACLE)
 def d50_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Version-checksum sidecars (delta-spark's VersionChecksum
     ``<version>.crc``) as a driver-checked lifecycle: write, append,

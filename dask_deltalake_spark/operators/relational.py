@@ -2056,6 +2056,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+@query("q52_window_ignore_nulls", _Q52_ORACLE)
 def q52_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IGNORE NULLS window family (lag / lead / last_value /
     nth_value) — the null-skipping offset semantics no other window
@@ -2119,6 +2120,7 @@ GROUP BY c.nk
 """
 
 
+@query("q53_null_safe_join", _Q53_ORACLE)
 def q53_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (Spark's ``<=>`` / ANSI IS NOT
     DISTINCT FROM) — the join-key semantics no other q-row samples:
@@ -2173,6 +2175,7 @@ GROUP BY l_returnflag
 """
 
 
+@query("q54_multi_distinct_filter_agg", _Q54_ORACLE)
 def q54_multi_distinct_filter_agg(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
