@@ -364,11 +364,15 @@ class DeltaLog:
                     rdv = None  # null struct from a checkpoint row
                 # pyarrow maps round-trip to_pylist as (k, v) tuples
                 rtags = r.get("tags")
+                rpv = r.get("partitionValues")
+                rsize = r.get("size")
                 removes[(path, dv_unique_id(rdv))] = RemoveAction(
                     path=path,
                     deletion_timestamp=int(r.get("deletionTimestamp") or 0),
                     deletion_vector=rdv,
                     tags=dict(rtags) if rtags else None,
+                    partition_values=dict(rpv) if rpv is not None else None,
+                    size=int(rsize) if rsize is not None else None,
                 )
             elif row.get("metaData") and row["metaData"].get("id") is not None:
                 metadata = Metadata.from_json(row["metaData"])
@@ -578,6 +582,8 @@ class DeltaLog:
                             data_change=True,
                             deletion_vector=old.deletion_vector,
                             tags=_archive_tags(),
+                            partition_values=old.partition_values,
+                            size=old.size,
                         ),
                     )
                 adds[a.path] = a
@@ -622,6 +628,8 @@ class DeltaLog:
                             data_change=r.data_change,
                             deletion_vector=old.deletion_vector,
                             tags=_archive_tags(),
+                            partition_values=old.partition_values,
+                            size=old.size,
                         )
                     # else: a remove of a STALE vector identity while a
                     # DIFFERENT (path, dvId) is live — e.g. a conforming

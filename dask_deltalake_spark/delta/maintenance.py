@@ -448,7 +448,18 @@ def create_checkpoint(
                     # tags survive the checkpoint round-trip: the
                     # replay-archive marker must stay distinguishable
                     # from writer-stamped descriptor removes across a
-                    # checkpoint-anchored replay (log.py gate)
+                    # checkpoint-anchored replay (log.py gate). The
+                    # spec gates tags/partitionValues/size behind
+                    # extendedFileMetadata=true — without the flag a
+                    # strict engine re-serializing this checkpoint may
+                    # strip them (ADVICE r11)
+                    "extendedFileMetadata": bool(
+                        r.tags
+                        or r.partition_values is not None
+                        or r.size is not None
+                    ),
+                    "partitionValues": r.partition_values,
+                    "size": r.size,
                     "tags": r.tags,
                 }
             }
@@ -539,6 +550,9 @@ def create_checkpoint(
                         ("path", pa.string()),
                         ("deletionTimestamp", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        ("extendedFileMetadata", pa.bool_()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
                         (
                             "deletionVector",
                             pa.struct(
@@ -578,10 +592,10 @@ def create_checkpoint(
         ]
     )
     for row in norm:
-        for key in ("metaData", "add"):
+        for key in ("metaData", "add", "remove"):
             if row.get(key):
                 d = row[key]
-                for mk in ("partitionValues", "configuration"):
+                for mk in ("partitionValues", "configuration", "tags"):
                     if mk in d and isinstance(d[mk], dict):
                         d[mk] = list(d[mk].items())
                 if key == "metaData" and isinstance(
@@ -1125,6 +1139,8 @@ def optimize(
                 deletion_timestamp=ts,
                 data_change=False,
                 deletion_vector=a.deletion_vector,
+                partition_values=a.partition_values,
+                size=a.size,
             ).to_json()
         )
     # Concurrency: background compaction racing live APPENDS is the
@@ -1316,6 +1332,8 @@ def restore(
                 deletion_timestamp=ts,
                 data_change=True,
                 deletion_vector=cur_by_path[p].deletion_vector,
+                partition_values=cur_by_path[p].partition_values,
+                size=cur_by_path[p].size,
             ).to_json()
         )
     write_commit(table_path, cur.version + 1, actions)
@@ -1998,6 +2016,8 @@ def fsck_repair(
                 deletion_timestamp=ts,
                 data_change=True,
                 deletion_vector=a.deletion_vector,
+                partition_values=a.partition_values,
+                size=a.size,
             ).to_json()
         )
     write_commit(log.table_path, snap.version + 1, actions)

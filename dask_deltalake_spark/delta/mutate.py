@@ -230,6 +230,8 @@ def _rewrite_and_commit(
                 deletion_timestamp=ts,
                 data_change=True,
                 deletion_vector=a.deletion_vector,
+                partition_values=a.partition_values,
+                size=a.size,
             ).to_json()
         )
     version = _commit_with_dml_retry(
@@ -369,11 +371,16 @@ def _read_files(
             # root) would miss the key map, default to keep, and
             # silently resurrect vector-deleted rows (review r11: the
             # guard must check root IDENTITY, not just root count)
+            # OPTIMIZE is NOT a remedy here: it routes through this
+            # same _read_files path and raises identically (ADVICE
+            # r11 — the old message suggested it, circularly); only
+            # deep-clone actually localizes the DV'd files
             raise DeltaProtocolError(
                 "Deletion vectors on files outside the table root "
                 "(shallow-cloned / foreign absolutes) are not "
-                "supported by the rewrite; deep-clone or OPTIMIZE a "
-                "localized table first."
+                "supported by the rewrite; deep-clone the table "
+                "first (clone(..., shallow=False)) to localize its "
+                "files and vectors."
             )
         keep = dv_keep_predicate(spark, snap.path, dv_adds)
         [(root, files)] = dv_groups.items()
@@ -839,6 +846,8 @@ def _mor_commit(
                     deletion_timestamp=ts,
                     data_change=True,
                     deletion_vector=a.deletion_vector,
+                    partition_values=a.partition_values,
+                    size=a.size,
                 ).to_json()
             )
             actions.append(
@@ -859,6 +868,8 @@ def _mor_commit(
                 deletion_timestamp=ts,
                 data_change=True,
                 deletion_vector=a.deletion_vector,
+                partition_values=a.partition_values,
+                size=a.size,
             ).to_json()
         )
     for r in extra_adds or []:

@@ -393,6 +393,12 @@ class RemoveAction:
     # distinct from writer-stamped descriptor removes — the
     # distinction the legacy-remove heuristic gate needs (log.py).
     tags: Optional[dict] = None
+    # spec extended file metadata (partitionValues/size), preserved
+    # when a foreign log carries them so our re-serialization
+    # (checkpointing, log compaction) never strips fields another
+    # engine wrote
+    partition_values: Optional[dict] = None
+    size: Optional[int] = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -402,18 +408,34 @@ class RemoveAction:
         }
         if self.deletion_vector is not None:
             d["deletionVector"] = self.deletion_vector
+        # the spec gates partitionValues/size/tags on removes behind
+        # extendedFileMetadata=true; without the flag a strict foreign
+        # engine re-serializing the log may drop them — which for tags
+        # would erase the REPLAY_ARCHIVE_TAG marker and permanently
+        # disarm the legacy-remove heuristic on a pre-descriptor log
+        if self.tags or self.partition_values is not None or (
+            self.size is not None
+        ):
+            d["extendedFileMetadata"] = True
+        if self.partition_values is not None:
+            d["partitionValues"] = self.partition_values
+        if self.size is not None:
+            d["size"] = self.size
         if self.tags:
             d["tags"] = self.tags
         return {"remove": d}
 
     @classmethod
     def from_json(cls, d: dict[str, Any]) -> "RemoveAction":
+        pv = d.get("partitionValues")
         return cls(
             path=unquote(d["path"]),
             deletion_timestamp=int(d.get("deletionTimestamp") or 0),
             data_change=bool(d.get("dataChange", True)),
             deletion_vector=d.get("deletionVector") or None,
             tags=dict(d["tags"]) if d.get("tags") else None,
+            partition_values=dict(pv) if pv is not None else None,
+            size=int(d["size"]) if d.get("size") is not None else None,
         )
 
 

@@ -1783,13 +1783,23 @@ def to_delta(
                 a.path
                 for a in prune_partitions(snap.add_actions, prune_dnf)
             ]
-        _dv_by_path = {a.path: a.deletion_vector for a in snap.add_actions}
+        _add_by_path = {a.path: a for a in snap.add_actions}
         actions.extend(
             RemoveAction(
                 path=p,
                 deletion_timestamp=ts,
                 data_change=True,
-                deletion_vector=_dv_by_path.get(p),
+                deletion_vector=(
+                    _add_by_path[p].deletion_vector
+                    if p in _add_by_path
+                    else None
+                ),
+                partition_values=(
+                    _add_by_path[p].partition_values
+                    if p in _add_by_path
+                    else None
+                ),
+                size=_add_by_path[p].size if p in _add_by_path else None,
             ).to_json()
             for p in doomed
         )

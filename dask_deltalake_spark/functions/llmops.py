@@ -88,7 +88,18 @@ def dot_product(a, b) -> Column:
     Unequal lengths: zip_with NULL-pads the shorter array, so each
     product coalesces to 0.0 and the sum runs over positions present
     in BOTH arrays (matching a position-join oracle) instead of one
-    NULL poisoning the whole fold."""
+    NULL poisoning the whole fold.
+
+    NULL elements INSIDE equal-length arrays get the same treatment —
+    a NULL dimension contributes 0.0 to the dot product rather than
+    nulling the score (ADVICE r11: this is a deliberate, documented
+    contract). Consequence for the similarity operators (x07/x08/x14/
+    x16/x32/x43): a vector with a dirty NULL dimension still RANKS
+    (scored as if that dimension were 0) instead of silently dropping
+    out of top-k, which is the desired behavior for ragged/partial
+    embeddings; callers that want NULL-dimension vectors excluded
+    should filter them upstream (e.g.
+    ``F.exists(col, lambda e: e.isNull())``)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: F.coalesce(x * y, F.lit(0.0))),
         F.lit(0.0),
@@ -3372,7 +3383,16 @@ def source_overlap_matrix(
     honesty: the direct agg is S(S-1)/2 + S flat columns — fine
     through S ≈ 100 (≈5 000 expressions); beyond that, switch to an
     explode-pairs aggregation (S² shuffle rows per gram) before the
-    planner becomes the bottleneck."""
+    planner becomes the bottleneck.
+
+    One documented exception to ``method`` as a hard selector
+    (ADVICE r11): with fewer than 2 distinct sources there are no
+    pairs, and an explicit ``method="direct"`` is overridden to the
+    histogram path — the direct wide aggregation cannot be built
+    over zero pair columns, while the histogram machinery already
+    yields the empty/degenerate matrix with the right schema. Both
+    paths agree on the output (pytest-pinned for the gram-less
+    corpus), so the override is shape-only, never value-affecting."""
     toks = d.select("source", tokens(F.col("text")).alias("toks"))
     # grams are xxhash64-ed BEFORE the explode+distinct: everything
     # the overlap pipeline shuffles is then fixed-width longs, not

@@ -931,3 +931,76 @@ def test_dv_unique_id_kernel_format():
         )
         == "ixyz@42"
     )
+
+
+def test_remove_extended_file_metadata_flag():
+    """ADVICE r11: the spec gates partitionValues/size/tags on removes
+    behind extendedFileMetadata=true — without the flag a strict
+    foreign engine re-serializing the log may strip them, erasing the
+    REPLAY_ARCHIVE_TAG marker and permanently disarming the
+    legacy-remove heuristic on a pre-descriptor log. Pins: the flag is
+    emitted exactly when one of the gated fields is; from_json
+    round-trips a foreign remove's partitionValues/size instead of
+    dropping them."""
+    from dask_deltalake_spark.delta.protocol import RemoveAction
+
+    bare = RemoveAction(path="f.parquet", deletion_timestamp=5)
+    assert "extendedFileMetadata" not in bare.to_json()["remove"]
+
+    tagged = RemoveAction(
+        path="f.parquet",
+        deletion_timestamp=5,
+        tags={RemoveAction.REPLAY_ARCHIVE_TAG: "true"},
+    )
+    d = tagged.to_json()["remove"]
+    assert d["extendedFileMetadata"] is True
+    assert d["tags"] == {RemoveAction.REPLAY_ARCHIVE_TAG: "true"}
+
+    full = RemoveAction(
+        path="p=1/f.parquet",
+        deletion_timestamp=7,
+        partition_values={"p": "1"},
+        size=123,
+    )
+    d = full.to_json()["remove"]
+    assert d["extendedFileMetadata"] is True
+    assert d["partitionValues"] == {"p": "1"}
+    assert d["size"] == 123
+
+    back = RemoveAction.from_json(d)
+    assert back.partition_values == {"p": "1"}
+    assert back.size == 123
+    # and the round-trip re-serializes with the flag intact (the
+    # re-checkpointing scenario the ADVICE describes)
+    assert back.to_json()["remove"]["extendedFileMetadata"] is True
+
+
+def test_checkpoint_remove_rows_carry_extended_file_metadata(
+    spark, tmp_path
+):
+    """The checkpoint writer's remove rows carry the same flag +
+    gated fields: a DML remove (which now records the removed add's
+    partitionValues/size) must survive a checkpoint round-trip with
+    extendedFileMetadata=true so a strict engine re-serializing the
+    checkpoint keeps the fields."""
+    import pyarrow.parquet as pq
+
+    from dask_deltalake_spark import to_delta
+    from dask_deltalake_spark.delta.maintenance import create_checkpoint
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id % 4 AS INT) AS p"
+    )
+    to_delta(df, path, partition_by=["p"])
+    delete_where(path, [("p", "==", 1)], spark=spark)
+    cp = create_checkpoint(path)
+    rows = pq.read_table(cp).to_pylist()
+    rem = [r["remove"] for r in rows if r.get("remove")]
+    assert rem, "the COW delete must leave a tombstone in the checkpoint"
+    for r in rem:
+        assert r["extendedFileMetadata"] is True
+        assert r["size"] is not None and r["size"] > 0
+        pv = dict(r["partitionValues"])
+        assert pv == {"p": "1"}
