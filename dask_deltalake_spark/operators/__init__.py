@@ -350,3 +350,15 @@ def _key(name: str):
 REGISTRY: dict = {name: _ALL[name] for name in sorted(_ALL, key=_key)}
 
 __all__ = ["REGISTRY"]
+# r13 ROTATION PREVIEW (plan the squeeze before the round closes):
+# the r13 staleness front is the 7 r12-deferral names still on r9
+# rows (q05, x05, x06, x13, x17, x19, x39 — OLDEST, rotate first)
+# plus the 50 r10-verified names (d12, d13, d22, d35, d40, q07-q44,
+# x18, x29, q47-q49, x40, x41) and the two r12-staged debuts
+# (q55_full_outer_join, q56_multiset_ops) = 59 candidates for 50
+# slots. Nine deferrals will need written justification; favor
+# r10-tier names whose surfaces carry no r11/r12/r13 diff and strong
+# pytest cover (the q07-q44 block is 38 names — plan the arithmetic
+# BEFORE building), and do NOT stage new queries in r13 unless the
+# window math is re-derived: the squeeze is now structural (152+
+# registered, 50 slots), so staleness floors land at ~3 rounds.

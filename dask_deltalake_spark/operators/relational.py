@@ -2212,3 +2212,164 @@ def q54_multi_distinct_filter_agg(
         GROUP BY l_returnflag
         """
     )
+
+
+# r13 debut (staged; the r12 window is full at 57 candidates for 50
+# slots — the same staging pattern d50/q52-q54/x43 used in r11): NOT
+# yet in REGISTRY; register as q55 with the oracle below when the
+# r13 window opens.
+_Q55_ORACLE = """
+WITH a AS (
+  SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_a,
+         ROUND(SUM(o_totalprice), 2) AS rev_a
+  FROM orders WHERE o_orderdate < DATE '1998-05-01' GROUP BY o_custkey
+),
+b AS (
+  SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_b,
+         ROUND(SUM(o_totalprice), 2) AS rev_b
+  FROM orders WHERE o_orderdate >= DATE '1998-05-01' GROUP BY o_custkey
+)
+SELECT CASE WHEN a.ck IS NULL THEN 'gained'
+            WHEN b.ck IS NULL THEN 'lost'
+            ELSE 'retained' END AS cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(COALESCE(a.n_a, 0)) AS BIGINT) AS orders_before,
+       CAST(SUM(COALESCE(b.n_b, 0)) AS BIGINT) AS orders_after,
+       ROUND(SUM(COALESCE(b.rev_b, 0) - COALESCE(a.rev_a, 0)), 2)
+         AS revenue_delta
+FROM a FULL OUTER JOIN b ON a.ck = b.ck
+GROUP BY cohort
+"""
+
+
+def q55_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join type no registered q-row
+    samples (q04/q06 cover inner/left; q07-q09 semi/anti/theta; q49
+    null-aware anti; q51 existence; q53 null-safe inner): both sides
+    are PRESERVED, so rows null-extend in BOTH directions — the
+    reconciliation shape (ledger-vs-ledger diff, cohort
+    gained/lost/retained analysis) that a left join can only fake
+    with a second anti-join pass over the same data. Physically it is
+    also its own family: Spark cannot broadcast a full outer join
+    (both sides preserved), so the planner is FORCED to a shuffle
+    strategy (SortMergeJoin FullOuter / ShuffledHashJoin FullOuter) —
+    the exact plan this query pins, since a silent fallback to
+    BroadcastNestedLoopJoin would be the 100 TB killer. Semantics
+    exercised for real: the date split leaves some customers only in
+    period A, some only in period B, so all three null-extension
+    cohorts (a-only, b-only, both) are populated — pytest-asserted
+    at sf0.01 and verified at sf0.001/sf0.1.
+    Scale: two partial-aggregated passes over orders shuffled on
+    o_custkey (uniform key), one co-partitioned full outer join —
+    AQE coalesces the post-join sides; the cohort rollup is a 3-row
+    aggregate. Reference parity: join coverage family, reference
+    tests/test_core.py.
+    """
+    o = _t(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderdate") < F.lit("1998-05-01").cast("date"))
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.count("*").alias("n_a"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev_a"),
+        )
+    )
+    b = (
+        o.filter(F.col("o_orderdate") >= F.lit("1998-05-01").cast("date"))
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.count("*").alias("n_b"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev_b"),
+        )
+    )
+    j = a.join(b, a["ck"] == b["ck"], "full_outer")
+    return (
+        j.select(
+            F.when(a["ck"].isNull(), F.lit("gained"))
+            .when(b["ck"].isNull(), F.lit("lost"))
+            .otherwise(F.lit("retained"))
+            .alias("cohort"),
+            F.coalesce(a["n_a"], F.lit(0)).alias("n_a"),
+            F.coalesce(b["n_b"], F.lit(0)).alias("n_b"),
+            (
+                F.coalesce(b["rev_b"], F.lit(0.0))
+                - F.coalesce(a["rev_a"], F.lit(0.0))
+            ).alias("delta"),
+        )
+        .groupBy("cohort")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("n_a").cast("bigint").alias("orders_before"),
+            F.sum("n_b").cast("bigint").alias("orders_after"),
+            F.round(F.sum("delta"), 2).alias("revenue_delta"),
+        )
+    )
+
+
+# r13 debut (staged alongside q55 — see the note there).
+_Q56_ORACLE = """
+WITH a AS (
+  SELECT l_suppkey AS k, CAST(l_quantity AS INT) AS q
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+b AS (
+  SELECT l_suppkey AS k, CAST(l_quantity AS INT) AS q
+  FROM lineitem WHERE l_linestatus = 'F' AND l_returnflag <> 'N'
+),
+ex AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+ins AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+SELECT
+  CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_except_all,
+  CAST((SELECT COALESCE(SUM(q), 0) FROM ex) AS BIGINT) AS q_except_all,
+  CAST((SELECT COUNT(*) FROM ins) AS BIGINT) AS n_intersect_all,
+  CAST((SELECT COALESCE(SUM(q), 0) FROM ins) AS BIGINT) AS q_intersect_all
+"""
+
+
+def q56_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — multiset (bag) semantics, the set
+    operator family q21 does not reach: q21's union/intersect/except
+    are DISTINCT-semantics (each plans a dedup aggregate or a
+    semi/anti join), while the ALL variants preserve DUPLICATE
+    MULTIPLICITY (a row appearing 5 times in A and 2 times in B
+    survives EXCEPT ALL 3 times, INTERSECT ALL 2 times). Catalyst
+    rewrites them through a genuinely different physical family
+    (RewriteExceptAll/RewriteIntersectAll): union the sides with
+    +1/-1 multiplicity tags, sum per row-value, then REPLICATE each
+    surviving row via generate/explode — no join, no dedup. That is
+    the right 100 TB shape for multiset reconciliation (data-quality
+    diffs between two versions of a corpus, where duplicate counts
+    ARE the signal): one shuffle on the full row value, partial-agg
+    absorbed map-side, output proportional to the difference, not
+    the inputs. The two sides here overlap on (R, F) rows by
+    construction so both operators produce non-degenerate
+    multiplicities. Reference parity: set-op coverage family,
+    reference tests/test_core.py.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("k"),
+        F.col("l_quantity").cast("int").alias("q"),
+    )
+    b = li.filter(
+        (F.col("l_linestatus") == "F") & (F.col("l_returnflag") != "N")
+    ).select(
+        F.col("l_suppkey").alias("k"),
+        F.col("l_quantity").cast("int").alias("q"),
+    )
+    ex = a.exceptAll(b).agg(
+        F.count("*").alias("n_except_all"),
+        F.coalesce(F.sum("q"), F.lit(0)).cast("bigint")
+        .alias("q_except_all"),
+    )
+    ins = a.intersectAll(b).agg(
+        F.count("*").alias("n_intersect_all"),
+        F.coalesce(F.sum("q"), F.lit(0)).cast("bigint")
+        .alias("q_intersect_all"),
+    )
+    return ex.crossJoin(ins).select(
+        F.col("n_except_all").cast("bigint").alias("n_except_all"),
+        "q_except_all",
+        F.col("n_intersect_all").cast("bigint").alias("n_intersect_all"),
+        "q_intersect_all",
+    )

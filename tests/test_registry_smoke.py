@@ -488,3 +488,86 @@ def test_q54_multi_distinct_filter_matches_duckdb_oracle(spark):
     exp = {r[0]: (r[1], r[2], r[3], r[4], r[5])
            for r in con.execute(_Q54_ORACLE).fetchall()}
     assert got == exp and len(got) == 3
+
+
+def test_q55_full_outer_join_matches_duckdb_oracle(spark):
+    """q55 (staged r13 debut): FULL OUTER join pinned cell-for-cell
+    against DuckDB, with all three null-extension cohorts asserted
+    populated (the semantics the query exists to exercise) and the
+    plan asserted a shuffle join strategy carrying FullOuter — never
+    a BroadcastNestedLoopJoin (full outer cannot broadcast; a BNLJ
+    fallback would be the 100 TB killer)."""
+    import duckdb
+
+    from dask_deltalake_spark.operators.relational import (
+        _Q55_ORACLE,
+        q55_full_outer_join,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    df = q55_full_outer_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan, "the join must plan as FULL OUTER"
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), (
+        "full outer must take a shuffle join strategy"
+    )
+    got = {
+        r["cohort"]: (
+            r["n_customers"], r["orders_before"], r["orders_after"],
+            r["revenue_delta"],
+        )
+        for r in df.collect()
+    }
+    assert set(got) == {"gained", "lost", "retained"}, (
+        "all three null-extension cohorts must be populated"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    exp = {r[0]: (r[1], r[2], r[3], r[4])
+           for r in con.execute(_Q55_ORACLE).fetchall()}
+    assert got == exp
+
+
+def test_q56_multiset_ops_matches_duckdb_oracle(spark):
+    """q56 (staged r13 debut): EXCEPT ALL / INTERSECT ALL multiset
+    semantics pinned cell-for-cell against DuckDB, with duplicate
+    multiplicity asserted non-degenerate (ALL results differ from
+    what DISTINCT semantics would give) and the plan asserted
+    join-free (Catalyst's RewriteExceptAll/RewriteIntersectAll is an
+    aggregate + generate replication, not a join)."""
+    import duckdb
+
+    from dask_deltalake_spark.operators.relational import (
+        _Q56_ORACLE,
+        q56_multiset_ops,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    df = q56_multiset_ops(spark, sf_dir)
+    row = df.collect()[0].asDict()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    exp = con.execute(_Q56_ORACLE).fetchdf().iloc[0].to_dict()
+    assert {k: int(v) for k, v in row.items()} == {
+        k: int(v) for k, v in exp.items()
+    }
+    # multiplicity is the signal: the EXCEPT ALL result must exceed
+    # the DISTINCT except (duplicates survive), pinned via DuckDB
+    n_distinct = con.execute(
+        "WITH a AS (SELECT l_suppkey AS k, CAST(l_quantity AS INT) AS q "
+        "FROM lineitem WHERE l_returnflag = 'R'), "
+        "b AS (SELECT l_suppkey AS k, CAST(l_quantity AS INT) AS q "
+        "FROM lineitem WHERE l_linestatus = 'F' AND l_returnflag <> 'N') "
+        "SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)"
+    ).fetchone()[0]
+    assert row["n_except_all"] > n_distinct > 0, (
+        "the fixture must exercise real duplicate multiplicity"
+    )
