@@ -233,22 +233,9 @@ def read_delta_changes(
     # restores the logical schema before images are synthesized
     # (reader.py's contract, applied to the change feed; VERDICT r11
     # #3 — the rename-between-delete-and-rewrite lifecycle)
-    from dask_deltalake_spark.delta.column_mapping import physical_schema
-    from dask_deltalake_spark.delta.protocol import (
-        PHYSICAL_NAME_KEY,
-        DeltaProtocolError,
-        column_mapping_mode,
-    )
+    from dask_deltalake_spark.delta.column_mapping import scan_schema_for
 
-    _cm_mode = column_mapping_mode(snap.metadata)
-    if _cm_mode == "id" and any(
-        PHYSICAL_NAME_KEY not in (f.metadata or {}) for f in schema.fields
-    ):
-        raise DeltaProtocolError(
-            "id-mode column mapping without physicalName metadata "
-            "(pure parquet-field-id resolution) is not supported."
-        )
-    scan_schema = schema if _cm_mode == "none" else physical_schema(schema)
+    scan_schema = scan_schema_for(snap.metadata, schema)
     # a NEW StructType — StructType.add mutates in place, and `schema`
     # must stay the pure table schema for the file reads below
     out_schema = StructType(

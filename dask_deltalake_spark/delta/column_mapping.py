@@ -84,6 +84,27 @@ def logical_to_physical(schema: StructType) -> dict:
     return {f.name: _physical_name(f) for f in schema.fields}
 
 
+def scan_schema_for(metadata, schema: StructType) -> StructType:
+    """The schema a parquet FILE SCAN of this table must use: the
+    logical schema when column mapping is off, the physical-name
+    schema otherwise — with the shared id-mode guard (pure
+    parquet-field-id resolution, i.e. id mode without physicalName
+    metadata, is unsupported). Single-sourced for every scan path
+    (reader.py, cdc.py — review r12: the guard + selection were
+    duplicated and could drift)."""
+    from dask_deltalake_spark.delta.protocol import DeltaProtocolError
+
+    mode = column_mapping_mode(metadata)
+    if mode == "id" and any(
+        PHYSICAL_NAME_KEY not in (f.metadata or {}) for f in schema.fields
+    ):
+        raise DeltaProtocolError(
+            "id-mode column mapping without physicalName metadata "
+            "(pure parquet-field-id resolution) is not supported."
+        )
+    return schema if mode == "none" else physical_schema(schema)
+
+
 def translate_dnf(dnf: list, mapping: dict) -> list:
     """Rewrite DNF filter column names logical → physical so partition
     pruning (physical ``partitionValues`` keys) and stats skipping

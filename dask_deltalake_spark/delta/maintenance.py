@@ -449,17 +449,19 @@ def create_checkpoint(
                     # replay-archive marker must stay distinguishable
                     # from writer-stamped descriptor removes across a
                     # checkpoint-anchored replay (log.py gate). The
-                    # spec gates tags/partitionValues/size behind
-                    # extendedFileMetadata=true — without the flag a
-                    # strict engine re-serializing this checkpoint may
-                    # strip them (ADVICE r11)
-                    "extendedFileMetadata": bool(
-                        r.tags
-                        or r.partition_values is not None
-                        or r.size is not None
+                    # flag semantics are single-sourced on the
+                    # RemoveAction property (ADVICE r11 / review r12:
+                    # claimed only when partitionValues AND size are
+                    # both present — flag-true with null
+                    # partitionValues is the malformed shape strict
+                    # engines reject)
+                    "extendedFileMetadata": r.extended_file_metadata,
+                    "partitionValues": (
+                        r.partition_values
+                        if r.extended_file_metadata
+                        else None
                     ),
-                    "partitionValues": r.partition_values,
-                    "size": r.size,
+                    "size": r.size if r.extended_file_metadata else None,
                     "tags": r.tags,
                 }
             }

@@ -400,6 +400,24 @@ class RemoveAction:
     partition_values: Optional[dict] = None
     size: Optional[int] = None
 
+    @property
+    def extended_file_metadata(self) -> bool:
+        """True exactly when this remove carries the spec's extended
+        file metadata. The spec gates partitionValues/size/tags behind
+        extendedFileMetadata=true — without the flag a strict foreign
+        engine re-serializing the log may drop them, which for tags
+        would erase the REPLAY_ARCHIVE_TAG marker and permanently
+        disarm the legacy-remove heuristic on a pre-descriptor log.
+        The flag is claimed ONLY when partitionValues AND size are
+        both present: flag-true with null partitionValues is the
+        spec-malformed shape strict engines reject (delta-spark's
+        tombstone partition filtering NPE'd on exactly it), so a
+        tags-only remove (e.g. a replay-archive tombstone parsed from
+        a pre-r12 checkpoint, whose source add is gone) ships its tags
+        WITHOUT the flag rather than malformed. Single-sourced here
+        for to_json AND the checkpoint writer (review r12)."""
+        return self.partition_values is not None and self.size is not None
+
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
             "path": quote(self.path),
@@ -408,18 +426,9 @@ class RemoveAction:
         }
         if self.deletion_vector is not None:
             d["deletionVector"] = self.deletion_vector
-        # the spec gates partitionValues/size/tags on removes behind
-        # extendedFileMetadata=true; without the flag a strict foreign
-        # engine re-serializing the log may drop them — which for tags
-        # would erase the REPLAY_ARCHIVE_TAG marker and permanently
-        # disarm the legacy-remove heuristic on a pre-descriptor log
-        if self.tags or self.partition_values is not None or (
-            self.size is not None
-        ):
+        if self.extended_file_metadata:
             d["extendedFileMetadata"] = True
-        if self.partition_values is not None:
             d["partitionValues"] = self.partition_values
-        if self.size is not None:
             d["size"] = self.size
         if self.tags:
             d["tags"] = self.tags

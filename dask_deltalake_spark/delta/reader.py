@@ -149,23 +149,13 @@ def read_delta(
     # projection stay logical (applied after the rename).
     from dask_deltalake_spark.delta.column_mapping import (
         logical_to_physical,
-        physical_schema,
+        scan_schema_for,
         translate_dnf,
     )
-    from dask_deltalake_spark.delta.protocol import (
-        PHYSICAL_NAME_KEY,
-        column_mapping_mode,
-    )
+    from dask_deltalake_spark.delta.protocol import column_mapping_mode
 
     mode = column_mapping_mode(snap.metadata)
-    if mode == "id" and any(
-        PHYSICAL_NAME_KEY not in (f.metadata or {}) for f in schema.fields
-    ):
-        raise DeltaProtocolError(
-            "id-mode column mapping without physicalName metadata "
-            "(pure parquet-field-id resolution) is not supported."
-        )
-    scan_schema = schema if mode == "none" else physical_schema(schema)
+    scan_schema = scan_schema_for(snap.metadata, schema)
     # Derived partition pruning (delta/generated.py): predicates on
     # the SOURCE of a generated partition column imply predicates on
     # the partition column itself (e.g. ts range -> event_date range

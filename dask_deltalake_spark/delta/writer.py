@@ -1783,25 +1783,19 @@ def to_delta(
                 a.path
                 for a in prune_partitions(snap.add_actions, prune_dnf)
             ]
+        # doomed is always drawn from snap.add_actions (full overwrite
+        # or pruned subset), so every path resolves
         _add_by_path = {a.path: a for a in snap.add_actions}
         actions.extend(
             RemoveAction(
-                path=p,
+                path=a.path,
                 deletion_timestamp=ts,
                 data_change=True,
-                deletion_vector=(
-                    _add_by_path[p].deletion_vector
-                    if p in _add_by_path
-                    else None
-                ),
-                partition_values=(
-                    _add_by_path[p].partition_values
-                    if p in _add_by_path
-                    else None
-                ),
-                size=_add_by_path[p].size if p in _add_by_path else None,
+                deletion_vector=a.deletion_vector,
+                partition_values=a.partition_values,
+                size=a.size,
             ).to_json()
-            for p in doomed
+            for a in (_add_by_path[p] for p in doomed)
         )
 
     # Optimistic-concurrency commit with conflict-aware retry —

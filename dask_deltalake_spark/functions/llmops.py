@@ -98,8 +98,8 @@ def dot_product(a, b) -> Column:
     (scored as if that dimension were 0) instead of silently dropping
     out of top-k, which is the desired behavior for ragged/partial
     embeddings; callers that want NULL-dimension vectors excluded
-    should filter them upstream (e.g.
-    ``F.exists(col, lambda e: e.isNull())``)."""
+    should filter them upstream (e.g. keep only
+    ``F.forall(col, lambda e: e.isNotNull())`` rows)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: F.coalesce(x * y, F.lit(0.0))),
         F.lit(0.0),

@@ -330,7 +330,7 @@ _R12_FRONT = [
 # ride PrefixLogStore); it is pinned by tests/test_logstore.py and
 # tests/test_vendored_fsspec.py instead.
 # (superseded front lists are removed — ordering history lives in the
-# prose blocks above; only _R11_FRONT is live)
+# prose blocks above; only _R12_FRONT is live)
 _unknown = [n for n in _R12_FRONT if n not in _ALL]
 if _unknown:
     # FAIL LOUDLY, never filter: a front name that doesn't resolve is

@@ -934,14 +934,16 @@ def test_dv_unique_id_kernel_format():
 
 
 def test_remove_extended_file_metadata_flag():
-    """ADVICE r11: the spec gates partitionValues/size/tags on removes
-    behind extendedFileMetadata=true — without the flag a strict
-    foreign engine re-serializing the log may strip them, erasing the
-    REPLAY_ARCHIVE_TAG marker and permanently disarming the
-    legacy-remove heuristic on a pre-descriptor log. Pins: the flag is
-    emitted exactly when one of the gated fields is; from_json
-    round-trips a foreign remove's partitionValues/size instead of
-    dropping them."""
+    """ADVICE r11 + review r12: the spec gates partitionValues/size
+    on removes behind extendedFileMetadata=true — without the flag a
+    strict foreign engine re-serializing the log may strip them. The
+    flag is claimed ONLY when partitionValues AND size are BOTH
+    present: flag-true with null partitionValues is the
+    spec-malformed shape strict engines reject (delta-spark's
+    tombstone partition filtering NPE'd on exactly it), so a
+    tags-only remove ships its tags WITHOUT the flag. Pins: the flag
+    condition, the tags-only shape, and that from_json round-trips a
+    foreign remove's partitionValues/size instead of dropping them."""
     from dask_deltalake_spark.delta.protocol import RemoveAction
 
     bare = RemoveAction(path="f.parquet", deletion_timestamp=5)
@@ -953,7 +955,11 @@ def test_remove_extended_file_metadata_flag():
         tags={RemoveAction.REPLAY_ARCHIVE_TAG: "true"},
     )
     d = tagged.to_json()["remove"]
-    assert d["extendedFileMetadata"] is True
+    assert "extendedFileMetadata" not in d, (
+        "tags-only (no partitionValues/size) must NOT claim the flag "
+        "— flag-true with null partitionValues is spec-malformed"
+    )
+    assert "partitionValues" not in d and "size" not in d
     assert d["tags"] == {RemoveAction.REPLAY_ARCHIVE_TAG: "true"}
 
     full = RemoveAction(

@@ -549,6 +549,16 @@ def test_q56_multiset_ops_matches_duckdb_oracle(spark):
 
     sf_dir = "/root/testdata/sf0.01"
     df = q56_multiset_ops(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") >= 2, (
+        "EXCEPT ALL / INTERSECT ALL must take the aggregate+replicate "
+        "rewrite (a Generate node per operator)"
+    )
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert node not in plan, f"multiset ops must not plan a {node}"
+    assert plan.count("BroadcastNestedLoopJoin") == 1, (
+        "the only join is the single-row x single-row result combiner"
+    )
     row = df.collect()[0].asDict()
     con = duckdb.connect()
     con.execute(
