@@ -1116,3 +1116,84 @@ def test_dv_column_mapping_cdf_interplay(spark, tmp_path):
     enable_row_tracking(path)
     with pytest.raises(DeltaProtocolError, match="rowTracking|features"):
         merge_into(path, src, keys="id", spark=spark)
+
+
+def test_foreign_extended_remove_survives_our_recheckpoint(
+    spark, tmp_path
+):
+    """The ADVICE r11 interop scenario, driven end-to-end in the
+    direction WE control: a foreign writer's remove carrying
+    extendedFileMetadata + partitionValues + size + tags must survive
+    OUR re-serialization (create_checkpoint) with the flag and every
+    gated field intact — before r12, from_json dropped
+    partitionValues/size on parse, so our checkpoint silently
+    stripped a foreign engine's fields."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dask_deltalake_spark import read_delta, to_delta
+    from dask_deltalake_spark.delta.maintenance import create_checkpoint
+
+    path = str(tmp_path / "t")
+    df = spark.range(20).selectExpr("id", "CAST(id % 2 AS INT) AS p")
+    to_delta(df, path, partition_by=["p"])                      # v0
+    # foreign-style commit: remove one of v0's files the way
+    # delta-spark serializes it (flag + partitionValues + size + tags)
+    log_dir = os.path.join(path, "_delta_log")
+    v0_adds = [
+        _json.loads(line)["add"]
+        for line in open(os.path.join(log_dir, f"{0:020d}.json"))
+        if '"add"' in line
+    ]
+    victim = next(a for a in v0_adds if a["partitionValues"] == {"p": "1"})
+    import time as _time
+
+    now_ms = int(_time.time() * 1000)
+    foreign_remove = {
+        "remove": {
+            "path": victim["path"],
+            # recent timestamp: an expired tombstone is DROPPED by
+            # checkpoint retention (by design), which is not the
+            # preservation path under test
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "extendedFileMetadata": True,
+            "partitionValues": victim["partitionValues"],
+            "size": victim["size"],
+            "tags": {"foreignMarker": "keep-me"},
+        }
+    }
+    commit = {
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "DELETE",
+            "engineInfo": "Apache-Spark/3.5.0 Delta-Lake/3.1.0",
+        }
+    }
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(_json.dumps(commit) + "\n")
+        fh.write(_json.dumps(foreign_remove) + "\n")
+
+    # our reader honors the foreign remove
+    remaining = read_delta(path, spark=spark).count()
+    assert remaining < 20
+
+    # our checkpoint preserves the foreign remove's extended fields
+    cp = create_checkpoint(path)
+    rem = [
+        r["remove"]
+        for r in pq.read_table(cp).to_pylist()
+        if r.get("remove") and r["remove"].get("path")
+    ]
+    mine = [r for r in rem if r["path"] == victim["path"]]
+    assert mine, "the foreign tombstone must survive our checkpoint"
+    r = mine[0]
+    assert r["extendedFileMetadata"] is True
+    assert dict(r["partitionValues"]) == victim["partitionValues"]
+    assert r["size"] == victim["size"]
+    assert dict(r["tags"]) == {"foreignMarker": "keep-me"}
+
+    # and a checkpoint-anchored replay still reads the same table
+    assert read_delta(path, spark=spark).count() == remaining
