@@ -403,12 +403,21 @@ def test_x43_embedding_cohesion_matches_duckdb_oracle(spark):
     )
 
     sf_dir = "/root/testdata/sf0.01"
+    df = x43_embedding_cohesion(spark, sf_dir)
+    # scale claim pinned: the per-label centroid frame joins back to
+    # the corpus BROADCAST (K-row metadata side), and the global
+    # centroid rides a single-row broadcast nested loop — never a
+    # corpus-shuffling join
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
     got = {
         r["label"]: (
             r["n_vecs"], r["avg_norm"], r["cos_to_global"],
             r["cos_to_own"],
         )
-        for r in x43_embedding_cohesion(spark, sf_dir).collect()
+        for r in df.collect()
     }
     con = duckdb.connect()
     con.execute(
