@@ -271,3 +271,124 @@ def test_add_and_drop_column(spark, tmp_path):
         drop_column(path, "part")
     with pytest.raises(ValueError, match="not found"):
         drop_column(path, "nope")
+
+
+def test_dml_rename_sequence_property(spark, tmp_path):
+    """Sequence-diversity contract over the rename x DML interplay
+    (extends the single r12 lifecycle in tests/test_dv.py): a
+    deterministic battery of operation sequences — renames of data
+    AND partition columns interleaved with appends, COW/MoR deletes,
+    updates, and merges, in orders the targeted tests don't sample
+    (rename-before-MoR, double rename of the same column,
+    rename-between-merge-and-delete) — must leave the table equal to
+    a pandas model applying the same logical operations. Any
+    unkeyed keep-predicate, untranslated predicate, or
+    physical/logical name drift diverges some sequence."""
+    import pandas as pd
+
+    from dask_deltalake_spark.delta.mutate import (
+        delete_where,
+        merge_into,
+        update_where,
+    )
+
+    # each sequence: (op, args) over logical state; cN = N-th rename
+    # target name for the column that started as 'val' / 'part'
+    SEQUENCES = [
+        # rename data col BEFORE MoR delete, then COW on the new name
+        [("rename", "val", "v1"), ("mor_delete", "id", 5),
+         ("cow_delete_col", "v1", 200), ("append", 40, 50)],
+        # MoR first, rename PARTITION col, merge keyed on id, COW on
+        # the renamed partition col
+        [("mor_delete", "id", 8), ("rename", "part", "bucket"),
+         ("merge", 6, 12), ("cow_delete_col", "bucket", 0)],
+        # double rename of the same column with DML between
+        [("rename", "val", "v1"), ("update_lt", "id", 10),
+         ("rename", "v1", "v2"), ("mor_delete", "id", 4),
+         ("merge", 38, 44)],
+        # rename both columns up front, then the full DML ladder
+        [("rename", "part", "bucket"), ("rename", "val", "v1"),
+         ("append", 40, 60), ("mor_delete", "id", 15),
+         ("update_lt", "id", 3), ("merge", 55, 65)],
+    ]
+
+    def spark_frame(lo, hi, valcol, partcol):
+        return (
+            spark.range(lo, hi)
+            .withColumn(partcol, (F.col("id") % 2).cast("int"))
+            .withColumn(valcol, F.col("id") * 10)
+            .select("id", partcol, valcol)
+        )
+
+    for si, seq in enumerate(SEQUENCES):
+        path = str(tmp_path / f"t{si}")
+        to_delta(_df(spark, 0, 40), path, partition_by=["part"])
+        valcol, partcol = "val", "part"
+        model = pd.DataFrame(
+            {"id": range(40)}
+        ).assign(part=lambda d: d.id % 2, val=lambda d: d.id * 10)
+        model.columns = ["id", partcol, valcol]
+
+        for op in seq:
+            if op[0] == "rename":
+                _, old, new = op
+                rename_column(path, old, new, spark=spark)
+                model = model.rename(columns={old: new})
+                if old == valcol:
+                    valcol = new
+                if old == partcol:
+                    partcol = new
+            elif op[0] == "append":
+                _, lo, hi = op
+                to_delta(
+                    spark_frame(lo, hi, valcol, partcol), path,
+                    mode="append",
+                )
+                extra = pd.DataFrame({"id": range(lo, hi)})
+                extra[partcol] = extra.id % 2
+                extra[valcol] = extra.id * 10
+                model = pd.concat([model, extra], ignore_index=True)
+            elif op[0] == "mor_delete":
+                _, col, bound = op
+                delete_where(
+                    path, [(col, "<", bound)], spark=spark,
+                    strategy="merge-on-read",
+                )
+                model = model[model[col] >= bound]
+            elif op[0] == "cow_delete_col":
+                _, col, val = op
+                delete_where(path, [(col, "==", val)], spark=spark)
+                model = model[model[col] != val]
+            elif op[0] == "update_lt":
+                _, col, bound = op
+                update_where(
+                    path, [(col, "<", bound)],
+                    {valcol: F.col(valcol) + 1}, spark=spark,
+                )
+                model = model.copy()
+                model.loc[model[col] < bound, valcol] += 1
+            elif op[0] == "merge":
+                _, lo, hi = op
+                src = spark_frame(lo, hi, valcol, partcol).withColumn(
+                    valcol, F.lit(-7).cast("long")
+                )
+                merge_into(path, src, keys=["id"], spark=spark)
+                src_ids = set(range(lo, hi))
+                matched = model.id.isin(src_ids)
+                model = model.copy()
+                model.loc[matched, valcol] = -7
+                missing = sorted(src_ids - set(model.id))
+                add = pd.DataFrame({"id": missing})
+                add[partcol] = add.id % 2
+                add[valcol] = -7
+                model = pd.concat([model, add], ignore_index=True)
+
+        got = sorted(
+            (r["id"], r[partcol], r[valcol])
+            for r in read_delta(path, spark=spark).collect()
+        )
+        want = sorted(
+            (int(r["id"]), int(r[partcol]), int(r[valcol]))
+            for _, r in model.iterrows()
+        )
+        assert got == want, f"sequence {si} diverged: {seq}"
