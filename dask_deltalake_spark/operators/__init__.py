@@ -195,61 +195,101 @@ _ALL.update(_STREAMING)
 # d34, d41-d43, d45, d46, q01-q04, q06, s01-s06, s08, s09, x01, x04,
 # x07, x08, x28, x30, x31, x33-x38) — all 50 landed green
 # (CORRECTNESS_r11: 48 hash, x08/x33 rows-only by design).
-_R12_FRONT = [
-    # (b) new in r12 (staged through r11), checked first
-    "d50_version_checksum",
-    "q52_window_ignore_nulls",
-    "q53_null_safe_join",
-    "q54_multi_distinct_filter_agg",
-    "x43_embedding_cohesion",
-    # (a0) the two r8-row deferrals — the OLDEST rows, rotate first
-    "d10_delta_write_modes",
-    "d16_python_datasource",
-    # (a) 43 of the 50-name r9 staleness front (7 deferrals justified
-    # in the r12 ROTATION block above)
-    "d01_delta_roundtrip",
-    "d02_delta_time_travel",
-    "d03_delta_partition_prune",
-    "d04_delta_history",
-    "d05_delta_vacuum",
-    "d06_delta_schema_evolution",
-    "d08_delta_optimize",
-    "d14_delta_restore",
-    "d17_storage_options",
-    "d18_table_create_metadata",
-    "d19_change_data_feed",
-    "d29_row_tracking",
-    "d30_in_commit_timestamps",
-    "d33_replace_where_txn",
-    "d36_generated_partition_inference",
-    "d37_clustered_table",
-    "d38_variant_table",
-    "d39_v2_checkpoint",
-    "d44_convert_to_delta",
-    "d47_auto_optimize",
-    "d48_manifest_inventory",
-    "q45_recursive_cte",
-    "q46_variant_semistructured",
-    "s07_stream_stream_join",
-    "s10_stream_static_join",
-    "x02_dedup_normalized",
-    "x03_fingerprint",
-    "x09_embedding_stats",
-    "x10_text_quality",
-    "x11_lang_id",
-    "x12_token_classes",
-    "x14_embedding_near_dup",
-    "x15_tfidf_top_terms",
-    "x16_ivf_ann",
-    "x20_hash_split",
-    "x21_decontaminate",
-    "x22_repetition_filter",
-    "x23_pii_scrub",
-    "x24_source_mix",
-    "x25_pack_sequences",
-    "x26_curation_pipeline",
-    "x27_kmeans",
-    "x32_pq_ann",
+# Round 12 front (history): d50/q52/q53/q54/x43 (staged r11, debuted)
+# + the two r8-row deferrals d10/d16 + 43 of the 50-name r9
+# staleness front — all 50 landed hash-green (CORRECTNESS_r12:
+# 50/50, zero rows-only in the window). The seven r9-tier deferrals
+# (q05, x05, x06, x13, x17, x19, x39) are the r13 rotation's fixed
+# picks below.
+#
+# r13 ROTATION (arithmetic planned in the r12 preview, executed):
+# 59 candidates for 50 slots — the 7 r12-deferral names still on r9
+# rows (q05, x05, x06, x13, x17, x19, x39 — OLDEST, rotate first)
+# PLUS the 50 r10-verified names (d12, d13, d22, d35, d40, q07-q44,
+# q47-q49, x18, x29, x40, x41) PLUS the two r12-staged debuts
+# (q55_full_outer_join, q56_multiset_ops; a new query MUST debut
+# in-window — the standing precedent). Fixed picks per VERDICT r12
+# #1: q55 + q56 + all seven r9 rows = 9 slots; 41 of the 50 r10-tier
+# names fill the rest. The nine r10-tier deferrals, each keeping a
+# green r10 row on a function body with NO diff since before its r10
+# verification (git log -L verified this round: q12/q23-q27 unchanged
+# since 947e55d r1, q41/q42 since 5c0dcdc r2, q28's last diff a33a3ea
+# 08-14 07:56 predates the r9 close 08-15 07:38 — its r10 row is ON
+# the current code), with written justification:
+#   - q23_string_funcs / q24_date_funcs / q25_math_conditional /
+#     q26_array_explode / q27_higher_order_arrays / q28_json_funcs /
+#     q41_map_funcs / q42_unpivot: the scalar-function block — pure
+#     JVM expression projections with no joins, no shared Python
+#     helpers, no Delta surface; the physical family (codegen'd
+#     Project over a parquet scan) is exercised as a precondition by
+#     every in-window query, and each is additionally smoke-run every
+#     session by test_registry_smoke::test_query_runs. q41 is on the
+#     r13 perf watch-list, which bench.py samples regardless of front
+#     position (the bench sweep runs all registered queries).
+#   - q12_approx_count_distinct: a rows-only-by-design driver row
+#     (approximate HLL counts) — the driver row is the WEAKER check;
+#     its quantitative pytest bound (exact-vs-approx relative error)
+#     runs every session, and its exact sibling q11 rotates in-window
+#     this round on the same aggregate surface.
+# Queries riding code CHANGED in r12 deliberately rotate IN: d12/d13/
+# d22 (remove serialization — the extendedFileMetadata gating) get
+# fresh in-window rows here rather than a third check_oracle ledger
+# entry.
+_R13_FRONT = [
+    # (b) new in r13 (staged through r12), checked first
+    "q55_full_outer_join",
+    "q56_multiset_ops",
+    # (a0) the seven r9-row deferrals — the OLDEST rows, rotate first
+    "q05_join_multiway",
+    "x05_minhash_lsh",
+    "x06_simhash",
+    "x13_multimodal_decode",
+    "x17_multimodal_framesample",
+    "x19_embedding_quantize",
+    "x39_bpe_encode",
+    # (a) 41 of the 50-name r10 staleness front (9 deferrals justified
+    # in the r13 ROTATION block above)
+    "q07_join_semi",
+    "q08_join_anti",
+    "q09_join_theta",
+    "q10_asof_join",
+    "q11_agg_suite",
+    "q13_rollup",
+    "q14_cube_grouping_sets",
+    "q15_window_rank",
+    "q16_window_lag_lead",
+    "q17_window_running",
+    "q18_window_range_frame",
+    "q19_topk_global",
+    "q20_topk_per_group",
+    "q21_set_ops",
+    "q22_distinct_dropdup",
+    "q29_grouping_sets",
+    "q30_pivot",
+    "q31_subqueries",
+    "q32_collect_list_set",
+    "q33_percentiles",
+    "q34_bucketed_join",
+    "q35_pandas_udf",
+    "q36_udtf",
+    "q37_window_distribution",
+    "q38_salted_agg",
+    "q39_range_join_binned",
+    "q40_approx_percentiles",
+    "q43_deterministic_sample",
+    "q44_sessionize_batch",
+    "q47_lateral_topn_per_group",
+    "q48_correlated_scalar_agg",
+    "q49_null_aware_anti_join",
+    "d12_delta_delete",
+    "d13_delta_update",
+    "d22_deletion_vectors",
+    "d35_logstore_scheme",
+    "d40_objectstore_dml",
+    "x18_dedup_clusters",
+    "x29_chunk_documents",
+    "x40_exact_substring_dedup",
+    "x41_source_overlap",
 ]
 # Round 9 front (history), in priority order:
 # (a) the 45 names whose latest driver row is r6 (the staleness front
@@ -330,8 +370,8 @@ _R12_FRONT = [
 # ride PrefixLogStore); it is pinned by tests/test_logstore.py and
 # tests/test_vendored_fsspec.py instead.
 # (superseded front lists are removed — ordering history lives in the
-# prose blocks above; only _R12_FRONT is live)
-_unknown = [n for n in _R12_FRONT if n not in _ALL]
+# prose blocks above; only _R13_FRONT is live)
+_unknown = [n for n in _R13_FRONT if n not in _ALL]
 if _unknown:
     # FAIL LOUDLY, never filter: a front name that doesn't resolve is
     # always a bug (r10 self-review caught x41 listed under a
@@ -340,7 +380,7 @@ if _unknown:
     raise RuntimeError(
         f"registry front lists unregistered queries: {_unknown}"
     )
-_POS = {n: i for i, n in enumerate(_R12_FRONT)}
+_POS = {n: i for i, n in enumerate(_R13_FRONT)}
 
 
 def _key(name: str):

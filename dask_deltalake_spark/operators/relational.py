@@ -2214,10 +2214,7 @@ def q54_multi_distinct_filter_agg(
     )
 
 
-# r13 debut (staged; the r12 window is full at 57 candidates for 50
-# slots — the same staging pattern d50/q52-q54/x43 used in r11): NOT
-# yet in REGISTRY; register as q55 with the oracle below when the
-# r13 window opens.
+# Staged in r12, REGISTERED in r13 (debut slot 1 of the r13 front).
 _Q55_ORACLE = """
 WITH a AS (
   SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_a,
@@ -2242,6 +2239,7 @@ GROUP BY cohort
 """
 
 
+@query("q55_full_outer_join", _Q55_ORACLE)
 def q55_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join — the one join type no registered q-row
     samples (q04/q06 cover inner/left; q07-q09 semi/anti/theta; q49
@@ -2306,7 +2304,7 @@ def q55_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r13 debut (staged alongside q55 — see the note there).
+# Staged in r12, REGISTERED in r13 (debut slot 2 of the r13 front).
 _Q56_ORACLE = """
 WITH a AS (
   SELECT l_suppkey AS k, CAST(l_quantity AS INT) AS q
@@ -2326,6 +2324,7 @@ SELECT
 """
 
 
+@query("q56_multiset_ops", _Q56_ORACLE)
 def q56_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL / INTERSECT ALL — multiset (bag) semantics, the set
     operator family q21 does not reach: q21's union/intersect/except
