@@ -145,7 +145,22 @@ def read_delta_changes(
     """Rows changed in commits ``(starting_version, ending_version]``.
 
     Returns the table columns (schema of ``ending_version``) plus
-    ``_change_type`` and ``_commit_version``. Without ``key_columns``
+    ``_change_type`` and ``_commit_version``.
+
+    **End-schema projection (column-mapped tables):** when the range
+    spans a column RENAME, every change image — including commits
+    BEFORE the rename — is reported under the END version's logical
+    column names (each commit is scanned by physical name and
+    positionally renamed to the end schema; physical names are
+    rename-stable, so the values line up). A consumer replaying
+    against a historical schema must map names itself. This is a
+    deliberate divergence from delta-spark, which refuses a CDF range
+    that crosses a schema change by default; serving the feed under
+    one coherent schema is more useful for the resume/incremental
+    contract this reader targets, but it does mean pre-rename
+    versions surface under post-rename names.
+
+    Without ``key_columns``
     change types are 'insert' | 'delete' (file-level); with
     ``key_columns`` rewrite commits additionally emit
     'update_preimage' | 'update_postimage' per actually-changed row

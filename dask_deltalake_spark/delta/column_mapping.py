@@ -84,20 +84,40 @@ def logical_to_physical(schema: StructType) -> dict:
     return {f.name: _physical_name(f) for f in schema.fields}
 
 
+def _any_field_missing_physical(dt) -> bool:
+    """True if any struct field at ANY nesting depth lacks
+    physicalName metadata — the guard must recurse exactly as far as
+    _map_type maps, or an id-mode table whose NESTED struct field
+    lacks the metadata passes a top-level-only guard and is silently
+    scanned under its logical name, reading nulls (ADVICE r12)."""
+    if isinstance(dt, StructType):
+        return any(
+            PHYSICAL_NAME_KEY not in (f.metadata or {})
+            or _any_field_missing_physical(f.dataType)
+            for f in dt.fields
+        )
+    if isinstance(dt, ArrayType):
+        return _any_field_missing_physical(dt.elementType)
+    if isinstance(dt, MapType):
+        return _any_field_missing_physical(
+            dt.keyType
+        ) or _any_field_missing_physical(dt.valueType)
+    return False
+
+
 def scan_schema_for(metadata, schema: StructType) -> StructType:
     """The schema a parquet FILE SCAN of this table must use: the
     logical schema when column mapping is off, the physical-name
     schema otherwise — with the shared id-mode guard (pure
     parquet-field-id resolution, i.e. id mode without physicalName
-    metadata, is unsupported). Single-sourced for every scan path
-    (reader.py, cdc.py — review r12: the guard + selection were
-    duplicated and could drift)."""
+    metadata at ANY nesting depth, is unsupported — the guard
+    recurses like _map_type does, ADVICE r12). Single-sourced for
+    every scan path (reader.py, cdc.py — review r12: the guard +
+    selection were duplicated and could drift)."""
     from dask_deltalake_spark.delta.protocol import DeltaProtocolError
 
     mode = column_mapping_mode(metadata)
-    if mode == "id" and any(
-        PHYSICAL_NAME_KEY not in (f.metadata or {}) for f in schema.fields
-    ):
+    if mode == "id" and _any_field_missing_physical(schema):
         raise DeltaProtocolError(
             "id-mode column mapping without physicalName metadata "
             "(pure parquet-field-id resolution) is not supported."

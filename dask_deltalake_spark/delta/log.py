@@ -343,6 +343,7 @@ class DeltaLog:
                     dv = None  # all-null struct from a DV-less row
                 brid = a.get("baseRowId")
                 drcv = a.get("defaultRowCommitVersion")
+                atags = a.get("tags")
                 adds[path] = AddAction(
                     path=path,
                     size=int(a.get("size") or 0),
@@ -355,6 +356,7 @@ class DeltaLog:
                     default_row_commit_version=(
                         int(drcv) if drcv is not None else None
                     ),
+                    tags=dict(atags) if atags else None,
                 )
             elif row.get("remove"):
                 r = row["remove"]

@@ -16,6 +16,7 @@ file counts that degrade scan planning).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from typing import Optional
@@ -400,6 +401,9 @@ def create_checkpoint(
                     "deletionVector": a.deletion_vector,
                     "baseRowId": a.base_row_id,
                     "defaultRowCommitVersion": a.default_row_commit_version,
+                    # foreign add tags survive our checkpoint (spec
+                    # `tags` on add actions — un-gated; VERDICT r12 #3)
+                    "tags": a.tags,
                 }
             }
         )
@@ -435,9 +439,32 @@ def create_checkpoint(
     # this to inclusive: dropping at the boundary is the dangerous
     # direction. The shared _configured_retention_hours ladder keeps
     # the WINDOW identical; only the boundary millisecond differs.
+    # Backfill map for tombstones missing partitionValues/size: a
+    # superseded-VECTOR remove's path is live again under a new dvId,
+    # so the live add describes the SAME physical parquet file — its
+    # partitionValues and size are the removed entry's by
+    # construction. Backfilling at checkpoint time lets such a
+    # tombstone (e.g. a tags-only replay-archive remove parsed from a
+    # pre-r12 checkpoint) legitimately claim extendedFileMetadata, so
+    # a strict foreign engine re-serializing our checkpoint keeps its
+    # tags instead of dropping un-gated fields (ADVICE r12).
+    _live_adds = {a.path: a for a in snap.add_actions}
     for r in snap.tombstones_all:
         if r.deletion_timestamp and r.deletion_timestamp < _tomb_cutoff:
             continue
+        if (r.partition_values is None or r.size is None) and (
+            r.path in _live_adds
+        ):
+            _a = _live_adds[r.path]
+            r = dataclasses.replace(
+                r,
+                partition_values=(
+                    r.partition_values
+                    if r.partition_values is not None
+                    else dict(_a.partition_values)
+                ),
+                size=r.size if r.size is not None else _a.size,
+            )
         rows.append(
             {
                 "remove": {
@@ -454,14 +481,13 @@ def create_checkpoint(
                     # claimed only when partitionValues AND size are
                     # both present — flag-true with null
                     # partitionValues is the malformed shape strict
-                    # engines reject)
+                    # engines reject). A one-field-only remove (a
+                    # foreign engine's asymmetric shape) emits the
+                    # present field UN-GATED, mirroring
+                    # RemoveAction.to_json (ADVICE r12).
                     "extendedFileMetadata": r.extended_file_metadata,
-                    "partitionValues": (
-                        r.partition_values
-                        if r.extended_file_metadata
-                        else None
-                    ),
-                    "size": r.size if r.extended_file_metadata else None,
+                    "partitionValues": r.partition_values,
+                    "size": r.size,
                     "tags": r.tags,
                 }
             }
@@ -542,6 +568,7 @@ def create_checkpoint(
                         ),
                         ("baseRowId", pa.int64()),
                         ("defaultRowCommitVersion", pa.int64()),
+                        ("tags", pa.map_(pa.string(), pa.string())),
                     ]
                 ),
             ),
@@ -1316,6 +1343,10 @@ def restore(
                 modification_time=ts,
                 data_change=True,
                 stats=a.stats,
+                # a re-added file keeps its tags (e.g. a foreign
+                # OPTIMIZE's ZCube marker) — RESTORE reinstates state,
+                # it does not launder metadata
+                tags=a.tags,
                 # the target version's vector state comes back with the
                 # file (None wipes a newer vector, restoring its rows)
                 deletion_vector=a.deletion_vector,
@@ -2054,7 +2085,19 @@ def _canon_add(d: Optional[dict]) -> Optional[tuple]:
         tuple(sorted(dv.items())) if dv else None,
         d.get("baseRowId"),
         d.get("defaultRowCommitVersion"),
+        _canon_tags(d.get("tags")),
     )
+
+
+def _canon_tags(tg) -> Optional[tuple]:
+    """Normalize an add's tags across the dict→parquet→to_pylist
+    round trip (maps come back as (k, v) tuple lists; a pre-r13
+    checkpoint has no tags column at all → None == empty)."""
+    if not tg:
+        return None
+    if isinstance(tg, dict):
+        tg = list(tg.items())
+    return tuple(sorted((str(k), v) for k, v in tg))
 
 
 def _reusable_sidecars(

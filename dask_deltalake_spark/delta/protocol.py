@@ -311,6 +311,13 @@ class AddAction:
     # stamped on its rows — both assigned by the committing writer
     base_row_id: Optional[int] = None
     default_row_commit_version: Optional[int] = None
+    # spec `tags` (optional, un-gated string map on add actions —
+    # delta-spark stamps e.g. OPTIMIZE ZCube ids here). We never
+    # originate add tags, but a FOREIGN log's add tags must survive
+    # our parse → re-serialization (commit rewrite, checkpoint), the
+    # same silent-stripping class the r12 remove fix closed
+    # (VERDICT r12 #3).
+    tags: Optional[dict] = None
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -331,6 +338,8 @@ class AddAction:
             d["baseRowId"] = self.base_row_id
         if self.default_row_commit_version is not None:
             d["defaultRowCommitVersion"] = self.default_row_commit_version
+        if self.tags:
+            d["tags"] = self.tags
         return {"add": d}
 
     @classmethod
@@ -349,6 +358,7 @@ class AddAction:
             default_row_commit_version=(
                 int(drcv) if drcv is not None else None
             ),
+            tags=dict(d["tags"]) if d.get("tags") else None,
         )
 
 
@@ -430,6 +440,19 @@ class RemoveAction:
             d["extendedFileMetadata"] = True
             d["partitionValues"] = self.partition_values
             d["size"] = self.size
+        else:
+            # ONE of partitionValues/size present (a foreign engine
+            # wrote flag-true with a single field): re-emit the
+            # present field UN-GATED rather than dropping it (the
+            # pre-r13 behavior silently stripped it — ADVICE r12) or
+            # re-claiming the flag with a null partitionValues (the
+            # spec-malformed shape strict engines NPE on). A strict
+            # foreign reader may ignore an un-gated field, but the
+            # data survives OUR round-trip for engines that read it.
+            if self.partition_values is not None:
+                d["partitionValues"] = self.partition_values
+            if self.size is not None:
+                d["size"] = self.size
         if self.tags:
             d["tags"] = self.tags
         return {"remove": d}

@@ -390,15 +390,19 @@ def _key(name: str):
 REGISTRY: dict = {name: _ALL[name] for name in sorted(_ALL, key=_key)}
 
 __all__ = ["REGISTRY"]
-# r13 ROTATION PREVIEW (plan the squeeze before the round closes):
-# the r13 staleness front is the 7 r12-deferral names still on r9
-# rows (q05, x05, x06, x13, x17, x19, x39 — OLDEST, rotate first)
-# plus the 50 r10-verified names (d12, d13, d22, d35, d40, q07-q44,
-# x18, x29, q47-q49, x40, x41) and the two r12-staged debuts
-# (q55_full_outer_join, q56_multiset_ops) = 59 candidates for 50
-# slots. Nine deferrals will need written justification; favor
-# r10-tier names whose surfaces carry no r11/r12/r13 diff and strong
-# pytest cover (the q07-q44 block is 38 names — plan the arithmetic
-# BEFORE building), and do NOT stage new queries in r13 unless the
-# window math is re-derived: the squeeze is now structural (152+
-# registered, 50 slots), so staleness floors land at ~3 rounds.
+# r14 ROTATION PREVIEW (plan the squeeze before the round closes):
+# after r13 the ledger rows sit at r10x9 (this round's deferrals:
+# q12, q23-q28, q41, q42 — the OLDEST, rotate first), r11x50, r12x50,
+# r13x50. The r14 candidates are those 9 r10-tier names + the 50
+# r11-verified names (d07, d09, d11, d15, d20, d21, d23-d28, d31,
+# d32, d34, d41-d43, d45, d46, q01-q04, q06, s01-s06, s08, s09, x01,
+# x04, x07, x08, x28, x30, x31, x33-x38, d49, q50, x42, q51) + the
+# two r13-staged debuts (q57_window_interval_range,
+# q58_gap_fill_resample) = 61 for 50 slots -> ELEVEN r11-tier
+# deferrals need written justification (favor surfaces with no
+# r12/r13/r14 diff + strong pytest pins; the s01-s09 streaming block
+# and the d-queries adjacent to any r14 serializer work must rotate
+# IN, not defer). Re-derive before staging anything beyond the two:
+# 159 registered + 2 = 161 names in 50 slots puts the staleness
+# floor at ~3.2 rounds, so every extra staging deepens next round's
+# deferral count one-for-one.

@@ -2372,3 +2372,150 @@ def q56_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_intersect_all").cast("bigint").alias("n_intersect_all"),
         "q_intersect_all",
     )
+
+
+# r14 debut (staged in r13; the r13 window is full at 59 candidates
+# for 50 slots — the same staging pattern q55/q56 used in r12): NOT
+# yet in REGISTRY; register as q57 with the oracle below when the
+# r14 window opens.
+_Q57_ORACLE = """
+SELECT o_orderkey, n_30d, rev_90d FROM (
+  SELECT o_orderkey, o_orderdate,
+         CAST(COUNT(*) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_30d,
+         ROUND(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
+         ), 2) AS rev_90d
+  FROM orders
+) WHERE o_orderdate >= DATE '1998-06-01'
+"""
+
+
+def q57_window_interval_range(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calendar-INTERVAL RANGE frames (trailing 30/90-day sliding
+    aggregates per customer) — the window-frame family q18 does NOT
+    sample: q18's RANGE frame has NUMERIC boundaries (a long offset
+    over o_totalprice), while an INTERVAL boundary over a date/time
+    ORDER BY is its own physical path (SpecifiedWindowFrame with
+    CalendarInterval bounds — month/day arithmetic the numeric frame
+    cannot express, and the PySpark-API gap that forces the SQL
+    expression form: Window.rangeBetween only takes longs). The
+    trailing-window rollup is THE time-series shape (rolling 30-day
+    active-order count, rolling 90-day revenue) a training-data or
+    metrics pipeline runs at scale.
+    Scale: both frames share one (o_custkey, o_orderdate) sort, so
+    the plan is ONE hash-partition exchange on o_custkey + one sort
+    feeding both Window evaluations (plan-asserted: a single
+    hashpartitioning exchange, RangeFrame present); the frame scan is
+    a per-partition two-pointer over the sorted run — no row
+    expansion, no second shuffle. The trailing filter keeps the
+    verified output to the tail month without changing any window
+    input (filter applies AFTER the window, pushed nowhere).
+    Reference parity: window coverage family, reference
+    tests/test_core.py.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderdate",
+            F.expr(
+                "CAST(COUNT(*) OVER (PARTITION BY o_custkey "
+                "ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAYS "
+                "PRECEDING AND CURRENT ROW) AS BIGINT)"
+            ).alias("n_30d"),
+            F.expr(
+                "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+                "ORDER BY o_orderdate RANGE BETWEEN INTERVAL 90 DAYS "
+                "PRECEDING AND CURRENT ROW), 2)"
+            ).alias("rev_90d"),
+        )
+        .filter(F.col("o_orderdate") >= F.lit("1998-06-01").cast("date"))
+        .select("o_orderkey", "n_30d", "rev_90d")
+    )
+
+
+# r14 debut (staged alongside q57 — see the note there).
+_Q58_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+         ROUND(SUM(value), 2) AS v
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(MIN(day), MAX(day),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM daily GROUP BY user_id
+),
+joined AS (
+  SELECT s.user_id, s.day, d.v, (d.v IS NULL) AS is_gap
+  FROM spine s LEFT JOIN daily d USING (user_id, day)
+)
+SELECT user_id, day,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_filled,
+       is_gap
+FROM joined
+"""
+
+
+def q58_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + forward-fill resampling (the
+    hypertable/timescale rollup family — `time_bucket_gapfill` +
+    `locf`): bucket events to days per user, generate each user's
+    complete day spine with sequence()+explode, left-join the actuals
+    onto the spine, and forward-fill missing days with the last
+    non-null daily value (last() IGNORE NULLS over an ordered row
+    frame — the carry-forward q52's lag/lead family reads but never
+    WRITES into synthesized rows). No registered query samples the
+    spine-generation shape: a generator whose row expansion is
+    data-DERIVED (min→max per key) rather than exploding a stored
+    array (q26).
+    Scale: the daily rollup partial-aggregates map-side on (user,
+    day) before its shuffle; the spine is O(active-days) per key —
+    bounded, metadata-like expansion (a year is 365 rows per key, no
+    matter how many billions of events the key has, so the POST-agg
+    frames are tiny relative to the input); the spine↔daily join and
+    the fill window share the user_id hash partitioning, and AQE
+    coalesces the post-agg sides. All JVM expressions — no Python
+    row path.
+    Reference parity: window/resample coverage family, reference
+    tests/test_core.py.
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left").withColumn(
+        "is_gap", F.col("v").isNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        "is_gap",
+    )

@@ -392,3 +392,81 @@ def test_dml_rename_sequence_property(spark, tmp_path):
             for _, r in model.iterrows()
         )
         assert got == want, f"sequence {si} diverged: {seq}"
+
+
+def test_id_mode_guard_recurses_into_nested_fields():
+    """The id-mode guard (pure parquet-field-id resolution is
+    unsupported) must recurse exactly as far as the physical-schema
+    mapping does: an id-mode table whose NESTED struct field lacks
+    physicalName metadata previously passed a top-level-only guard
+    and was silently scanned under its logical name, reading nulls
+    (ADVICE r12)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from dask_deltalake_spark.delta.column_mapping import scan_schema_for
+    from dask_deltalake_spark.delta.protocol import (
+        COLUMN_ID_KEY,
+        PHYSICAL_NAME_KEY,
+        Metadata,
+    )
+
+    def _meta(mode):
+        return Metadata(
+            id="m",
+            schema_string="{}",
+            configuration={"delta.columnMapping.mode": mode},
+        )
+
+    def _f(name, dtype, physical=True):
+        md = {COLUMN_ID_KEY: 1}
+        if physical:
+            md[PHYSICAL_NAME_KEY] = f"col-{name}"
+        return StructField(name, dtype, True, metadata=md)
+
+    # nested struct field WITHOUT physicalName, top-level complete
+    bad_nested = StructType(
+        [
+            _f("a", LongType()),
+            _f(
+                "s",
+                StructType([_f("inner", LongType(), physical=False)]),
+            ),
+        ]
+    )
+    with pytest.raises(DeltaProtocolError, match="physicalName"):
+        scan_schema_for(_meta("id"), bad_nested)
+
+    # same shape inside an array element's struct
+    bad_array = StructType(
+        [
+            _f(
+                "arr",
+                ArrayType(
+                    StructType([_f("inner", LongType(), physical=False)])
+                ),
+            )
+        ]
+    )
+    with pytest.raises(DeltaProtocolError, match="physicalName"):
+        scan_schema_for(_meta("id"), bad_array)
+
+    # fully-annotated nested schema passes and maps recursively
+    good = StructType(
+        [
+            _f("a", LongType()),
+            _f("s", StructType([_f("inner", LongType())])),
+        ]
+    )
+    mapped = scan_schema_for(_meta("id"), good)
+    assert mapped.fieldNames() == ["col-a", "col-s"]
+    assert mapped["col-s"].dataType.fieldNames() == ["col-inner"]
+    # name mode maps the same shape without the id guard
+    mapped_name = scan_schema_for(_meta("name"), good)
+    assert mapped_name.fieldNames() == ["col-a", "col-s"]
+    # mapping off → logical schema unchanged
+    assert scan_schema_for(_meta("none"), good) is good

@@ -1,0 +1,409 @@
+"""Foreign-engine interop: hand-written delta-spark-style commits and
+checkpoints are parsed, honored, and re-serialized WITHOUT silently
+stripping or mangling what the other engine wrote (VERDICT r12 #3 —
+the thread the r12 foreign-remove round-trip opened; reference parity:
+the reference delegates all of this to delta-rs, so the contract under
+test is the public Delta protocol spec itself).
+
+Covers the r13 additions:
+- one-field-only extendedFileMetadata removes round-trip the present
+  field un-gated instead of dropping it (ADVICE r12 #2);
+- tags-only tombstones whose path is still live get partitionValues/
+  size backfilled at checkpoint time so extendedFileMetadata is
+  legitimately claimable (ADVICE r12 #1);
+- foreign add `tags` survive parse → re-checkpoint → replay
+  (the same silent-strip class as the r12 remove fix);
+- nested-struct stats JSON from a foreign writer neither breaks
+  data skipping nor is altered by our re-serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow.parquet as pq
+import pytest
+
+from urllib.parse import unquote
+
+from dask_deltalake_spark import read_delta, to_delta
+from dask_deltalake_spark.delta.log import DeltaLog
+from dask_deltalake_spark.delta.maintenance import create_checkpoint
+from dask_deltalake_spark.delta.protocol import AddAction, RemoveAction
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _append_foreign_commit(table_path: str, version: int, actions: list):
+    """Write a commit json the way a foreign engine would (no helper
+    from our writer — the point is the bytes, not our serializer)."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    commit_info = {
+        "commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": "WRITE",
+            "engineInfo": "Apache-Spark/3.5.0 Delta-Lake/3.1.0",
+        }
+    }
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+        fh.write(json.dumps(commit_info) + "\n")
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _v0_adds(table_path: str) -> list:
+    log_dir = os.path.join(table_path, "_delta_log")
+    return [
+        json.loads(line)["add"]
+        for line in open(os.path.join(log_dir, f"{0:020d}.json"))
+        if '"add"' in line
+    ]
+
+
+# ---------------------------------------------------------------------------
+# One-field-only extendedFileMetadata removes (ADVICE r12 #2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("present", ["size", "partitionValues"])
+def test_one_field_extended_remove_round_trips_ungated(present):
+    """A foreign remove with extendedFileMetadata=true but only ONE of
+    partitionValues/size present (an asymmetric foreign shape): the
+    pre-r13 to_json dropped the present field entirely; now it is
+    re-emitted UN-GATED — the flag is not re-claimed (flag-true with
+    a null partitionValues is the spec-malformed shape strict engines
+    NPE on), but the field a foreign engine wrote survives OUR
+    round trip."""
+    d = {
+        "path": "part-0001.parquet",
+        "deletionTimestamp": 123,
+        "dataChange": True,
+        "extendedFileMetadata": True,
+    }
+    if present == "size":
+        d["size"] = 4567
+    else:
+        d["partitionValues"] = {"p": "1"}
+
+    r = RemoveAction.from_json(d)
+    out = r.to_json()["remove"]
+    assert "extendedFileMetadata" not in out  # not re-claimable
+    if present == "size":
+        assert out["size"] == 4567
+        assert "partitionValues" not in out
+    else:
+        assert out["partitionValues"] == {"p": "1"}
+        assert "size" not in out
+    # and the un-gated emission itself round-trips stably (fixpoint)
+    r2 = RemoveAction.from_json(out)
+    assert r2.to_json()["remove"] == out
+
+
+def test_one_field_remove_survives_recheckpoint(spark, tmp_path):
+    """End-to-end: the asymmetric foreign remove above, applied to a
+    real table, keeps its size field through OUR checkpoint (un-gated,
+    flag false) when the removed path is gone (nothing to backfill
+    partitionValues from)."""
+    path = str(tmp_path / "t")
+    df = spark.range(10).selectExpr("id")
+    to_delta(df, path)  # v0
+    victim = _v0_adds(path)[0]
+    _append_foreign_commit(
+        path,
+        1,
+        [
+            {
+                "remove": {
+                    "path": victim["path"],
+                    "deletionTimestamp": _now_ms(),
+                    "dataChange": True,
+                    "extendedFileMetadata": True,
+                    # size only — no partitionValues
+                    "size": victim["size"],
+                }
+            }
+        ],
+    )
+    cp = create_checkpoint(path)
+    rem = [
+        r["remove"]
+        for r in pq.read_table(cp).to_pylist()
+        if r.get("remove") and r["remove"].get("path")
+    ]
+    mine = [
+        r
+        for r in rem
+        if unquote(r["path"]) == unquote(victim["path"])
+    ]
+    assert mine, "the foreign tombstone must survive our checkpoint"
+    r = mine[0]
+    assert r["size"] == victim["size"]  # the present field survives
+    # the flag is not re-claimed without partitionValues (an
+    # unpartitioned table's add DOES carry partitionValues={}, so the
+    # only un-backfillable shape is a dead path — which this is)
+    assert not r["extendedFileMetadata"]
+    assert r["partitionValues"] is None
+
+
+# ---------------------------------------------------------------------------
+# Tags-only tombstone backfill at checkpoint time (ADVICE r12 #1)
+# ---------------------------------------------------------------------------
+
+
+def test_tags_only_tombstone_backfilled_at_checkpoint(spark, tmp_path):
+    """A tags-only tombstone (e.g. a replay-archive remove parsed from
+    a pre-r12 checkpoint: deletionVector identity + tags, no
+    partitionValues/size) whose PATH is still live — the
+    superseded-vector shape, where the live add describes the same
+    physical parquet file. The checkpoint writer backfills
+    partitionValues/size from that add, so extendedFileMetadata is
+    legitimately claimed and a strict foreign engine re-serializing
+    our checkpoint keeps the tags instead of dropping un-gated
+    fields."""
+    path = str(tmp_path / "t")
+    df = spark.range(20).selectExpr("id", "CAST(id % 2 AS INT) AS p")
+    to_delta(df, path, partition_by=["p"])  # v0
+    victim = next(
+        a for a in _v0_adds(path) if a["partitionValues"] == {"p": "1"}
+    )
+    # foreign remove of a STALE vector identity on the live path:
+    # reconciliation is (path, dvId)-keyed, so the plain add survives
+    # and the remove lands in the tombstone set — tags-only
+    _append_foreign_commit(
+        path,
+        1,
+        [
+            {
+                "remove": {
+                    "path": victim["path"],
+                    "deletionTimestamp": _now_ms(),
+                    "dataChange": True,
+                    "deletionVector": {
+                        "storageType": "u",
+                        "pathOrInlineDv": "ab^-aqEH.-t@S}K{vb[*k^",
+                        "offset": 4,
+                        "sizeInBytes": 40,
+                        "cardinality": 6,
+                    },
+                    "tags": {"foreignMarker": "keep-me"},
+                }
+            }
+        ],
+    )
+    # the live add is untouched (stale-vector remove, different dvId)
+    assert read_delta(path, spark=spark).count() == 20
+
+    cp = create_checkpoint(path)
+    rem = [
+        r["remove"]
+        for r in pq.read_table(cp).to_pylist()
+        if r.get("remove") and r["remove"].get("path")
+    ]
+    mine = [
+        r
+        for r in rem
+        if unquote(r["path"]) == unquote(victim["path"])
+    ]
+    assert mine, "the tags-only tombstone must survive our checkpoint"
+    r = mine[0]
+    # backfilled from the live add with the same path → flag claimed
+    assert r["extendedFileMetadata"] is True
+    assert dict(r["partitionValues"]) == victim["partitionValues"]
+    assert r["size"] == victim["size"]
+    assert dict(r["tags"]) == {"foreignMarker": "keep-me"}
+
+    # a CHECKPOINT-ANCHORED replay parses the backfilled tombstone
+    # with the fields and flag intact (drive the loader directly —
+    # the session-cached snapshot replays the JSON tail, where the
+    # tombstone is legitimately still tags-only)
+    log = DeltaLog(path)
+    _, cp_removes, *_ = log._load_checkpoint(1)
+    parsed = [
+        t
+        for t in cp_removes.values()
+        if t.path == unquote(victim["path"])
+    ]
+    assert parsed and parsed[0].tags == {"foreignMarker": "keep-me"}
+    assert parsed[0].partition_values == victim["partitionValues"]
+    assert parsed[0].size == victim["size"]
+    assert parsed[0].extended_file_metadata is True
+    # and the live table is unchanged
+    assert read_delta(path, spark=spark).count() == 20
+
+
+# ---------------------------------------------------------------------------
+# Foreign add tags (VERDICT r12 #3 — same class as the remove fix)
+# ---------------------------------------------------------------------------
+
+
+def test_foreign_add_tags_survive_parse_and_recheckpoint(spark, tmp_path):
+    """A foreign commit whose add carries spec `tags` (delta-spark
+    stamps OPTIMIZE ZCube ids there): before r13 the parse dropped
+    them, so our checkpoint silently stripped what the foreign engine
+    wrote. Now: JSON parse keeps them, our checkpoint carries them,
+    a checkpoint-anchored replay still sees them, and a second
+    re-checkpoint is a fixpoint."""
+    path = str(tmp_path / "t")
+    to_delta(spark.range(10).coalesce(1).selectExpr("id"), path)  # v0
+    # foreign append: a second data file with tags (reuse v0's file
+    # bytes under a new name so the scan stays real)
+    v0 = _v0_adds(path)[0]
+    src = os.path.join(path, v0["path"])
+    newname = "part-ffff-foreign.snappy.parquet"
+    import shutil
+
+    shutil.copyfile(src, os.path.join(path, newname))
+    foreign_add = {
+        "add": {
+            "path": newname,
+            "partitionValues": {},
+            "size": v0["size"],
+            "modificationTime": _now_ms(),
+            "dataChange": True,
+            "stats": v0.get("stats"),
+            "tags": {"ZCUBE_ID": "zc-123", "INSERTION_TIME": "170000"},
+        }
+    }
+    _append_foreign_commit(path, 1, [foreign_add])
+
+    # parse keeps the tags
+    log = DeltaLog(path)
+    snap = log.snapshot()
+    a = snap.add_actions_by_path[newname] if hasattr(
+        snap, "add_actions_by_path"
+    ) else next(x for x in snap.add_actions if x.path == newname)
+    assert a.tags == {"ZCUBE_ID": "zc-123", "INSERTION_TIME": "170000"}
+    assert read_delta(path, spark=spark).count() == 20
+
+    # checkpoint carries them
+    cp = create_checkpoint(path)
+    rows = pq.read_table(cp).to_pylist()
+    cp_add = next(
+        r["add"]
+        for r in rows
+        if r.get("add") and r["add"].get("path") == newname
+    )
+    assert dict(cp_add["tags"]) == {
+        "ZCUBE_ID": "zc-123",
+        "INSERTION_TIME": "170000",
+    }
+    # our own adds carry no tags — null, not empty map
+    own = next(
+        r["add"]
+        for r in rows
+        if r.get("add") and r["add"].get("path") == v0["path"]
+    )
+    assert own["tags"] is None
+
+    # checkpoint-anchored replay sees them (fresh log, replay from cp)
+    snap2 = DeltaLog(path).snapshot()
+    a2 = next(x for x in snap2.add_actions if x.path == newname)
+    assert a2.tags == {"ZCUBE_ID": "zc-123", "INSERTION_TIME": "170000"}
+
+    # and re-checkpointing from the checkpoint-anchored state is a
+    # fixpoint for the tags
+    to_delta(spark.range(5).selectExpr("id"), path, mode="append")
+    cp2 = create_checkpoint(path)
+    cp2_add = next(
+        r["add"]
+        for r in pq.read_table(cp2).to_pylist()
+        if r.get("add") and r["add"].get("path") == newname
+    )
+    assert dict(cp2_add["tags"]) == {
+        "ZCUBE_ID": "zc-123",
+        "INSERTION_TIME": "170000",
+    }
+
+
+def test_add_tags_round_trip_unit():
+    """AddAction JSON round-trip: tags preserved verbatim; absent tags
+    stay absent (no empty-map pollution of our own commits)."""
+    d = {
+        "path": "f.parquet",
+        "partitionValues": {},
+        "size": 1,
+        "modificationTime": 2,
+        "dataChange": True,
+        "tags": {"k": "v"},
+    }
+    a = AddAction.from_json(d)
+    assert a.tags == {"k": "v"}
+    assert a.to_json()["add"]["tags"] == {"k": "v"}
+    d.pop("tags")
+    a2 = AddAction.from_json(d)
+    assert a2.tags is None
+    assert "tags" not in a2.to_json()["add"]
+
+
+# ---------------------------------------------------------------------------
+# Nested-struct stats JSON (VERDICT r12 #3)
+# ---------------------------------------------------------------------------
+
+
+def test_nested_struct_stats_neither_break_skipping_nor_mutate(
+    spark, tmp_path
+):
+    """A foreign add whose stats JSON has NESTED struct minValues/
+    maxValues (delta-spark writes stats for struct columns this way):
+    our data skipping must stay conservative (keep the file — a dict
+    is not comparable to a scalar), the filtered read must still be
+    correct, and our checkpoint must carry the stats string VERBATIM
+    (stats are opaque JSON to re-serialization — rewriting them is
+    how engines corrupt each other's skipping)."""
+    path = str(tmp_path / "t")
+    to_delta(spark.range(10).coalesce(1).selectExpr("id"), path)  # v0
+    v0 = _v0_adds(path)[0]
+    src = os.path.join(path, v0["path"])
+    newname = "part-eeee-foreign.snappy.parquet"
+    import shutil
+
+    shutil.copyfile(src, os.path.join(path, newname))
+    nested_stats = json.dumps(
+        {
+            "numRecords": 10,
+            "minValues": {"id": 0, "nested": {"a": 1, "b": {"c": 2}}},
+            "maxValues": {"id": 9, "nested": {"a": 5, "b": {"c": 7}}},
+            "nullCount": {"id": 0, "nested": {"a": 0, "b": {"c": 0}}},
+        }
+    )
+    _append_foreign_commit(
+        path,
+        1,
+        [
+            {
+                "add": {
+                    "path": newname,
+                    "partitionValues": {},
+                    "size": v0["size"],
+                    "modificationTime": _now_ms(),
+                    "dataChange": True,
+                    "stats": nested_stats,
+                }
+            }
+        ],
+    )
+    # filtered read over the table with the foreign-stats file: the
+    # id range [0,9] matches id==3, so BOTH files' rows must appear
+    got = (
+        read_delta(path, filter=[("id", "==", 3)], spark=spark)
+        .count()
+    )
+    assert got == 2  # one row per physical file
+    # a filter OUTSIDE both files' id range skips both (stats skipping
+    # still works on the top-level keys of the nested stats JSON)
+    assert (
+        read_delta(path, filter=[("id", "==", 99)], spark=spark).count()
+        == 0
+    )
+    # checkpoint carries the stats string VERBATIM
+    cp = create_checkpoint(path)
+    cp_add = next(
+        r["add"]
+        for r in pq.read_table(cp).to_pylist()
+        if r.get("add") and r["add"].get("path") == newname
+    )
+    assert cp_add["stats"] == nested_stats
