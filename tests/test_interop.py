@@ -407,3 +407,104 @@ def test_nested_struct_stats_neither_break_skipping_nor_mutate(
         if r.get("add") and r["add"].get("path") == newname
     )
     assert cp_add["stats"] == nested_stats
+
+
+def test_foreign_checkpoint_with_unknown_columns_replays(spark, tmp_path):
+    """A foreign engine's checkpoint carrying columns and struct
+    subfields we never write (delta-spark's `stats_parsed` sibling
+    struct, commitInfo-in-checkpoint, per-add custom subfields): our
+    replay must read the actions it understands and IGNORE the rest —
+    a reader that chokes on unknown checkpoint columns bricks every
+    table checkpointed by a newer engine. The spec explicitly allows
+    readers to ignore unrecognized fields."""
+    import pyarrow as pa
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(10).coalesce(1).selectExpr("id"), path)  # v0
+    v0 = _v0_adds(path)[0]
+
+    # hand-build a FOREIGN checkpoint at version 0: the three known
+    # actions plus (a) an unknown top-level column, (b) unknown
+    # subfields inside add
+    log_dir = os.path.join(path, "_delta_log")
+    meta_line = next(
+        json.loads(line)["metaData"]
+        for line in open(os.path.join(log_dir, f"{0:020d}.json"))
+        if '"metaData"' in line
+    )
+    proto_line = next(
+        json.loads(line)["protocol"]
+        for line in open(os.path.join(log_dir, f"{0:020d}.json"))
+        if '"protocol"' in line
+    )
+    rows = [
+        {"protocol": proto_line, "metaData": None, "add": None,
+         "commitInfo": None},
+        {"protocol": None, "metaData": {
+            "id": meta_line["id"],
+            "schemaString": meta_line["schemaString"],
+            "partitionColumns": [],
+            "configuration": [],
+            "createdTime": meta_line.get("createdTime"),
+            "format": {"provider": "parquet"},
+        }, "add": None, "commitInfo": None},
+        {"protocol": None, "metaData": None, "add": {
+            "path": v0["path"],
+            "partitionValues": [],
+            "size": v0["size"],
+            "modificationTime": v0["modificationTime"],
+            "dataChange": False,
+            "stats": v0.get("stats"),
+            # unknown subfields a newer engine might write
+            "stats_parsed": {"numRecords": 10},
+            "clusteringProvider": "liquid",
+        }, "commitInfo": None},
+        # unknown top-level action column (delta-spark checkpoints can
+        # carry commitInfo rows)
+        {"protocol": None, "metaData": None, "add": None,
+         "commitInfo": {"operation": "WRITE", "engineInfo": "foreign"}},
+    ]
+    schema = pa.schema(
+        [
+            pa.field("protocol", pa.struct(
+                [("minReaderVersion", pa.int32()),
+                 ("minWriterVersion", pa.int32())])),
+            pa.field("metaData", pa.struct(
+                [("id", pa.string()),
+                 ("schemaString", pa.string()),
+                 ("partitionColumns", pa.list_(pa.string())),
+                 ("configuration", pa.map_(pa.string(), pa.string())),
+                 ("createdTime", pa.int64()),
+                 ("format", pa.struct([("provider", pa.string())]))])),
+            pa.field("add", pa.struct(
+                [("path", pa.string()),
+                 ("partitionValues", pa.map_(pa.string(), pa.string())),
+                 ("size", pa.int64()),
+                 ("modificationTime", pa.int64()),
+                 ("dataChange", pa.bool_()),
+                 ("stats", pa.string()),
+                 ("stats_parsed", pa.struct([("numRecords", pa.int64())])),
+                 ("clusteringProvider", pa.string())])),
+            pa.field("commitInfo", pa.struct(
+                [("operation", pa.string()),
+                 ("engineInfo", pa.string())])),
+        ]
+    )
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    import pyarrow.parquet as _pq
+
+    cp_path = os.path.join(log_dir, f"{0:020d}.checkpoint.parquet")
+    _pq.write_table(tbl, cp_path)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 0, "size": len(rows)}))
+
+    # replay anchors on the foreign checkpoint and ignores the
+    # unknown column + subfields
+    snap = DeltaLog(path).snapshot()
+    assert len(snap.add_actions) == 1
+    assert snap.add_actions[0].path == unquote(v0["path"])
+    assert read_delta(path, spark=spark).count() == 10
+
+    # and appending on top of the foreign checkpoint works
+    to_delta(spark.range(5).selectExpr("id"), path, mode="append")
+    assert read_delta(path, spark=spark).count() == 15
