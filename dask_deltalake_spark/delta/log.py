@@ -117,7 +117,13 @@ class DeltaLog:
     # -- listing ----------------------------------------------------------
 
     def exists(self) -> bool:
-        return self.store.is_dir(self.log_path) and bool(self.versions())
+        # a checkpoint-only log (foreign metadata cleanup deleted every
+        # JSON commit <= the checkpoint) is an EXISTING table: treating
+        # it as absent made a writer fork a fresh v0 beside the
+        # checkpoint — two replay anchors, silent data loss (r13)
+        return self.store.is_dir(self.log_path) and bool(
+            self.versions() or self.checkpoint_versions()
+        )
 
     def versions(self) -> list[int]:
         out = []
@@ -386,7 +392,18 @@ class DeltaLog:
                 "domain"
             ) is not None:
                 dm = row["domainMetadata"]
-                domains[dm["domain"]] = dm.get("configuration") or ""
+                # A removal TOMBSTONE (removed=true) must not read as a
+                # live domain: delta-spark retains domain-metadata
+                # tombstones in its checkpoints, so a foreign
+                # checkpoint row with removed=true previously
+                # RESURRECTED the deleted domain here while the JSON
+                # commit path (consume_json below) correctly dropped
+                # it — the two replay paths disagreed on the same
+                # logical state. Mirror the JSON path exactly.
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm.get("configuration") or ""
             elif row.get("txn") and row["txn"].get("appId") is not None:
                 t = row["txn"]
                 txns[t["appId"]] = max(
@@ -414,9 +431,19 @@ class DeltaLog:
     ) -> Snapshot:
         versions = self.versions()
         if not versions:
-            raise DeltaTableNotFoundError(
-                f"No Delta table found at {self.table_path}"
-            )
+            # Checkpoint-only log: a spec-valid shape a FOREIGN
+            # engine's metadata cleanup can produce (every JSON commit
+            # <= the checkpoint deleted, nothing committed since).
+            # The checkpoint IS the snapshot — anchor on it with an
+            # empty JSON tail. Our own cleanup_metadata never deletes
+            # past the classic latest, so this arises only on tables
+            # another engine maintained.
+            cps = self.checkpoint_versions()
+            if not cps:
+                raise DeltaTableNotFoundError(
+                    f"No Delta table found at {self.table_path}"
+                )
+            versions = [cps[-1]]
         want_latest = version is None and datetime_string is None
         if datetime_string is not None:
             version = self.resolve_datetime(datetime_string)

@@ -29,7 +29,7 @@ import pytest
 from urllib.parse import unquote
 
 from dask_deltalake_spark import read_delta, to_delta
-from dask_deltalake_spark.delta.log import DeltaLog
+from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
 from dask_deltalake_spark.delta.maintenance import create_checkpoint
 from dask_deltalake_spark.delta.protocol import AddAction, RemoveAction
 
@@ -499,7 +499,13 @@ def test_foreign_checkpoint_with_unknown_columns_replays(spark, tmp_path):
         fh.write(json.dumps({"version": 0, "size": len(rows)}))
 
     # replay anchors on the foreign checkpoint and ignores the
-    # unknown column + subfields
+    # unknown column + subfields. Clear the in-process snapshot cache
+    # first: a foreign engine's checkpoint lands out-of-band, and the
+    # cached to_delta-time state would otherwise serve the read
+    # without ever parsing the foreign file (r13 review finding: this
+    # test previously passed via the cache, i.e. the tolerance claim
+    # was not actually exercised).
+    _SNAPSHOT_CACHE.clear()
     snap = DeltaLog(path).snapshot()
     assert len(snap.add_actions) == 1
     assert snap.add_actions[0].path == unquote(v0["path"])
@@ -508,3 +514,167 @@ def test_foreign_checkpoint_with_unknown_columns_replays(spark, tmp_path):
     # and appending on top of the foreign checkpoint works
     to_delta(spark.range(5).selectExpr("id"), path, mode="append")
     assert read_delta(path, spark=spark).count() == 15
+
+
+# ---------------------------------------------------------------------------
+# Foreign domainMetadata removal tombstones in checkpoints (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_foreign_checkpoint_domain_removal_tombstone_not_resurrected(
+    spark, tmp_path
+):
+    """delta-spark retains domainMetadata removal tombstones
+    (removed=true) in its checkpoints. Before r13 our checkpoint
+    parser read ANY domainMetadata row as a live domain — the JSON
+    commit path dropped removed ones but the checkpoint path
+    resurrected them, so the same logical state replayed differently
+    depending on whether a checkpoint happened to anchor it. Pin:
+    a foreign checkpoint carrying one live domain and one removal
+    tombstone yields a snapshot with ONLY the live domain, and our
+    re-checkpoint does not re-emit the removed one."""
+    import pyarrow as pa
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(10).coalesce(1).selectExpr("id"), path)  # v0
+    v0 = _v0_adds(path)[0]
+    log_dir = os.path.join(path, "_delta_log")
+    meta_line = next(
+        json.loads(line)["metaData"]
+        for line in open(os.path.join(log_dir, f"{0:020d}.json"))
+        if '"metaData"' in line
+    )
+    proto_line = next(
+        json.loads(line)["protocol"]
+        for line in open(os.path.join(log_dir, f"{0:020d}.json"))
+        if '"protocol"' in line
+    )
+    rows = [
+        {"protocol": proto_line},
+        {"metaData": {
+            "id": meta_line["id"],
+            "schemaString": meta_line["schemaString"],
+            "partitionColumns": [],
+            "configuration": [],
+            "createdTime": meta_line.get("createdTime"),
+            "format": {"provider": "parquet"},
+        }},
+        {"add": {
+            "path": v0["path"],
+            "partitionValues": [],
+            "size": v0["size"],
+            "modificationTime": v0["modificationTime"],
+            "dataChange": False,
+            "stats": v0.get("stats"),
+        }},
+        {"domainMetadata": {
+            "domain": "delta.liquid",
+            "configuration": '{"clusteringColumns":[]}',
+            "removed": False,
+        }},
+        # the removal tombstone a foreign engine checkpoints
+        {"domainMetadata": {
+            "domain": "app.retired",
+            "configuration": "",
+            "removed": True,
+        }},
+    ]
+    schema = pa.schema(
+        [
+            pa.field("protocol", pa.struct(
+                [("minReaderVersion", pa.int32()),
+                 ("minWriterVersion", pa.int32())])),
+            pa.field("metaData", pa.struct(
+                [("id", pa.string()),
+                 ("schemaString", pa.string()),
+                 ("partitionColumns", pa.list_(pa.string())),
+                 ("configuration", pa.map_(pa.string(), pa.string())),
+                 ("createdTime", pa.int64()),
+                 ("format", pa.struct([("provider", pa.string())]))])),
+            pa.field("add", pa.struct(
+                [("path", pa.string()),
+                 ("partitionValues", pa.map_(pa.string(), pa.string())),
+                 ("size", pa.int64()),
+                 ("modificationTime", pa.int64()),
+                 ("dataChange", pa.bool_()),
+                 ("stats", pa.string())])),
+            pa.field("domainMetadata", pa.struct(
+                [("domain", pa.string()),
+                 ("configuration", pa.string()),
+                 ("removed", pa.bool_())])),
+        ]
+    )
+    norm = [{f.name: r.get(f.name) for f in schema} for r in rows]
+    cp_path = os.path.join(log_dir, f"{0:020d}.checkpoint.parquet")
+    pq.write_table(pa.Table.from_pylist(norm, schema=schema), cp_path)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 0, "size": len(rows)}))
+
+    _SNAPSHOT_CACHE.clear()  # the foreign checkpoint landed out-of-band
+    snap = DeltaLog(path).snapshot()
+    assert snap.domain_metadata == {
+        "delta.liquid": '{"clusteringColumns":[]}'
+    }, "removed domain must not resurrect; live domain must survive"
+
+    # our re-checkpoint (forced at a new version) keeps the live
+    # domain and does not re-emit the removed one
+    to_delta(spark.range(5).selectExpr("id"), path, mode="append")  # v1
+    cp = create_checkpoint(path)
+    doms = {
+        r["domainMetadata"]["domain"]: r["domainMetadata"]
+        for r in pq.read_table(cp).to_pylist()
+        if r.get("domainMetadata") and r["domainMetadata"].get("domain")
+    }
+    assert "delta.liquid" in doms and not doms["delta.liquid"]["removed"]
+    assert "app.retired" not in doms
+
+
+def test_foreign_txn_high_water_mark_survives_recheckpoint(spark, tmp_path):
+    """A foreign engine's `txn` action (SetTransaction — streaming
+    idempotence high-water mark) must survive our re-checkpoint: if a
+    checkpoint drops it, the foreign stream's re-delivered batch
+    slips through as a duplicate after OUR maintenance ran. Pin the
+    full path: foreign JSON commit -> our snapshot -> our checkpoint
+    -> checkpoint-anchored replay, and our own idempotent-write gate
+    honors the foreign mark."""
+    path = str(tmp_path / "t")
+    to_delta(spark.range(10).selectExpr("id"), path)  # v0
+    _append_foreign_commit(
+        path,
+        1,
+        [{"txn": {"appId": "foreign-stream-7", "version": 41,
+                  "lastUpdated": _now_ms()}}],
+    )
+    snap = DeltaLog(path).snapshot()
+    assert snap.transactions.get("foreign-stream-7") == 41
+
+    cp = create_checkpoint(path)
+    txns = [
+        r["txn"]
+        for r in pq.read_table(cp).to_pylist()
+        if r.get("txn") and r["txn"].get("appId")
+    ]
+    assert {(t["appId"], t["version"]) for t in txns} == {
+        ("foreign-stream-7", 41)
+    }
+
+    # checkpoint-anchored replay sees it (remove the JSON commits —
+    # exactly what log cleanup does after a checkpoint — so the
+    # checkpoint is the only carrier)
+    os.remove(os.path.join(path, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+    _SNAPSHOT_CACHE.clear()
+    snap2 = DeltaLog(path).snapshot()
+    assert snap2.transactions.get("foreign-stream-7") == 41
+
+    # and our idempotent-write gate skips a stale foreign version
+    to_delta(
+        spark.range(5).selectExpr("id"), path, mode="append",
+        txn_app_id="foreign-stream-7", txn_version=41,
+    )
+    assert read_delta(path, spark=spark).count() == 10  # skipped
+    to_delta(
+        spark.range(5).selectExpr("id"), path, mode="append",
+        txn_app_id="foreign-stream-7", txn_version=42,
+    )
+    assert read_delta(path, spark=spark).count() == 15  # advanced

@@ -153,6 +153,39 @@ def test_replay_checkpoint_split_invariance(history, data):
         assert got == want, (history, k, got, want)
 
 
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(history=_history)
+def test_replay_checkpoint_only_invariance(history):
+    """Checkpoint-ONLY logs (r13): checkpoint the full history at the
+    latest version, then delete EVERY JSON commit — the spec-valid
+    shape a foreign engine's metadata cleanup produces on an idle
+    table. The snapshot replayed from the bare checkpoint must equal
+    the plain full-JSON replay for every generated history (files,
+    keyed tombstone set, public tombstone view). Before r13, this
+    shape raised DeltaTableNotFoundError."""
+    import glob
+    import os
+
+    with tempfile.TemporaryDirectory(prefix="replay_prop_") as base:
+        plain = _write_table(base, history)
+        want = _state(plain)
+
+        tbl = _write_table(os.path.join(base, "cponly"), history)
+        _SNAPSHOT_CACHE.clear()
+        create_checkpoint(tbl)
+        for j in glob.glob(os.path.join(tbl, "_delta_log", "*.json")):
+            os.remove(j)
+        got = _state(tbl)
+        assert got == want, (history, got, want)
+        # and the snapshot's version label is the checkpoint version
+        _SNAPSHOT_CACHE.clear()
+        assert DeltaLog(tbl).snapshot().version == len(history) - 1
+
+
 # ---------------------------------------------------------------------------
 # Kernel conformance + order insensitivity
 # ---------------------------------------------------------------------------
