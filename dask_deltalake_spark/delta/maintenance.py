@@ -63,6 +63,11 @@ def read_delta_history(
     import pandas as pd
 
     infos = DeltaLog(path).commit_infos()
+    if not infos:
+        # checkpoint-only log (foreign metadata cleanup removed every
+        # JSON commit): history is commit-backed, so there is none to
+        # show — the 9-column empty frame, not a sort KeyError
+        return pd.DataFrame(columns=HISTORY_COLUMNS)
     for info in infos:
         # the in-commit clock IS the commit time when stamped
         # (delta/ict.py) — delta-spark history shows the same

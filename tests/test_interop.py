@@ -678,3 +678,32 @@ def test_foreign_txn_high_water_mark_survives_recheckpoint(spark, tmp_path):
         txn_app_id="foreign-stream-7", txn_version=42,
     )
     assert read_delta(path, spark=spark).count() == 15  # advanced
+
+
+def test_checkpoint_only_history_and_time_travel_shapes(spark, tmp_path):
+    """On a checkpoint-only log (pure: zero JSON commits survive),
+    history — which is commit-backed — returns the EMPTY 9-column
+    frame (not a sort KeyError), and time travel below the checkpoint
+    raises the same retention error as any cleaned-up log."""
+    import glob
+
+    from dask_deltalake_spark import read_delta_history
+    from dask_deltalake_spark.delta.maintenance import HISTORY_COLUMNS
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(10).selectExpr("id"), path)  # v0
+    to_delta(spark.range(5).selectExpr("id"), path, mode="append")  # v1
+    create_checkpoint(path)
+    for j in glob.glob(os.path.join(path, "_delta_log", "*.json")):
+        os.remove(j)
+    _SNAPSHOT_CACHE.clear()
+
+    h = read_delta_history(path)
+    assert h.shape == (0, len(HISTORY_COLUMNS))
+    assert list(h.columns) == list(HISTORY_COLUMNS)
+
+    with pytest.raises(ValueError, match="retained log history"):
+        DeltaLog(path).snapshot(version=0)
+    # the checkpoint version itself still reads
+    assert DeltaLog(path).snapshot(version=1).version == 1
+    assert read_delta(path, spark=spark).count() == 15
