@@ -406,10 +406,16 @@ class DeltaLog:
                     domains[dm["domain"]] = dm.get("configuration") or ""
             elif row.get("txn") and row["txn"].get("appId") is not None:
                 t = row["txn"]
-                txns[t["appId"]] = max(
-                    int(t.get("version") or 0),
-                    txns.get(t["appId"], -1),
-                )
+                # LATEST-wins, not max: the spec's reconciliation rule
+                # (delta-spark and delta-rs both overwrite), and the
+                # difference matters — an app that legitimately RESETS
+                # its version (streaming checkpoint reset reusing the
+                # appId at 0) must not be pinned to the old high mark,
+                # or every post-reset idempotent batch is silently
+                # skipped (r13). Our checkpoints carry one row per
+                # appId; a foreign multi-row file resolves in row
+                # order, matching delta-rs's read order.
+                txns[t["appId"]] = int(t.get("version") or 0)
 
         for part in parts:
             with self.store.open_input(part) as fh:
@@ -689,9 +695,10 @@ class DeltaLog:
                 t = action["txn"]
                 app = t.get("appId")
                 if app is not None:
-                    txns[app] = max(
-                        int(t.get("version", 0)), txns.get(app, -1)
-                    )
+                    # latest-wins per the spec's reconciliation rule —
+                    # see the checkpoint-parse twin above for why max
+                    # was wrong (version-reset apps)
+                    txns[app] = int(t.get("version", 0))
 
         # Log-compaction files (spec: Log Compaction Files): a range
         # whose start ALIGNS with the replay position substitutes one

@@ -707,3 +707,34 @@ def test_checkpoint_only_history_and_time_travel_shapes(spark, tmp_path):
     # the checkpoint version itself still reads
     assert DeltaLog(path).snapshot(version=1).version == 1
     assert read_delta(path, spark=spark).count() == 15
+
+
+def test_txn_version_reset_is_latest_wins(spark, tmp_path):
+    """SetTransaction reconciliation is LATEST-wins (spec rule;
+    delta-spark and delta-rs both overwrite), not max: an application
+    that legitimately resets its version (streaming checkpoint reset
+    reusing the appId at 0, stamped by a foreign engine) must unpin
+    the high-water mark, or every post-reset idempotent batch is
+    silently skipped forever. Pinned through JSON replay, our
+    checkpoint, and the checkpoint-anchored replay."""
+    path = str(tmp_path / "t")
+    to_delta(spark.range(10).selectExpr("id"), path,
+             txn_app_id="app-x", txn_version=41)  # v0, mark 41
+    # the foreign reset commit: same appId, LOWER version
+    _append_foreign_commit(
+        path, 1, [{"txn": {"appId": "app-x", "version": 0,
+                           "lastUpdated": _now_ms()}}],
+    )
+    _SNAPSHOT_CACHE.clear()
+    assert DeltaLog(path).snapshot().transactions["app-x"] == 0
+
+    # post-reset batch 1 is admitted (max-reconciliation would skip)
+    to_delta(spark.range(5).selectExpr("id"), path, mode="append",
+             txn_app_id="app-x", txn_version=1)
+    assert read_delta(path, spark=spark).count() == 15
+
+    # and the reset survives our checkpoint + anchored replay
+    cp = create_checkpoint(path)
+    txns = [r["txn"] for r in pq.read_table(cp).to_pylist()
+            if r.get("txn") and r["txn"].get("appId")]
+    assert {(t["appId"], t["version"]) for t in txns} == {("app-x", 1)}

@@ -52,8 +52,16 @@ _SCHEMA = json.dumps(
     }
 )
 
+# domain/txn kinds ride the same (kind, i, j) triple shape: for
+# "domain", i indexes _DOMAINS and j==2 means a removal tombstone
+# (else live with config c{j}); for "txn", i indexes _APPS and j is
+# the transaction version (reconciliation is latest-wins, per spec). The reference
+# file-reconciler filters on kind, so meta actions are transparent to
+# it; the split/only invariance tests compare them via _state().
+_DOMAINS = ["delta.liquid", "app.one", "app.two"]
+_APPS = ["stream-a", "stream-b"]
 _action = st.tuples(
-    st.sampled_from(["add", "remove"]),
+    st.sampled_from(["add", "remove", "domain", "txn"]),
     st.sampled_from(range(len(_PATHS))),
     st.sampled_from(range(len(_DVS))),
 )
@@ -63,6 +71,22 @@ _history = st.lists(
 
 
 def _to_json(kind: str, pi: int, di: int, ts: int) -> dict:
+    if kind == "domain":
+        return {
+            "domainMetadata": {
+                "domain": _DOMAINS[pi],
+                "configuration": "" if di == 2 else f"c{di}",
+                "removed": di == 2,
+            }
+        }
+    if kind == "txn":
+        return {
+            "txn": {
+                "appId": _APPS[pi % len(_APPS)],
+                "version": di,
+                "lastUpdated": ts,
+            }
+        }
     if kind == "add":
         return AddAction(
             path=_PATHS[pi],
@@ -121,7 +145,9 @@ def _state(tbl: str):
     pub = {
         (p, r.deletion_timestamp) for p, r in snap.tombstones.items()
     }
-    return files, tombs, pub
+    doms = tuple(sorted(snap.domain_metadata.items()))
+    txns = tuple(sorted(snap.transactions.items()))
+    return files, tombs, pub, doms, txns
 
 
 @settings(
@@ -275,7 +301,11 @@ def _legalize(history: list) -> list:
         acts = []
         emitted_adds: set = set()
         for k, p, d in commit:
-            if k == "add":
+            if k in ("domain", "txn"):
+                # meta actions are always per-commit legal (p/d index
+                # domain/app pools, not file identities)
+                acts.append((k, p, d))
+            elif k == "add":
                 if p in emitted_adds:
                     continue
                 emitted_adds.add(p)
@@ -297,12 +327,12 @@ def test_replay_matches_reference_and_order_insensitive(history):
     history = _legalize(history)
     with tempfile.TemporaryDirectory(prefix="replay_ref_") as base:
         fwd = _write_table(base, history)
-        files_f, tombs_f, _pub = _state(fwd)
+        files_f, tombs_f, _pub, _doms, _txns = _state(fwd)
         # within-commit order reversed: reconciliation must not care
         rev = _write_table(
             base, [list(reversed(c)) for c in history]
         )
-        files_r, tombs_r, _pub2 = _state(rev)
+        files_r, tombs_r, _pub2, _doms2, _txns2 = _state(rev)
         assert (files_f, tombs_f) == (files_r, tombs_r), (
             "within-commit order changed the replayed state",
             history,
