@@ -60,8 +60,32 @@ _SCHEMA = json.dumps(
 # it; the split/only invariance tests compare them via _state().
 _DOMAINS = ["delta.liquid", "app.one", "app.two"]
 _APPS = ["stream-a", "stream-b"]
+# "meta" re-declares table metadata (pi picks a schema variant, di a
+# configuration variant) and "proto" re-declares the protocol (pi
+# picks a writerFeatures variant; every variant keeps deletionVectors
+# so replay legality never changes mid-history) — latest-wins for
+# both, which the checkpoint must carry. With these, EVERY Delta
+# action kind rides the generated histories (commitInfo is ignored by
+# replay; sidecar is v2-checkpoint-internal).
+_META_SCHEMAS = [
+    _SCHEMA,
+    json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    }),
+]
+_PROTO_FEATURES = [
+    ["deletionVectors"],
+    ["deletionVectors", "domainMetadata"],
+    ["deletionVectors", "appendOnly"],
+]
 _action = st.tuples(
-    st.sampled_from(["add", "remove", "domain", "txn"]),
+    st.sampled_from(["add", "remove", "domain", "txn", "meta", "proto"]),
     st.sampled_from(range(len(_PATHS))),
     st.sampled_from(range(len(_DVS))),
 )
@@ -71,6 +95,23 @@ _history = st.lists(
 
 
 def _to_json(kind: str, pi: int, di: int, ts: int) -> dict:
+    if kind == "meta":
+        return Metadata(
+            id="fixed-table-id",
+            schema_string=_META_SCHEMAS[pi % len(_META_SCHEMAS)],
+            configuration={
+                "delta.deletedFileRetentionDuration":
+                    "interval 876000 hours",
+                "custom.knob": f"k{di}",
+            },
+        ).to_json()
+    if kind == "proto":
+        return Protocol(
+            min_reader_version=3,
+            min_writer_version=7,
+            reader_features=["deletionVectors"],
+            writer_features=_PROTO_FEATURES[pi % len(_PROTO_FEATURES)],
+        ).to_json()
     if kind == "domain":
         return {
             "domainMetadata": {
@@ -147,7 +188,17 @@ def _state(tbl: str):
     }
     doms = tuple(sorted(snap.domain_metadata.items()))
     txns = tuple(sorted(snap.transactions.items()))
-    return files, tombs, pub, doms, txns
+    meta = (
+        snap.metadata.schema_string,
+        tuple(sorted(snap.metadata.configuration.items())),
+    )
+    proto = (
+        snap.protocol.min_reader_version,
+        snap.protocol.min_writer_version,
+        tuple(sorted(snap.protocol.reader_features or [])),
+        tuple(sorted(snap.protocol.writer_features or [])),
+    )
+    return files, tombs, pub, doms, txns, meta, proto
 
 
 @settings(
@@ -301,7 +352,7 @@ def _legalize(history: list) -> list:
         acts = []
         emitted_adds: set = set()
         for k, p, d in commit:
-            if k in ("domain", "txn"):
+            if k in ("domain", "txn", "meta", "proto"):
                 # meta actions are always per-commit legal (p/d index
                 # domain/app pools, not file identities)
                 acts.append((k, p, d))
@@ -327,12 +378,12 @@ def test_replay_matches_reference_and_order_insensitive(history):
     history = _legalize(history)
     with tempfile.TemporaryDirectory(prefix="replay_ref_") as base:
         fwd = _write_table(base, history)
-        files_f, tombs_f, _pub, _doms, _txns = _state(fwd)
+        files_f, tombs_f, *_meta_f = _state(fwd)
         # within-commit order reversed: reconciliation must not care
         rev = _write_table(
             base, [list(reversed(c)) for c in history]
         )
-        files_r, tombs_r, _pub2, _doms2, _txns2 = _state(rev)
+        files_r, tombs_r, *_meta_r = _state(rev)
         assert (files_f, tombs_f) == (files_r, tombs_r), (
             "within-commit order changed the replayed state",
             history,
