@@ -505,16 +505,35 @@ class DeltaLog:
             )
             start = cp + 1
         elif versions[0] > 0:
-            # log retention cleanup (maintenance.cleanup_metadata)
-            # deleted the history below the oldest remaining commit and
-            # no checkpoint covers this version — raise clearly rather
-            # than failing on a missing commit file mid-replay
-            raise ValueError(
-                f"Version {version} of {self.table_path} predates the "
-                f"retained log history (earliest replayable: "
-                f"{versions[0]}); it was removed by log retention "
-                "cleanup."
-            )
+            # No checkpoint covers this version and the log's prefix
+            # is gone. An aligned COMPACTION chain covering every
+            # missing prefix version still replays (the loop below
+            # substitutes each range — same rule as interior gaps);
+            # walk the chain here so the alternative is a CLEAR
+            # retention error rather than a mid-replay file-not-found
+            # (r13, found by the compaction-substitution property).
+            _cov: dict[int, int] = {}
+            for _cs, _ce in self.compacted_ranges():
+                if _ce <= version:
+                    _cov[_cs] = max(_ce, _cov.get(_cs, -1))
+            _vset = set(versions)
+            _v = 0
+            while _v < versions[0]:
+                if _v in _cov:
+                    _v = _cov[_v] + 1
+                elif _v in _vset:
+                    _v += 1
+                else:
+                    # log retention cleanup (cleanup_metadata) deleted
+                    # the history below the oldest remaining commit
+                    # and nothing covers it
+                    raise ValueError(
+                        f"Version {version} of {self.table_path} "
+                        f"predates the retained log history (earliest "
+                        f"replayable: {versions[0]}); it was removed "
+                        "by log retention cleanup."
+                    )
+            start = 0
 
         # commit sequence for the legacy-remove heuristic below: a
         # descriptor-less remove may evict a DV'd live add ONLY when

@@ -32,6 +32,7 @@ from dask_deltalake_spark.delta.protocol import (
     RemoveAction,
     check_read_protocol,
     check_write_protocol,
+    dv_unique_id,
     now_ms,
 )
 from dask_deltalake_spark.delta.writer import write_commit
@@ -1461,12 +1462,15 @@ def compact_log(
 ) -> str:
     """Write a LOG COMPACTION file (Delta spec "Log Compaction Files":
     ``{start:020d}.{end:020d}.compacted.json``) holding the
-    action-reconciled state of commits ``start..end``: latest
-    metaData/protocol, net add/remove per file path (an add then
-    remove nets to the remove; remove then re-add nets to the add),
-    latest txn version per appId, and latest domainMetadata per domain
-    *including removal markers* (a mid-log range must preserve
-    removals or replay from older state would resurrect the domain).
+    action-reconciled state of commits ``start..end``, DERIVED as the
+    state diff between the real snapshot replays at the two range
+    boundaries: latest metaData/protocol, the (path, dvId)-keyed
+    add/remove net (kernel identity — a stale-vector remove never
+    nets away a live different-vector add), latest txn version per
+    appId (latest-wins, so version resets survive compaction), and
+    latest domainMetadata per domain *including removal markers* (a
+    mid-log range must preserve removals or replay from older state
+    would resurrect the domain).
 
     Defaults: ``start`` = first version after the newest checkpoint
     (else 0), ``end`` = latest. Readers substitute the single file for
@@ -1488,53 +1492,112 @@ def compact_log(
         raise ValueError(
             f"compact_log: empty range {start_version}..{end_version}"
         )
-    adds: dict = {}
-    removes: dict = {}
-    metadata = None
-    protocol = None
-    domains: dict = {}
-    txns: dict = {}
+    # STATE-DIFF derivation (r13): the compacted file is whatever set
+    # of actions turns state(start-1) into state(end) when applied as
+    # ONE replay unit — and both boundary states come from the real
+    # snapshot replay, not a re-coded reconciler. The previous
+    # hand-rolled netting here was path-keyed and kept max() txn
+    # versions, which diverged from direct replay on two real shapes:
+    # a stale-vector remove (remove(p, dvOld) while add(p, dvNew) is
+    # live) KILLED the live file in compaction-replay that kernel
+    # (path, dvId) keying keeps, and a txn version reset was pinned to
+    # the old high mark. Deriving from two snapshots makes every
+    # future reconciliation fix apply to compaction automatically; the
+    # equivalence is property-tested against direct replay over
+    # generated histories (tests/test_replay_property.py).
     for v in range(start_version, end_version + 1):
         if v not in versions:
             raise ValueError(
                 f"compact_log: commit {v} missing from "
                 f"{log.log_path} — can only compact retained ranges"
             )
-        for action in log.read_commit_actions(v):
-            if "add" in action:
-                p = action["add"]["path"]
-                adds[p] = action
-                removes.pop(p, None)
-            elif "remove" in action:
-                p = action["remove"]["path"]
-                adds.pop(p, None)
-                removes[p] = action
-            elif "metaData" in action:
-                metadata = action
-            elif "protocol" in action:
-                protocol = action
-            elif "domainMetadata" in action:
-                domains[action["domainMetadata"].get("domain", "")] = action
-            elif "txn" in action:
-                t = action["txn"]
-                app = t.get("appId")
-                if app is not None and (
-                    app not in txns
-                    or int(t.get("version", 0))
-                    >= int(txns[app]["txn"].get("version", 0))
-                ):
-                    txns[app] = action
-            # commitInfo / cdc / sidecar actions are dropped, exactly
-            # as checkpoint reconciliation drops them
-    lines = []
-    if protocol is not None:
-        lines.append(protocol)
-    if metadata is not None:
-        lines.append(metadata)
-    lines.extend(txns.values())
-    lines.extend(domains.values())
-    lines.extend(adds.values())
-    lines.extend(removes.values())
+    end_snap = log.snapshot(version=end_version)
+    start_snap = (
+        log.snapshot(version=start_version - 1) if start_version > 0 else None
+    )
+
+    from urllib.parse import unquote
+
+    lines: list = []
+    # protocol + metaData: unconditional — a compacted range may be
+    # the FIRST replay unit (start=0, or start=checkpoint+1 where the
+    # checkpoint was later vacuumed of its JSON twin), and re-applying
+    # an identical declaration is a no-op.
+    lines.append(end_snap.protocol.to_json())
+    meta = end_snap.metadata
+    lines.append(meta.to_json())
+
+    start_txns = start_snap.transactions if start_snap else {}
+    for app in sorted(end_snap.transactions):
+        ver = end_snap.transactions[app]
+        if start_txns.get(app) != ver:
+            lines.append({"txn": {"appId": app, "version": int(ver)}})
+
+    start_domains = start_snap.domain_metadata if start_snap else {}
+    for dom in sorted(end_snap.domain_metadata):
+        conf = end_snap.domain_metadata[dom]
+        if start_domains.get(dom) != conf:
+            lines.append(
+                {"domainMetadata": {
+                    "domain": dom, "configuration": conf, "removed": False,
+                }}
+            )
+    for dom in sorted(start_domains):
+        if dom not in end_snap.domain_metadata:
+            # a mid-range removal must be preserved or replay from the
+            # pre-range state would resurrect the domain
+            lines.append(
+                {"domainMetadata": {
+                    "domain": dom, "configuration": "", "removed": True,
+                }}
+            )
+
+    # File actions. ADDS FIRST, then removes — the order is
+    # load-bearing: an in-unit add sets add_seq == the unit's seq, so
+    # the legacy descriptor-less-remove heuristic (which evaluates its
+    # armed state ONCE per unit, not per original commit) can never
+    # evict an emitted add; every eviction the range performed is
+    # instead carried by an EXPLICIT emitted remove whose exact
+    # (path, dvId) identity pops the pre-range live add. Live files
+    # whose path collides with an emitted DESCRIPTOR-LESS remove are
+    # re-emitted even when unchanged (the heuristic shield) — without
+    # the shield, a unit-start armed state could evict a file that
+    # direct replay, disarmed by the time that remove landed, kept.
+    start_files = dict(start_snap.files) if start_snap else {}
+    start_tombs = (
+        {
+            (t.path, dv_unique_id(t.deletion_vector)): t.to_json()["remove"]
+            for t in start_snap.tombstones_all
+        }
+        if start_snap
+        else {}
+    )
+    emit_removes = []
+    for t in sorted(
+        end_snap.tombstones_all,
+        key=lambda t: (t.path, dv_unique_id(t.deletion_vector) or ""),
+    ):
+        tj = t.to_json()["remove"]
+        if start_tombs.get(
+            (t.path, dv_unique_id(t.deletion_vector))
+        ) != tj:
+            emit_removes.append(tj)
+    shield_paths = {
+        unquote(r["path"])
+        for r in emit_removes
+        if r.get("deletionVector") is None
+    }
+    for p in sorted(end_snap.files):
+        a = end_snap.files[p]
+        old = start_files.get(p)
+        if (
+            old is None
+            or old.to_json() != a.to_json()
+            or p in shield_paths
+        ):
+            lines.append(a.to_json())
+    lines.extend({"remove": r} for r in emit_removes)
+
     name = f"{start_version:020d}.{end_version:020d}.compacted.json"
     log.store.write_bytes(
         os.path.join(log.log_path, name),

@@ -137,12 +137,28 @@ def test_reconciliation_semantics(spark, tmp_path):
         for a in actions
         if "domainMetadata" in a
     }
-    assert doms["d1"].get("removed") is None
-    assert doms["d2"]["removed"] is True  # removal marker PRESERVED
+    assert not doms["d1"].get("removed")  # live (absent or False)
+    # d2 was added AND removed inside this start=0 range: the state
+    # diff nets it away entirely — the compaction substitutes only at
+    # position 0 (empty pre-state), so there is nothing to resurrect
+    # and no tombstone to carry (r13 state-diff derivation)
+    assert "d2" not in doms
     _SNAPSHOT_CACHE.clear()
     snap = DeltaLog(path).snapshot()
     assert snap.transactions == {"app": 7}
     assert "d1" in snap.domain_metadata and "d2" not in snap.domain_metadata
+
+    # a MID-log range whose pre-state holds the domain MUST preserve
+    # the removal marker — replay from the pre-range state would
+    # otherwise resurrect it
+    compact_log(path, start_version=v + 1, end_version=v + 1)
+    mid = log.read_compacted_actions(v + 1, v + 1)
+    mid_doms = {
+        a["domainMetadata"]["domain"]: a["domainMetadata"]
+        for a in mid
+        if "domainMetadata" in a
+    }
+    assert mid_doms["d2"]["removed"] is True
 
 
 def test_add_remove_netting(spark, tmp_path):

@@ -263,6 +263,53 @@ def test_replay_checkpoint_only_invariance(history):
         assert DeltaLog(tbl).snapshot().version == len(history) - 1
 
 
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(history=_history, data=st.data())
+def test_replay_compaction_substitution_invariance(history, data):
+    """COMPACTION-SUBSTITUTION INVARIANCE (r13): for any history and
+    any aligned range [i..j], replaying with the compacted file
+    substituted for the range — including with the range's interior
+    JSON commits DELETED, the retention scenario compaction exists
+    for — must equal the plain full-JSON replay across the full
+    state tuple (files, keyed tombstones, public tombstones, domains,
+    txns, metadata, protocol). The compactor derives its content from
+    the two boundary snapshots, so this pins compaction to the same
+    reconciliation the replay itself performs — the net that caught
+    the path-keyed netting and max-txn divergences."""
+    import os
+
+    from dask_deltalake_spark.delta.maintenance import compact_log
+
+    with tempfile.TemporaryDirectory(prefix="replay_prop_") as base:
+        plain = _write_table(base, history)
+        want = _state(plain)
+
+        n = len(history)
+        i = data.draw(st.integers(min_value=0, max_value=n - 1), label="i")
+        j = data.draw(st.integers(min_value=i, max_value=n - 1), label="j")
+        tbl = _write_table(base, history)
+        _SNAPSHOT_CACHE.clear()
+        compact_log(tbl, start_version=i, end_version=j)
+        _SNAPSHOT_CACHE.clear()
+        assert _state(tbl) == want, ("substitution", history, i, j)
+
+        # force the substitution: delete the range's JSON commits,
+        # keeping the log's FINAL commit (latest-version discovery is
+        # anchored on it in real retention too)
+        for v in range(i, j + 1):
+            if v == n - 1:
+                continue
+            os.remove(
+                os.path.join(tbl, "_delta_log", f"{v:020d}.json")
+            )
+        _SNAPSHOT_CACHE.clear()
+        assert _state(tbl) == want, ("forced", history, i, j)
+
+
 # ---------------------------------------------------------------------------
 # Kernel conformance + order insensitivity
 # ---------------------------------------------------------------------------
