@@ -79,10 +79,12 @@ _META_SCHEMAS = [
         ],
     }),
 ]
+# every variant keeps deletionVectors AND v2Checkpoint so replay
+# legality and v2-checkpoint writability never change mid-history
 _PROTO_FEATURES = [
-    ["deletionVectors"],
-    ["deletionVectors", "domainMetadata"],
-    ["deletionVectors", "appendOnly"],
+    ["deletionVectors", "v2Checkpoint"],
+    ["deletionVectors", "v2Checkpoint", "domainMetadata"],
+    ["deletionVectors", "v2Checkpoint", "appendOnly"],
 ]
 _action = st.tuples(
     st.sampled_from(["add", "remove", "domain", "txn", "meta", "proto"]),
@@ -109,7 +111,7 @@ def _to_json(kind: str, pi: int, di: int, ts: int) -> dict:
         return Protocol(
             min_reader_version=3,
             min_writer_version=7,
-            reader_features=["deletionVectors"],
+            reader_features=["deletionVectors", "v2Checkpoint"],
             writer_features=_PROTO_FEATURES[pi % len(_PROTO_FEATURES)],
         ).to_json()
     if kind == "domain":
@@ -160,8 +162,8 @@ def _write_table(base: str, history: list) -> str:
     proto = Protocol(
         min_reader_version=3,
         min_writer_version=7,
-        reader_features=["deletionVectors"],
-        writer_features=["deletionVectors"],
+        reader_features=["deletionVectors", "v2Checkpoint"],
+        writer_features=["deletionVectors", "v2Checkpoint"],
     ).to_json()
     write_commit(tbl, 0, [proto, meta] + [
         _to_json(k, p, d, 1_000) for (k, p, d) in history[0]
@@ -216,12 +218,17 @@ def test_replay_checkpoint_split_invariance(history, data):
             st.integers(min_value=0, max_value=len(history) - 1),
             label="checkpoint version",
         )
+        fmt = data.draw(
+            st.sampled_from(["classic", "v2"]), label="checkpoint format"
+        )
         # same history in a sibling table, checkpoint written
-        # mid-stream at version k, then the tail commits
+        # mid-stream at version k, then the tail commits — in BOTH
+        # checkpoint formats (v2 = manifest + sidecars, its own parse
+        # and reuse machinery)
         tail = history[k + 1:]
         tbl = _write_table(base, history[: k + 1])
         _SNAPSHOT_CACHE.clear()
-        create_checkpoint(tbl)
+        create_checkpoint(tbl, format=fmt)
         for v, commit in enumerate(tail, start=k + 1):
             write_commit(
                 tbl, v, [_to_json(kk, p, d, 1_000 + v) for (kk, p, d) in commit]
@@ -235,8 +242,8 @@ def test_replay_checkpoint_split_invariance(history, data):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
-@given(history=_history)
-def test_replay_checkpoint_only_invariance(history):
+@given(history=_history, data=st.data())
+def test_replay_checkpoint_only_invariance(history, data):
     """Checkpoint-ONLY logs (r13): checkpoint the full history at the
     latest version, then delete EVERY JSON commit — the spec-valid
     shape a foreign engine's metadata cleanup produces on an idle
@@ -253,7 +260,13 @@ def test_replay_checkpoint_only_invariance(history):
 
         tbl = _write_table(os.path.join(base, "cponly"), history)
         _SNAPSHOT_CACHE.clear()
-        create_checkpoint(tbl)
+        create_checkpoint(
+            tbl,
+            format=data.draw(
+                st.sampled_from(["classic", "v2"]),
+                label="checkpoint format",
+            ),
+        )
         for j in glob.glob(os.path.join(tbl, "_delta_log", "*.json")):
             os.remove(j)
         got = _state(tbl)
@@ -297,17 +310,29 @@ def test_replay_compaction_substitution_invariance(history, data):
         _SNAPSHOT_CACHE.clear()
         assert _state(tbl) == want, ("substitution", history, i, j)
 
-        # force the substitution: delete the range's JSON commits,
+        # a second ADJACENT range when room remains — multi-link
+        # compaction chains exercise the anchor's chain walk beyond
+        # one link
+        k = None
+        if j + 1 <= n - 1:
+            k = data.draw(
+                st.integers(min_value=j + 1, max_value=n - 1), label="k"
+            )
+            compact_log(tbl, start_version=j + 1, end_version=k)
+            _SNAPSHOT_CACHE.clear()
+            assert _state(tbl) == want, ("chain", history, i, j, k)
+
+        # force the substitution: delete the ranges' JSON commits,
         # keeping the log's FINAL commit (latest-version discovery is
         # anchored on it in real retention too)
-        for v in range(i, j + 1):
+        for v in range(i, (k if k is not None else j) + 1):
             if v == n - 1:
                 continue
             os.remove(
                 os.path.join(tbl, "_delta_log", f"{v:020d}.json")
             )
         _SNAPSHOT_CACHE.clear()
-        assert _state(tbl) == want, ("forced", history, i, j)
+        assert _state(tbl) == want, ("forced", history, i, j, k)
 
 
 # ---------------------------------------------------------------------------
