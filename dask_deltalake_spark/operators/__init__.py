@@ -402,7 +402,15 @@ __all__ = ["REGISTRY"]
 # deferrals need written justification (favor surfaces with no
 # r12/r13/r14 diff + strong pytest pins; the s01-s09 streaming block
 # and the d-queries adjacent to any r14 serializer work must rotate
-# IN, not defer). Re-derive before staging anything beyond the two:
+# IN, not defer). Queries riding code CHANGED in the r13
+# continuation session must rotate IN as fixed picks: d41 (compact_
+# log state-diff rewrite), d32 (retention anchor chain walk), d33 +
+# d42 + s05 + s08 (SetTransaction latest-wins), d07 (checkpoint-parse
+# domain tombstones + checkpoint-only anchoring) — all r11-tier, all
+# re-verified hash-green via check_oracle on the changed code this
+# session (ledgered in COVERAGE.md), but the driver row is the
+# stronger public signal. Re-derive before staging anything beyond
+# the two:
 # 159 registered + 2 = 161 names in 50 slots puts the staleness
 # floor at ~3.2 rounds, so every extra staging deepens next round's
 # deferral count one-for-one.
