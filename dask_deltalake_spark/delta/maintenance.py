@@ -1483,6 +1483,13 @@ def compact_log(
     Returns the file name written."""
     log = DeltaLog(str(path).rstrip("/"))
     versions = log.versions()
+    if not versions:
+        # checkpoint-only log: every commit is already summarized by
+        # the checkpoint; there is no JSON range to compact
+        raise ValueError(
+            f"compact_log: no JSON commits to compact at {path} "
+            "(checkpoint-only log)"
+        )
     if end_version is None:
         end_version = versions[-1]
     if start_version is None:

@@ -191,3 +191,18 @@ def test_cleanup_deletes_expired_compactions(spark, tmp_path):
     assert f"{0:020d}.{1:020d}.compacted.json" in doomed
     _SNAPSHOT_CACHE.clear()
     assert DeltaLog(path).snapshot().version == 3
+
+
+def test_compact_checkpoint_only_log_raises_clearly(spark, tmp_path):
+    import glob
+
+    from dask_deltalake_spark.delta.maintenance import create_checkpoint
+
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10), path)
+    create_checkpoint(path)
+    for j in glob.glob(os.path.join(path, "_delta_log", "*.json")):
+        os.remove(j)
+    _SNAPSHOT_CACHE.clear()
+    with pytest.raises(ValueError, match="no JSON commits"):
+        compact_log(path)
