@@ -232,6 +232,26 @@ def read_delta_changes(
             f"ending_version {end} beyond latest version {latest}"
         )
 
+    # The change feed is COMMIT-backed: every version in the range
+    # must still have its JSON commit. Retention cleanup keeps the
+    # table replayable through checkpoints/compactions, but those
+    # carry reconciled state, not per-commit change granularity — a
+    # clear range error beats a FileNotFoundError mid-read.
+    _have = set(log.versions())
+    _missing = [
+        v for v in range(int(starting_version) + 1, end + 1)
+        if v not in _have
+    ]
+    if _missing:
+        raise ValueError(
+            f"Change feed range {int(starting_version) + 1}..{end} is "
+            f"not available: commit(s) {_missing[:5]} were removed by "
+            "log retention cleanup (checkpoints/compactions preserve "
+            "replayability, not per-commit change granularity); "
+            f"earliest readable commit: {min(_have) if _have else 'none'}"
+        )
+
+
     from dask_deltalake_spark.delta.protocol import check_read_protocol
 
     snap = log.snapshot(version=end)

@@ -262,3 +262,37 @@ def test_cdf_fold_reconstructs_every_version(spark, tmp_path):
         assert folded == states[latest], (
             f"CDF fold from v{k} diverged from v{latest}"
         )
+
+
+def test_cdf_range_over_cleaned_commits_raises_clearly(spark, tmp_path):
+    """The change feed is commit-backed: a range whose commits were
+    removed by retention cleanup (table still replayable through its
+    checkpoint) raises a CLEAR range error naming the missing
+    commits, not a FileNotFoundError mid-read."""
+    import glob
+    import os
+
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE
+    from dask_deltalake_spark.delta.maintenance import create_checkpoint
+
+    path = str(tmp_path / "t")
+    df = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS s")
+    to_delta(df, path, configuration={"delta.enableChangeDataFeed": "true"})
+    to_delta(df, path, mode="append")   # v1
+    to_delta(df, path, mode="append")   # v2
+    create_checkpoint(path)             # checkpoint at 2
+    to_delta(df, path, mode="append")   # v3
+    # an INTERIOR commit of the requested range goes missing (both
+    # BOUNDARY states stay replayable: v0 via its JSON, v3 via the
+    # checkpoint) — the shape the pre-check exists for
+    os.remove(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+    _SNAPSHOT_CACHE.clear()
+    with pytest.raises(ValueError, match="not available: commit"):
+        read_delta_changes(path, starting_version=0, spark=spark).count()
+    # a range whose consumed boundary the checkpoint covers still
+    # reads fine past the gap
+    assert sorted(
+        r[0]
+        for r in read_delta_changes(path, starting_version=2, spark=spark)
+        .select("_commit_version").distinct().collect()
+    ) == [3]
