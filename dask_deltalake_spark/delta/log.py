@@ -168,11 +168,21 @@ class DeltaLog:
 
     def latest_version(self) -> int:
         vs = self.versions()
-        if not vs:
-            raise DeltaTableNotFoundError(
-                f"No Delta table found at {self.table_path}"
-            )
-        return vs[-1]
+        if vs:
+            return vs[-1]
+        # checkpoint-only log (r13 existence semantics): exists() and
+        # snapshot() treat it as an existing table anchored on the
+        # newest checkpoint, so latest_version must agree — raising
+        # here made CDC and the streaming sources report "No Delta
+        # table found" on a table snapshot() happily reads (ADVICE
+        # r13). Commit-granularity consumers (the change feed) still
+        # fail their own range pre-validation with a clear error.
+        cps = self.checkpoint_versions()
+        if cps:
+            return cps[-1]
+        raise DeltaTableNotFoundError(
+            f"No Delta table found at {self.table_path}"
+        )
 
     def version_timestamps(self) -> dict[int, float]:
         """Commit timestamps (epoch seconds): a commit's
@@ -518,7 +528,13 @@ class DeltaLog:
                     _cov[_cs] = max(_ce, _cov.get(_cs, -1))
             _vset = set(versions)
             _v = 0
-            while _v < versions[0]:
+            # coverage is only needed up to the REQUESTED version:
+            # when a compaction chain ends below the earliest retained
+            # JSON (versions=[5,6], compaction 0..3, version=3) the
+            # replay substitutes the chain and stops — requiring
+            # coverage all the way to versions[0] false-errored that
+            # shape (ADVICE r13)
+            while _v < min(versions[0], version + 1):
                 if _v in _cov:
                     _v = _cov[_v] + 1
                 elif _v in _vset:
@@ -741,9 +757,13 @@ class DeltaLog:
         while v <= version:
             ce = compacted.get(v)
             if ce is not None:
-                # one seq for the whole range is sound: compaction nets
-                # actions per path, so a range never holds both an add
-                # and a remove for one path
+                # one seq for the whole range is sound: compacted
+                # files emit their adds BEFORE their removes (the
+                # state-diff compactor may legitimately hold both for
+                # one path — shield re-adds plus exact-identity
+                # removes), so an in-unit add sets add_seq ==
+                # commit_seq and the legacy descriptor-less-remove
+                # heuristic below (seq < commit_seq) can never evict it
                 _begin_unit()
                 for action in self.read_compacted_actions(v, ce):
                     _apply(action)

@@ -1518,6 +1518,24 @@ def compact_log(
                 f"compact_log: commit {v} missing from "
                 f"{log.log_path} — can only compact retained ranges"
             )
+    # A range containing a checkpoint version is DEAD WEIGHT: replay
+    # anchors at the newest checkpoint <= the requested version and
+    # starts at cp+1, so a range beginning at or below cp never aligns
+    # with any replay position (the default start = newest
+    # checkpoint + 1 exists precisely to align). Writing it would
+    # silently produce a file no reader ever substitutes (ADVICE r13).
+    _straddled = [
+        c for c in log.checkpoint_versions()
+        if start_version <= c <= end_version
+    ]
+    if _straddled:
+        raise ValueError(
+            f"compact_log: range {start_version}..{end_version} "
+            f"contains checkpoint version(s) {_straddled} — replay "
+            "anchors at the checkpoint and starts at cp+1, so this "
+            "range could never be substituted; compact "
+            f"{_straddled[-1] + 1}..{end_version} instead"
+        )
     end_snap = log.snapshot(version=end_version)
     start_snap = (
         log.snapshot(version=start_version - 1) if start_version > 0 else None

@@ -296,3 +296,34 @@ def test_cdf_range_over_cleaned_commits_raises_clearly(spark, tmp_path):
         for r in read_delta_changes(path, starting_version=2, spark=spark)
         .select("_commit_version").distinct().collect()
     ) == [3]
+
+
+def test_checkpoint_only_log_latest_version_and_cdf_error(spark, tmp_path):
+    """Checkpoint-only logs (zero JSON commits survive): after the r13
+    existence fixes, exists()/snapshot() treat the table as existing —
+    latest_version() must AGREE and fall back to the newest checkpoint
+    version (ADVICE r13), so the surfaces riding it (CDC, streaming
+    sources) see a consistent table. The change feed — commit-backed
+    by contract — then fails its own range pre-validation with the
+    clear retention error, not 'No Delta table found'."""
+    import glob
+    import os
+
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE, DeltaLog
+    from dask_deltalake_spark.delta.maintenance import create_checkpoint
+
+    path = str(tmp_path / "t")
+    df = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS s")
+    to_delta(df, path, configuration={"delta.enableChangeDataFeed": "true"})
+    to_delta(df, path, mode="append")   # v1
+    create_checkpoint(path)             # checkpoint at 1
+    for j in glob.glob(os.path.join(path, "_delta_log", "*.json")):
+        os.remove(j)
+    _SNAPSHOT_CACHE.clear()
+
+    log = DeltaLog(path)
+    assert log.versions() == []
+    assert log.latest_version() == 1          # checkpoint anchor
+    assert log.snapshot().version == 1        # agrees with existence
+    with pytest.raises(ValueError, match="not available: commit"):
+        read_delta_changes(path, starting_version=0, spark=spark).count()

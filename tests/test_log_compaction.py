@@ -206,3 +206,50 @@ def test_compact_checkpoint_only_log_raises_clearly(spark, tmp_path):
     _SNAPSHOT_CACHE.clear()
     with pytest.raises(ValueError, match="no JSON commits"):
         compact_log(path)
+
+
+def test_compact_range_straddling_checkpoint_raises(spark, tmp_path):
+    """A range containing a checkpoint version is dead weight — replay
+    anchors at the checkpoint and starts at cp+1, so the range start
+    could never align with a replay position (ADVICE r13). compact_log
+    refuses instead of silently writing a file no reader substitutes,
+    and names the aligned range to use instead."""
+    path = str(tmp_path / "t")
+    _build(spark, path)  # v0..v3
+    create_checkpoint(path, version=2)
+    with pytest.raises(ValueError, match=r"checkpoint version\(s\) \[2\]"):
+        compact_log(path, 0, 3)
+    with pytest.raises(ValueError, match="3..3 instead"):
+        compact_log(path, 2, 3)  # cp at the range START is dead too
+    # the aligned post-checkpoint range still writes
+    assert compact_log(path, 3, 3) == f"{3:020d}.{3:020d}.compacted.json"
+    # and the default range starts at cp+1 (never straddles)
+    assert compact_log(path) == f"{3:020d}.{3:020d}.compacted.json"
+
+
+def test_prefix_coverage_bounded_at_requested_version(spark, tmp_path):
+    """Time travel INTO a compaction chain that ends below the
+    earliest retained JSON commit (ADVICE r13): versions=[..tail..],
+    compaction 0..2, snapshot(version=2) must replay by substituting
+    the chain — the prefix-coverage walk only needs coverage up to the
+    REQUESTED version, not up to versions[0]. Versions the chain does
+    NOT cover still raise the clear retention error."""
+    path = str(tmp_path / "t")
+    _build(spark, path)  # v0..v3
+    want_v2 = _state(DeltaLog(path).snapshot(version=2))
+    compact_log(path, 0, 2)
+    # retention-style prefix deletion: v0..v2 JSONs gone, tail remains
+    for v in (0, 1, 2):
+        os.remove(os.path.join(path, "_delta_log", f"{v:020d}.json"))
+    _SNAPSHOT_CACHE.clear()
+    log = DeltaLog(path)
+    assert log.versions() == [3]
+    snap = log.snapshot(version=2)
+    assert snap.version == 2
+    assert _state(snap) == want_v2
+    # a version BELOW the chain's end but not at a range boundary:
+    # the chain only substitutes whole ranges, so v1 is unreachable
+    with pytest.raises(ValueError, match="retained log history"):
+        log.snapshot(version=1)
+    # and the latest snapshot routes through the chain as before
+    assert DeltaLog(path).snapshot().version == 3
