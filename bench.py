@@ -198,6 +198,37 @@ def _settle_for_quiet_machine(
     return report
 
 
+def _host_calibration(spark) -> dict:
+    """Fixed-work host-speed probe stamped into every record (VERDICT
+    r13 #3): a single-core Python spin plus a single-partition JVM
+    aggregation — both CONSTANT work, so two records can attribute a
+    uniform sweep ratio to host speed directly (ratio of calibration
+    times) instead of arguing it from uniformity across untouched
+    queries, which is all the r13 band claim had. Runs before run1
+    and again after the last sweep (``pre``/``post``), bracketing any
+    mid-session machine drift."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(8_000_000):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+    py = time.perf_counter() - t0
+    # one partition -> one JVM core, whole-stage codegen path; min of
+    # two executions so the FIRST call's one-time codegen compile
+    # (cached for the identical post-sweep plan) can't masquerade as
+    # pre-vs-post machine drift
+    jvm = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 60_000_000, 1, 1).selectExpr(
+            "sum(id * 3 + 1) AS s"
+        ).collect()
+        jvm = min(jvm, time.perf_counter() - t0)
+    return {
+        "py_spin_sec": round(py, 3),
+        "jvm_range_agg_1part_sec": round(jvm, 3),
+    }
+
+
 def _run_sweep(
     spark, names, per_query_conf, last_consumer, label: str
 ) -> dict[str, float]:
@@ -467,6 +498,7 @@ def main() -> None:
     # ran before) subtracted out; both raw sweeps ship in `runs` so
     # the spread is auditable. A query counts as failed only if it
     # failed in BOTH sweeps.
+    calibration_pre = _host_calibration(spark)
     run1 = _run_sweep(spark, names, per_query_conf, last_consumer, "run1")
     run2 = _run_sweep(spark, names, per_query_conf, last_consumer, "run2")
     # Divergence third sweep (VERDICT r9 #2): when both sweeps ran
@@ -514,6 +546,7 @@ def main() -> None:
         ok = [t for t in candidates if t >= 0]
         timings[n] = min(ok) if ok else -1.0
 
+    calibration_post = _host_calibration(spark)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # key order matters: the driver records the TAIL of this line, so
     # the raw runs come first and the headline queries map + summary
@@ -524,6 +557,7 @@ def main() -> None:
         "unit": "sec",
         "protocol": "min_of_2_consecutive_runs_plus_divergence_rerun",
         "settle": settle,
+        "calibration": {"pre": calibration_pre, "post": calibration_post},
         "diverged_rerun": sorted(diverged),
         "runs": [run1, run2] + ([run3] if run3 else []),
         "queries": timings,

@@ -2374,10 +2374,11 @@ def q56_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r14 debut (staged in r13; the r13 window is full at 59 candidates
-# for 50 slots — the same staging pattern q55/q56 used in r12): NOT
-# yet in REGISTRY; register as q57 with the oracle below when the
-# r14 window opens.
+# staged in r13, debuted r14 (the q55/q56 staging pattern): plan
+# assertions were written BEFORE registration
+# (tests/test_registry_smoke.py — one shared hashpartitioning
+# exchange + RangeFrame for q57; Generate+sequence and no
+# BNLJ/Cartesian for q58).
 _Q57_ORACLE = """
 SELECT o_orderkey, n_30d, rev_90d FROM (
   SELECT o_orderkey, o_orderdate,
@@ -2394,6 +2395,7 @@ SELECT o_orderkey, n_30d, rev_90d FROM (
 """
 
 
+@query("q57_window_interval_range", _Q57_ORACLE)
 def q57_window_interval_range(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2440,7 +2442,7 @@ def q57_window_interval_range(
     )
 
 
-# r14 debut (staged alongside q57 — see the note there).
+# staged in r13 alongside q57, debuted r14 — see the note there.
 _Q58_ORACLE = """
 WITH daily AS (
   SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
@@ -2448,16 +2450,18 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 ),
 spine AS (
-  SELECT user_id,
-         CAST(UNNEST(generate_series(MIN(day), MAX(day),
-                                     INTERVAL 1 DAY)) AS DATE) AS day
-  FROM daily GROUP BY user_id
+  SELECT user_id, CAST(d AS DATE) AS day FROM (
+    SELECT user_id,
+           UNNEST(generate_series(MIN(day), MAX(day),
+                                  INTERVAL 1 DAY)) AS d
+    FROM daily GROUP BY user_id
+  )
 ),
 joined AS (
   SELECT s.user_id, s.day, d.v, (d.v IS NULL) AS is_gap
   FROM spine s LEFT JOIN daily d USING (user_id, day)
 )
-SELECT user_id, day,
+SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day,
        last_value(v IGNORE NULLS) OVER (
          PARTITION BY user_id ORDER BY day
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -2467,6 +2471,7 @@ FROM joined
 """
 
 
+@query("q58_gap_fill_resample", _Q58_ORACLE)
 def q58_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap-fill + forward-fill resampling (the
     hypertable/timescale rollup family — `time_bucket_gapfill` +
@@ -2513,9 +2518,14 @@ def q58_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # day is emitted as a 'yyyy-MM-dd' string: the driver's hash
+    # compare canonicalizes through pandas, where a DuckDB DATE
+    # surfaces as midnight datetime64 while Spark's DateType stays a
+    # date — stringifying on BOTH sides is the registry's standing
+    # date-output convention (q24).
     return j.select(
         "user_id",
-        "day",
+        F.date_format(F.col("day"), "yyyy-MM-dd").alias("day"),
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         "is_gap",
     )
