@@ -1941,6 +1941,30 @@ def validate_version_checksum(path: str, version: Optional[int] = None) -> dict:
             f"of {log.table_path}"
         )
     recorded = json.loads(log.store.read_bytes(crc_path).decode("utf-8"))
+
+    def _canon(key, val):
+        # Cross-engine comparison canonicalization (r14, found by the
+        # foreign-crc interop probe): readerFeatures/writerFeatures
+        # are SETS per the protocol spec — delta-spark emits them in
+        # its own order, so a list-equality compare false-flags every
+        # foreign checksum on a feature table. Null-valued fields are
+        # likewise identical to absent ones in action JSON (a foreign
+        # writer may emit "description": null where we omit it).
+        if not isinstance(val, dict):
+            return val
+        out = {}
+        for k, v in val.items():
+            if v is None:
+                continue
+            if (
+                key == "protocol"
+                and k in ("readerFeatures", "writerFeatures")
+                and isinstance(v, list)
+            ):
+                v = sorted(v)
+            out[k] = v
+        return out
+
     actual = {
         "tableSizeBytes": sum(a.size for a in snap.add_actions),
         "numFiles": len(snap.files),
@@ -1950,7 +1974,7 @@ def validate_version_checksum(path: str, version: Optional[int] = None) -> dict:
     mismatches = {
         k: {"recorded": recorded.get(k), "actual": actual[k]}
         for k in actual
-        if recorded.get(k) != actual[k]
+        if _canon(k, recorded.get(k)) != _canon(k, actual[k])
     }
     return {
         "version": snap.version,

@@ -738,3 +738,180 @@ def test_txn_version_reset_is_latest_wins(spark, tmp_path):
     txns = [r["txn"] for r in pq.read_table(cp).to_pylist()
             if r.get("txn") and r["txn"].get("appId")]
     assert {(t["appId"], t["version"]) for t in txns} == {("app-x", 1)}
+
+
+# ---------------------------------------------------------------------------
+# Foreign minor compaction files consumed by the anchor chain walk (r14 —
+# the VERDICT r13 #5 seam)
+# ---------------------------------------------------------------------------
+
+
+def test_foreign_minor_compaction_chain_replays_and_time_travels(
+    spark, tmp_path
+):
+    """A FOREIGN engine's log compaction files — shapes our own
+    compactor never writes: a commitInfo line kept at the top, removes
+    emitted BEFORE adds, and a mid-log range with NO metaData/protocol
+    re-declaration (the spec only requires the range's reconciled
+    actions; ours re-declares unconditionally) — must substitute in
+    the replay loop and chain through the prefix-coverage anchor walk
+    exactly like our own. Pins three consumers at once: the chain walk
+    over two foreign links after retention deleted the covered JSONs,
+    time travel INTO the chain (version = a link's end, below the
+    earliest retained JSON — the r14 walk-bound fix), and the clear
+    retention error for a version no link boundary exposes."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    to_delta(df, path)                                        # v0
+    to_delta(df.withColumn("k", F.col("k") + 10), path,
+             mode="append", txn_app_id="foreign-app",
+             txn_version=3)                                   # v1 (+txn)
+    delete_where(path, [("k", "<", 3)], spark=spark)          # v2 (COW)
+    to_delta(df.withColumn("k", F.col("k") + 20), path,
+             mode="append")                                   # v3
+
+    log = DeltaLog(path)
+    want = DeltaLog(path).snapshot()
+    want_state = (
+        dict((p, a.to_json()) for p, a in want.files.items()),
+        sorted(t.to_json()["remove"]["path"] for t in want.tombstones_all),
+        want.transactions,
+    )
+    want_v1_files = set(DeltaLog(path).snapshot(version=1).files)
+
+    log_dir = os.path.join(path, "_delta_log")
+
+    def _actions(v):
+        return [
+            json.loads(line)
+            for line in open(os.path.join(log_dir, f"{v:020d}.json"))
+            if line.strip()
+        ]
+
+    # foreign link 0..1: commitInfo kept (delta-spark keeps one),
+    # protocol/metaData from v0, then the adds of v0+v1 and v1's txn
+    a01 = [a for v in (0, 1) for a in _actions(v)]
+    link1 = (
+        [{"commitInfo": {"timestamp": _now_ms(),
+                         "operation": "COMPACTION",
+                         "engineInfo": "Apache-Spark/3.5.3 Delta-Lake/3.3.0"}}]
+        + [a for a in a01 if "protocol" in a]
+        + [a for a in a01 if "metaData" in a]
+        + [a for a in a01 if "txn" in a]
+        + [a for a in a01 if "add" in a]
+    )
+    # foreign link 2..3: NO metaData/protocol (unchanged in range),
+    # REMOVES FIRST then adds — the reverse of our compactor's order
+    a23 = [a for v in (2, 3) for a in _actions(v)]
+    link2 = (
+        [{"commitInfo": {"timestamp": _now_ms(),
+                         "operation": "COMPACTION",
+                         "engineInfo": "Apache-Spark/3.5.3 Delta-Lake/3.3.0"}}]
+        + [a for a in a23 if "remove" in a]
+        + [a for a in a23 if "add" in a]
+    )
+    for (s, e), acts in (((0, 1), link1), ((2, 3), link2)):
+        with open(
+            os.path.join(log_dir, f"{s:020d}.{e:020d}.compacted.json"), "w"
+        ) as fh:
+            for a in acts:
+                fh.write(json.dumps(a) + "\n")
+
+    # retention deletes everything the chain covers except the tail
+    for v in (0, 1, 2):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    _SNAPSHOT_CACHE.clear()
+
+    snap = DeltaLog(path).snapshot()
+    got_state = (
+        dict((p, a.to_json()) for p, a in snap.files.items()),
+        sorted(t.to_json()["remove"]["path"] for t in snap.tombstones_all),
+        snap.transactions,
+    )
+    assert got_state == want_state
+    assert snap.transactions["foreign-app"] == 3
+    assert read_delta(path, spark=spark).count() == 27  # 30 - 3 deleted
+
+    # time travel INTO the chain: version 1 is a link boundary below
+    # the earliest retained JSON (r14 prefix-walk bound)
+    _SNAPSHOT_CACHE.clear()
+    v1 = DeltaLog(path).snapshot(version=1)
+    assert set(v1.files) == want_v1_files
+    assert v1.transactions["foreign-app"] == 3
+
+    # a version INSIDE a link (no boundary exposes it) stays a clear
+    # retention error, not a file-not-found
+    with pytest.raises(ValueError, match="retained log history"):
+        DeltaLog(path).snapshot(version=2)
+
+
+def test_foreign_version_checksum_validates_order_insensitively(
+    spark, tmp_path
+):
+    """A FOREIGN .crc (delta-spark VersionChecksum) carries extra
+    fields we never write (txnId, setTransactions, histogramOpt,
+    numDeletedRecordsOpt) and emits readerFeatures/writerFeatures in
+    ITS order — the spec says those are sets, so
+    validate_version_checksum must not false-flag a foreign checksum
+    over list ordering or over explicit-null-vs-absent fields. A REAL
+    divergence (wrong file count) must still flag."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.delta.maintenance import (
+        validate_version_checksum,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    to_delta(df, path, configuration={
+        "delta.columnMapping.mode": "name",
+        "delta.enableRowTracking": "true",
+    })
+    snap = DeltaLog(path).snapshot()
+    proto = dict(snap.protocol.to_json()["protocol"])
+    assert isinstance(proto.get("writerFeatures"), list)  # fixture real
+    for k in ("readerFeatures", "writerFeatures"):
+        if isinstance(proto.get(k), list):
+            proto[k] = list(reversed(proto[k]))
+    meta = dict(snap.metadata.to_json()["metaData"])
+    meta["description"] = None  # explicit null where we omit
+    crc = {
+        "txnId": "0f0e0d0c-1111-2222-3333-444455556666",
+        "tableSizeBytes": sum(a.size for a in snap.add_actions),
+        "numFiles": len(snap.files),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "numDeletedRecordsOpt": 0,
+        "numDeletionVectorsOpt": 0,
+        "setTransactions": [],
+        "domainMetadata": [],
+        "histogramOpt": {
+            "sortedBinBoundaries": [0],
+            "fileCounts": [1],
+            "totalBytes": [123],
+        },
+        "metadata": meta,
+        "protocol": proto,
+    }
+    crc_path = os.path.join(
+        path, "_delta_log", f"{snap.version:020d}.crc"
+    )
+    with open(crc_path, "w") as fh:
+        fh.write(json.dumps(crc))
+    res = validate_version_checksum(path)
+    assert res["valid"], res["mismatches"]
+
+    # real divergence still flags
+    crc["numFiles"] = 999
+    with open(crc_path, "w") as fh:
+        fh.write(json.dumps(crc))
+    res = validate_version_checksum(path)
+    assert not res["valid"] and "numFiles" in res["mismatches"]
