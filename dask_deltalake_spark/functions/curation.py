@@ -722,3 +722,104 @@ def contrastive_scores(d: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# r15 debut (staged in r14 alongside q59 — see the note there): NOT
+# yet in REGISTRY; register as x44 when the r15 window opens.
+_X44_BUDGET_SQL = (
+    "800 + 100 * (CAST(SUBSTR(source, 4) AS BIGINT) % 4)"
+)
+_X44_ORACLE = f"""
+WITH scored AS (
+  SELECT source,
+         LEAST(n_chars, 100000) AS band,
+         CAST(LEN({_TOKENS_SQL}) AS BIGINT) AS n_tok
+  FROM documents
+),
+bands AS (
+  SELECT source, band,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS tok
+  FROM scored GROUP BY source, band
+),
+cum AS (
+  SELECT source, band, n_docs, tok,
+         SUM(tok) OVER (
+           PARTITION BY source ORDER BY band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tok,
+         {_X44_BUDGET_SQL} AS budget
+  FROM bands
+)
+SELECT source,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens_kept,
+       CAST(MIN(budget) AS BIGINT) AS budget_tokens,
+       CAST(MIN(band) AS BIGINT) AS min_band_kept
+FROM cum WHERE cum_tok <= budget
+GROUP BY source ORDER BY source
+"""
+
+
+def x44_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: fill each source's training-token
+    budget with its highest-quality documents — THE mixture-design
+    primitive of a pretraining pipeline ("give me 60B tokens of web,
+    30B of code, best-first"). x24 samples by RATE (hash under a
+    per-source cap); this selects under an absolute TOKEN budget with
+    a quality ordering, which is how real mixes are specified.
+
+    Scale design — histogram-threshold, NOT a per-doc window: a
+    per-source ORDER BY quality cumulative sum over documents is a
+    single-reducer sort per source (the classic skew wall — a 100 TB
+    web source funnels through one partition). Instead: (1) one
+    algebraic groupBy collapses the corpus to (source, quality-band)
+    token histograms — the band domain is capped (LEAST(n_chars,
+    100000), a stand-in for any bounded quality score), so the
+    histogram is O(sources x bands) REGARDLESS of corpus size; (2)
+    the budget cutoff runs as a window over that tiny frame (same
+    two-level shape as x42's rank window); (3) whole bands at or
+    above the cutoff are kept — band-atomic selection is what makes
+    the result deterministic and join-free (the doc-level variant is
+    one broadcast of the per-source thresholds back onto the scan).
+    Budgets are per-source constants here; a real mix table is a
+    <=thousands-row broadcast, never a shuffle side.
+    Output is integer-only (doc/token counts, budget, threshold band)
+    for a stable oracle hash."""
+    d = _t(spark, sf_dir, "documents")
+    budget = (
+        F.lit(800)
+        + F.lit(100)
+        * (F.expr("substring(source, 4)").cast("long") % 4)
+    ).cast("long")
+    bands = (
+        d.select(
+            "source",
+            F.least(F.col("n_chars"), F.lit(100000)).alias("band"),
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .groupBy("source", "band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("tok"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bands.withColumn("cum_tok", F.sum("tok").over(w)).withColumn(
+        "budget", budget
+    )
+    return (
+        cum.filter(F.col("cum_tok") <= F.col("budget"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs_kept"),
+            F.sum("tok").cast("long").alias("n_tokens_kept"),
+            F.min("budget").cast("long").alias("budget_tokens"),
+            F.min("band").cast("long").alias("min_band_kept"),
+        )
+        .orderBy("source")
+    )

@@ -464,12 +464,21 @@ __all__ = ["REGISTRY"]
 # d08, d10, d14, d16-d19, d29, d30, d33*, d36-d39, d44, d47, d48,
 # d50, q45, q46, q52-q54, s07, s10, x02, x03, x09-x12, x14-x16,
 # x20-x27, x32, x43 — *d33 re-verified r14 as a rider, drops out) +
-# any r14-staged debuts = ~61-63 for 50 slots -> ~11-13 r12-tier
-# deferrals need written justification (favor surfaces with no
-# r13/r14/r15 diff + strong pytest pins; s07 and s10 must rotate IN —
-# s07 carries the r13 perf-weak flag and the streaming tier defers
-# poorly). Queries riding code CHANGED in r14 must rotate IN as
-# fixed picks (see COVERAGE.md r14 ledger for the definitive list).
-# Re-derive before staging anything beyond two: 161 registered + N
-# staged in 50 slots keeps the staleness floor at ~3.2 rounds; every
-# extra staging deepens next round's deferral count one-for-one.
+# the two r14-staged debuts (q59_grouped_pandas_quantiles — the
+# FlatMapGroupsInPandas physical family nothing samples, exact
+# integer-cents quantile oracle; x44_token_budget_mix — budget-
+# constrained quality mixing via the histogram-threshold two-level
+# shape; both with plan assertions written first in
+# test_registry_smoke.py and check_oracle-green at staging time) =
+# 64 for 50 slots -> FOURTEEN r12-tier deferrals need written
+# justification (favor surfaces with no r13/r14/r15 diff + strong
+# pytest pins; s07 and s10 must rotate IN — s07 carries the r13
+# perf-weak history and the streaming tier defers poorly). Queries
+# riding code CHANGED in r14 must rotate IN as fixed picks: d50
+# (validate_version_checksum canonicalization) and d19 (rides
+# latest_version via cdc.py; re-run green via check_oracle this
+# round but the driver row is the stronger signal) — see the
+# COVERAGE.md r14 ledger. Re-derive before staging anything beyond
+# the two: 163 registered names in 50 slots puts the staleness floor
+# at ~3.3 rounds; every extra staging deepens next round's deferral
+# count one-for-one.

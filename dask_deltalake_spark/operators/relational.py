@@ -2529,3 +2529,89 @@ def q58_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         "is_gap",
     )
+
+
+# r15 debut (staged in r14; the r14 window is full at 62 candidates
+# for 50 slots — the q55/q56/q57/q58 staging pattern, plan assertions
+# written first in tests/test_registry_smoke.py): NOT yet in
+# REGISTRY; register as q59 when the r15 window opens.
+_Q59_ORACLE = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       QUANTILE_CONT(cents, 0.25) AS q25_cents,
+       MEDIAN(cents) AS med_cents,
+       QUANTILE_CONT(cents, 0.75) AS q75_cents
+FROM (
+  SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+GROUP BY o_custkey
+HAVING COUNT(*) >= 5
+"""
+
+
+def q59_grouped_pandas_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group Python analytics via ``applyInPandas`` — the
+    FlatMapGroupsInPandas physical family NO registered query samples
+    (q35 pins ArrowEvalPython/pandas_udf, q36 UDTF, x13/x17
+    MapInPandas; the delta engine uses FlatMapGroupsInPandas
+    internally for DV folding, mutate.py:723, but the user-facing
+    operator tier never did). The group computation here — a
+    per-customer order-value quantile profile — is deliberately
+    SQL-expressible so the oracle is an EXACT hash match: prices are
+    converted to integer cents, and numpy's linear-interpolation
+    percentiles on integers are bitwise-identical to DuckDB
+    QUANTILE_CONT (parity property-checked over 200 random groups
+    before staging). The harness value is the Arrow group-transfer
+    machinery itself: Catalyst plans one hash-partition exchange on
+    the group key, groups stream to a Python worker as Arrow batches,
+    and the per-group pandas frame comes back as columnar batches —
+    the escape hatch for per-entity logic SQL genuinely cannot
+    express (sequence alignment, per-user model scoring), pinned here
+    with a verifiable stand-in.
+    Scale: ONE shuffle on o_custkey (plan-asserted single
+    hashpartitioning + FlatMapGroupsInPandas); per-group state is one
+    customer's orders (bounded, no skew at TPC-H key uniformity);
+    Arrow transfer is vectorized both ways — no row-at-a-time Python.
+    The >=5-order floor keeps quantile interpolation well-defined and
+    drops nothing at the driver (filter is post-agg inside the UDF).
+    Reference parity: groupby-apply family, reference
+    tests/test_core.py.
+    """
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 5:
+            return pd.DataFrame(
+                columns=[
+                    "o_custkey", "n_orders",
+                    "q25_cents", "med_cents", "q75_cents",
+                ]
+            )
+        a = pdf["cents"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "o_custkey": [int(pdf["o_custkey"].iloc[0])],
+                "n_orders": [len(pdf)],
+                "q25_cents": [float(np.percentile(a, 25))],
+                "med_cents": [float(np.percentile(a, 50))],
+                "q75_cents": [float(np.percentile(a, 75))],
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(
+        profile,
+        schema=(
+            "o_custkey long, n_orders long, "
+            "q25_cents double, med_cents double, q75_cents double"
+        ),
+    )

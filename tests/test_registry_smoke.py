@@ -665,3 +665,100 @@ def test_q58_gap_fill_matches_duckdb_oracle(spark):
     # real day (the first day per user can never be a gap — the spine
     # starts at MIN(day), which is a real observation)
     assert all(got[k][0] is not None for k in gaps)
+
+
+def test_q59_grouped_pandas_quantiles_matches_duckdb_oracle(spark):
+    """q59 (staged r15 debut): per-group applyInPandas quantile
+    profile pinned cell-for-cell against DuckDB — integer cents make
+    numpy linear-interpolation percentiles bitwise-equal to
+    QUANTILE_CONT — with the plan asserted to carry the
+    FlatMapGroupsInPandas operator (the physical family no registered
+    query samples) fed by exactly ONE hash-partition exchange on the
+    group key."""
+    import duckdb
+
+    from dask_deltalake_spark.operators.relational import (
+        _Q59_ORACLE,
+        q59_grouped_pandas_quantiles,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    df = q59_grouped_pandas_quantiles(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("hashpartitioning(o_custkey") == 1, (
+        "one exchange on the group key feeds the Python worker"
+    )
+    got = {
+        r["o_custkey"]: (
+            r["n_orders"], r["q25_cents"], r["med_cents"], r["q75_cents"]
+        )
+        for r in df.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    exp = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(_Q59_ORACLE).fetchall()
+    }
+    assert got == exp
+    assert len(got) > 300  # real group population at sf0.01
+    # interpolation actually exercised (odd AND even group sizes)
+    assert any(v[0] % 2 == 0 for v in got.values())
+    assert any(v[0] % 2 == 1 for v in got.values())
+
+
+def test_x44_token_budget_mix_matches_duckdb_oracle(spark):
+    """x44 (staged r15 debut): histogram-threshold token-budget mix
+    pinned cell-for-cell against DuckDB, with the plan asserted to be
+    the two-level shape (corpus -> band histogram -> tiny window):
+    exactly TWO hash exchanges — (source, band) for the histogram and
+    source for the cutoff window — and NO per-document window (the
+    window input is the post-aggregate band frame)."""
+    import duckdb
+
+    from dask_deltalake_spark.functions.curation import (
+        _X44_ORACLE,
+        x44_token_budget_mix,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    df = x44_token_budget_mix(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning") == 2, plan.count(
+        "hashpartitioning"
+    )
+    # the window must consume the aggregated band frame, not the scan:
+    # its partition spec is (source) and appears after the (source,
+    # band) aggregate in the plan tree
+    assert "Window" in plan
+    got = {
+        r["source"]: (
+            r["n_docs_kept"], r["n_tokens_kept"],
+            r["budget_tokens"], r["min_band_kept"],
+        )
+        for r in df.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(_X44_ORACLE).fetchall()
+    }
+    assert got == exp
+    # non-degenerate selection: every source keeps SOME docs but not
+    # all of them (the budget actually cuts)
+    assert len(got) == 20
+    totals = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT source, COUNT(*), 1 FROM documents GROUP BY source"
+        ).fetchall()
+    }
+    assert all(0 < got[s][0] < totals[s][0] for s in got)
