@@ -73,6 +73,32 @@ class DeltaFilesPartition(InputPartition):
 _TARGET_BIN_BYTES = 128 * 1024 * 1024
 
 
+def _require_commit_range(log, lo: int, hi: int) -> None:
+    """The delta_py stream and CDF sources are COMMIT-backed: every
+    version in a planned batch range must still have its JSON commit.
+    Retention cleanup keeps the table replayable through checkpoints/
+    compactions, but those carry reconciled state, not per-commit
+    change granularity — a stream planning through a cleaned range
+    must fail with a CLEAR range error naming the missing commits and
+    the resume options (the r13 read_delta_changes precedent), not a
+    FileNotFoundError from the middle of partition planning."""
+    if lo > hi:
+        return
+    have = set(log.versions())
+    missing = [v for v in range(lo, hi + 1) if v not in have]
+    if missing:
+        raise ValueError(
+            f"Streaming commit range {lo}..{hi} of {log.table_path} "
+            f"is not available: commit(s) {missing[:5]} were removed "
+            "by log retention cleanup (checkpoints/compactions "
+            "preserve snapshot replayability, not per-commit change "
+            "granularity); earliest retained commit: "
+            f"{min(have) if have else 'none (checkpoint-only log)'} — "
+            "resume from a retained version via startingVersion, or "
+            "read the current snapshot with the batch reader."
+        )
+
+
 def _bin_pack_files(entries: list[tuple]) -> list:
     """(abs_path, partition_json, size, dv_blob|None) → DeltaFilesPartition bins of
     ~_TARGET_BIN_BYTES (first-fit-decreasing; any single file larger
@@ -403,6 +429,10 @@ class DeltaPyStreamReader(DataSourceStreamReader):
             self._last_planned = latest
             return {"version": latest}
         start = self._last_planned
+        # the admission walk reads per-commit footprints below — fail
+        # the cleaned-range shape with the clear error here too, not
+        # a FileNotFoundError from the budget scan
+        _require_commit_range(self._log, start + 1, latest)
         files = nbytes = 0
         end = start
         for v in range(start + 1, latest + 1):
@@ -442,6 +472,9 @@ class DeltaPyStreamReader(DataSourceStreamReader):
             end["version"]
         ):
             self._last_planned = int(end["version"])
+        _require_commit_range(
+            self._log, int(start["version"]) + 1, int(end["version"])
+        )
         entries = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             for action in self._log.read_commit_actions(v):
@@ -753,6 +786,7 @@ class DeltaPyCdfReader(DataSourceReader, _CdfBase):
             )
 
     def partitions(self):
+        _require_commit_range(self._log, self._start + 1, self._end)
         dv_state = self._dv_state_at(self._start)
         parts = _plan_cdf_partitions(
             self._log, dv_state, self._start, self._end
@@ -794,6 +828,7 @@ class DeltaPyCdfStreamReader(DataSourceStreamReader, _CdfBase):
 
     def partitions(self, start: dict, end: dict):
         start_v, end_v = int(start["version"]), int(end["version"])
+        _require_commit_range(self._log, start_v + 1, end_v)
         dv_state = self._dv_state_at(start_v)
         parts = _plan_cdf_partitions(self._log, dv_state, start_v, end_v)
         return parts or [DeltaCdfPartition("", "{}", "insert", 0)]

@@ -448,3 +448,78 @@ def test_batch_time_travel_options(spark, tmp_path):
     with pytest.raises(Exception, match="mutually exclusive"):
         (r().option("versionAsOf", 0).option("timestampAsOf", mid)
          .load().count())
+
+
+def test_stream_over_cleaned_range_raises_clearly(spark, tmp_path):
+    """The delta_py stream is COMMIT-backed: a fresh stream over a
+    table whose early commits were removed by retention cleanup (the
+    standard long-lived-table shape — checkpoint + cleaned prefix)
+    must fail with the clear range error naming the missing commits
+    and the resume options (the r13 read_delta_changes precedent),
+    not a FileNotFoundError from partition planning; and resuming
+    from a RETAINED version via startingVersion must work. Also pins
+    the checkpoint-only variant surfaced by the r14 latest_version
+    fallback: the stream sees the table (no 'No Delta table found')
+    and reports the commit-granularity refusal instead."""
+    import glob
+    import os
+
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE
+    from dask_deltalake_spark.delta.maintenance import create_checkpoint
+    from dask_deltalake_spark.delta.writer import to_delta
+    from dask_deltalake_spark.streaming.availablenow import (
+        drain_available_now,
+    )
+
+    register_python_datasource(spark)
+    tbl = str(tmp_path / "t")
+    for lo in (0, 5, 10):  # v0, v1, v2
+        to_delta(
+            spark.range(lo, lo + 5).selectExpr("id AS k").coalesce(1),
+            tbl,
+            mode="append" if lo else "error",
+        )
+    create_checkpoint(tbl)  # at v2
+    to_delta(
+        spark.range(15, 20).selectExpr("id AS k").coalesce(1),
+        tbl, mode="append",
+    )  # v3
+    for v in (0, 1):  # retention-style prefix cleanup below the cp
+        os.remove(os.path.join(tbl, "_delta_log", f"{v:020d}.json"))
+    _SNAPSHOT_CACHE.clear()
+
+    batches = []
+
+    def sink(df):
+        return df.writeStream.foreachBatch(
+            lambda bdf, bid: batches.append(
+                sorted(r["k"] for r in bdf.collect())
+            )
+        )
+
+    # fresh stream replays commits from 0 -> clear refusal
+    with pytest.raises(Exception, match="removed by log retention"):
+        drain_available_now(spark, tbl, sink, str(tmp_path / "ck1"))
+    # the admission-bounded walk fails the same way, not via the
+    # footprint scan's file read
+    with pytest.raises(Exception, match="removed by log retention"):
+        drain_available_now(
+            spark, tbl, sink, str(tmp_path / "ck2"),
+            max_files_per_trigger=1,
+        )
+    # resuming from a retained version works and emits exactly v2+v3
+    batches.clear()
+    drain_available_now(
+        spark, tbl, sink, str(tmp_path / "ck3"),
+        options={"startingVersion": 2},
+    )
+    assert sorted(k for b in batches for k in b) == list(range(10, 20))
+
+    # checkpoint-only variant: every JSON gone; latest_version falls
+    # back to the checkpoint (r14) and the stream refuses with the
+    # commit-granularity error, not DeltaTableNotFoundError
+    for j in glob.glob(os.path.join(tbl, "_delta_log", "*.json")):
+        os.remove(j)
+    _SNAPSHOT_CACHE.clear()
+    with pytest.raises(Exception, match="removed by log retention"):
+        drain_available_now(spark, tbl, sink, str(tmp_path / "ck4"))
