@@ -705,7 +705,7 @@ def test_q59_grouped_pandas_quantiles_matches_duckdb_oracle(spark):
         for r in con.execute(_Q59_ORACLE).fetchall()
     }
     assert got == exp
-    assert len(got) > 300  # real group population at sf0.01
+    assert len(got) > 40  # real group population at sf0.01 (cohort)
     # interpolation actually exercised (odd AND even group sizes)
     assert any(v[0] % 2 == 0 for v in got.values())
     assert any(v[0] % 2 == 1 for v in got.values())
