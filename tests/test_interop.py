@@ -915,3 +915,45 @@ def test_foreign_version_checksum_validates_order_insensitively(
         fh.write(json.dumps(crc))
     res = validate_version_checksum(path)
     assert not res["valid"] and "numFiles" in res["mismatches"]
+
+
+def test_foreign_last_checkpoint_hints_are_tolerated(spark, tmp_path):
+    """A FOREIGN _last_checkpoint may carry fields we never write —
+    sizeInBytes, numOfAddFiles, parts hints, checkpointSchema, v2
+    metadata, checksum tags — or even be stale/garbage. Our reader
+    discovers checkpoints by LISTING (never trusts the pointer), so
+    replay must be byte-for-byte indifferent to its content; our next
+    create_checkpoint then overwrites it with a valid pointer."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.range(20).select(F.col("id").alias("k"))
+    to_delta(df, path)
+    to_delta(df, path, mode="append")
+    create_checkpoint(path)
+    lc = os.path.join(path, "_delta_log", "_last_checkpoint")
+    want = read_delta(path, spark=spark).count()
+
+    # delta-spark-style extended pointer
+    with open(lc, "w") as fh:
+        fh.write(json.dumps({
+            "version": 1, "size": 5, "sizeInBytes": 123456,
+            "numOfAddFiles": 2, "parts": None,
+            "checkpointSchema": {"type": "struct", "fields": []},
+            "checksum": "abc123", "tags": {"engine": "foreign"},
+            "v2Checkpoint": {"path": "nonexistent.parquet"},
+        }))
+    _SNAPSHOT_CACHE.clear()
+    assert read_delta(path, spark=spark).count() == want
+
+    # garbage pointer: still listing-driven, still reads
+    with open(lc, "w") as fh:
+        fh.write("{not json")
+    _SNAPSHOT_CACHE.clear()
+    assert read_delta(path, spark=spark).count() == want
+
+    # our next checkpoint rewrites a valid pointer
+    to_delta(df, path, mode="append")
+    create_checkpoint(path)
+    ptr = json.loads(open(lc).read())
+    assert ptr["version"] == 2 and "size" in ptr

@@ -463,3 +463,66 @@ def test_replay_matches_reference_and_order_insensitive(history):
         ref_files, ref_tombs = _ref_replay(history)
         assert files_f == ref_files, (history, files_f, ref_files)
         assert tombs_f == ref_tombs, (history, tombs_f, ref_tombs)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(history=_history, data=st.data())
+def test_replay_compacted_file_order_insensitive(history, data):
+    """FOREIGN-ORDERING INVARIANCE (r14, generalizing the
+    test_interop foreign-minor-compaction example): a compacted file
+    is a reconciliation UNIT — per the spec its action order must not
+    matter, and a foreign engine may emit commitInfo lines and order
+    removes BEFORE adds (the reverse of our adds-first emission).
+    Property: take our own compactor's file for a random aligned
+    range, rewrite it foreign-style (commitInfo prepended, removes
+    first, remaining actions in original relative order), delete the
+    range's interior JSON commits, and the replayed state must equal
+    the plain full-JSON replay. This is the net over the shield
+    re-add + add_seq machinery: with removes first, a descriptor-less
+    remove applies against the PRE-state add (add_seq < commit_seq,
+    heuristic live) and the shield re-add must restore the file."""
+    import json as _json
+    import os
+
+    from dask_deltalake_spark.delta.maintenance import compact_log
+
+    with tempfile.TemporaryDirectory(prefix="replay_prop_") as base:
+        plain = _write_table(base, history)
+        want = _state(plain)
+
+        n = len(history)
+        i = data.draw(st.integers(min_value=0, max_value=n - 1), label="i")
+        j = data.draw(st.integers(min_value=i, max_value=n - 1), label="j")
+        tbl = _write_table(os.path.join(base, "reord"), history)
+        _SNAPSHOT_CACHE.clear()
+        compact_log(tbl, start_version=i, end_version=j)
+        cpath = os.path.join(
+            tbl, "_delta_log", f"{i:020d}.{j:020d}.compacted.json"
+        )
+        actions = [
+            _json.loads(ln)
+            for ln in open(cpath, encoding="utf-8")
+            if ln.strip()
+        ]
+        removes = [a for a in actions if "remove" in a]
+        rest = [a for a in actions if "remove" not in a]
+        foreign = (
+            [{"commitInfo": {"timestamp": 1, "operation": "COMPACTION",
+                             "engineInfo": "foreign/1.0"}}]
+            + removes
+            + rest
+        )
+        with open(cpath, "w", encoding="utf-8") as fh:
+            for a in foreign:
+                fh.write(_json.dumps(a) + "\n")
+        # retention deletes the covered commits (keep the tail anchor)
+        for v in range(i, j + 1):
+            if v == n - 1:
+                continue
+            os.remove(os.path.join(tbl, "_delta_log", f"{v:020d}.json"))
+        _SNAPSHOT_CACHE.clear()
+        assert _state(tbl) == want, ("reordered", history, i, j)
