@@ -347,6 +347,45 @@ class DeltaLog:
         txns: dict[str, int] = {}
         sidecars: list[str] = []
 
+        def _parsed_stats_json(sp) -> Optional[str]:
+            """delta-spark `delta.checkpoint.writeStatsAsStruct`
+            checkpoints may carry ONLY a typed ``stats_parsed`` struct
+            (``writeStatsAsJson=false`` drops the JSON twin entirely) —
+            reading ``stats`` alone silently degrades data skipping on
+            such foreign tables. Re-serialize the struct to the JSON
+            stats shape: dates/timestamps isoformat (the JSON stats
+            spelling), decimals to float, unknown/None leaves dropped
+            (absent == unknown == skipped conservatively, the r13
+            foreign-stats precedent). A row without stats surfaces as
+            an all-null struct via pyarrow — the numRecords gate
+            filters it (every real Delta stats blob carries it)."""
+            if not sp or sp.get("numRecords") is None:
+                return None
+            import datetime
+            import decimal
+
+            def conv(v):
+                if isinstance(v, dict):
+                    out = {}
+                    for k, x in v.items():
+                        cx = conv(x)
+                        if cx is not None:
+                            out[k] = cx
+                    return out
+                if isinstance(v, (datetime.datetime, datetime.date)):
+                    return v.isoformat()
+                if isinstance(v, decimal.Decimal):
+                    return float(v)
+                if isinstance(v, bytes):
+                    return None
+                return v
+
+            blob = {"numRecords": int(sp["numRecords"])}
+            for k in ("minValues", "maxValues", "nullCount"):
+                if sp.get(k) is not None:
+                    blob[k] = conv(sp[k])
+            return json.dumps(blob)
+
         def consume(row) -> None:
             nonlocal metadata, protocol
             if row.get("sidecar") and row["sidecar"].get("path"):
@@ -366,7 +405,10 @@ class DeltaLog:
                     partition_values=dict(a.get("partitionValues") or {}),
                     modification_time=int(a.get("modificationTime") or 0),
                     data_change=bool(a.get("dataChange", True)),
-                    stats=a.get("stats"),
+                    stats=(
+                        a.get("stats")
+                        or _parsed_stats_json(a.get("stats_parsed"))
+                    ),
                     deletion_vector=dv,
                     base_row_id=int(brid) if brid is not None else None,
                     default_row_commit_version=(

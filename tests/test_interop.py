@@ -957,3 +957,117 @@ def test_foreign_last_checkpoint_hints_are_tolerated(spark, tmp_path):
     create_checkpoint(path)
     ptr = json.loads(open(lc).read())
     assert ptr["version"] == 2 and "size" in ptr
+
+
+def test_foreign_struct_only_stats_checkpoint_keeps_skipping(
+    spark, tmp_path
+):
+    """delta-spark `delta.checkpoint.writeStatsAsStruct=true` +
+    `writeStatsAsJson=false`: the checkpoint carries ONLY a typed
+    `stats_parsed` struct — no JSON `stats` at all. Reading `stats`
+    alone silently degrades data skipping on every such foreign table
+    (correct results, 100% file false-keep rate). The parser now
+    re-serializes the struct to the JSON stats shape (dates
+    isoformatted, None leaves dropped), so prune_by_stats keeps
+    skipping; rows without stats surface as all-null structs and are
+    gated on numRecords."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from dask_deltalake_spark.delta.protocol import prune_by_stats
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(10).coalesce(1).selectExpr("id"), path)  # v0
+    v0 = _v0_adds(path)[0]
+    log_dir = os.path.join(path, "_delta_log")
+    meta_line = next(
+        json.loads(line)["metaData"]
+        for line in open(os.path.join(log_dir, f"{0:020d}.json"))
+        if '"metaData"' in line
+    )
+    proto_line = next(
+        json.loads(line)["protocol"]
+        for line in open(os.path.join(log_dir, f"{0:020d}.json"))
+        if '"protocol"' in line
+    )
+    import datetime
+
+    sp = pa.struct(
+        [
+            ("numRecords", pa.int64()),
+            ("minValues", pa.struct(
+                [("id", pa.int64()), ("d", pa.date32())])),
+            ("maxValues", pa.struct(
+                [("id", pa.int64()), ("d", pa.date32())])),
+            ("nullCount", pa.struct(
+                [("id", pa.int64()), ("d", pa.int64())])),
+        ]
+    )
+    rows = [
+        {"protocol": proto_line, "metaData": None, "add": None},
+        {"protocol": None, "metaData": {
+            "id": meta_line["id"],
+            "schemaString": meta_line["schemaString"],
+            "partitionColumns": [],
+            "configuration": [],
+            "createdTime": meta_line.get("createdTime"),
+            "format": {"provider": "parquet"},
+        }, "add": None},
+        {"protocol": None, "metaData": None, "add": {
+            "path": v0["path"],
+            "partitionValues": [],
+            "size": v0["size"],
+            "modificationTime": v0["modificationTime"],
+            "dataChange": False,
+            "stats": None,  # writeStatsAsJson=false
+            "stats_parsed": {
+                "numRecords": 10,
+                "minValues": {"id": 0,
+                              "d": datetime.date(2021, 1, 1)},
+                "maxValues": {"id": 9,
+                              "d": datetime.date(2021, 1, 9)},
+                "nullCount": {"id": 0, "d": None},
+            },
+        }},
+    ]
+    schema = pa.schema(
+        [
+            pa.field("protocol", pa.struct(
+                [("minReaderVersion", pa.int32()),
+                 ("minWriterVersion", pa.int32())])),
+            pa.field("metaData", pa.struct(
+                [("id", pa.string()),
+                 ("schemaString", pa.string()),
+                 ("partitionColumns", pa.list_(pa.string())),
+                 ("configuration", pa.map_(pa.string(), pa.string())),
+                 ("createdTime", pa.int64()),
+                 ("format", pa.struct([("provider", pa.string())]))])),
+            pa.field("add", pa.struct(
+                [("path", pa.string()),
+                 ("partitionValues", pa.map_(pa.string(), pa.string())),
+                 ("size", pa.int64()),
+                 ("modificationTime", pa.int64()),
+                 ("dataChange", pa.bool_()),
+                 ("stats", pa.string()),
+                 ("stats_parsed", sp)])),
+        ]
+    )
+    _pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        os.path.join(log_dir, f"{0:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 0, "size": len(rows)}))
+
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    a = snap.add_actions[0]
+    blob = json.loads(a.stats)
+    assert blob["numRecords"] == 10
+    assert blob["minValues"] == {"id": 0, "d": "2021-01-01"}
+    assert blob["maxValues"] == {"id": 9, "d": "2021-01-09"}
+    assert blob["nullCount"] == {"id": 0}  # None leaf dropped
+    # data skipping actually works off the re-serialized stats
+    assert prune_by_stats([a], [[("id", ">", 100)]]) == []
+    assert prune_by_stats([a], [[("id", "<=", 3)]]) == [a]
+    assert read_delta(path, spark=spark).count() == 10
