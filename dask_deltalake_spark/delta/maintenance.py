@@ -1976,6 +1976,45 @@ def validate_version_checksum(path: str, version: Optional[int] = None) -> dict:
         for k in actual
         if _canon(k, recorded.get(k)) != _canon(k, actual[k])
     }
+    # allFiles (optional in both delta-spark's checksum and ours):
+    # when ANY engine recorded the full add list, upgrade the check
+    # from counts to exact file-set identity on the spec-stable keys
+    # (path, size, dv id, partitionValues) — stats/tags spellings
+    # vary by engine and stay out of the identity. A swap of one file
+    # for another of equal size is invisible to tableSizeBytes/
+    # numFiles but caught here.
+    if isinstance(recorded.get("allFiles"), list):
+        from urllib.parse import unquote as _unq
+
+        from dask_deltalake_spark.delta.protocol import dv_unique_id
+
+        def _fid(path, size, dv, pv):
+            return (
+                _unq(str(path)),
+                int(size or 0),
+                dv_unique_id(dv),
+                tuple(sorted((dict(pv) if pv else {}).items())),
+            )
+
+        rec_set = {
+            _fid(f.get("path"), f.get("size"), f.get("deletionVector"),
+                 f.get("partitionValues"))
+            for f in recorded["allFiles"]
+            if isinstance(f, dict) and f.get("path")
+        }
+        act_set = {
+            _fid(a.path, a.size, a.deletion_vector, a.partition_values)
+            for a in snap.add_actions
+        }
+        if rec_set != act_set:
+            mismatches["allFiles"] = {
+                "recorded_only": sorted(
+                    p for p, *_ in rec_set - act_set
+                ),
+                "actual_only": sorted(
+                    p for p, *_ in act_set - rec_set
+                ),
+            }
     return {
         "version": snap.version,
         "valid": not mismatches,

@@ -828,6 +828,17 @@ def _maybe_write_version_checksum(table_path: str, version: int) -> None:
             "protocol": snap.protocol.to_json()["protocol"],
             "metadata": snap.metadata.to_json()["metaData"],
         }
+        # allFiles (delta-spark parity): the full add list rides the
+        # checksum only while it is metadata-cheap — it upgrades the
+        # cross-check from counts to exact file-set identity (a
+        # replay that swapped one file for another of equal size is
+        # invisible to tableSizeBytes/numFiles). delta-spark bounds
+        # this the same way; 50 files ~ a few KB of JSON.
+        if len(snap.files) <= 50:
+            crc["allFiles"] = [
+                a.to_json()["add"]
+                for a in sorted(snap.add_actions, key=lambda x: x.path)
+            ]
         log.store.write_bytes(
             os.path.join(table_path, LOG_DIR, f"{version:020d}.crc"),
             json.dumps(crc, separators=(",", ":")).encode("utf-8"),

@@ -2577,8 +2577,10 @@ def q59_grouped_pandas_quantiles(
     Arrow transfer is vectorized both ways — no row-at-a-time Python.
     The >=5-order floor keeps quantile interpolation well-defined and
     drops nothing at the driver (filter is post-agg inside the UDF).
-    The deterministic cohort filter (custkey % 20 == 7, pushed to the
-    scan) bounds the GROUP COUNT, which is the honest cost model of
+    The deterministic cohort filter (custkey % 20 == 7 — a modulo
+    predicate is not a parquet PushedFilter, but it evaluates
+    scan-side BEFORE the exchange, so only the cohort shuffles)
+    bounds the GROUP COUNT, which is the honest cost model of
     this family: each group pays a Python function call + frame
     construction (~2-3 ms), so many-tiny-groups is the pathology —
     staged measurement showed 15k ten-row groups costing 42 s at

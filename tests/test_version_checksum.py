@@ -82,3 +82,40 @@ def test_cleanup_removes_expired_checksums(spark, tmp_path):
     doomed = cleanup_metadata(path)
     assert f"{0:020d}.crc" in doomed
     assert not os.path.exists(os.path.join(log_dir, f"{0:020d}.crc"))
+
+
+def test_checksum_all_files_identity(spark, tmp_path):
+    """allFiles (delta-spark parity, r14): small snapshots (<=50
+    files) ride the full add list in the .crc, upgrading the check
+    from counts to exact file-set identity — an equal-size file swap
+    is invisible to tableSizeBytes/numFiles but caught here. Foreign
+    stats/tags spellings stay out of the identity (path, size, dv id,
+    partitionValues only)."""
+    path = str(tmp_path / "t")
+    to_delta(_df(spark, 0, 10).repartition(2), path)
+    log_dir = os.path.join(path, "_delta_log")
+    crc_path = os.path.join(log_dir, f"{0:020d}.crc")
+    rec = json.loads(open(crc_path).read())
+    assert isinstance(rec.get("allFiles"), list) and len(
+        rec["allFiles"]
+    ) == 2
+    assert validate_version_checksum(path)["valid"]
+
+    # equal-size swap: counts and byte totals unchanged, identity not
+    swapped = dict(rec)
+    swapped["allFiles"] = [dict(f) for f in rec["allFiles"]]
+    swapped["allFiles"][0]["path"] = "part-swapped.snappy.parquet"
+    with open(crc_path, "w") as fh:
+        fh.write(json.dumps(swapped))
+    res = validate_version_checksum(path)
+    assert not res["valid"] and "allFiles" in res["mismatches"]
+    assert res["mismatches"]["allFiles"]["recorded_only"] == [
+        "part-swapped.snappy.parquet"
+    ]
+
+    # a foreign checksum WITHOUT allFiles still validates on the
+    # count/size/protocol/metadata surface
+    nofiles = {k: v for k, v in rec.items() if k != "allFiles"}
+    with open(crc_path, "w") as fh:
+        fh.write(json.dumps(nofiles))
+    assert validate_version_checksum(path)["valid"]
