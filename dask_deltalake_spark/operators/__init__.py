@@ -459,26 +459,28 @@ __all__ = ["REGISTRY"]
 # r15 ROTATION PREVIEW (plan the squeeze before the round closes):
 # after r14 the ledger rows sit at r11x12 (this round's deferrals:
 # q02, q03, d23, d26, d27, d34, x08, x33, x34, x35, x36, x38 — the
-# OLDEST, rotate first), r12x50, r13x50, r14x50. The r15 candidates
-# are those 12 r11-tier names + the 50 r12-verified names (d01-d06,
-# d08, d10, d14, d16-d19, d29, d30, d33*, d36-d39, d44, d47, d48,
-# d50, q45, q46, q52-q54, s07, s10, x02, x03, x09-x12, x14-x16,
-# x20-x27, x32, x43 — *d33 re-verified r14 as a rider, drops out) +
-# the two r14-staged debuts (q59_grouped_pandas_quantiles — the
+# OLDEST, rotate first), r12x49 (d33 left the tier: re-verified r14
+# as a rider), r13x50, r14x50 = 161. The r15 candidates are those 12
+# r11-tier names + the 49 r12-verified names (d01-d06, d08, d10,
+# d14, d16-d19, d29, d30, d36-d39, d44, d47, d48, d50, q45, q46,
+# q52-q54, s07, s10, x02, x03, x09-x12, x14-x16, x20-x27, x32, x43)
+# + the two r14-staged debuts (q59_grouped_pandas_quantiles — the
 # FlatMapGroupsInPandas physical family nothing samples, exact
 # integer-cents quantile oracle; x44_token_budget_mix — budget-
 # constrained quality mixing via the histogram-threshold two-level
 # shape; both with plan assertions written first in
 # test_registry_smoke.py and check_oracle-green at staging time) =
-# 64 for 50 slots -> FOURTEEN r12-tier deferrals need written
+# 63 for 50 slots -> THIRTEEN r12-tier deferrals need written
 # justification (favor surfaces with no r13/r14/r15 diff + strong
 # pytest pins; s07 and s10 must rotate IN — s07 carries the r13
 # perf-weak history and the streaming tier defers poorly). Queries
 # riding code CHANGED in r14 must rotate IN as fixed picks: d50
-# (validate_version_checksum canonicalization) and d19 (rides
-# latest_version via cdc.py; re-run green via check_oracle this
-# round but the driver row is the stronger signal) — see the
-# COVERAGE.md r14 ledger. Re-derive before staging anything beyond
-# the two: 163 registered names in 50 slots puts the staleness floor
-# at ~3.3 rounds; every extra staging deepens next round's deferral
-# count one-for-one.
+# (crc canonicalization + allFiles identity), d19 (rides
+# latest_version via cdc.py), d16 (delta_py batch reader — the
+# commit-range pre-validation sits in its stream/CDF siblings'
+# planners, re-run green via check_oracle this round, but the driver
+# row is the stronger signal), d07/d39 (the struct-only-stats
+# checkpoint-parse fallback) — see the COVERAGE.md r14 ledger.
+# Re-derive before staging anything beyond the two: 163 registered
+# names in 50 slots puts the staleness floor at ~3.3 rounds; every
+# extra staging deepens next round's deferral count one-for-one.
