@@ -823,3 +823,49 @@ def x44_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budgets: DataFrame,
+    *,
+    band_col: str = "band",
+    token_col: str = "n_tok",
+    source_col: str = "source",
+) -> DataFrame:
+    """Doc-level companion to x44's histogram-threshold mix: return
+    the SELECTED documents (every input column) for per-source token
+    ``budgets`` (columns: source, budget_tokens), using the same
+    band-atomic semantics — whole quality bands are taken best-first
+    while the source's cumulative tokens stay within budget.
+
+    Scale shape: the corpus is touched exactly TWICE and never sorted
+    per-source at document granularity — (1) one algebraic groupBy
+    collapses it to (source, band) token histograms; (2) the budget
+    cutoff runs as a window over that tiny frame joined to the
+    broadcast ``budgets`` (a real mix table is <= thousands of rows);
+    (3) the per-source minimum kept band — a SOURCES-row frame — is
+    broadcast back onto the corpus scan as a `band >= threshold`
+    semi-filter. No per-doc window, no skew funnel, no shuffle of the
+    corpus at all: the only corpus-wide operations are the map-side
+    partial aggregate and the final broadcast-join filter."""
+    bands = (
+        docs.select(source_col, band_col, token_col)
+        .groupBy(source_col, band_col)
+        .agg(F.sum(token_col).alias("tok"))
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col(band_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    thresholds = (
+        bands.join(F.broadcast(budgets), source_col)
+        .withColumn("cum_tok", F.sum("tok").over(w))
+        .filter(F.col("cum_tok") <= F.col("budget_tokens"))
+        .groupBy(source_col)
+        .agg(F.min(band_col).alias("_min_band_kept"))
+    )
+    return docs.join(F.broadcast(thresholds), source_col).filter(
+        F.col(band_col) >= F.col("_min_band_kept")
+    ).drop("_min_band_kept")

@@ -94,3 +94,49 @@ def test_x23_scrub_redacts_all_digits(spark):
     for r in rows:
         assert r["n_affected"] <= r["n_events"]
         assert not any(ch.isdigit() for ch in r["sample_redacted"])
+
+
+def test_token_budget_select_matches_band_aggregates(spark):
+    """Doc-level token_budget_select must reconstruct exactly the
+    band-atomic aggregates the x44 query reports (same thresholds,
+    same kept doc/token counts), and its plan must keep the corpus
+    unshuffled: the threshold side joins via broadcast, no
+    hashpartitioning of the full docs frame beyond the tiny band
+    histogram."""
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.functions.curation import (
+        token_budget_select,
+        x44_token_budget_mix,
+    )
+    from dask_deltalake_spark.functions.llmops import _t, tokens
+
+    sf_dir = "/root/testdata/sf0.01"
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.least(F.col("n_chars"), F.lit(100000)).alias("band"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    budgets = d.sparkSession.createDataFrame(
+        [(f"src{i}", 800 + 100 * (i % 4)) for i in range(20)],
+        "source string, budget_tokens long",
+    )
+    sel = token_budget_select(d, budgets)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {
+        r["source"]: (r["n_docs_kept"], r["n_tokens_kept"],
+                      r["min_band_kept"])
+        for r in sel.groupBy("source").agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tok").alias("n_tokens_kept"),
+            F.min("band").alias("min_band_kept"),
+        ).collect()
+    }
+    want = {
+        r["source"]: (r["n_docs_kept"], r["n_tokens_kept"],
+                      r["min_band_kept"])
+        for r in x44_token_budget_mix(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) == 20
