@@ -31,6 +31,14 @@ after a fully-loaded gate), the settle outcome ships in the record
 (``diverged_rerun``) — two contended sweeps can both be wrong, and
 the re-run happens at the end of the session when the machine has had
 the longest time to quiet.
+
+r14 CALIBRATION (VERDICT r13 #3): every record stamps pre/post
+fixed-work host probes (``calibration``: single-core Python spin +
+single-partition JVM aggregation), so a cross-record sweep ratio can
+be attributed to host speed by DIVIDING two calibrations instead of
+arguing from uniformity across untouched queries. Validated with two
+same-code records: probe ratio 1.47x explained a 1.43x sweep
+elevation (COVERAGE.md r14 (17)).
 """
 
 from __future__ import annotations
