@@ -392,9 +392,32 @@ class DeltaPyStreamReader(DataSourceStreamReader):
         )
         # startingVersion (delta-spark streaming parity): a FRESH
         # query begins at this version INCLUSIVE instead of the table
-        # start; checkpointed queries ignore it (their position wins)
+        # start; checkpointed queries ignore it (their position wins).
+        # The literal "latest" (delta-spark) = only commits arriving
+        # AFTER stream start — resolved once, here, to latest+1.
         sv = options.get("startingversion", options.get("startingVersion"))
-        self._starting_version = int(sv) if sv is not None else None
+        if sv is not None and str(sv).strip().lower() == "latest":
+            self._starting_version: Optional[int] = (
+                self._log.latest_version() + 1
+            )
+        else:
+            self._starting_version = int(sv) if sv is not None else None
+        # Non-append commits (delta-spark streaming parity): the plain
+        # delta_py stream emits APPENDS; a commit carrying dataChange
+        # removes (DML rewrite, delete) would silently re-emit
+        # rewritten files as DUPLICATE rows downstream. Default is
+        # delta-spark's: refuse with the option menu. ignoreDeletes
+        # tolerates delete-ONLY commits; ignoreChanges re-emits the
+        # rewritten files (documented duplicate semantics, implies
+        # ignoreDeletes); skipChangeCommits skips such commits
+        # entirely (the modern recommended option).
+        def _flag(name: str) -> bool:
+            v = options.get(name.lower(), options.get(name))
+            return str(v).strip().lower() == "true" if v is not None else False
+
+        self._ignore_deletes = _flag("ignoreDeletes")
+        self._ignore_changes = _flag("ignoreChanges")
+        self._skip_change_commits = _flag("skipChangeCommits")
 
     def initialOffset(self) -> dict:
         start = (
@@ -477,7 +500,10 @@ class DeltaPyStreamReader(DataSourceStreamReader):
         )
         entries = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            for action in self._log.read_commit_actions(v):
+            actions = self._log.read_commit_actions(v)
+            dc_adds = []
+            dc_removes = []
+            for action in actions:
                 # A protocol-upgrade commit arriving mid-stream (e.g.
                 # minReaderVersion 3 for deletion vectors / column
                 # mapping) changes how every LATER add file must be
@@ -504,25 +530,67 @@ class DeltaPyStreamReader(DataSourceStreamReader):
                     )
                 add = action.get("add")
                 if add and add.get("dataChange", True):
-                    from dask_deltalake_spark.delta.protocol import (
-                        resolve_file_path,
-                    )
-
-                    dv = add.get("deletionVector")
-                    entries.append(
-                        (
-                            resolve_file_path(
-                                self._table_path, unquote(add["path"])
-                            ),
-                            json.dumps(add.get("partitionValues") or {}),
-                            int(add.get("size") or 0),
-                            (
-                                read_dv_bytes(self._table_path, dv)
-                                if dv
-                                else None
-                            ),
+                    dc_adds.append(add)
+                rem = action.get("remove")
+                if rem and rem.get("dataChange", True):
+                    dc_removes.append(rem)
+            if dc_removes:
+                # Non-append commit (delta-spark streaming semantics):
+                # the plain stream emits appends; silently re-emitting
+                # a DML rewrite's files duplicates every surviving row
+                # downstream. dataChange=false commits (OPTIMIZE)
+                # never land here — their adds AND removes carry
+                # dataChange=false.
+                if self._skip_change_commits:
+                    continue
+                if not self._ignore_changes:
+                    if dc_adds or not self._ignore_deletes:
+                        kind = (
+                            "a data update" if dc_adds else "deleted data"
                         )
+                        fix = (
+                            "set 'skipChangeCommits' to 'true' to skip "
+                            "such commits, or 'ignoreChanges' to "
+                            "re-emit the rewritten files (downstream "
+                            "must tolerate duplicate rows)"
+                            if dc_adds
+                            else "set 'ignoreDeletes' to 'true' to "
+                            "ignore delete-only commits, or "
+                            "'skipChangeCommits' to skip any "
+                            "data-changing commit"
+                        )
+                        raise ValueError(
+                            f"delta_py streaming source: detected "
+                            f"{kind} (for example "
+                            f"{unquote(dc_removes[0].get('path') or '')}"
+                            f") in the source table at version {v}. "
+                            "The plain stream emits APPENDS only; "
+                            f"{fix}; for row-level change semantics "
+                            "use the change feed source "
+                            "(format 'delta_py_cdf')."
+                        )
+                    # delete-only commit + ignoreDeletes: emit nothing
+                    continue
+            from dask_deltalake_spark.delta.protocol import (
+                resolve_file_path,
+            )
+
+            for add in dc_adds:
+                dv = add.get("deletionVector")
+                entries.append(
+                    (
+                        resolve_file_path(
+                            self._table_path, unquote(add["path"])
+                        ),
+                        json.dumps(add.get("partitionValues") or {}),
+                        int(add.get("size") or 0),
+                        (
+                            read_dv_bytes(self._table_path, dv)
+                            if dv
+                            else None
+                        ),
                     )
+                )
         if not entries:
             return [DeltaFilesPartition(files=())]
         # same small-file coalescing as the batch reader: a micro-batch

@@ -149,6 +149,8 @@ def test_delta_py_stream_dv_readd_emits_live_rows_only(spark, tmp_path):
         q = (
             spark.readStream.format("delta_py")
             .option("path", path)
+            .option("ignoreChanges", "true")  # r14: opt-in, like
+            # delta-spark — the default refuses non-append commits
             .load()
             .writeStream.format("parquet")
             .option("path", out_dir)
@@ -523,3 +525,121 @@ def test_stream_over_cleaned_range_raises_clearly(spark, tmp_path):
     _SNAPSHOT_CACHE.clear()
     with pytest.raises(Exception, match="removed by log retention"):
         drain_available_now(spark, tbl, sink, str(tmp_path / "ck4"))
+
+
+def test_stream_non_append_commit_semantics(spark, tmp_path):
+    """delta-spark streaming parity for non-append commits: the plain
+    delta_py stream refuses a DML-rewrite commit by default (silently
+    re-emitting rewritten files would DUPLICATE every surviving row
+    downstream), 'skipChangeCommits' skips such commits entirely,
+    'ignoreChanges' re-emits with the documented duplicate semantics,
+    and a delete-ONLY commit is tolerated by 'ignoreDeletes'."""
+    import json as _json
+    import os
+
+    from dask_deltalake_spark.delta.mutate import delete_where
+    from dask_deltalake_spark.delta.writer import to_delta
+    from dask_deltalake_spark.streaming.availablenow import (
+        drain_available_now,
+    )
+
+    register_python_datasource(spark)
+    tbl = str(tmp_path / "t")
+    to_delta(spark.range(10).selectExpr("id AS k").coalesce(1), tbl)  # v0
+    to_delta(spark.range(10, 15).selectExpr("id AS k").coalesce(1),
+             tbl, mode="append")                                      # v1
+    delete_where(tbl, [("k", "<", 3)], spark=spark)  # v2: rewrite
+    to_delta(spark.range(15, 20).selectExpr("id AS k").coalesce(1),
+             tbl, mode="append")                                      # v3
+
+    rows = []
+
+    def sink(df):
+        return df.writeStream.foreachBatch(
+            lambda bdf, bid: rows.extend(r["k"] for r in bdf.collect())
+        )
+
+    # default: clear refusal naming the data update and the options
+    with pytest.raises(Exception, match="detected a data update"):
+        drain_available_now(spark, tbl, sink, str(tmp_path / "ck1"))
+
+    # skipChangeCommits: v2 skipped entirely -> v0+v1+v3 file contents
+    rows.clear()
+    drain_available_now(
+        spark, tbl, sink, str(tmp_path / "ck2"),
+        options={"skipChangeCommits": "true"},
+    )
+    assert sorted(rows) == list(range(20))  # deleted 0-2 still here (v0)
+
+    # ignoreChanges: v2's rewritten file re-emits -> survivors twice
+    rows.clear()
+    drain_available_now(
+        spark, tbl, sink, str(tmp_path / "ck3"),
+        options={"ignoreChanges": "true"},
+    )
+    assert sorted(rows) == sorted(
+        list(range(20)) + list(range(3, 10))  # 3..9 duplicated
+    )
+
+    # delete-ONLY commit (whole-partition delete -> removes, no adds)
+    tbl2 = str(tmp_path / "t2")
+    df2 = spark.range(10).selectExpr("id AS k", "CAST(id % 2 AS INT) AS p")
+    to_delta(df2, tbl2, partition_by=["p"])
+    delete_where(tbl2, [("p", "==", 1)], spark=spark)  # v1: remove-only
+    acts = [
+        _json.loads(ln)
+        for ln in open(
+            os.path.join(tbl2, "_delta_log", f"{1:020d}.json")
+        )
+        if ln.strip()
+    ]
+    assert not any(
+        a.get("add", {}).get("dataChange", False) for a in acts
+        if a.get("add")
+    ), "fixture must be a delete-only commit"
+    with pytest.raises(Exception, match="detected deleted data"):
+        drain_available_now(spark, tbl2, sink, str(tmp_path / "ck4"))
+    rows.clear()
+    drain_available_now(
+        spark, tbl2, sink, str(tmp_path / "ck5"),
+        options={"ignoreDeletes": "true"},
+    )
+    # v0 emitted BOTH partition files before the delete; a streamed
+    # append is never retracted — ignoreDeletes means exactly "the
+    # delete is invisible to the stream" (delta-spark semantics)
+    assert sorted(rows) == list(range(10))
+
+
+def test_stream_starting_version_latest(spark, tmp_path):
+    """startingVersion='latest' (delta-spark parity): a fresh stream
+    emits NOTHING for the table's existing commits and picks up only
+    commits arriving after stream start (the checkpointed offset wins
+    on resume)."""
+    from dask_deltalake_spark.delta.writer import to_delta
+    from dask_deltalake_spark.streaming.availablenow import (
+        drain_available_now,
+    )
+
+    register_python_datasource(spark)
+    tbl = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    to_delta(spark.range(5).selectExpr("id AS k").coalesce(1), tbl)
+    to_delta(spark.range(5, 10).selectExpr("id AS k").coalesce(1),
+             tbl, mode="append")
+    rows = []
+
+    def sink(df):
+        return df.writeStream.foreachBatch(
+            lambda bdf, bid: rows.extend(r["k"] for r in bdf.collect())
+        )
+
+    drain_available_now(
+        spark, tbl, sink, ck, options={"startingVersion": "latest"}
+    )
+    assert rows == []  # nothing pre-existing emits
+    to_delta(spark.range(10, 15).selectExpr("id AS k").coalesce(1),
+             tbl, mode="append")
+    drain_available_now(
+        spark, tbl, sink, ck, options={"startingVersion": "latest"}
+    )
+    assert sorted(rows) == list(range(10, 15))  # only the new commit
