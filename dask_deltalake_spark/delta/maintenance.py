@@ -1612,6 +1612,48 @@ def compact_log(
         for r in emit_removes
         if r.get("deletionVector") is None
     }
+    # Tombstone CANCELLATION (r14, found by the substitution
+    # property): a descriptor-less tombstone (path, '') present at
+    # start-1 and ABSENT at end, where end's live add for the path
+    # carries a DIFFERENT identity. The only _apply operation that
+    # deletes a tombstone is a matching-identity add, so the diff
+    # must emit an intermediate CANCELING add (descriptor-less copy
+    # of the end add) before the path's final add — exactly the
+    # sequence the original range performed (add(p) canceled the
+    # tombstone, then add(p, dv') superseded it; no archive fires
+    # because the superseded add carries no vector). Only
+    # descriptor-less identities can vanish this way: canceling a
+    # DESCRIPTOR tombstone requires an add with that vector, and the
+    # later supersede re-archives it, so a (p, dv) tombstone always
+    # leaves an end-state trace the plain diff already emits.
+    end_tomb_keys = {
+        (t.path, dv_unique_id(t.deletion_vector))
+        for t in end_snap.tombstones_all
+    }
+    cancel_paths = set()
+    for (tp, uid) in start_tombs:
+        if uid:
+            continue  # descriptor identities never vanish untraced
+        if (tp, uid) in end_tomb_keys:
+            continue
+        a = end_snap.files.get(tp)
+        if a is None or not dv_unique_id(a.deletion_vector):
+            # end add with the SAME ('' ) identity cancels naturally
+            # via the ordinary emission below; no end add at all is
+            # unreachable (a canceled-then-removed path re-creates
+            # its tombstone)
+            continue
+        cancel_paths.add(tp)
+        lines.append(
+            AddAction(
+                path=tp,
+                size=a.size,
+                partition_values=a.partition_values,
+                modification_time=a.modification_time,
+                data_change=True,
+                deletion_vector=None,
+            ).to_json()
+        )
     for p in sorted(end_snap.files):
         a = end_snap.files[p]
         old = start_files.get(p)
@@ -1619,6 +1661,7 @@ def compact_log(
             old is None
             or old.to_json() != a.to_json()
             or p in shield_paths
+            or p in cancel_paths
         ):
             lines.append(a.to_json())
     lines.extend({"remove": r} for r in emit_removes)

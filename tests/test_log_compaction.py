@@ -253,3 +253,80 @@ def test_prefix_coverage_bounded_at_requested_version(spark, tmp_path):
         log.snapshot(version=1)
     # and the latest snapshot routes through the chain as before
     assert DeltaLog(path).snapshot().version == 3
+
+
+def test_compaction_emits_canceling_add_for_vanished_tombstone(
+    spark, tmp_path
+):
+    """Regression (r14, found by the substitution property's random
+    exploration): commit sequence add(p) / remove(p) / [add(p),
+    add(p, dv)] — the final commit's first add CANCELS the
+    descriptor-less tombstone and its second add supersedes WITHOUT
+    re-archiving (no vector on the superseded add). Compacting just
+    that final commit must emit the intermediate canceling add, or
+    the substituted replay resurrects the tombstone that plain
+    replay canceled."""
+    import json as _json
+
+    from dask_deltalake_spark.delta.protocol import (
+        AddAction,
+        Metadata,
+        Protocol,
+        RemoveAction,
+    )
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    path = str(tmp_path / "t")
+    meta = Metadata(
+        id="fixed", schema_string=_json.dumps({
+            "type": "struct",
+            "fields": [{"name": "id", "type": "long",
+                        "nullable": True, "metadata": {}}],
+        }),
+        configuration={
+            "delta.deletedFileRetentionDuration": "interval 876000 hours",
+        },
+    ).to_json()
+    proto = Protocol(
+        min_reader_version=3, min_writer_version=7,
+        reader_features=["deletionVectors"],
+        writer_features=["deletionVectors"],
+    ).to_json()
+    dv = {"storageType": "i", "pathOrInlineDv": "dv-one",
+          "cardinality": 1}
+
+    def add(d, ts):
+        return AddAction(
+            path="a.parquet", size=10, partition_values={},
+            modification_time=ts, data_change=True, deletion_vector=d,
+        ).to_json()
+
+    write_commit(path, 0, [proto, meta, add(None, 1000)])
+    write_commit(path, 1, [RemoveAction(
+        path="a.parquet", deletion_timestamp=1001, data_change=True,
+    ).to_json()])
+    write_commit(path, 2, [add(None, 1002), add(dv, 1002)])
+
+    _SNAPSHOT_CACHE.clear()
+    want = _state(DeltaLog(path).snapshot())
+    assert want[1] == set(), "plain replay canceled the tombstone"
+
+    compact_log(path, start_version=2, end_version=2)
+    actions = DeltaLog(path).read_compacted_actions(2, 2)
+    cancel = [
+        a for a in actions
+        if "add" in a and a["add"].get("deletionVector") is None
+    ]
+    final = [
+        a for a in actions
+        if "add" in a and a["add"].get("deletionVector") is not None
+    ]
+    assert cancel and final, "both the canceling and final add emit"
+    assert actions.index(cancel[0]) < actions.index(final[0])
+
+    # the substituted replay (commit 2's JSON deleted... kept as tail
+    # anchor — force the substitution by removing only v1? v1 is
+    # below the range; instead verify state equality directly, which
+    # exercises the reader's preference for the aligned range)
+    _SNAPSHOT_CACHE.clear()
+    assert _state(DeltaLog(path).snapshot()) == want
