@@ -1630,6 +1630,45 @@ def compact_log(
         (t.path, dv_unique_id(t.deletion_vector))
         for t in end_snap.tombstones_all
     }
+    def _superseding_remove(tp: str):
+        """A descriptor remove for ``tp`` that the compacted unit will
+        apply, to pop a transient mirror add: prefer one already in
+        ``emit_removes``; else promote the path's end tombstone into
+        the emission (re-applying a remove identical to the pre-range
+        tombstone is idempotent — it overwrites with the same value).
+        Returns None only for histories no legal writer can produce
+        (a descriptor-less identity vanishing with no descriptor
+        remove anywhere in the range)."""
+        for r in emit_removes:
+            if unquote(r["path"]) == tp and r.get("deletionVector"):
+                return r
+        for t in end_snap.tombstones_all:
+            if t.path == tp and dv_unique_id(t.deletion_vector):
+                r = t.to_json()["remove"]
+                emit_removes.append(r)
+                return r
+        return None
+
+    def _mirror_adds(tp: str, cand: dict, with_cancel: bool) -> None:
+        """Emit the transient add pair (or single superseding add)
+        that mirrors the range's cancel/supersede sequence for ``tp``.
+        Every transient add is popped by ``cand``'s remove, so none
+        leaves an end-state trace."""
+        dvs = ([None] if with_cancel else []) + [cand["deletionVector"]]
+        for dv in dvs:
+            lines.append(
+                AddAction(
+                    path=tp,
+                    size=int(cand.get("size") or 0),
+                    partition_values=cand.get("partitionValues") or {},
+                    modification_time=int(
+                        cand.get("deletionTimestamp") or 0
+                    ),
+                    data_change=True,
+                    deletion_vector=dv,
+                ).to_json()
+            )
+
     cancel_paths = set()
     for (tp, uid) in start_tombs:
         if uid:
@@ -1637,11 +1676,22 @@ def compact_log(
         if (tp, uid) in end_tomb_keys:
             continue
         a = end_snap.files.get(tp)
-        if a is None or not dv_unique_id(a.deletion_vector):
+        if a is not None and not dv_unique_id(a.deletion_vector):
             # end add with the SAME ('' ) identity cancels naturally
-            # via the ordinary emission below; no end add at all is
-            # unreachable (a canceled-then-removed path re-creates
-            # its tombstone)
+            # via the ordinary emission below
+            continue
+        if a is None:
+            # canceled-then-superseded-then-REMOVED (r15, ADVICE): no
+            # end live add either — the supersede chain ended in a
+            # remove, so the superseding identity lives on the path's
+            # end tombstones. (A canceled-then-removed SAME-identity
+            # path re-creates its ('' ) tombstone and never reaches
+            # here.) Mirror the original sequence: the canceling
+            # descriptor-less add, then a superseding add whose
+            # identity matches a remove the unit applies.
+            cand = _superseding_remove(tp)
+            if cand is not None:
+                _mirror_adds(tp, cand, with_cancel=True)
             continue
         cancel_paths.add(tp)
         lines.append(
@@ -1654,6 +1704,33 @@ def compact_log(
                 deletion_vector=None,
             ).to_json()
         )
+    # EVICTED-LIVE mirror (r15, found widening the ADVICE shape's test
+    # matrix): the dual of the vanished tombstone. A START live add
+    # with a descriptor-LESS identity, gone at end, normally leaves a
+    # trace — eviction goes through remove(p) whose ('' ) tombstone
+    # survives to end (emitted; its identity-matching apply pops the
+    # live add), or a superseding end add (emitted; supersedes). But
+    # when the range CANCELED that ('' ) tombstone (add(p)) and the
+    # path then ended in a descriptor remove, the diff held no action
+    # evicting the pre-range add: the emitted descriptor remove is a
+    # stale-identity no-pop against a ('' ) live add, so substituted
+    # replay kept the file LIVE that direct replay evicted. Mirror
+    # with a single superseding transient add — it evicts the start
+    # add (descriptor-less old: no archive) and the emitted remove
+    # pops it. Descriptor start adds never need this: superseding or
+    # legacy-evicting one re-archives its vector, an end-state trace
+    # the plain diff emits.
+    for p in sorted(start_files):
+        old = start_files[p]
+        if dv_unique_id(old.deletion_vector):
+            continue  # descriptor identities never vanish untraced
+        if p in end_snap.files:
+            continue  # identical keep, or emitted supersede/re-add
+        if (p, "") in end_tomb_keys or (p, None) in end_tomb_keys:
+            continue  # the ('' ) eviction tombstone survived: emitted
+        cand = _superseding_remove(p)
+        if cand is not None:
+            _mirror_adds(p, cand, with_cancel=False)
     for p in sorted(end_snap.files):
         a = end_snap.files[p]
         old = start_files.get(p)

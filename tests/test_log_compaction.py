@@ -330,3 +330,132 @@ def test_compaction_emits_canceling_add_for_vanished_tombstone(
     # exercises the reader's preference for the aligned range)
     _SNAPSHOT_CACHE.clear()
     assert _state(DeltaLog(path).snapshot()) == want
+
+
+def _keyed_state(path):
+    """(live (path, uid) set, tombstone (path, uid, ts) set) — the
+    full keyed tuple the substitution property compares (the public
+    path-keyed view can hide a resurrected identity behind a newer
+    tombstone on the same path)."""
+    from dask_deltalake_spark.delta.protocol import dv_unique_id
+
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    return (
+        {(p, dv_unique_id(a.deletion_vector))
+         for p, a in snap.files.items()},
+        {(r.path, dv_unique_id(r.deletion_vector), r.deletion_timestamp)
+         for r in snap.tombstones_all},
+    )
+
+
+def _write_cancel_history(path, commits):
+    """Shared scaffolding for the vanished-trace regressions: a
+    DV-featured table whose commits are raw action lists."""
+    import json as _json
+
+    from dask_deltalake_spark.delta.protocol import Metadata, Protocol
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    meta = Metadata(
+        id="fixed", schema_string=_json.dumps({
+            "type": "struct",
+            "fields": [{"name": "id", "type": "long",
+                        "nullable": True, "metadata": {}}],
+        }),
+        configuration={
+            "delta.deletedFileRetentionDuration": "interval 876000 hours",
+        },
+    ).to_json()
+    proto = Protocol(
+        min_reader_version=3, min_writer_version=7,
+        reader_features=["deletionVectors"],
+        writer_features=["deletionVectors"],
+    ).to_json()
+    write_commit(path, 0, [proto, meta] + commits[0])
+    for v, acts in enumerate(commits[1:], start=1):
+        write_commit(path, v, acts)
+
+
+_DV1 = {"storageType": "i", "pathOrInlineDv": "dv-one", "cardinality": 1}
+
+
+def _add(d, ts):
+    from dask_deltalake_spark.delta.protocol import AddAction
+
+    return AddAction(
+        path="a.parquet", size=10, partition_values={},
+        modification_time=ts, data_change=True, deletion_vector=d,
+    ).to_json()
+
+
+def _rem(d, ts):
+    from dask_deltalake_spark.delta.protocol import RemoveAction
+
+    return RemoveAction(
+        path="a.parquet", deletion_timestamp=ts, data_change=True,
+        deletion_vector=d,
+    ).to_json()
+
+
+def test_compaction_mirrors_canceled_superseded_removed_tombstone(
+    spark, tmp_path
+):
+    """Regression (r15, ADVICE): add(p) / remove(p) / [add(p),
+    add(p, dv)] / remove(p, dv) — the r14 canceling-add fix's `a is
+    None` branch was commented unreachable, but this shape reaches it:
+    the vanished ('' ) tombstone has NO end live add (the superseding
+    add was itself removed). The compactor must source the superseding
+    identity from the path's end tombstone and emit the canceling +
+    superseding add pair before the removes, or substituted replay of
+    [2..3] resurrects the ('' ) tombstone plain replay canceled."""
+    path = str(tmp_path / "t")
+    _write_cancel_history(path, [
+        [_add(None, 1000)],
+        [_rem(None, 1001)],
+        [_add(None, 1002), _add(_DV1, 1002)],
+        [_rem(_DV1, 1003)],
+    ])
+    want = _keyed_state(path)
+    assert want == (set(), {("a.parquet", "idv-one", 1003)}) or want[0] == set()
+
+    compact_log(path, start_version=2, end_version=3)
+    # force the substitution: delete the range's interior JSON (keep
+    # the final commit as the latest-version anchor)
+    os.remove(os.path.join(path, "_delta_log", f"{2:020d}.json"))
+    assert _keyed_state(path) == want, (
+        "substituted replay resurrected the canceled tombstone"
+    )
+    # and the compacted unit carries the mirror pair, cancel first
+    actions = DeltaLog(path).read_compacted_actions(2, 3)
+    adds = [a["add"] for a in actions if "add" in a]
+    assert [a.get("deletionVector") is None for a in adds] == [True, False]
+
+
+def test_compaction_mirrors_evicted_live_add_with_canceled_tombstone(
+    spark, tmp_path
+):
+    """Regression (r15, found widening the ADVICE shape's matrix —
+    the DUAL of the vanished tombstone): start state has a LIVE
+    descriptor-less add; the range evicts it (remove(p)), cancels the
+    eviction tombstone (add(p)), supersedes (add(p, dv)) and removes
+    the superseder — so the diff's only remove is a stale-identity
+    no-pop against the pre-range live add, and substituted replay
+    kept LIVE a file plain replay evicted (phantom rows at any
+    scale). The compactor must emit a superseding transient add the
+    emitted remove then pops."""
+    path = str(tmp_path / "t")
+    _write_cancel_history(path, [
+        [_add(None, 1000)],
+        [_rem(None, 1001), _add(None, 1001), _add(_DV1, 1001)],
+        [_rem(_DV1, 1002)],
+    ])
+    want = _keyed_state(path)
+    assert want[0] == set(), "plain replay evicted the live add"
+
+    compact_log(path, start_version=1, end_version=2)
+    os.remove(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+    got = _keyed_state(path)
+    assert got == want, (
+        "substituted replay kept a file live that plain replay evicted"
+    )
