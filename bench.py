@@ -215,13 +215,18 @@ def _host_calibration(spark) -> dict:
     queries, which is all the r13 band claim had. Runs before run1
     and again after the last sweep (``pre``/``post``), bracketing any
     mid-session machine drift."""
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(8_000_000):
-        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
-    py = time.perf_counter() - t0
+    # min-of-3 on BOTH channels (r15, ADVICE: the spin was a single
+    # execution while the JVM probe trimmed noise with a min, so the
+    # two channels had asymmetric noise floors)
+    py = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(8_000_000):
+            acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+        py = min(py, time.perf_counter() - t0)
     # one partition -> one JVM core, whole-stage codegen path; min of
-    # two executions so the FIRST call's one-time codegen compile
+    # three executions so the FIRST call's one-time codegen compile
     # (cached for the identical post-sweep plan) can't masquerade as
     # pre-vs-post machine drift
     jvm = float("inf")

@@ -2070,6 +2070,13 @@ def validate_version_checksum(path: str, version: Optional[int] = None) -> dict:
         # foreign checksum on a feature table. Null-valued fields are
         # likewise identical to absent ones in action JSON (a foreign
         # writer may emit "description": null where we omit it).
+        # Recurse through nested dicts/lists (r15, ADVICE): the JSON
+        # "null == absent" rule holds at every depth — a foreign
+        # checksum carrying e.g. metadata.format.options nulls
+        # false-flagged the whole metadata block when only the top
+        # level was canonicalized.
+        if isinstance(val, list):
+            return [_canon(key, v) for v in val]
         if not isinstance(val, dict):
             return val
         out = {}
@@ -2082,7 +2089,7 @@ def validate_version_checksum(path: str, version: Optional[int] = None) -> dict:
                 and isinstance(v, list)
             ):
                 v = sorted(v)
-            out[k] = v
+            out[k] = _canon(key, v)
         return out
 
     actual = {

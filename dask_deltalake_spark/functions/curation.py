@@ -849,6 +849,29 @@ def token_budget_select(
     semi-filter. No per-doc window, no skew funnel, no shuffle of the
     corpus at all: the only corpus-wide operations are the map-side
     partial aggregate and the final broadcast-join filter."""
+    # Budgets contract (r15, ADVICE): a user-supplied mix table with
+    # duplicate source rows would run the cumulative window over
+    # duplicated band rows and silently mis-compute every threshold —
+    # fail loudly instead (it is a spec error in the mix, not data
+    # skew to tolerate). Extra columns are dropped so a stray column
+    # named like band/tok can never collide into the window frame.
+    # Both checks are metadata-sized: the mix table is <= thousands
+    # of rows by contract.
+    if "budget_tokens" not in budgets.columns:
+        raise ValueError(
+            "budgets must carry a 'budget_tokens' column; got "
+            f"{budgets.columns}"
+        )
+    budgets = budgets.select(source_col, "budget_tokens")
+    dup = (
+        budgets.groupBy(source_col).count().filter(F.col("count") > 1)
+        .limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"budgets has duplicate rows for source "
+            f"{dup[0][source_col]!r}; one budget per source"
+        )
     bands = (
         docs.select(source_col, band_col, token_col)
         .groupBy(source_col, band_col)

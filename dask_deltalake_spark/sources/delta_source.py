@@ -877,8 +877,16 @@ class DeltaPyCdfStreamReader(DataSourceStreamReader, _CdfBase):
         self._init_common(options)
         eo = options.get("endOffsetVersion")
         self._end_cap = int(eo) if eo is not None else None
+        # the literal "latest" resolves exactly as the plain stream's
+        # (r15, ADVICE): delta-spark accepts it for streaming reads
+        # generally, and int(sv) raised a bare ValueError here
         sv = options.get("startingversion", options.get("startingVersion"))
-        self._starting_version = int(sv) if sv is not None else None
+        if sv is not None and str(sv).strip().lower() == "latest":
+            self._starting_version: Optional[int] = (
+                self._log.latest_version() + 1
+            )
+        else:
+            self._starting_version = int(sv) if sv is not None else None
 
     def initialOffset(self) -> dict:
         if self._starting_version is not None:

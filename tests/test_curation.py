@@ -140,3 +140,44 @@ def test_token_budget_select_matches_band_aggregates(spark):
         for r in x44_token_budget_mix(spark, sf_dir).collect()
     }
     assert got == want and len(got) == 20
+
+
+def test_token_budget_select_budgets_contract(spark):
+    """Budgets-frame contract (r15, ADVICE): duplicate source rows
+    fail loudly (the cumulative window would silently double every
+    band row), a missing budget_tokens column fails loudly, and
+    stray extra columns named like the corpus's band/token columns
+    are dropped rather than colliding into the window frame."""
+    import pytest as _pytest
+    import pyspark.sql.functions as F
+
+    from dask_deltalake_spark.functions.curation import (
+        token_budget_select,
+    )
+
+    docs = spark.createDataFrame(
+        [("s1", b, 100) for b in range(10)],
+        "source string, band int, n_tok long",
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        token_budget_select(
+            docs,
+            spark.createDataFrame(
+                [("s1", 300), ("s1", 500)],
+                "source string, budget_tokens long",
+            ),
+        )
+    with _pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_select(
+            docs,
+            spark.createDataFrame([("s1", 300)], "source string, b long"),
+        )
+    # stray band/n_tok columns on the mix table: dropped, result
+    # identical to the clean frame (3 bands of 100 fit in 300)
+    noisy = spark.createDataFrame(
+        [("s1", 300, 999, 999)],
+        "source string, budget_tokens long, band int, n_tok long",
+    )
+    got = token_budget_select(docs, noisy)
+    assert sorted(r["band"] for r in got.collect()) == [7, 8, 9]
+    assert got.columns == docs.columns

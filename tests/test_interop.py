@@ -883,6 +883,12 @@ def test_foreign_version_checksum_validates_order_insensitively(
             proto[k] = list(reversed(proto[k]))
     meta = dict(snap.metadata.to_json()["metaData"])
     meta["description"] = None  # explicit null where we omit
+    # nested explicit null where we OMIT (r15, ADVICE): the
+    # "null == absent" rule must hold at EVERY depth, not just the
+    # top level of the metadata block
+    fmt = dict(meta.get("format") or {"provider": "parquet"})
+    fmt["sortColumns"] = None  # a nested field we never write
+    meta["format"] = fmt
     crc = {
         "txnId": "0f0e0d0c-1111-2222-3333-444455556666",
         "tableSizeBytes": sum(a.size for a in snap.add_actions),

@@ -643,3 +643,53 @@ def test_stream_starting_version_latest(spark, tmp_path):
         spark, tbl, sink, ck, options={"startingVersion": "latest"}
     )
     assert sorted(rows) == list(range(10, 15))  # only the new commit
+
+
+def test_cdf_stream_starting_version_latest(spark, tmp_path):
+    """startingVersion='latest' on the CDF stream (r15, ADVICE): the
+    plain stream resolved the literal but the CDF sibling crashed
+    with a bare int() ValueError — delta-spark accepts 'latest' for
+    streaming reads generally. A fresh CDF stream must emit nothing
+    for existing commits and only the post-start commit's changes."""
+    register_python_datasource(spark)
+    path = str(tmp_path / "t")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    ddl.to_delta(
+        spark.range(0, 10).selectExpr("id", "id * 10 AS val").coalesce(1),
+        path,
+    )
+    ddl.to_delta(
+        spark.range(10, 20).selectExpr("id", "id * 10 AS val").coalesce(1),
+        path, mode="append",
+    )
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_py_cdf")
+            .option("path", path)
+            .option("startingVersion", "latest")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    import os as _os
+    produced = [
+        f for f in _os.listdir(out_dir) if f.endswith(".parquet")
+    ] if _os.path.isdir(out_dir) else []
+    if produced:
+        assert spark.read.parquet(out_dir).count() == 0
+    ddl.to_delta(
+        spark.range(20, 25).selectExpr("id", "id * 10 AS val").coalesce(1),
+        path, mode="append",
+    )
+    drain()
+    got = spark.read.parquet(out_dir)
+    assert sorted(r["id"] for r in got.collect()) == list(range(20, 25))
+    assert {r["_change_type"] for r in got.collect()} == {"insert"}
+    assert {r["_commit_version"] for r in got.collect()} == {2}
