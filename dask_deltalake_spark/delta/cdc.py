@@ -348,12 +348,20 @@ def read_delta_changes(
             if a.deletion_vector
         }
 
+    # cdc-action scan schema (physical data columns + the
+    # _change_type column the _change_data files carry physically)
+    cdc_scan_schema = StructType(
+        list(scan_schema.fields)
+        + [StructField(CHANGE_TYPE_COL, StringType(), True)]
+    )
+
     frames: list[DataFrame] = []
     for v in range(int(starting_version) + 1, end + 1):
         adds_v: dict = {}
         removes_v: dict = {}
         adds_meta: dict = {}  # path -> dataChange flag
         removes_meta: dict = {}
+        cdc_v: list = []
         for action in log.read_commit_actions(v):
             add = action.get("add")
             if add is not None:
@@ -365,6 +373,47 @@ def read_delta_changes(
                 p = unquote(rem["path"])
                 removes_v[p] = rem
                 removes_meta[p] = bool(rem.get("dataChange", True))
+            cdc = action.get("cdc")
+            if cdc is not None:
+                cdc_v.append(unquote(cdc["path"]))
+
+        if cdc_v:
+            # Foreign-writer cdc actions (delta-spark
+            # delta.enableChangeDataFeed=true; r15 interop): per the
+            # spec's Add CDC File contract, when a version carries cdc
+            # actions its _change_data files hold ALL of that
+            # version's change rows (including same-commit inserts and
+            # deletes, each stamped with its own _change_type), and
+            # readers must use them INSTEAD of reconstructing from
+            # add/remove — reconstruction would double-report the rows
+            # a rewrite merely COPIED as delete+insert. The dv state
+            # still rolls forward from the file actions below so later
+            # reconstruction-backed commits stay exact.
+            cdc_files = [_abs(p) for p in cdc_v]
+            cdc_base = (
+                os.path.join(_scan_root, "_change_data")
+                if all(p.startswith("_change_data/") for p in cdc_v)
+                else _scan_root
+            )
+            cdf = (
+                spark.read.schema(cdc_scan_schema)
+                .option("basePath", cdc_base)
+                .parquet(*cdc_files)
+                .select(*cdc_scan_schema.fieldNames())
+                .toDF(*(schema.fieldNames() + [CHANGE_TYPE_COL]))
+                .withColumn(COMMIT_VERSION_COL, F.lit(v).cast("long"))
+            )
+            frames.append(cdf)
+            for p, add in adds_v.items():
+                dv = add.get("deletionVector")
+                if dv:
+                    dv_state[p] = dv
+                else:
+                    dv_state.pop(p, None)
+            for p in removes_v:
+                if p not in adds_v:
+                    dv_state.pop(p, None)
+            continue
 
         paired = {
             p

@@ -678,6 +678,7 @@ def _plan_cdf_partitions(log, state: dict, start_v: int, end_v: int) -> list:
     for v in range(start_v + 1, end_v + 1):
         adds_v: dict = {}
         removes_v: dict = {}
+        cdc_v: list = []
         for action in log.read_commit_actions(v):
             proto = action.get("protocol")
             if proto is not None:
@@ -689,6 +690,39 @@ def _plan_cdf_partitions(log, state: dict, start_v: int, end_v: int) -> list:
                 adds_v[unquote(action["add"]["path"])] = action["add"]
             if action.get("remove") is not None:
                 removes_v[unquote(action["remove"]["path"])] = action["remove"]
+            if action.get("cdc") is not None:
+                cdc_v.append(action["cdc"])
+
+        if cdc_v:
+            # Foreign-writer cdc actions (r15 interop; same contract
+            # as delta/cdc.py): the _change_data files carry ALL of
+            # this version's change rows with their own physical
+            # _change_type column — emit one partition per cdc file
+            # in file-carried mode (pos_mode='cdc') and skip
+            # add/remove reconstruction, which would double-report
+            # copied rows. State still rolls forward below.
+            for c in cdc_v:
+                out.append(
+                    DeltaCdfPartition(
+                        abs_path=f"{log.table_path}/{unquote(c['path'])}",
+                        partition_json=json.dumps(
+                            c.get("partitionValues") or {}
+                        ),
+                        change_type="",
+                        commit_version=v,
+                        dv_blob=None,
+                        pos_mode="cdc",
+                    )
+                )
+            for p, add in adds_v.items():
+                state[p] = (
+                    json.dumps(add.get("partitionValues") or {}),
+                    add.get("deletionVector"),
+                )
+            for p in removes_v:
+                if p not in adds_v:
+                    state.pop(p, None)
+            continue
 
         def emit(path, pvals_json, ctype, blob, mode):
             out.append(
@@ -766,25 +800,45 @@ def _cdf_read_partition(
     table_schema: StructType, l2p: dict, partition: DeltaCdfPartition
 ) -> Iterator["pa.RecordBatch"]:
     """Executor-side: table-schema rows of one change partition plus
-    the _change_type / _commit_version columns."""
+    the _change_type / _commit_version columns. In file-carried mode
+    (pos_mode='cdc': a foreign writer's _change_data file) the
+    _change_type column is read FROM the parquet instead of stamped
+    as a partition constant."""
     import pyarrow as pa
 
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    file_carried = partition.pos_mode == "cdc"
+    read_schema = (
+        StructType(
+            list(table_schema.fields)
+            + [StructField("_change_type", StringType(), True)]
+        )
+        if file_carried
+        else table_schema
+    )
     for batch in _read_file_as_batches(
-        table_schema,
+        read_schema,
         DeltaFilePartition(
             partition.abs_path,
             partition.partition_json,
-            partition.dv_blob,
-            partition.pos_mode,
+            None if file_carried else partition.dv_blob,
+            "drop" if file_carried else partition.pos_mode,
         ),
         l2p,
     ):
         n = batch.num_rows
-        arrays = list(batch.columns) + [
-            pa.array([partition.change_type] * n, type=pa.string()),
+        arrays = list(batch.columns) + (
+            [] if file_carried
+            else [pa.array([partition.change_type] * n, type=pa.string())]
+        ) + [
             pa.array([partition.commit_version] * n, type=pa.int64()),
         ]
-        names = list(batch.schema.names) + ["_change_type", "_commit_version"]
+        names = (
+            list(batch.schema.names)
+            + ([] if file_carried else ["_change_type"])
+            + ["_commit_version"]
+        )
         yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 

@@ -1077,3 +1077,123 @@ def test_foreign_struct_only_stats_checkpoint_keeps_skipping(
     assert prune_by_stats([a], [[("id", ">", 100)]]) == []
     assert prune_by_stats([a], [[("id", "<=", 3)]]) == [a]
     assert read_delta(path, spark=spark).count() == 10
+
+
+def test_foreign_cdc_actions_read_instead_of_reconstruction(
+    spark, tmp_path
+):
+    """delta-spark `delta.enableChangeDataFeed=true` interop (r15):
+    a DML commit carries `cdc` actions pointing at _change_data/
+    parquet files that hold ALL of the version's change rows with
+    their own _change_type column. Per the spec's Add CDC File
+    contract, readers must use those files INSTEAD of reconstructing
+    from add/remove — reconstruction double-reports every row the
+    rewrite merely COPIED as a spurious delete+insert pair. Both the
+    batch reader (read_delta_changes) and the Python-datasource CDF
+    stream must honor the cdc path, while commits WITHOUT cdc
+    actions keep exact reconstruction."""
+    import pyarrow as pa
+
+    from dask_deltalake_spark.delta.cdc import read_delta_changes
+    from dask_deltalake_spark.delta.protocol import Metadata, Protocol
+    from dask_deltalake_spark.delta.writer import write_commit
+    from dask_deltalake_spark.sources import register_python_datasource
+
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_change_data"))
+
+    def _write_pq(rel, ids, vals, change_types=None):
+        cols = {"id": pa.array(ids, pa.int64()),
+                "val": pa.array(vals, pa.int64())}
+        if change_types is not None:
+            cols["_change_type"] = pa.array(change_types, pa.string())
+        pq.write_table(pa.table(cols), os.path.join(path, rel))
+        return os.path.getsize(os.path.join(path, rel))
+
+    schema_str = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "val", "type": "long", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    # v0: blind append of one file — NO cdc action (delta-spark only
+    # writes cdc for commits whose changes aren't pure add-derived)
+    sz_a = _write_pq("a.parquet", list(range(10)),
+                     [i * 10 for i in range(10)])
+    write_commit(path, 0, [
+        Protocol(min_reader_version=1, min_writer_version=4).to_json(),
+        Metadata(
+            id="cdc-interop", schema_string=schema_str,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        ).to_json(),
+        {"add": {"path": "a.parquet", "partitionValues": {},
+                 "size": sz_a, "modificationTime": 1000,
+                 "dataChange": True}},
+    ])
+    # v1: delta-spark UPDATE shape — rewrite a.parquet -> a2.parquet
+    # changing rows id in {3, 7} (8 rows merely copied), cdc file
+    # carries exactly the 2 pre + 2 post images
+    sz_a2 = _write_pq(
+        "a2.parquet", list(range(10)),
+        [i * 10 if i not in (3, 7) else i * 10 + 1 for i in range(10)],
+    )
+    sz_c = _write_pq(
+        "_change_data/cdc-0001.parquet",
+        [3, 7, 3, 7],
+        [30, 70, 31, 71],
+        ["update_preimage", "update_preimage",
+         "update_postimage", "update_postimage"],
+    )
+    write_commit(path, 1, [
+        {"commitInfo": {"timestamp": 2000, "operation": "UPDATE",
+                        "engineInfo": "Apache-Spark/3.5.0 Delta-Lake/3.2.0"}},
+        {"remove": {"path": "a.parquet", "deletionTimestamp": 2000,
+                    "dataChange": True}},
+        {"add": {"path": "a2.parquet", "partitionValues": {},
+                 "size": sz_a2, "modificationTime": 2000,
+                 "dataChange": True}},
+        {"cdc": {"path": "_change_data/cdc-0001.parquet",
+                 "partitionValues": {}, "size": sz_c,
+                 "dataChange": False}},
+    ])
+
+    # ---- batch reader: v1 yields EXACTLY the cdc rows (4), not the
+    # 10-delete + 10-insert reconstruction
+    ch = read_delta_changes(path, starting_version=-1, spark=spark)
+    rows = [(r["id"], r["val"], r["_change_type"], r["_commit_version"])
+            for r in ch.collect()]
+    v0 = sorted(r for r in rows if r[3] == 0)
+    v1 = sorted(r for r in rows if r[3] == 1)
+    assert len(v0) == 10 and {r[2] for r in v0} == {"insert"}
+    assert v1 == [
+        (3, 30, "update_preimage", 1),
+        (3, 31, "update_postimage", 1),
+        (7, 70, "update_preimage", 1),
+        (7, 71, "update_postimage", 1),
+    ], v1
+    # the live table itself reads through the rewrite
+    assert read_delta(path, spark=spark).count() == 10
+
+    # ---- streaming CDF source: same contract through the Python
+    # datasource planner/executor path
+    register_python_datasource(spark)
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("delta_py_cdf")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [(r["id"], r["val"], r["_change_type"], r["_commit_version"])
+           for r in spark.read.parquet(out_dir).collect()]
+    s_v1 = sorted(r for r in got if r[3] == 1)
+    assert s_v1 == v1, s_v1
+    assert len([r for r in got if r[3] == 0]) == 10
