@@ -155,6 +155,11 @@ def vacuum(
             "domainMetadata",
             "clustering",
             "vacuumProtocolCheck",
+            # a foreign CDF table's _change_data files are never
+            # candidates: the walk/inventory filters prune every
+            # '_'-prefixed segment (delta-spark vacuums CDF tables
+            # too; refusing made a foreign table un-maintainable, r15)
+            "changeDataFeed",
         },
     )
     referenced = set(snap.files)

@@ -165,7 +165,14 @@ def _check_enforceable_write_features(metadata, features=frozenset()) -> None:
     if (
         metadata.configuration.get("delta.enableChangeDataFeed", "").lower()
         == "true"
+        and "changeDataFeed" not in features
     ):
+        # refused only for callers that do NOT claim the feature (the
+        # generatedColumns pattern): data-writing paths never claim it
+        # (this engine does not emit _change_data files), but VACUUM
+        # does — it maintains the feature by construction (the
+        # candidate walk prunes '_'-prefixed segments, so a foreign
+        # writer's cdc files are never deletion candidates; r15)
         raise DeltaProtocolError(
             "Table has delta.enableChangeDataFeed=true; this writer "
             "does not emit _change_data files, so the write is refused "

@@ -1197,3 +1197,11 @@ def test_foreign_cdc_actions_read_instead_of_reconstruction(
     s_v1 = sorted(r for r in got if r[3] == 1)
     assert s_v1 == v1, s_v1
     assert len([r for r in got if r[3] == 0]) == 10
+
+    # and VACUUM never treats foreign _change_data files as orphans
+    # (the walk prunes '_'-prefixed segments — the safe direction:
+    # a cdc file deleted inside retention would break CDF reads)
+    from dask_deltalake_spark.delta.maintenance import vacuum
+
+    cands = vacuum(path, retention_hours=0, dry_run=True)
+    assert not any(c.startswith("_change_data") for c in cands), cands
