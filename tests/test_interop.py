@@ -1205,3 +1205,113 @@ def test_foreign_cdc_actions_read_instead_of_reconstruction(
 
     cands = vacuum(path, retention_hours=0, dry_run=True)
     assert not any(c.startswith("_change_data") for c in cands), cands
+
+
+def test_foreign_checkpoint_stats_json_wins_over_disagreeing_struct(
+    spark, tmp_path
+):
+    """Foreign checkpoint carrying BOTH `stats` (JSON) and
+    `stats_parsed` (struct) that DISAGREE (a buggy or stale foreign
+    writer — delta-spark writes both when writeStatsAsJson and
+    writeStatsAsStruct are both true, normally in agreement; r15,
+    VERDICT #4's named seam): the canonical protocol field is
+    `stats`, so the JSON must win deterministically — the struct
+    fallback applies ONLY when JSON is absent (the r14 struct-only
+    fix). Pins the preference so skipping decisions can never flap
+    between the two encodings."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from dask_deltalake_spark.delta.protocol import prune_by_stats
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(10).coalesce(1).selectExpr("id"), path)  # v0
+    v0 = _v0_adds(path)[0]
+    log_dir = os.path.join(path, "_delta_log")
+    meta_line = next(
+        json.loads(line)["metaData"]
+        for line in open(os.path.join(log_dir, f"{0:020d}.json"))
+        if '"metaData"' in line
+    )
+    proto_line = next(
+        json.loads(line)["protocol"]
+        for line in open(os.path.join(log_dir, f"{0:020d}.json"))
+        if '"protocol"' in line
+    )
+    sp = pa.struct(
+        [
+            ("numRecords", pa.int64()),
+            ("minValues", pa.struct([("id", pa.int64())])),
+            ("maxValues", pa.struct([("id", pa.int64())])),
+            ("nullCount", pa.struct([("id", pa.int64())])),
+        ]
+    )
+    json_stats = json.dumps({
+        "numRecords": 10,
+        "minValues": {"id": 0}, "maxValues": {"id": 9},
+        "nullCount": {"id": 0},
+    })
+    rows = [
+        {"protocol": proto_line, "metaData": None, "add": None},
+        {"protocol": None, "metaData": {
+            "id": meta_line["id"],
+            "schemaString": meta_line["schemaString"],
+            "partitionColumns": [],
+            "configuration": [],
+            "createdTime": meta_line.get("createdTime"),
+            "format": {"provider": "parquet"},
+        }, "add": None},
+        {"protocol": None, "metaData": None, "add": {
+            "path": v0["path"],
+            "partitionValues": [],
+            "size": v0["size"],
+            "modificationTime": v0["modificationTime"],
+            "dataChange": False,
+            "stats": json_stats,  # the truth
+            "stats_parsed": {     # stale/buggy: claims id in [100,900]
+                "numRecords": 10,
+                "minValues": {"id": 100},
+                "maxValues": {"id": 900},
+                "nullCount": {"id": 0},
+            },
+        }},
+    ]
+    schema = pa.schema(
+        [
+            pa.field("protocol", pa.struct(
+                [("minReaderVersion", pa.int32()),
+                 ("minWriterVersion", pa.int32())])),
+            pa.field("metaData", pa.struct(
+                [("id", pa.string()),
+                 ("schemaString", pa.string()),
+                 ("partitionColumns", pa.list_(pa.string())),
+                 ("configuration", pa.map_(pa.string(), pa.string())),
+                 ("createdTime", pa.int64()),
+                 ("format", pa.struct([("provider", pa.string())]))])),
+            pa.field("add", pa.struct(
+                [("path", pa.string()),
+                 ("partitionValues", pa.map_(pa.string(), pa.string())),
+                 ("size", pa.int64()),
+                 ("modificationTime", pa.int64()),
+                 ("dataChange", pa.bool_()),
+                 ("stats", pa.string()),
+                 ("stats_parsed", sp)])),
+        ]
+    )
+    _pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        os.path.join(log_dir, f"{0:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 0, "size": len(rows)}))
+
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    a = snap.add_actions[0]
+    assert json.loads(a.stats) == json.loads(json_stats)
+    # skipping decisions follow the JSON: id<=3 keeps the file (JSON
+    # min 0), id>100 prunes it (JSON max 9) — the struct would say
+    # the exact opposite
+    assert prune_by_stats([a], [[("id", "<=", 3)]]) == [a]
+    assert prune_by_stats([a], [[("id", ">", 100)]]) == []
+    assert read_delta(path, spark=spark).count() == 10
