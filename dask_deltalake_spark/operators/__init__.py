@@ -522,31 +522,29 @@ def _key(name: str):
 REGISTRY: dict = {name: _ALL[name] for name in sorted(_ALL, key=_key)}
 
 __all__ = ["REGISTRY"]
-# r15 ROTATION PREVIEW (plan the squeeze before the round closes):
-# after r14 the ledger rows sit at r11x12 (this round's deferrals:
-# q02, q03, d23, d26, d27, d34, x08, x33, x34, x35, x36, x38 — the
-# OLDEST, rotate first), r12x49 (d33 left the tier: re-verified r14
-# as a rider), r13x50, r14x50 = 161. The r15 candidates are those 12
-# r11-tier names + the 49 r12-verified names (d01-d06, d08, d10,
-# d14, d16-d19, d29, d30, d36-d39, d44, d47, d48, d50, q45, q46,
-# q52-q54, s07, s10, x02, x03, x09-x12, x14-x16, x20-x27, x32, x43)
-# + the two r14-staged debuts (q59_grouped_pandas_quantiles — the
-# FlatMapGroupsInPandas physical family nothing samples, exact
-# integer-cents quantile oracle; x44_token_budget_mix — budget-
-# constrained quality mixing via the histogram-threshold two-level
-# shape; both with plan assertions written first in
-# test_registry_smoke.py and check_oracle-green at staging time) =
-# 63 for 50 slots -> THIRTEEN r12-tier deferrals need written
-# justification (favor surfaces with no r13/r14/r15 diff + strong
-# pytest pins; s07 and s10 must rotate IN — s07 carries the r13
-# perf-weak history and the streaming tier defers poorly). Queries
-# riding code CHANGED in r14 must rotate IN as fixed picks: d50
-# (crc canonicalization + allFiles identity), d19 (rides
-# latest_version via cdc.py), d16 (delta_py batch reader — the
-# commit-range pre-validation sits in its stream/CDF siblings'
-# planners, re-run green via check_oracle this round, but the driver
-# row is the stronger signal), d07/d39 (the struct-only-stats
-# checkpoint-parse fallback) — see the COVERAGE.md r14 ledger.
-# Re-derive before staging anything beyond the two: 163 registered
+# r16 ROTATION PREVIEW (plan the squeeze before the round closes):
+# after r15 the ledger rows sit at r12x14 (this round's deferrals:
+# q46, q52, q53, q54, x03, x09, x10, x11, x12, x15, x20, x21, x22,
+# x25 — the OLDEST, rotate first), r13x50 (q05, q07-q11, q13-q22,
+# q29-q40, q43, q44, q47-q49, q55, q56, d12, d13, d22, d35, d40,
+# x05, x06, x13, x17-x19, x29, x39-x41 — minus any verified later),
+# r14x49 (d07 refreshed into r15), r15x50 = 163. The r16 candidates
+# are the 14 r12-tier names + the 50 r13-tier names + the two
+# r15-staged debuts (q60_cogrouped_pandas_reconcile — the
+# FlatMapCoGroupsInPandas two-input physical family nothing samples,
+# all-integer money oracle, plan assertions written first in
+# test_registry_smoke.py, sf0.1 pre-measured cold 11.89 s /
+# warm 3.54 s; d51_foreign_cdc_read — the r15 foreign-cdc interop
+# surface as a graded lifecycle query, cold 1.81 s / warm 1.04 s) =
+# 66 for 50 slots -> SIXTEEN r13-tier deferrals need written
+# justification (a new query MUST debut in-window; the 14 r12 rows
+# are oldest and rotate first). Queries riding code CHANGED in r15
+# must rotate IN as fixed picks: d41/d32 (the two vanishing-trace
+# compact_log fixes — d07 carried the in-window signal this round,
+# these two rode check_oracle), d25 (CDF stream 'latest' + the
+# cdc-action planner), d20 (rides read_delta_changes' cdc path),
+# d05 (vacuum's changeDataFeed claim + feature-conditional refusal
+# — rider d05/d19 check_oracle re-runs ledgered COVERAGE.md r15).
+# Re-derive before staging anything beyond the two: 165 registered
 # names in 50 slots puts the staleness floor at ~3.3 rounds; every
 # extra staging deepens next round's deferral count one-for-one.

@@ -2764,3 +2764,140 @@ def d50_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(tampered).alias("tamper_detected"),
         F.lit(missing_raises).alias("missing_crc_raises"),
     )
+
+
+# r16 debut (staged in r15 alongside q60 — see the note in
+# relational.py): NOT yet in REGISTRY; register as d51 when the r16
+# window opens. Turns the r15 foreign-cdc interop surface into a
+# graded lifecycle query.
+_D51_ORACLE = """
+WITH cohort AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 1000 = 7
+)
+SELECT * FROM (
+  SELECT 'insert' AS change_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(cents) AS BIGINT) AS cents_sum
+  FROM cohort
+  UNION ALL
+  SELECT 'update_preimage',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(cents) AS BIGINT)
+  FROM cohort WHERE k % 2 = 1
+  UNION ALL
+  SELECT 'update_postimage',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(cents) + COUNT(*) AS BIGINT)
+  FROM cohort WHERE k % 2 = 1
+) ORDER BY change_type
+"""
+
+
+def d51_foreign_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign cdc-action change feed (delta-spark
+    ``delta.enableChangeDataFeed=true`` interop, the r15 seam as a
+    graded query): hand-build a delta-spark-style table — a blind
+    append (no cdc action), then an UPDATE commit whose ``cdc``
+    action points at a ``_change_data/`` file carrying exactly the
+    updated rows' pre/post images — and read it through
+    ``read_delta_changes``. Per the spec's Add CDC File contract the
+    reader must take the cdc file's four image classes VERBATIM for
+    that commit (reconstruction would double-report the copied rows
+    as delete+insert, inflating the feed by the rewrite's copy
+    factor) while the append commit still reconstructs as inserts.
+    Scale: planning is O(#actions) driver metadata; the change read
+    is one pruned scan per (version, type) — an incremental consumer
+    reads a handful of commits, never the table. The hand-built
+    cohort (o_orderkey % 1000 = 7) keeps the lifecycle driver-bounded
+    exactly like d07's checkpoint builds.
+    """
+    import json as _json
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from dask_deltalake_spark.delta.cdc import read_delta_changes
+    from dask_deltalake_spark.delta.protocol import Metadata, Protocol
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    path = _tmp_table(sf_dir, "foreign_cdf")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(os.path.join(path, "_change_data"))
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 1000 == 7)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"),
+        )
+        .orderBy("k")
+        .collect()  # metadata-sized by the modulo (150 rows at sf0.1)
+    )
+    ks = [r["k"] for r in rows]
+    cs = [r["cents"] for r in rows]
+
+    def _write(rel, kk, cc, types=None):
+        cols = {"k": pa.array(kk, pa.int64()),
+                "cents": pa.array(cc, pa.int64())}
+        if types is not None:
+            cols["_change_type"] = pa.array(types, pa.string())
+        _pq.write_table(pa.table(cols), os.path.join(path, rel))
+        return os.path.getsize(os.path.join(path, rel))
+
+    schema_str = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "cents", "type": "long", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    sz0 = _write("f0.parquet", ks, cs)
+    write_commit(path, 0, [
+        Protocol(min_reader_version=1, min_writer_version=4).to_json(),
+        Metadata(
+            id="d51-foreign-cdf", schema_string=schema_str,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        ).to_json(),
+        {"add": {"path": "f0.parquet", "partitionValues": {},
+                 "size": sz0, "modificationTime": 1000,
+                 "dataChange": True}},
+    ])
+    # UPDATE: odd keys get cents+1; cdc file carries pre+post images
+    new_cs = [c + 1 if k % 2 == 1 else c for k, c in zip(ks, cs)]
+    sz1 = _write("f1.parquet", ks, new_cs)
+    odd = [(k, c) for k, c in zip(ks, cs) if k % 2 == 1]
+    szc = _write(
+        "_change_data/cdc-0001.parquet",
+        [k for k, _ in odd] + [k for k, _ in odd],
+        [c for _, c in odd] + [c + 1 for _, c in odd],
+        ["update_preimage"] * len(odd) + ["update_postimage"] * len(odd),
+    )
+    write_commit(path, 1, [
+        {"commitInfo": {"timestamp": 2000, "operation": "UPDATE",
+                        "engineInfo": "Apache-Spark/3.5.0 Delta-Lake/3.2.0"}},
+        {"remove": {"path": "f0.parquet", "deletionTimestamp": 2000,
+                    "dataChange": True}},
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": sz1, "modificationTime": 2000,
+                 "dataChange": True}},
+        {"cdc": {"path": "_change_data/cdc-0001.parquet",
+                 "partitionValues": {}, "size": szc,
+                 "dataChange": False}},
+    ])
+
+    return (
+        read_delta_changes(path, starting_version=-1, spark=spark)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+        .orderBy("change_type")
+    )

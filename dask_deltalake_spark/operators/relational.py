@@ -2631,3 +2631,105 @@ def q59_grouped_pandas_quantiles(
             "q25_cents double, med_cents double, q75_cents double"
         ),
     )
+
+
+# r16 debut (staged in r15; the r15 window closed at 64 candidates
+# for 50 slots — the q59/x44 staging pattern, plan assertions written
+# first in tests/test_registry_smoke.py): NOT yet in REGISTRY;
+# register as q60 when the r16 window opens.
+_Q60_ORACLE = """
+SELECT o.o_orderkey,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS order_total_cents,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+       CAST(COALESCE(SUM(
+           CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+       ), 0) AS BIGINT) AS line_rev_centipct
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 200 = 7
+GROUP BY o.o_orderkey, o.o_totalprice
+"""
+
+
+def q60_cogrouped_pandas_reconcile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-source per-entity reconciliation via
+    ``cogroup().applyInPandas`` — the FlatMapCoGroupsInPandas physical
+    family NO registered query samples (q59 covers the single-input
+    FlatMapGroupsInPandas; cogroup is the two-input sibling: each key
+    receives BOTH sides' rows as aligned pandas frames). The stand-in
+    computation — an order-header vs line-items revenue audit — is
+    deliberately SQL-expressible (LEFT JOIN + groupBy) so the oracle
+    is an EXACT hash match; the harness value is the two-sided Arrow
+    group transfer itself, the escape hatch for per-entity two-source
+    logic SQL can't express (sequence alignment between event logs
+    and state snapshots, per-user replay reconciliation).
+    All money math is INTEGER (cents x integer discount percent =
+    centi-percent units) on both sides, so no float rounding can
+    diverge between numpy and DuckDB.
+    Scale: each side shuffles ONCE on the shared key (plan-asserted
+    FlatMapCoGroupsInPandas fed by exactly two hashpartitioning
+    exchanges, one per input); the q59 cost model applies doubly —
+    each key pays one Python call over two frames, so the modulo
+    cohort (o_orderkey % 200 = 7) bounds the group count scan-side
+    BEFORE either exchange, and a real deployment amortizes the
+    per-group constant over large groups. Cohort filters are not
+    parquet-pushable (modulo) but evaluate in the scan stage, so only
+    the cohort's rows ever shuffle.
+    Reference parity: two-source groupby-apply family, reference
+    tests/test_core.py.
+    """
+    import pandas as pd
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 200 == 7)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("total_cents"),
+        )
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 200 == 7)
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            .alias("ext_cents"),
+            (
+                F.lit(100)
+                - F.round(F.col("l_discount") * 100).cast("long")
+            ).alias("keep_pct"),
+        )
+    )
+
+    def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if odf.empty:
+            # lineitem rows whose order is outside the cohort can't
+            # occur (same modulo both sides), but cogroup's contract
+            # delivers one-sided keys — keep the branch total
+            return pd.DataFrame(columns=[
+                "o_orderkey", "order_total_cents", "n_lines",
+                "line_rev_centipct",
+            ])
+        rev = int((ldf["ext_cents"] * ldf["keep_pct"]).sum()) if len(ldf) else 0
+        return pd.DataFrame({
+            "o_orderkey": [int(odf["o_orderkey"].iloc[0])],
+            "order_total_cents": [int(odf["total_cents"].iloc[0])],
+            "n_lines": [len(ldf)],
+            "line_rev_centipct": [rev],
+        })
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(l.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            schema=(
+                "o_orderkey long, order_total_cents long, "
+                "n_lines long, line_rev_centipct long"
+            ),
+        )
+    )

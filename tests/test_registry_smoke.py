@@ -776,3 +776,79 @@ def test_x44_token_budget_mix_matches_duckdb_oracle(spark):
         ).fetchall()
     }
     assert all(0 < got[s][0] < totals[s][0] for s in got)
+
+
+def test_q60_cogrouped_pandas_matches_duckdb_oracle(spark):
+    """q60 (staged r16 debut): two-source cogroup applyInPandas
+    reconciliation pinned cell-for-cell against DuckDB (all-integer
+    money math), with the plan asserted to carry the
+    FlatMapCoGroupsInPandas operator — the two-input physical family
+    q59's FlatMapGroupsInPandas does not sample — fed by exactly one
+    hash-partition exchange per side."""
+    import duckdb
+
+    from dask_deltalake_spark.operators.relational import (
+        _Q60_ORACLE,
+        q60_cogrouped_pandas_reconcile,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    df = q60_cogrouped_pandas_reconcile(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert plan.count("hashpartitioning(o_orderkey") == 1
+    assert plan.count("hashpartitioning(l_orderkey") == 1
+    got = {
+        r["o_orderkey"]: (
+            r["order_total_cents"], r["n_lines"], r["line_rev_centipct"]
+        )
+        for r in df.collect()
+    }
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    exp = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_Q60_ORACLE).fetchall()
+    }
+    assert got == exp
+    assert len(got) > 40  # real cohort population at sf0.01
+    # the two-sided transfer is the point: multi-line orders exist
+    assert any(v[1] > 1 for v in got.values())
+
+
+def test_d51_foreign_cdc_read_matches_duckdb_oracle(spark):
+    """d51 (staged r16 debut): the foreign cdc-action feed as a
+    graded lifecycle query — the cdc commit's images arrive VERBATIM
+    (no reconstruction double-report: exactly three change classes,
+    and the insert count equals the v0 cohort alone)."""
+    import duckdb
+
+    from dask_deltalake_spark.operators.delta_ops import (
+        _D51_ORACLE,
+        d51_foreign_cdc_read,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    df = d51_foreign_cdc_read(spark, sf_dir)
+    got = {
+        r["change_type"]: (r["n_rows"], r["cents_sum"])
+        for r in df.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(_D51_ORACLE).fetchall()
+    }
+    assert got == exp
+    # anti-reconstruction: a reader that rebuilt v1 from add/remove
+    # would emit 'delete' rows and inflate 'insert'
+    assert set(got) == {"insert", "update_preimage", "update_postimage"}
+    assert got["update_preimage"][0] > 0
