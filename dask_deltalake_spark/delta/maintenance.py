@@ -1485,7 +1485,20 @@ def compact_log(
     cleanup later deletes stay replayable through their covering
     compaction. Writing is idempotent (same range → same content), so
     plain ``write_bytes`` suffices — no commit race to arbitrate.
-    Returns the file name written."""
+    Returns the file name written.
+
+    ORDER SIGNIFICANCE (r15): most emitted units are order-free sets,
+    but vanishing-trace cancel/supersede shapes (a descriptor-less
+    tombstone or live add whose only range trace was itself canceled)
+    require sequential MIRROR actions — a transient add popped by one
+    of the unit's own removes. Delta's vocabulary cannot cancel a
+    tombstone without an add, so these units are order-significant by
+    necessity; replay consumes compacted files in file order (ours
+    and delta-spark's both), and the protocol's ban on same-identity
+    duplicate file actions within a unit means a conforming foreign
+    engine never emits the ambiguous unordered form either
+    (tests/test_replay_property.py scopes its reorder property
+    accordingly)."""
     log = DeltaLog(str(path).rstrip("/"))
     versions = log.versions()
     if not versions:

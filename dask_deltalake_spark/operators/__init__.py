@@ -542,9 +542,11 @@ __all__ = ["REGISTRY"]
 # must rotate IN as fixed picks: d41/d32 (the two vanishing-trace
 # compact_log fixes — d07 carried the in-window signal this round,
 # these two rode check_oracle), d25 (CDF stream 'latest' + the
-# cdc-action planner), d20 (rides read_delta_changes' cdc path),
-# d05 (vacuum's changeDataFeed claim + feature-conditional refusal
-# — rider d05/d19 check_oracle re-runs ledgered COVERAGE.md r15).
+# cdc-action planner), d20 (rides read_delta_changes' cdc path).
+# The other r15-changed surfaces (vacuum changeDataFeed claim,
+# checksum _canon, crc canonicalization) have IN-WINDOW r15 rows —
+# d05/d50/d19/d07/d16/d39 all sit in the r15 front, so their driver
+# rows land on the changed code; no r16 rider needed for those.
 # Re-derive before staging anything beyond the two: 165 registered
 # names in 50 slots puts the staleness floor at ~3.3 rounds; every
 # extra staging deepens next round's deferral count one-for-one.

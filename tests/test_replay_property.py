@@ -87,7 +87,9 @@ _PROTO_FEATURES = [
     ["deletionVectors", "v2Checkpoint", "appendOnly"],
 ]
 _action = st.tuples(
-    st.sampled_from(["add", "remove", "domain", "txn", "meta", "proto"]),
+    st.sampled_from(
+        ["add", "remove", "domain", "txn", "meta", "proto", "cdc"]
+    ),
     st.sampled_from(range(len(_PATHS))),
     st.sampled_from(range(len(_DVS))),
 )
@@ -128,6 +130,21 @@ def _to_json(kind: str, pi: int, di: int, ts: int) -> dict:
                 "appId": _APPS[pi % len(_APPS)],
                 "version": di,
                 "lastUpdated": ts,
+            }
+        }
+    if kind == "cdc":
+        # an Add CDC File action (r15: the foreign-writer change-feed
+        # line our CDF readers consume) — STATE-TRANSPARENT by spec:
+        # replay, checkpoints, and compaction must all ignore it, so
+        # every invariance in this module must hold with cdc lines
+        # interleaved anywhere in the history. The referenced file
+        # need not exist for state replay.
+        return {
+            "cdc": {
+                "path": f"_change_data/cdc-{pi}-{di}.parquet",
+                "partitionValues": {},
+                "size": 100 + di,
+                "dataChange": False,
             }
         }
     if kind == "add":
@@ -424,7 +441,7 @@ def _legalize(history: list) -> list:
         acts = []
         emitted_adds: set = set()
         for k, p, d in commit:
-            if k in ("domain", "txn", "meta", "proto"):
+            if k in ("domain", "txn", "meta", "proto", "cdc"):
                 # meta actions are always per-commit legal (p/d index
                 # domain/app pools, not file identities)
                 acts.append((k, p, d))
@@ -484,7 +501,20 @@ def test_replay_compacted_file_order_insensitive(history, data):
     the plain full-JSON replay. This is the net over the shield
     re-add + add_seq machinery: with removes first, a descriptor-less
     remove applies against the PRE-state add (add_seq < commit_seq,
-    heuristic live) and the shield re-add must restore the file."""
+    heuristic live) and the shield re-add must restore the file.
+
+    SCOPE (r15): units carrying a MIRROR pair — the same (path, dvId)
+    as both an add and a remove, the compactor's sequential
+    replay-mirror for vanishing-trace cancel/supersede shapes — are
+    order-significant BY NECESSITY: Delta's action vocabulary cannot
+    cancel a tombstone without an add, and the protocol forbids
+    same-identity duplicate file actions inside one unit, so a
+    CONFORMING foreign engine can never emit such a pair unordered
+    either; replay of a compacted file is sequential in file order
+    (ours and delta-spark's both). Those units are assumed out of the
+    reorder property (hypothesis.assume) and their file-order
+    correctness is pinned by the substitution property above plus the
+    explicit regressions in test_log_compaction.py."""
     import json as _json
     import os
 
@@ -510,6 +540,21 @@ def test_replay_compacted_file_order_insensitive(history, data):
         ]
         removes = [a for a in actions if "remove" in a]
         rest = [a for a in actions if "remove" not in a]
+        from hypothesis import assume
+
+        from dask_deltalake_spark.delta.protocol import (
+            dv_unique_id as _uid_of,
+        )
+
+        def _ids(acts, key):
+            out = set()
+            for a in acts:
+                d = a.get(key)
+                if d:
+                    out.add((d["path"], _uid_of(d.get("deletionVector"))))
+            return out
+
+        assume(not (_ids(actions, "add") & _ids(actions, "remove")))
         foreign = (
             [{"commitInfo": {"timestamp": 1, "operation": "COMPACTION",
                              "engineInfo": "foreign/1.0"}}]
