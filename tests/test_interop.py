@@ -1315,3 +1315,219 @@ def test_foreign_checkpoint_stats_json_wins_over_disagreeing_struct(
     assert prune_by_stats([a], [[("id", "<=", 3)]]) == [a]
     assert prune_by_stats([a], [[("id", ">", 100)]]) == []
     assert read_delta(path, spark=spark).count() == 10
+
+
+def test_foreign_v2_checkpoint_inline_actions_and_split_sidecars(
+    spark, tmp_path
+):
+    """Foreign v2 checkpoints exercising the spec surface our own
+    writer never produces (r15, VERDICT #4's remaining named seam):
+    (a) file actions INLINE in the manifest with no sidecars at all
+    (the spec allows either placement), and (b) sidecars splitting a
+    path's REMOVE away from its ADD into different files, interleaved
+    with unrelated actions — checkpoint state is already reconciled,
+    so distribution across sidecars must be irrelevant. Both shapes
+    must replay (including a post-checkpoint commit on top) with the
+    tombstone honored."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from dask_deltalake_spark.delta.log import SIDECAR_DIR
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    def _mk_table(tag):
+        path = str(tmp_path / tag)
+        to_delta(
+            spark.range(30).selectExpr("id", "id * 2 AS v").repartition(3),
+            path,
+        )
+        return path, _v0_adds(path)
+
+    def _meta_proto(path):
+        log_dir = os.path.join(path, "_delta_log")
+        meta = next(
+            json.loads(line)["metaData"]
+            for line in open(os.path.join(log_dir, f"{0:020d}.json"))
+            if '"metaData"' in line
+        )
+        proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": ["v2Checkpoint"],
+                 "writerFeatures": ["v2Checkpoint"]}
+        return meta, proto
+
+    _add_struct = pa.struct(
+        [("path", pa.string()),
+         ("partitionValues", pa.map_(pa.string(), pa.string())),
+         ("size", pa.int64()),
+         ("modificationTime", pa.int64()),
+         ("dataChange", pa.bool_()),
+         ("stats", pa.string())]
+    )
+    _dv_struct = pa.struct(
+        [("storageType", pa.string()),
+         ("pathOrInlineDv", pa.string()),
+         ("offset", pa.int32()),
+         ("sizeInBytes", pa.int32()),
+         ("cardinality", pa.int64())]
+    )
+    _rem_struct = pa.struct(
+        [("path", pa.string()),
+         ("deletionTimestamp", pa.int64()),
+         ("dataChange", pa.bool_()),
+         ("deletionVector", _dv_struct)]
+    )
+    _meta_struct = pa.struct(
+        [("id", pa.string()),
+         ("schemaString", pa.string()),
+         ("partitionColumns", pa.list_(pa.string())),
+         ("configuration", pa.map_(pa.string(), pa.string())),
+         ("createdTime", pa.int64()),
+         ("format", pa.struct([("provider", pa.string())]))]
+    )
+    _proto_struct = pa.struct(
+        [("minReaderVersion", pa.int32()),
+         ("minWriterVersion", pa.int32()),
+         ("readerFeatures", pa.list_(pa.string())),
+         ("writerFeatures", pa.list_(pa.string()))]
+    )
+    _cpm_struct = pa.struct([("version", pa.int64())])
+    _sc_struct = pa.struct(
+        [("path", pa.string()), ("sizeInBytes", pa.int64()),
+         ("modificationTime", pa.int64())]
+    )
+    manifest_schema = pa.schema(
+        [pa.field("protocol", _proto_struct),
+         pa.field("metaData", _meta_struct),
+         pa.field("add", _add_struct),
+         pa.field("remove", _rem_struct),
+         pa.field("checkpointMetadata", _cpm_struct),
+         pa.field("sidecar", _sc_struct)]
+    )
+    sidecar_schema = pa.schema(
+        [pa.field("add", _add_struct), pa.field("remove", _rem_struct)]
+    )
+
+    def _row(**kw):
+        base = {"protocol": None, "metaData": None, "add": None,
+                "remove": None, "checkpointMetadata": None,
+                "sidecar": None}
+        base.update(kw)
+        return base
+
+    def _meta_row(meta):
+        return {
+            "id": meta["id"], "schemaString": meta["schemaString"],
+            "partitionColumns": [], "configuration": [],
+            "createdTime": meta.get("createdTime"),
+            "format": {"provider": "parquet"},
+        }
+
+    def _add_row(a):
+        return {"path": a["path"], "partitionValues": [],
+                "size": a["size"],
+                "modificationTime": a["modificationTime"],
+                "dataChange": False, "stats": a.get("stats")}
+
+    # ---- (a) inline-actions manifest, zero sidecars, one add
+    # tombstoned inline
+    path, adds = _mk_table("inline")
+    meta, proto = _meta_proto(path)
+    victim, keep = adds[0], adds[1:]
+    rows = (
+        [_row(protocol=proto), _row(metaData=_meta_row(meta)),
+         _row(checkpointMetadata={"version": 0})]
+        + [_row(add=_add_row(a)) for a in keep]
+        + [_row(remove={"path": victim["path"],
+                        "deletionTimestamp": 1234,
+                        "dataChange": False,
+                        "deletionVector": None})]
+    )
+    log_dir = os.path.join(path, "_delta_log")
+    _pq.write_table(
+        pa.Table.from_pylist(rows, schema=manifest_schema),
+        os.path.join(log_dir, "00000000000000000000.checkpoint."
+                              "0f0e0d0c0b0a09080706050403020100.parquet"),
+    )
+    os.remove(os.path.join(log_dir, f"{0:020d}.json"))
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    assert set(snap.files) == {unquote(a["path"]) for a in keep}
+    assert [t.path for t in snap.tombstones_all] == [
+        unquote(victim["path"])
+    ]
+    n_keep = read_delta(path, spark=spark).count()
+    assert 0 < n_keep < 30
+    # a post-checkpoint commit replays on top of the inline state
+    write_commit(path, 1, [{
+        "add": {"path": victim["path"], "partitionValues": {},
+                "size": victim["size"],
+                "modificationTime": victim["modificationTime"],
+                "dataChange": True},
+    }])
+    _SNAPSHOT_CACHE.clear()
+    assert read_delta(path, spark=spark).count() == 30
+
+    # ---- (b) sidecar distribution + same-path DIFFERENT-identity
+    # coexistence: adds split across sidecars; a tombstone whose
+    # path's add sits in the OTHER sidecar is only legal under a
+    # DIFFERENT (path, dvId) identity (a checkpoint is reconciled
+    # state — the same identity can never be both live and removed),
+    # e.g. a superseded-vector tombstone still inside retention while
+    # the descriptor-less re-add is live. Distribution across
+    # sidecars must be irrelevant to all of it.
+    path2, adds2 = _mk_table("split")
+    meta2, proto2 = _meta_proto(path2)
+    proto2["readerFeatures"] = ["v2Checkpoint", "deletionVectors"]
+    proto2["writerFeatures"] = ["v2Checkpoint", "deletionVectors"]
+    victim2, keep2 = adds2[0], adds2[1:]
+    dv1 = {"storageType": "u", "pathOrInlineDv": "ab^-aqEH.-t@S}K{vb[*k^",
+           "offset": 4, "sizeInBytes": 40, "cardinality": 6}
+    log_dir2 = os.path.join(path2, "_delta_log")
+    os.makedirs(os.path.join(log_dir2, SIDECAR_DIR), exist_ok=True)
+    sc1_rows = [
+        {"add": _add_row(keep2[0]), "remove": None},
+        {"add": _add_row(keep2[1]), "remove": None},
+    ]
+    sc2_rows = [
+        # victim2's tombstone — its add appears in NO sidecar
+        {"add": None, "remove": {"path": victim2["path"],
+                                 "deletionTimestamp": 1234,
+                                 "dataChange": False,
+                                 "deletionVector": None}},
+        # superseded-vector tombstone for a path whose ('' ) add
+        # lives in the OTHER sidecar — different identity, legal
+        {"add": None, "remove": {"path": keep2[1]["path"],
+                                 "deletionTimestamp": 1234,
+                                 "dataChange": False,
+                                 "deletionVector": dv1}},
+    ]
+    for name, rws in (("sc-1.parquet", sc1_rows),
+                      ("sc-2.parquet", sc2_rows)):
+        _pq.write_table(
+            pa.Table.from_pylist(rws, schema=sidecar_schema),
+            os.path.join(log_dir2, SIDECAR_DIR, name),
+        )
+    man_rows = [
+        _row(protocol=proto2), _row(metaData=_meta_row(meta2)),
+        _row(checkpointMetadata={"version": 0}),
+        _row(sidecar={"path": "sc-1.parquet", "sizeInBytes": 1,
+                      "modificationTime": 1}),
+        _row(sidecar={"path": "sc-2.parquet", "sizeInBytes": 1,
+                      "modificationTime": 1}),
+    ]
+    _pq.write_table(
+        pa.Table.from_pylist(man_rows, schema=manifest_schema),
+        os.path.join(log_dir2, "00000000000000000000.checkpoint."
+                               "aaaabbbbccccddddeeeeffff00001111.parquet"),
+    )
+    os.remove(os.path.join(log_dir2, f"{0:020d}.json"))
+    _SNAPSHOT_CACHE.clear()
+    snap2 = DeltaLog(path2).snapshot()
+    assert set(snap2.files) == {unquote(a["path"]) for a in keep2}
+    keyed = {(t.path, bool(t.deletion_vector))
+             for t in snap2.tombstones_all}
+    assert keyed == {
+        (unquote(victim2["path"]), False),
+        (unquote(keep2[1]["path"]), True),
+    }
+    assert read_delta(path2, spark=spark).count() < 30
