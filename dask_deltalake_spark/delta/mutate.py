@@ -25,6 +25,7 @@ bitmap bytes, zero data movement, reader v3 / writer v7 protocol.
 from __future__ import annotations
 
 import json
+import os
 from typing import Optional
 
 import pyspark.sql.functions as F
@@ -35,6 +36,7 @@ from dask_deltalake_spark.delta.log import DeltaLog
 from dask_deltalake_spark.delta.protocol import (
     AddAction,
     ConcurrentCommitError,
+    DeltaProtocolError,
     RemoveAction,
     check_append_only,
     check_read_protocol,
@@ -115,6 +117,14 @@ def _commit_with_dml_retry(
             commit_version = snap2.version + 1
 
 
+def _cdf_enabled(metadata) -> bool:
+    return (
+        metadata.configuration.get("delta.enableChangeDataFeed", "")
+        .lower()
+        == "true"
+    )
+
+
 def _rewrite_and_commit(
     spark: SparkSession,
     table_path: str,
@@ -125,12 +135,29 @@ def _rewrite_and_commit(
     operation: str,
     op_params: dict,
     prune_dnf=None,
+    change_data: Optional[DataFrame] = None,
 ) -> dict:
     """Write `new_data` as replacement files for `touched` and commit
     adds+removes atomically. Shared tail of MERGE and DELETE.
     ``prune_dnf`` (DNF-predicate DML only) enables conflict-aware
     retry past non-interacting concurrent commits
-    (_commit_with_dml_retry)."""
+    (_commit_with_dml_retry).
+
+    ``change_data`` (r15, CDF write support): the commit's row-level
+    change images — table columns plus ``_change_type`` — written as
+    ``_change_data/`` parquet and committed as ``cdc`` actions
+    (delta-spark ``delta.enableChangeDataFeed`` parity). Per the
+    spec's Add CDC File contract the cdc files must carry ALL of the
+    version's changes, so callers pass EVERY image class the
+    operation produced (a rewrite's merely-copied rows excluded — a
+    reader reconstructing this commit from add/remove would
+    double-report them, which is exactly what the cdc file
+    prevents). When the change frame is empty an EMPTY cdc file is
+    still committed: the rewrite's remove+add pairs would otherwise
+    reconstruct as spurious whole-file delete+insert. Partitioned
+    identically to the table (delta-spark layout); on column-mapped
+    tables the data columns carry physical names like every other
+    file."""
     from dask_deltalake_spark.delta.writer import (
         _ADD_ROW_SCHEMA,
         _spark_to_arrow_schema,
@@ -195,6 +222,69 @@ def _rewrite_and_commit(
             new_data, table_path, partition_by, stats_spec=_stats_spec
         )
 
+    cdc_rows: list = []
+    if change_data is not None:
+        if l2p:
+            change_data = change_data.toDF(
+                *[l2p.get(c, c) for c in change_data.columns]
+            )
+        cdc_root = os.path.join(table_path, "_change_data")
+        if data_root is not None:
+            cdc_schema_bytes = (
+                _spark_to_arrow_schema(change_data.schema)
+                .serialize().to_pybytes()
+            )
+            cdc_fn = _write_partition_factory(
+                os.path.join(data_root, "_change_data"),
+                partition_by,
+                cdc_schema_bytes,
+                stats_spec=_stats_spec,
+            )
+            cdc_rows = change_data.mapInPandas(
+                cdc_fn, schema=_ADD_ROW_SCHEMA
+            ).collect()
+        else:
+            from dask_deltalake_spark.delta.writer import (
+                _write_files_native,
+            )
+
+            cdc_rows = _write_files_native(
+                change_data, cdc_root, partition_by,
+                stats_spec=_stats_spec,
+            )
+        if not cdc_rows:
+            # nothing matched, but the rewrite still swapped files —
+            # an ABSENT cdc action would make readers reconstruct the
+            # swap as whole-file delete+insert. An empty cdc file
+            # pins "zero changes" explicitly.
+            import uuid as _uuid
+
+            import pyarrow.parquet as _pq
+
+            from dask_deltalake_spark.delta.writer import (
+                _spark_to_arrow_schema as _s2a,
+            )
+
+            rel = f"cdc-{_uuid.uuid4().hex}.parquet"
+            empty = _s2a(change_data.schema).empty_table()
+            from dask_deltalake_spark.delta.logstore import store_for
+
+            _store = store_for(table_path)
+            import io as _io
+
+            buf = _io.BytesIO()
+            _pq.write_table(empty, buf)
+            _store.write_bytes(
+                os.path.join(cdc_root, rel), buf.getvalue()
+            )
+
+            class _EmptyCdc:
+                path = rel
+                size = len(buf.getvalue())
+                partition_json = "{}"
+
+            cdc_rows = [_EmptyCdc()]
+
     ts = now_ms()
     actions: list[dict] = [
         {
@@ -212,6 +302,18 @@ def _rewrite_and_commit(
             }
         }
     ]
+    for r in cdc_rows:
+        from urllib.parse import quote as _quote
+
+        cdc_pv = json.loads(r.partition_json)
+        actions.append({
+            "cdc": {
+                "path": _quote(f"_change_data/{r.path}"),
+                "partitionValues": cdc_pv,
+                "size": int(r.size),
+                "dataChange": False,
+            }
+        })
     for r in add_rows:
         actions.append(
             AddAction(
@@ -465,12 +567,13 @@ def merge_into(
         features={"columnMapping", "deletionVectors"},
     )
     # writer-feature gate (see delete_where): refuse features this
-    # rewrite cannot maintain, e.g. rowTracking
+    # rewrite cannot maintain, e.g. rowTracking. changeDataFeed
+    # claimed: the rewrite below emits per-clause cdc images (r15).
     check_write_protocol(
         snap.protocol,
         metadata=snap.metadata,
         features={"columnMapping", "deletionVectors", "generatedColumns",
-                  "identityColumns"},
+                  "identityColumns", "changeDataFeed"},
     )
     check_append_only(snap.metadata, "merge")
     schema = snapshot_schema(snap)
@@ -566,6 +669,48 @@ def merge_into(
     new_data = (
         keep if incoming is None else keep.unionByName(incoming)
     )
+    change_data = None
+    if _cdf_enabled(snap.metadata):
+        # cdc images per clause (delta-spark MERGE CDF semantics):
+        # matched-update -> pre/post pairs, matched-delete -> delete
+        # images, not-matched-insert -> insert images; rows the
+        # rewrite merely copied emit nothing.
+        parts = []
+        cols = schema.fieldNames()
+        if when_matched in ("update", "delete"):
+            matched_targets = target_rows.join(
+                source_keys, keys, "left_semi"
+            ).select(*cols)
+            if when_matched == "update":
+                target_keys_cd = target_rows.select(
+                    *keys
+                ).dropDuplicates(keys)
+                parts.append(matched_targets.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ))
+                parts.append(
+                    src.join(target_keys_cd, keys, "left_semi")
+                    .select(*cols)
+                    .withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            else:
+                parts.append(matched_targets.withColumn(
+                    "_change_type", F.lit("delete")
+                ))
+        if when_not_matched == "insert":
+            target_keys_cd = target_rows.select(*keys).dropDuplicates(
+                keys
+            )
+            parts.append(
+                src.join(target_keys_cd, keys, "left_anti")
+                .select(*cols)
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        change_data = parts[0]
+        for extra in parts[1:]:
+            change_data = change_data.unionByName(extra)
     return _rewrite_and_commit(
         spark,
         table_path,
@@ -579,6 +724,7 @@ def merge_into(
             "whenMatched": when_matched,
             "whenNotMatched": when_not_matched,
         },
+        change_data=change_data,
     )
 
 
@@ -615,10 +761,20 @@ def delete_where(
     check_write_protocol(
         snap.protocol,
         metadata=snap.metadata,
+        # changeDataFeed claimed: the COW path below emits cdc files
+        # for every delete (r15); the MoR branch refuses explicitly
         features={"columnMapping", "deletionVectors", "generatedColumns",
-                  "identityColumns"},
+                  "identityColumns", "changeDataFeed"},
     )
     if strategy == "merge-on-read":
+        if _cdf_enabled(snap.metadata):
+            raise DeltaProtocolError(
+                "DELETE with strategy='merge-on-read' does not emit "
+                "_change_data files yet; on a "
+                "delta.enableChangeDataFeed=true table use "
+                "strategy='copy-on-write' (which writes the cdc "
+                "images delta-spark readers require)."
+            )
         # honoring EXISTING vectors while adding new ones is part of
         # the path, so gate with the feature claimed
         check_read_protocol(
@@ -642,12 +798,24 @@ def delete_where(
     untouched = [a for a in adds if a.path not in touched_paths]
 
     cond = dnf_to_column(dnf)
-    new_data = _read_files(spark, snap, touched, schema)
+    scan = _read_files(spark, snap, touched, schema)
+    new_data = scan
+    change_data = None
     if cond is not None:
         # SQL DELETE removes only rows where the predicate is TRUE.
         # A bare ~cond is NULL (row dropped!) when cond is NULL — e.g.
         # DELETE WHERE x > 5 must KEEP rows with x IS NULL.
-        new_data = new_data.filter(~F.coalesce(cond, F.lit(False)))
+        new_data = scan.filter(~F.coalesce(cond, F.lit(False)))
+    if _cdf_enabled(snap.metadata):
+        # cdc images: exactly the deleted rows (the kept rows are
+        # copies the cdc file exists to exclude)
+        deleted = (
+            scan.filter(F.coalesce(cond, F.lit(False)))
+            if cond is not None else scan
+        )
+        change_data = deleted.withColumn(
+            "_change_type", F.lit("delete")
+        )
     return _rewrite_and_commit(
         spark,
         table_path,
@@ -658,6 +826,7 @@ def delete_where(
         "DELETE",
         {"predicate": json.dumps([str(c) for c in (filter or [])])},
         prune_dnf=prune_dnf,
+        change_data=change_data,
     )
 
 
@@ -1075,10 +1244,20 @@ def update_where(
     check_write_protocol(
         snap.protocol,
         metadata=snap.metadata,
+        # changeDataFeed claimed: the COW path below emits cdc pre/
+        # post images (r15); the MoR branch refuses explicitly
         features={"columnMapping", "deletionVectors", "generatedColumns",
-                  "identityColumns"},
+                  "identityColumns", "changeDataFeed"},
     )
     if strategy == "merge-on-read":
+        if _cdf_enabled(snap.metadata):
+            raise DeltaProtocolError(
+                "UPDATE with strategy='merge-on-read' does not emit "
+                "_change_data files yet; on a "
+                "delta.enableChangeDataFeed=true table use "
+                "strategy='copy-on-write' (which writes the cdc "
+                "images delta-spark readers require)."
+            )
         check_read_protocol(
             snap.protocol, metadata=snap.metadata,
             features={"deletionVectors", "columnMapping"},
@@ -1123,19 +1302,41 @@ def update_where(
             "GENERATED ALWAYS AS IDENTITY (rewrites preserve the "
             "assigned values)."
         )
-    new_data = _read_files(spark, snap, touched, schema)
-    for col, expr in set.items():
-        val = expr if hasattr(expr, "cast") else F.lit(expr)
-        val = val.cast(schema[col].dataType)
-        new_data = new_data.withColumn(
-            col, F.when(cond, val).otherwise(F.col(col)) if cond is not None else val
+    scan = _read_files(spark, snap, touched, schema)
+
+    def _apply_set(frame: DataFrame, always: bool) -> DataFrame:
+        for col, expr in set.items():
+            val = expr if hasattr(expr, "cast") else F.lit(expr)
+            val = val.cast(schema[col].dataType)
+            frame = frame.withColumn(
+                col,
+                val if (always or cond is None)
+                else F.when(cond, val).otherwise(F.col(col)),
+            )
+        # GENERATED ALWAYS: re-derive after the SET projection so rows
+        # whose source columns changed stay consistent (deterministic
+        # expressions — untouched rows recompute to their current
+        # values)
+        for gname, gexpr in gens.items():
+            frame = frame.withColumn(
+                gname, F.expr(gexpr).cast(schema[gname].dataType)
+            )
+        return frame
+
+    new_data = _apply_set(scan, always=False)
+    change_data = None
+    if _cdf_enabled(snap.metadata):
+        # cdc images: pre/post pairs for exactly the matched rows
+        pre = (
+            scan.filter(F.coalesce(cond, F.lit(False)))
+            if cond is not None else scan
         )
-    # GENERATED ALWAYS: re-derive after the SET projection so rows
-    # whose source columns changed stay consistent (deterministic
-    # expressions — untouched rows recompute to their current values)
-    for gname, gexpr in gens.items():
-        new_data = new_data.withColumn(
-            gname, F.expr(gexpr).cast(schema[gname].dataType)
+        change_data = pre.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            _apply_set(pre, always=True).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
         )
     return _rewrite_and_commit(
         spark,
@@ -1147,4 +1348,5 @@ def update_where(
         "UPDATE",
         {"predicate": json.dumps([str(c) for c in (filter or [])])},
         prune_dnf=prune_dnf,
+        change_data=change_data,
     )

@@ -1340,6 +1340,17 @@ def to_delta(
                 # parquet writer; footer stats fall back to a Spark
                 # count job where pyarrow can't parse the logical type
                 "variantType",
+                # changeDataFeed (r15): every to_delta commit shape is
+                # reconstruction-EXACT without cdc files, per the
+                # spec's no-cdc rule (adds are inserts, removes are
+                # deletes) — a blind append inserts whole files; an
+                # overwrite really deletes every old row and inserts
+                # every new one; replace_where removes only files
+                # whose PARTITION values prove every row matched (the
+                # partition-predicate-only gate above). The partial-
+                # rewrite shapes that DO need cdc files live in
+                # mutate.py, which writes them.
+                "changeDataFeed",
             },
         )
         check_append_only(snap.metadata, mode)
@@ -1627,6 +1638,13 @@ def to_delta(
         # obligations per the spec's version ladder)
         create_schema = df.schema
         writer_version = 2
+        if (configuration or {}).get(
+            "delta.enableChangeDataFeed", ""
+        ).lower() == "true":
+            # CDF requires writer v4 (or the changeDataFeed feature):
+            # a v2 protocol with the property set is a table other
+            # engines' writers would corrupt (their gate never fires)
+            writer_version = 4
         if generated_columns:
             create_schema = attach_generation_expressions(
                 create_schema, generated_columns

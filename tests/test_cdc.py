@@ -10,6 +10,7 @@ import pytest
 from dask_deltalake_spark.delta.cdc import read_delta_changes
 from dask_deltalake_spark.delta.maintenance import optimize
 from dask_deltalake_spark.delta.mutate import delete_where
+from dask_deltalake_spark.delta.reader import read_delta
 from dask_deltalake_spark.delta.writer import to_delta
 
 
@@ -327,3 +328,139 @@ def test_checkpoint_only_log_latest_version_and_cdf_error(spark, tmp_path):
     assert log.snapshot().version == 1        # agrees with existence
     with pytest.raises(ValueError, match="not available: commit"):
         read_delta_changes(path, starting_version=0, spark=spark).count()
+
+
+def _feed(spark, path, **kw):
+    return {
+        (r["id"], r["val"], r["_change_type"], r["_commit_version"])
+        for r in read_delta_changes(path, spark=spark, **kw).collect()
+    }
+
+
+def test_cdf_write_support_dml_emits_cdc_actions(spark, tmp_path):
+    """CDF WRITE support (r15): on a delta.enableChangeDataFeed=true
+    table, COW DELETE/UPDATE/MERGE write _change_data files and
+    commit `cdc` actions (delta-spark parity) — so a spec reader
+    (including our own, which prefers cdc files) gets exact row-level
+    images instead of the add/remove reconstruction that
+    double-reports every merely-copied row of a rewrite. Cross-
+    validated: the cdc-backed feed must equal the key-columns
+    reconstruction feed from an identical NON-CDF twin table."""
+    import json as _json
+    import os
+
+    from dask_deltalake_spark.delta.log import DeltaLog
+    from dask_deltalake_spark.delta.mutate import merge_into, update_where
+
+    df = spark.range(20).selectExpr("id", "id * 10 AS val")
+
+    def _build(path, cdf):
+        conf = {"delta.enableChangeDataFeed": "true"} if cdf else None
+        to_delta(df, path, configuration=conf)                   # v0
+        delete_where(path, [("id", "<", 5)], spark=spark)        # v1
+        update_where(path, [("id", ">=", 15)],
+                     {"val": F.col("val") + 1}, spark=spark)     # v2
+        src = spark.range(18, 24).selectExpr("id", "id * 100 AS val")
+        merge_into(path, src, keys=["id"], spark=spark)          # v3
+
+    cdf_path = str(tmp_path / "cdf")
+    twin_path = str(tmp_path / "twin")
+    _build(cdf_path, cdf=True)
+    _build(twin_path, cdf=False)
+
+    # protocol: CDF create lands writer v4 (other engines' gates fire)
+    assert DeltaLog(cdf_path).snapshot().protocol.min_writer_version == 4
+
+    # every DML commit carries cdc actions; v0 (blind append) none
+    log_dir = os.path.join(cdf_path, "_delta_log")
+    for v, want_cdc in ((0, False), (1, True), (2, True), (3, True)):
+        acts = [
+            _json.loads(ln)
+            for ln in open(os.path.join(log_dir, f"{v:020d}.json"))
+            if ln.strip()
+        ]
+        has = any("cdc" in a for a in acts)
+        assert has == want_cdc, (v, acts)
+        for a in acts:
+            if "cdc" in a:
+                assert a["cdc"]["dataChange"] is False
+                rel = a["cdc"]["path"]
+                assert rel.startswith("_change_data/")
+                assert os.path.exists(os.path.join(cdf_path, rel))
+
+    got = _feed(spark, cdf_path)
+    want = _feed(spark, twin_path, key_columns=["id"])
+    assert got == want
+    # spot-check the exact images
+    v1 = {r for r in got if r[3] == 1}
+    assert v1 == {(i, i * 10, "delete", 1) for i in range(5)}
+    v2 = {r for r in got if r[3] == 2}
+    assert v2 == (
+        {(i, i * 10, "update_preimage", 2) for i in range(15, 20)}
+        | {(i, i * 10 + 1, "update_postimage", 2) for i in range(15, 20)}
+    )
+    v3 = {r for r in got if r[3] == 3}
+    assert {(i, i * 100, "insert", 3) for i in (20, 21, 22, 23)} <= v3
+    assert {(i, i * 100, "update_postimage", 3) for i in (18, 19)} <= v3
+    # final table state identical on both tables
+    a = {(r["id"], r["val"])
+         for r in read_delta(cdf_path, spark=spark).collect()}
+    b = {(r["id"], r["val"])
+         for r in read_delta(twin_path, spark=spark).collect()}
+    assert a == b
+
+
+def test_cdf_write_support_partitioned_and_empty_match(spark, tmp_path):
+    """Partitioned CDF table: cdc files land under hive dirs inside
+    _change_data/ and the feed resolves partition columns; a DELETE
+    matching NOTHING still commits an (empty) cdc action so the
+    file swap cannot reconstruct as spurious delete+insert."""
+    import json as _json
+    import os
+
+    path = str(tmp_path / "t")
+    df = spark.range(20).selectExpr(
+        "id", "CAST(id % 2 AS INT) AS p", "id * 10 AS val"
+    )
+    to_delta(df, path, partition_by=["p"],
+             configuration={"delta.enableChangeDataFeed": "true"})
+    delete_where(path, [("id", "<", 4)], spark=spark)  # v1: 4 deletes
+    got = {
+        (r["id"], r["p"], r["_change_type"])
+        for r in read_delta_changes(
+            path, starting_version=0, spark=spark
+        ).collect()
+    }
+    assert got == {(i, i % 2, "delete") for i in range(4)}
+
+    # nothing-matched delete on a pruned-but-rewritten region: the
+    # stats prune may keep a file whose rows all survive; force the
+    # shape with a predicate no row satisfies inside a touched file
+    delete_where(path, [("id", "==", -1)], spark=spark)  # v2
+    log_dir = os.path.join(path, "_delta_log")
+    acts = [
+        _json.loads(ln)
+        for ln in open(os.path.join(log_dir, f"{2:020d}.json"))
+        if ln.strip()
+    ]
+    assert any("cdc" in a for a in acts)
+    feed2 = read_delta_changes(path, starting_version=1, spark=spark)
+    assert feed2.count() == 0  # zero changes, NOT a delete+insert storm
+
+
+def test_cdf_merge_on_read_refuses_on_cdf_table(spark, tmp_path):
+    """MoR strategies do not emit cdc files yet: on a CDF table they
+    must refuse with the copy-on-write pointer instead of silently
+    committing a feed delta-spark readers would misread."""
+    from dask_deltalake_spark.delta.mutate import update_where
+    from dask_deltalake_spark.delta.protocol import DeltaProtocolError
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(10).selectExpr("id", "id AS val"), path,
+             configuration={"delta.enableChangeDataFeed": "true"})
+    with pytest.raises(DeltaProtocolError, match="copy-on-write"):
+        delete_where(path, [("id", "<", 3)], spark=spark,
+                     strategy="merge-on-read")
+    with pytest.raises(DeltaProtocolError, match="copy-on-write"):
+        update_where(path, [("id", "<", 3)], {"val": F.lit(0)},
+                     spark=spark, strategy="merge-on-read")
