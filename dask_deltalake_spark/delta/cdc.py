@@ -2,9 +2,11 @@
 
 The reference has no change-feed surface; this mirrors delta-spark's
 ``readChangeFeed`` / ``startingVersion`` read option re-expressed over
-this engine's driver-side log replay, without requiring writers to
-emit ``_change_data`` files: every data-changing commit is replayed
-action-by-action, files ADDED in a commit surface their rows as
+this engine's driver-side log replay. Commits carrying ``cdc``
+actions (a foreign delta-spark writer's — or our own DML's, r15 —
+``_change_data`` files) are read from those files VERBATIM per the
+spec's Add CDC File contract; commits without are reconstructed
+action-by-action: files ADDED surface their rows as
 ``_change_type='insert'`` and files REMOVED surface theirs as
 ``_change_type='delete'``, each stamped with ``_commit_version``.
 
@@ -545,3 +547,66 @@ def read_delta_changes(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def enable_change_data_feed(path: str) -> int:
+    """Enable the change feed on an existing table in one
+    metadata-only commit (delta-spark ``ALTER TABLE ... SET
+    TBLPROPERTIES ('delta.enableChangeDataFeed'='true')`` parity):
+    the protocol upgrades to writer v7 with the ``changeDataFeed``
+    feature (existing features preserved) atomically with the
+    property, so no other engine ever sees the property without the
+    protocol obligation. set_table_properties refuses this property
+    for exactly that reason — this is its dedicated path. Commits
+    AFTER the enablement version carry cdc files (mutate.py's DML
+    emission); earlier versions reconstruct from add/remove as the
+    spec prescribes. Idempotent."""
+    from dask_deltalake_spark.delta.protocol import (
+        Metadata,
+        now_ms,
+        protocol_with_features,
+    )
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    log = DeltaLog(str(path).rstrip("/"))
+    snap = log.snapshot()
+    if (
+        snap.metadata.configuration.get(
+            "delta.enableChangeDataFeed", ""
+        ).lower()
+        == "true"
+    ):
+        return snap.version  # idempotent
+
+    new_proto = protocol_with_features(
+        snap.protocol, writer_features=("changeDataFeed",)
+    )
+    ts = now_ms()
+    meta = snap.metadata
+    config = dict(meta.configuration)
+    config["delta.enableChangeDataFeed"] = "true"
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": '{"delta.enableChangeDataFeed":"true"}'
+                },
+                "readVersion": snap.version,
+                "engineInfo": "dask_deltalake_spark/0.1.0",
+            }
+        },
+        new_proto.to_json(),
+        Metadata(
+            id=meta.id,
+            schema_string=meta.schema_string,
+            partition_columns=meta.partition_columns,
+            configuration=config,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+        ).to_json(),
+    ]
+    write_commit(log.table_path, snap.version + 1, actions)
+    return snap.version + 1

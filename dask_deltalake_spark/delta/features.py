@@ -149,6 +149,10 @@ def reorg_purge(path: str, spark: Optional[SparkSession] = None) -> dict:
             "generatedColumns",
             "identityColumns",
             "rowTracking",
+            # changeDataFeed: the purge rewrite changes no logical
+            # rows and commits dataChange=false (delta-spark REORG
+            # parity) — invisible to the feed and to streams
+            "changeDataFeed",
         },
     )
     touched = [a for a in snap.add_actions if a.deletion_vector]
@@ -172,6 +176,10 @@ def reorg_purge(path: str, spark: Optional[SparkSession] = None) -> dict:
         survivors,
         "REORG",
         {"applyPurge": "true"},
+        # pure housekeeping: no logical row changes — dataChange=false
+        # (delta-spark REORG/OPTIMIZE parity), so the commit is
+        # invisible to CDF reconstruction and streaming sources
+        data_change=False,
     )
 
 
@@ -224,6 +232,10 @@ def drop_feature(
             "rowTracking",
             "domainMetadata",
             "clustering",
+            # changeDataFeed: the drop is a protocol/metadata commit
+            # (no file actions); dropping changeDataFeed itself
+            # additionally requires the property unset (_no_cdf)
+            "changeDataFeed",
         },
     )
     # legacy version-ladder protocols carry features IMPLICITLY; the

@@ -932,7 +932,10 @@ def optimize(
         metadata=snap.metadata,
         features={"columnMapping", "deletionVectors", "generatedColumns",
                   "identityColumns", "rowTracking", "domainMetadata",
-                  "clustering"},
+                  "clustering",
+                  # dataChange=false commits are invisible to CDF by
+                  # spec, so OPTIMIZE maintains the feature for free
+                  "changeDataFeed"},
     )
     partition_by = list(snap.metadata.partition_columns)
 
@@ -1273,6 +1276,11 @@ def restore(
         cur.protocol,
         metadata=cur.metadata,
         features={
+            # changeDataFeed: a RESTORE's remove/add sets are disjoint
+            # WHOLE files, so the spec's no-cdc reconstruction (adds =
+            # inserts, removes = deletes) is row-exact — delta-spark
+            # reports restores the same way
+            "changeDataFeed",
             "columnMapping",
             "deletionVectors",
             "generatedColumns",
@@ -1938,9 +1946,11 @@ def set_table_properties(
     check_write_protocol(
         snap.protocol,
         metadata=snap.metadata,
+        # changeDataFeed: metadata-only commits carry no file actions
+        # and are invisible to the feed
         features={"columnMapping", "deletionVectors", "generatedColumns",
                   "identityColumns", "rowTracking", "domainMetadata",
-                  "clustering"},
+                  "clustering", "changeDataFeed"},
     )
     meta = snap.metadata
     config = dict(meta.configuration)
@@ -2199,6 +2209,9 @@ def recompute_statistics(
         snap.protocol,
         snap.metadata,
         features={
+            # changeDataFeed: stats recompute commits dataChange=false
+            # re-adds only — invisible to the feed by spec
+            "changeDataFeed",
             "columnMapping",
             "deletionVectors",
             "generatedColumns",
@@ -2301,6 +2314,10 @@ def fsck_repair(
         snap.protocol,
         metadata=snap.metadata,
         features={
+            # changeDataFeed: fsck removes files whose bytes are GONE
+            # — the no-cdc reconstruction (removes = deletes) reports
+            # exactly the rows that were lost
+            "changeDataFeed",
             "columnMapping",
             "deletionVectors",
             "generatedColumns",

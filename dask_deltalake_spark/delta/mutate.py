@@ -136,6 +136,7 @@ def _rewrite_and_commit(
     op_params: dict,
     prune_dnf=None,
     change_data: Optional[DataFrame] = None,
+    data_change: bool = True,
 ) -> dict:
     """Write `new_data` as replacement files for `touched` and commit
     adds+removes atomically. Shared tail of MERGE and DELETE.
@@ -321,7 +322,7 @@ def _rewrite_and_commit(
                 size=r.size,
                 partition_values=json.loads(r.partition_json),
                 modification_time=ts,
-                data_change=True,
+                data_change=data_change,
                 stats=r.stats,
             ).to_json()
         )
@@ -330,7 +331,7 @@ def _rewrite_and_commit(
             RemoveAction(
                 path=a.path,
                 deletion_timestamp=ts,
-                data_change=True,
+                data_change=data_change,
                 deletion_vector=a.deletion_vector,
                 partition_values=a.partition_values,
                 size=a.size,

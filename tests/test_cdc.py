@@ -464,3 +464,33 @@ def test_cdf_merge_on_read_refuses_on_cdf_table(spark, tmp_path):
     with pytest.raises(DeltaProtocolError, match="copy-on-write"):
         update_where(path, [("id", "<", 3)], {"val": F.lit(0)},
                      spark=spark, strategy="merge-on-read")
+
+
+def test_enable_change_data_feed_lifecycle(spark, tmp_path):
+    """enable_change_data_feed on an EXISTING table: one metadata-only
+    commit carrying the property AND the writer-v7 changeDataFeed
+    feature atomically (set_table_properties refuses the property for
+    exactly this reason); DML after the enablement emits cdc files,
+    history before it reconstructs. Idempotent."""
+    from dask_deltalake_spark.delta.cdc import enable_change_data_feed
+    from dask_deltalake_spark.delta.log import DeltaLog
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(10).selectExpr("id", "id AS val"), path)  # v0
+    v = enable_change_data_feed(path)                              # v1
+    assert v == 1
+    assert enable_change_data_feed(path) == 1  # idempotent
+    snap = DeltaLog(path).snapshot()
+    assert "changeDataFeed" in (snap.protocol.writer_features or [])
+    assert snap.metadata.configuration[
+        "delta.enableChangeDataFeed"] == "true"
+
+    delete_where(path, [("id", "<", 3)], spark=spark)              # v2
+    got = _feed(spark, path, starting_version=1)
+    assert got == {(i, i, "delete", 2) for i in range(3)}
+    # pre-enablement history still reconstructs (v0 inserts;
+    # starting_version is exclusive, so -1 includes v0)
+    assert {(r[0], r[2]) for r in _feed(spark, path,
+                                        starting_version=-1)} >= {
+        (0, "insert"), (9, "insert")
+    }
