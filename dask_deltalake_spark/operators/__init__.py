@@ -542,7 +542,16 @@ __all__ = ["REGISTRY"]
 # must rotate IN as fixed picks: d41/d32 (the two vanishing-trace
 # compact_log fixes — d07 carried the in-window signal this round,
 # these two rode check_oracle), d25 (CDF stream 'latest' + the
-# cdc-action planner), d20 (rides read_delta_changes' cdc path).
+# cdc-action planner), d20 (rides read_delta_changes' cdc path),
+# d22 (reorg_purge now commits dataChange=false — a REAL behavior
+# change on its purge lifecycle), d43 (drop_feature gate + purge
+# flag), d08/d14/d45 (gate-claim riders, check_oracle-green r15).
+# The r15 CDF WRITE surface (mutate cdc emission,
+# enable_change_data_feed) is pinned by 16 pytest cases in
+# test_cdc.py but has NO registered query yet — a
+# d52_cdf_write_roundtrip staging is the natural r16 third
+# candidate IF the window arithmetic allows; otherwise stage it r17
+# (every extra staging deepens the deferral count one-for-one).
 # The other r15-changed surfaces (vacuum changeDataFeed claim,
 # checksum _canon, crc canonicalization) have IN-WINDOW r15 rows —
 # d05/d50/d19/d07/d16/d39 all sit in the r15 front, so their driver
