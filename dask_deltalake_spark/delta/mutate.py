@@ -125,6 +125,89 @@ def _cdf_enabled(metadata) -> bool:
     )
 
 
+def _write_change_data(table_path: str, snap, change_data) -> list:
+    """Write one commit's ``_change_data`` parquet files and return
+    the ready ``cdc`` action dicts (r15, CDF write support — shared
+    by the COW rewrite tail and both merge-on-read paths). The frame
+    carries LOGICAL table columns plus ``_change_type``; physical
+    renaming, the table's partition layout, and the empty-frame
+    fallback (an explicit empty cdc file pins "zero changes" — an
+    absent action would make readers reconstruct the commit's file
+    actions) all happen here."""
+    from urllib.parse import quote as _quote
+
+    from dask_deltalake_spark.delta.protocol import stats_spec_for
+    from dask_deltalake_spark.delta.writer import (
+        _ADD_ROW_SCHEMA,
+        _spark_to_arrow_schema,
+        _write_partition_factory,
+    )
+
+    l2p = _mapping(snap)
+    partition_by = list(snap.metadata.partition_columns)
+    if l2p:
+        change_data = change_data.toDF(
+            *[l2p.get(c, c) for c in change_data.columns]
+        )
+        partition_by = [l2p.get(c, c) for c in partition_by]
+    _stats_spec = stats_spec_for(snap)
+    data_root = _local_data_root(table_path)
+    cdc_root = os.path.join(table_path, "_change_data")
+    if data_root is not None:
+        cdc_schema_bytes = (
+            _spark_to_arrow_schema(change_data.schema)
+            .serialize().to_pybytes()
+        )
+        cdc_fn = _write_partition_factory(
+            os.path.join(data_root, "_change_data"),
+            partition_by,
+            cdc_schema_bytes,
+            stats_spec=_stats_spec,
+        )
+        cdc_rows = change_data.mapInPandas(
+            cdc_fn, schema=_ADD_ROW_SCHEMA
+        ).collect()
+    else:
+        from dask_deltalake_spark.delta.writer import _write_files_native
+
+        cdc_rows = _write_files_native(
+            change_data, cdc_root, partition_by, stats_spec=_stats_spec
+        )
+    if not cdc_rows:
+        import io as _io
+        import uuid as _uuid
+
+        import pyarrow.parquet as _pq
+
+        from dask_deltalake_spark.delta.logstore import store_for
+
+        rel = f"cdc-{_uuid.uuid4().hex}.parquet"
+        empty = _spark_to_arrow_schema(change_data.schema).empty_table()
+        buf = _io.BytesIO()
+        _pq.write_table(empty, buf)
+        store_for(table_path).write_bytes(
+            os.path.join(cdc_root, rel), buf.getvalue()
+        )
+
+        class _EmptyCdc:
+            path = rel
+            size = len(buf.getvalue())
+            partition_json = "{}"
+
+        cdc_rows = [_EmptyCdc()]
+    return [
+        {
+            "cdc": {
+                "path": _quote(f"_change_data/{r.path}"),
+                "partitionValues": json.loads(r.partition_json),
+                "size": int(r.size),
+                "dataChange": False,
+            }
+        }
+        for r in cdc_rows
+    ]
+
+
 def _rewrite_and_commit(
     spark: SparkSession,
     table_path: str,
@@ -223,68 +306,9 @@ def _rewrite_and_commit(
             new_data, table_path, partition_by, stats_spec=_stats_spec
         )
 
-    cdc_rows: list = []
+    cdc_actions: list = []
     if change_data is not None:
-        if l2p:
-            change_data = change_data.toDF(
-                *[l2p.get(c, c) for c in change_data.columns]
-            )
-        cdc_root = os.path.join(table_path, "_change_data")
-        if data_root is not None:
-            cdc_schema_bytes = (
-                _spark_to_arrow_schema(change_data.schema)
-                .serialize().to_pybytes()
-            )
-            cdc_fn = _write_partition_factory(
-                os.path.join(data_root, "_change_data"),
-                partition_by,
-                cdc_schema_bytes,
-                stats_spec=_stats_spec,
-            )
-            cdc_rows = change_data.mapInPandas(
-                cdc_fn, schema=_ADD_ROW_SCHEMA
-            ).collect()
-        else:
-            from dask_deltalake_spark.delta.writer import (
-                _write_files_native,
-            )
-
-            cdc_rows = _write_files_native(
-                change_data, cdc_root, partition_by,
-                stats_spec=_stats_spec,
-            )
-        if not cdc_rows:
-            # nothing matched, but the rewrite still swapped files —
-            # an ABSENT cdc action would make readers reconstruct the
-            # swap as whole-file delete+insert. An empty cdc file
-            # pins "zero changes" explicitly.
-            import uuid as _uuid
-
-            import pyarrow.parquet as _pq
-
-            from dask_deltalake_spark.delta.writer import (
-                _spark_to_arrow_schema as _s2a,
-            )
-
-            rel = f"cdc-{_uuid.uuid4().hex}.parquet"
-            empty = _s2a(change_data.schema).empty_table()
-            from dask_deltalake_spark.delta.logstore import store_for
-
-            _store = store_for(table_path)
-            import io as _io
-
-            buf = _io.BytesIO()
-            _pq.write_table(empty, buf)
-            _store.write_bytes(
-                os.path.join(cdc_root, rel), buf.getvalue()
-            )
-
-            class _EmptyCdc:
-                path = rel
-                size = len(buf.getvalue())
-                partition_json = "{}"
-
-            cdc_rows = [_EmptyCdc()]
+        cdc_actions = _write_change_data(table_path, snap, change_data)
 
     ts = now_ms()
     actions: list[dict] = [
@@ -303,18 +327,7 @@ def _rewrite_and_commit(
             }
         }
     ]
-    for r in cdc_rows:
-        from urllib.parse import quote as _quote
-
-        cdc_pv = json.loads(r.partition_json)
-        actions.append({
-            "cdc": {
-                "path": _quote(f"_change_data/{r.path}"),
-                "partitionValues": cdc_pv,
-                "size": int(r.size),
-                "dataChange": False,
-            }
-        })
+    actions.extend(cdc_actions)
     for r in add_rows:
         actions.append(
             AddAction(
@@ -762,20 +775,12 @@ def delete_where(
     check_write_protocol(
         snap.protocol,
         metadata=snap.metadata,
-        # changeDataFeed claimed: the COW path below emits cdc files
-        # for every delete (r15); the MoR branch refuses explicitly
+        # changeDataFeed claimed: both strategies emit cdc delete
+        # images (r15)
         features={"columnMapping", "deletionVectors", "generatedColumns",
                   "identityColumns", "changeDataFeed"},
     )
     if strategy == "merge-on-read":
-        if _cdf_enabled(snap.metadata):
-            raise DeltaProtocolError(
-                "DELETE with strategy='merge-on-read' does not emit "
-                "_change_data files yet; on a "
-                "delta.enableChangeDataFeed=true table use "
-                "strategy='copy-on-write' (which writes the cdc "
-                "images delta-spark readers require)."
-            )
         # honoring EXISTING vectors while adding new ones is part of
         # the path, so gate with the feature claimed
         check_read_protocol(
@@ -946,6 +951,7 @@ def _mor_commit(
     drops: list,
     extra_adds: Optional[list] = None,
     prune_dnf=None,
+    extra_actions: Optional[list] = None,
 ) -> int:
     """Shared back half: write this commit's vectors into ONE .bin,
     emit remove+re-add per vectored file, removes for dropped files,
@@ -970,6 +976,10 @@ def _mor_commit(
             }
         }
     ]
+    if extra_actions:
+        # cdc actions (r15 CDF write support): row-image files for
+        # this commit, written by the caller via _write_change_data
+        actions.extend(extra_actions)
     if "deletionVectors" not in (snap.protocol.reader_features or []):
         # feature upgrade rides in the same commit. The listed legacy
         # features depend on where the table starts: a plain (writer
@@ -1072,6 +1082,36 @@ def _delete_merge_on_read(
     if marked is None:
         return _mor_noop(snap)
     _touched, dv_targets, drops, n_new_deleted = marked
+    cdc_actions = None
+    if _cdf_enabled(snap.metadata):
+        # cdc delete images (r15): the NEWLY-dead rows — matched by
+        # the predicate AND live under the prior vectors (rows a
+        # previous delete already killed must not re-emit)
+        from dask_deltalake_spark.delta.reader import (
+            dnf_to_column as _d2c,
+            snapshot_schema as _sschema,
+        )
+
+        _schema = _sschema(snap)
+        _cond = _d2c(normalize_dnf(filter))
+        dead = _read_files(
+            spark, snap, _touched, _schema, with_metadata=True
+        ).filter(F.coalesce(_cond, F.lit(False)))
+        prior_dv = [a for a in _touched if a.deletion_vector]
+        if prior_dv:
+            from dask_deltalake_spark.delta.dv import dv_keep_predicate
+
+            keep = dv_keep_predicate(spark, snap.path, prior_dv)
+            dead = dead.filter(
+                keep(F.col("_metadata.file_path"),
+                     F.col("_metadata.row_index"))
+            )
+        cdc_actions = _write_change_data(
+            table_path, snap,
+            dead.select(*_schema.fieldNames()).withColumn(
+                "_change_type", F.lit("delete")
+            ),
+        )
     version = _mor_commit(
         table_path,
         snap,
@@ -1088,6 +1128,7 @@ def _delete_merge_on_read(
         dv_targets,
         drops,
         prune_dnf=_translate(normalize_dnf(filter), _mapping(snap)),
+        extra_actions=cdc_actions,
     )
     return {
         "version": version,
@@ -1151,6 +1192,7 @@ def _update_merge_on_read(
             "GENERATED ALWAYS AS IDENTITY (rewrites preserve the "
             "assigned values)."
         )
+    pre_images = updated.select(*schema.fieldNames())
     for col_name, expr in set.items():
         val = expr if isinstance(expr, Column) else F.lit(expr)
         # pin the declared column type — drifting (e.g. long+1.0 →
@@ -1166,6 +1208,20 @@ def _update_merge_on_read(
     from dask_deltalake_spark.delta.constraints import enforce_constraints
 
     enforce_constraints(updated, snap.metadata, "UPDATE(merge-on-read)")
+    cdc_actions = None
+    if _cdf_enabled(snap.metadata):
+        # cdc pre/post pairs (r15): preimages are the matched live
+        # rows BEFORE the SET, postimages the appended image rows
+        cdc_actions = _write_change_data(
+            table_path, snap,
+            pre_images.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                updated.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            ),
+        )
     partition_by = list(snap.metadata.partition_columns)
     l2p = _mapping(snap)
     if l2p:
@@ -1208,6 +1264,7 @@ def _update_merge_on_read(
         drops,
         extra_adds=add_rows,
         prune_dnf=_translate(normalize_dnf(filter), _mapping(snap)),
+        extra_actions=cdc_actions,
     )
     return {
         "version": version,
@@ -1245,20 +1302,12 @@ def update_where(
     check_write_protocol(
         snap.protocol,
         metadata=snap.metadata,
-        # changeDataFeed claimed: the COW path below emits cdc pre/
-        # post images (r15); the MoR branch refuses explicitly
+        # changeDataFeed claimed: both strategies emit cdc pre/post
+        # images (r15)
         features={"columnMapping", "deletionVectors", "generatedColumns",
                   "identityColumns", "changeDataFeed"},
     )
     if strategy == "merge-on-read":
-        if _cdf_enabled(snap.metadata):
-            raise DeltaProtocolError(
-                "UPDATE with strategy='merge-on-read' does not emit "
-                "_change_data files yet; on a "
-                "delta.enableChangeDataFeed=true table use "
-                "strategy='copy-on-write' (which writes the cdc "
-                "images delta-spark readers require)."
-            )
         check_read_protocol(
             snap.protocol, metadata=snap.metadata,
             features={"deletionVectors", "columnMapping"},

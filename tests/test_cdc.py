@@ -448,49 +448,65 @@ def test_cdf_write_support_partitioned_and_empty_match(spark, tmp_path):
     assert feed2.count() == 0  # zero changes, NOT a delete+insert storm
 
 
-def test_cdf_merge_on_read_refuses_on_cdf_table(spark, tmp_path):
-    """MoR strategies do not emit cdc files yet: on a CDF table they
-    must refuse with the copy-on-write pointer instead of silently
-    committing a feed delta-spark readers would misread."""
+def test_cdf_merge_on_read_emits_cdc_images(spark, tmp_path):
+    """MoR strategies on a CDF table (r15, completing the write
+    matrix): DELETE emits exactly the NEWLY-dead rows (rows a prior
+    delete already vector-killed must not re-emit), UPDATE emits
+    pre/post pairs for the matched live rows — both as cdc actions in
+    the same atomic commit as the vectors, cross-validated against
+    the vector-delta reconstruction feed of an identical non-CDF
+    twin."""
+    import json as _json
+    import os
+
     from dask_deltalake_spark.delta.mutate import update_where
-    from dask_deltalake_spark.delta.protocol import DeltaProtocolError
 
-    path = str(tmp_path / "t")
-    to_delta(spark.range(10).selectExpr("id", "id AS val"), path,
-             configuration={"delta.enableChangeDataFeed": "true"})
-    with pytest.raises(DeltaProtocolError, match="copy-on-write"):
-        delete_where(path, [("id", "<", 3)], spark=spark,
-                     strategy="merge-on-read")
-    with pytest.raises(DeltaProtocolError, match="copy-on-write"):
-        update_where(path, [("id", "<", 3)], {"val": F.lit(0)},
-                     spark=spark, strategy="merge-on-read")
+    df = spark.range(20).selectExpr("id", "id * 10 AS val")
 
+    def _build(path, cdf):
+        conf = {"delta.enableChangeDataFeed": "true"} if cdf else None
+        to_delta(df, path, configuration=conf)                     # v0
+        delete_where(path, [("id", "<", 5)], spark=spark,
+                     strategy="merge-on-read")                     # v1
+        # overlapping predicate: ids 3,4 already dead — only 5,6 new
+        delete_where(path, [("id", "<", 7)], spark=spark,
+                     strategy="merge-on-read")                     # v2
+        update_where(path, [("id", ">=", 18)],
+                     {"val": F.col("val") + 1}, spark=spark,
+                     strategy="merge-on-read")                     # v3
 
-def test_enable_change_data_feed_lifecycle(spark, tmp_path):
-    """enable_change_data_feed on an EXISTING table: one metadata-only
-    commit carrying the property AND the writer-v7 changeDataFeed
-    feature atomically (set_table_properties refuses the property for
-    exactly this reason); DML after the enablement emits cdc files,
-    history before it reconstructs. Idempotent."""
-    from dask_deltalake_spark.delta.cdc import enable_change_data_feed
-    from dask_deltalake_spark.delta.log import DeltaLog
+    cdf_path = str(tmp_path / "cdf")
+    twin = str(tmp_path / "twin")
+    _build(cdf_path, cdf=True)
+    _build(twin, cdf=False)
 
-    path = str(tmp_path / "t")
-    to_delta(spark.range(10).selectExpr("id", "id AS val"), path)  # v0
-    v = enable_change_data_feed(path)                              # v1
-    assert v == 1
-    assert enable_change_data_feed(path) == 1  # idempotent
-    snap = DeltaLog(path).snapshot()
-    assert "changeDataFeed" in (snap.protocol.writer_features or [])
-    assert snap.metadata.configuration[
-        "delta.enableChangeDataFeed"] == "true"
+    # cdc actions present on every MoR commit
+    log_dir = os.path.join(cdf_path, "_delta_log")
+    for v in (1, 2, 3):
+        acts = [
+            _json.loads(ln)
+            for ln in open(os.path.join(log_dir, f"{v:020d}.json"))
+            if ln.strip()
+        ]
+        assert any("cdc" in a for a in acts), v
 
-    delete_where(path, [("id", "<", 3)], spark=spark)              # v2
-    got = _feed(spark, path, starting_version=1)
-    assert got == {(i, i, "delete", 2) for i in range(3)}
-    # pre-enablement history still reconstructs (v0 inserts;
-    # starting_version is exclusive, so -1 includes v0)
-    assert {(r[0], r[2]) for r in _feed(spark, path,
-                                        starting_version=-1)} >= {
-        (0, "insert"), (9, "insert")
+    got = _feed(spark, cdf_path, starting_version=-1)
+    want = _feed(spark, twin, starting_version=-1, key_columns=["id"])
+    assert got == want
+    assert {r for r in got if r[3] == 1} == {
+        (i, i * 10, "delete", 1) for i in range(5)
     }
+    # v2: ONLY the newly-dead rows 5, 6 — no re-emission of 0-4
+    assert {r for r in got if r[3] == 2} == {
+        (5, 50, "delete", 2), (6, 60, "delete", 2)
+    }
+    assert {r for r in got if r[3] == 3} == (
+        {(i, i * 10, "update_preimage", 3) for i in (18, 19)}
+        | {(i, i * 10 + 1, "update_postimage", 3) for i in (18, 19)}
+    )
+    # table state identical
+    a = {(r["id"], r["val"])
+         for r in read_delta(cdf_path, spark=spark).collect()}
+    b = {(r["id"], r["val"])
+         for r in read_delta(twin, spark=spark).collect()}
+    assert a == b
