@@ -172,6 +172,21 @@ def vacuum(
 
             abs_dv = dv_absolute_path(table_path, a.deletion_vector)
             referenced.add(os.path.relpath(abs_dv, table_path))
+    # cdc files (r15, CDF write support): a _change_data file is
+    # referenced while its commit's JSON is still in the log — the
+    # change feed of that version is still readable and must stay so.
+    # Once log retention cleanup deletes the commit, the cdc path
+    # falls out of this set and the ordinary mtime cutoff reclaims it
+    # (slightly more conservative than delta-spark, which ages cdc
+    # files by mtime alone; unbounded _change_data growth was the
+    # alternative). O(#commits) driver metadata, same as replay.
+    from urllib.parse import unquote as _unq
+
+    for _v in log.versions():
+        for _a in log.read_commit_actions(_v):
+            _c = _a.get("cdc")
+            if _c is not None:
+                referenced.add(_unq(_c["path"]))
     if retention_hours is None:
         # warn=True: a foreign engine's unparseable spelling must not
         # make a previously vacuumable table un-vacuumable — fall back
@@ -278,7 +293,13 @@ def vacuum(
                 & ~F.col("path").rlike(r"(^|/)\.\.(/|$)")
                 & (F.col("path") != "")
             )
-            .filter(~F.col("path").rlike(r"(^|/)[._]"))
+            .filter(
+                F.when(
+                    F.col("path").startswith("_change_data/"),
+                    # same hidden-prune applied BELOW the carve-out
+                    ~F.expr("substring(path, 14)").rlike(r"(^|/)[._]"),
+                ).otherwise(~F.col("path").rlike(r"(^|/)[._]"))
+            )
             .join(F.broadcast(ref_df), "path", "left_anti")
             .join(F.broadcast(rt_df), "path", "left")
             .filter(F.coalesce(F.col("rts"), F.col("mts")) <= cutoff_ms)
@@ -289,7 +310,14 @@ def vacuum(
         for rel_p in store.walk_files(table_path):
             # prune hidden/_delta_log segments (same contract as
             # os.walk dir pruning: no segment may start with '.'/'_')
-            if any(seg.startswith((".", "_")) for seg in rel_p.split("/")):
+            # — EXCEPT the _change_data dir itself (r15): cdc files
+            # are tracked via cdc actions and reclaimable once their
+            # commit left the log, so they are ordinary candidates
+            # (segments BELOW _change_data/ stay hidden-pruned)
+            segs = rel_p.split("/")
+            if segs[0] == "_change_data" and len(segs) > 1:
+                segs = segs[1:]
+            if any(seg.startswith((".", "_")) for seg in segs):
                 continue
             if rel_p in referenced:
                 continue

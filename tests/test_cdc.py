@@ -510,3 +510,46 @@ def test_cdf_merge_on_read_emits_cdc_images(spark, tmp_path):
     b = {(r["id"], r["val"])
          for r in read_delta(twin, spark=spark).collect()}
     assert a == b
+
+
+def test_vacuum_reclaims_cdc_files_only_after_log_cleanup(
+    spark, tmp_path
+):
+    """cdc-file retention (r15): a _change_data file is protected
+    while its commit JSON is still in the log (the feed of that
+    version is readable) — vacuum at retention 0 lists NONE; once
+    the commit leaves the log (retention cleanup — simulated by a
+    checkpoint plus JSON deletion, the exact state cleanup produces)
+    the cdc file becomes an ordinary mtime-aged candidate and full
+    vacuum reclaims it. Without this, _change_data grows without
+    bound on any long-lived CDF table."""
+    import glob
+    import os
+
+    from dask_deltalake_spark.delta.log import _SNAPSHOT_CACHE
+    from dask_deltalake_spark.delta.maintenance import (
+        create_checkpoint,
+        vacuum,
+    )
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(10).selectExpr("id", "id AS val"), path,
+             configuration={"delta.enableChangeDataFeed": "true"})
+    delete_where(path, [("id", "<", 3)], spark=spark)  # v1 + cdc file
+    cdc_files = glob.glob(os.path.join(path, "_change_data", "*.parquet"))
+    assert cdc_files
+
+    cands = vacuum(path, retention_hours=0, dry_run=True)
+    assert not any(c.startswith("_change_data") for c in cands), cands
+
+    # simulate metadata cleanup: checkpoint then drop the JSONs
+    create_checkpoint(path)
+    for j in glob.glob(os.path.join(path, "_delta_log", "*.json")):
+        os.remove(j)
+    _SNAPSHOT_CACHE.clear()
+    cands = vacuum(path, retention_hours=0, dry_run=True)
+    assert any(c.startswith("_change_data") for c in cands), cands
+    vacuum(path, retention_hours=0, dry_run=False, spark=spark)
+    assert not glob.glob(os.path.join(path, "_change_data", "*.parquet"))
+    # the table itself still reads through the checkpoint
+    assert read_delta(path, spark=spark).count() == 7
