@@ -1531,3 +1531,43 @@ def test_foreign_v2_checkpoint_inline_actions_and_split_sidecars(
         (unquote(keep2[1]["path"]), True),
     }
     assert read_delta(path2, spark=spark).count() < 30
+
+
+def test_foreign_commit_info_only_commit_is_a_noop_version(
+    spark, tmp_path
+):
+    """A foreign commit containing ONLY commitInfo (delta-spark can
+    produce these — e.g. an UPDATE matching zero files on a non-CDF
+    table, or a metadata no-op): replay must treat it as a version
+    bump with unchanged state, time travel to it must work, the CDF
+    feed must report zero changes for it, and a stream must pass
+    through it without refusing or emitting."""
+    from dask_deltalake_spark.delta.cdc import read_delta_changes
+    from dask_deltalake_spark.sources import register_python_datasource
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(10).selectExpr("id"), path)  # v0
+    _append_foreign_commit(path, 1, [])               # commitInfo only
+    to_delta(spark.range(10, 15).selectExpr("id"), path,
+             mode="append")                           # v2
+
+    _SNAPSHOT_CACHE.clear()
+    assert DeltaLog(path).snapshot().version == 2
+    assert read_delta(path, spark=spark).count() == 15
+    assert read_delta(path, version=1, spark=spark).count() == 10
+
+    ch = read_delta_changes(path, starting_version=-1, spark=spark)
+    per_v = {r["_commit_version"] for r in ch.collect()}
+    assert per_v == {0, 2}  # v1 contributes zero change rows
+
+    register_python_datasource(spark)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("delta_py")
+        .option("path", path).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 15
