@@ -47,6 +47,7 @@ normally — never a corpus-wide shuffle.
 
 from __future__ import annotations
 
+import json
 from typing import Optional
 
 import pyspark.sql.functions as F
@@ -350,13 +351,6 @@ def read_delta_changes(
             if a.deletion_vector
         }
 
-    # cdc-action scan schema (physical data columns + the
-    # _change_type column the _change_data files carry physically)
-    cdc_scan_schema = StructType(
-        list(scan_schema.fields)
-        + [StructField(CHANGE_TYPE_COL, StringType(), True)]
-    )
-
     frames: list[DataFrame] = []
     for v in range(int(starting_version) + 1, end + 1):
         adds_v: dict = {}
@@ -377,7 +371,7 @@ def read_delta_changes(
                 removes_meta[p] = bool(rem.get("dataChange", True))
             cdc = action.get("cdc")
             if cdc is not None:
-                cdc_v.append(unquote(cdc["path"]))
+                cdc_v.append(cdc)
 
         if cdc_v:
             # Foreign-writer cdc actions (delta-spark
@@ -391,18 +385,52 @@ def read_delta_changes(
             # a rewrite merely COPIED as delete+insert. The dv state
             # still rolls forward from the file actions below so later
             # reconstruction-backed commits stay exact.
-            cdc_files = [_abs(p) for p in cdc_v]
-            cdc_base = (
-                os.path.join(_scan_root, "_change_data")
-                if all(p.startswith("_change_data/") for p in cdc_v)
-                else _scan_root
+            # Partition columns are stamped per cdc file from the
+            # action's partitionValues — the AUTHORITATIVE source per
+            # the spec (ADVICE r15: basePath directory inference
+            # yields NULL partition columns for a foreign writer
+            # whose _change_data paths are not Hive-partitioned).
+            # Same contract as the streaming planner
+            # (_plan_cdf_partitions) and the add-action scan.
+            part_set = set(snap.metadata.partition_columns)
+            phys_of = {
+                lf.name: pf
+                for pf, lf in zip(scan_schema.fields, schema.fields)
+            }
+            cdc_file_schema = StructType(
+                [
+                    pf
+                    for pf, lf in zip(scan_schema.fields, schema.fields)
+                    if lf.name not in part_set
+                ]
+                + [StructField(CHANGE_TYPE_COL, StringType(), True)]
             )
+            group_frames: list[DataFrame] = []
+            by_pv: dict = {}
+            for c in cdc_v:
+                key = json.dumps(
+                    c.get("partitionValues") or {}, sort_keys=True
+                )
+                by_pv.setdefault(key, []).append(_abs(unquote(c["path"])))
+            for key in sorted(by_pv):
+                pvals = json.loads(key)  # PHYSICAL-keyed strings
+                g = spark.read.schema(cdc_file_schema).parquet(*by_pv[key])
+                for lname in snap.metadata.partition_columns:
+                    pf = phys_of[lname]
+                    raw = pvals.get(pf.name, pvals.get(lname))
+                    g = g.withColumn(
+                        pf.name, F.lit(raw).cast(pf.dataType)
+                    )
+                group_frames.append(
+                    g.select(
+                        *(scan_schema.fieldNames() + [CHANGE_TYPE_COL])
+                    )
+                )
+            cdf = group_frames[0]
+            for extra in group_frames[1:]:
+                cdf = cdf.unionByName(extra)
             cdf = (
-                spark.read.schema(cdc_scan_schema)
-                .option("basePath", cdc_base)
-                .parquet(*cdc_files)
-                .select(*cdc_scan_schema.fieldNames())
-                .toDF(*(schema.fieldNames() + [CHANGE_TYPE_COL]))
+                cdf.toDF(*(schema.fieldNames() + [CHANGE_TYPE_COL]))
                 .withColumn(COMMIT_VERSION_COL, F.lit(v).cast("long"))
             )
             frames.append(cdf)
@@ -560,9 +588,17 @@ def enable_change_data_feed(path: str) -> int:
     for exactly that reason — this is its dedicated path. Commits
     AFTER the enablement version carry cdc files (mutate.py's DML
     emission); earlier versions reconstruct from add/remove as the
-    spec prescribes. Idempotent."""
+    spec prescribes. Idempotent.
+
+    Writer-gated like every other commit path: the table's existing
+    protocol obligations are checked BEFORE the upgrade commit
+    (set_table_properties' metadata-only claimed set — a commit that
+    carries no file actions trivially maintains the data-level
+    features it claims, and an unknown foreign writer feature still
+    refuses, per the spec's writer-version contract)."""
     from dask_deltalake_spark.delta.protocol import (
         Metadata,
+        check_write_protocol,
         now_ms,
         protocol_with_features,
     )
@@ -578,6 +614,17 @@ def enable_change_data_feed(path: str) -> int:
     ):
         return snap.version  # idempotent
 
+    check_write_protocol(
+        snap.protocol,
+        metadata=snap.metadata,
+        # the metadata-only claimed set (see set_table_properties):
+        # no file actions => every data-level feature is maintained
+        # trivially; changeDataFeed claimed because enabling it is
+        # the whole point of this commit
+        features={"columnMapping", "deletionVectors", "generatedColumns",
+                  "identityColumns", "rowTracking", "domainMetadata",
+                  "clustering", "changeDataFeed"},
+    )
     new_proto = protocol_with_features(
         snap.protocol, writer_features=("changeDataFeed",)
     )

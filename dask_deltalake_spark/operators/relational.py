@@ -2633,10 +2633,9 @@ def q59_grouped_pandas_quantiles(
     )
 
 
-# r16 debut (staged in r15; the r15 window closed at 64 candidates
-# for 50 slots — the q59/x44 staging pattern, plan assertions written
-# first in tests/test_registry_smoke.py): NOT yet in REGISTRY;
-# register as q60 when the r16 window opens.
+# Debuted r16 (staged in r15 — the q59/x44 staging pattern, plan
+# assertions written first in tests/test_registry_smoke.py, sf0.1
+# pre-measured cold 11.89 s / warm 3.54 s on a quiet host).
 _Q60_ORACLE = """
 SELECT o.o_orderkey,
        CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS order_total_cents,
@@ -2651,6 +2650,7 @@ GROUP BY o.o_orderkey, o.o_totalprice
 """
 
 
+@query("q60_cogrouped_pandas_reconcile", _Q60_ORACLE)
 def q60_cogrouped_pandas_reconcile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

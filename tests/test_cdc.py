@@ -553,3 +553,198 @@ def test_vacuum_reclaims_cdc_files_only_after_log_cleanup(
     assert not glob.glob(os.path.join(path, "_change_data", "*.parquet"))
     # the table itself still reads through the checkpoint
     assert read_delta(path, spark=spark).count() == 7
+
+
+def test_enable_change_data_feed_on_existing_table(spark, tmp_path):
+    """enable_change_data_feed (ADVICE r15): enabling the feed on an
+    existing plain table commits protocol v7 + the property
+    atomically, is idempotent, and DML AFTER the enablement version
+    emits cdc actions the feed reads verbatim (the pre-enablement
+    append still reconstructs as inserts)."""
+    import glob
+    import os
+
+    from dask_deltalake_spark.delta.cdc import enable_change_data_feed
+    from dask_deltalake_spark.delta.log import DeltaLog
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(10).selectExpr("id", "id * 2 AS val"), path)  # v0
+    v = enable_change_data_feed(path)
+    assert v == 1
+    assert enable_change_data_feed(path) == 1  # idempotent: no new commit
+
+    snap = DeltaLog(path).snapshot()
+    assert snap.protocol.min_writer_version == 7
+    assert "changeDataFeed" in (snap.protocol.writer_features or [])
+    assert (
+        snap.metadata.configuration["delta.enableChangeDataFeed"] == "true"
+    )
+
+    delete_where(path, [("id", "<", 4)], spark=spark)  # v2, cdc-emitting
+    assert glob.glob(os.path.join(path, "_change_data", "*.parquet"))
+    feed = read_delta_changes(path, starting_version=-1, spark=spark)
+    rows = {(r["id"], r["_change_type"], r["_commit_version"])
+            for r in feed.select("id", "_change_type",
+                                 "_commit_version").collect()}
+    # v0: 10 inserts (reconstructed); v1 metadata-only: nothing;
+    # v2: exactly the 4 deletes, from the cdc file
+    assert sum(1 for _, t, v_ in rows if t == "insert" and v_ == 0) == 10
+    assert {(i, "delete", 2) for i in range(4)} <= rows
+    assert sum(1 for _, t, v_ in rows if v_ == 2) == 4
+
+
+def test_enable_change_data_feed_refuses_unknown_writer_feature(
+    spark, tmp_path
+):
+    """enable_change_data_feed is writer-gated (ADVICE r15): a table
+    carrying an unknown foreign writer feature must refuse the
+    upgrade commit, like every other write path."""
+    from dask_deltalake_spark.delta.cdc import enable_change_data_feed
+    from dask_deltalake_spark.delta.protocol import (
+        DeltaProtocolError,
+        Protocol,
+    )
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(5).selectExpr("id", "id AS val"), path)  # v0
+    write_commit(
+        path,
+        1,
+        [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            Protocol(
+                min_writer_version=7,
+                writer_features=["someFutureFeature"],
+            ).to_json(),
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
+        enable_change_data_feed(path)
+
+
+def test_foreign_cdc_partition_values_are_authoritative(spark, tmp_path):
+    """Foreign cdc-action partition stamping (ADVICE r15): a foreign
+    writer whose _change_data paths are NOT Hive-partitioned (flat
+    cdc-XXXX.parquet names) still yields correct partition columns —
+    they come from the cdc action's partitionValues field, which is
+    authoritative per the spec, NOT from basePath directory
+    inference (which returned NULL for this layout)."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from dask_deltalake_spark.delta.protocol import Metadata, Protocol
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    path = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(path, "_change_data"))
+    os.makedirs(os.path.join(path, "part=a"))
+
+    schema_str = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "part", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+
+    def _write(rel, kk, types=None):
+        cols = {"k": pa.array(kk, pa.int64())}
+        if types is not None:
+            cols["_change_type"] = pa.array(types, pa.string())
+        _pq.write_table(pa.table(cols), os.path.join(path, rel))
+        return os.path.getsize(os.path.join(path, rel))
+
+    sz0 = _write("part=a/f0.parquet", [1, 2, 3])
+    write_commit(path, 0, [
+        Protocol(min_reader_version=1, min_writer_version=4).to_json(),
+        Metadata(
+            id="foreign-part-cdf", schema_string=schema_str,
+            partition_columns=["part"],
+            configuration={"delta.enableChangeDataFeed": "true"},
+        ).to_json(),
+        {"add": {"path": "part=a/f0.parquet",
+                 "partitionValues": {"part": "a"}, "size": sz0,
+                 "modificationTime": 1000, "dataChange": True}},
+    ])
+    sz1 = _write("part=a/f1.parquet", [1, 2, 3])
+    # flat (non-Hive) cdc path — the foreign layout the spec allows
+    szc = _write("_change_data/cdc-0001.parquet", [2, 2],
+                 ["update_preimage", "update_postimage"])
+    write_commit(path, 1, [
+        {"commitInfo": {"timestamp": 2000, "operation": "UPDATE"}},
+        {"remove": {"path": "part=a/f0.parquet",
+                    "deletionTimestamp": 2000, "dataChange": True}},
+        {"add": {"path": "part=a/f1.parquet",
+                 "partitionValues": {"part": "a"}, "size": sz1,
+                 "modificationTime": 2000, "dataChange": True}},
+        {"cdc": {"path": "_change_data/cdc-0001.parquet",
+                 "partitionValues": {"part": "a"}, "size": szc,
+                 "dataChange": False}},
+    ])
+
+    feed = read_delta_changes(path, starting_version=0, spark=spark)
+    rows = [(r["k"], r["part"], r["_change_type"])
+            for r in feed.collect()]
+    assert sorted(rows) == [
+        (2, "a", "update_postimage"),
+        (2, "a", "update_preimage"),
+    ]
+
+
+def test_merge_cdc_balanced_under_duplicate_keys(spark, tmp_path):
+    """MERGE CDC under duplicate keys (ADVICE r15): the rewrite
+    replaces ALL matched target rows of a key with the source row(s)
+    for that key. The images must describe that multiset delta
+    exactly — one update pre/post pair per key plus delete images for
+    collapsed extra target rows (and insert images for extra same-key
+    source rows) — so folding the feed over the before-state
+    reproduces the after-state row-for-row."""
+    from collections import Counter
+
+    from dask_deltalake_spark.delta.mutate import merge_into
+
+    path = str(tmp_path / "t")
+    # duplicate target keys: key 1 appears 3x, key 2 once
+    tgt = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (3, 30)], "id long, val long"
+    )
+    to_delta(tgt, path,
+             configuration={"delta.enableChangeDataFeed": "true"})  # v0
+    # duplicate source keys: key 2 arrives twice; key 9 is an insert
+    src = spark.createDataFrame(
+        [(1, 100), (2, 200), (2, 201), (9, 900)], "id long, val long"
+    )
+    merge_into(path, src, keys=["id"], spark=spark)                 # v1
+
+    before = Counter([(1, 10), (1, 11), (1, 12), (2, 20), (3, 30)])
+    after = Counter(
+        (r["id"], r["val"]) for r in read_delta(path, spark=spark).collect()
+    )
+    # engine semantics: matched keys collapse to their source rows
+    assert after == Counter([(1, 100), (2, 200), (2, 201), (3, 30), (9, 900)])
+
+    feed = read_delta_changes(path, starting_version=0, spark=spark)
+    rows = [(r["id"], r["val"], r["_change_type"]) for r in feed.collect()]
+    by_type = Counter(t for _, _, t in rows)
+    # balanced: 2 keys updated -> 2 pre + 2 post; key 1's two
+    # collapsed extras -> 2 deletes; key 2's extra source row + the
+    # unmatched key 9 -> 2 inserts
+    assert by_type == Counter(
+        {"update_preimage": 2, "update_postimage": 2,
+         "delete": 2, "insert": 2}
+    )
+    # folding the feed over the before-state reproduces the after-state
+    folded = Counter(before)
+    for i, v, t in rows:
+        if t in ("delete", "update_preimage"):
+            folded[(i, v)] -= 1
+        elif t in ("insert", "update_postimage"):
+            folded[(i, v)] += 1
+    folded += Counter()  # drop zeros
+    assert folded == after

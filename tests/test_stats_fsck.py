@@ -225,3 +225,47 @@ def test_vacuum_inventory_path_containment(spark, tmp_path):
     assert victim.exists(), "outside-root file untouched"
     assert not os.path.exists(os.path.join(path, tomb))
     assert read_delta(path, spark=spark).count() == 10
+
+
+def test_fsck_on_cdf_table_keeps_feed_readable(spark, tmp_path):
+    """fsck + CDF (ADVICE r15): on a changeDataFeed table the repair
+    commit carries an explicit EMPTY cdc action — the lost rows'
+    bytes are gone, so reconstruction from the removes would throw
+    file-not-found on every feed read spanning the repair version.
+    The feed must stay readable end-to-end and report ZERO changes
+    for the repair version; the surrounding versions' images are
+    unaffected."""
+    from dask_deltalake_spark.delta.cdc import read_delta_changes
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = str(tmp_path / "f")
+    df = spark.range(0, 40).withColumn("part", (F.col("id") % 4).cast("int"))
+    to_delta(df, path, partition_by=["part"],
+             configuration={"delta.enableChangeDataFeed": "true"})  # v0
+    delete_where(path, [("id", "<", 4)], spark=spark)               # v1 (cdc)
+    snap = DeltaLog(path).snapshot()
+    victim = next(
+        a for a in snap.add_actions if a.partition_values["part"] == "3"
+    )
+    os.remove(os.path.join(path, victim.path))
+    rep = fsck_repair(path, spark=spark)                            # v2
+    assert rep["repaired"] and rep["numMissing"] == 1
+    # the repair commit carries a cdc action (spec: taken verbatim)
+    with open(os.path.join(
+        path, "_delta_log", f"{rep['version']:020d}.json"
+    )) as fh:
+        acts = [json.loads(line) for line in fh]
+    assert any("cdc" in a for a in acts), acts
+    _SNAPSHOT_CACHE.clear()
+    # range spanning the repair (v1..v2 — v0's insert reconstruction
+    # would need the physically-lost file on ANY engine, so a feed
+    # consumer resumes after it)
+    feed = read_delta_changes(path, starting_version=0, spark=spark)
+    per_version = {
+        r["_commit_version"]: r["n"]
+        for r in feed.groupBy("_commit_version")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert per_version.get(1) == 4           # delete images from cdc
+    assert 2 not in per_version              # repair: zero changes
+    assert set(per_version) == {1}
