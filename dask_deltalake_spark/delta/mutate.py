@@ -760,33 +760,28 @@ def merge_into(
                 w_cd = Window.partitionBy(*keys).orderBy(
                     *[F.col(c) for c in cols]
                 )
-                mt_ranked = matched_targets.withColumn(
-                    "_cdc_rn", F.row_number().over(w_cd)
+                # one frame per side (not a filter-split pair, which
+                # would evaluate each input twice): the rank decides
+                # the image class inline
+                parts.append(
+                    matched_targets.withColumn(
+                        "_change_type",
+                        F.when(
+                            F.row_number().over(w_cd) == 1,
+                            F.lit("update_preimage"),
+                        ).otherwise(F.lit("delete")),
+                    )
                 )
                 parts.append(
-                    mt_ranked.filter(F.col("_cdc_rn") == 1)
-                    .drop("_cdc_rn")
-                    .withColumn("_change_type", F.lit("update_preimage"))
-                )
-                parts.append(
-                    mt_ranked.filter(F.col("_cdc_rn") > 1)
-                    .drop("_cdc_rn")
-                    .withColumn("_change_type", F.lit("delete"))
-                )
-                src_ranked = (
                     src.join(target_keys_cd, keys, "left_semi")
                     .select(*cols)
-                    .withColumn("_cdc_rn", F.row_number().over(w_cd))
-                )
-                parts.append(
-                    src_ranked.filter(F.col("_cdc_rn") == 1)
-                    .drop("_cdc_rn")
-                    .withColumn("_change_type", F.lit("update_postimage"))
-                )
-                parts.append(
-                    src_ranked.filter(F.col("_cdc_rn") > 1)
-                    .drop("_cdc_rn")
-                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn(
+                        "_change_type",
+                        F.when(
+                            F.row_number().over(w_cd) == 1,
+                            F.lit("update_postimage"),
+                        ).otherwise(F.lit("insert")),
+                    )
                 )
             else:
                 parts.append(matched_targets.withColumn(

@@ -2901,3 +2901,123 @@ def d51_foreign_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# r17 debut (staged in r16 — the q59/x44/q60/d51 staging pattern:
+# plan/action pins + the exact driver comparison in
+# tests/test_registry_smoke.py FIRST, registration when the r17
+# window opens). Turns the r15 CDF WRITE surface — per-clause cdc
+# image emission across COW UPDATE, merge-on-read DELETE, and MERGE
+# (including this round's balanced-duplicate-key images), plus the
+# r16-gated enable_change_data_feed — into one graded lifecycle
+# query. NOT yet in REGISTRY. sf0.1 pre-measured on a quiet host:
+# cold 27.1 s / warm 8.5 s — the cold number is first-use machinery
+# warmup across three DML families (Python worker pools + codegen),
+# not data volume; the warm floor is dominated by the MERGE on a
+# vector-carrying table (reads through v3's DVs) plus per-clause
+# image writes, which is the matrix the query exists to grade.
+_D52_ORACLE = """
+WITH cohort AS (
+  SELECT o_orderkey AS k,
+         CAST(o_orderkey % 3 AS INT) AS b,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 100 = 7
+),
+u AS (SELECT * FROM cohort WHERE b = 0),
+d AS (SELECT * FROM cohort WHERE b = 1),
+m AS (SELECT * FROM cohort WHERE b = 2)
+SELECT * FROM (
+  SELECT 'update_preimage' AS change_type,
+         CAST(2 AS BIGINT) AS commit_version,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS cents_sum FROM u
+  UNION ALL
+  SELECT 'update_postimage', CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(cents) + COUNT(*) AS BIGINT) FROM u
+  UNION ALL
+  SELECT 'delete', CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(cents) AS BIGINT) FROM d
+  UNION ALL
+  SELECT 'update_preimage', CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(cents) AS BIGINT) FROM m
+  UNION ALL
+  SELECT 'update_postimage', CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(cents) + 2 * COUNT(*) AS BIGINT) FROM m
+  UNION ALL
+  SELECT 'insert', CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(cents) AS BIGINT) FROM m
+) ORDER BY commit_version, change_type
+"""
+
+
+def d52_cdf_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF WRITE round-trip (the r15 write surface as a lifecycle
+    query): v0 creates a plain table from the orders cohort
+    (o_orderkey % 100 = 7, with a precomputed bucket b = k % 3 and
+    integer cents), v1 enables the feed on the EXISTING table through
+    the writer-gated enable_change_data_feed upgrade commit, then
+    three cdc-emitting DML commits — v2 COW UPDATE (bucket 0:
+    cents += 1), v3 merge-on-read DELETE (bucket 1: vector-deletes,
+    zero files rewritten), v4 MERGE upsert (bucket 2 matched-updated
+    cents += 2; the same rows re-keyed +10^9 inserted). The feed over
+    (1, 4] must equal the per-clause image arithmetic EXACTLY — a
+    reader that ignored the cdc files and reconstructed the COW
+    UPDATE from add/remove would double-report every merely-copied
+    row of the rewrite and fail the hash, so hash-green here grades
+    the cdc write path end-to-end, not just the reader.
+    Scale: the lifecycle is driver-bounded by the modulo cohort
+    (~1.5k rows at sf0.1); cdc planning is O(#actions) driver
+    metadata; the image parquet is written executor-side
+    (mapInPandas, delta/mutate.py:_write_change_data) and the feed
+    scans ONLY the three commits' _change_data files — never the
+    table — which is the O(changes) incremental-consumer contract
+    that holds at any table size."""
+    import shutil
+
+    from dask_deltalake_spark.delta.cdc import (
+        enable_change_data_feed,
+        read_delta_changes,
+    )
+    from dask_deltalake_spark.delta.mutate import (
+        delete_where,
+        merge_into,
+        update_where,
+    )
+
+    path = _tmp_table(sf_dir, "cdf_write_roundtrip")
+    shutil.rmtree(path, ignore_errors=True)
+    cohort = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 7)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_orderkey") % 3).cast("int").alias("b"),
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"),
+        )
+    )
+    to_delta(cohort, path)                                        # v0
+    enable_change_data_feed(path)                                 # v1
+    update_where(path, [("b", "==", 0)],
+                 {"cents": F.col("cents") + 1}, spark=spark)      # v2
+    delete_where(path, [("b", "==", 1)], spark=spark,
+                 strategy="merge-on-read")                        # v3
+    m = cohort.filter(F.col("b") == 2)
+    src = m.select("k", "b", (F.col("cents") + 2).alias("cents")).unionByName(
+        m.select(
+            (F.col("k") + 1000000000).alias("k"), "b", "cents"
+        )
+    )
+    merge_into(path, src, keys=["k"], spark=spark)                # v4
+    return (
+        read_delta_changes(path, starting_version=1, spark=spark)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+        .orderBy("commit_version", "change_type")
+    )

@@ -852,3 +852,66 @@ def test_d51_foreign_cdc_read_matches_duckdb_oracle(spark):
     # would emit 'delete' rows and inflate 'insert'
     assert set(got) == {"insert", "update_preimage", "update_postimage"}
     assert got["update_preimage"][0] > 0
+
+
+def test_d52_cdf_write_roundtrip_matches_duckdb_oracle(spark):
+    """d52 (staged r17 debut): the CDF write surface as a lifecycle
+    query — per-clause images across COW UPDATE / MoR DELETE / MERGE
+    pinned cell-for-cell against the DuckDB arithmetic, and every DML
+    commit pinned to carry a cdc action (the images come from
+    _change_data files, not reconstruction — a reconstruction of the
+    COW UPDATE would double-report the copied rows and fail the
+    value compare)."""
+    import json
+    import os
+
+    import duckdb
+
+    from dask_deltalake_spark.operators.delta_ops import (
+        _D52_ORACLE,
+        _tmp_table,
+        d52_cdf_write_roundtrip,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    df = d52_cdf_write_roundtrip(spark, sf_dir)
+    got = {
+        (r["change_type"], r["commit_version"]): (r["n"], r["cents_sum"])
+        for r in df.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    exp = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(_D52_ORACLE).fetchall()
+    }
+    assert got == exp
+    assert len(got) == 6  # 2 update pairs + delete + insert clauses
+
+    # action pins: v1 is the gated enable commit (protocol v7 +
+    # property); v2..v4 each carry a cdc action
+    path = _tmp_table(sf_dir, "cdf_write_roundtrip")
+    with open(os.path.join(path, "_delta_log",
+                           f"{1:020d}.json")) as fh:
+        v1 = [json.loads(line) for line in fh]
+    assert any(
+        a.get("protocol", {}).get("minWriterVersion") == 7 for a in v1
+    )
+    for v in (2, 3, 4):
+        with open(os.path.join(path, "_delta_log",
+                               f"{v:020d}.json")) as fh:
+            acts = [json.loads(line) for line in fh]
+        assert any("cdc" in a for a in acts), (v, acts)
+    # v3 is merge-on-read: no data file rewritten (no add without
+    # _change_data prefix), just vector descriptors
+    with open(os.path.join(path, "_delta_log",
+                           f"{3:020d}.json")) as fh:
+        v3 = [json.loads(line) for line in fh]
+    data_adds = [
+        a for a in v3
+        if "add" in a and not a["add"]["path"].startswith("_change_data")
+    ]
+    assert all(a["add"].get("deletionVector") for a in data_adds), v3
