@@ -1274,6 +1274,16 @@ def to_delta(
         from dask_deltalake_spark.delta.defaults import apply_column_defaults
 
         df = apply_column_defaults(df, snap.metadata)
+        # the materialization passes above APPEND columns the frame
+        # omitted, so a table whose generated/identity/default column
+        # is not declared LAST (e.g. a foreign delta-spark table with
+        # the identity column first) would fail the order-sensitive
+        # equivalence check below on column ORDER alone — restore the
+        # table's declared order whenever the name sets agree
+        if set(df.columns) == {f.name for f in table_schema.fields} and [
+            f.name for f in table_schema.fields
+        ] != df.columns:
+            df = df.select(*[f.name for f in table_schema.fields])
         merged_schema_string = None
         merged_config = None
         merged_widened = False

@@ -1571,3 +1571,75 @@ def test_foreign_commit_info_only_commit_is_a_noop_version(
     )
     q.awaitTermination()
     assert spark.read.parquet(out).count() == 15
+
+
+def test_foreign_identity_high_water_mark_interop(spark, tmp_path):
+    """delta-spark identity-column interop (VERDICT r15 #4): a
+    hand-built foreign table — writer v6, `GENERATED ALWAYS AS
+    IDENTITY (START WITH 100 INCREMENT BY 10)` encoded exactly as
+    delta-spark does (delta.identity.* column-metadata keys with
+    highWaterMark=150) — appended through OUR writer must (a) assign
+    fresh values STRICTLY above the foreign high-water mark along the
+    declared step, (b) advance delta.identity.highWaterMark in the
+    committed metadata so a returning delta-spark writer cannot
+    collide, and (c) leave start/step/allowExplicitInsert untouched."""
+    import pyarrow as pa
+
+    from dask_deltalake_spark.delta.identity import identity_columns
+
+    path = str(tmp_path / "foreign_identity")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    pq.write_table(
+        pa.table({
+            "id": pa.array([100, 110, 120, 130, 140, 150], pa.int64()),
+            "val": pa.array(list("abcdef"), pa.string()),
+        }),
+        os.path.join(path, "f0.parquet"),
+    )
+    schema_str = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": False,
+             "metadata": {
+                 "delta.identity.start": 100,
+                 "delta.identity.step": 10,
+                 "delta.identity.highWaterMark": 150,
+                 "delta.identity.allowExplicitInsert": False,
+             }},
+            {"name": "val", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    _append_foreign_commit(path, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+        {"metaData": {
+            "id": "foreign-identity", "format": {
+                "provider": "parquet", "options": {}},
+            "schemaString": schema_str, "partitionColumns": [],
+            "configuration": {}, "createdTime": _now_ms(),
+        }},
+        {"add": {
+            "path": "f0.parquet", "partitionValues": {},
+            "size": os.path.getsize(os.path.join(path, "f0.parquet")),
+            "modificationTime": _now_ms(), "dataChange": True,
+        }},
+    ])
+
+    # OUR append: the identity column is omitted — we must assign it
+    new = spark.createDataFrame([("g",), ("h",), ("i",)], "val string")
+    to_delta(new, path, mode="append")
+
+    _SNAPSHOT_CACHE.clear()
+    got = read_delta(path, spark=spark)
+    ids = sorted(r["id"] for r in got.collect())
+    assert ids[:6] == [100, 110, 120, 130, 140, 150]  # foreign rows
+    fresh = ids[6:]
+    assert len(fresh) == 3
+    assert all(v > 150 for v in fresh)                 # (a) above HWM
+    assert all((v - 100) % 10 == 0 for v in fresh)     # on the lattice
+    assert len(set(fresh)) == 3
+
+    decl = identity_columns(DeltaLog(path).snapshot().metadata)["id"]
+    assert decl["high_water_mark"] == max(fresh)       # (b) advanced
+    assert decl["start"] == 100 and decl["step"] == 10 # (c) untouched
+    assert decl["allow_explicit"] is False
