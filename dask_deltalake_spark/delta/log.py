@@ -227,20 +227,68 @@ class DeltaLog:
                 return a["commitInfo"].get("inCommitTimestamp")
         return None
 
+    def _ict_search_range(self, target_ts: float, ts: dict):
+        """The spec's mixed-history search rule for tables with the
+        in-commit clock enabled (delta/ict.py): a target at/after the
+        enablement timestamp searches ONLY the ICT range (versions >=
+        enablementVersion), an earlier target only the pre-enablement
+        mtime range. Without the partition, a pre-enablement commit
+        whose log-file mtime was re-dated LATER than the in-commit
+        clock (object-store copy/restore — the exact failure the
+        feature exists for) hijacks ascending-order resolution.
+        Returns the version subset to search, or None when the table
+        has no in-commit clock (behavior unchanged). Neutral for
+        well-ordered histories: the restricted range contains the
+        answer the full scan would have picked."""
+        from dask_deltalake_spark.delta.ict import (
+            ICT_ENABLE_KEY,
+            ICT_ENABLEMENT_TS_KEY,
+            ICT_ENABLEMENT_VERSION_KEY,
+        )
+
+        try:
+            cfg = self.snapshot().metadata.configuration
+        except Exception:
+            return None
+        if str(cfg.get(ICT_ENABLE_KEY, "")).lower() != "true":
+            return None
+        # enabled at creation: the properties are legitimately absent
+        # (delta-spark omits them) and the whole history is ICT
+        enable_v = int(cfg.get(ICT_ENABLEMENT_VERSION_KEY, 0))
+        enable_ts = float(cfg.get(ICT_ENABLEMENT_TS_KEY, 0)) / 1000.0
+        ict_range = [v for v in sorted(ts) if v >= enable_v]
+        if target_ts >= enable_ts:
+            return ict_range
+        pre = [v for v in sorted(ts) if v < enable_v]
+        # pre-enablement commits all cleaned: clamp into the ICT range
+        return pre if pre else ict_range
+
     def resolve_starting_timestamp(self, dt_string: str) -> int:
         """FIRST version whose commit time is >= the RFC3339 string
         (delta-spark's CDF ``startingTimestamp`` semantics — "changes
         at or after this time"); raises when the timestamp is after
-        the last commit, matching delta-spark's error contract."""
+        the last commit, matching delta-spark's error contract. On
+        in-commit-timestamp tables the search honors the enablement
+        boundary (_ict_search_range)."""
         s = dt_string.strip().replace("Z", "+00:00")
         target = datetime.fromisoformat(s)
         if target.tzinfo is None:
             target = target.replace(tzinfo=timezone.utc)
         target_ts = target.timestamp()
         ts = self.version_timestamps()
-        for v in sorted(ts):
+        search = self._ict_search_range(target_ts, ts)
+        if search is None:
+            search = sorted(ts)
+        for v in search:
             if ts[v] >= target_ts:
                 return v
+        later = [v for v in sorted(ts) if search and v > search[-1]]
+        if later:
+            # pre-enablement range exhausted (every mtime below the
+            # target): the first ICT commit qualifies — its clock is
+            # at/above the enablement timestamp, which exceeds the
+            # target by the branch condition
+            return later[0]
         raise ValueError(
             f"startingTimestamp {dt_string!r} is after the latest "
             f"commit of {self.table_path}; no changes to read."
@@ -248,19 +296,26 @@ class DeltaLog:
 
     def resolve_datetime(self, dt_string: str) -> int:
         """Latest version whose commit time is <= the RFC3339 string;
-        clamps to the earliest version if the time predates the log."""
+        clamps to the earliest version if the time predates the log.
+        On in-commit-timestamp tables the search honors the
+        enablement boundary (_ict_search_range)."""
         s = dt_string.strip().replace("Z", "+00:00")
         target = datetime.fromisoformat(s)
         if target.tzinfo is None:
             target = target.replace(tzinfo=timezone.utc)
         target_ts = target.timestamp()
         ts = self.version_timestamps()
+        search = self._ict_search_range(target_ts, ts)
+        if search is None:
+            search = sorted(ts)
         chosen = None
-        for v in sorted(ts):
+        for v in search:
             if ts[v] <= target_ts:
                 chosen = v
         if chosen is None:
-            chosen = min(ts) if ts else self.latest_version()
+            chosen = min(search) if search else (
+                min(ts) if ts else self.latest_version()
+            )
         return chosen
 
     # -- replay -----------------------------------------------------------

@@ -1643,3 +1643,115 @@ def test_foreign_identity_high_water_mark_interop(spark, tmp_path):
     assert decl["high_water_mark"] == max(fresh)       # (b) advanced
     assert decl["start"] == 100 and decl["step"] == 10 # (c) untouched
     assert decl["allow_explicit"] is False
+
+
+def test_foreign_ict_table_redated_mtimes_resolution(spark, tmp_path):
+    """Foreign in-commit-timestamp interop (VERDICT r15 #4): a
+    delta-spark-style table that enabled the in-commit clock mid-life
+    (enablementVersion/Timestamp properties, commitInfo
+    inCommitTimestamp fields) whose PRE-enablement log file was
+    re-dated by the object store to AFTER every in-commit timestamp —
+    the exact failure the feature exists for. Timestamp resolution
+    must honor the spec's mixed-history rule: a target at/after the
+    enablement timestamp searches ONLY the in-commit range, so the
+    re-dated mtime can no longer hijack ascending-order resolution
+    (startingTimestamp previously returned version 0 here,
+    over-reporting the change feed)."""
+    import pyarrow as pa
+
+    from datetime import datetime, timezone
+
+    from dask_deltalake_spark.delta.cdc import read_delta_changes
+
+    path = str(tmp_path / "foreign_ict")
+    os.makedirs(os.path.join(path, "_delta_log"))
+
+    def _file(rel, ks):
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64())}),
+            os.path.join(path, rel),
+        )
+        return os.path.getsize(os.path.join(path, rel))
+
+    schema_str = json.dumps({
+        "type": "struct",
+        "fields": [{"name": "k", "type": "long", "nullable": True,
+                    "metadata": {}}],
+    })
+    now = _now_ms()
+    t1 = now - 100_000          # enablement clock
+    t2 = now - 50_000           # second in-commit tick
+
+    sz0 = _file("f0.parquet", [1, 2, 3])
+    _append_foreign_commit(path, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "foreign-ict", "format": {
+                "provider": "parquet", "options": {}},
+            "schemaString": schema_str, "partitionColumns": [],
+            "configuration": {}, "createdTime": now - 500_000,
+        }},
+        {"add": {"path": "f0.parquet", "partitionValues": {},
+                 "size": sz0, "modificationTime": now - 500_000,
+                 "dataChange": True}},
+    ])
+    log_dir = os.path.join(path, "_delta_log")
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {
+            "timestamp": t1, "inCommitTimestamp": t1,
+            "operation": "SET TBLPROPERTIES",
+            "engineInfo": "Apache-Spark/3.5.0 Delta-Lake/3.2.0",
+        }}) + "\n")
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["inCommitTimestamp"],
+        }}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "foreign-ict", "format": {
+                "provider": "parquet", "options": {}},
+            "schemaString": schema_str, "partitionColumns": [],
+            "configuration": {
+                "delta.enableInCommitTimestamps": "true",
+                "delta.inCommitTimestampEnablementVersion": "1",
+                "delta.inCommitTimestampEnablementTimestamp": str(t1),
+            },
+            "createdTime": now - 500_000,
+        }}) + "\n")
+    sz1 = _file("f1.parquet", [4, 5])
+    with open(os.path.join(log_dir, f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {
+            "timestamp": t2, "inCommitTimestamp": t2,
+            "operation": "WRITE",
+            "engineInfo": "Apache-Spark/3.5.0 Delta-Lake/3.2.0",
+        }}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": "f1.parquet", "partitionValues": {}, "size": sz1,
+            "modificationTime": t2, "dataChange": True}}) + "\n")
+
+    # the object store re-dates v0's log file to AFTER every ICT
+    redated = (now + 1_000_000) / 1000.0
+    os.utime(os.path.join(log_dir, f"{0:020d}.json"),
+             (redated, redated))
+    _SNAPSHOT_CACHE.clear()
+
+    log = DeltaLog(path)
+
+    def iso(ms):
+        return datetime.fromtimestamp(
+            ms / 1000.0, tz=timezone.utc
+        ).isoformat()
+
+    mid = iso((t1 + t2) // 2)   # between the two in-commit ticks
+    # startingTimestamp: first ICT version at/after mid = v2
+    # (previously v0's re-dated mtime >= mid returned version 0)
+    assert log.resolve_starting_timestamp(mid) == 2
+    # datetime travel: latest ICT version at/before mid = v1
+    assert log.resolve_datetime(mid) == 1
+    assert log.resolve_datetime(iso(t2 + 1000)) == 2
+    # CDF by timestamp sees ONLY v2's insert
+    feed = read_delta_changes(path, starting_timestamp=mid, spark=spark)
+    rows = {(r["k"], r["_change_type"], r["_commit_version"])
+            for r in feed.collect()}
+    assert rows == {(4, "insert", 2), (5, "insert", 2)}
+    # the table itself still reads fully
+    assert read_delta(path, spark=spark).count() == 5
