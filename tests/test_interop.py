@@ -1755,3 +1755,58 @@ def test_foreign_ict_table_redated_mtimes_resolution(spark, tmp_path):
     assert rows == {(4, "insert", 2), (5, "insert", 2)}
     # the table itself still reads fully
     assert read_delta(path, spark=spark).count() == 5
+
+
+def test_foreign_domain_survives_optimize_checkpoint_compaction(
+    spark, tmp_path
+):
+    """Foreign domainMetadata round-trip through OUR maintenance ops
+    (VERDICT r15 #4's first named candidate): a delta-spark-style
+    commit attaches a live domain to one of our tables; OPTIMIZE,
+    checkpoint, log compaction, retention cleanup, and a DML rewrite
+    must all carry it — replay from any of those artifacts yields the
+    domain verbatim (no silent strip at any re-serialization
+    boundary)."""
+    from dask_deltalake_spark.delta.maintenance import (
+        compact_log,
+        create_checkpoint,
+        optimize,
+    )
+    from dask_deltalake_spark.delta.mutate import delete_where
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 40).selectExpr("id", "id * 2 AS val")
+    to_delta(df.repartition(4), path)                           # v0
+    dom = {
+        "domain": "app.pipeline",
+        "configuration": '{"owner":"teamX","watermark":123}',
+        "removed": False,
+    }
+    _append_foreign_commit(path, 1, [{"domainMetadata": dom}])  # v1
+
+    optimize(path, spark=spark)                                 # v2
+    delete_where(path, [("id", "<", 5)], spark=spark)           # v3
+    _SNAPSHOT_CACHE.clear()
+    assert DeltaLog(path).snapshot().domain_metadata == {
+        "app.pipeline": dom["configuration"]
+    }
+
+    compact_log(path, 1, 3)
+    create_checkpoint(path)
+    _SNAPSHOT_CACHE.clear()
+    assert DeltaLog(path).snapshot().domain_metadata == {
+        "app.pipeline": dom["configuration"]
+    }
+
+    # replay THROUGH the checkpoint alone (JSONs dropped — the exact
+    # state retention cleanup produces)
+    import glob
+
+    for j in glob.glob(os.path.join(path, "_delta_log", "*.json")):
+        os.remove(j)
+    _SNAPSHOT_CACHE.clear()
+    snap = DeltaLog(path).snapshot()
+    assert snap.domain_metadata == {
+        "app.pipeline": dom["configuration"]
+    }
+    assert read_delta(path, spark=spark).count() == 35
