@@ -309,25 +309,87 @@ def read_delta_changes(
         # local mapping (same contract as reader.py's _scan)
         return os.path.join(_scan_root, rel)
 
+    # physical partition-column fields (positional zip: scan_schema
+    # preserves the logical field order), for the non-Hive-layout
+    # stamping fallback below — the reconstruction dual of the
+    # cdc-action and main-scan fixes (spec: partitionValues is
+    # authoritative; file paths are arbitrary)
+    _phys_part = {
+        lf.name: pf
+        for pf, lf in zip(scan_schema.fields, schema.fields)
+        if lf.name in set(snap.metadata.partition_columns)
+    }
+    _phys_part_fields = [
+        _phys_part[c] for c in snap.metadata.partition_columns
+    ]
+
+    def _hive_parseable(path: str) -> bool:
+        probe = "/" + path
+        return all(
+            f"/{pf.name}=" in probe for pf in _phys_part_fields
+        )
+
     def _rows(files: list, drop_dv: Optional[dict] = None,
-              only_positions: Optional[dict] = None) -> DataFrame:
+              only_positions: Optional[dict] = None,
+              pv: Optional[dict] = None) -> DataFrame:
         """Rows of `files` (abs paths); with drop_dv, rows at those
         bitmap positions are excluded (live-row reads); with
         only_positions, ONLY rows at those positions survive (change
-        image extraction). Bitmaps travel as compressed bytes."""
-        df = (
-            spark.read.schema(scan_schema)
-            .option("basePath", _scan_root)
-            .parquet(*files)
-        )
+        image extraction). Bitmaps travel as compressed bytes. ``pv``
+        maps abs path -> partitionValues dict (physical-keyed) for
+        files whose paths are NOT Hive-parseable — those read with
+        the data-only schema and get partition columns stamped as
+        typed literals from the action state."""
+        hive = [f for f in files
+                if not _phys_part_fields or _hive_parseable(f)]
+        aliens = [f for f in files if f not in hive]
+        frames = []
+        if hive:
+            frames.append(
+                spark.read.schema(scan_schema)
+                .option("basePath", _scan_root)
+                .parquet(*hive)
+            )
+        if aliens:
+            part_names = {pf.name for pf in _phys_part_fields}
+            data_only = StructType(
+                [f for f in scan_schema.fields if f.name not in part_names]
+            )
+            by_pv: dict = {}
+            for f in aliens:
+                key = json.dumps((pv or {}).get(f) or {}, sort_keys=True)
+                by_pv.setdefault(key, []).append(f)
+            for key in sorted(by_pv):
+                pvals = json.loads(key)
+                g = spark.read.schema(data_only).parquet(*by_pv[key])
+                for pf in _phys_part_fields:
+                    raw = pvals.get(pf.name)
+                    if raw == "__HIVE_DEFAULT_PARTITION__":
+                        raw = None
+                    g = g.withColumn(pf.name, F.lit(raw).cast(pf.dataType))
+                # no projection here: the dv predicate below needs the
+                # _metadata pseudo-column; the final select imposes
+                # the schema order after the union
+                frames.append(g)
         pred_map, keep_member = (
             (only_positions, True) if only_positions else (drop_dv, False)
         )
         if pred_map:
+            # per-frame, BEFORE any union: the _metadata pseudo-column
+            # resolves only directly above a file scan
             pred = dv_membership_predicate(spark, pred_map, keep_member)
-            df = df.filter(
-                pred(F.col("_metadata.file_path"), F.col("_metadata.row_index"))
-            )
+            frames = [
+                fr.filter(
+                    pred(
+                        F.col("_metadata.file_path"),
+                        F.col("_metadata.row_index"),
+                    )
+                )
+                for fr in frames
+            ]
+        df = frames[0]
+        for extra in frames[1:]:
+            df = df.unionByName(extra)
         # physical scan → logical output (positional: physical_schema
         # preserves field order)
         return df.select(*scan_schema.fieldNames()).toDF(
@@ -339,6 +401,11 @@ def read_delta_changes(
     # file's still-live remainder — can be distinguished from rows that
     # were already deleted in the consumed range.
     dv_state: dict = {}
+    # partitionValues state per live path (remove actions need not
+    # carry partitionValues — the prior add's are remembered, the
+    # streaming planner's contract), feeding _rows' non-Hive-layout
+    # stamping fallback
+    pv_state: dict = {}
     if int(starting_version) >= 0:
         snap0 = log.snapshot(version=int(starting_version))
         check_read_protocol(
@@ -349,6 +416,10 @@ def read_delta_changes(
             p: a.deletion_vector
             for p, a in snap0.files.items()
             if a.deletion_vector
+        }
+        pv_state = {
+            p: (a.partition_values or {})
+            for p, a in snap0.files.items()
         }
 
     frames: list[DataFrame] = []
@@ -440,9 +511,11 @@ def read_delta_changes(
                     dv_state[p] = dv
                 else:
                     dv_state.pop(p, None)
+                pv_state[p] = add.get("partitionValues") or {}
             for p in removes_v:
                 if p not in adds_v:
                     dv_state.pop(p, None)
+                    pv_state.pop(p, None)
             continue
 
         paired = {
@@ -471,7 +544,14 @@ def read_delta_changes(
                         read_dv_positions(log.table_path, dv)
                     )
             added_parts.append(
-                _rows([_abs(p) for p in pure_adds], drop_dv=drop or None)
+                _rows(
+                    [_abs(p) for p in pure_adds],
+                    drop_dv=drop or None,
+                    pv={
+                        _abs(p): adds_v[p].get("partitionValues") or {}
+                        for p in pure_adds
+                    },
+                )
             )
         if pure_removes:
             # dropped files: only rows still live under the PRIOR
@@ -484,7 +564,18 @@ def read_delta_changes(
                         read_dv_positions(log.table_path, dv)
                     )
             removed_parts.append(
-                _rows([_abs(p) for p in pure_removes], drop_dv=drop or None)
+                _rows(
+                    [_abs(p) for p in pure_removes],
+                    drop_dv=drop or None,
+                    pv={
+                        _abs(p): (
+                            removes_v[p].get("partitionValues")
+                            or pv_state.get(p)
+                            or {}
+                        )
+                        for p in pure_removes
+                    },
+                )
             )
         # paired remove+add of the SAME path = a vector update (MoR
         # DELETE/UPDATE): the newly-dead positions are the vector
@@ -496,6 +587,11 @@ def read_delta_changes(
                 # same-path rewrite without a vector (foreign writer):
                 # conservative delete(old live)+insert(new) images
                 old = dv_state.get(p)
+                _pv1 = {
+                    _abs(p): adds_v[p].get("partitionValues")
+                    or pv_state.get(p)
+                    or {}
+                }
                 removed_parts.append(
                     _rows(
                         [_abs(p)],
@@ -508,9 +604,10 @@ def read_delta_changes(
                             if old
                             else None
                         ),
+                        pv=_pv1,
                     )
                 )
-                added_parts.append(_rows([_abs(p)]))
+                added_parts.append(_rows([_abs(p)], pv=_pv1))
                 continue
             new_pos = read_dv_positions(log.table_path, new_dv)
             old_dv = dv_state.get(p)
@@ -524,7 +621,18 @@ def read_delta_changes(
                 delta_map[os.path.abspath(_abs(p))] = serialize_positions(delta)
         if delta_map:
             removed_parts.append(
-                _rows(list(delta_map), only_positions=delta_map)
+                _rows(
+                    list(delta_map),
+                    only_positions=delta_map,
+                    pv={
+                        _abs(p): adds_v[p].get("partitionValues")
+                        or pv_state.get(p)
+                        or {}
+                        for p in paired
+                        if os.path.abspath(_abs(p)) in delta_map
+                        or _abs(p) in delta_map
+                    },
+                )
             )
 
         # roll the vector state forward — including dataChange=false
@@ -535,9 +643,11 @@ def read_delta_changes(
                 dv_state[p] = dv
             else:
                 dv_state.pop(p, None)
+            pv_state[p] = add.get("partitionValues") or {}
         for p in removes_v:
             if p not in adds_v:
                 dv_state.pop(p, None)
+                pv_state.pop(p, None)
 
         def _cat(parts: list) -> Optional[DataFrame]:
             if not parts:

@@ -183,6 +183,10 @@ def read_delta(
         if missing:
             raise ValueError(f"Columns not in table schema: {missing}")
 
+    # logical -> physical name map for partition-column handling in
+    # the scan (identity when column mapping is off)
+    _l2p_scan = logical_to_physical(schema) if mode != "none" else {}
+
     rt_cols: list = []
     out_field_names = scan_schema.fieldNames()
     if with_row_ids:
@@ -242,15 +246,40 @@ def read_delta(
             resolve_file_path,
         )
 
-        # resolve_spark_path: scheme'd table paths become whatever the
-        # JVM can scan — the local mapping for mock:, unchanged for
-        # Hadoop-served object-store schemes
+        # Partition columns come from Hive directory discovery on the
+        # FAST path — valid for every file whose path actually carries
+        # `<col>=` segments for all partition columns (our writer
+        # always does; so do delta-spark and delta-rs). The spec,
+        # however, makes `add.partitionValues` authoritative and
+        # allows ARBITRARY file paths, so files that are NOT
+        # Hive-parseable (a foreign/converted layout) take a stamping
+        # fallback: grouped by their partitionValues tuple, read with
+        # the data-only schema, partition columns attached as typed
+        # literals from the ACTION — the same contract the cdc-action
+        # read and the Python datasource follow. Zero cost and zero
+        # plan change for Hive-laid-out tables (one driver-side
+        # substring check per file).
+        phys_parts = [
+            _l2p_scan.get(c, c) for c in snap.metadata.partition_columns
+        ]
+
+        def _hive_parseable(rel: str) -> bool:
+            probe = "/" + rel
+            return all(f"/{p}=" in probe for p in phys_parts)
+
         groups: dict = {}
+        alien: dict = {}
         for a in file_adds:
-            groups.setdefault(
-                resolve_spark_path(file_base_root(snap.path, a)), []
-            ).append(resolve_spark_path(resolve_file_path(snap.path, a.path)))
-        if not project and len(groups) > 1:
+            root = resolve_spark_path(file_base_root(snap.path, a))
+            fpath = resolve_spark_path(resolve_file_path(snap.path, a.path))
+            if not phys_parts or _hive_parseable(a.path):
+                groups.setdefault(root, []).append(fpath)
+            else:
+                key = (root, json.dumps(
+                    a.partition_values or {}, sort_keys=True
+                ))
+                alien.setdefault(key, []).append(fpath)
+        if not project and len(groups) + len(alien) > 1:
             raise DeltaProtocolError(
                 "Deletion vectors on a mixed-root (shallow-cloned) "
                 "table are not supported; run optimize() to localize "
@@ -271,6 +300,27 @@ def read_delta(
             elif project and d.columns != scan_schema.fieldNames():
                 d = d.select(*scan_schema.fieldNames())
             parts.append(d)
+        if alien:
+            part_set = set(phys_parts)
+            data_only = StructType(
+                [f for f in scan_schema.fields if f.name not in part_set]
+            )
+            by_name = {f.name: f for f in scan_schema.fields}
+            for (_root, pv_json), paths in sorted(alien.items()):
+                pvals = json.loads(pv_json)
+                d = spark.read.schema(data_only).parquet(*paths)
+                for p in phys_parts:
+                    raw = pvals.get(p)
+                    if raw == "__HIVE_DEFAULT_PARTITION__":
+                        raw = None
+                    d = d.withColumn(
+                        p, F.lit(raw).cast(by_name[p].dataType)
+                    )
+                if project and rt_cols:
+                    d = d.select(*out_field_names, *rt_cols)
+                else:
+                    d = d.select(*scan_schema.fieldNames())
+                parts.append(d)
         d = parts[0]
         for extra in parts[1:]:
             d = d.unionByName(extra)

@@ -748,3 +748,71 @@ def test_merge_cdc_balanced_under_duplicate_keys(spark, tmp_path):
             folded[(i, v)] += 1
     folded += Counter()  # drop zeros
     assert folded == after
+
+
+def test_reconstruction_stamps_partition_values_for_flat_layout(
+    spark, tmp_path
+):
+    """Reconstruction dual of the foreign-cdc partition fix: a
+    foreign NON-CDF table whose data files are FLAT (not
+    Hive-partitioned — spec-legal) must still surface correct
+    partition columns in reconstructed insert/delete images, stamped
+    from the add's partitionValues (removes carry none — the prior
+    add's state is remembered, mirroring the streaming planner)."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from dask_deltalake_spark.delta.protocol import Metadata, Protocol
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    path = str(tmp_path / "flat")
+    os.makedirs(os.path.join(path, "_delta_log"))
+
+    def _w(rel, ks):
+        _pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64())}),
+            os.path.join(path, rel),
+        )
+        return os.path.getsize(os.path.join(path, rel))
+
+    schema_str = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "part", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    sz0 = _w("d0.parquet", [1, 2])
+    write_commit(path, 0, [
+        Protocol(min_reader_version=1, min_writer_version=2).to_json(),
+        Metadata(id="flat", schema_string=schema_str,
+                 partition_columns=["part"]).to_json(),
+        {"add": {"path": "d0.parquet",
+                 "partitionValues": {"part": "a"}, "size": sz0,
+                 "modificationTime": 1000, "dataChange": True}},
+    ])
+    sz1 = _w("d1.parquet", [3])
+    write_commit(path, 1, [
+        {"add": {"path": "d1.parquet",
+                 "partitionValues": {"part": "b"}, "size": sz1,
+                 "modificationTime": 2000, "dataChange": True}},
+    ])
+    # remove WITHOUT partitionValues (spec-legal): prior add's state
+    write_commit(path, 2, [
+        {"remove": {"path": "d0.parquet", "deletionTimestamp": 3000,
+                    "dataChange": True}},
+    ])
+
+    feed = read_delta_changes(path, starting_version=0, spark=spark)
+    rows = {(r["k"], r["part"], r["_change_type"], r["_commit_version"])
+            for r in feed.collect()}
+    assert rows == {
+        (3, "b", "insert", 1),
+        (1, "a", "delete", 2),
+        (2, "a", "delete", 2),
+    }

@@ -1810,3 +1810,71 @@ def test_foreign_domain_survives_optimize_checkpoint_compaction(
         "app.pipeline": dom["configuration"]
     }
     assert read_delta(path, spark=spark).count() == 35
+
+
+def test_foreign_non_hive_layout_partition_values_authoritative(
+    spark, tmp_path
+):
+    """Main-scan dual of the r16 cdc-action fix: the spec allows
+    ARBITRARY data file paths and makes add.partitionValues
+    authoritative, but partition columns were resolved by Hive
+    directory discovery alone — a foreign/converted table with FLAT
+    file names read NULL partition columns. Such files now take the
+    stamping fallback (grouped by partitionValues, typed literals
+    from the action); Hive-laid-out files keep the fast path — this
+    table mixes both shapes in one snapshot."""
+    import pyarrow as pa
+
+    path = str(tmp_path / "foreign_flat")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    os.makedirs(os.path.join(path, "part=a"))
+
+    def _file(rel, ks):
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64())}),
+            os.path.join(path, rel),
+        )
+        return os.path.getsize(os.path.join(path, rel))
+
+    schema_str = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "part", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    sz_flat = _file("data-0001.parquet", [1, 2])        # flat: part=b
+    sz_flat2 = _file("data-0002.parquet", [5])          # flat: part IS NULL
+    sz_hive = _file("part=a/f0.parquet", [3, 4])        # hive: part=a
+    _append_foreign_commit(path, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "foreign-flat", "format": {
+                "provider": "parquet", "options": {}},
+            "schemaString": schema_str, "partitionColumns": ["part"],
+            "configuration": {}, "createdTime": _now_ms(),
+        }},
+        {"add": {"path": "data-0001.parquet",
+                 "partitionValues": {"part": "b"}, "size": sz_flat,
+                 "modificationTime": _now_ms(), "dataChange": True}},
+        {"add": {"path": "data-0002.parquet",
+                 "partitionValues": {"part": None}, "size": sz_flat2,
+                 "modificationTime": _now_ms(), "dataChange": True}},
+        {"add": {"path": "part=a/f0.parquet",
+                 "partitionValues": {"part": "a"}, "size": sz_hive,
+                 "modificationTime": _now_ms(), "dataChange": True}},
+    ])
+
+    got = {(r["k"], r["part"])
+           for r in read_delta(path, spark=spark).collect()}
+    assert got == {(1, "b"), (2, "b"), (3, "a"), (4, "a"), (5, None)}
+    # partition filtering works on both shapes (pruning is
+    # action-driven; the row filter sees the stamped literals)
+    assert read_delta(
+        path, filter=[("part", "==", "b")], spark=spark
+    ).count() == 2
+    assert read_delta(
+        path, filter=[("part", "==", "a")], spark=spark
+    ).count() == 2
