@@ -163,6 +163,19 @@ def upgrade_to_column_mapping(
     snap = log.snapshot()
     if column_mapping_mode(snap.metadata) != "none":
         return snap.version  # already mapped — idempotent
+    from dask_deltalake_spark.delta.protocol import (
+        METADATA_ONLY_FEATURES,
+        check_write_protocol,
+    )
+
+    # writer gate (the enable_change_data_feed class, r16): a
+    # metadata-only upgrade must still honor the table's existing
+    # writer obligations — an unknown foreign feature refuses
+    check_write_protocol(
+        snap.protocol,
+        metadata=snap.metadata,
+        features=METADATA_ONLY_FEATURES | {"columnMapping"},
+    )
     schema = StructType.fromJson(json.loads(snap.metadata.schema_string))
     fields = [
         _with_field_meta(f, i + 1) for i, f in enumerate(schema.fields)

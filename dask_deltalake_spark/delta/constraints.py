@@ -89,6 +89,19 @@ def add_constraint(
     key = CONSTRAINT_PREFIX + name
     if key in snap.metadata.configuration:
         raise ValueError(f"Constraint {name!r} already exists")
+    from dask_deltalake_spark.delta.protocol import (
+        METADATA_ONLY_FEATURES,
+        check_write_protocol,
+    )
+
+    # writer gate (the enable_change_data_feed class, r16): a
+    # metadata-only upgrade must still honor the table's existing
+    # writer obligations — an unknown foreign feature refuses
+    check_write_protocol(
+        snap.protocol,
+        metadata=snap.metadata,
+        features=METADATA_ONLY_FEATURES | {"checkConstraints"},
+    )
     existing = read_delta(log.table_path, spark=spark)
     bad = existing.filter(
         ~F.coalesce(F.expr(expression), F.lit(False))
@@ -160,6 +173,19 @@ def drop_constraint(
     key = CONSTRAINT_PREFIX + name.strip().lower()
     if key not in snap.metadata.configuration:
         raise ValueError(f"Constraint {name!r} does not exist")
+    from dask_deltalake_spark.delta.protocol import (
+        METADATA_ONLY_FEATURES,
+        check_write_protocol,
+    )
+
+    # writer gate (the enable_change_data_feed class, r16): a
+    # metadata-only upgrade must still honor the table's existing
+    # writer obligations — an unknown foreign feature refuses
+    check_write_protocol(
+        snap.protocol,
+        metadata=snap.metadata,
+        features=METADATA_ONLY_FEATURES | {"checkConstraints"},
+    )
     meta = snap.metadata
     config = {k: v for k, v in meta.configuration.items() if k != key}
     actions = [

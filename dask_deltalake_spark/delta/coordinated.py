@@ -301,6 +301,19 @@ def enable_coordinated_commits(
         raise ValueError(f"Unknown commit coordinator {coordinator!r}")
     log = DeltaLog(path)
     snap = log.snapshot()
+    from dask_deltalake_spark.delta.protocol import (
+        METADATA_ONLY_FEATURES,
+        check_write_protocol,
+    )
+
+    # writer gate (the enable_change_data_feed class, r16): a
+    # metadata-only upgrade must still honor the table's existing
+    # writer obligations — an unknown foreign feature refuses
+    check_write_protocol(
+        snap.protocol,
+        metadata=snap.metadata,
+        features=METADATA_ONLY_FEATURES | {"coordinatedCommits"},
+    )
     md = snap.metadata.to_json()["metaData"]
     conf = dict(md["configuration"])
     conf[COORDINATOR_PROP] = coordinator

@@ -39,6 +39,19 @@ def enable_in_commit_timestamps(path: str) -> int:
         snap.metadata.configuration.get(ICT_ENABLE_KEY, "")
     ).lower() == "true":
         return snap.version  # idempotent
+    from dask_deltalake_spark.delta.protocol import (
+        METADATA_ONLY_FEATURES,
+        check_write_protocol,
+    )
+
+    # writer gate (the enable_change_data_feed class, r16): a
+    # metadata-only upgrade must still honor the table's existing
+    # writer obligations — an unknown foreign feature refuses
+    check_write_protocol(
+        snap.protocol,
+        metadata=snap.metadata,
+        features=METADATA_ONLY_FEATURES | {"inCommitTimestamp"},
+    )
 
     from dask_deltalake_spark.delta.protocol import protocol_with_features
 

@@ -2067,6 +2067,19 @@ def enable_v2_checkpoints(path: str) -> int:
         and "v2Checkpoint" in (snap.protocol.reader_features or [])
     ):
         return snap.version
+    from dask_deltalake_spark.delta.protocol import (
+        METADATA_ONLY_FEATURES,
+        check_write_protocol,
+    )
+
+    # writer gate (the enable_change_data_feed class, r16): a
+    # metadata-only upgrade must still honor the table's existing
+    # writer obligations — an unknown foreign feature refuses
+    check_write_protocol(
+        snap.protocol,
+        metadata=snap.metadata,
+        features=METADATA_ONLY_FEATURES | {"v2Checkpoint"},
+    )
     meta = snap.metadata
     config = dict(meta.configuration)
     config["delta.checkpointPolicy"] = "v2"

@@ -22,6 +22,20 @@ LOG_DIR = "_delta_log"
 MAX_SUPPORTED_WRITER_VERSION = 2
 MAX_SUPPORTED_READER_VERSION = 1
 
+# The claimed-feature set for METADATA-ONLY commits (property/
+# protocol upgrades, constraint changes): a commit carrying no file
+# actions trivially maintains every data-level feature it claims,
+# while an UNKNOWN foreign writer feature still refuses per the
+# spec's writer-version contract. Shared by set_table_properties and
+# every dedicated enable_* path (the r16 ADVICE medium's class —
+# enable_change_data_feed was missing the gate, and so was every
+# sibling).
+METADATA_ONLY_FEATURES = frozenset({
+    "columnMapping", "deletionVectors", "generatedColumns",
+    "identityColumns", "rowTracking", "domainMetadata", "clustering",
+    "changeDataFeed",
+})
+
 COLUMN_MAPPING_MODE_KEY = "delta.columnMapping.mode"
 COLUMN_MAPPING_MAX_ID_KEY = "delta.columnMapping.maxColumnId"
 PHYSICAL_NAME_KEY = "delta.columnMapping.physicalName"

@@ -1878,3 +1878,74 @@ def test_foreign_non_hive_layout_partition_values_authoritative(
     assert read_delta(
         path, filter=[("part", "==", "a")], spark=spark
     ).count() == 2
+
+
+@pytest.mark.parametrize("enable", [
+    "add_constraint", "drop_constraint", "enable_in_commit_timestamps",
+    "enable_row_tracking", "enable_v2_checkpoints",
+    "enable_coordinated_commits", "upgrade_to_column_mapping",
+    "enable_change_data_feed",
+])
+def test_every_enable_path_refuses_unknown_writer_feature(
+    spark, tmp_path, enable
+):
+    """The enable_change_data_feed gate's dual, closed across the
+    whole family (r16): EVERY dedicated metadata-only upgrade path
+    must run the writer-protocol gate first — a table carrying an
+    unknown foreign writer feature refuses the upgrade commit, per
+    the spec's writer-version contract. Before this round, none of
+    the seven siblings gated."""
+    from dask_deltalake_spark.delta.protocol import (
+        DeltaProtocolError,
+        Protocol,
+    )
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    path = str(tmp_path / "t")
+    to_delta(spark.range(5).selectExpr("id", "id AS val"), path)
+    meta = DeltaLog(path).snapshot().metadata
+    config = dict(meta.configuration)
+    if enable == "drop_constraint":
+        # give the drop path a real constraint so it reaches the gate
+        # (its not-found check runs first by design)
+        config["delta.constraints.c1"] = "id >= 0"
+    from dask_deltalake_spark.delta.protocol import Metadata as _Meta
+
+    write_commit(path, 1, [
+        {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+        Protocol(
+            min_writer_version=7,
+            writer_features=["someFutureFeature"],
+        ).to_json(),
+        _Meta(
+            id=meta.id, schema_string=meta.schema_string,
+            partition_columns=meta.partition_columns,
+            configuration=config,
+        ).to_json(),
+    ])
+
+    import dask_deltalake_spark.delta.cdc as cdc
+    import dask_deltalake_spark.delta.column_mapping as cm
+    import dask_deltalake_spark.delta.constraints as cons
+    import dask_deltalake_spark.delta.coordinated as coord
+    import dask_deltalake_spark.delta.ict as ict
+    import dask_deltalake_spark.delta.maintenance as mnt
+    import dask_deltalake_spark.delta.rowtracking as rt
+
+    calls = {
+        "add_constraint": lambda: cons.add_constraint(
+            path, "c1", "id >= 0", spark=spark),
+        "drop_constraint": lambda: cons.drop_constraint(path, "c1"),
+        "enable_in_commit_timestamps":
+            lambda: ict.enable_in_commit_timestamps(path),
+        "enable_row_tracking": lambda: rt.enable_row_tracking(path),
+        "enable_v2_checkpoints": lambda: mnt.enable_v2_checkpoints(path),
+        "enable_coordinated_commits":
+            lambda: coord.enable_coordinated_commits(path),
+        "upgrade_to_column_mapping":
+            lambda: cm.upgrade_to_column_mapping(path),
+        "enable_change_data_feed":
+            lambda: cdc.enable_change_data_feed(path),
+    }
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
+        calls[enable]()
