@@ -616,40 +616,43 @@ def _key(name: str):
 REGISTRY: dict = {name: _ALL[name] for name in sorted(_ALL, key=_key)}
 
 __all__ = ["REGISTRY"]
-# r16 ROTATION PREVIEW (plan the squeeze before the round closes):
-# after r15 the ledger rows sit at r12x14 (this round's deferrals:
-# q46, q52, q53, q54, x03, x09, x10, x11, x12, x15, x20, x21, x22,
-# x25 — the OLDEST, rotate first), r13x50 (q05, q07-q11, q13-q22,
-# q29-q40, q43, q44, q47-q49, q55, q56, d12, d13, d22, d35, d40,
-# x05, x06, x13, x17-x19, x29, x39-x41 — minus any verified later),
-# r14x49 (d07 refreshed into r15), r15x50 = 163. The r16 candidates
-# are the 14 r12-tier names + the 50 r13-tier names + the two
-# r15-staged debuts (q60_cogrouped_pandas_reconcile — the
-# FlatMapCoGroupsInPandas two-input physical family nothing samples,
-# all-integer money oracle, plan assertions written first in
-# test_registry_smoke.py, sf0.1 pre-measured cold 11.89 s /
-# warm 3.54 s; d51_foreign_cdc_read — the r15 foreign-cdc interop
-# surface as a graded lifecycle query, cold 1.81 s / warm 1.04 s) =
-# 66 for 50 slots -> SIXTEEN r13-tier deferrals need written
-# justification (a new query MUST debut in-window; the 14 r12 rows
-# are oldest and rotate first). Queries riding code CHANGED in r15
-# must rotate IN as fixed picks: d41/d32 (the two vanishing-trace
-# compact_log fixes — d07 carried the in-window signal this round,
-# these two rode check_oracle), d25 (CDF stream 'latest' + the
-# cdc-action planner), d20 (rides read_delta_changes' cdc path),
-# d22 (reorg_purge now commits dataChange=false — a REAL behavior
-# change on its purge lifecycle), d43 (drop_feature gate + purge
-# flag), d08/d14/d45 (gate-claim riders, check_oracle-green r15).
-# The r15 CDF WRITE surface (mutate cdc emission,
-# enable_change_data_feed) is pinned by 16 pytest cases in
-# test_cdc.py but has NO registered query yet — a
-# d52_cdf_write_roundtrip staging is the natural r16 third
-# candidate IF the window arithmetic allows; otherwise stage it r17
-# (every extra staging deepens the deferral count one-for-one).
-# The other r15-changed surfaces (vacuum changeDataFeed claim,
-# checksum _canon, crc canonicalization) have IN-WINDOW r15 rows —
-# d05/d50/d19/d07/d16/d39 all sit in the r15 front, so their driver
-# rows land on the changed code; no r16 rider needed for those.
-# Re-derive before staging anything beyond the two: 165 registered
-# names in 50 slots puts the staleness floor at ~3.3 rounds; every
-# extra staging deepens next round's deferral count one-for-one.
+# r17 ROTATION PREVIEW (plan the squeeze before the round closes):
+# after r16 the ledger rows sit at r13x26 (this round's deferrals:
+# q14, q17, q18, q20, q22, q31, q32, q34, q35, q36, q38, q39, q40,
+# q43, q44, q49, q56, d35, d40, x05, x06, x13, x17, x19, x29, x39 —
+# the OLDEST, rotate first), r14x42 (the r13-verified names minus
+# the seven riders rotated into r16), r15x47 (minus d19/d05/d48),
+# r16x50 = 165 registered + the one staged debut
+# d52_cdf_write_roundtrip (operators/delta_ops.py — oracle-verified
+# smoke green, sf0.1 pre-measured cold 27.1 s / warm 8.5 s; a new
+# query MUST debut in-window). Queries riding code CHANGED in r16
+# whose latest driver row PREDATES the change must rotate IN as
+# fixed picks (each was re-run hash-green via tools/check_oracle.py
+# at change time, ledgered in COVERAGE.md r16, but the standing
+# discipline wants driver rows on changed code):
+#   - d09 + d30 (log.py timestamp resolvers now honor the ICT
+#     enablement boundary — d09 rides resolve_datetime directly,
+#     d30 the in-commit clock);
+#   - d26 + d27 + d34 (writer.py now restores the table's declared
+#     column order after the generated/identity/defaults
+#     materialization passes — their surfaces exactly);
+#   - d01 + d03 (reader.py non-Hive-layout partitionValues stamping
+#     fallback — the roundtrip and partition-prune anchors; the fast
+#     path is plan-pinned unchanged by tests/test_plan_quality.py);
+#   - d29, d39, d42, d21 (the metadata-only writer gate landed in
+#     their enable paths — REFUSAL-ONLY branches with the
+#     parametrized pin in tests/test_interop.py, so these four MAY
+#     defer with that justification if the window squeezes; d23's
+#     gate cover landed in-window r16).
+# Honest arithmetic: 1 debut + 26 r13-tier + 7 hard riders (d09,
+# d30, d26, d27, d34, d01, d03) = 34 fixed -> 16 fills from the 42
+# r14-tier names (or 12 fills if the four gate riders rotate in
+# too) -> TWENTY-SIX r14-tier deferrals (thirty with the gate
+# riders deferred elsewhere), each needing a git-log-verified
+# no-diff justification against the r14 close. The cdc.py
+# reconstruction pv-state change and the fsck/mutate cdc-emission
+# changes already carry in-window r16 rows (d19, d20, d25, d05,
+# d48, d11, d12, d13 all in the r16 front on the final tree).
+# Re-derive before staging anything beyond d52: 166 names in 50
+# slots puts the staleness floor at ~3.3 rounds; every extra
+# staging deepens next round's deferral count one-for-one.
