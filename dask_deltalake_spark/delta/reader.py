@@ -258,7 +258,14 @@ def read_delta(
         # literals from the ACTION — the same contract the cdc-action
         # read and the Python datasource follow. Zero cost and zero
         # plan change for Hive-laid-out tables (one driver-side
-        # substring check per file).
+        # substring check per file). Scale bound of the fallback: one
+        # scan node per DISTINCT partition tuple among the non-Hive
+        # files that SURVIVED pruning — driver-side partition pruning
+        # ran before _scan, so a selective query touches few tuples;
+        # a full-table scan of a foreign flat layout with extreme
+        # partition cardinality would want a single-scan variant
+        # (broadcast file->values map joined on _metadata.file_path),
+        # noted as the upgrade path.
         phys_parts = [
             _l2p_scan.get(c, c) for c in snap.metadata.partition_columns
         ]
