@@ -816,3 +816,82 @@ def test_reconstruction_stamps_partition_values_for_flat_layout(
         (1, "a", "delete", 2),
         (2, "a", "delete", 2),
     }
+
+
+def test_foreign_cdc_action_on_column_mapped_partitioned_table(
+    spark, tmp_path
+):
+    """Combined seam: a foreign cdc action on a COLUMN-MAPPED
+    partitioned table whose _change_data file is flat — the cdc
+    parquet carries PHYSICAL column names, the action's
+    partitionValues is PHYSICAL-keyed, and the feed must surface
+    LOGICAL column names with the partition value stamped from the
+    action (r16: the stamping branch's physical-name resolution)."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from dask_deltalake_spark.delta.protocol import Metadata, Protocol
+    from dask_deltalake_spark.delta.writer import write_commit
+
+    path = str(tmp_path / "mapped")
+    os.makedirs(os.path.join(path, "_change_data"))
+
+    schema_str = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aa"}},
+            {"name": "region", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bb"}},
+        ],
+    })
+
+    def _w(rel, ks, types=None):
+        cols = {"col-aa": pa.array(ks, pa.int64())}
+        if types is not None:
+            cols["_change_type"] = pa.array(types, pa.string())
+        _pq.write_table(pa.table(cols), os.path.join(path, rel))
+        return os.path.getsize(os.path.join(path, rel))
+
+    sz0 = _w("f0.parquet", [1, 2])
+    write_commit(path, 0, [
+        Protocol(min_reader_version=2, min_writer_version=5).to_json(),
+        Metadata(
+            id="mapped-cdf", schema_string=schema_str,
+            partition_columns=["region"],
+            configuration={"delta.columnMapping.mode": "name",
+                           "delta.columnMapping.maxColumnId": "2",
+                           "delta.enableChangeDataFeed": "true"},
+        ).to_json(),
+        {"add": {"path": "f0.parquet",
+                 "partitionValues": {"col-bb": "emea"}, "size": sz0,
+                 "modificationTime": 1000, "dataChange": True}},
+    ])
+    sz1 = _w("f1.parquet", [1, 2])
+    szc = _w("_change_data/cdc-0001.parquet", [2, 2],
+             ["update_preimage", "update_postimage"])
+    write_commit(path, 1, [
+        {"commitInfo": {"timestamp": 2000, "operation": "UPDATE"}},
+        {"remove": {"path": "f0.parquet", "deletionTimestamp": 2000,
+                    "dataChange": True}},
+        {"add": {"path": "f1.parquet",
+                 "partitionValues": {"col-bb": "emea"}, "size": sz1,
+                 "modificationTime": 2000, "dataChange": True}},
+        {"cdc": {"path": "_change_data/cdc-0001.parquet",
+                 "partitionValues": {"col-bb": "emea"}, "size": szc,
+                 "dataChange": False}},
+    ])
+
+    feed = read_delta_changes(path, starting_version=0, spark=spark)
+    rows = sorted(
+        (r["k"], r["region"], r["_change_type"]) for r in feed.collect()
+    )
+    assert rows == [
+        (2, "emea", "update_postimage"),
+        (2, "emea", "update_preimage"),
+    ]
