@@ -1660,8 +1660,12 @@ def x27_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregation-order dependent and could never hash-match.
     Per iteration: one narrow assignment pass against k literal
     centroids (no join — the centroid broadcast of every production
-    k-means), then one (cell, dim) shuffle of per-dimension partial
-    sums for the recompute — n·dim rows map-combined down to k·dim.
+    k-means), then ONE groupBy("cell") with dim flat sum columns for
+    the recompute — n rows map-combined down to k·(dim+1) values per
+    partition before the single tiny shuffle (r16: replaces the
+    posexplode → (cell, pos) → (cell) two-shuffle chain; the
+    floor-mean runs driver-side over the collected k×dim sums with
+    the oracle's exact double-divide-then-floor arithmetic).
     Driver state is O(k·dim) per round. Empty cells drop out of the
     next round on both engines identically. K is corpus-derived
     (``derived_k``: n/_KM_TARGET_CELL, oracle floor at test scale) so
@@ -1684,27 +1688,39 @@ def x27_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["vec_id"], list(r["q"]))
         for r in e.filter(F.col("vec_id") < k).collect()
     ]
+    # dim comes from the init centroids (the corpus's fixed embedding
+    # width) so the recompute below can aggregate per-dimension sums
+    # as FLAT COLUMNS — r16: one groupBy("cell") with dim sum columns
+    # replaces the posexplode → groupBy(cell, pos) → groupBy(cell)
+    # chain, removing one shuffle + one stage per iteration and the
+    # dim× row inflation ahead of the map-side combine (state is
+    # still k·dim per partition either way). The floor-mean moves to
+    # the driver over the collected k×dim sums — same double-divide-
+    # then-floor arithmetic the oracle's FLOOR(CAST(SUM AS DOUBLE) /
+    # COUNT(*)) performs, exact at these magnitudes (|sum| ≪ 2^53).
+    import math as _math
+
+    dim = len(cents[0][1]) if cents else 0
+    _sum_cols = [
+        F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)
+    ]
     for _ in range(_KM_ITERS):
         assigned = _km_assign(e, cents)
         rows = (
-            assigned.select("cell", F.posexplode("q").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-            .select(
-                "cell",
-                "pos",
-                F.floor(F.col("s") / F.col("n")).cast("long").alias("cv"),
-            )
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                    lambda st: st["cv"],
-                ).alias("c")
-            )
+            assigned.groupBy("cell")
+            .agg(F.count("*").alias("n"), *_sum_cols)
             .collect()
         )
-        cents = sorted((r["cell"], list(r["c"])) for r in rows)
+        cents = sorted(
+            (
+                r["cell"],
+                [
+                    int(_math.floor(r[f"s{i}"] / r["n"]))
+                    for i in range(dim)
+                ],
+            )
+            for r in rows
+        )
     return (
         _km_assign(e, cents)
         .groupBy("cell")
