@@ -847,6 +847,53 @@ def create_checkpoint(
 _ZORDER_BITS = 10  # 1024 buckets per dimension
 
 
+def _zorder_bounds_from_stats(
+    adds: list, cols: list[str], l2p: dict
+) -> Optional[dict]:
+    """Z-order bucketing bounds served from the candidate files' own
+    min/max stats — zero Spark jobs — instead of a full scan of the
+    rewrite scope (r16, guide §1.2: remove whole passes first). Valid
+    because numeric file stats are exact footer min/max over the
+    file's rows, and bounds only shape ``width_bucket`` granularity:
+    a bound that is merely not tighter than the data (e.g. rows since
+    masked by a deletion vector) clamps identically. Returns None —
+    caller falls back to the aggregation pass — when any candidate
+    lacks usable stats for any column (missing stats JSON, stats
+    dropped by indexed-column config, non-numeric encoding), or when
+    every file is all-null for a column (parity with the agg path's
+    NULL result). All-null FILES contribute nothing, like F.min/max.
+    Stats are keyed by PHYSICAL names on mapped tables (``l2p``)."""
+    lo: dict = {c: None for c in cols}
+    hi: dict = {c: None for c in cols}
+    for a in adds:
+        if not a.stats:
+            return None
+        try:
+            s = json.loads(a.stats)
+        except (TypeError, ValueError):
+            return None
+        mv = s.get("minValues") or {}
+        xv = s.get("maxValues") or {}
+        nr = s.get("numRecords")
+        nc = s.get("nullCount") or {}
+        for c in cols:
+            p = l2p.get(c, c)
+            if p in mv and p in xv:
+                try:
+                    fmn, fmx = float(mv[p]), float(xv[p])
+                except (TypeError, ValueError):
+                    return None
+                lo[c] = fmn if lo[c] is None else min(lo[c], fmn)
+                hi[c] = fmx if hi[c] is None else max(hi[c], fmx)
+            elif nr is not None and nc.get(p) == nr:
+                continue  # all-null file: no contribution, like F.min
+            else:
+                return None
+    if any(lo[c] is None or hi[c] is None for c in cols):
+        return None
+    return {c: (lo[c], hi[c]) for c in cols}
+
+
 def _zorder_value(df, cols: list[str], bounds: dict):
     """Interleaved-bit z-value over width_bucket ranks of numeric
     columns — rows close in every dimension get close z-values, so a
@@ -1092,11 +1139,24 @@ def optimize(
             isinstance(df.schema[c].dataType, NumericType) for c in zorder_by
         )
         if numeric:
-            row = df.agg(
-                *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
-                *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
-            ).first()
-            bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in zorder_by}
+            _l2p_stats: dict = {}
+            if column_mapping_mode(snap.metadata) != "none":
+                from dask_deltalake_spark.delta.column_mapping import (
+                    logical_to_physical,
+                )
+
+                _l2p_stats = logical_to_physical(snapshot_schema(snap))
+            bounds = _zorder_bounds_from_stats(
+                target_adds, zorder_by, _l2p_stats
+            )
+            if bounds is None:
+                row = df.agg(
+                    *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
+                    *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
+                ).first()
+                bounds = {
+                    c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in zorder_by
+                }
             z = _zorder_value(df, zorder_by, bounds)
             df = (
                 df.withColumn("__z", z)

@@ -80,3 +80,49 @@ def test_zorder_tightens_per_file_ranges_on_every_column(spark, tmp_path):
         r for r in after if r["x"][0] <= 7 <= r["x"][1]
     ]
     assert len(matching) < len(after)
+
+
+def test_zorder_bounds_from_stats_match_agg_and_fall_back(spark, tmp_path):
+    """r16: the z-order bucketing bounds are served from the candidate
+    files' own min/max stats (zero Spark jobs) whenever every file
+    carries usable numeric stats, and must equal the aggregation
+    pass's bounds exactly; files without stats force the fallback."""
+    from dask_deltalake_spark.delta.maintenance import (
+        _zorder_bounds_from_stats,
+    )
+
+    path = str(tmp_path / "sb")
+    df = spark.range(0, 500).select(
+        F.col("id").alias("x"),
+        (F.col("id") % 7).cast("double").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    to_delta(df.repartition(4), path)
+    snap = DeltaLog(path).snapshot()
+
+    got = _zorder_bounds_from_stats(snap.add_actions, ["x", "y"], {})
+    assert got is not None
+    base = read_delta(path, spark=spark)
+    row = base.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).first()
+    assert got["x"] == (float(row[0]), float(row[1]))
+    assert got["y"] == (float(row[2]), float(row[3]))
+
+    # a candidate without stats -> None (caller falls back to the agg)
+    import copy
+
+    broken = copy.deepcopy(list(snap.add_actions))
+    object.__setattr__(broken[0], "stats", None) if hasattr(
+        type(broken[0]), "__dataclass_fields__"
+    ) else setattr(broken[0], "stats", None)
+    assert _zorder_bounds_from_stats(broken, ["x", "y"], {}) is None
+
+    # a column absent from stats (e.g. partition column) -> None
+    assert (
+        _zorder_bounds_from_stats(snap.add_actions, ["nope"], {}) is None
+    )
+
+    # the optimize itself stays correct end-to-end on the stats path
+    optimize(path, target_file_size=4_000, zorder_by=["x", "y"], spark=spark)
+    assert read_delta(path, spark=spark).count() == 500
