@@ -35,6 +35,15 @@ from dask_deltalake_spark.delta.protocol import (
 )
 from dask_deltalake_spark.delta.writer import write_commit
 
+# Below this many files a deep clone copies driver-side instead of
+# dispatching the distributed copy job (see deep_clone; same cutover
+# rationale as the writer's _FOOTER_HARVEST_DRIVER_MAX).
+import os as _os
+
+_CLONE_COPY_DRIVER_MAX = int(
+    _os.environ.get("SPARK_GRAFT_CLONE_COPY_DRIVER_MAX", "48")
+)
+
 
 def shallow_clone(
     source_path: str,
@@ -231,7 +240,20 @@ def deep_clone(
                 n += 1
             yield _pd.DataFrame({"n": [n]})
 
-    if jobs:
+    if jobs and len(jobs) <= _CLONE_COPY_DRIVER_MAX:
+        # few files: copy in a driver-side loop — dispatching the
+        # distributed copy job costs a fixed few hundred ms
+        # (scheduling + Python-worker round trip) that dwarfs a
+        # handful of local copyfile calls (r16, same cutover shape as
+        # the writer's footer harvest). The job path stays for real
+        # clones, where aggregate copy bandwidth is the point.
+        import shutil as _shutil
+
+        for src, rel in jobs:
+            dst = os.path.join(tgt_root, rel)
+            os.makedirs(os.path.dirname(dst) or tgt_root, exist_ok=True)
+            _shutil.copyfile(src, dst)
+    elif jobs:
         copied = (
             spark.createDataFrame(jobs, "src string, rel string")
             .repartition(min(len(jobs), 64))
