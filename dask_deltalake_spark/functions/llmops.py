@@ -16,6 +16,8 @@ Design rules (these run over 100 TB of text in production):
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
@@ -2096,7 +2098,24 @@ def x31_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-level broadcast below _SEM_K_CAP (always the case at oracle
     # scale); beyond the cap _ivf_assign escalates to the two-level
     # super-cell routing with every stage bounded at ~sqrt(K)
+    #
+    # The assignment feeds THREE consumers (both sides of the per-cell
+    # self-join plus the final per-cell aggregate), and the differently
+    # -aliased self-join sides defeat exchange reuse — the executed
+    # plan showed 0 ReusedExchange / 3 BroadcastNestedLoopJoins / 6
+    # parquet scans, i.e. the interpreted crossJoin-dot-product pass
+    # (the query's dominant cost) ran three times. Materialize it once:
+    # persist + an eager count (inside the timed region; SemDeDup
+    # production would stage the assignment table to storage between
+    # the cluster and dedup phases — persist() is the in-session
+    # equivalent, same rationale as the x04 shingle table). The count
+    # must be EAGER: the self-join's two shuffle-map stages run
+    # concurrently, and a lazily-populated cache would be raced into
+    # computing the subtree twice anyway.
     inv = _ivf_assign(e, cent, k)
+    if os.environ.get("SPARK_GRAFT_X31_PERSIST", "1") == "1":
+        inv = inv.persist()
+        inv.count()
     x = inv.select(
         F.col("cell").alias("xc"),
         F.col("vec_id").alias("xid"),
