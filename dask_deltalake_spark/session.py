@@ -44,6 +44,20 @@ ENGINE_CONF = {
     # generous broadcast threshold: every dim table in the star schema
     # (region/nation/customer/supplier/part) is broadcastable at any SF
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Listing-job cutover for scans built from explicit file lists
+    # (delta/reader.py passes every surviving add as a path). Above
+    # this many paths Spark launches a DISTRIBUTED listing job whose
+    # fixed dispatch (~150 ms) dwarfs driver-side getFileStatus on
+    # fast-metadata filesystems (~50 µs/path ⇒ breakeven in the
+    # thousands) — measured 2x on a 60-file reader build (~900 →
+    # ~480 ms/call). The breakeven is LISTING-LATENCY-bound, not
+    # core-count-bound: on object stores (~10-20 ms/path) Spark's
+    # default of 32 is correct, so deployments there set the env var
+    # back down. Same cutover shape as the footer-harvest and
+    # deep-clone driver loops.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": os.environ.get(
+        "SPARK_GRAFT_PARALLEL_LISTING_THRESHOLD", "1024"
+    ),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
 }
 
