@@ -894,6 +894,156 @@ def _zorder_bounds_from_stats(
     return {c: (lo[c], hi[c]) for c in cols}
 
 
+def _murmur3_int32(v: int, seed: int = 42) -> int:
+    """Spark's Murmur3 32-bit hash of one IntegerType value (the
+    ``Murmur3Hash`` expression / ``HashPartitioning`` arithmetic,
+    ``Murmur3_x86_32.hashInt`` with Spark's seed 42) — replicated
+    driver-side so ``_zorder_range_tokens`` can pick literal ints
+    whose hash partitions are DISTINCT without running a probe job.
+    Pinned against ``F.hash`` in tests/test_zorder.py. Returns the
+    signed 32-bit value Spark's expression produces."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    k = (v & 0xFFFFFFFF) * 0xCC9E2D51 & 0xFFFFFFFF
+    k = rotl(k, 15)
+    k = k * 0x1B873593 & 0xFFFFFFFF
+    h = (seed ^ k) & 0xFFFFFFFF
+    h = rotl(h, 13)
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # total bytes hashed (one int)
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & 0xFFFFFFFF
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _zorder_range_tokens(n_ranges: int, n_partitions: int) -> Optional[list]:
+    """Literal int tokens, one per contiguous z-range, whose
+    ``pmod(murmur3(token), n_partitions)`` values are pairwise
+    DISTINCT — so hash-repartitioning on the token places every
+    z-range in its own shuffle partition (→ its own output file,
+    preserving the per-file z-contiguity range partitioning gives)
+    without the range exchange's full-row sampling job. Greedy search
+    over small ints; returns None when it cannot establish
+    injectivity (caller falls back to ``repartitionByRange``)."""
+    if n_ranges > n_partitions:
+        return None
+    used: set = set()
+    toks: list = []
+    t = 0
+    limit = 128 * max(n_partitions, 1)
+    while len(toks) < n_ranges and t < limit:
+        pid = _murmur3_int32(t) % n_partitions
+        if pid not in used:
+            used.add(pid)
+            toks.append(t)
+        t += 1
+    return toks if len(toks) == n_ranges else None
+
+
+def _zorder_quantile_partition(
+    dfz, n_out: int, n_rows: Optional[int] = None, scope_bytes: int = 0
+):
+    """Partition-token column for the z-order shuffle, derived from
+    approximate z-quantiles instead of the range exchange's sampling
+    pass (r16, guide §2.3 "shuffle fewer bytes" / §1.2 "remove whole
+    passes"): ``repartitionByRange`` launches a sampling job that
+    materializes the exchange child's FULL rows (every column decoded,
+    deletion vectors applied) just to read the sort key, while the
+    boundaries only need the z column — ``approxQuantile`` over
+    ``select("__z")`` is a column-pruned scan of the z-order columns
+    alone, orders of magnitude fewer bytes on wide tables. Boundaries
+    shape only row→file placement (file contents stay z-contiguous
+    and z-sorted via the per-range token + sortWithinPartitions), so
+    a quantile estimate no better than the sampler's is equally
+    correct; near-equal-frequency boundaries match the range
+    exchange's balance target. Returns None — caller keeps the
+    sampling path — when the env gate is off, n_out < 2, the quantile
+    probe yields no usable boundaries, or injective hash tokens
+    cannot be found."""
+    import pyspark.sql.functions as F
+
+    if os.environ.get("SPARK_GRAFT_ZORDER_QUANTILE_PARTITION", "1") != "1":
+        return None
+    # Byte cutover, the footer-harvest / deep-clone / listing idiom:
+    # the quantile probe is one extra eager action (~0.3-0.5 s fixed),
+    # while the sampling job it replaces costs ~nothing on a
+    # KB-MB-scale scope — but materializes EVERY column of EVERY row
+    # on a large one. Below the threshold the sampling exchange is
+    # cheaper (measured +0.5-1.3 s per bench-scale OPTIMIZE when
+    # forced); above it the narrow pass wins by the scope's full-row
+    # decode cost. The breakeven is scope-size-bound, not
+    # core-count-bound.
+    min_bytes = int(
+        os.environ.get(
+            "SPARK_GRAFT_ZORDER_QUANTILE_MIN_BYTES", str(256 * 1024 * 1024)
+        )
+    )
+    if scope_bytes < min_bytes:
+        return None
+    # the comparison tree is O(n_out) expression nodes — right for the
+    # bounded file counts a scoped/partition-local OPTIMIZE produces,
+    # wrong for a monolithic petabyte rewrite (hundreds of thousands
+    # of output files would explode the plan); past the cap the range
+    # exchange's sampling job is the correct tool and its cost
+    # amortizes over the data volume that implies it
+    max_ranges = int(
+        os.environ.get("SPARK_GRAFT_ZORDER_QUANTILE_MAX_RANGES", "512")
+    )
+    if n_out < 2 or n_out > max_ranges:
+        return None
+    try:
+        probe = dfz.select("__z")
+        # two-level estimator, the RangePartitioner's own shape but on
+        # the PRUNED column: a deterministic Bernoulli sample of ~500
+        # rows per output range (exact at small scale where the
+        # fraction saturates at 1.0; sampler-class accuracy beyond),
+        # then a GK quantile sketch at a flat 1e-4 error — a tighter
+        # error makes the sketch itself the cost (measured 2.1 s at
+        # 8e-5 over 600k rows vs 0.4-0.6 s here), while boundary
+        # misplacement stays ≤ n_out·1e-4 of a range's mass on top of
+        # the sample noise. n_rows comes from the candidate adds'
+        # numRecords stats (driver metadata, no job).
+        if n_rows and n_rows > 0:
+            frac = min(1.0, (500.0 * n_out) / float(n_rows))
+            if frac < 1.0:
+                probe = probe.sample(fraction=frac, seed=42)
+        probs = [i / n_out for i in range(1, n_out)]
+        bnds = probe.approxQuantile("__z", probs, 1e-4)
+    except Exception:
+        return None
+    bnds = sorted(set(b for b in bnds if b is not None))
+    if not bnds:
+        return None
+    toks = _zorder_range_tokens(len(bnds) + 1, n_out)
+    if toks is None:
+        return None
+    zc = F.col("__z")
+
+    def tree(lo: int, hi: int):
+        # balanced comparison tree over boundary indices: decides
+        # ranks in [lo, hi] (rank r = count of boundaries < z is
+        # immaterial — any consistent binning is a valid placement)
+        if lo == hi:
+            return F.lit(toks[lo])
+        mid = (lo + hi) // 2
+        return F.when(zc <= F.lit(float(bnds[mid])), tree(lo, mid)).otherwise(
+            tree(mid + 1, hi)
+        )
+
+    # NULL z (a NULL z-order cell) compares false at every node and
+    # would fall to the highest range; route it to range 0 explicitly
+    # (the range exchange's nulls-first placement) — placement only,
+    # never row content
+    return F.when(zc.isNull(), F.lit(toks[0])).otherwise(
+        tree(0, len(bnds))
+    )
+
+
 def _zorder_value(df, cols: list[str], bounds: dict):
     """Interleaved-bit z-value over width_bucket ranks of numeric
     columns — rows close in every dimension get close z-values, so a
@@ -1158,12 +1308,37 @@ def optimize(
                     c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in zorder_by
                 }
             z = _zorder_value(df, zorder_by, bounds)
-            df = (
-                df.withColumn("__z", z)
-                .repartitionByRange(n_out, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
+            df = df.withColumn("__z", z)
+            # quantile-derived range tokens replace the range
+            # exchange's sampling job (which materializes FULL rows
+            # of the rewrite scope just to read __z) with a
+            # column-pruned quantile pass; per-file z-contiguity and
+            # the z sort are preserved, so skipping stats are as
+            # tight. Strict fallback to repartitionByRange whenever
+            # the tokens cannot be established.
+            _n_rows = 0
+            for _a in target_adds:
+                try:
+                    _n_rows += int(json.loads(_a.stats)["numRecords"])
+                except (TypeError, ValueError, KeyError):
+                    _n_rows = 0
+                    break
+            part = _zorder_quantile_partition(
+                df, n_out, _n_rows or None, scope_bytes=total_bytes
             )
+            if part is not None:
+                df = (
+                    df.withColumn("__zp", part)
+                    .repartition(n_out, "__zp")
+                    .sortWithinPartitions("__z")
+                    .drop("__z", "__zp")
+                )
+            else:
+                df = (
+                    df.repartitionByRange(n_out, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
         else:
             # non-numeric clustering columns: hierarchical range-sort
             # clustering (lexicographic) — files still get tight

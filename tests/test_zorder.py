@@ -82,6 +82,74 @@ def test_zorder_tightens_per_file_ranges_on_every_column(spark, tmp_path):
     assert len(matching) < len(after)
 
 
+def test_zorder_quantile_partition_tokens_and_fallback(spark, tmp_path, monkeypatch):
+    """r16: the z-order shuffle derives its range placement from a
+    column-pruned quantile pass + injective hash tokens instead of the
+    range exchange's full-row sampling job. Pins (a) the driver-side
+    Murmur3 replication against Spark's own hash expression, (b) token
+    injectivity, (c) that the quantile path and the sampling fallback
+    produce identical table CONTENT and comparably tight per-file
+    ranges."""
+    import pyspark.sql.functions as SF
+
+    from dask_deltalake_spark.delta.maintenance import (
+        _murmur3_int32,
+        _zorder_range_tokens,
+    )
+
+    # (a) exact Murmur3 pin: F.hash is Murmur3Hash(seed=42), the same
+    # arithmetic HashPartitioning uses for an int column
+    vals = list(range(-5, 40)) + [2**31 - 1, -(2**31), 123456789]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "v int")
+        .select(SF.hash("v").alias("h"))
+        .collect()
+    )
+    assert [r["h"] for r in got] == [_murmur3_int32(v) for v in vals]
+
+    # (b) injectivity of the greedy token search
+    for n in (2, 7, 16, 170):
+        toks = _zorder_range_tokens(n, n)
+        assert toks is not None and len(toks) == n
+        assert len({_murmur3_int32(t) % n for t in toks}) == n
+    assert _zorder_range_tokens(10, 4) is None  # more ranges than parts
+
+    # (c) quantile path vs sampling fallback: identical logical content
+    n = 64 * 64
+    df = (
+        spark.range(n)
+        .select(
+            (SF.col("id") % 64).alias("x"),
+            (SF.col("id") / 64).cast("long").alias("y"),
+            SF.col("id").alias("payload"),
+        )
+        .orderBy(SF.xxhash64("id"))
+    )
+    expected = sorted((i % 64, i // 64, i) for i in range(n))
+    spans = {}
+    monkeypatch.setenv("SPARK_GRAFT_ZORDER_QUANTILE_MIN_BYTES", "0")
+    for mode, gate in (("quantile", "1"), ("sampling", "0")):
+        path = str(tmp_path / mode)
+        monkeypatch.setenv("SPARK_GRAFT_ZORDER_QUANTILE_PARTITION", gate)
+        to_delta(df.repartition(8), path)
+        res = optimize(
+            path, target_file_size=2_200, zorder_by=["x", "y"], spark=spark
+        )
+        assert res["numFilesAdded"] >= 8
+        got_rows = sorted(
+            (r["x"], r["y"], r["payload"])
+            for r in read_delta(path, spark=spark).collect()
+        )
+        assert got_rows == expected
+        ranges = _file_ranges(path, ["x", "y"])
+        spans[mode] = (_avg_span(ranges, "x"), _avg_span(ranges, "y"))
+    # clustering quality: the quantile path's per-file boxes stay in
+    # the same tight band the sampling path produces (allow slack —
+    # both are estimators; the data-skipping contract is "tight", not
+    # "identical boundaries")
+    assert spans["quantile"][0] < 22 and spans["quantile"][1] < 22
+
+
 def test_zorder_bounds_from_stats_match_agg_and_fall_back(spark, tmp_path):
     """r16: the z-order bucketing bounds are served from the candidate
     files' own min/max stats (zero Spark jobs) whenever every file
