@@ -16,6 +16,7 @@ Design rules (these run over 100 TB of text in production):
 
 from __future__ import annotations
 
+import math
 import os
 
 import pyspark.sql.functions as F
@@ -1625,6 +1626,53 @@ def _km_oracle() -> str:
     )
 
 
+def _km_assign_df(e: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment against a CENTROID FRAME — the
+    above-cap branch of x27 (r17, VERDICT r16 #4): identical
+    arithmetic to :func:`_km_assign` (integer squared distance,
+    argmin with the lower cell id on ties) but the centroids never
+    touch the driver — ``cent_df`` (cell, cv) is broadcast and the
+    argmin runs as the `_ivf_assign` window idiom. O(1) driver state
+    at any k, at the cost of the k× candidate inflation ahead of the
+    per-vector argmin (bounded by the broadcast, exactly the x16/x31
+    assignment shape)."""
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
+    return (
+        e.crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with("q", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "q", "dist", "cell")
+    )
+
+
+def _km_centroids_df(assigned: DataFrame, dim: int) -> DataFrame:
+    """Distributed floor-mean centroid recompute (r17): one
+    groupBy("cell") with ``dim`` flat sums (map-side combined, the
+    same aggregation the driver path collects), then the oracle's
+    exact double-divide-then-floor per dimension — all in the plan,
+    nothing collected. Exact vs the driver path's
+    ``math.floor(s / n)`` while |sum| ≪ 2^53 (the x27 grid bound,
+    documented there): both round s and n through the same double
+    division."""
+    sums = [F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)]
+    g = assigned.groupBy("cell").agg(F.count("*").alias("n"), *sums)
+    cv = F.array(
+        *[
+            F.floor(F.col(f"s{i}").cast("double") / F.col("n")).cast("long")
+            for i in range(dim)
+        ]
+    )
+    return g.select("cell", cv.alias("cv"))
+
+
 def _km_assign(e: DataFrame, cents: list) -> DataFrame:
     """Nearest-centroid assignment as a NARROW projection: the k
     centroids are inlined as literal arrays (the classic broadcast of
@@ -1686,6 +1734,37 @@ def x27_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # Scale guard (r17, VERDICT r16 #4): the literal-centroid path
+    # collects k×(dim+1) values per Lloyd round AND inlines k·dim
+    # literals into the plan — fine through thousands of clusters,
+    # a driver-memory/planner hazard when derived_k reaches the
+    # 100 TB range (k = n/250 grows with the corpus). Above the cap
+    # the whole loop runs with centroids in a broadcast FRAME:
+    # identical arithmetic (pytest-pinned equal outputs with the cap
+    # forced to 0), zero driver state.
+    try:
+        _driver_k_max = int(
+            os.environ.get("SPARK_GRAFT_X27_DRIVER_K_MAX", "4096")
+        )
+    except ValueError:
+        _driver_k_max = 4096
+    if k > _driver_k_max:
+        dim_row = e.select(F.size("q").alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row else 0
+        cent_df = e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cell"), F.col("q").alias("cv")
+        )
+        for _ in range(_KM_ITERS):
+            cent_df = _km_centroids_df(_km_assign_df(e, cent_df), dim)
+        return (
+            _km_assign_df(e, cent_df)
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias("n_points"),
+                F.sum("dist").alias("inertia"),
+            )
+            .orderBy("cell")
+        )
     cents = [
         (r["vec_id"], list(r["q"]))
         for r in e.filter(F.col("vec_id") < k).collect()
@@ -1900,6 +1979,20 @@ def window_dedup_stats(d: DataFrame) -> DataFrame:
 
 # --- x31: semantic dedup (SemDeDup) -----------------------------------------
 
+_SEM_CACHE: list = []  # x31's persisted assignment frame (≤1 entry)
+
+
+def clear_semdedup_cache() -> None:
+    """Unpersist x31's cached cell-assignment frame (the persist is
+    inside the timed plan-build; this is the session-hygiene hook for
+    long-lived sessions — r17, VERDICT r16 'what's wrong' #2)."""
+    while _SEM_CACHE:
+        try:
+            _SEM_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
+
 _SEM_K = 8  # coarse-cluster FLOOR (= the oracle literal at sf<=0.01)
 _SEM_TARGET_CELL = 250  # derived K keeps expected cell size ~this
 _SEM_K_CAP = 1 << 20  # beyond ~1M centroids: two-level IVF routing
@@ -1943,6 +2036,168 @@ def _route_centroids_to_super(cent, sup):
         .filter(F.col("srk") == 1)
         .select("cell", "cv", "cnrm", "scell")
     )
+
+
+def _round4_ge_thr_np(vals, thr: float):
+    """Vectorized replica of Spark's ``round(x, 4) >= lit(thr)`` over a
+    float64 array (r17, the x31 kernel's threshold test). Spark's Round
+    on DoubleType goes through BigDecimal.valueOf(d) (shortest decimal
+    repr — exactly Python's repr) + setScale(4, HALF_UP) + toDouble;
+    NaN passes through Round and compares GREATER than everything in
+    Spark's ordering (so NaN >= thr is true). Away from the threshold
+    the rounding cannot flip the comparison (|round4(x) − x| ≤ 5e-5 +
+    ulp), so only a ±2e-4 band pays the exact per-value Decimal
+    replication."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    nan = np.isnan(vals)
+    res = vals > (thr + 2e-4)
+    res |= nan  # Spark: NaN is greater than any double
+    mid = ~(res | (vals < (thr - 2e-4)) | nan)
+    if mid.any():
+        q = Decimal("0.0001")
+        for idx in np.nonzero(mid)[0]:
+            r = float(
+                Decimal(repr(float(vals[idx]))).quantize(
+                    q, rounding=ROUND_HALF_UP
+                )
+            )
+            res[idx] = r >= thr
+    return res
+
+
+def _ivf_assign_np(e, cent_rows: list):
+    """Vectorized nearest-centroid assignment (r17, VERDICT r16 #5):
+    replaces the broadcast crossJoin → interpreted `_cosine_dot` fold →
+    window-argmax pass with ONE mapInArrow projection — no candidate
+    row inflation, no shuffle (the window exchange on vec_id is gone),
+    the dot products in native numpy. Arithmetic is replicated
+    BIT-EXACTLY against the expression path (pytest-pinned identical
+    assignments): the fold is a strict left-to-right sum, vectorized
+    across rows per dimension (acc = acc + v_i·c_i in IEEE double each
+    step); argmax ties break to the lowest cell (candidates are
+    cell-sorted, np.argmax takes the first); NaN similarities rank
+    ABOVE +inf exactly as Spark's descending NaN-greatest ordering;
+    rows whose similarity folds to NULL (null/ragged vectors — where
+    zip_with pads or a null element poisons the fold) take the lowest
+    cell, matching an all-NULL csim window ordered by cell alone.
+    Returns None when the kernel cannot be built (caller keeps the
+    expression path)."""
+    import numpy as np
+
+    try:
+        cents = sorted(
+            (int(r["cell"]), list(r["cv"]), r["cnrm"]) for r in cent_rows
+        )
+    except (TypeError, KeyError):
+        return None
+    if not cents:
+        return None
+    dims = {len(cv) for _, cv, _ in cents}
+    if len(dims) != 1 or any(
+        x is None for _, cv, n in cents for x in list(cv) + [n]
+    ):
+        return None  # ragged/null centroids: keep the expression path
+    dim = dims.pop()
+    cell_ids = np.array([c for c, _, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv, _ in cents], dtype=np.float64)
+    cn = np.array([n for _, _, n in cents], dtype=np.float64)
+    lowest_cell = int(cell_ids[0])
+
+    out_schema = ", ".join(
+        [
+            "vec_id long",
+            "v array<double>",
+            "nrm double",
+            "cell long",
+        ]
+    )
+
+    def assign(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            names = b.schema.names
+            v_col = b.column(names.index("v"))
+            nrm_col = b.column(names.index("nrm"))
+            n = b.num_rows
+            offs = np.diff(v_col.offsets.to_numpy())
+            fast = (
+                v_col.null_count == 0
+                and v_col.flatten().null_count == 0
+                and bool((offs == dim).all())
+                and nrm_col.null_count == 0
+            )
+            if fast:
+                V = v_col.flatten().to_numpy().reshape(n, dim)
+                nrm = nrm_col.to_numpy()
+                acc = np.zeros((n, len(cell_ids)), dtype=np.float64)
+                for i in range(dim):
+                    acc = acc + V[:, i, None] * C[None, :, i]
+                sim = acc / (nrm[:, None] * cn[None, :])
+                best = np.argmax(sim, axis=1)
+                nan_rows = np.isnan(sim).any(axis=1)
+                if nan_rows.any():
+                    # Spark's desc ordering puts NaN first; among
+                    # several NaNs the cell-asc tiebreak picks the
+                    # first (candidates are cell-sorted)
+                    best[nan_rows] = np.argmax(
+                        np.isnan(sim[nan_rows]), axis=1
+                    )
+                chosen = cell_ids[best]
+            else:
+                # slow exact path: per-row replication of the fold
+                vals = v_col.to_pylist()
+                nrms = nrm_col.to_pylist()
+                chosen = np.empty(n, dtype=np.int64)
+                for r in range(n):
+                    v = vals[r]
+                    nr = nrms[r]
+                    best_key = None
+                    best_cell = lowest_cell
+                    for ci in range(len(cell_ids)):
+                        s = _fold_dot_py(v, C[ci], nr, cn[ci])
+                        if s is None:
+                            continue
+                        key = (0, -s) if not math.isnan(s) else (-1, 0.0)
+                        if best_key is None or key < best_key:
+                            best_key = key
+                            best_cell = int(cell_ids[ci])
+                    chosen[r] = best_cell
+                chosen = np.asarray(chosen)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(names.index("vec_id")),
+                    v_col,
+                    nrm_col,
+                    pa.array(chosen, type=pa.int64()),
+                ],
+                names=["vec_id", "v", "nrm", "cell"],
+            )
+
+    return e.select("vec_id", "v", "nrm").mapInArrow(
+        assign, schema=out_schema
+    )
+
+
+def _fold_dot_py(v, c, nrm, cnrm):
+    """Scalar replica of ``_cosine_dot(v, c) / (nrm * cnrm)`` for the
+    kernel's slow path: zip_with pads the shorter side with NULL and
+    the non-coalescing fold then yields NULL (→ None here); a NULL
+    element poisons the fold the same way."""
+    if v is None or nrm is None or cnrm is None:
+        return None
+    if len(v) != len(c):
+        return None  # padded position → null product → null fold
+    acc = 0.0
+    for x, y in zip(v, c):
+        if x is None:
+            return None
+        acc = acc + x * float(y)
+    return acc / (nrm * cnrm)
 
 
 def _ivf_assign(e, cent, k: int, *, two_level_from: int = _SEM_K_CAP):
@@ -2020,6 +2275,107 @@ def _ivf_assign(e, cent, k: int, *, two_level_from: int = _SEM_K_CAP):
     )
 
 
+def _sem_cell_stats_kernel():
+    """Per-cell SemDeDup stats as ONE grouped-Arrow pass (r17,
+    VERDICT r16 #5): for each cell, the pairwise cosine matrix in
+    native numpy replaces the per-cell SELF-JOIN (the k× candidate
+    blowup + one interpreted 64-element fold PER PAIR — the query's
+    dominant cost) plus the distinct + left-join + final aggregate:
+    five operators collapse into one exchange on cell. Arithmetic
+    replicated bit-exactly (sequential fold vectorized per dimension;
+    Spark ROUND HALF_UP via shortest-repr Decimal inside a ±2e-4
+    threshold band; NaN ≥ thr true under Spark's NaN-greatest
+    ordering). Pairs whose fold would be NULL (ragged lengths — the
+    zip_with pad — or null elements/vectors) never drop anything,
+    exactly as ``NULL >= thr`` filters out; such rows are excluded
+    from the matrices but still counted and kept — Arrow (not pandas)
+    grouping precisely so null elements stay distinguishable from
+    NaN. Output columns match the expression path's aggregate exactly
+    (all integers — the float only ever gates the drop decision)."""
+    import numpy as np
+
+    thr = float(_SEM_THR)
+
+    def stats(tbl):
+        import pyarrow as pa
+
+        tbl = tbl.combine_chunks()
+        ids_raw = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_raw)
+        ids = ids_raw[order].astype(np.int64)
+        n_vec = len(ids)
+        v_col = tbl.column("v")
+        v_arr = v_col.chunk(0) if v_col.num_chunks else v_col.combine_chunks()
+        nrm = tbl.column("nrm").to_numpy(zero_copy_only=False)[order]
+        offs = v_arr.offsets.to_numpy()
+        lens_raw = np.diff(offs)
+        lens = lens_raw[order]
+        # validity: NULL vector or a NULL element → the fold is NULL →
+        # the pair never drops; NaN VALUES stay in (round(NaN) ≥ thr
+        # is true under Spark's NaN-greatest ordering)
+        if v_arr.null_count == 0:
+            v_valid = np.ones(n_vec, dtype=bool)
+        else:
+            import pyarrow.compute as pc
+
+            v_valid = np.asarray(
+                pc.is_valid(v_arr).to_numpy(zero_copy_only=False),
+                dtype=bool,
+            )[order]
+        flat = v_arr.values
+        vals_np = flat.to_numpy(zero_copy_only=False)
+        if flat.null_count == 0:
+            elem_ok = np.ones(n_vec, dtype=bool)
+        else:
+            import pyarrow.compute as pc
+
+            elem_nulls = ~np.asarray(
+                pc.is_valid(flat).to_numpy(zero_copy_only=False),
+                dtype=bool,
+            )
+            cum = np.concatenate([[0], np.cumsum(elem_nulls)])
+            per_row = cum[offs[1:]] - cum[offs[:-1]]
+            elem_ok = (per_row == 0)[order]
+        valid = v_valid & elem_ok
+        starts = offs[:-1][order]
+        dropped = np.zeros(n_vec, dtype=bool)
+        by_len: dict = {}
+        for i in np.nonzero(valid)[0]:
+            by_len.setdefault(int(lens[i]), []).append(int(i))
+        for dim, idxs in by_len.items():
+            if len(idxs) < 2 or dim == 0:
+                continue
+            sel = np.array(idxs, dtype=np.int64)
+            V = np.stack(
+                [vals_np[starts[i] : starts[i] + dim] for i in idxs]
+            ).astype(np.float64, copy=False)
+            nr = nrm[sel]
+            m = len(sel)
+            acc = np.zeros((m, m), dtype=np.float64)
+            for d in range(dim):
+                col = V[:, d]
+                acc = acc + col[:, None] * col[None, :]
+            sim = acc / (nr[:, None] * nr[None, :])
+            cond = _round4_ge_thr_np(sim.ravel(), thr).reshape(m, m)
+            cond &= ids[sel][:, None] < ids[sel][None, :]
+            dropped[sel[cond.any(axis=0)]] = True
+        keep_sum = int(ids[~dropped].sum()) if (~dropped).any() else None
+        return pa.Table.from_pydict(
+            {
+                "cell": pa.array(
+                    [int(tbl.column("cell")[0].as_py())], type=pa.int64()
+                ),
+                "n_vectors": pa.array([n_vec], type=pa.int64()),
+                "n_dropped": pa.array(
+                    [int(dropped.sum())], type=pa.int64()
+                ),
+                "keep_id_sum": pa.array([keep_sum], type=pa.int64()),
+            }
+        )
+
+    return stats
+
+
 @query(
     "x31_semantic_dedup",
     f"""
@@ -2095,6 +2451,34 @@ def x31_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     dot = _cosine_dot
+    # r17 (VERDICT r16 #5): the whole post-assignment pipeline — the
+    # per-cell self-join (k× candidate blowup + one interpreted
+    # 64-element fold PER PAIR, the query's dominant cost), the
+    # distinct, the left join and the final aggregate — collapses into
+    # ONE grouped-Arrow pass per cell with the pairwise matrix in
+    # native numpy; the assignment itself becomes a mapInArrow
+    # projection against driver-collected centroids (no crossJoin
+    # row inflation, no window exchange). Both kernels replicate the
+    # expression arithmetic bit-exactly (pytest-pinned; oracle
+    # hash-green under both gates). The expression path stays intact
+    # behind the gate as the documented fallback.
+    if (
+        os.environ.get("SPARK_GRAFT_X31_NP_KERNEL", "1") == "1"
+        and k < _SEM_K_CAP
+    ):
+        inv_np = _ivf_assign_np(e, cent.collect())
+        if inv_np is not None:
+            return (
+                inv_np.groupBy("cell")
+                .applyInArrow(
+                    _sem_cell_stats_kernel(),
+                    schema=(
+                        "cell long, n_vectors long, "
+                        "n_dropped long, keep_id_sum long"
+                    ),
+                )
+                .orderBy("cell")
+            )
     # one-level broadcast below _SEM_K_CAP (always the case at oracle
     # scale); beyond the cap _ivf_assign escalates to the two-level
     # super-cell routing with every stage bounded at ~sqrt(K)
@@ -2114,7 +2498,15 @@ def x31_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computing the subtree twice anyway.
     inv = _ivf_assign(e, cent, k)
     if os.environ.get("SPARK_GRAFT_X31_PERSIST", "1") == "1":
+        # cache-lifetime contract (r17, VERDICT r16): at most ONE
+        # assignment frame stays persisted — a new x31 plan-build
+        # releases the previous one, and ``clear_semdedup_cache()``
+        # releases the last (executing harnesses that clearCache()
+        # between queries, like bench.py, already cover it; this
+        # bounds a long-lived session that never does).
+        clear_semdedup_cache()
         inv = inv.persist()
+        _SEM_CACHE.append(inv)
         inv.count()
     x = inv.select(
         F.col("cell").alias("xc"),
@@ -3437,6 +3829,13 @@ def source_overlap_matrix(
     # the trade every production shingle index makes); the DuckDB
     # oracle keeps RAW gram strings, so the hash-match doubles as the
     # collision check at test scale.
+    # NO distinct here (r17): every consumer below collapses duplicate
+    # (source, gram) pairs through an idempotent bit_or inside ONE
+    # groupBy("g") — an explicit distinct() ahead of it was a second
+    # corpus-scale exchange (shuffle on (source, g), then again on g)
+    # buying nothing (guide §2.4 "remove shuffles outright"; the
+    # map-side partial bit_or collapses per-partition duplicates
+    # exactly where distinct's partial would have).
     sg = (
         toks.filter(F.size("toks") >= 3)
         .select(
@@ -3446,7 +3845,6 @@ def source_overlap_matrix(
             ).alias("gs"),
         )
         .select("source", F.explode("gs").alias("g"))
-        .distinct()
     )
     # source ids come from a DISTINCT over the pruned source column —
     # never from the corpus-scale gram table (that would evaluate the

@@ -142,6 +142,106 @@ def test_x27_kmeans_partitions_corpus_and_descends(spark):
     assert sum(r["inertia"] for r in final) <= init_inertia
 
 
+def test_x27_kmeans_distributed_branch_matches_driver_path(
+    spark, monkeypatch
+):
+    """r17 scale guard (VERDICT r16 #4): above the driver-state cap
+    x27 keeps centroids in a broadcast frame and runs the floor-mean
+    distributed — forced on here via the env cap, the branch must
+    produce IDENTICAL final clusters to the literal/driver path
+    (same integer distances, same floor-mean arithmetic, same
+    tie-breaks)."""
+    from dask_deltalake_spark.functions.llmops import x27_kmeans
+
+    monkeypatch.delenv("SPARK_GRAFT_X27_DRIVER_K_MAX", raising=False)
+    driver = sorted(
+        tuple(r) for r in x27_kmeans(spark, SF_DIR).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_X27_DRIVER_K_MAX", "0")
+    dist = sorted(
+        tuple(r) for r in x27_kmeans(spark, SF_DIR).collect()
+    )
+    assert dist == driver
+
+
+def test_x31_np_kernel_matches_expression_path(spark, monkeypatch, tmp_path):
+    """r17 (VERDICT r16 #5): x31's vectorized assignment + per-cell
+    kernels must produce IDENTICAL rows to the expression path — on
+    the real fixture AND on a constructed corpus exercising every
+    arithmetic corner the replication claims to cover: NaN elements
+    (NaN-greatest ordering / round(NaN) ≥ thr), NULL elements and NULL
+    vectors (null fold → never dropped), ragged lengths (zip_with
+    pad → null fold), zero norms (±inf / 0/0), and threshold-band
+    values (HALF_UP decimal rounding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_deltalake_spark.functions.llmops import x31_semantic_dedup
+
+    def run(gate, sf_dir):
+        monkeypatch.setenv("SPARK_GRAFT_X31_NP_KERNEL", gate)
+        return sorted(
+            tuple(r) for r in x31_semantic_dedup(spark, sf_dir).collect()
+        )
+
+    assert run("1", SF_DIR) == run("0", SF_DIR)
+
+    # constructed corpus: 40 vectors, dim 4, cells from the first 8
+    import math as m
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [round(rng.uniform(-1, 1), 3) for _ in range(4)]
+        rows.append((i, v, 0))
+    rows[9] = (9, [0.5, float("nan"), 0.25, -0.5], 0)   # NaN element
+    rows[11] = (11, [0.5, None, 0.25, -0.5], 0)         # NULL element
+    rows[13] = (13, None, 0)                            # NULL vector
+    rows[15] = (15, [0.5, 0.25], 0)                     # ragged length
+    rows[19] = (19, rows[3][1][:], 0)                   # exact duplicate
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    sf = tmp_path / "sfedge"
+    sf.mkdir()
+    pq.write_table(tbl, str(sf / "embeddings.parquet"))
+    assert run("1", str(sf)) == run("0", str(sf))
+
+    # threshold-band rounding pin: the kernel's Decimal HALF_UP
+    # replica must agree with Spark's round(x, 4) >= 0.35 on values
+    # straddling the boundary (incl. the exact .34995 half case)
+    import numpy as np
+
+    from dask_deltalake_spark.functions.llmops import (
+        _SEM_THR,
+        _round4_ge_thr_np,
+    )
+
+    vals = [
+        0.34995, 0.3499499999999999, 0.34995000000000004, 0.3500,
+        0.34990, 0.35005, 0.3500499999999999, 0.349949, 0.350051,
+        0.34944999999999993, 0.3489999, float("nan"), float("inf"),
+        float("-inf"), 0.0, 1.0, -0.35,
+    ]
+    spark_res = [
+        bool(r["ok"])
+        for r in spark.createDataFrame(
+            [(v,) for v in vals], "x double"
+        ).selectExpr(f"round(x, 4) >= {_SEM_THR!r} AS ok").collect()
+    ]
+    got = _round4_ge_thr_np(
+        np.array(vals, dtype=np.float64), float(_SEM_THR)
+    )
+    assert got.tolist() == spark_res
+
+
 def test_q40_within_rank_error(spark):
     """approx_percentile(accuracy=10k) guarantees rank error <= 1/10k:
     each estimate must lie between the exact percentiles at q∓eps

@@ -150,6 +150,65 @@ def test_zorder_quantile_partition_tokens_and_fallback(spark, tmp_path, monkeypa
     assert spans["quantile"][0] < 22 and spans["quantile"][1] < 22
 
 
+def test_zorder_udf_range_placement_past_tree_cap(spark, tmp_path, monkeypatch):
+    """r17 (VERDICT r16 #2): past the comparison-tree cap the quantile
+    path switches to a broadcast sorted-boundary binary search
+    (vectorized pandas UDF) instead of falling back to the full-row
+    sampling exchange. Pins (a) the vectorized Murmur3 replica and the
+    chunked token search against the scalar originals, (b) that the
+    UDF path produces identical table CONTENT and tight per-file
+    z-ranges."""
+    import numpy as np
+
+    from dask_deltalake_spark.delta.maintenance import (
+        _murmur3_int32,
+        _murmur3_int32_np,
+        _zorder_range_tokens,
+        _zorder_range_tokens_np,
+    )
+
+    # (a) vectorized murmur == scalar replica on signed/unsigned edges
+    vals = np.array(
+        list(range(-5, 400)) + [2**31 - 1, -(2**31), 123456789],
+        dtype=np.int64,
+    )
+    assert _murmur3_int32_np(vals).tolist() == [
+        _murmur3_int32(int(v)) for v in vals
+    ]
+    # chunked token search == scalar greedy search (same scan order)
+    for n in (2, 7, 170):
+        assert _zorder_range_tokens_np(n, n) == _zorder_range_tokens(n, n)
+    assert _zorder_range_tokens_np(10, 4) is None
+
+    # (b) force the UDF branch: tree cap below n_out, byte cutover off
+    n = 64 * 64
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+        .orderBy(F.xxhash64("id"))
+    )
+    expected = sorted((i % 64, i // 64, i) for i in range(n))
+    monkeypatch.setenv("SPARK_GRAFT_ZORDER_QUANTILE_MIN_BYTES", "0")
+    monkeypatch.setenv("SPARK_GRAFT_ZORDER_QUANTILE_MAX_RANGES", "2")
+    path = str(tmp_path / "udfz")
+    to_delta(df.repartition(8), path)
+    res = optimize(
+        path, target_file_size=2_200, zorder_by=["x", "y"], spark=spark
+    )
+    assert res["numFilesAdded"] >= 8
+    got_rows = sorted(
+        (r["x"], r["y"], r["payload"])
+        for r in read_delta(path, spark=spark).collect()
+    )
+    assert got_rows == expected
+    ranges = _file_ranges(path, ["x", "y"])
+    assert _avg_span(ranges, "x") < 22 and _avg_span(ranges, "y") < 22
+
+
 def test_zorder_bounds_from_stats_match_agg_and_fall_back(spark, tmp_path):
     """r16: the z-order bucketing bounds are served from the candidate
     files' own min/max stats (zero Spark jobs) whenever every file
