@@ -1238,11 +1238,6 @@ def optimize(
     import pyspark.sql.functions as F
 
     from dask_deltalake_spark.delta.reader import read_delta, snapshot_schema
-    from dask_deltalake_spark.delta.writer import (
-        _spark_to_arrow_schema,
-        _write_partition_factory,
-        _ADD_ROW_SCHEMA,
-    )
 
     spark = spark or SparkSession.getActiveSession()
     table_path = str(path).rstrip("/")
@@ -1505,13 +1500,11 @@ def optimize(
     _stats_spec = stats_spec_for(snap)
     data_root = log.store.local_path(table_path)
     if data_root is not None:
-        schema_bytes = (
-            _spark_to_arrow_schema(df.schema).serialize().to_pybytes()
+        from dask_deltalake_spark.delta.writer import run_partition_write
+
+        add_rows = run_partition_write(
+            df, data_root, partition_by, stats_spec=_stats_spec
         )
-        fn = _write_partition_factory(
-            data_root, partition_by, schema_bytes, stats_spec=_stats_spec
-        )
-        add_rows = df.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
     else:
         # no local mapping (object store): the JVM-native write path
         # stages through Hadoop FS / the store's spark_path mapping and

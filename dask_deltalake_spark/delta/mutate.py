@@ -179,11 +179,7 @@ def _write_change_data(table_path: str, snap, change_data) -> list:
     from urllib.parse import quote as _quote
 
     from dask_deltalake_spark.delta.protocol import stats_spec_for
-    from dask_deltalake_spark.delta.writer import (
-        _ADD_ROW_SCHEMA,
-        _spark_to_arrow_schema,
-        _write_partition_factory,
-    )
+    from dask_deltalake_spark.delta.writer import _spark_to_arrow_schema
 
     l2p = _mapping(snap)
     partition_by = list(snap.metadata.partition_columns)
@@ -196,19 +192,14 @@ def _write_change_data(table_path: str, snap, change_data) -> list:
     data_root = _local_data_root(table_path)
     cdc_root = os.path.join(table_path, "_change_data")
     if data_root is not None:
-        cdc_schema_bytes = (
-            _spark_to_arrow_schema(change_data.schema)
-            .serialize().to_pybytes()
-        )
-        cdc_fn = _write_partition_factory(
+        from dask_deltalake_spark.delta.writer import run_partition_write
+
+        cdc_rows = run_partition_write(
+            change_data,
             os.path.join(data_root, "_change_data"),
             partition_by,
-            cdc_schema_bytes,
             stats_spec=_stats_spec,
         )
-        cdc_rows = change_data.mapInPandas(
-            cdc_fn, schema=_ADD_ROW_SCHEMA
-        ).collect()
     else:
         from dask_deltalake_spark.delta.writer import _write_files_native
 
@@ -284,12 +275,7 @@ def _rewrite_and_commit(
     identically to the table (delta-spark layout); on column-mapped
     tables the data columns carry physical names like every other
     file."""
-    from dask_deltalake_spark.delta.writer import (
-        _ADD_ROW_SCHEMA,
-        _spark_to_arrow_schema,
-        _write_partition_factory,
-        write_commit,
-    )
+    from dask_deltalake_spark.delta.writer import write_commit
 
     from dask_deltalake_spark.delta.constraints import enforce_constraints
     from dask_deltalake_spark.delta.generated import (
@@ -331,13 +317,11 @@ def _rewrite_and_commit(
     _stats_spec = stats_spec_for(snap)
     data_root = _local_data_root(table_path)
     if data_root is not None:
-        schema_bytes = (
-            _spark_to_arrow_schema(new_data.schema).serialize().to_pybytes()
+        from dask_deltalake_spark.delta.writer import run_partition_write
+
+        add_rows = run_partition_write(
+            new_data, data_root, partition_by, stats_spec=_stats_spec
         )
-        fn = _write_partition_factory(
-            data_root, partition_by, schema_bytes, stats_spec=_stats_spec
-        )
-        add_rows = new_data.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
     else:
         # no local mapping (object store): JVM-native staging + seam
         # rename, same split as to_delta(engine="native") — DML COW
@@ -1221,11 +1205,6 @@ def _update_merge_on_read(
     never a rewrite of the touched files' unmatched rows. The vector
     commit and the new files land atomically in one version."""
     from dask_deltalake_spark.delta.reader import dnf_to_column, snapshot_schema
-    from dask_deltalake_spark.delta.writer import (
-        _ADD_ROW_SCHEMA,
-        _spark_to_arrow_schema,
-        _write_partition_factory,
-    )
 
     dnf = normalize_dnf(filter)
     marked = _mor_mark_positions(spark, table_path, snap, dnf)
@@ -1307,13 +1286,11 @@ def _update_merge_on_read(
     _stats_spec = stats_spec_for(snap)
     data_root = _local_data_root(table_path)
     if data_root is not None:
-        schema_bytes = (
-            _spark_to_arrow_schema(updated.schema).serialize().to_pybytes()
+        from dask_deltalake_spark.delta.writer import run_partition_write
+
+        add_rows = run_partition_write(
+            updated, data_root, partition_by, stats_spec=_stats_spec
         )
-        fn = _write_partition_factory(
-            data_root, partition_by, schema_bytes, stats_spec=_stats_spec
-        )
-        add_rows = updated.mapInPandas(fn, schema=_ADD_ROW_SCHEMA).collect()
     else:
         from dask_deltalake_spark.delta.writer import _write_files_native
 
