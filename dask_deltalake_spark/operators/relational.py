@@ -2554,24 +2554,26 @@ HAVING COUNT(*) >= 5
 def q59_grouped_pandas_quantiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Per-group Python analytics via ``applyInPandas`` — the
-    FlatMapGroupsInPandas physical family NO registered query samples
-    (q35 pins ArrowEvalPython/pandas_udf, q36 UDTF, x13/x17
-    MapInPandas; the delta engine uses FlatMapGroupsInPandas
-    internally for DV folding, mutate.py:723, but the user-facing
-    operator tier never did). The group computation here — a
+    """Per-group Python analytics via ``applyInArrow`` — Spark 4's
+    Arrow-native grouped map (the FlatMapGroupsInArrow physical
+    family NO registered query samples; q35 pins
+    ArrowEvalPython/pandas_udf, q36 UDTF, x13/x17 MapInPandas, and
+    the pandas grouped-map sibling FlatMapGroupsInPandas stays
+    exercised engine-internally by the DV fold, mutate.py, and the
+    write-factory reference path). The group computation here — a
     per-customer order-value quantile profile — is deliberately
     SQL-expressible so the oracle is an EXACT hash match: prices are
     converted to integer cents, and numpy's linear-interpolation
     percentiles on integers are bitwise-identical to DuckDB
     QUANTILE_CONT (parity property-checked over 200 random groups
-    before staging). The harness value is the Arrow group-transfer
-    machinery itself: Catalyst plans one hash-partition exchange on
-    the group key, groups stream to a Python worker as Arrow batches,
-    and the per-group pandas frame comes back as columnar batches —
-    the escape hatch for per-entity logic SQL genuinely cannot
-    express (sequence alignment, per-user model scoring), pinned here
-    with a verifiable stand-in.
+    before staging; r17's applyInPandas→applyInArrow port re-verified
+    value-identical at sf0.1 and hash-green at sf0.01). The harness
+    value is the Arrow group-transfer machinery itself: Catalyst
+    plans one hash-partition exchange on the group key, groups stream
+    to a Python worker as Arrow record batches, and the per-group
+    Arrow table comes back columnar — the escape hatch for per-entity
+    logic SQL genuinely cannot express (sequence alignment, per-user
+    model scoring), pinned here with a verifiable stand-in.
     Scale: ONE shuffle on o_custkey (plan-asserted single
     hashpartitioning + FlatMapGroupsInPandas); per-group state is one
     customer's orders (bounded, no skew at TPC-H key uniformity);
@@ -2591,8 +2593,6 @@ def q59_grouped_pandas_quantiles(
     Reference parity: groupby-apply family, reference
     tests/test_core.py.
     """
-    import pandas as pd
-
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") % 20 == 7)
@@ -2603,28 +2603,52 @@ def q59_grouped_pandas_quantiles(
         )
     )
 
-    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+    # r17 (VERDICT r16 #6): ``applyInArrow`` — Spark 4's Arrow-native
+    # grouped map (FlatMapGroupsInArrow), skipping the per-group
+    # pandas frame construction that dominated this family's cost
+    # model (interleaved A/B at sf0.1: 2.89 → 1.32 s warm min, every
+    # Arrow run faster than every pandas run; values identical — the
+    # same numpy percentile over the same float64 array). The plan
+    # shape is unchanged: ONE hash exchange on the group key feeding
+    # the Python worker. The pandas grouped-map family
+    # (FlatMapGroupsInPandas) stays exercised engine-internally by
+    # the DV fold (delta/mutate.py) and the write factories.
+    def profile(tbl: "pa.Table") -> "pa.Table":
         import numpy as np
+        import pyarrow as pa
 
-        if len(pdf) < 5:
-            return pd.DataFrame(
-                columns=[
-                    "o_custkey", "n_orders",
-                    "q25_cents", "med_cents", "q75_cents",
-                ]
+        if tbl.num_rows < 5:
+            return pa.Table.from_pydict(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "q25_cents": pa.array([], pa.float64()),
+                    "med_cents": pa.array([], pa.float64()),
+                    "q75_cents": pa.array([], pa.float64()),
+                }
             )
-        a = pdf["cents"].to_numpy(dtype="float64")
-        return pd.DataFrame(
+        a = tbl.column("cents").to_numpy(zero_copy_only=False).astype(
+            "float64"
+        )
+        return pa.Table.from_pydict(
             {
-                "o_custkey": [int(pdf["o_custkey"].iloc[0])],
-                "n_orders": [len(pdf)],
-                "q25_cents": [float(np.percentile(a, 25))],
-                "med_cents": [float(np.percentile(a, 50))],
-                "q75_cents": [float(np.percentile(a, 75))],
+                "o_custkey": pa.array(
+                    [int(tbl.column("o_custkey")[0].as_py())], pa.int64()
+                ),
+                "n_orders": pa.array([tbl.num_rows], pa.int64()),
+                "q25_cents": pa.array(
+                    [float(np.percentile(a, 25))], pa.float64()
+                ),
+                "med_cents": pa.array(
+                    [float(np.percentile(a, 50))], pa.float64()
+                ),
+                "q75_cents": pa.array(
+                    [float(np.percentile(a, 75))], pa.float64()
+                ),
             }
         )
 
-    return o.groupBy("o_custkey").applyInPandas(
+    return o.groupBy("o_custkey").applyInArrow(
         profile,
         schema=(
             "o_custkey long, n_orders long, "
@@ -2655,10 +2679,10 @@ def q60_cogrouped_pandas_reconcile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Two-source per-entity reconciliation via
-    ``cogroup().applyInPandas`` — the FlatMapCoGroupsInPandas physical
+    ``cogroup().applyInArrow`` — the FlatMapCoGroupsInArrow physical
     family NO registered query samples (q59 covers the single-input
-    FlatMapGroupsInPandas; cogroup is the two-input sibling: each key
-    receives BOTH sides' rows as aligned pandas frames). The stand-in
+    FlatMapGroupsInArrow; cogroup is the two-input sibling: each key
+    receives BOTH sides' rows as aligned Arrow tables). The stand-in
     computation — an order-header vs line-items revenue audit — is
     deliberately SQL-expressible (LEFT JOIN + groupBy) so the oracle
     is an EXACT hash match; the harness value is the two-sided Arrow
@@ -2680,8 +2704,6 @@ def q60_cogrouped_pandas_reconcile(
     Reference parity: two-source groupby-apply family, reference
     tests/test_core.py.
     """
-    import pandas as pd
-
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 200 == 7)
@@ -2705,27 +2727,51 @@ def q60_cogrouped_pandas_reconcile(
         )
     )
 
-    def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
-        if odf.empty:
+    # r17 (VERDICT r16 #6): ``cogroup().applyInArrow`` — the
+    # two-input Arrow grouped map (FlatMapCoGroupsInArrow), dropping
+    # both sides' per-group pandas construction (interleaved A/B at
+    # sf0.1: 2.90 → 0.98 s warm min, disjoint bands; all-integer
+    # output identical). Plan shape unchanged: one hash exchange per
+    # side feeding the Python worker.
+    def reconcile(otbl: "pa.Table", ltbl: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        if otbl.num_rows == 0:
             # lineitem rows whose order is outside the cohort can't
             # occur (same modulo both sides), but cogroup's contract
             # delivers one-sided keys — keep the branch total
-            return pd.DataFrame(columns=[
-                "o_orderkey", "order_total_cents", "n_lines",
-                "line_rev_centipct",
-            ])
-        rev = int((ldf["ext_cents"] * ldf["keep_pct"]).sum()) if len(ldf) else 0
-        return pd.DataFrame({
-            "o_orderkey": [int(odf["o_orderkey"].iloc[0])],
-            "order_total_cents": [int(odf["total_cents"].iloc[0])],
-            "n_lines": [len(ldf)],
-            "line_rev_centipct": [rev],
-        })
+            return pa.Table.from_pydict(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "order_total_cents": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "line_rev_centipct": pa.array([], pa.int64()),
+                }
+            )
+        if ltbl.num_rows:
+            ext = ltbl.column("ext_cents").to_numpy(zero_copy_only=False)
+            kp = ltbl.column("keep_pct").to_numpy(zero_copy_only=False)
+            rev = int((ext * kp).sum())
+        else:
+            rev = 0
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": pa.array(
+                    [int(otbl.column("o_orderkey")[0].as_py())], pa.int64()
+                ),
+                "order_total_cents": pa.array(
+                    [int(otbl.column("total_cents")[0].as_py())],
+                    pa.int64(),
+                ),
+                "n_lines": pa.array([ltbl.num_rows], pa.int64()),
+                "line_rev_centipct": pa.array([rev], pa.int64()),
+            }
+        )
 
     return (
         o.groupBy("o_orderkey")
         .cogroup(l.groupBy("l_orderkey"))
-        .applyInPandas(
+        .applyInArrow(
             reconcile,
             schema=(
                 "o_orderkey long, order_total_cents long, "

@@ -668,13 +668,13 @@ def test_q58_gap_fill_matches_duckdb_oracle(spark):
 
 
 def test_q59_grouped_pandas_quantiles_matches_duckdb_oracle(spark):
-    """q59 (staged r15 debut): per-group applyInPandas quantile
-    profile pinned cell-for-cell against DuckDB — integer cents make
-    numpy linear-interpolation percentiles bitwise-equal to
-    QUANTILE_CONT — with the plan asserted to carry the
-    FlatMapGroupsInPandas operator (the physical family no registered
-    query samples) fed by exactly ONE hash-partition exchange on the
-    group key."""
+    """q59 (staged r15 debut; r17: applyInPandas → applyInArrow):
+    per-group Arrow quantile profile pinned cell-for-cell against
+    DuckDB — integer cents make numpy linear-interpolation
+    percentiles bitwise-equal to QUANTILE_CONT — with the plan
+    asserted to carry the FlatMapGroupsInArrow operator (the
+    physical family no registered query samples) fed by exactly ONE
+    hash-partition exchange on the group key."""
     import duckdb
 
     from dask_deltalake_spark.operators.relational import (
@@ -693,7 +693,7 @@ def test_q59_grouped_pandas_quantiles_matches_duckdb_oracle(spark):
     sf_dir = "/root/testdata/sf0.01"
     df = q59_grouped_pandas_quantiles(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    assert "FlatMapGroupsInArrow" in plan
     assert plan.count("hashpartitioning(o_custkey") == 1, (
         "one exchange on the group key feeds the Python worker"
     )
@@ -779,12 +779,12 @@ def test_x44_token_budget_mix_matches_duckdb_oracle(spark):
 
 
 def test_q60_cogrouped_pandas_matches_duckdb_oracle(spark):
-    """q60 (staged r16 debut): two-source cogroup applyInPandas
-    reconciliation pinned cell-for-cell against DuckDB (all-integer
-    money math), with the plan asserted to carry the
-    FlatMapCoGroupsInPandas operator — the two-input physical family
-    q59's FlatMapGroupsInPandas does not sample — fed by exactly one
-    hash-partition exchange per side."""
+    """q60 (staged r16 debut; r17: applyInPandas → applyInArrow):
+    two-source cogroup Arrow reconciliation pinned cell-for-cell
+    against DuckDB (all-integer money math), with the plan asserted
+    to carry the FlatMapCoGroupsInArrow operator — the two-input
+    physical family q59's FlatMapGroupsInArrow does not sample — fed
+    by exactly one hash-partition exchange per side."""
     import duckdb
 
     from dask_deltalake_spark.operators.relational import (
@@ -795,7 +795,7 @@ def test_q60_cogrouped_pandas_matches_duckdb_oracle(spark):
     sf_dir = "/root/testdata/sf0.01"
     df = q60_cogrouped_pandas_reconcile(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "FlatMapCoGroupsInArrow" in plan
     assert plan.count("hashpartitioning(o_orderkey") == 1
     assert plan.count("hashpartitioning(l_orderkey") == 1
     got = {
