@@ -714,6 +714,131 @@ _LSH_BANDS = 4
 _LSH_BITS = 4  # bits per band → 4 bands × 4 planes = 16 planes
 
 
+def _lsh_bands_np(e):
+    """Vectorized x08 banding pass: ``e`` (vec_id, v) →
+    (vec_id, v, nrm, band, key) via one mapInArrow projection,
+    replacing 16 interpreted 64-element folds per row + the
+    band-struct explode. Bit/norm arithmetic replicates the
+    expression path exactly: sequential fold per plane; Spark's
+    ``NaN > 0`` is TRUE (NaN-greatest) → bit 1; a NULL/ragged fold
+    yields NULL → ``when`` falls to 0; nrm is the sequential x²-fold
+    under sqrt (NULL for null/ragged rows)."""
+    import numpy as np
+
+    planes = _planes()
+    P = np.array(planes, dtype=np.float64)  # 16×64
+    dim = P.shape[1]
+
+    def bands(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if not b.num_rows:
+                continue
+            names = b.schema.names
+            v_col = b.column(names.index("v"))
+            ids = b.column(names.index("vec_id")).to_numpy(
+                zero_copy_only=False
+            )
+            n = b.num_rows
+            offs = np.diff(v_col.offsets.to_numpy())
+            clean = (
+                v_col.null_count == 0
+                and v_col.flatten().null_count == 0
+                and bool((offs == dim).all())
+            )
+            if clean:
+                V = v_col.flatten().to_numpy().reshape(n, dim)
+                proj = np.zeros((n, len(planes)), dtype=np.float64)
+                nrm_acc = np.zeros(n, dtype=np.float64)
+                for i in range(dim):
+                    proj = proj + V[:, i, None] * P[None, :, i]
+                    nrm_acc = nrm_acc + V[:, i] * V[:, i]
+                nrm = np.sqrt(nrm_acc)
+                bits = ((proj > 0) | np.isnan(proj)).astype(np.int64)
+                keys = np.zeros((n, _LSH_BANDS), dtype=np.int64)
+                for band in range(_LSH_BANDS):
+                    for i in range(_LSH_BITS):
+                        keys[:, band] += (
+                            bits[:, band * _LSH_BITS + i] << i
+                        )
+                nrm_arr = pa.array(nrm, type=pa.float64())
+                for band in range(_LSH_BANDS):
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            b.column(names.index("vec_id")),
+                            v_col,
+                            nrm_arr,
+                            pa.array(
+                                np.full(n, band, dtype=np.int32),
+                                type=pa.int32(),
+                            ),
+                            pa.array(
+                                keys[:, band].astype(np.int32),
+                                type=pa.int32(),
+                            ),
+                        ],
+                        names=["vec_id", "v", "nrm", "band", "key"],
+                    )
+            else:
+                vals = v_col.to_pylist()
+                out = {"vec_id": [], "v": [], "nrm": [], "band": [],
+                       "key": []}
+                for r_i in range(n):
+                    v = vals[r_i]
+                    ok = (
+                        v is not None
+                        and len(v) == dim
+                        and not any(x is None for x in v)
+                    )
+                    if ok:
+                        nrm_v = 0.0
+                        projs = []
+                        for p_row in planes:
+                            acc = 0.0
+                            for x, y in zip(v, p_row):
+                                acc = acc + x * y
+                            projs.append(acc)
+                        for x in v:
+                            nrm_v = nrm_v + x * x
+                        nrm_v = math.sqrt(nrm_v)
+                        bits = [
+                            1 if (p > 0 or p != p) else 0 for p in projs
+                        ]
+                    else:
+                        nrm_v = None
+                        bits = [0] * len(planes)
+                    for band in range(_LSH_BANDS):
+                        kk = 0
+                        for i in range(_LSH_BITS):
+                            kk += bits[band * _LSH_BITS + i] << i
+                        out["vec_id"].append(
+                            int(ids[r_i]) if ids[r_i] == ids[r_i] else None
+                        )
+                        out["v"].append(v)
+                        out["nrm"].append(nrm_v)
+                        out["band"].append(band)
+                        out["key"].append(kk)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out["vec_id"], type=pa.int64()),
+                        pa.array(out["v"], type=v_col.type),
+                        pa.array(out["nrm"], type=pa.float64()),
+                        pa.array(out["band"], type=pa.int32()),
+                        pa.array(out["key"], type=pa.int32()),
+                    ],
+                    names=["vec_id", "v", "nrm", "band", "key"],
+                )
+
+    return e.select("vec_id", "v").mapInArrow(
+        bands,
+        schema=(
+            "vec_id long, v array<double>, nrm double, "
+            "band int, key int"
+        ),
+    )
+
+
 @query("x08_lsh_ann", None)  # approximate → rows-only check
 def x08_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN with banding: 16 sign bits split into
@@ -731,29 +856,46 @@ def x08_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    bits = []
-    for row in planes:
-        plane = F.array(*[F.lit(c) for c in row])
-        proj = F.aggregate(
-            F.zip_with("v", plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    # r17: the banding pass (16 interpreted 64-element folds per row
+    # + the band-struct explode) vectorizes into one mapInArrow
+    # projection (_lsh_bands_np, bit/norm arithmetic replicated
+    # exactly); the candidate join, exact re-rank and aggregates stay
+    # in Spark unchanged.
+    if os.environ.get("SPARK_GRAFT_X08_NP_KERNEL", "1") == "1":
+        e = _lsh_bands_np(e)
+    else:
+        bits = []
+        for row in planes:
+            plane = F.array(*[F.lit(c) for c in row])
+            proj = F.aggregate(
+                F.zip_with("v", plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            bits.append(F.when(proj > 0, 1).otherwise(0))
+        band_keys = []
+        for b in range(_LSH_BANDS):
+            key = None
+            for i in range(_LSH_BITS):
+                term = bits[b * _LSH_BITS + i] * (1 << i)
+                key = term if key is None else key + term
+            band_keys.append(
+                F.struct(F.lit(b).alias("band"), key.cast("int").alias("key"))
+            )
+        e = e.withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("v", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+        ).withColumn("bk", F.explode(F.array(*band_keys)))
+        e = e.select(
+            "vec_id", "v", "nrm",
+            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
         )
-        bits.append(F.when(proj > 0, 1).otherwise(0))
-    band_keys = []
-    for b in range(_LSH_BANDS):
-        key = None
-        for i in range(_LSH_BITS):
-            term = bits[b * _LSH_BITS + i] * (1 << i)
-            key = term if key is None else key + term
-        band_keys.append(
-            F.struct(F.lit(b).alias("band"), key.cast("int").alias("key"))
-        )
-    e = e.withColumn(
-        "nrm",
-        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
-    ).withColumn("bk", F.explode(F.array(*band_keys)))
-    e = e.select(
-        "vec_id", "v", "nrm", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -1069,6 +1211,20 @@ def x14_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm",
         F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
     )
+    # r17: the bounded block is broadcast either way — the vectorized
+    # path collects it once (the same bytes the BNLJ would ship) and
+    # computes the block²/2 cosine matrix in native numpy inside ONE
+    # mapInArrow pass, replacing the BroadcastNestedLoopJoin + one
+    # interpreted 64-element fold PER PAIR. Arithmetic replicated
+    # bit-exactly (sequential fold; raw-threshold compare with
+    # Spark's NaN-greatest semantics; ROUND(,4) via shortest-repr
+    # HALF_UP Decimal on the few surviving pairs) — pytest-pinned
+    # equal to the expression path incl. NaN/ragged corners; strict
+    # fallback to the expression path when the block carries NULLs.
+    if os.environ.get("SPARK_GRAFT_X14_NP_KERNEL", "1") == "1":
+        out = _neardup_pairs_np(e)
+        if out is not None:
+            return out.orderBy("vec_a", "vec_b")
     a = e.alias("a")
     b = e.alias("b")
     dot = F.aggregate(
@@ -1089,6 +1245,80 @@ def x14_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_raw") >= _NEARDUP_COS)
         .drop("_raw")
         .orderBy("vec_a", "vec_b")
+    )
+
+
+def _neardup_pairs_np(e):
+    """Vectorized x14 pair kernel (see x14_embedding_near_dup).
+    Returns None when the collected block has NULL/ragged vectors —
+    the caller keeps the expression path for those."""
+    import numpy as np
+
+    rows = e.collect()
+    if not rows:
+        return e.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cos double"
+        )
+    vs = [r["v"] for r in rows]
+    if any(
+        v is None or any(x is None for x in v) for v in vs
+    ) or len({len(v) for v in vs}) != 1:
+        return None
+    ids_b = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    B = np.array(vs, dtype=np.float64)
+    bn = np.array([r["nrm"] for r in rows], dtype=np.float64)
+    dim = B.shape[1]
+    thr = float(_NEARDUP_COS)
+
+    def pairs(batches):
+        import pyarrow as pa
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.0001")
+        for b in batches:
+            if not b.num_rows:
+                continue
+            names = b.schema.names
+            v_col = b.column(names.index("v"))
+            ids_a = b.column(names.index("vec_id")).to_numpy(
+                zero_copy_only=False
+            )
+            an = b.column(names.index("nrm")).to_numpy(
+                zero_copy_only=False
+            )
+            n = b.num_rows
+            V = v_col.flatten().to_numpy().reshape(n, dim)
+            acc = np.zeros((n, len(ids_b)), dtype=np.float64)
+            for i in range(dim):
+                acc = acc + V[:, i, None] * B[None, :, i]
+            cos = acc / (an[:, None] * bn[None, :])
+            keep = (cos >= thr) | np.isnan(cos)  # Spark: NaN >= thr
+            keep &= ids_a[:, None] < ids_b[None, :]
+            ai, bi = np.nonzero(keep)
+            outs = []
+            for k in range(len(ai)):
+                c = float(cos[ai[k], bi[k]])
+                # Spark's Round passes NaN and ±inf through unchanged
+                outs.append(
+                    c
+                    if (c != c or math.isinf(c))
+                    else float(
+                        Decimal(repr(c)).quantize(
+                            q, rounding=ROUND_HALF_UP
+                        )
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids_a[ai], type=pa.int64()),
+                    pa.array(ids_b[bi], type=pa.int64()),
+                    pa.array(outs, type=pa.float64()),
+                ],
+                names=["vec_a", "vec_b", "cos"],
+            )
+
+    return e.select("vec_id", "v", "nrm").mapInArrow(
+        pairs, schema="vec_a long, vec_b long, cos double"
     )
 
 @query(
@@ -2554,6 +2784,143 @@ _PQ_NQ = 8  # queries
 _PQ_TOP = 3
 
 
+def _pq_encode_np(e, pq_k: int):
+    """Vectorized x32 PQ encode (see x32_pq_ann): ``e`` (vec_id, v) →
+    (vec_id, m, code) via one mapInArrow pass against the
+    driver-collected codebook. Returns None when the codebook rows
+    are NULL/ragged (caller keeps the expression path)."""
+    import numpy as np
+
+    dim = _PQ_M * _PQ_SUB
+    cb_rows = sorted(
+        e.filter(F.col("vec_id") < pq_k).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not cb_rows:
+        return None
+    for r in cb_rows:
+        v = r["v"]
+        if v is None or len(v) != dim or any(x is None for x in v):
+            return None
+    cb_ids = np.array([r["vec_id"] for r in cb_rows], dtype=np.int64)
+    CB = np.array([list(r["v"]) for r in cb_rows], dtype=np.float64)
+    low_code = int(cb_ids[0])
+    k = len(cb_ids)
+
+    def encode(batches):
+        import pyarrow as pa
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+
+        def round6(x: float):
+            if x != x or math.isinf(x):
+                return x  # Spark Round passes NaN/inf through
+            return float(
+                Decimal(repr(float(x))).quantize(
+                    q6, rounding=ROUND_HALF_UP
+                )
+            )
+
+        for b in batches:
+            if not b.num_rows:
+                continue
+            names = b.schema.names
+            v_col = b.column(names.index("v"))
+            ids = b.column(names.index("vec_id")).to_numpy(
+                zero_copy_only=False
+            )
+            n = b.num_rows
+            offs = np.diff(v_col.offsets.to_numpy())
+            clean = (
+                v_col.null_count == 0
+                and v_col.flatten().null_count == 0
+                and bool((offs == dim).all())
+            )
+            out_vid: list = []
+            out_m: list = []
+            out_code: list = []
+            if clean:
+                V = v_col.flatten().to_numpy().reshape(n, dim)
+                for m in range(_PQ_M):
+                    S = V[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                    C = CB[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                    acc = np.zeros((n, k), dtype=np.float64)
+                    for i in range(_PQ_SUB):
+                        dif = S[:, i, None] - C[None, :, i]
+                        acc = acc + dif * dif
+                    allnan = np.isnan(acc).all(axis=1)
+                    mn = np.full(n, np.inf)
+                    if (~allnan).any():
+                        with np.errstate(all="ignore"):
+                            mn[~allnan] = np.nanmin(
+                                acc[~allnan], axis=1
+                            )
+                    with np.errstate(invalid="ignore"):
+                        contend = acc <= (mn[:, None] + 2.01e-6)
+                    ncon = contend.sum(axis=1)
+                    best = np.where(
+                        contend.any(axis=1),
+                        cb_ids[np.argmax(contend, axis=1)],
+                        low_code,  # all-NaN: every candidate ties last
+                    ).astype(np.int64)
+                    for r_i in np.nonzero(ncon > 1)[0]:
+                        rmin = None
+                        bc = low_code
+                        for ci in np.nonzero(contend[r_i])[0]:
+                            rv = round6(float(acc[r_i, ci]))
+                            if rmin is None or rv < rmin:
+                                rmin, bc = rv, int(cb_ids[ci])
+                        best[r_i] = bc
+                    out_vid.extend(ids.tolist())
+                    out_m.extend([m] * n)
+                    out_code.extend(best.tolist())
+            else:
+                vals = v_col.to_pylist()
+                for r_i in range(n):
+                    v = vals[r_i]
+                    for m in range(_PQ_M):
+                        s = (
+                            None
+                            if v is None
+                            else v[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                        )
+                        code = low_code  # null/short fold → all-tie
+                        if (
+                            s is not None
+                            and len(s) == _PQ_SUB
+                            and not any(x is None for x in s)
+                        ):
+                            best_key = None
+                            for ci in range(k):
+                                acc_v = 0.0
+                                for i in range(_PQ_SUB):
+                                    d0 = s[i] - CB[ci, m * _PQ_SUB + i]
+                                    acc_v = acc_v + d0 * d0
+                                rv = round6(acc_v)
+                                key = (
+                                    (2, 0.0) if rv != rv else (1, rv)
+                                )  # NaN sorts last
+                                if best_key is None or key < best_key:
+                                    best_key = key
+                                    code = int(cb_ids[ci])
+                        out_vid.append(int(ids[r_i]))
+                        out_m.append(m)
+                        out_code.append(code)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_vid, type=pa.int64()),
+                    pa.array(out_m, type=pa.int32()),
+                    pa.array(out_code, type=pa.int64()),
+                ],
+                names=["vec_id", "m", "code"],
+            )
+
+    return e.select("vec_id", "v").mapInArrow(
+        encode, schema="vec_id long, m int, code long"
+    )
+
+
 def _pq_oracle() -> str:
     subs = ", ".join(str(m) for m in range(_PQ_M))
     return f"""
@@ -2652,21 +3019,38 @@ def x32_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dot = dot_product
 
-    l2 = F.aggregate(
-        F.zip_with(F.col("s"), F.col("cs"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w_enc = Window.partitionBy("vec_id", "m").orderBy(
-        F.asc("d"), F.asc("code")
-    )
-    codes = (
-        sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
-        .withColumn("d", F.round(l2, 6))
-        .withColumn("rk", F.row_number().over(w_enc))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", "code")
-    )
+    # r17: the encode pass — k× candidate inflation (n·M·k rows), one
+    # interpreted 16-element fold per candidate, and a window argmin
+    # exchange on (vec_id, m) — vectorizes into ONE mapInArrow
+    # projection against the driver-collected codebook (the same rows
+    # the broadcast ships). Replication is bit-exact: sequential
+    # (x−y)² fold per dimension; the ROUND(,6)-then-argmin tiebreak
+    # resolved by Decimal-rounding only the contenders within 2e-6 of
+    # the raw minimum (rounding is monotone, so nothing farther can
+    # tie); NaN candidates rank last and all-NaN/invalid rows take
+    # the lowest code — exactly the window's asc ordering. Strict
+    # fallback to the expression path on NULL/ragged codebooks.
+    codes = None
+    if os.environ.get("SPARK_GRAFT_X32_NP_KERNEL", "1") == "1":
+        codes = _pq_encode_np(e, pq_k)
+    if codes is None:
+        l2 = F.aggregate(
+            F.zip_with(
+                F.col("s"), F.col("cs"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w_enc = Window.partitionBy("vec_id", "m").orderBy(
+            F.asc("d"), F.asc("code")
+        )
+        codes = (
+            sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
+            .withColumn("d", F.round(l2, 6))
+            .withColumn("rk", F.row_number().over(w_enc))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "m", "code")
+        )
     q = sub.filter(F.col("vec_id") < _PQ_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("m").alias("qm"),
@@ -4243,19 +4627,25 @@ def x43_embedding_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     gcent = lsums.groupBy("pos").agg(
         (F.sum("s") / F.sum("n")).alias("gv")
     )
+    dot = dot_product
+
+    # r17: centroid self-norms are folds over CONSTANT arrays — hoist
+    # them into the broadcast frames (one fold per label / one global
+    # instead of one per corpus row; same fold on the same array →
+    # bit-identical values, oracle re-verified). 2 of the 5 per-row
+    # 64-element interpreted folds disappear from the corpus pass.
     larr = lcent.groupBy("label").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("pos", "lv"))),
             lambda s: s["lv"],
         ).alias("lc")
-    )
+    ).withColumn("lnrm", F.sqrt(dot("lc", "lc")))
     garr = gcent.agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("pos", "gv"))),
             lambda s: s["gv"],
         ).alias("gc")
-    )
-    dot = dot_product
+    ).withColumn("gnrm", F.sqrt(dot("gc", "gc")))
 
     scored = (
         e.join(F.broadcast(larr), "label")
@@ -4264,9 +4654,9 @@ def x43_embedding_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.sqrt(dot("v", "v")).alias("nrm"),
             dot("v", "gc").alias("vg"),
-            F.sqrt(dot("gc", "gc")).alias("gnrm"),
+            "gnrm",
             dot("v", "lc").alias("vl"),
-            F.sqrt(dot("lc", "lc")).alias("lnrm"),
+            "lnrm",
         )
     )
     return scored.groupBy("label").agg(

@@ -242,6 +242,85 @@ def test_x31_np_kernel_matches_expression_path(spark, monkeypatch, tmp_path):
     assert got.tolist() == spark_res
 
 
+def _edge_embeddings(tmp_path, name, edits):
+    """Write a small embeddings parquet with targeted edge rows."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(11)
+    rows = []
+    # dim 64 = the PQ/LSH kernels' native width (x32 slices 4×16,
+    # x08's planes are 64-wide), so the fast paths actually run
+    for i in range(40):
+        rows.append(
+            (i, [round(rng.uniform(-1, 1), 3) for _ in range(64)], 0)
+        )
+    for i, v in edits.items():
+        rows[i] = (i, v, 0)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    sf = tmp_path / name
+    sf.mkdir()
+    pq.write_table(tbl, str(sf / "embeddings.parquet"))
+    return str(sf)
+
+
+def test_x14_x32_x08_np_kernels_match_expression_paths(
+    spark, monkeypatch, tmp_path
+):
+    """r17: the x14 pairwise-block, x32 PQ-encode and x08 banding
+    kernels must equal their expression paths — on the fixture and on
+    edge corpora (NaN elements in-kernel; NULL/ragged rows through the
+    documented fallbacks/slow paths)."""
+    from dask_deltalake_spark.functions.llmops import (
+        x08_lsh_ann,
+        x14_embedding_near_dup,
+        x32_pq_ann,
+    )
+
+    cases = {
+        "x14": ("SPARK_GRAFT_X14_NP_KERNEL", x14_embedding_near_dup),
+        "x32": ("SPARK_GRAFT_X32_NP_KERNEL", x32_pq_ann),
+        "x08": ("SPARK_GRAFT_X08_NP_KERNEL", x08_lsh_ann),
+    }
+
+    def run(env, fn, gate, sf):
+        monkeypatch.setenv(env, gate)
+        # repr-canonicalized: NaN != NaN under tuple equality, but the
+        # paths must agree cell-for-cell including NaN placement
+        return sorted(repr(tuple(r)) for r in fn(spark, sf).collect())
+
+    for env, fn in cases.values():
+        assert run(env, fn, "1", SF_DIR) == run(env, fn, "0", SF_DIR)
+
+    # NaN stays in-kernel (Spark NaN-greatest semantics replicated);
+    # edge rows sit OUTSIDE x32's first-16 codebook so the kernel
+    # path (not just its fallback) is what gets compared
+    nan_vec = [0.5, float("nan")] + [0.25, -0.5] * 31
+    null_vec = [0.5, None] + [0.25, -0.5] * 31
+    sf_nan = _edge_embeddings(tmp_path, "nan", {19: nan_vec})
+    # NULL/ragged corpora exercise the slow paths / strict fallbacks
+    sf_dirty = _edge_embeddings(
+        tmp_path,
+        "dirty",
+        {19: nan_vec, 21: null_vec, 23: None, 25: [0.5, 0.25]},
+    )
+    for sf in (sf_nan, sf_dirty):
+        for env, fn in cases.values():
+            assert run(env, fn, "1", sf) == run(env, fn, "0", sf), (
+                env, sf,
+            )
+
+
 def test_q40_within_rank_error(spark):
     """approx_percentile(accuracy=10k) guarantees rank error <= 1/10k:
     each estimate must lie between the exact percentiles at q∓eps
