@@ -1903,12 +1903,114 @@ def _km_centroids_df(assigned: DataFrame, dim: int) -> DataFrame:
     return g.select("cell", cv.alias("cv"))
 
 
+def _km_assign_np(e: DataFrame, cents: list):
+    """Vectorized x27 assignment (r17, guide §4.2): the same k
+    centroids the expression path inlines as literals, applied in ONE
+    mapInArrow projection — no k-struct array_min expression tree, no
+    interpreted (a−b)² fold per centroid per row. All-INTEGER
+    arithmetic (the quantized grid), so replication is exact by
+    construction: int64 squared-distance sums (numpy int64 wraps like
+    the JVM long, and |sums| are far below 2^63 at the grid bound),
+    argmin ties to the lowest cell (cell-sorted candidates, first
+    minimum wins — the struct-min ordering), NULL/ragged vectors fold
+    to NULL dist and take the lowest cell exactly as a null-dist
+    struct sorts first. Returns None if the centroid list is unusable
+    (caller keeps the literal-expression path)."""
+    import numpy as np
+
+    if not cents:
+        return None
+    cs = sorted((int(c), list(v)) for c, v in cents)
+    dims = {len(v) for _, v in cs}
+    if len(dims) != 1 or any(x is None for _, v in cs for x in v):
+        return None
+    dim = dims.pop()
+    cell_ids = np.array([c for c, _ in cs], dtype=np.int64)
+    C = np.array([v for _, v in cs], dtype=np.int64)
+    low_cell = int(cell_ids[0])
+
+    def assign(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if not b.num_rows:
+                continue
+            names = b.schema.names
+            q_col = b.column(names.index("q"))
+            n = b.num_rows
+            offs = np.diff(q_col.offsets.to_numpy())
+            clean = (
+                q_col.null_count == 0
+                and q_col.flatten().null_count == 0
+                and bool((offs == dim).all())
+            )
+            if clean:
+                Q = q_col.flatten().to_numpy().reshape(n, dim)
+                acc = np.zeros((n, len(cell_ids)), dtype=np.int64)
+                for i in range(dim):
+                    d = Q[:, i, None] - C[None, :, i]
+                    acc += d * d
+                best = np.argmin(acc, axis=1)
+                dist = pa.array(
+                    acc[np.arange(n), best], type=pa.int64()
+                )
+                cell = pa.array(cell_ids[best], type=pa.int64())
+            else:
+                vals = q_col.to_pylist()
+                dists: list = []
+                cells: list = []
+                for r_i in range(n):
+                    v = vals[r_i]
+                    ok = (
+                        v is not None
+                        and len(v) == dim
+                        and not any(x is None for x in v)
+                    )
+                    if not ok:
+                        dists.append(None)  # null fold: struct-min
+                        cells.append(low_cell)  # ties to lowest cell
+                        continue
+                    bd, bc = None, low_cell
+                    for ci in range(len(cell_ids)):
+                        acc_v = 0
+                        for i in range(dim):
+                            d0 = v[i] - int(C[ci, i])
+                            acc_v += d0 * d0
+                        if bd is None or acc_v < bd:
+                            bd, bc = acc_v, int(cell_ids[ci])
+                    dists.append(bd)
+                    cells.append(bc)
+                dist = pa.array(dists, type=pa.int64())
+                cell = pa.array(cells, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(names.index("vec_id")),
+                    q_col,
+                    dist,
+                    cell,
+                ],
+                names=["vec_id", "q", "dist", "cell"],
+            )
+
+    return e.select("vec_id", "q").mapInArrow(
+        assign, schema="vec_id long, q array<long>, dist long, cell long"
+    )
+
+
 def _km_assign(e: DataFrame, cents: list) -> DataFrame:
     """Nearest-centroid assignment as a NARROW projection: the k
     centroids are inlined as literal arrays (the classic broadcast of
     k-means — O(k·dim) state, independent of corpus size), so the
     assignment pass needs no join and no shuffle at all. Ties break on
-    the lower cell id via lexicographic struct min."""
+    the lower cell id via lexicographic struct min.
+
+    r17: behind ``SPARK_GRAFT_X27_NP_ASSIGN`` (default on) the same
+    centroids apply through :func:`_km_assign_np` — identical integer
+    arithmetic, one vectorized pass (pytest-pinned equal)."""
+    if os.environ.get("SPARK_GRAFT_X27_NP_ASSIGN", "1") == "1":
+        out = _km_assign_np(e, cents)
+        if out is not None:
+            return out.select("vec_id", "q", "dist", "cell")
     cand = F.array(
         *[
             F.struct(

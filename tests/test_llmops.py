@@ -162,6 +162,14 @@ def test_x27_kmeans_distributed_branch_matches_driver_path(
         tuple(r) for r in x27_kmeans(spark, SF_DIR).collect()
     )
     assert dist == driver
+    # r17: the vectorized assignment kernel (integer arithmetic, same
+    # argmin/tie semantics) must also equal the literal-expression path
+    monkeypatch.delenv("SPARK_GRAFT_X27_DRIVER_K_MAX", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_X27_NP_ASSIGN", "0")
+    expr = sorted(
+        tuple(r) for r in x27_kmeans(spark, SF_DIR).collect()
+    )
+    assert expr == driver
 
 
 def test_x31_np_kernel_matches_expression_path(spark, monkeypatch, tmp_path):
