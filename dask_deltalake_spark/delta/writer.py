@@ -392,13 +392,24 @@ def run_partition_write(
     byte-compat reference."""
     arrow_schema = _spark_to_arrow_schema(df.schema)
     schema_bytes = arrow_schema.serialize().to_pybytes()
-    if os.environ.get("SPARK_GRAFT_ARROW_WRITE_FACTORY", "1") == "1":
-        try:
-            tz = df.sparkSession.conf.get(
-                "spark.sql.session.timeZone", "UTC"
-            ) or "UTC"
-        except Exception:
-            tz = "UTC"
+    try:
+        tz = df.sparkSession.conf.get(
+            "spark.sql.session.timeZone", "UTC"
+        ) or "UTC"
+    except Exception:
+        tz = "UTC"
+    # Non-UTC sessions take the pandas factory (review r17): the arrow
+    # factory writes timestamp data as the UTC instant but would feed
+    # StatsAccumulator the session-LOCALIZED naive wall time, so a
+    # non-UTC session would get file stats inconsistent with the file's
+    # own rows (a stats-based skip could prune files that match). The
+    # pandas reference path is self-consistent (data and stats both
+    # carry the session wall time). The engine pins UTC in ENGINE_CONF,
+    # so this branch only fires for foreign sessions.
+    if (
+        os.environ.get("SPARK_GRAFT_ARROW_WRITE_FACTORY", "1") == "1"
+        and tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00")
+    ):
         fn = _write_partition_factory_arrow(
             data_root,
             partition_by,

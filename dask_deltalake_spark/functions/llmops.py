@@ -786,27 +786,36 @@ def _lsh_bands_np(e):
                        "key": []}
                 for r_i in range(n):
                     v = vals[r_i]
-                    ok = (
+                    # nrm replicates sqrt(aggregate(transform(v, x*x)))
+                    # over v ALONE: NULL only for a NULL vector or a
+                    # NULL element — a ragged null-free vector still
+                    # gets a real norm (review r17: the kernel used to
+                    # null it, diverging from the expression path)
+                    if v is not None and not any(x is None for x in v):
+                        nrm_v = 0.0
+                        for x in v:
+                            nrm_v = nrm_v + x * x
+                        nrm_v = math.sqrt(nrm_v)
+                    else:
+                        nrm_v = None
+                    # the plane projections DO zip_with against the
+                    # 64-element planes, so any length mismatch or
+                    # NULL element folds to NULL → bit 0
+                    if (
                         v is not None
                         and len(v) == dim
                         and not any(x is None for x in v)
-                    )
-                    if ok:
-                        nrm_v = 0.0
+                    ):
                         projs = []
                         for p_row in planes:
                             acc = 0.0
                             for x, y in zip(v, p_row):
                                 acc = acc + x * y
                             projs.append(acc)
-                        for x in v:
-                            nrm_v = nrm_v + x * x
-                        nrm_v = math.sqrt(nrm_v)
                         bits = [
                             1 if (p > 0 or p != p) else 0 for p in projs
                         ]
                     else:
-                        nrm_v = None
                         bits = [0] * len(planes)
                     for band in range(_LSH_BANDS):
                         kk = 0
@@ -1263,6 +1272,10 @@ def _neardup_pairs_np(e):
     if any(
         v is None or any(x is None for x in v) for v in vs
     ) or len({len(v) for v in vs}) != 1:
+        return None
+    if any(r["nrm"] == 0.0 for r in rows):
+        # zero-norm vector: the expression path's ANSI division
+        # raises — fall back so the failure mode is Spark's own
         return None
     ids_b = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     B = np.array(vs, dtype=np.float64)
@@ -2431,6 +2444,11 @@ def _ivf_assign_np(e, cent_rows: list):
         x is None for _, cv, n in cents for x in list(cv) + [n]
     ):
         return None  # ragged/null centroids: keep the expression path
+    if any(n == 0.0 for _, _, n in cents):
+        # zero-norm centroid: the expression path's ANSI division
+        # raises — keep it so the failure mode is Spark's own
+        # (review r17 zero-divisor finding)
+        return None
     dim = dims.pop()
     cell_ids = np.array([c for c, _, _ in cents], dtype=np.int64)
     C = np.array([cv for _, cv, _ in cents], dtype=np.float64)
@@ -2466,6 +2484,14 @@ def _ivf_assign_np(e, cent_rows: list):
             if fast:
                 V = v_col.flatten().to_numpy().reshape(n, dim)
                 nrm = nrm_col.to_numpy()
+                if (nrm == 0.0).any():
+                    # replicate ANSI: dot/(0) raises in the expression
+                    # path; a silent inf/NaN assignment would diverge
+                    raise ArithmeticError(
+                        "x31 assignment: zero-norm vector — the "
+                        "ANSI expression path raises DIVIDE_BY_ZERO "
+                        "here too"
+                    )
                 acc = np.zeros((n, len(cell_ids)), dtype=np.float64)
                 for i in range(dim):
                     acc = acc + V[:, i, None] * C[None, :, i]
@@ -2529,6 +2555,11 @@ def _fold_dot_py(v, c, nrm, cnrm):
         if x is None:
             return None
         acc = acc + x * float(y)
+    if nrm * cnrm == 0.0:
+        raise ArithmeticError(
+            "x31 assignment: zero-norm vector — the ANSI expression "
+            "path raises DIVIDE_BY_ZERO here too"
+        )
     return acc / (nrm * cnrm)
 
 
@@ -2682,6 +2713,11 @@ def _sem_cell_stats_kernel():
                 [vals_np[starts[i] : starts[i] + dim] for i in idxs]
             ).astype(np.float64, copy=False)
             nr = nrm[sel]
+            if (nr == 0.0).any():
+                raise ArithmeticError(
+                    "x31 pair pass: zero-norm vector — the ANSI "
+                    "expression path raises DIVIDE_BY_ZERO here too"
+                )
             m = len(sel)
             acc = np.zeros((m, m), dtype=np.float64)
             for d in range(dim):
@@ -2794,9 +2830,21 @@ def x31_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression arithmetic bit-exactly (pytest-pinned; oracle
     # hash-green under both gates). The expression path stays intact
     # behind the gate as the documented fallback.
+    # Scale guard (review r17): the kernel holds a batch×k double
+    # similarity matrix per Arrow batch and ships the k×dim centroid
+    # array into every task — fine through thousands of centroids, a
+    # task-memory hazard when derived_k reaches the 100 TB range.
+    # Above the cap the expression path's broadcast+window (and its
+    # two-level IVF escalation at _SEM_K_CAP) takes over.
+    try:
+        _kernel_k_max = int(
+            os.environ.get("SPARK_GRAFT_X31_KERNEL_K_MAX", "4096")
+        )
+    except ValueError:
+        _kernel_k_max = 4096
     if (
         os.environ.get("SPARK_GRAFT_X31_NP_KERNEL", "1") == "1"
-        and k < _SEM_K_CAP
+        and k <= min(_kernel_k_max, _SEM_K_CAP - 1)
     ):
         inv_np = _ivf_assign_np(e, cent.collect())
         if inv_np is not None:

@@ -2575,7 +2575,7 @@ def q59_grouped_pandas_quantiles(
     logic SQL genuinely cannot express (sequence alignment, per-user
     model scoring), pinned here with a verifiable stand-in.
     Scale: ONE shuffle on o_custkey (plan-asserted single
-    hashpartitioning + FlatMapGroupsInPandas); per-group state is one
+    hashpartitioning + FlatMapGroupsInArrow); per-group state is one
     customer's orders (bounded, no skew at TPC-H key uniformity);
     Arrow transfer is vectorized both ways — no row-at-a-time Python.
     The >=5-order floor keeps quantile interpolation well-defined and
@@ -2693,7 +2693,7 @@ def q60_cogrouped_pandas_reconcile(
     centi-percent units) on both sides, so no float rounding can
     diverge between numpy and DuckDB.
     Scale: each side shuffles ONCE on the shared key (plan-asserted
-    FlatMapCoGroupsInPandas fed by exactly two hashpartitioning
+    FlatMapCoGroupsInArrow fed by exactly two hashpartitioning
     exchanges, one per input); the q59 cost model applies doubly —
     each key pays one Python call over two frames, so the modulo
     cohort (o_orderkey % 200 = 7) bounds the group count scan-side

@@ -612,6 +612,49 @@ def test_arrow_write_factory_byte_compat_stats_and_content(
     assert fold(a[3]) == fold(p[3])
 
 
+def test_non_utc_session_write_is_stats_consistent(
+    spark, tmp_path, monkeypatch
+):
+    """review r17: on a non-UTC session the arrow factory would write
+    timestamp data as the UTC instant while feeding StatsAccumulator
+    the session-LOCALIZED wall time — file stats inconsistent with the
+    file's own rows (a stats-based skip could prune matching files).
+    Non-UTC sessions must dispatch to the self-consistent pandas
+    factory: under either gate value the add-action stats AND the raw
+    stored parquet values must be identical."""
+    import datetime
+    import json
+
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2021, 6, 1, 12, 0, 0)),
+            (2, datetime.datetime(2021, 12, 31, 23, 30, 0)),
+        ],
+        "i long, ts timestamp",
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        results = {}
+        for gate in ("1", "0"):
+            monkeypatch.setenv("SPARK_GRAFT_ARROW_WRITE_FACTORY", gate)
+            p = str(tmp_path / f"tz{gate}")
+            to_delta(df.coalesce(1), p, engine="arrow")
+            snap = DeltaLog(p).snapshot()
+            (add,) = snap.add_actions
+            raw = (
+                pq.read_table(os.path.join(p, add.path))
+                .column("ts")
+                .to_pylist()
+            )
+            results[gate] = (json.loads(add.stats), sorted(map(repr, raw)))
+        assert results["1"] == results["0"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def test_arrow_write_factory_dml_rewrite_matches(spark, tmp_path, monkeypatch):
     """The DML rewrite boundary (delete_where COW) through both
     factories: same surviving rows, same per-file stats JSON."""

@@ -249,6 +249,16 @@ def test_x31_np_kernel_matches_expression_path(spark, monkeypatch, tmp_path):
     )
     assert got.tolist() == spark_res
 
+    # review r17 scale guard: above SPARK_GRAFT_X31_KERNEL_K_MAX the
+    # expression path takes over (the kernel holds a batch×k matrix);
+    # forced to 0 the results must stay identical, and a malformed cap
+    # value falls back to the default instead of raising
+    monkeypatch.setenv("SPARK_GRAFT_X31_KERNEL_K_MAX", "0")
+    assert run("1", str(sf)) == run("0", str(sf))
+    monkeypatch.setenv("SPARK_GRAFT_X31_KERNEL_K_MAX", "not-a-number")
+    assert run("1", str(sf)) == run("0", str(sf))
+    monkeypatch.delenv("SPARK_GRAFT_X31_KERNEL_K_MAX")
+
 
 def _edge_embeddings(tmp_path, name, edits):
     """Write a small embeddings parquet with targeted edge rows."""
@@ -327,6 +337,67 @@ def test_x14_x32_x08_np_kernels_match_expression_paths(
             assert run(env, fn, "1", sf) == run(env, fn, "0", sf), (
                 env, sf,
             )
+
+
+def test_x08_ragged_pair_kernel_matches_expression(
+    spark, monkeypatch, tmp_path
+):
+    """review r17: nrm replicates sqrt(aggregate(transform(v, x*x)))
+    over v ALONE — a ragged null-free vector keeps a REAL norm in the
+    kernel slow path exactly as in the expression path. Two same-length
+    ragged vectors (one a query) collide on the all-zero band keys and
+    re-rank with a real dot, so a nulled norm would change best_id and
+    score between the gated paths."""
+    from dask_deltalake_spark.functions.llmops import x08_lsh_ann
+
+    sf = _edge_embeddings(
+        tmp_path,
+        "raggedpair",
+        {
+            5: [0.5, 0.25, -0.25],   # ragged QUERY (vec_id < 8)
+            25: [0.25, 0.5, 0.125],  # ragged candidates, same length
+            27: [0.5, 0.25, -0.25],
+        },
+    )
+
+    def run(gate):
+        monkeypatch.setenv("SPARK_GRAFT_X08_NP_KERNEL", gate)
+        return sorted(
+            repr(tuple(r)) for r in x08_lsh_ann(spark, sf).collect()
+        )
+
+    assert run("1") == run("0")
+    # the corpus must actually exercise the divergence class: the
+    # ragged query scores a REAL best pair (nrm non-null both sides)
+    best5 = [
+        r
+        for r in x08_lsh_ann(spark, sf).collect()
+        if r["query_id"] == 5
+    ]
+    assert best5 and best5[0]["score"] is not None
+
+
+def test_zero_norm_embeddings_fail_like_expression_path(
+    spark, monkeypatch, tmp_path
+):
+    """review r17: an all-zero embedding makes the cosine denominator
+    exactly 0.0; under the session's ANSI mode the expression paths
+    raise DIVIDE_BY_ZERO. The numpy kernels must not silently emit
+    inf/NaN rows instead — both gates must fail on such a corpus."""
+    from dask_deltalake_spark.functions.llmops import (
+        x14_embedding_near_dup,
+        x31_semantic_dedup,
+    )
+
+    sf = _edge_embeddings(tmp_path, "zeronorm", {25: [0.0] * 64})
+    for env, fn in (
+        ("SPARK_GRAFT_X31_NP_KERNEL", x31_semantic_dedup),
+        ("SPARK_GRAFT_X14_NP_KERNEL", x14_embedding_near_dup),
+    ):
+        for gate in ("1", "0"):
+            monkeypatch.setenv(env, gate)
+            with pytest.raises(Exception):
+                fn(spark, sf).collect()
 
 
 def test_q40_within_rank_error(spark):
